@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loaders for the graft engine.
+  *
+  * Scale defaults: AQE on (runtime re-planning, skew-join handling,
+  * partition coalescing), shuffle partitions sized for the local[32]
+  * test harness (on a real cluster this is overridden to ~2-3x total
+  * cores), UTC session time.
+  */
+object GraftSession {
+
+  def local(cores: Int = 32): SparkSession = configure(
+    SparkSession.builder().master(s"local[$cores]"),
+    shufflePartitions = cores
+  ).getOrCreate()
+
+  def configure(
+      b: SparkSession.Builder,
+      shufflePartitions: Int = 32
+  ): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+    // the testdata events table carries parquet TIMESTAMP(NANOS); read
+    // without failing (truncates to micros, which every query here is
+    // insensitive to — buckets are >= 1 minute wide)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+    .config("spark.ui.enabled", "false")
+}
+
+/** Loaders for the driver-generated testdata star schema.
+  * Reads are plain parquet scans so Catalyst pushes filters/projections
+  * down (verified in RelationalSpec via the formatted plan).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** events.parquet carries parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively — read it as long nanos (legacy conf) and derive both the exact
+    * `ts_ns` (long) and a microsecond-truncated `ts` timestamp column.
+    * Truncation is harmless for every bucketing query (>= 1-minute windows);
+    * exact arithmetic (event gaps) uses `ts_ns`. */
+  def eventsWithTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

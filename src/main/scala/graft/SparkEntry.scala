@@ -1,13 +1,81 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_pushdown" -> (Relational.q02FilterPushdown _),
+    "q03_broadcast_join" -> (Relational.q03BroadcastJoin _),
+    "q04_shuffle_join" -> (Relational.q04ShuffleJoin _),
+    "q05_star_join" -> (Relational.q05StarJoin _),
+    "q06_window_rank" -> (Relational.q06WindowRank _),
+    "q07_topk" -> (Relational.q07TopK _),
+    "q08_distinct_agg" -> (Relational.q08DistinctAgg _),
+    "q09_union" -> (Relational.q09Union _),
+    "q10_semi_anti_join" -> (Relational.q10SemiAntiJoin _),
+    "q11_stats_agg" -> (Relational.q11StatsAgg _),
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
+    "q13_having" -> (Relational.q13Having _),
+    "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
+    "q15_rollup" -> (Relational.q15Rollup _),
+    "q16_json_extract" -> (Relational.q16JsonExtract _),
+    "q17_time_bucket" -> (Relational.q17TimeBucket _),
+    "q18_lag_lead" -> (Relational.q18LagLead _),
+    "q19_exists_in" -> (Relational.q19ExistsIn _),
+    "q20_multi_grouping" -> (Relational.q20MultiGrouping _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_quantity, l_discount FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03""",
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+    "q04_shuffle_join" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),4) AS avg_disc, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus""",
+    "q05_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' GROUP BY n_name""",
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk FROM orders) t WHERE rk <= 3""",
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    "q08_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders GROUP BY o_orderpriority""",
+    "q09_union" ->
+      """SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 400000.0 UNION ALL SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 5000.0""",
+    "q10_semi_anti_join" ->
+      """SELECT c_custkey, 'active' AS status FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) UNION ALL SELECT c_custkey, 'inactive' AS status FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q11_stats_agg" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty, round(var_samp(l_quantity),4) AS var_qty, round(min(l_extendedprice),2) AS min_price, round(max(l_extendedprice),2) AS max_price, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q12_conditional_agg" ->
+      """SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_linestatus""",
+    "q13_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend FROM orders GROUP BY o_custkey HAVING count(*) >= 15""",
+    "q14_scalar_subquery" ->
+      """SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly FROM lineitem l JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk WHERE l.l_quantity < 0.5 * a.aq""",
+    "q15_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q16_json_extract" ->
+      """SELECT k_mod, count(*) AS n, round(sum(value),2) AS sum_value FROM (SELECT CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) % 10 AS k_mod, value FROM events WHERE regexp_extract(props, '"k": *(-?[0-9]+)', 1) <> '') t GROUP BY k_mod""",
+    "q17_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY 1, 2""",
+    "q18_lag_lead" ->
+      """SELECT user_id, event_id, ts_us - prev_us AS gap_us FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us FROM events) t WHERE prev_us IS NOT NULL""",
+    "q19_exists_in" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""",
+    "q20_multi_grouping" ->
+      """SELECT 'status' AS "level", o_orderstatus AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'priority' AS "level", o_orderpriority AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderpriority"""
+  )
 }

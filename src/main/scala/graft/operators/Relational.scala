@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The downstream analytical query surface (SURVEY §2.3).
+  *
+  * The reference publishes Iceberg tables and queries them with arbitrary
+  * SQL (reference README "Query and explore data": SUM/AVG/COUNT over the
+  * published table; quality_app.py row/null counts). These queries cover the
+  * full relational operator set a user of the reference runs on published
+  * tables, expressed with the DataFrame API so Catalyst plans pushdown,
+  * pruning, broadcast and AQE without hand-scheduling.
+  *
+  * Determinism notes (driver hash-compares against DuckDB):
+  *  - every double aggregate is rounded, killing FP-association ulps;
+  *  - every LIMIT carries a full deterministic ORDER BY tiebreak;
+  *  - column aliases match the oracle SQL exactly.
+  */
+object Relational {
+
+  private def tsNtz(s: String) = lit(s).cast("timestamp_ntz")
+
+  /** TPC-H Q1 shape: scan -> filter -> groupBy -> multi-aggregate.
+    * Filter + the 6-column projection reach the parquet scan (pushdown
+    * verified in RelationalSpec). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= tsNtz("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Predicate pushdown + column pruning: the scan must read only 3 of 11
+    * columns and push both predicates (ReadSchema/PushedFilters asserted in
+    * the spec). */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.03)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+
+  /** Dimension broadcast join: customer is small relative to orders — an
+    * explicit broadcast keeps the fact table un-shuffled at any scale. */
+  def q03BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Fact-fact shuffle join (sort-merge/shuffled-hash under AQE): both sides
+    * shuffle on the join key once; aggregation reuses the exchange. */
+  def q04ShuffleJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q5 shape: 5-table star join, dims broadcast, facts shuffled. */
+  def q05StarJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1999-01-01 00:00:00"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** Window rank: top-3 orders per customer (fully tie-broken). */
+  def q06WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Global top-k with deterministic tiebreak — Spark plans TakeOrderedAndProject
+    * (per-partition heap + single merge), not a global sort. */
+  def q07TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Distinct aggregation: countDistinct expands to a two-phase plan with
+    * partial aggregation map-side. */
+  def q08DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** Union of filtered branches (no shuffle — union is a narrow op). */
+  def q09Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 5000.0)
+      .select(col("o_orderkey"), lit("low").as("bucket"))
+    hi.union(lo)
+  }
+
+  /** Left-semi + left-anti joins: active vs inactive customers. */
+  def q10SemiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("active").as("status"))
+    val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("inactive").as("status"))
+    active.union(inactive)
+  }
+
+  /** Numeric statistics aggregate (stddev/variance/min/max). */
+  def q11StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q12 shape: CASE-WHEN conditional aggregation over a join. */
+  def q12ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** groupBy + HAVING (post-aggregation filter). */
+  def q13Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("n_orders") >= 15)
+
+  /** TPC-H Q17 shape: aggregate compared against a per-group scalar
+    * (self-join on the per-part average). */
+  def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQ = l.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    l.join(broadcast(avgQ), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("aq"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** ROLLUP multi-level aggregate (subtotals + grand total). */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** JSON field extraction from the events.props payload column. */
+  def q16JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithTs(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Event-time bucketed aggregation — the batch equivalent of the
+    * streaming windowed count (graft.streaming.EventStreams). */
+  def q17TimeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithTs(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** lag/lead over per-user event sequences: inter-event gap — the
+    * sessionization building block. The gap stays in exact integer
+    * microseconds: integer DIV (not double division — 1e18 ns exceeds
+    * double mantissa), and µs because DuckDB truncates parquet
+    * nano-timestamps to µs. */
+  def q18LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.eventsWithTs(spark, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        (col("ts_us") - col("prev_us")).as("gap_us"))
+  }
+
+  /** IN-subquery predicate (planned as a semi join). */
+  def q19ExistsIn(spark: SparkSession, dir: String): DataFrame = {
+    val autoCust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(autoCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Grouping-sets shape: independent aggregates over different keys,
+    * union-tagged (each aggregate keeps map-side partial aggregation). */
+  def q20MultiGrouping(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byStatus = o.groupBy(col("o_orderstatus").as("key"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(lit("status").as("level"), col("key"), col("n"), col("revenue"))
+    val byPriority = o.groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(lit("priority").as("level"), col("key"), col("n"), col("revenue"))
+    byStatus.union(byPriority)
+  }
+}
