@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Relational, WapQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -31,7 +31,12 @@ object SparkEntry {
     "q17_time_bucket" -> (Relational.q17TimeBucket _),
     "q18_lag_lead" -> (Relational.q18LagLead _),
     "q19_exists_in" -> (Relational.q19ExistsIn _),
-    "q20_multi_grouping" -> (Relational.q20MultiGrouping _)
+    "q20_multi_grouping" -> (Relational.q20MultiGrouping _),
+    "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
+    "wap_metrics" -> (WapQueries.wapMetrics _),
+    "dq_null_audit" -> (WapQueries.dqNullAudit _),
+    "dq_null_counts" -> (WapQueries.dqNullCounts _),
+    "dq_suite" -> (WapQueries.dqSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +81,16 @@ object SparkEntry {
     "q19_exists_in" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""",
     "q20_multi_grouping" ->
-      """SELECT 'status' AS "level", o_orderstatus AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'priority' AS "level", o_orderpriority AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderpriority"""
+      """SELECT 'status' AS "level", o_orderstatus AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'priority' AS "level", o_orderpriority AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderpriority""",
+    "wap_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200""",
+    "wap_metrics" ->
+      """SELECT 'main' AS branch, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_text FROM documents WHERE doc_id < 200 UNION ALL SELECT 'batch-2' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 = 0) AS n_null_text""",
+    "dq_null_audit" ->
+      """SELECT 'not_null(text)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) AS violations UNION ALL SELECT 'not_null(lang)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) AS violations""",
+    "dq_null_counts" ->
+      """SELECT '__rows' AS column_name, count(*) AS null_count FROM events UNION ALL SELECT 'event_type', CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'value', CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events""",
+    "dq_suite" ->
+      """SELECT 'not_null(o_orderkey)' AS check_name, count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed, CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violations FROM orders UNION ALL SELECT 'unique_key(o_orderkey)', count(o_orderkey) - count(DISTINCT o_orderkey) = 0, CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders UNION ALL SELECT 'value_range(o_totalprice)', count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) = 0, CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) AS BIGINT) FROM orders UNION ALL SELECT 'accepted_values(o_orderstatus)', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) = 0, CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders UNION ALL SELECT 'row_count_min(10)', count(*) >= 10, CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) FROM orders UNION ALL SELECT 'freshness(o_orderdate)', max(o_orderdate) >= TIMESTAMP '1995-01-01 00:00:00', CAST(CASE WHEN max(o_orderdate) < TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT) FROM orders"""
   )
 }

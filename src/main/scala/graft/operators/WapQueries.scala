@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.quality._
+import graft.wap.{BranchCatalog, BufferAlerter, Wap}
+
+/** WAP + data-quality flows exposed as driver-checkable queries
+  * (SURVEY §2.1/§2.2). Each runs the real BranchCatalog/Wap machinery in a
+  * fresh temp dir on deterministic slices of the `documents` table, so the
+  * DuckDB oracle can state the expected post-WAP content in plain SQL over
+  * the original table.
+  */
+object WapQueries {
+
+  private def badBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, lit(null: String)).otherwise(col("text")))
+
+  /** Runs the reference's full lambda flow three times (two clean batches
+    * that publish, one faulty batch that must NOT publish) and returns the
+    * content of main. Oracle: documents with doc_id < 200. */
+  private def runFlow(spark: SparkSession, dir: String): (BranchCatalog, BufferAlerter) = {
+    val tmp = Files.createTempDirectory("graft-wap").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir)
+    val alerter = new BufferAlerter
+    val checks = Seq(NotNull("text"), NotNull("lang"))
+    Wap.run(cat, "documents", docs.filter(col("doc_id") < 100), checks, "batch-0", alerter)
+    Wap.run(cat, "documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), checks, "batch-1", alerter)
+    Wap.run(cat, "documents", badBatch(docs), checks, "batch-2", alerter)
+    (cat, alerter)
+  }
+
+  /** End-to-end WAP correctness: after the flow, main holds exactly the
+    * two published batches. */
+  def wapRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, _) = runFlow(spark, dir)
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Quality-dashboard metrics (reference quality_app.py): rows + null
+    * counts for main and for the failed, unmerged branch. */
+  def wapMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, _) = runFlow(spark, dir)
+    def stats(branch: String): DataFrame =
+      cat.scan("documents", branch).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).cast("long").as("n_null_text"))
+        .select(lit(branch).as("branch"), col("n_rows"), col("n_null_text"))
+    stats("main").union(stats("batch-2"))
+  }
+
+  /** The reference's exact audit (IsNull on the target column) over a
+    * simulated faulty batch, as a one-pass suite report. */
+  def dqNullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, lit(null: String)).otherwise(col("text")))
+    Audit.reportDF(spark, Audit.run(docs, Seq(NotNull("text"), NotNull("lang"))))
+  }
+
+  /** Per-column null counts + row count in one aggregation pass. */
+  def dqNullCounts(spark: SparkSession, dir: String): DataFrame =
+    Metrics.nullCounts(Tables.eventsWithTs(spark, dir).select("event_type", "value", "props"),
+      Seq("event_type", "value", "props"))
+
+  /** The widened expectation suite on orders — six checks, one job. */
+  def dqSuite(spark: SparkSession, dir: String): DataFrame = {
+    val report = Audit.run(Tables.orders(spark, dir), Seq(
+      NotNull("o_orderkey"),
+      UniqueKey("o_orderkey"),
+      ValueRange("o_totalprice", 0.0, 1000000.0),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      RowCountMin(10),
+      Freshness("o_orderdate", "1995-01-01 00:00:00")))
+    Audit.reportDF(spark, report)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.wap
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.quality._
+import graft.sources.DataGen
+
+class WapSpec extends SparkSpecBase {
+
+  private def freshCatalog() =
+    new BranchCatalog(spark, Files.createTempDirectory("wap-spec").toString)
+
+  test("create table, append, scan round-trips rows") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+    cat.createTableIfNotExists("t", docs.schema)
+    assert(cat.listTables() == Seq("t"))
+    cat.append("t", docs)
+    assert(cat.scan("t").count() == 50)
+    // second createIfNotExists is a no-op returning false (reference
+    // app.py:125 returns False when the table exists)
+    assert(!cat.createTableIfNotExists("t", docs.schema))
+  }
+
+  test("branch isolation: main never sees unpublished rows") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.createBranch("b1")
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30), "b1")
+    assert(cat.scan("t", "main").count() == 10)
+    assert(cat.scan("t", "b1").count() == 30)
+    cat.merge("b1")
+    assert(cat.scan("t", "main").count() == 30)
+    cat.dropBranch("b1")
+    assert(cat.listBranches() == Seq("main"))
+  }
+
+  test("merge is 3-way: concurrent appends on main are preserved") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.createBranch("b1")
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 20), "b1")
+    // concurrent publish directly on main while b1 is open
+    cat.append("t", docs.filter(col("doc_id") >= 90 && col("doc_id") < 95), "main")
+    cat.merge("b1")
+    val ids = cat.scan("t", "main").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 25)
+    assert(ids.take(20).toSeq == (0L until 20L))
+    assert(ids.drop(20).toSeq == (90L until 95L))
+  }
+
+  test("time travel: historical snapshot ids stay readable") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    val snap1 = cat.snapshotIdOf("t").get
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+    assert(cat.scanSnapshot("t", snap1).count() == 10)
+    assert(cat.scan("t").count() == 30)
+  }
+
+  test("full WAP: clean batch publishes, faulty batch stays on its branch and alerts") {
+    val cat = freshCatalog()
+    val alerter = new BufferAlerter
+    val clean = DataGen.customerBatch(spark, 1000)
+    val faulty = DataGen.customerBatch(spark, 500, injectNulls = true, nullEvery = 100)
+    val checks = Seq(NotNull("my_col_1"))
+
+    val r1 = Wap.run(cat, "customer_data_log", clean, checks, "up-1", alerter)
+    assert(r1.published && alerter.alerts.isEmpty)
+    assert(cat.scan("customer_data_log").count() == 1000)
+
+    val r2 = Wap.run(cat, "customer_data_log", faulty, checks, "up-2", alerter)
+    assert(!r2.published)
+    assert(alerter.alerts.map(_._2) == Seq("up-2"))
+    assert(r2.report.failed.head.violations == 5) // ids 0,100,200,300,400
+    // main unchanged, failed branch kept for inspection
+    assert(cat.scan("customer_data_log", "main").count() == 1000)
+    assert(cat.scan("customer_data_log", "up-2").count() == 1500)
+    assert(cat.listBranches().contains("up-2"))
+  }
+
+  test("audit suite runs as a single job and reports per-check violations") {
+    val orders = Tables.orders(spark, sfDir)
+    val report = Audit.run(orders, Seq(
+      NotNull("o_orderkey"),
+      UniqueKey("o_orderkey"),
+      ValueRange("o_totalprice", 0.0, 1000000.0),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      RowCountMin(10),
+      Freshness("o_orderdate", "1995-01-01 00:00:00")))
+    assert(report.passed, report.failed.toString)
+    assert(report.rows == orders.count())
+    val bad = Audit.run(orders, Seq(RowCountMin(1000000000L), ValueRange("o_totalprice", 0.0, 10.0)))
+    assert(!bad.passed && bad.failed.size == 2)
+  }
+
+  test("DataGen is deterministic and distributed-reproducible") {
+    val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
+    val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val withNulls = DataGen.customerBatch(spark, 500, injectNulls = true, nullEvery = 100)
+    assert(withNulls.filter(col("my_col_1").isNull).count() == 5)
+  }
+}
