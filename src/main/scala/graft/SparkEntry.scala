@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, WapQueries}
+import graft.operators.{PipelineQueries, Relational, WapQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -36,7 +36,20 @@ object SparkEntry {
     "wap_metrics" -> (WapQueries.wapMetrics _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
-    "dq_suite" -> (WapQueries.dqSuite _)
+    "dq_suite" -> (WapQueries.dqSuite _),
+    "dedup_exact" -> (PipelineQueries.dedupExact _),
+    "dedup_exact_norm" -> (PipelineQueries.dedupExactNorm _),
+    "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
+    "sim_topk_brute" -> (PipelineQueries.simTopkBrute _),
+    "sim_topk_lsh" -> (PipelineQueries.simTopkLsh _),
+    "text_tokens" -> (PipelineQueries.textTokens _),
+    "text_quality" -> (PipelineQueries.textQuality _),
+    "text_langid" -> (PipelineQueries.textLangid _),
+    "text_fingerprint" -> (PipelineQueries.textFingerprint _),
+    "mm_manifest" -> (PipelineQueries.mmManifest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,6 +104,18 @@ object SparkEntry {
     "dq_null_counts" ->
       """SELECT '__rows' AS column_name, count(*) AS null_count FROM events UNION ALL SELECT 'event_type', CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'value', CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events""",
     "dq_suite" ->
-      """SELECT 'not_null(o_orderkey)' AS check_name, count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed, CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violations FROM orders UNION ALL SELECT 'unique_key(o_orderkey)', count(o_orderkey) - count(DISTINCT o_orderkey) = 0, CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders UNION ALL SELECT 'value_range(o_totalprice)', count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) = 0, CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) AS BIGINT) FROM orders UNION ALL SELECT 'accepted_values(o_orderstatus)', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) = 0, CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders UNION ALL SELECT 'row_count_min(10)', count(*) >= 10, CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) FROM orders UNION ALL SELECT 'freshness(o_orderdate)', max(o_orderdate) >= TIMESTAMP '1995-01-01 00:00:00', CAST(CASE WHEN max(o_orderdate) < TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT) FROM orders"""
+      """SELECT 'not_null(o_orderkey)' AS check_name, count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed, CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violations FROM orders UNION ALL SELECT 'unique_key(o_orderkey)', count(o_orderkey) - count(DISTINCT o_orderkey) = 0, CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders UNION ALL SELECT 'value_range(o_totalprice)', count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) = 0, CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) AS BIGINT) FROM orders UNION ALL SELECT 'accepted_values(o_orderstatus)', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) = 0, CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders UNION ALL SELECT 'row_count_min(10)', count(*) >= 10, CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) FROM orders UNION ALL SELECT 'freshness(o_orderdate)', max(o_orderdate) >= TIMESTAMP '1995-01-01 00:00:00', CAST(CASE WHEN max(o_orderdate) < TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT) FROM orders""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
+    "dedup_exact_norm" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM (SELECT doc_id, array_to_string(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'), ' ') AS norm FROM documents) t GROUP BY norm""",
+    "sim_topk_brute" ->
+      """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cosine FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine, row_number() OVER (PARTITION BY q.vec_id ORDER BY round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC, c.vec_id ASC) AS rk FROM embeddings q, embeddings c WHERE q.vec_id < 20 AND c.vec_id >= 100) t WHERE rk <= 5""",
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id, round(punct / n_chars, 4) AS punct_ratio, round(stop_hits / n_toks, 4) AS stopword_ratio, round(n_chars / n_toks, 4) AS mean_word_len, round(greatest(0.0, least(1.0, 0.5 + 0.5 * (stop_hits / n_toks) - (punct / n_chars))), 4) AS quality_score FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) AS DOUBLE) AS stop_hits FROM documents) t""",
+    "mm_manifest" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1"""
   )
 }

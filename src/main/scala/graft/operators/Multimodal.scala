@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque binary payload + typed metadata. The binary
+  * column is never interpreted by Spark — only by the (stubbed) decode
+  * stage — so the plan stays columnar and prunable end to end. */
+case class MediaRecord(
+    media_id: Long,
+    media_type: String,      // image | audio | video
+    content: Array[Byte],    // opaque payload
+    width: Int, height: Int, duration_ms: Int)
+
+case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    digest: Long,            // deterministic content digest (stub "feature")
+    frames_sampled: Int)
+
+/** Multimodal-column plumbing (SURVEY §2.7): schema, partitioning and
+  * batch shape are real; the decode kernel is a clearly-marked
+  * deterministic STUB (no image/audio codecs in this environment).
+  *
+  * In PySpark this stage is `mapInPandas` (arrow batches into a decode
+  * UDF); the Scala-native equivalent is `mapPartitions` over a typed
+  * Dataset with explicit micro-batching, which is what we do here: the
+  * executor-side iterator is chunked into fixed-size batches exactly as an
+  * arrow batch would be, so a real decoder (JNI/FFI) slots into
+  * `decodeBatch` without touching the plan.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic media table from the documents table:
+    * text bytes become the opaque payload, media_type round-robins by id.
+    * Stands in for `spark.read.format("binaryFile")` at the same schema. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      (pmod(col("doc_id"), lit(640)) + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480)) + 16).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(90000)) + 1000).cast("int").as("duration_ms"))
+
+  /** ======================== STUB ========================
+    * Deterministic fake decode: digest = xxhash-free polynomial over the
+    * payload bytes. A real implementation decodes the image/audio frame
+    * here (libjpeg/ffmpeg via FFI); everything around it — batching,
+    * schema, partitioning — is production-shaped. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { m =>
+      var d = 1125899906842597L
+      var i = 0
+      while (i < m.content.length) { d = d * 31 + m.content(i); i += 1 }
+      val frames = m.media_type match {
+        case "video" => math.max(1, m.duration_ms / 1000)
+        case "audio" => math.max(1, m.duration_ms / 5000)
+        case _ => 1
+      }
+      MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, d, frames)
+    }
+
+  /** Feature extraction over micro-batches of `batchSize` records per
+    * call — the arrow-batch shape. Runs fully parallel per partition; no
+    * driver involvement. */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq))
+    }
+  }
+
+  /** Resize stage (STUB): pure metadata transform preserving the
+    * binary payload untouched — the real kernel would re-encode bytes. */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.width <= maxW && m.height <= maxH) m
+      else {
+        val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
+        m.copy(width = math.max(1, (m.width * scale).toInt),
+               height = math.max(1, (m.height * scale).toInt))
+      }
+    }
+  }
+
+  /** Media manifest: per-type size/count stats — the catalog-facing
+    * summary a 100 TB media lake maintains per partition. */
+  def manifest(media: DataFrame): DataFrame =
+    media.groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("content"))).cast("long").as("total_bytes"),
+        max(length(col("content"))).cast("long").as("max_bytes"))
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-pipeline operators exposed as driver-checkable queries
+  * (SURVEY §2.4-2.7). SQL-expressible ones carry DuckDB oracles; the
+  * hash/LSH family has value-level oracles in the ScalaTest specs instead
+  * (xxhash64/minhash are not reproducible in DuckDB SQL).
+  */
+object PipelineQueries {
+
+  // ---- §2.4 dedup -------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupExactNorm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Survivors of MinHash-LSH dedup at jaccard>=0.8, with duplicate pair
+    * count per survivor unavailable — emit (doc_id) sorted set. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"))
+
+  /** Verified near-duplicate pairs (LSH candidates + exact jaccard). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.5)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.95).select(col("vec_id"))
+
+  // ---- §2.5 similarity --------------------------------------------------
+
+  /** Top-5 cosine neighbors (corpus = vec_id >= 100) for each of the first
+    * 20 vectors as queries. */
+  def simTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, planes = 4)
+  }
+
+  // ---- §2.6 text analysis ----------------------------------------------
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  // ---- §2.7 multimodal --------------------------------------------------
+
+  def mmManifest(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.manifest(Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
+}

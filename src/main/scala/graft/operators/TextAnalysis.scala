@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines (SURVEY §2.6). All pure
+  * column expressions — codegen-friendly, no UDFs, map-side only (the only
+  * shuffles are whatever aggregation the caller adds).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + BPE-ish regex token count (letter runs,
+    * digit runs, and single non-alphanumeric marks — the coarse shape of a
+    * byte-pair tokenizer's pretoken split). The pattern avoids lookarounds
+    * so it is portable RE2 (same semantics in the DuckDB oracle). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "on", "for", "with", "as", "at", "by")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — combined into a [0,1] score with a CASE bucket. The exact
+    * formula is arbitrary (as all quality heuristics are); what matters is
+    * it's deterministic, single-pass, and each signal is exposed. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(lower(t)), "\\s+")
+    val nChars = length(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double")
+    df.select(
+      col(idCol),
+      round((punct / nChars), 4).as("punct_ratio"),
+      round((stopHits / nToks), 4).as("stopword_ratio"),
+      round(nChars / nToks, 4).as("mean_word_len"),
+      round(greatest(lit(0.0), least(lit(1.0),
+        lit(0.5) + lit(0.5) * (stopHits / nToks) - (punct / nChars))), 4).as("quality_score"))
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "por", "para"),
+    "it" -> Seq("il", "la", "gli", "e", "è", "non", "un", "una", "per", "con"))
+
+  /** Language-ID heuristic: stopword-hit scoring per language, argmax with
+    * deterministic tiebreak (struct array_max orders by score then the
+    * inverted tag, so equal scores resolve to the alphabetically first
+    * language). A real system swaps in character n-gram profiles; the
+    * pipeline shape — per-language score columns, argmax — is identical. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val scored = langStops.map { case (lang, stops) =>
+      struct(
+        size(filter(toks, w => w.isin(stops.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(langStops.map(_._1).sorted.reverse.indexOf(lang)).as("pri"),
+        lit(lang).as("lang"))
+    }
+    df.select(
+      col(idCol),
+      array_max(array(scored: _*)).getField("lang").as("pred_lang"),
+      array_max(array(scored: _*)).getField("score").as("hits"))
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint over normalized tokens:
+    * fp = fold(tokens, acc*1000003 + xxhash64(token)). Deterministic,
+    * order-sensitive, single pass. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    df.select(
+      col(idCol),
+      aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t)).as("fp64"))
+  }
+}
