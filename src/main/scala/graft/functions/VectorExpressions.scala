@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the vector / hashing hot paths
@@ -17,9 +18,12 @@ import org.apache.spark.sql.types._
 /** Cosine similarity between two float vectors, computed in one fused
   * loop with double accumulators. Null elements count as 0. */
 case class CosineSimF(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float> inputs")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_f"
 
@@ -63,9 +67,12 @@ case class CosineSimF(left: Expression, right: Expression)
 
 /** Dot product of two float vectors (codegen, fused loop). */
 case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float> inputs")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
 
@@ -105,9 +112,13 @@ case class DotProductF(left: Expression, right: Expression)
   * instead of k full hash passes — this is what makes 128-perm signatures
   * affordable over 100 TB of shingles. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
   require(k > 0 && k <= 1024, "k in (0,1024]")
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> input")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -141,8 +152,12 @@ case class MinHashSig(child: Expression, k: Int)
 /** 64-bit SimHash of a token array: per-bit vote of xxhash64(token),
   * single pass. Near-duplicate texts land within small Hamming distance. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> input")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -175,14 +190,49 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit polynomial rolling-hash fingerprint over a token array:
+  * fp = fold(tokens, acc * 1000003 + xxhash64(token)), with two's-complement
+  * wraparound (the standard rolling-hash semantics — done natively because
+  * ANSI SQL mode rejects the intentional overflow). Order-sensitive,
+  * deterministic, single pass. */
+case class RollingFp64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> input")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var fp = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        fp = fp * 1000003L + XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      }
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSimF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    Bridge.column(CosineSimF(Bridge.expression(a), Bridge.expression(b)))
   def dotF(a: Column, b: Column): Column =
-    ExpressionUtils.column(DotProductF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
   def minhashSig(tokens: Column, k: Int): Column =
-    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(tokens), k))
+    Bridge.column(MinHashSig(Bridge.expression(tokens), k))
   def simhash64(tokens: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def rollingFp64(tokens: Column): Column =
+    Bridge.column(RollingFp64(Bridge.expression(tokens)))
 }

@@ -28,7 +28,7 @@ object Dedup {
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, n))))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
 
@@ -63,8 +63,8 @@ object Dedup {
 
     // band key: hash of each signature slice; explode = bands rows per doc
     val banded = sh.select(col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("__sig"), b * rows + 1, rows), b))).as(Seq("__band", "__bkey")))
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
 
     val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"), col("__sh").as("sh_a"))
     val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"), col("__sh").as("sh_b"))
@@ -101,8 +101,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"), simhash64(tokens(col(textCol))).as("__sig"))
     val chunked = sigs.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xFFFFL)))).as(Seq("__chunk", "__ckey")))
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("__chunk", "__ckey")))
     val a = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, a("__chunk") === b("__chunk") && a("__ckey") === b("__ckey") && col("id_a") < col("id_b"))

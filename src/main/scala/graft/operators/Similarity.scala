@@ -28,7 +28,7 @@ object Similarity {
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, d) => x * (pmod(xxhash64(lit(p), d), lit(2)) * 2 - 1).cast("float")),
         lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L) << p).otherwise(lit(0L))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_)).as("srp_bucket")
   }

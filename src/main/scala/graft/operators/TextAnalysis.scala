@@ -70,12 +70,13 @@ object TextAnalysis {
   }
 
   /** 64-bit polynomial rolling-hash fingerprint over normalized tokens:
-    * fp = fold(tokens, acc*1000003 + xxhash64(token)). Deterministic,
-    * order-sensitive, single pass. */
+    * fp = fold(tokens, acc*1000003 + xxhash64(token)), wraparound semantics
+    * via the native [[graft.functions.RollingFp64]] (ANSI mode rejects the
+    * intentional overflow in plain SQL arithmetic). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     df.select(
       col(idCol),
-      aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t)).as("fp64"))
+      graft.functions.VectorFunctions.rollingFp64(toks).as("fp64"))
   }
 }

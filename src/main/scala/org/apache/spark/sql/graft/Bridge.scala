@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge.
+  *
+  * Spark 4's `Column` wraps a `ColumnNode`, and the conversion helpers in
+  * `org.apache.spark.sql.classic.ExpressionUtils` are `private[sql]`. This
+  * object lives in the `org.apache.spark.sql` package so graft's native
+  * Catalyst expressions (graft.functions.*) can be exposed as `Column`s —
+  * the same access pattern Spark extension libraries use.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
