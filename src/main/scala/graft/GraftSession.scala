@@ -26,10 +26,12 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-    // the testdata events table carries parquet TIMESTAMP(NANOS); read
-    // without failing (truncates to micros, which every query here is
-    // insensitive to — buckets are >= 1 minute wide)
-    .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // the testdata events table carries parquet TIMESTAMP(NANOS), which
+    // Spark cannot represent natively: under graft sessions it always
+    // reads as long nanos (set ONCE here — never flipped at read time, so
+    // the events schema is stable for the whole session). Tables.eventsWithTs
+    // derives a micro-truncated timestamp column from it.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 }
 
@@ -52,15 +54,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.parquet carries parquet TIMESTAMP(NANOS): under graft sessions
+    * (GraftSession.configure sets nanosAsLong once at build time) `ts`
+    * reads as long nanos. No conf is touched here — the session conf is
+    * never mutated at read time. */
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
 
-  /** events.parquet carries parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively — read it as long nanos (legacy conf) and derive both the exact
-    * `ts_ns` (long) and a microsecond-truncated `ts` timestamp column.
-    * Truncation is harmless for every bucketing query (>= 1-minute windows);
-    * exact arithmetic (event gaps) uses `ts_ns`. */
+  /** events with both the exact `ts_ns` (long nanos) and a microsecond-
+    * truncated `ts` timestamp column derived from it. Truncation is
+    * harmless for every bucketing query (>= 1-minute windows); exact
+    * arithmetic (event gaps) uses `ts_ns`. */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     load(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")

@@ -106,6 +106,86 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct 64-bit hashes of token n-gram shingles, in ONE pass over the
+  * text: inline ascii-alnum tokenization (lowercase; any other char is a
+  * separator — same token semantics as Dedup.tokens), incremental
+  * per-token hashing, rolling n-gram combination, sort+dedupe. Compared
+  * with composing Catalyst transform/slice/concat_ws/array_distinct this
+  * is ~100x cheaper and allocates no intermediate strings — shingling is
+  * the hot inner loop of minhash dedup over 100 TB of text, and the
+  * downstream set ops (Jaccard intersect/union) run on longs instead of
+  * strings. Texts shorter than n tokens yield one shingle over all their
+  * tokens; empty text yields the empty-shingle hash. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 16, "shingle n in [1,16]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    // tokenize: ascii alnum runs, lowercased; everything else separates
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { h = h * 31L + c; inTok = true }
+      else if (inTok) { tokenHashes += mix(h); h = 0L; inTok = false }
+      i += 1
+    }
+    if (inTok) tokenHashes += mix(h)
+
+    val nt = tokenHashes.length
+    val out: Array[Long] =
+      if (nt == 0) Array(mix(0L))
+      else if (nt < n) {
+        var g = 0L
+        var j = 0
+        while (j < nt) { g = g * 1000003L + tokenHashes(j); j += 1 }
+        Array(mix(g))
+      } else {
+        val raw = new Array[Long](nt - n + 1)
+        var start = 0
+        while (start <= nt - n) {
+          var g = 0L
+          var j = 0
+          while (j < n) { g = g * 1000003L + tokenHashes(start + j); j += 1 }
+          raw(start) = mix(g)
+          start += 1
+        }
+        java.util.Arrays.sort(raw)
+        var w = 1
+        var r = 1
+        while (r < raw.length) {
+          if (raw(r) != raw(r - 1)) { raw(w) = raw(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(raw, w)
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** k-permutation MinHash signature over a token/shingle array, computed in
   * ONE pass: two xxhash64 values per token, the k "permutations" derive
   * via the Kirsch-Mitzenmacher construction g_j = h1 + j*h2. O(tokens + k)
@@ -116,11 +196,23 @@ case class MinHashSig(child: Expression, k: Int)
   require(k > 0 && k <= 1024, "k in (0,1024]")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> input")
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> or array<long> input")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  private lazy val fromStrings = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -129,9 +221,18 @@ case class MinHashSig(child: Expression, k: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = XxHash64Function.hash(s, StringType, 0xA5A5A5A5L)
-        val h2 = XxHash64Function.hash(s, StringType, 0x5A5A5A5AL) | 1L
+        // two independent 64-bit hashes per shingle: from the string via
+        // xxhash64 with two seeds, or (pre-hashed shingles) via two mixes
+        var h1 = 0L; var h2 = 0L
+        if (fromStrings) {
+          val s = arr.getUTF8String(i)
+          h1 = XxHash64Function.hash(s, StringType, 0xA5A5A5A5L)
+          h2 = XxHash64Function.hash(s, StringType, 0x5A5A5A5AL) | 1L
+        } else {
+          val x = arr.getLong(i)
+          h1 = mix(x ^ 0xA5A5A5A5L)
+          h2 = mix(x ^ 0x5A5A5A5AL) | 1L
+        }
         var j = 0
         var g = h1
         while (j < k) {
@@ -223,6 +324,71 @@ case class RollingFp64(child: Expression)
     copy(child = newChild)
 }
 
+/** Banded signed-random-projection signatures for cosine LSH, computed in
+  * ONE pass over the vector: `tables` hash tables, each a `bits`-bit
+  * signature; bit j of table t = sign of <v, r_{t,b+j}> where the
+  * hyperplane components are deterministic Rademacher (+1/-1) signs derived
+  * from a splitmix64 mix of (seed, plane, dim) — no RNG state, identical on
+  * every executor and across rounds. Returns array<long> of length `tables`
+  * (the per-table bucket keys). Multi-table banding is what keeps recall
+  * high while each table stays selective — the standard LSH structure for
+  * ANN at corpus scale. */
+case class SrpBands(child: Expression, bits: Int, tables: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 30, "bits in [1,30]")
+  require(tables >= 1 && tables <= 64, "tables in [1,64]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float> input")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nbits = bits * tables
+    val acc = new Array[Double](nbits)
+    val n = arr.numElements()
+    var d = 0
+    while (d < n) {
+      val x = if (arr.isNullAt(d)) 0.0f else arr.getFloat(d)
+      if (x != 0.0f) {
+        var j = 0
+        while (j < nbits) {
+          val h = mix(seed + (j.toLong << 32) + d.toLong)
+          if ((java.lang.Long.bitCount(h) & 1) == 1) acc(j) += x else acc(j) -= x
+          j += 1
+        }
+      }
+      d += 1
+    }
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        if (acc(t * bits + j) > 0) key |= (1L << j)
+        j += 1
+      }
+      buckets(t) = key
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -235,4 +401,8 @@ object VectorFunctions {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def rollingFp64(tokens: Column): Column =
     Bridge.column(RollingFp64(Bridge.expression(tokens)))
+  def srpBands(vec: Column, bits: Int, tables: Int, seed: Long = 0L): Column =
+    Bridge.column(SrpBands(Bridge.expression(vec), bits, tables, seed))
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
 }

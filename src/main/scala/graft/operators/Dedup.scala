@@ -58,22 +58,32 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    // shingle HASHES, not strings: one native pass per row (the string
+    // shingle arrays exist nowhere), and the exact-Jaccard verify below
+    // intersects long arrays instead of string arrays
+    val sh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+
+    // Banding carries ONLY (band, bucket, id): the band join must not
+    // shuffle shingle payloads — at 100 TB the shingle sets dominate the
+    // row size and the explode multiplies them x bands x 2 sides. Shingles
+    // are re-attached to the (much smaller) surviving candidate set below.
+    val banded = sh
       .withColumn("__sig", minhashSig(col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
 
-    // band key: hash of each signature slice; explode = bands rows per doc
-    val banded = sh.select(col("__id"), col("__sh"),
-      posexplode(array((0 until bands).map(b =>
-        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
-
-    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"))
     val candidates = a.join(b,
         a("__band") === b("__band") && a("__bkey") === b("__bkey") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // exact shingle-set Jaccard verify, shingles re-attached per side
     candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -113,35 +123,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** n-gram Jaccard similarity for given candidate pairs — exact verify
-    * used standalone (small data) or downstream of LSH blocking. */
+  /** Exact n-gram Jaccard pairs at a LOWER threshold than near-dup dedup:
+    * same LSH blocking as [[minhashPairs]] but with narrower bands (more,
+    * shorter bands => LSH s-curve threshold ~(1/b)^(1/r) drops to ~0.42,
+    * so recall at jaccard>=0.5 stays high), then exact shingle-set Jaccard
+    * verify. Never all-pairs: candidate generation is always LSH-blocked. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // blocking key: doc length bucket — exact small-scale verify path;
-    // the scale path is minhashPairs (LSH blocking)
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-    val a = sh.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = sh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashPairs(df, idCol, textCol,
+      numHashes = 128, bands = 32, shingleN = shingleN, threshold = threshold)
 
-  /** Embedding-cosine near-duplicate pairs, blocked by signed-random-
-    * projection LSH buckets (exact within-bucket verify with the codegen
-    * cosine). Pairs whose cosine >= threshold. */
+  /** Embedding-cosine near-duplicate pairs, blocked by banded signed-
+    * random-projection LSH (`tables` hash tables of `bits` bits — see
+    * [[graft.functions.SrpBands]]): a pair is a candidate if it collides
+    * in ANY table. Multi-table banding keeps near-dup recall high (at
+    * cosine 0.95, 16 tables x 12 bits ≈ 93% per-pair recall) while bucket
+    * count stays 2^bits per table — no 256-bucket skew. The candidate
+    * join carries ids only; vectors re-attach to survivors for the exact
+    * codegen-cosine verify. */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__bucket", Similarity.srpBucket(col("__v"), planes))
-    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
-    a.join(b, a("__bucket") === b("__bucket") && col("id_a") < col("id_b"))
+      threshold: Double = 0.95, bits: Int = 12, tables: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = v.select(col("__id"),
+      posexplode(srpBands(col("__v"), bits, tables, seed)).as(Seq("__t", "__b")))
+    val a = banded.select(col("__t"), col("__b"), col("__id").as("id_a"))
+    val b = banded.select(col("__t"), col("__b"), col("__id").as("id_b"))
+    val cand = a.join(b,
+        a("__t") === b("__t") && a("__b") === b("__b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select(col("__id").as("id_a"), col("__v").as("v_a")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("__v").as("v_b")), "id_b")
       .withColumn("cosine", cosineSimF(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
@@ -150,8 +166,8 @@ object Dedup {
   /** Embedding near-dup survivors (drop docs with a near-dup of smaller id). */
   def embeddingDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val dupIds = embeddingPairs(df, idCol, vecCol, threshold, planes)
+      threshold: Double = 0.95, bits: Int = 12, tables: Int = 16): DataFrame = {
+    val dupIds = embeddingPairs(df, idCol, vecCol, threshold, bits, tables)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -25,9 +25,10 @@ object PipelineQueries {
     Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("doc_id"))
 
-  /** Verified near-duplicate pairs (LSH candidates + exact jaccard). */
+  /** Exact n-gram Jaccard pairs at threshold 0.5 over LSH-blocked
+    * candidates (narrow 32-band blocking for recall at the low threshold). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -53,7 +54,8 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
     Similarity.lshTopK(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
-      e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, planes = 4)
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, bits = 8, tables = 8)
   }
 
   // ---- §2.6 text analysis ----------------------------------------------

@@ -158,12 +158,15 @@ object Relational {
       .filter(col("n_orders") >= 15)
 
   /** TPC-H Q17 shape: aggregate compared against a per-group scalar
-    * (self-join on the per-part average). */
+    * (self-join on the per-part average). No broadcast hint: the per-part
+    * aggregate's cardinality grows with the fact table, so broadcasting it
+    * would OOM at scale — AQE picks broadcast only when it measures the
+    * aggregate as genuinely small. */
   def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val avgQ = l.groupBy(col("l_partkey").as("pk"))
       .agg(avg(col("l_quantity")).as("aq"))
-    l.join(broadcast(avgQ), col("l_partkey") === col("pk"))
+    l.join(avgQ, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.5) * col("aq"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }

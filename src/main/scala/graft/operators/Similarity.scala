@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -10,27 +10,58 @@ import graft.functions.VectorFunctions._
   *
   * Scale design: the query set is the small side and is broadcast — the
   * corpus is scored map-side with the codegen cosine expression and never
-  * re-shuffled for brute force; only (corpus x queries) score rows move in
-  * the per-query top-k shuffle, and AQE coalesces them. The LSH path
-  * buckets the corpus once (reusable across query batches) and probes
-  * only matching buckets.
+  * re-shuffled for brute force. Top-k is a two-phase reduction: a bounded
+  * per-partition heap emits at most (#queries x k) rows per partition, and
+  * only that partial set shuffles for the exact final rank — no stage ever
+  * shuffles all scored rows onto #queries reducers. The LSH path buckets
+  * the corpus once with banded multi-table SRP signatures (ids-only join;
+  * vectors re-attached to surviving candidates) and exact-cosine re-ranks.
   */
 object Similarity {
 
-  /** Signed-random-projection bucket id: `planes` hyperplanes with
-    * hash-derived Rademacher (+1/-1) components — deterministic, no RNG
-    * state, identical on every executor. Bit j = sign of <v, r_j>. */
-  def srpBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // projection = sum_d v[d] * (+1|-1), the sign pattern derived from
-      // xxhash64(plane, dim): reduce via aggregate over the vector
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * (pmod(xxhash64(lit(p), d), lit(2)) * 2 - 1).cast("float")),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_)).as("srp_bucket")
+  /** Per-query exact top-k over a (query_id, neighbor_id, cosine) score
+    * set, without a global shuffle of the scores.
+    *
+    * Phase 1 (map-side): bounded heap per (partition, query) — each input
+    * partition emits at most #queries x k rows. Phase 2: exact rank over
+    * the partial winners (tiny: #partitions x #queries x k rows).
+    * Ordering is (cosine desc, neighbor_id asc), ties fully broken. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val typed = scored.select(
+        col("query_id").cast("long"),
+        col("neighbor_id").cast("long"),
+        col("cosine").cast("double"))
+      .as[(Long, Long, Double)]
+
+    // head of the queue = current worst of the kept k (lowest cosine,
+    // then largest neighbor id) so one compare decides evict-vs-skip
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (c, id) => (-c, id) }
+
+    val partial = typed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, id, c) =>
+        val pq = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (pq.size < k) pq.enqueue((c, id))
+        else {
+          val (wc, wid) = pq.head
+          if (c > wc || (c == wc && id < wid)) { pq.dequeue(); pq.enqueue((c, id)) }
+        }
+      }
+      heaps.iterator.flatMap { case (q, pq) =>
+        pq.iterator.map { case (c, id) => (q, id, c) }
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
   /** Brute-force cosine top-k: every query scored against every corpus
@@ -42,32 +73,40 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
-      .withColumn("cosine", round(cosineSimF(col("__cv"), col("__qv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
-  /** LSH-bucketed ANN: corpus bucketed by SRP signature once; each query
-    * probes only its own bucket, then exact cosine re-ranks within it.
-    * Falls back to nothing for empty buckets (recall/speed trade measured
-    * in SimilaritySpec against the brute-force baseline). */
+  /** LSH-bucketed ANN: corpus signatures computed once (banded SRP,
+    * `tables` hash tables of `bits` bits — multi-table banding keeps
+    * recall high while each table stays selective; the signature pass is
+    * the native one-pass [[graft.functions.SrpBands]]). A query matches a
+    * corpus vector if they share any table's bucket; the candidate join
+    * carries ids only, vectors re-attach to survivors, exact cosine
+    * re-ranks via the partial top-k. Recall vs brute force is asserted in
+    * SimilaritySpec. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 5, planes: Int = 4): DataFrame = {
-    val cb = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
-      .withColumn("__bucket", srpBucket(col("__cv"), planes))
-    val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .withColumn("__bucket", srpBucket(col("__qv"), planes))
-    val scored = cb.join(broadcast(qb), "__bucket")
-      .withColumn("cosine", round(cosineSimF(col("__cv"), col("__qv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      k: Int = 5, bits: Int = 8, tables: Int = 8, seed: Long = 0L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+
+    val cb = c.select(col("neighbor_id"),
+      posexplode(srpBands(col("__cv"), bits, tables, seed)).as(Seq("__t", "__b")))
+    val qb = q.select(col("query_id"),
+      posexplode(srpBands(col("__qv"), bits, tables, seed)).as(Seq("__t", "__b")))
+
+    val cand = cb.join(broadcast(qb), Seq("__t", "__b"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val scored = cand
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
   }
 }
