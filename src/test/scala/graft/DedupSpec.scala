@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.VectorFunctions._
+
+/** Value-level oracles for the hash/LSH dedup family (SURVEY §6): these
+  * operators are not ANSI-SQL-expressible, so brute-force comparisons
+  * computed IN THE TEST are their only correctness signal. */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: 40 base docs + 10 near-duplicates of
+  // the first 10 (one token appended => token-trigram jaccard >= ~0.9 for
+  // the longer docs) + 5 exact duplicates
+  private lazy val docs: Seq[(Long, String)] = {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    val base = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i * 7919)
+      i -> Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val nearDups = (0L until 10L).map(i => (100L + i) -> (base(i.toInt)._2 + " zulu"))
+    val exactDups = (0L until 5L).map(i => (200L + i) -> base(i.toInt)._2)
+    base ++ nearDups ++ exactDups
+  }
+  private lazy val docsDf = docs.toDF("doc_id", "text")
+
+  /** in-test shingle sets via the same native expression (its own unit
+    * tests below pin the definition) */
+  private lazy val shingleSets: Map[Long, Set[Long]] =
+    docsDf.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  private def jaccard(a: Set[Long], b: Set[Long]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  private lazy val trueJaccard: Map[(Long, Long), Double] = {
+    val ids = shingleSets.keys.toSeq.sorted
+    (for { i <- ids; j <- ids if i < j }
+      yield (i, j) -> jaccard(shingleSets(i), shingleSets(j))).toMap
+  }
+
+  test("shingle hashes: n-gram count, dedupe, short-text fallback") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, "x x x x x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sh(1L).length == 2)              // [a b c], [b c d]
+    assert(sh(2L).length == 1)              // short text -> one shingle
+    assert(sh(3L).length == 1)              // empty text -> empty-shingle hash
+    assert(sh(4L).length == 1)              // identical trigrams dedupe to 1
+    assert(sh(1L).distinct.length == sh(1L).length)
+  }
+
+  test("minhash signature agreement estimates jaccard") {
+    val sigs = docsDf.select(col("doc_id"),
+        minhashSig(shingleHashes(col("text"), 3), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 128))
+    // near-dup pairs (0,100)... : signature agreement ~ true jaccard
+    for (i <- 0L until 10L) {
+      val est = sigs(i).zip(sigs(100L + i)).count { case (a, b) => a == b } / 128.0
+      val truth = trueJaccard((i, 100L + i))
+      assert(math.abs(est - truth) < 0.2,
+        s"pair ($i,${100 + i}): minhash est $est vs true $truth")
+    }
+    // exact dups agree on every component
+    for (i <- 0L until 5L)
+      assert(sigs(i) == sigs(200L + i), s"exact dup $i signature mismatch")
+  }
+
+  test("minhashPairs: precision 1.0 (exact verify) and high recall vs brute force") {
+    val got = Dedup.minhashPairs(docsDf, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision: every returned pair really has jaccard >= 0.8 (and the
+    // reported value matches the in-test recompute)
+    got.foreach { case ((a, b), j) =>
+      assert(trueJaccard((a, b)) >= 0.8, s"false positive ($a,$b) j=$j")
+      assert(math.abs(trueJaccard((a, b)) - j) < 1e-3)
+    }
+    // recall: every true pair at jaccard >= 0.9 must be found (16 bands of
+    // 8 rows: candidate probability > 0.999 at j=0.9)
+    val strong = trueJaccard.filter(_._2 >= 0.9).keys.toSeq
+    assert(strong.nonEmpty, "test corpus must contain strong near-dups")
+    strong.foreach { p =>
+      assert(got.contains(p), s"missed strong near-dup $p j=${trueJaccard(p)}")
+    }
+  }
+
+  test("minhashLsh survivors = all ids minus greater-id members of dup pairs") {
+    val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val survivors = Dedup.minhashLsh(docsDf, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == docs.map(_._1).toSet -- dropped)
+  }
+
+  test("simhashPairs: exactly the brute-force hamming<=3 pairs (pigeonhole blocking is lossless)") {
+    val sigs = docsDf.select(col("doc_id"), simhash64(Dedup.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j, h)).toSet
+    val got = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      expected.map(t => (t._1, t._2, t._3.toLong)))
+    assert(expected.nonEmpty, "test corpus must contain simhash near-dups")
+  }
+
+  test("embeddingPairs: precision exact, recall ~1 for cosine>=0.99 dups") {
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 30L).map(i => i -> unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // near-dups: tiny perturbation => cosine ~0.999
+    val dups = base.take(8).map { case (i, v) =>
+      (100L + i) -> unit(v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val all = base ++ dups
+    val df = all.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { d += a(k) * b(k).toDouble; na += a(k) * a(k).toDouble; nb += b(k) * b(k).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = all.toMap
+    val expected = (for {
+      (i, _) <- all; (j, _) <- all if i < j
+      c = cos(vecs(i), vecs(j)) if c >= 0.95
+    } yield (i, j)).toSet
+    assert(expected.size >= 8)
+    val got = Dedup.embeddingPairs(df, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0: exact verify after blocking
+    got.foreach { case (a, b) => assert(cos(vecs(a), vecs(b)) >= 0.95 - 1e-6) }
+    // recall: banded SRP (16 tables x 12 bits) at cosine ~0.999 -> ~1.0
+    val found = expected.count(got.contains)
+    assert(found.toDouble / expected.size >= 0.9,
+      s"embedding near-dup recall ${found.toDouble / expected.size}")
+  }
+
+  test("exact dedup keeps min id per duplicate group") {
+    val out = Dedup.exact(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 5 exact dup groups collapse to the base id with n_copies=2
+    for (i <- 0L until 5L) assert(out(i) == 2L, s"group $i n_copies=${out.get(i)}")
+    assert(out.size == docs.size - 5)
+  }
+}

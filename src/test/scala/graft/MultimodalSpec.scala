@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, MediaRecord}
+
+/** Oracle for the multimodal plumbing: schema/batching/partitioning are
+  * real; the decode kernel is a deterministic stub whose digest formula is
+  * recomputed here (SURVEY §2.7). */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkRecord(id: Long, tpe: String, payload: String,
+      w: Int = 64, h: Int = 48, dur: Int = 10000): MediaRecord =
+    MediaRecord(id, tpe, payload.getBytes("UTF-8"), w, h, dur)
+
+  private lazy val media = Seq(
+    mkRecord(1, "image", "img-bytes-a"),
+    mkRecord(2, "audio", "audio-bytes-bb", dur = 25000),
+    mkRecord(3, "video", "video-bytes-ccc", dur = 7500),
+    mkRecord(4, "image", ""),
+    mkRecord(5, "video", "x", dur = 500))
+
+  private def digest(bytes: Array[Byte]): Long = {
+    var d = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { d = d * 31 + bytes(i); i += 1 }
+    d
+  }
+
+  test("extractFeatures: digest, byte counts and frame sampling match the stub contract") {
+    val got = Multimodal.extractFeatures(media.toDS().repartition(3), batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got.size == media.size, "no records lost across partitions/batches")
+    media.foreach { m =>
+      val f = got(m.media_id)
+      assert(f.n_bytes == m.content.length.toLong)
+      assert(f.digest == digest(m.content), s"media ${m.media_id} digest")
+      val expFrames = m.media_type match {
+        case "video" => math.max(1, m.duration_ms / 1000)
+        case "audio" => math.max(1, m.duration_ms / 5000)
+        case _ => 1
+      }
+      assert(f.frames_sampled == expFrames)
+    }
+  }
+
+  test("resize preserves aspect ratio and never upscales") {
+    val big = mkRecord(1, "image", "p", w = 1920, h = 1080)
+    val small = mkRecord(2, "image", "p", w = 100, h = 80)
+    val out = Multimodal.resize(Seq(big, small).toDS(), 640, 480)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(2L).width == 100 && out(2L).height == 80, "small asset untouched")
+    assert(out(1L).width <= 640 && out(1L).height <= 480)
+    val ratioIn = big.width.toDouble / big.height
+    val ratioOut = out(1L).width.toDouble / out(1L).height
+    assert(math.abs(ratioIn - ratioOut) < 0.02, "aspect preserved")
+    assert(out(1L).content.sameElements(big.content), "payload untouched by metadata resize")
+  }
+
+  test("mediaFromDocuments manifest partitions every doc into exactly one type") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = Multimodal.manifest(Multimodal.mediaFromDocuments(docs))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet == Set("image", "audio", "video"))
+    assert(m.values.map(_._1).sum == docs.count())
+    val totalBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(m.values.map(_._2).sum == totalBytes)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Value oracles for the ANN surface: brute-force top-k must equal an
+  * in-test exhaustive computation exactly; the LSH path must reach a
+  * recall floor against that baseline (SURVEY §6). */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dim = 24
+  private lazy val corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    // clustered corpus: 8 centroids, members = centroid + noise, so each
+    // query has genuinely-near neighbors (ANN recall on uniformly random
+    // vectors is meaningless)
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0L until 200L).map { i =>
+      val c = centroids((i % 8).toInt)
+      i -> c.map(x => x + 0.3f * rnd.nextGaussian().toFloat)
+    }
+  }
+  private lazy val queries: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(13)
+    corpus.take(10).map { case (i, v) =>
+      (1000L + i) -> v.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    }
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var k = 0
+    while (k < math.min(a.length, b.length)) {
+      d += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k); k += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0) 0 else d / den
+  }
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** exhaustive top-k with the operator's exact ordering contract:
+    * rounded cosine desc, neighbor id asc */
+  private def bruteTopK(k: Int): Map[Long, Seq[(Long, Int, Double)]] =
+    queries.map { case (qid, qv) =>
+      val ranked = corpus.map { case (cid, cv) => (cid, r4(cos(cv, qv))) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(k).zipWithIndex
+        .map { case ((cid, c), idx) => (cid, idx + 1, c) }
+      qid -> ranked
+    }.toMap
+
+  private lazy val corpusDf = corpus.toDF("vec_id", "embedding")
+  private lazy val queryDf = queries.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK equals the in-test exhaustive ranking exactly") {
+    val got = Similarity.bruteForceTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      }
+    val expected = bruteTopK(5)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, exp) =>
+      assert(got(q) == exp, s"query $q: got ${got(q)} expected $exp")
+    }
+  }
+
+  test("partial top-k is partition-count invariant") {
+    val many = Similarity.bruteForceTopK(corpusDf.repartition(13), "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = Similarity.bruteForceTopK(corpusDf.coalesce(1), "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(many == one)
+  }
+
+  test("lshTopK: recall >= 0.6 vs brute force on clustered data, exact precision on scores") {
+    val got = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, bits = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = corpus.toMap
+    val qvecs = queries.toMap
+    // every reported cosine is the true (rounded) cosine
+    got.foreach { case (q, n, c) => assert(math.abs(c - r4(cos(vecs(n), qvecs(q)))) < 1e-9) }
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = expected.toSeq.map { case (q, exp) =>
+      exp.count(gotByQ.getOrElse(q, Set.empty).contains).toDouble / exp.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.6, s"LSH recall $recall below floor")
+  }
+
+  test("srp bands are deterministic across evaluations") {
+    import graft.functions.VectorFunctions._
+    val a = corpusDf.select(srpBands(col("embedding"), 8, 8).as("b")).collect().map(_.getSeq[Long](0))
+    val b = corpusDf.select(srpBands(col("embedding"), 8, 8).as("b")).collect().map(_.getSeq[Long](0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.length == 8))
+    assert(a.forall(_.forall(k => k >= 0 && k < 256)))
+  }
+}
