@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.quality.Expect
+import graft.wap.{Alerter, BranchCatalog, LogAlerter, Wap}
+
+/** One event for sessionization: minimal typed shape (callers project
+  * their event table into it). */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+private[streaming] case class SessionState(
+    startMicros: Long, endMicros: Long, n: Long, sum: Double)
+
+/** An emitted session: closed either by a later event past the gap or by
+  * event-time timeout once the watermark passes end + gap. */
+case class SessionOut(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, sum_value: Double)
+
+/** Structured Streaming surface (SURVEY §2.8) — the reference's
+  * event-driven trigger model re-expressed Spark-first. The reference
+  * wires an S3 bucket notification to a lambda that runs the WAP cycle on
+  * each arriving file (serverless/app.py:235-257 lambda_handler;
+  * serverless.yml s3 event). Here the same contract is a file-source
+  * stream: each micro-batch of newly-arrived files runs write->audit->
+  * publish through [[graft.wap.Wap]], so a bad batch quarantines on its
+  * branch and alerts without ever touching main.
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * (exactly-once per file, like the reference's event-delivery dedupe);
+  * each micro-batch is a normal distributed job — no driver-side row
+  * handling. Windowed aggregation carries a watermark so state is bounded;
+  * sessionization keeps one small state row per active key and expires it
+  * by event-time timeout.
+  */
+object EventStreams {
+
+  /** File-arrival-triggered WAP ingest: watch `dropDir` for new parquet
+    * files; every micro-batch is appended to `table` on an isolated
+    * branch, audited there, and published to main only when the checks
+    * pass (otherwise: branch kept for inspection + alert — the
+    * reference's exact failure path). Branch names embed the batch id, so
+    * a restart that replays a batch reuses (drops + recreates) its branch
+    * rather than colliding. */
+  def fileIngest(
+      spark: SparkSession,
+      dropDir: String,
+      schema: StructType,
+      catalog: BranchCatalog,
+      table: String,
+      checks: Seq[Expect],
+      checkpointDir: String,
+      alerter: Alerter = LogAlerter,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dropDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val branch = s"ingest-$table-$batchId"
+          if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
+          Wap.run(catalog, table, batch, checks, branch, alerter)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked sliding/tumbling-window aggregation over an event
+    * stream: (window, event_type) -> count + sum(value). State is bounded
+    * by the watermark — closed windows are dropped once event time passes
+    * window_end + delay. Batch-equivalent: Relational.q17TimeBucket. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(typeCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n"), col("sum_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: events for a key
+    * belong to one session while gaps stay under `gapMinutes`; a session
+    * closes (and is emitted, append-mode) when a later event exceeds the
+    * gap or when the watermark passes its end by the gap (event-time
+    * timeout). One compact state row per ACTIVE key only. */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state) =>
+          def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def ts(m: Long): Timestamp = {
+            val t = new Timestamp(m / 1000L)
+            t.setNanos(((m % 1000000L) * 1000L).toInt)
+            t
+          }
+          def summary(s: SessionState): SessionOut =
+            SessionOut(userId, ts(s.startMicros), ts(s.endMicros), s.n, s.sum)
+
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(summary).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => micros(e.ts))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            evs.foreach { e =>
+              val m = micros(e.ts)
+              cur match {
+                case Some(s) if m - s.endMicros <= gapMicros =>
+                  cur = Some(SessionState(s.startMicros, math.max(s.endMicros, m),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += summary(s)
+                  cur = Some(SessionState(m, m, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(m, m, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endMicros + gapMicros) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.quality.NotNull
+import graft.streaming.{EventStreams, SessionEvent}
+import graft.wap.{BranchCatalog, BufferAlerter}
+
+/** Streaming oracles (SURVEY §2.8): file-arrival WAP ingest through a real
+  * drop directory, watermarked windowed aggregation and sessionization
+  * through MemoryStream. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("fileIngest: arriving file publishes via WAP; faulty file stays on branch and alerts") {
+    val drop = tmp("graft-drop")
+    val ckpt = tmp("graft-ckpt")
+    val cat = new BranchCatalog(spark, tmp("graft-cat"))
+    val alerter = new BufferAlerter
+    val checks = Seq(NotNull("name"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+
+    def runOnce(): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "people",
+        checks, ckpt, alerter, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // clean batch -> published to main
+    Seq((1L, "ada"), (2L, "grace")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people", "main").count() == 2)
+    assert(alerter.alerts.isEmpty)
+
+    // faulty batch (null name) -> main unchanged, branch kept, alert fired
+    Seq((3L, null.asInstanceOf[String])).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people", "main").count() == 2, "faulty batch must not publish")
+    assert(alerter.alerts.size == 1)
+    val quarantine = cat.listBranches().filter(_.startsWith("ingest-people-"))
+    assert(quarantine.size == 1, s"quarantine branch kept: $quarantine")
+    assert(cat.scan("people", quarantine.head).count() == 3)
+
+    // recovery: another clean batch still publishes (exactly-once per file)
+    Seq((4L, "edsger")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people", "main").count() == 3)
+  }
+
+  test("windowedCounts: tumbling window totals with watermark") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark, 1)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val out = EventStreams.windowedCounts(df,
+      windowDuration = "1 hour", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0),
+      (t(10, 50), "view", 5.0), (t(11, 10), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2026-01-01 10:00:00.0", "view", 1L, 5.0),
+      ("2026-01-01 11:00:00.0", "click", 1L, 4.0)))
+  }
+
+  test("sessionize: gap splits sessions; event-time timeout closes them") {
+    val mem = MemoryStream[SessionEvent](spark, 2)
+    val out = EventStreams.sessionize(mem.toDS(), gapMinutes = 30,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    // user 1: two bursts separated by > gap (split on arrival);
+    // user 2: one burst, closed later by watermark timeout
+    mem.addData(
+      SessionEvent(1L, t(9, 0), 1.0), SessionEvent(1L, t(9, 10), 2.0),
+      SessionEvent(2L, t(9, 5), 7.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, t(10, 0), 3.0)) // 50 min gap -> splits user 1
+    q.processAllAvailable()
+    // advance watermark far past every session end + gap
+    mem.addData(SessionEvent(99L, t(14, 0), 0.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(99L, t(15, 0), 0.0)) // extra batch: timeouts fire after watermark moves
+    q.processAllAvailable()
+
+    val sessions = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      .toSet
+    q.stop()
+    assert(sessions.contains((1L, "2026-01-01 09:00:00.0", "2026-01-01 09:10:00.0", 2L, 3.0)),
+      s"user1 first session split on arrival; got $sessions")
+    assert(sessions.contains((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:00:00.0", 1L, 3.0)),
+      s"user1 second session closed by timeout; got $sessions")
+    assert(sessions.contains((2L, "2026-01-01 09:05:00.0", "2026-01-01 09:05:00.0", 1L, 7.0)),
+      s"user2 session closed by timeout; got $sessions")
+  }
+}
