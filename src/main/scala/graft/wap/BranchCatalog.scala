@@ -1,25 +1,41 @@
 package graft.wap
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.Serialization
 import java.nio.charset.StandardCharsets
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
-/** A parquet data file owned by a snapshot. Row count comes from the
-  * parquet footer (no data read). */
-case class DataFileMeta(path: String, rows: Long)
+/** A parquet data file owned by a manifest. Row count and per-column
+  * min/max/null-count stats come from the parquet footer (no data read);
+  * stats values are stored as strings and re-typed against the table
+  * schema at prune time. */
+case class DataFileMeta(
+    path: String,
+    rows: Long,
+    lower: Map[String, String] = Map.empty,
+    upper: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
 
-/** An immutable table version: the complete list of data files plus the
+/** One immutable manifest file: the unit of commit. An append writes
+  * exactly one manifest (listing only ITS files), so commit metadata cost
+  * is O(files-per-commit) — never O(table). Iceberg's manifest-list
+  * structure, minus the avro. */
+case class ManifestRef(path: String, fileCount: Long, rows: Long)
+
+/** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
   * pointer, so branching is zero-copy (reference: Nessie's git-like
   * semantics, app.py:160-176). */
 case class Snapshot(
     id: String,
     parentId: Option[String],
-    files: Seq[DataFileMeta],
+    manifests: Seq[ManifestRef],
     schemaDdl: String,
     committedAtMillis: Long)
 
@@ -37,16 +53,26 @@ case class Refs(version: Long, branches: Map[String, BranchState])
   *
   * Layout under `root`:
   * {{{
-  *   refs-<version>.json                  // branches -> {table -> snapshot}
-  *   tables/<t>/meta/snap-<id>.json       // immutable snapshot manifests
+  *   refs-<version>.json                      // branches -> {table -> snapshot}
+  *   tables/<t>/meta/snap-<id>.json           // immutable snapshot: manifest list
+  *   tables/<t>/meta/manifest-<uuid>.json     // immutable manifest: file list + stats
   *   tables/<t>/data/<commit-uuid>/part-N.parquet
   * }}}
   *
-  * Scale notes: all file IO goes through the Hadoop FileSystem API (works
-  * on s3a/hdfs/abfs unchanged); metadata ops are O(files-per-commit), not
-  * O(table); reads resolve branch -> snapshot -> file list and hand Spark a
-  * plain parquet scan, so Catalyst still pushes filters/projections into
-  * the columnar reader.
+  * Scale notes: all file IO goes through the Hadoop FileSystem API.
+  * Commit metadata is O(files-per-commit): an append writes one manifest +
+  * one snapshot whose manifest list grows by one entry (compaction can
+  * later fold manifests). Reads resolve branch -> snapshot -> manifests ->
+  * file list, prune files against footer min/max stats when a predicate is
+  * supplied (the file-level analogue of the reference's pushed-down
+  * `scan(row_filter=...)`, app.py:220-223), and hand Spark a plain parquet
+  * scan so Catalyst still pushes filters/projections into the columnar
+  * reader.
+  *
+  * Concurrency: the refs commit relies on atomic create-if-absent, which
+  * holds on HDFS, local and abfs. S3 needs a conditional-put (If-None-
+  * Match) or an external lock/catalog service for the refs pointer — the
+  * reference delegates exactly this to Nessie's commit protocol.
   */
 class BranchCatalog(spark: SparkSession, val root: String) {
   private implicit val fmts: Formats = DefaultFormats
@@ -93,8 +119,8 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Optimistic commit: transform the latest refs, attempt to create the
-    * next version file (atomic create-if-absent); on a lost race, re-read
-    * and retry. */
+    * next version file (atomic create-if-absent on HDFS/local/abfs — see
+    * class doc for the S3 caveat); on a lost race, re-read and retry. */
   private def commitRefs(update: Refs => Refs, maxRetries: Int = 20): Refs = {
     var attempt = 0
     while (attempt < maxRetries) {
@@ -108,7 +134,7 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"refs commit lost $maxRetries races at $root")
   }
 
-  // ---- snapshots ---------------------------------------------------------
+  // ---- snapshots + manifests --------------------------------------------
 
   private def snapPath(table: String, id: String) =
     new Path(rootPath, s"tables/$table/meta/snap-$id.json")
@@ -122,8 +148,25 @@ class BranchCatalog(spark: SparkSession, val root: String) {
       s"snapshot ${s.id} already exists for $table")
   }
 
+  /** Write one immutable manifest listing `files`; return its ref. */
+  private def writeManifest(table: String, files: Seq[DataFileMeta]): ManifestRef = {
+    val p = new Path(rootPath, s"tables/$table/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
+    fs.mkdirs(p.getParent)
+    require(writeString(p, Serialization.write(files), overwriteExisting = false),
+      s"manifest ${p.getName} already exists for $table")
+    ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum)
+  }
+
+  private def readManifest(path: String): Seq[DataFileMeta] =
+    Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
+
+  /** All data files of a snapshot (reads its manifests). */
+  def filesOf(snap: Snapshot): Seq[DataFileMeta] =
+    snap.manifests.flatMap(m => readManifest(m.path))
+
   /** Write a DataFrame batch as immutable parquet files; return their
-    * metadata (row counts read from footers, not by rescanning data). */
+    * metadata — row counts AND per-column min/max/null stats, all read
+    * from footers, never by rescanning data. */
   private def writeDataFiles(table: String, df: DataFrame): Seq[DataFileMeta] = {
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
@@ -134,13 +177,57 @@ class BranchCatalog(spark: SparkSession, val root: String) {
       .map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try reader.getFooter.getBlocks.asInstanceOf[java.util.List[_]]
-          .toArray.map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData].getRowCount)
-          .sum
-        finally reader.close()
-        DataFileMeta(st.getPath.toString, rows)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val lower = scala.collection.mutable.Map.empty[String, String]
+          val upper = scala.collection.mutable.Map.empty[String, String]
+          val nulls = scala.collection.mutable.Map.empty[String, Long]
+          for (b <- blocks; c <- b.getColumns.asScala) {
+            val name = c.getPath.toDotString
+            val stats = c.getStatistics
+            if (stats != null && !stats.isEmpty) {
+              nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+              if (stats.hasNonNullValue) {
+                statString(stats.genericGetMin.asInstanceOf[AnyRef]).foreach { mn =>
+                  lower(name) = lower.get(name) match {
+                    case Some(cur) => if (statLt(mn, cur, stats)) mn else cur
+                    case None => mn
+                  }
+                }
+                statString(stats.genericGetMax.asInstanceOf[AnyRef]).foreach { mx =>
+                  upper(name) = upper.get(name) match {
+                    case Some(cur) => if (statLt(cur, mx, stats)) mx else cur
+                    case None => mx
+                  }
+                }
+              }
+            }
+          }
+          DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap)
+        } finally reader.close()
       }
   }
+
+  /** Render a footer stat value to its canonical string (numbers via
+    * toString; binary via UTF-8). Unsupported physical types -> None. */
+  private def statString(v: AnyRef): Option[String] = v match {
+    case null => None
+    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
+              _: java.lang.Float | _: java.lang.Boolean) => Some(n.toString)
+    case _ => None
+  }
+
+  /** Order two rendered stat strings with the statistics' own comparator
+    * semantics (numeric for numbers, lexicographic bytes for strings). */
+  private def statLt(a: String, b: String, stats: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
+    stats match {
+      case _: org.apache.parquet.column.statistics.BinaryStatistics => a < b
+      case _: org.apache.parquet.column.statistics.DoubleStatistics |
+           _: org.apache.parquet.column.statistics.FloatStatistics => a.toDouble < b.toDouble
+      case _ => a.toLong < b.toLong
+    }
 
   // ---- public API (the reference's catalog surface) ----------------------
 
@@ -184,17 +271,20 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   }
 
   /** reference app.py:178-199 append_rows_to_table_in_branch: write the
-    * batch as new immutable files and commit a child snapshot on the
-    * branch. Readers of other branches never see these files (snapshot
-    * isolation). */
+    * batch as new immutable files, commit ONE new manifest + a child
+    * snapshot on the branch. Readers of other branches never see these
+    * files (snapshot isolation). Metadata cost: one manifest (the new
+    * files) + one snapshot (manifest list grows by 1 ref) — O(commit),
+    * independent of table file count. */
   def append(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
     val newFiles = writeDataFiles(table, df)
+    val manifest = writeManifest(table, newFiles)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val parent = loadSnapshot(table, parentId)
-      committed = Snapshot(newId(), Some(parentId), parent.files ++ newFiles,
+      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis())
       writeSnapshot(table, committed)
@@ -204,55 +294,193 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   }
 
   /** reference app.py:201-246 run_quality_checks scan: resolve
-    * branch -> snapshot -> file list and return a plain parquet scan, so
-    * downstream filters/projections push into the columnar reader exactly
-    * as the reference's `scan(row_filter=..., selected_fields=...)`. */
-  def scan(table: String, branch: String = "main"): DataFrame = {
+    * branch -> snapshot -> manifests -> file list and return a plain
+    * parquet scan, so downstream filters/projections push into the
+    * columnar reader exactly as the reference's
+    * `scan(row_filter=..., selected_fields=...)`. When `filter` is given,
+    * files whose footer min/max stats prove the predicate false are
+    * pruned BEFORE Spark lists them (manifest-level pruning), and the
+    * filter is also applied row-level for exactness. */
+  def scan(table: String, branch: String = "main", filter: Option[Column] = None): DataFrame = {
     val refs = currentRefs()
     val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
     val id = b.tables.getOrElse(table, sys.error(s"no table $table on branch $branch"))
-    scanSnapshot(table, id)
+    scanSnapshot(table, id, filter)
   }
 
   /** Time travel: read any historical snapshot by id. */
-  def scanSnapshot(table: String, snapshotId: String): DataFrame = {
+  def scanSnapshot(table: String, snapshotId: String, filter: Option[Column] = None): DataFrame = {
     val snap = loadSnapshot(table, snapshotId)
     val schema = StructType.fromDDL(snap.schemaDdl)
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(snap.files.map(_.path): _*)
+    val files = filter match {
+      case Some(cond) => pruneFiles(filesOf(snap), cond, schema)
+      case None => filesOf(snap)
+    }
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    filter.fold(df)(df.filter)
   }
 
   def snapshotIdOf(table: String, branch: String = "main"): Option[String] =
     currentRefs().branches.get(branch).flatMap(_.tables.get(table))
 
+  /** All current data files of table@branch (manifest read, no data IO). */
+  def dataFiles(table: String, branch: String = "main"): Seq[DataFileMeta] = {
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    filesOf(loadSnapshot(table, id))
+  }
+
+  /** Files of table@branch that MAY satisfy `cond` per footer stats —
+    * exposed for tests/metrics; `scan` uses the same logic. */
+  def prunedDataFiles(table: String, cond: Column, branch: String = "main"): Seq[DataFileMeta] = {
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val snap = loadSnapshot(table, id)
+    pruneFiles(filesOf(snap), cond, StructType.fromDDL(snap.schemaDdl))
+  }
+
+  // ---- file-level stats pruning -----------------------------------------
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case _ => None
+  }
+
+  /** Compare a stored stat string against a literal under the column's
+    * declared type; None = incomparable (never prune on it). */
+  private def cmpStat(stat: String, lit: Literal, dt: DataType): Option[Int] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(java.lang.Long.compare(stat.toLong, lit.value.asInstanceOf[Number].longValue()))
+      case FloatType | DoubleType =>
+        Some(java.lang.Double.compare(stat.toDouble, lit.value.asInstanceOf[Number].doubleValue()))
+      case StringType => Some(stat.compareTo(lit.value.toString))
+      case TimestampType | TimestampNTZType =>
+        // parquet stores micros; Catalyst timestamp literals are micros
+        Some(java.lang.Long.compare(stat.toLong, lit.value.asInstanceOf[Number].longValue()))
+      case DateType =>
+        Some(java.lang.Integer.compare(stat.toInt, lit.value.asInstanceOf[Number].intValue()))
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Keep only files whose stats cannot rule out `cond`. Unsupported
+    * predicate shapes / missing stats keep the file (pruning is always
+    * sound, never required). The Column is resolved through the analyzer
+    * against the table schema first (Spark 4 Columns are lazy ColumnNode
+    * graphs; analysis also applies the proper type coercion). */
+  private def pruneFiles(files: Seq[DataFileMeta], cond: Column, schema: StructType): Seq[DataFileMeta] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved = empty.filter(cond).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    resolved match {
+      case None => files
+      case Some(pred) =>
+        val preds = conjuncts(pred)
+        files.filter { f => preds.forall(p => mayMatch(f, p, schema)) }
+    }
+  }
+
+  /** Unwrap analyzer-inserted casts around column references so the raw
+    * attribute is visible to the stat matcher (comparison happens in the
+    * literal's coerced type, which the stat strings parse into). */
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def mayMatch(f: DataFileMeta, p: Expression, schema: StructType): Boolean = {
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def lo(name: String): Option[String] = f.lower.get(name)
+    def hi(name: String): Option[String] = f.upper.get(name)
+    // evaluates "possibly true" — false ONLY when stats prove impossibility;
+    // comparisons run in the literal's (analyzer-coerced) type
+    def check(name: String, lit: Literal, op: String): Boolean =
+      dtOf(name).map(_ => lit.dataType) match {
+        case None => true
+        case Some(dt) =>
+          op match {
+            case "=" =>
+              !(lo(name).flatMap(cmpStat(_, lit, dt)).exists(_ > 0) ||
+                hi(name).flatMap(cmpStat(_, lit, dt)).exists(_ < 0))
+            case ">" => !hi(name).flatMap(cmpStat(_, lit, dt)).exists(_ <= 0)
+            case ">=" => !hi(name).flatMap(cmpStat(_, lit, dt)).exists(_ < 0)
+            case "<" => !lo(name).flatMap(cmpStat(_, lit, dt)).exists(_ >= 0)
+            case "<=" => !lo(name).flatMap(cmpStat(_, lit, dt)).exists(_ > 0)
+            case _ => true
+          }
+      }
+    p match {
+      case EqualTo(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "="))
+      case EqualTo(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "="))
+      case GreaterThan(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, ">"))
+      case GreaterThan(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "<"))
+      case GreaterThanOrEqual(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, ">="))
+      case GreaterThanOrEqual(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "<="))
+      case LessThan(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "<"))
+      case LessThan(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, ">"))
+      case LessThanOrEqual(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "<="))
+      case LessThanOrEqual(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, ">="))
+      case IsNull(a) =>
+        attrName(stripCast(a)).forall(n => f.nullCounts.get(n).forall(_ > 0))
+      case IsNotNull(a) =>
+        attrName(stripCast(a)).forall(n => f.nullCounts.get(n).forall(_ < f.rows) || f.rows == 0)
+      case _ => true
+    }
+  }
+
   /** reference app.py:302 catalog.merge(branch, 'main'): 3-way append-only
-    * merge — files the branch added since its fork base are appended onto
-    * the target's current snapshot, table by table. Publishing is a pure
-    * metadata commit (no data copied). */
+    * merge at MANIFEST granularity — manifests the branch added since its
+    * fork base are appended onto the target's current snapshot, table by
+    * table. Publishing is a pure metadata commit (no data copied).
+    * Idempotent: added manifests are also de-duplicated against the
+    * destination, and the source branch is advanced onto the merged state,
+    * so merging the same branch twice never duplicates rows. */
   def merge(branch: String, into: String = "main"): Unit =
     commitRefs { refs =>
       val src = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val dst = refs.branches.getOrElse(into, sys.error(s"no branch $into"))
       var dstTables = dst.tables
+      var srcTables = src.tables
+      var srcBase = src.baseOfMain
       for ((table, srcSnapId) <- src.tables) {
         val baseSnapId = src.baseOfMain.get(table)
         if (!baseSnapId.contains(srcSnapId)) {
-          val srcFiles = loadSnapshot(table, srcSnapId).files
-          val baseFiles = baseSnapId.map(loadSnapshot(table, _).files).getOrElse(Seq.empty)
-          val added = srcFiles.filterNot(f => baseFiles.exists(_.path == f.path))
+          val srcManifests = loadSnapshot(table, srcSnapId).manifests
+          val baseManifests = baseSnapId.map(loadSnapshot(table, _).manifests).getOrElse(Seq.empty)
           val dstSnapOpt = dstTables.get(table).map(loadSnapshot(table, _))
-          val merged = Snapshot(
-            newId(),
-            dstSnapOpt.map(_.id),
-            dstSnapOpt.map(_.files).getOrElse(Seq.empty) ++ added,
-            dstSnapOpt.map(_.schemaDdl).getOrElse(loadSnapshot(table, srcSnapId).schemaDdl),
-            System.currentTimeMillis())
-          writeSnapshot(table, merged)
-          dstTables = dstTables.updated(table, merged.id)
+          val dstManifests = dstSnapOpt.map(_.manifests).getOrElse(Seq.empty)
+          val added = srcManifests
+            .filterNot(m => baseManifests.exists(_.path == m.path))
+            .filterNot(m => dstManifests.exists(_.path == m.path))
+          if (added.nonEmpty || dstSnapOpt.isEmpty) {
+            val merged = Snapshot(
+              newId(),
+              dstSnapOpt.map(_.id),
+              dstManifests ++ added,
+              dstSnapOpt.map(_.schemaDdl).getOrElse(loadSnapshot(table, srcSnapId).schemaDdl),
+              System.currentTimeMillis())
+            writeSnapshot(table, merged)
+            dstTables = dstTables.updated(table, merged.id)
+            srcTables = srcTables.updated(table, merged.id)
+            srcBase = srcBase.updated(table, merged.id)
+          } else {
+            srcTables = srcTables.updated(table, dstSnapOpt.get.id)
+            srcBase = srcBase.updated(table, dstSnapOpt.get.id)
+          }
         }
       }
-      refs.copy(branches = refs.branches.updated(into, dst.copy(tables = dstTables)))
+      refs.copy(branches = refs.branches
+        .updated(into, dst.copy(tables = dstTables))
+        .updated(branch, BranchState(srcTables, srcBase)))
     }
 
   private def newId(): String = UUID.randomUUID().toString.take(16)

@@ -101,6 +101,68 @@ class WapSpec extends SparkSpecBase {
     assert(!bad.passed && bad.failed.size == 2)
   }
 
+  test("append metadata cost is O(commit): one new manifest per append, snapshots never rewrite old manifests") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    def manifestCount: Int = {
+      val metaDir = new java.io.File(s"${cat.root}/tables/t/meta")
+      metaDir.list().count(_.startsWith("manifest-"))
+    }
+    var lastSnapshotManifests = 0
+    for (i <- 0 until 5) {
+      val before = manifestCount
+      val snap = cat.append("t", docs.filter(col("doc_id") === i.toLong))
+      assert(manifestCount == before + 1, s"append $i must write exactly one manifest")
+      assert(snap.manifests.length == lastSnapshotManifests + 1)
+      lastSnapshotManifests = snap.manifests.length
+    }
+    assert(cat.scan("t").count() == 5)
+  }
+
+  test("stats pruning: a selective predicate scans fewer files than the snapshot lists") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    // three appends with disjoint doc_id ranges -> disjoint file stats
+    cat.append("t", docs.filter(col("doc_id") < 20).coalesce(1))
+    cat.append("t", docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).coalesce(1))
+    cat.append("t", docs.filter(col("doc_id") >= 40).coalesce(1))
+    val all = cat.dataFiles("t")
+    assert(all.size >= 3)
+    assert(all.forall(f => f.lower.contains("doc_id") && f.upper.contains("doc_id")))
+
+    val cond = col("doc_id") >= 25L && col("doc_id") < 30L
+    val pruned = cat.prunedDataFiles("t", cond)
+    assert(pruned.size < all.size, s"pruned ${pruned.size} of ${all.size}")
+    assert(pruned.size == 1)
+    // pruning is sound: the filtered scan still returns exactly the rows
+    val expected = docs.filter(cond).count()
+    assert(cat.scan("t", "main", Some(cond)).count() == expected)
+    // string stats prune too
+    val noLang = cat.prunedDataFiles("t", col("lang") === "zz-not-a-lang")
+    assert(noLang.size <= all.size)
+  }
+
+  test("merge is idempotent: re-merging a kept-alive branch never duplicates rows") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.createBranch("b1")
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 20), "b1")
+    cat.merge("b1")
+    assert(cat.scan("t", "main").count() == 20)
+    cat.merge("b1") // second publish of the same branch: no-op
+    assert(cat.scan("t", "main").count() == 20, "double merge must not duplicate")
+    // the branch can keep working after publish: it sees the merged state
+    cat.append("t", docs.filter(col("doc_id") >= 20 && col("doc_id") < 25), "b1")
+    cat.merge("b1")
+    assert(cat.scan("t", "main").count() == 25)
+    cat.merge("b1")
+    assert(cat.scan("t", "main").count() == 25)
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
