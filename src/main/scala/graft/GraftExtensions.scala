@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions._
+
+/** SQL registration for graft's native expressions (SURVEY §3), so every
+  * operator is reachable from `spark.sql` as well as the Column API:
+  *
+  *  - at session BUILD time: `spark.sql.extensions=graft.GraftExtensions`
+  *    or `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *  - on an EXISTING session: `GraftFunctions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), GraftFunctions.info(name), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name -> builder for every graft SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim_f" -> { args =>
+      require(args.length == 2, "cosine_sim_f(a, b)")
+      CosineSimF(args(0), args(1))
+    },
+    "dot_f" -> { args =>
+      require(args.length == 2, "dot_f(a, b)")
+      DotProductF(args(0), args(1))
+    },
+    "minhash_sig" -> { args =>
+      require(args.length == 2, "minhash_sig(shingles, k)")
+      MinHashSig(args(0), intArg(args(1), "k"))
+    },
+    "simhash64" -> { args =>
+      require(args.length == 1, "simhash64(tokens)")
+      SimHash64(args(0))
+    },
+    "rolling_fp64" -> { args =>
+      require(args.length == 1, "rolling_fp64(tokens)")
+      RollingFp64(args(0))
+    },
+    "shingle_hashes" -> { args =>
+      require(args.length == 2, "shingle_hashes(text, n)")
+      ShingleHashes(args(0), intArg(args(1), "n"))
+    },
+    "srp_bands" -> { args =>
+      require(args.length >= 3 && args.length <= 4, "srp_bands(vec, bits, tables[, seed])")
+      SrpBands(args(0), intArg(args(1), "bits"), intArg(args(2), "tables"),
+        if (args.length == 4) longArg(args(3), "seed") else 0L)
+    })
+
+  private[graft] def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, info(name), builder)
+    }
+}

@@ -49,7 +49,8 @@ object SparkEntry {
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
-    "mm_manifest" -> (PipelineQueries.mmManifest _)
+    "mm_manifest" -> (PipelineQueries.mmManifest _),
+    "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +117,8 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id, round(punct / n_chars, 4) AS punct_ratio, round(stop_hits / n_toks, 4) AS stopword_ratio, round(n_chars / n_toks, 4) AS mean_word_len, round(greatest(0.0, least(1.0, 0.5 + 0.5 * (stop_hits / n_toks) - (punct / n_chars))), 4) AS quality_score FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) AS DOUBLE) AS stop_hits FROM documents) t""",
     "mm_manifest" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1"""
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1""",
+    "sql_vector_norm" ->
+      """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"""
   )
 }

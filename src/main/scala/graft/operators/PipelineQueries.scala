@@ -76,4 +76,18 @@ object PipelineQueries {
 
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
     Multimodal.manifest(Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
+
+  // ---- §3 SQL surface ---------------------------------------------------
+
+  /** The native vector expressions driven through spark.sql — proves the
+    * GraftFunctions SQL registration end to end (adjacent-pair dot
+    * products; nontrivial values with a DuckDB list_inner_product
+    * oracle). */
+  def sqlVectorNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT a.vec_id, round(dot_f(a.embedding, b.embedding), 3) AS dot_next
+         FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1""")
+  }
 }
