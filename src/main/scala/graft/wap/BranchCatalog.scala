@@ -483,5 +483,88 @@ class BranchCatalog(spark: SparkSession, val root: String) {
         .updated(branch, BranchState(srcTables, srcBase)))
     }
 
+  // ---- maintenance: compaction + snapshot expiry ------------------------
+
+  /** Fold every manifest of table@branch's current snapshot into ONE new
+    * manifest (pure metadata rewrite — data files untouched). Run
+    * periodically so long-lived tables keep O(1) manifests to read per
+    * scan even after thousands of commits. */
+  def compactManifests(table: String, branch: String = "main"): Snapshot = {
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val folded = writeManifest(table, filesOf(cur))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), Seq(folded), cur.schemaDdl, System.currentTimeMillis())
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** Small-file compaction: rewrite table@branch's data into `targetFiles`
+    * larger files (streaming ingest leaves one small file per micro-batch;
+    * at scale a reader pays per-file open cost). The new snapshot REPLACES
+    * the manifest list; older snapshots still reference the original files
+    * until expireSnapshots reclaims them. */
+  def compactDataFiles(table: String, branch: String = "main", targetFiles: Int = 1): Snapshot = {
+    require(targetFiles >= 1, "targetFiles >= 1")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val rewritten = writeDataFiles(table, scanSnapshot(table, curId).repartition(targetFiles))
+    val manifest = writeManifest(table, rewritten)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl, System.currentTimeMillis())
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
+
+  /** Expire history: keep only snapshots referenced by a branch head (or
+    * listed in `keepIds`), then garbage-collect manifests and data files
+    * no surviving snapshot references. Time travel to expired ids stops
+    * working — that is the point. Run from a maintenance context: expiry
+    * racing a concurrent commit on the same table can delete a snapshot
+    * committed between the read and the deletes. */
+  def expireSnapshots(table: String, keepIds: Set[String] = Set.empty): ExpireResult = {
+    val refs = currentRefs()
+    val liveIds = refs.branches.values.flatMap(_.tables.get(table)).toSet ++ keepIds
+    val metaDir = new Path(rootPath, s"tables/$table/meta")
+    if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
+
+    // compare everything fully-qualified: stored metadata paths may lack
+    // the scheme that listStatus results carry
+    def q(p: Path): String = fs.makeQualified(p).toString
+    val snapFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("snap-"))
+    val (keepSnaps, dropSnaps) = snapFiles.partition { p =>
+      liveIds.contains(p.getName.stripPrefix("snap-").stripSuffix(".json"))
+    }
+    val liveSnapshots = keepSnaps.map(p => Serialization.read[Snapshot](readString(p)))
+    val liveManifests = liveSnapshots.flatMap(_.manifests.map(m => q(new Path(m.path)))).toSet
+    val liveData = liveSnapshots.flatMap(s => filesOf(s).map(f => q(new Path(f.path)))).toSet
+
+    dropSnaps.foreach(fs.delete(_, false))
+
+    val manifestFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("manifest-"))
+    val dropManifests = manifestFiles.filterNot(p => liveManifests.contains(q(p)))
+    // collect their data files BEFORE deleting the manifests
+    val candidateData = dropManifests.flatMap(p => readManifest(p.toString).map(f => q(new Path(f.path))))
+    dropManifests.foreach(fs.delete(_, false))
+    val dropData = candidateData.distinct.filterNot(liveData.contains)
+    dropData.foreach(p => fs.delete(new Path(p), false))
+
+    ExpireResult(dropSnaps.size, dropManifests.size, dropData.size)
+  }
+
   private def newId(): String = UUID.randomUUID().toString.take(16)
 }

@@ -163,6 +163,57 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 25)
   }
 
+  test("compaction folds manifests and rewrites small files; expiry reclaims orphans") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    // streaming-style ingest: 5 tiny commits -> 5 manifests, >= 5 files
+    for (i <- 0 until 5)
+      cat.append("t", docs.filter(col("doc_id") >= i * 10L && col("doc_id") < (i + 1) * 10L).coalesce(1))
+    val before = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(cat.dataFiles("t").size == 5)
+    val preCompactId = cat.snapshotIdOf("t").get
+
+    // metadata-only manifest fold: same data files, one manifest
+    val pathsBefore = cat.dataFiles("t").map(_.path).sorted
+    val folded = cat.compactManifests("t")
+    assert(folded.manifests.size == 1)
+    assert(cat.dataFiles("t").map(_.path).sorted == pathsBefore)
+    assert(cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(before))
+
+    // data rewrite into one file
+    val compacted = cat.compactDataFiles("t", targetFiles = 1)
+    assert(compacted.manifests.size == 1)
+    assert(cat.dataFiles("t").size == 1)
+    assert(cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(before))
+    // pre-compaction snapshot still time-travels until expired
+    assert(cat.scanSnapshot("t", preCompactId).count() == before.length.toLong)
+
+    // expiry: only the branch head survives; orphaned files are deleted
+    val res = cat.expireSnapshots("t")
+    assert(res.snapshotsDeleted >= 6, s"$res") // 5 appends + 2 compactions - head, + create
+    assert(res.dataFilesDeleted == 5, s"$res")
+    assert(intercept[Exception](cat.scanSnapshot("t", preCompactId)) != null)
+    assert(cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(before))
+    // the survivors' data files all still exist on disk
+    assert(cat.dataFiles("t").forall(f => new java.io.File(new java.net.URI(f.path).getPath).exists() ||
+      new java.io.File(f.path.stripPrefix("file:")).exists()))
+  }
+
+  test("expiry never reclaims files a live branch still references") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.createBranch("keeper")
+    // main moves on and compacts; keeper still points at the old snapshot
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+    cat.compactDataFiles("t", targetFiles = 1)
+    cat.expireSnapshots("t")
+    assert(cat.scan("t", "keeper").count() == 10, "branch head must survive expiry")
+    assert(cat.scan("t", "main").count() == 20)
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
