@@ -45,10 +45,12 @@ object SparkEntry {
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
     "sim_topk_brute" -> (PipelineQueries.simTopkBrute _),
     "sim_topk_lsh" -> (PipelineQueries.simTopkLsh _),
+    "sim_topk_ivf" -> (PipelineQueries.simTopkIvf _),
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
+    "text_redact" -> (PipelineQueries.textRedact _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)
   )
@@ -114,6 +116,8 @@ object SparkEntry {
       """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cosine FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine, row_number() OVER (PARTITION BY q.vec_id ORDER BY round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC, c.vec_id ASC) AS rk FROM embeddings q, embeddings c WHERE q.vec_id < 20 AND c.vec_id >= 100) t WHERE rk <= 5""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens FROM documents""",
+    "text_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INT) AS n_phones FROM documents""",
     "text_quality" ->
       """SELECT doc_id, round(punct / n_chars, 4) AS punct_ratio, round(stop_hits / n_toks, 4) AS stopword_ratio, round(n_chars / n_toks, 4) AS mean_word_len, round(greatest(0.0, least(1.0, 0.5 + 0.5 * (stop_hits / n_toks) - (punct / n_chars))), 4) AS quality_score FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) AS DOUBLE) AS stop_hits FROM documents) t""",
     "mm_manifest" ->

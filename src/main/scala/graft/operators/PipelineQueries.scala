@@ -58,6 +58,14 @@ object PipelineQueries {
       k = 5, bits = 8, tables = 8)
   }
 
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, centroids = 32, nprobe = 8)
+  }
+
   // ---- §2.6 text analysis ----------------------------------------------
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -71,6 +79,9 @@ object PipelineQueries {
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Tables.documents(spark, dir), "doc_id", "text")
 
   // ---- §2.7 multimodal --------------------------------------------------
 

@@ -109,4 +109,57 @@ object Similarity {
         round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF (inverted-file) ANN — the second scale path, complementary to
+    * SRP-LSH: better recall on clustered corpora, and the centroid
+    * assignment is reusable across query batches.
+    *
+    *  1. `centroids` corpus vectors are picked as centroids by a
+    *     DETERMINISTIC seeded sample (global sort on xxhash64(id) —
+    *     K rows, driver never touches vectors).
+    *  2. Every corpus vector is assigned to its nearest centroid: scored
+    *     against the broadcast centroid set map-side, argmax via the
+    *     bounded partial top-k (k=1) — the shuffle carries one row per
+    *     corpus vector, never the N x K score set.
+    *  3. A query probes the `nprobe` nearest centroid lists; candidates
+    *     re-rank with the exact codegen cosine through the partial top-k.
+    *
+    * At scale, pick centroids ~ sqrt(corpus) so inverted lists stay
+    * balanced and the probe join keys stay numerous (no few-reducer
+    * skew). Recall vs brute force is asserted in SimilaritySpec. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+
+    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(centroids)
+      .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+
+    // nearest centroid per corpus vector (partial top-1: no N x K shuffle)
+    val assignScores = c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+    val assigned = topKPerQuery(assignScores, 1)
+      .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+
+    // nprobe nearest centroid lists per query (Q x K is tiny)
+    val probeScores = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__qv"), col("cent_vec")), 6).as("cosine"))
+    val probes = topKPerQuery(probeScores, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("cent_id"))
+
+    val cand = assigned.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("neighbor_id"))
+
+    val scored = cand
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
+  }
 }

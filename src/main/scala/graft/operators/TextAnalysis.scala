@@ -69,6 +69,27 @@ object TextAnalysis {
       array_max(array(scored: _*)).getField("score").as("hits"))
   }
 
+  /** Email address pattern — RE2-portable (no lookarounds) so the DuckDB
+    * oracle applies the IDENTICAL regex. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Phone-ish pattern: international or separator-grouped digit runs. */
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before text lands in a corpus. Pure column expressions (two regex
+    * passes), map-side only; counts exposed per category so the pipeline
+    * can alert on unexpectedly PII-heavy sources. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(t, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+        .as("clean_text"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(regexp_replace(t, emailRe, "[EMAIL]"),
+        lit(phoneRe), lit(0))).as("n_phones"))
+  }
+
   /** 64-bit polynomial rolling-hash fingerprint over normalized tokens:
     * fp = fold(tokens, acc*1000003 + xxhash64(token)), wraparound semantics
     * via the native [[graft.functions.RollingFp64]] (ANSI mode rejects the

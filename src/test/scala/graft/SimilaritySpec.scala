@@ -96,6 +96,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.6, s"LSH recall $recall below floor")
   }
 
+  test("ivfTopK: recall >= 0.8 vs brute force on clustered data, exact scores") {
+    val got = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = corpus.toMap
+    val qvecs = queries.toMap
+    got.foreach { case (q, n, c) => assert(math.abs(c - r4(cos(vecs(n), qvecs(q)))) < 1e-9) }
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = expected.toSeq.map { case (q, exp) =>
+      exp.count(gotByQ.getOrElse(q, Set.empty).contains).toDouble / exp.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.8, s"IVF recall $recall below floor")
+  }
+
+  test("ivfTopK is deterministic across runs (seeded centroid sample)") {
+    def run() = Similarity.ivfTopK(corpusDf.repartition(7), "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 3, centroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run() == run())
+  }
+
   test("srp bands are deterministic across evaluations") {
     import graft.functions.VectorFunctions._
     val a = corpusDf.select(srpBands(col("embedding"), 8, 8).as("b")).collect().map(_.getSeq[Long](0))

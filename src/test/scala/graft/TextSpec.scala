@@ -52,6 +52,23 @@ class TextSpec extends SparkSpecBase {
     assert(got(1L) == got(5L))
   }
 
+  test("redact scrubs emails and phone numbers, counts per category") {
+    val samples = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.io and c.d@e-f.org"),
+      (4L, "digits 12345 are not a phone but 0044 207 946 0958 is"))
+    val got = TextAnalysis.redact(samples.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L)._1 == "contact me at [EMAIL] or call [PHONE] now", got(1L))
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(2L) == (("no pii here at all", 0, 0)))
+    assert(got(3L)._1 == "two mails: [EMAIL] and [EMAIL]")
+    assert(got(3L)._2 == 2)
+    assert(got(4L)._1.contains("[PHONE]") && !got(4L)._1.contains("0958"))
+    assert(got(4L)._1.contains("12345"), "short digit runs stay")
+  }
+
   test("fingerprint is stable on the real documents table") {
     val a = TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
