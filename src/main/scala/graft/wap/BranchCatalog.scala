@@ -83,10 +83,24 @@ class BranchCatalog(spark: SparkSession, val root: String) {
 
   private def writeString(p: Path, s: String, overwriteExisting: Boolean): Boolean = {
     try {
-      val out = fs.create(p, overwriteExisting)
-      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+      val qualified = fs.makeQualified(p)
+      if (!overwriteExisting && "file" == qualified.toUri.getScheme) {
+        // RawLocalFileSystem.create(overwrite=false) is check-then-act —
+        // two racing committers can both "win". NIO createFile is a real
+        // O_CREAT|O_EXCL, which is what optimistic concurrency needs.
+        val nioPath = java.nio.file.Paths.get(qualified.toUri.getPath)
+        java.nio.file.Files.createFile(nioPath)
+        java.nio.file.Files.write(nioPath, s.getBytes(StandardCharsets.UTF_8))
+        true
+      } else {
+        val out = fs.create(p, overwriteExisting)
+        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
   }
 
   private def readString(p: Path): String = {

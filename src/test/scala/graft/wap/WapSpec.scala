@@ -214,6 +214,39 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 20)
   }
 
+  test("optimistic commits survive real concurrency: racing appends all land") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    val versionBefore = cat.currentRefs().version
+    val threads = 4
+    val commitsEach = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(threads)
+    for (th <- 0 until threads) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            for (i <- 0 until commitsEach) {
+              val id = (th * commitsEach + i).toLong
+              cat.append("t", docs.filter(col("doc_id") === id))
+            }
+          } catch { case e: Throwable => failures.incrementAndGet(); e.printStackTrace() }
+          finally latch.countDown()
+        }
+      })
+    }
+    latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(failures.get() == 0, "no committer may lose all retries")
+    // every commit landed exactly once: 20 rows, one refs version per commit
+    assert(cat.scan("t").count() == (threads * commitsEach).toLong)
+    assert(cat.scan("t").select("doc_id").distinct().count() == (threads * commitsEach).toLong)
+    assert(cat.currentRefs().version == versionBefore + threads * commitsEach)
+    assert(cat.dataFiles("t").map(_.rows).sum == (threads * commitsEach).toLong)
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
