@@ -50,20 +50,26 @@ object PipelineQueries {
       e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  /** Params tuned on the testdata embeddings (near-uniform random — the
+    * ANN worst case): 6 bits x 24 tables measures ~0.73 top-5 recall vs
+    * brute force while examining ~1/3 of the corpus. Clustered real-world
+    * embeddings do far better at the same cost (SimilaritySpec floor). */
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.lshTopK(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, bits = 8, tables = 8)
+      k = 5, bits = 6, tables = 24)
   }
 
+  /** 64 centroids / 24 probes measures ~0.74 top-5 recall on the
+    * near-uniform testdata at ~3/8 corpus examined (see simTopkLsh note). */
   def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, centroids = 32, nprobe = 8)
+      k = 5, centroids = 64, nprobe = 24)
   }
 
   // ---- §2.6 text analysis ----------------------------------------------
