@@ -16,6 +16,10 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM once (codegen, parquet reader, shuffle machinery) so
+    // per-query timings measure the query, not first-touch JIT cost
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

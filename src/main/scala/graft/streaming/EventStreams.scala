@@ -96,6 +96,24 @@ object EventStreams {
         col("window.end").as("window_end"),
         col(typeCol), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for document ingest: drop any record whose
+    * normalized-text hash was already seen, across micro-batches.
+    * `dropDuplicatesWithinWatermark` keeps the seen-hash state bounded —
+    * a hash expires once the watermark passes its event time + delay, so
+    * state is O(docs-per-watermark-window), not O(corpus). (Corpus-wide
+    * exact dedup is the batch operator `Dedup.exact`; this is the
+    * at-ingest guard that keeps repeated crawls/retries out of the lake.) */
+  def streamingDedup(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("__text_hash", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+
   /** Stateful sessionization via flatMapGroupsWithState: events for a key
     * belong to one session while gaps stay under `gapMinutes`; a session
     * closes (and is emitted, append-mode) when a later event exceeds the

@@ -76,6 +76,21 @@ class StreamingSpec extends SparkSpecBase {
       ("2026-01-01 11:00:00.0", "click", 1L, 4.0)))
   }
 
+  test("streamingDedup: repeated texts across micro-batches are dropped, distinct texts pass") {
+    val mem = MemoryStream[(Timestamp, Long, String)](spark, 1)
+    val out = EventStreams.streamingDedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((t(0), 1L, "alpha"), (t(1), 2L, "beta"), (t(1), 3L, "alpha"))
+    q.processAllAvailable()
+    mem.addData((t(2), 4L, "alpha"), (t(3), 5L, "gamma")) // alpha again, next batch
+    q.processAllAvailable()
+    val ids = spark.table("sdedup").collect().map(_.getLong(1)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 5L), s"got ${ids.toSeq}")
+  }
+
   test("sessionize: gap splits sessions; event-time timeout closes them") {
     val mem = MemoryStream[SessionEvent](spark, 2)
     val out = EventStreams.sessionize(mem.toDS(), gapMinutes = 30,
