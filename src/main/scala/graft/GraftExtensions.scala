@@ -62,6 +62,10 @@ object GraftFunctions {
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), intArg(args(1), "n"))
     },
+    "norm_hash64" -> { args =>
+      require(args.length == 1, "norm_hash64(text)")
+      NormHash64(args(0))
+    },
     "srp_bands" -> { args =>
       require(args.length >= 3 && args.length <= 4, "srp_bands(vec, bits, tables[, seed])")
       SrpBands(args(0), intArg(args(1), "bits"), intArg(args(2), "tables"),

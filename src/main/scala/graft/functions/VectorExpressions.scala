@@ -186,6 +186,53 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Order-sensitive 64-bit hash of a text's NORMALIZED token stream
+  * (lowercased ascii-alnum runs — identical token semantics to
+  * [[ShingleHashes]] and the regex in Dedup.tokens), in one pass with no
+  * intermediate strings or arrays. Two texts get equal hashes iff their
+  * normalized token sequences are equal (modulo 64-bit collisions) —
+  * exactly the grouping key normalized dedup needs, ~100x cheaper than
+  * regexp_replace + split + concat_ws per row. */
+case class NormHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "norm_hash64"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    var acc = 0L
+    var h = 0L
+    var inTok = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { h = h * 31L + c; inTok = true }
+      else if (inTok) { acc = acc * 1000003L + mix(h); h = 0L; inTok = false }
+      i += 1
+    }
+    if (inTok) acc = acc * 1000003L + mix(h)
+    mix(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** k-permutation MinHash signature over a token/shingle array, computed in
   * ONE pass: two xxhash64 values per token, the k "permutations" derive
   * via the Kirsch-Mitzenmacher construction g_j = h1 + j*h2. O(tokens + k)
@@ -256,27 +303,59 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> input")
+      case ArrayType(StringType, _) | StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> or string input")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  private lazy val fromTokenArray = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 0x51C6EL)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    def vote(h: Long): Unit = {
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
-      i += 1
+    }
+    if (fromTokenArray) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) vote(XxHash64Function.hash(arr.getUTF8String(i), StringType, 0x51C6EL))
+        i += 1
+      }
+    } else {
+      // raw text: inline one-pass ascii-alnum tokenization (same token
+      // semantics as ShingleHashes/NormHash64), one vote per OCCURRENCE —
+      // multiplicity matters for simhash, so no dedupe here
+      val s = v.toString
+      var h = 0L
+      var inTok = false
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        val c0 = s.charAt(i)
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (alnum) { h = h * 31L + c; inTok = true }
+        else if (inTok) { vote(mix(h ^ 0x51C6EL)); h = 0L; inTok = false }
+        i += 1
+      }
+      if (inTok) vote(mix(h ^ 0x51C6EL))
     }
     var out = 0L
     var b = 0
@@ -405,4 +484,6 @@ object VectorFunctions {
     Bridge.column(SrpBands(Bridge.expression(vec), bits, tables, seed))
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def normHash64(text: Column): Column =
+    Bridge.column(NormHash64(Bridge.expression(text)))
 }

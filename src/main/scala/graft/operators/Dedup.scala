@@ -40,9 +40,13 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
 
   /** Exact dedup on normalized text (lowercase, punctuation stripped,
-    * whitespace collapsed). */
+    * whitespace collapsed). Groups on the native one-pass
+    * [[graft.functions.NormHash64]] of the token stream — same grouping
+    * as materializing the normalized string, without the per-row regex +
+    * string rebuild, and the shuffle key is 8 bytes instead of the
+    * text. */
   def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__norm", concat_ws(" ", tokens(col(textCol))))
+    df.withColumn("__norm", normHash64(col(textCol)))
       .groupBy(col("__norm"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
@@ -109,7 +113,10 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"), simhash64(tokens(col(textCol))).as("__sig"))
+    // simhash straight off the raw text: the native expression tokenizes
+    // inline (one pass, one vote per token occurrence — multiplicity
+    // preserved), so no regex or string arrays are ever built
+    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
     val chunked = sigs.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("__chunk", "__ckey")))

@@ -99,7 +99,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("simhashPairs: exactly the brute-force hamming<=3 pairs (pigeonhole blocking is lossless)") {
-    val sigs = docsDf.select(col("doc_id"), simhash64(Dedup.tokens(col("text"))).as("sig"))
+    val sigs = docsDf.select(col("doc_id"), simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ids = sigs.keys.toSeq.sorted
     val expected = (for {
@@ -146,6 +146,26 @@ class DedupSpec extends SparkSpecBase {
     val found = expected.count(got.contains)
     assert(found.toDouble / expected.size >= 0.9,
       s"embedding near-dup recall ${found.toDouble / expected.size}")
+  }
+
+  test("normHash64 equals normalized-string grouping and is order/format sensitive") {
+    val texts = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "world hello"),
+      (4L, "HELLO world."), (5L, ""))
+    val h = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), normHash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L) && h(2L) == h(4L), "case/punct/whitespace normalize away")
+    assert(h(2L) != h(3L), "token order must matter")
+    assert(h(5L) != h(2L))
+  }
+
+  test("simhash string mode preserves token multiplicity") {
+    val h = Seq((1L, "spam spam spam spam eggs"), (2L, "spam eggs"), (3L, "Spam  SPAM spam spam eggs!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L), "normalization-equal multisets hash equal")
+    assert(h(1L) != h(2L), "multiplicity must influence the vote")
   }
 
   test("exact dedup keeps min id per duplicate group") {
