@@ -17,21 +17,6 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  /** Normalized lowercase tokens of a text column. */
-  def tokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+")
-
-  /** Token n-gram shingles (distinct). Texts shorter than n tokens yield
-    * their whole token string as a single shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
-
   /** Exact dedup: hash-groupBy on the raw text, keep the smallest id.
     * One shuffle on the text hash; count kept for observability. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -90,14 +90,15 @@ object TextAnalysis {
         lit(phoneRe), lit(0))).as("n_phones"))
   }
 
-  /** 64-bit polynomial rolling-hash fingerprint over normalized tokens:
-    * fp = fold(tokens, acc*1000003 + xxhash64(token)), wraparound semantics
-    * via the native [[graft.functions.RollingFp64]] (ANSI mode rejects the
-    * intentional overflow in plain SQL arithmetic). */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+  /** 64-bit rolling-hash document fingerprint over the normalized token
+    * stream: fp = mix(fold(tokens, acc*1000003 + mix(tokenHash))) — the
+    * native one-pass [[graft.functions.NormHash64]] (inline tokenization,
+    * wraparound semantics, no regex/string arrays; TextSpec recomputes
+    * the formula independently). Order-sensitive and
+    * normalization-invariant. [[graft.functions.RollingFp64]] offers the
+    * same fold over a caller-supplied array<string>. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      graft.functions.VectorFunctions.rollingFp64(toks).as("fp64"))
-  }
+      graft.functions.VectorFunctions.normHash64(col(textCol)).as("fp64"))
 }

@@ -34,10 +34,19 @@ class TextSpec extends SparkSpecBase {
   }
 
   test("fingerprint matches the documented rolling-hash formula exactly") {
+    // independent reimplementation of the documented formula: regex
+    // tokenization + splitmix64 finalizer + 1000003 rolling fold
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     def expectedFp(text: String): Long = {
-      val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim.split("\\s+")
-      toks.foldLeft(0L)((acc, t) =>
-        acc * 1000003L + XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L))
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      mix(toks.foldLeft(0L)((acc, t) =>
+        acc * 1000003L + mix(t.foldLeft(0L)((h, c) => h * 31L + c))))
     }
     val texts = Seq((1L, "Hello, World!"), (2L, "a b c"), (3L, "c b a"),
       (4L, "The  quick   brown fox"), (5L, "hello world"))
