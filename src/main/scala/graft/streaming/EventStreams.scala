@@ -76,8 +76,10 @@ object EventStreams {
       .start()
   }
 
-  /** Watermarked sliding/tumbling-window aggregation over an event
-    * stream: (window, event_type) -> count + sum(value). State is bounded
+  /** Watermarked windowed aggregation over an event stream:
+    * (window, event_type) -> count + sum(value). Tumbling by default;
+    * pass `slideDuration` < `windowDuration` for sliding windows (each
+    * event lands in window/slide overlapping windows). State is bounded
     * by the watermark — closed windows are dropped once event time passes
     * window_end + delay. Batch-equivalent: Relational.q17TimeBucket. */
   def windowedCounts(
@@ -86,10 +88,14 @@ object EventStreams {
       typeCol: String = "event_type",
       valueCol: String = "value",
       windowDuration: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes",
+      slideDuration: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration), col(typeCol))
+      .groupBy(
+        slideDuration.fold(window(col(tsCol), windowDuration))(s =>
+          window(col(tsCol), windowDuration, s)),
+        col(typeCol))
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sum_value"))
       .select(
         col("window.start").as("window_start"),

@@ -497,6 +497,24 @@ class BranchCatalog(spark: SparkSession, val root: String) {
         .updated(branch, BranchState(srcTables, srcBase)))
     }
 
+  /** Append with range-clustering on `clusterBy`: rows are range-
+    * partitioned across `files` output files and sorted within each, so
+    * every file owns a tight, nearly-disjoint min/max range on the
+    * cluster columns — footer-stats pruning then skips all but the
+    * matching files for selective predicates. The Spark-idiomatic
+    * analogue of hive-style partitioning that also works for
+    * high-cardinality keys (no directory explosion). */
+  def appendClustered(
+      table: String, df: DataFrame, clusterBy: Seq[String],
+      branch: String = "main", files: Int = 0): Snapshot = {
+    require(clusterBy.nonEmpty, "clusterBy must name at least one column")
+    val cols = clusterBy.map(df.col)
+    val ranged =
+      if (files > 0) df.repartitionByRange(files, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    append(table, ranged.sortWithinPartitions(cols: _*), branch)
+  }
+
   // ---- maintenance: compaction + snapshot expiry ------------------------
 
   /** Fold every manifest of table@branch's current snapshot into ONE new

@@ -144,6 +144,30 @@ class WapSpec extends SparkSpecBase {
     assert(noLang.size <= all.size)
   }
 
+  test("appendClustered: range-clustered files make point predicates prune to one file") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("clustered", docs.schema)
+    cat.appendClustered("clustered", docs, Seq("doc_id"), files = 5)
+    cat.createTableIfNotExists("unclustered", docs.schema)
+    cat.append("unclustered", docs.repartition(5))
+
+    val all = cat.dataFiles("clustered")
+    assert(all.size == 5)
+    val total = docs.count()
+    // disjoint ranges: the sum of per-file id spans ~ the id domain
+    val cond = col("doc_id") === (total / 2)
+    assert(cat.prunedDataFiles("clustered", cond).size == 1,
+      "point predicate must hit exactly one clustered file")
+    assert(cat.prunedDataFiles("unclustered", cond).size == 5,
+      "random placement cannot prune (every file spans the domain)")
+    // range predicate: narrow slice stays narrow
+    val range = col("doc_id") >= total / 2 && col("doc_id") < total / 2 + 5
+    assert(cat.prunedDataFiles("clustered", range).size <= 2)
+    assert(cat.scan("clustered", "main", Some(range)).count() ==
+      docs.filter(range).count())
+  }
+
   test("merge is idempotent: re-merging a kept-alive branch never duplicates rows") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
