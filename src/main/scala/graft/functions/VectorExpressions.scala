@@ -468,6 +468,89 @@ case class SrpBands(child: Expression, bits: Int, tables: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Single-pass language-ID scoring: inline tokenization (same semantics
+  * as [[NormHash64]]), one vote per stopword hit per language, argmax
+  * with deterministic alphabetical tie-break. Replaces L per-language
+  * filter expressions over materialized token arrays with ONE scan of the
+  * text — per-language profiles are plain (lang, words) pairs, so richer
+  * profiles (char n-grams) slot in without touching the plan. Stopwords
+  * that do not survive the tokenizer as a single token (e.g. contain
+  * non-ascii letters) are dropped from their profile at construction.
+  * Returns struct(pred_lang: string, hits: int). */
+case class LangIdScore(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  require(profiles.nonEmpty, "at least one language profile")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("hits", IntegerType, nullable = false)))
+  override def prettyName: String = "langid_score"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenHashes(s: String): Seq[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { h = h * 31L + c; inTok = true }
+      else if (inTok) { out += mix(h); h = 0L; inTok = false }
+      i += 1
+    }
+    if (inTok) out += mix(h)
+    out.toSeq
+  }
+
+  // alphabetical language order => argmax tie resolves to the first
+  private lazy val langs: Array[String] = profiles.map(_._1).sorted.toArray
+  private lazy val wordSets: Array[java.util.HashSet[java.lang.Long]] = {
+    val byLang = profiles.toMap
+    langs.map { l =>
+      val set = new java.util.HashSet[java.lang.Long]()
+      byLang(l).foreach { w =>
+        val hs = tokenHashes(w)
+        if (hs.length == 1) set.add(hs.head)
+      }
+      set
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val hits = new Array[Int](langs.length)
+    tokenHashes(v.toString).foreach { h =>
+      var l = 0
+      while (l < langs.length) {
+        if (wordSets(l).contains(h)) hits(l) += 1
+        l += 1
+      }
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (hits(l) > hits(best)) best = l
+      l += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(langs(best)), hits(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -486,4 +569,6 @@ object VectorFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def normHash64(text: Column): Column =
     Bridge.column(NormHash64(Bridge.expression(text)))
+  def langIdScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdScore(Bridge.expression(text), profiles))
 }

@@ -50,23 +50,17 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "por", "para"),
     "it" -> Seq("il", "la", "gli", "e", "è", "non", "un", "una", "per", "con"))
 
-  /** Language-ID heuristic: stopword-hit scoring per language, argmax with
-    * deterministic tiebreak (struct array_max orders by score then the
-    * inverted tag, so equal scores resolve to the alphabetically first
-    * language). A real system swaps in character n-gram profiles; the
-    * pipeline shape — per-language score columns, argmax — is identical. */
+  /** Language-ID heuristic: stopword-hit scoring per language in ONE
+    * native pass over the text (inline tokenization + per-language hash
+    * sets — see [[graft.functions.LangIdScore]]), argmax with
+    * alphabetical tie-break. A real system swaps in character n-gram
+    * profiles; the profile format and pipeline shape are identical. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    val scored = langStops.map { case (lang, stops) =>
-      struct(
-        size(filter(toks, w => w.isin(stops.map(_.asInstanceOf[Any]): _*))).as("score"),
-        lit(langStops.map(_._1).sorted.reverse.indexOf(lang)).as("pri"),
-        lit(lang).as("lang"))
-    }
+    val scored = graft.functions.VectorFunctions.langIdScore(col(textCol), langStops)
     df.select(
       col(idCol),
-      array_max(array(scored: _*)).getField("lang").as("pred_lang"),
-      array_max(array(scored: _*)).getField("score").as("hits"))
+      scored.getField("pred_lang").as("pred_lang"),
+      scored.getField("hits").as("hits"))
   }
 
   /** Email address pattern — RE2-portable (no lookarounds) so the DuckDB
