@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * splits, weighted sampling and mixing. Everything derives from a
+  * multiplicative hash of the id — NO rng, so the same document lands in
+  * the same split/sample on every run, every engine, every retry (the
+  * property that makes 100 TB curation reproducible and incremental:
+  * re-running over a grown corpus never reshuffles old decisions). */
+object Curation {
+
+  /** Knuth multiplicative hash bucket in [0, buckets). Expressible in
+    * ANSI SQL (the DuckDB oracles run the identical arithmetic), stable
+    * everywhere; id * 2654435761 stays far inside int64 for any
+    * realistic id space. */
+  def hashBucket(id: Column, buckets: Int = 97): Column =
+    pmod(id * lit(2654435761L), lit(buckets.toLong))
+
+  /** Deterministic train/val/test assignment: bucket < trainPct% of the
+    * bucket space -> train, next valPct% -> val, rest -> test. */
+  def assignSplits(
+      df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Deterministic per-key downsampling: keep a fraction of rows per value
+    * of `keyCol` (e.g. source or lang quotas for data mixing). Rates are
+    * in [0,1]; keys absent from the map keep `defaultRate`. Keep-decision
+    * is the id's hash bucket, so samples are stable and nested: rate 0.2
+    * is a subset of rate 0.5. */
+  def weightedSample(
+      df: DataFrame, idCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val buckets = 1000
+    val b = hashBucket(col(idCol), buckets)
+    val threshold = rates.foldLeft(lit((defaultRate * buckets).toLong)) {
+      case (acc, (k, r)) => when(col(keyCol) === k, lit((r * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+}

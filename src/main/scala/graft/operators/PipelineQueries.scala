@@ -94,6 +94,23 @@ object PipelineQueries {
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
     Multimodal.manifest(Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
 
+  // ---- §2.10 curation ---------------------------------------------------
+
+  /** Deterministic 80/10/10 split assignment, summarized per (split,
+    * lang). Same multiplicative-hash arithmetic as the DuckDB oracle. */
+  def curateSplits(spark: SparkSession, dir: String): DataFrame =
+    Curation.assignSplits(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Source-weighted deterministic sample (downsample src0 hard, src1
+    * mildly), summarized per source. */
+  def curateSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(Tables.documents(spark, dir), "doc_id", "source",
+      rates = Map("src0" -> 0.2, "src1" -> 0.5), defaultRate = 0.8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
+
   // ---- §3 SQL surface ---------------------------------------------------
 
   /** The native vector expressions driven through spark.sql — proves the
