@@ -291,6 +291,19 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     * files) + one snapshot (manifest list grows by 1 ref) — O(commit),
     * independent of table file count. */
   def append(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
+    // fail BEFORE writing data: a mismatched batch must not corrupt the
+    // table (the reference inherits this check from PyIceberg's append)
+    snapshotIdOf(table, branch).map(loadSnapshot(table, _)).foreach { snap =>
+      if (snap.schemaDdl.nonEmpty) {
+        val expected = StructType.fromDDL(snap.schemaDdl)
+        val incoming = df.schema
+        require(
+          expected.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+            incoming.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq,
+          s"schema mismatch appending to $table@$branch: table has " +
+            s"${expected.toDDL}; batch has ${incoming.toDDL}")
+      }
+    }
     val newFiles = writeDataFiles(table, df)
     val manifest = writeManifest(table, newFiles)
     var committed: Snapshot = null

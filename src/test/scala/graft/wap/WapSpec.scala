@@ -238,6 +238,21 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 20)
   }
 
+  test("append rejects schema-mismatched batches before writing anything") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 5))
+    val bad = docs.withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException](cat.append("t", bad))
+    assert(e.getMessage.contains("schema mismatch"))
+    val wrongType = docs.withColumn("n_chars", col("n_chars").cast("string"))
+    intercept[IllegalArgumentException](cat.append("t", wrongType))
+    // catalog state untouched
+    assert(cat.scan("t").count() == 5)
+    assert(cat.dataFiles("t").size == cat.dataFiles("t").size)
+  }
+
   test("optimistic commits survive real concurrency: racing appends all land") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
