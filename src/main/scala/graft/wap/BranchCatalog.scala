@@ -510,6 +510,28 @@ class BranchCatalog(spark: SparkSession, val root: String) {
         .updated(branch, BranchState(srcTables, srcBase)))
     }
 
+  /** Scan ONLY the data the branch added since it forked from main: the
+    * manifest-list diff between the branch head and its fork base. This
+    * is what makes write-audit-publish O(batch) instead of O(table) —
+    * at 100 TB, auditing every commit by re-scanning the whole table is
+    * the difference between seconds and hours. Pure metadata diff; no
+    * file listing. */
+  def scanBranchDelta(table: String, branch: String): DataFrame = {
+    val refs = currentRefs()
+    val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+    val headId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+    val head = loadSnapshot(table, headId)
+    val baseManifests = b.baseOfMain.get(table)
+      .map(loadSnapshot(table, _).manifests.map(_.path).toSet)
+      .getOrElse(Set.empty)
+    val delta = head.manifests.filterNot(m => baseManifests.contains(m.path))
+    val schema = StructType.fromDDL(head.schemaDdl)
+    val files = delta.flatMap(m => readManifest(m.path))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
   /** Append with range-clustering on `clusterBy`: rows are range-
     * partitioned across `files` output files and sorted within each, so
     * every file owns a tight, nearly-disjoint min/max range on the

@@ -26,6 +26,13 @@ class BufferAlerter extends Alerter {
 
 case class WapResult(branch: String, published: Boolean, report: AuditReport)
 
+/** What the audit step reads — see [[Wap.run]]. */
+sealed trait AuditScope
+object AuditScope {
+  case object Delta extends AuditScope
+  case object FullTable extends AuditScope
+}
+
 /** Write-Audit-Publish orchestration — the reference's lambda_handler
   * (app.py:248-317) re-expressed over [[BranchCatalog]]:
   *
@@ -40,6 +47,13 @@ case class WapResult(branch: String, published: Boolean, report: AuditReport)
   */
 object Wap {
 
+  /** @param auditScope [[AuditScope.Delta]] (default) audits only the
+    *   data this branch added since forking — O(batch) per commit, the
+    *   only viable shape at 100 TB (already-published data was audited
+    *   when IT landed). [[AuditScope.FullTable]] re-audits the whole
+    *   branch table, matching the reference's demo behavior literally —
+    *   use it for table-global expectations (e.g. UniqueKey across all
+    *   history). */
   def run(
       catalog: BranchCatalog,
       table: String,
@@ -47,13 +61,17 @@ object Wap {
       checks: Seq[Expect],
       branchName: String,
       alerter: Alerter = LogAlerter,
-      dropBranchOnPublish: Boolean = true): WapResult = {
+      dropBranchOnPublish: Boolean = true,
+      auditScope: AuditScope = AuditScope.Delta): WapResult = {
 
     catalog.createTableIfNotExists(table, batch.schema)
     catalog.createBranch(branchName, from = "main")
     catalog.append(table, batch, branchName)
 
-    val audited = catalog.scan(table, branchName)
+    val audited = auditScope match {
+      case AuditScope.Delta => catalog.scanBranchDelta(table, branchName)
+      case AuditScope.FullTable => catalog.scan(table, branchName)
+    }
     val report = Audit.run(audited, checks)
 
     if (report.passed) {

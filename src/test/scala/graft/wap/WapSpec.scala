@@ -86,6 +86,38 @@ class WapSpec extends SparkSpecBase {
     assert(cat.listBranches().contains("up-2"))
   }
 
+  test("delta audit scans only branch-added data; full-table scope still available") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    // main already contains rows that would FAIL the check (pre-existing
+    // nulls, audited under looser rules when they landed)
+    val dirty = docs.filter(col("doc_id") < 10)
+      .withColumn("lang", lit(null).cast("string"))
+    cat.createTableIfNotExists("t", dirty.schema)
+    cat.append("t", dirty)
+
+    cat.createBranch("b1")
+    val clean = docs.filter(col("doc_id") >= 10 && col("doc_id") < 25)
+    cat.append("t", clean, "b1")
+    // the delta is exactly the branch's new rows
+    val delta = cat.scanBranchDelta("t", "b1")
+    assert(delta.count() == 15)
+    assert(delta.filter(col("doc_id") < 10).count() == 0)
+
+    // delta-scope WAP: the clean batch publishes even though old data is dirty
+    val alerter = new BufferAlerter
+    val r = Wap.run(cat, "t", docs.filter(col("doc_id") >= 25 && col("doc_id") < 30),
+      Seq(NotNull("lang")), "up-delta", alerter)
+    assert(r.published && alerter.alerts.isEmpty)
+    assert(r.report.rows == 5, s"delta audit must scan only the batch, saw ${r.report.rows}")
+
+    // full-table scope: the same batch fails on the pre-existing dirt
+    val r2 = Wap.run(cat, "t", docs.filter(col("doc_id") >= 30 && col("doc_id") < 35),
+      Seq(NotNull("lang")), "up-full", alerter, auditScope = AuditScope.FullTable)
+    assert(!r2.published)
+    assert(r2.report.failed.head.violations == 10)
+  }
+
   test("audit suite runs as a single job and reports per-check violations") {
     val orders = Tables.orders(spark, sfDir)
     val report = Audit.run(orders, Seq(
