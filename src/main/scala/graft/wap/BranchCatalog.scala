@@ -510,6 +510,31 @@ class BranchCatalog(spark: SparkSession, val root: String) {
         .updated(branch, BranchState(srcTables, srcBase)))
     }
 
+  /** One commit on a table's history. `rowsAdded` comes from the manifest
+    * row sums — metadata only, no data read. */
+  case class CommitInfo(
+      snapshotId: String, committedAtMillis: Long,
+      rowsAdded: Long, filesAdded: Long, cumulativeRows: Long)
+
+  /** The table's commit history on a branch, oldest first, from the
+    * snapshot parent chain — the metadata backbone of the quality
+    * dashboard (rows/files per commit without touching data). */
+  def commitHistory(table: String, branch: String = "main"): Seq[CommitInfo] = {
+    val headId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val chain = Iterator.iterate(Option(loadSnapshot(table, headId))) {
+      case Some(s) => s.parentId.map(loadSnapshot(table, _))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSeq.reverse
+    chain.map { s =>
+      val parentManifests = s.parentId.map(loadSnapshot(table, _).manifests.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      val added = s.manifests.filterNot(m => parentManifests.contains(m.path))
+      CommitInfo(s.id, s.committedAtMillis,
+        added.map(_.rows).sum, added.map(_.fileCount).sum,
+        s.manifests.map(_.rows).sum)
+    }
+  }
+
   /** Scan ONLY the data the branch added since it forked from main: the
     * manifest-list diff between the branch head and its fork base. This
     * is what makes write-audit-publish O(batch) instead of O(table) —

@@ -86,6 +86,28 @@ class WapSpec extends SparkSpecBase {
     assert(cat.listBranches().contains("up-2"))
   }
 
+  test("commit history and append-rate anomalies come from metadata alone") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    // steady appends of 5 rows, then a 10x spike
+    for (i <- 0 until 6)
+      cat.append("t", docs.filter(col("doc_id") >= i * 5L && col("doc_id") < (i + 1) * 5L))
+    cat.append("t", docs.filter(col("doc_id") >= 400L && col("doc_id") < 450L))
+
+    val hist = cat.commitHistory("t")
+    assert(hist.size == 8) // create + 7 appends
+    assert(hist.head.rowsAdded == 0)
+    assert(hist.last.rowsAdded == 50)
+    assert(hist.last.cumulativeRows == 80)
+    assert(hist.map(_.rowsAdded).sum == 80)
+
+    val flagged = Metrics.appendAnomalies(spark, cat, "t")
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4))
+    assert(flagged.count(_._2) == 1, s"exactly the spike flags: ${flagged.toSeq}")
+    assert(flagged.find(_._2).get._1 == 50)
+  }
+
   test("delta audit scans only branch-added data; full-table scope still available") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
