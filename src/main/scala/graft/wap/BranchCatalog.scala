@@ -174,9 +174,18 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   private def readManifest(path: String): Seq[DataFileMeta] =
     Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
 
-  /** All data files of a snapshot (reads its manifests). */
+  /** All data files of a snapshot. Manifests are independent files, so
+    * a many-commit table reads them concurrently (remote-store latency,
+    * not bandwidth, dominates metadata reads). */
   def filesOf(snap: Snapshot): Seq[DataFileMeta] =
-    snap.manifests.flatMap(m => readManifest(m.path))
+    if (snap.manifests.size <= 4) snap.manifests.flatMap(m => readManifest(m.path))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = snap.manifests.map(m => Future(readManifest(m.path)))
+      Await.result(Future.sequence(fs), 120.seconds).flatten
+    }
 
   /** Write a DataFrame batch as immutable parquet files; return their
     * metadata — row counts AND per-column min/max/null stats, all read
