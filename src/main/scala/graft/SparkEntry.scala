@@ -52,6 +52,7 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_redact" -> (PipelineQueries.textRedact _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
+    "emb_centroids" -> (PipelineQueries.embCentroids _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
     "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)
@@ -126,6 +127,8 @@ object SparkEntry {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1""",
     "sql_vector_norm" ->
       """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+    "emb_centroids" ->
+      """SELECT label, pos, round(avg(embedding[pos]), 4) AS mean_val FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) p GROUP BY label, pos""",
     "curate_splits" ->
       """SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, lang, n_chars FROM documents) t GROUP BY split, lang""",
     "curate_sample" ->

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -551,6 +552,73 @@ case class LangIdScore(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Element-wise SUM of float vectors as a real aggregate function
+  * (TypedImperativeAggregate): buffer = double accumulator array, updated
+  * map-side and merged across partitions like any Spark partial
+  * aggregate — group centroids / mean-pooling over embeddings run as one
+  * shuffle of K small arrays instead of exploding N x D rows. Vectors of
+  * differing lengths accumulate up to their own length. */
+case class VecSumF(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float> input")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum_f"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val b = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) b(i) += arr.getFloat(i)
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumF = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumF = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -571,4 +639,7 @@ object VectorFunctions {
     Bridge.column(NormHash64(Bridge.expression(text)))
   def langIdScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangIdScore(Bridge.expression(text), profiles))
+  /** aggregate: element-wise sum of array<float> vectors (array<double>) */
+  def vecSumF(vec: Column): Column =
+    Bridge.column(VecSumF(Bridge.expression(vec)).toAggregateExpression())
 }

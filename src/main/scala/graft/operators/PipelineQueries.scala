@@ -94,6 +94,21 @@ object PipelineQueries {
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
     Multimodal.manifest(Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
 
+  /** Per-label mean embedding (class centroids / mean pooling) via the
+    * native VecSumF aggregate — one shuffle of K small arrays, never an
+    * N x D explode. Emitted as (label, pos, mean_val) scalar rows with a
+    * DuckDB oracle (1-based pos). */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecSumF
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(vecSumF(col("embedding")).as("__sum"), count(lit(1)).as("__n"))
+      .select(col("label"),
+        posexplode(col("__sum")).as(Seq("__p", "__x")), col("__n"))
+      .select(col("label"), (col("__p") + 1).as("pos"),
+        round(col("__x") / col("__n"), 4).as("mean_val"))
+  }
+
   // ---- §2.10 curation ---------------------------------------------------
 
   /** Deterministic 80/10/10 split assignment, summarized per (split,

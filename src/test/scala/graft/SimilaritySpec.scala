@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(run() == run())
   }
 
+  test("vecSumF aggregates element-wise, skips nulls, partition-invariant") {
+    import graft.functions.VectorFunctions.vecSumF
+    val data = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(10.0f, 20.0f, 30.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f)),
+      (2L, null.asInstanceOf[Array[Float]]))
+    val df = data.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g")).agg(vecSumF(col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val a = run(df)
+    assert(a(1L) == Seq(11.0, 22.0, 33.0))
+    assert(a(2L) == Seq(0.5, 0.5, 0.5), "null vectors contribute nothing")
+    assert(run(df.repartition(5)) == a)
+  }
+
   test("srp bands are deterministic across evaluations") {
     import graft.functions.VectorFunctions._
     val a = corpusDf.select(srpBands(col("embedding"), 8, 8).as("b")).collect().map(_.getSeq[Long](0))
