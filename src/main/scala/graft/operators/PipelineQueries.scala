@@ -62,14 +62,15 @@ object PipelineQueries {
       k = 5, bits = 6, tables = 24)
   }
 
-  /** 64 centroids / 24 probes measures ~0.74 top-5 recall on the
-    * near-uniform testdata at ~3/8 corpus examined (see simTopkLsh note). */
+  /** 64 centroids / 24 probes / 1 Lloyd step measures ~0.80 top-5 recall
+    * on the near-uniform testdata at ~3/8 corpus examined (0.74 without
+    * refinement; see simTopkLsh note). */
   def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, centroids = 64, nprobe = 24)
+      k = 5, centroids = 64, nprobe = 24, refineSteps = 1)
   }
 
   // ---- §2.6 text analysis ----------------------------------------------

@@ -130,20 +130,36 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L): DataFrame = {
+      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
+      refineSteps: Int = 0): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
 
-    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+    // nearest centroid per corpus vector (partial top-1: no N x K shuffle)
+    def assign(cents: DataFrame): DataFrame = {
+      val scores = c.crossJoin(broadcast(cents))
+        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+      topKPerQuery(scores, 1)
+        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+    }
+
+    var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
 
-    // nearest centroid per corpus vector (partial top-1: no N x K shuffle)
-    val assignScores = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
-        round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
-    val assigned = topKPerQuery(assignScores, 1)
-      .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+    // optional Lloyd steps: recentre each inverted list on its mean via
+    // the native VecSumF aggregate (K small arrays shuffle, no explode)
+    for (_ <- 0 until refineSteps) {
+      cents = assign(cents)
+        .join(c, "neighbor_id")
+        .groupBy(col("cent_id"))
+        .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cent_id"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+    }
+
+    val assigned = assign(cents)
 
     // nprobe nearest centroid lists per query (Q x K is tiny)
     val probeScores = q.crossJoin(broadcast(cents))

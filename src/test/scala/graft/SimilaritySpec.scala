@@ -112,6 +112,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"IVF recall $recall below floor")
   }
 
+  test("ivfTopK Lloyd refinement never hurts recall on clustered data") {
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    def recall(steps: Int): Double = {
+      val got = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+          queryDf, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4,
+          refineSteps = steps)
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = expected.toSeq.map { case (q, exp) =>
+        exp.count(got.getOrElse(q, Set.empty).contains).toDouble / exp.size }
+      hits.sum / hits.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0 - 0.05, s"refined recall $r1 collapsed vs unrefined $r0")
+    assert(r1 >= 0.8, s"refined recall $r1")
+  }
+
   test("ivfTopK is deterministic across runs (seeded centroid sample)") {
     def run() = Similarity.ivfTopK(corpusDf.repartition(7), "vec_id", "embedding",
         queryDf, "vec_id", "embedding", k = 3, centroids = 16, nprobe = 4)
