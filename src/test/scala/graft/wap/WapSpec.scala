@@ -340,6 +340,37 @@ class WapSpec extends SparkSpecBase {
     assert(cat.dataFiles("t").map(_.rows).sum == (threads * commitsEach).toLong)
   }
 
+  test("concurrent full WAP cycles on separate branches all publish") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    val threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val published = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(threads)
+    for (th <- 0 until threads) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            val batch = docs.filter(col("doc_id") >= th * 10L && col("doc_id") < (th + 1) * 10L)
+            val r = Wap.run(cat, "t", batch, Seq(NotNull("text")), s"up-$th")
+            if (r.published) published.incrementAndGet()
+          } catch { case e: Throwable => failures.incrementAndGet(); e.printStackTrace() }
+          finally latch.countDown()
+        }
+      })
+    }
+    latch.await(180, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(failures.get() == 0)
+    assert(published.get() == threads)
+    val ids = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == threads * 10, s"got ${ids.length} rows")
+    assert(ids.toSeq == (0L until threads * 10L))
+    assert(cat.listBranches() == Seq("main"), "all upload branches dropped")
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
