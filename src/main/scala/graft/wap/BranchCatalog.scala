@@ -135,7 +135,7 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   /** Optimistic commit: transform the latest refs, attempt to create the
     * next version file (atomic create-if-absent on HDFS/local/abfs — see
     * class doc for the S3 caveat); on a lost race, re-read and retry. */
-  private def commitRefs(update: Refs => Refs, maxRetries: Int = 20): Refs = {
+  private def commitRefs(update: Refs => Refs, maxRetries: Int = 50): Refs = {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentRefs()
@@ -144,6 +144,10 @@ class BranchCatalog(spark: SparkSession, val root: String) {
       if (writeString(refsPath(next.version), Serialization.write(next), overwriteExisting = false))
         return next
       attempt += 1
+      // jittered backoff: spinning losers re-collide on the next version
+      // forever under contention; the jitter spreads committers out
+      Thread.sleep(math.min(2L << math.min(attempt, 5), 40L) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(15L))
     }
     throw new IllegalStateException(s"refs commit lost $maxRetries races at $root")
   }

@@ -330,7 +330,7 @@ class WapSpec extends SparkSpecBase {
         }
       })
     }
-    latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS), "append threads timed out")
     pool.shutdown()
     assert(failures.get() == 0, "no committer may lose all retries")
     // every commit landed exactly once: 20 rows, one refs version per commit
@@ -361,7 +361,7 @@ class WapSpec extends SparkSpecBase {
         }
       })
     }
-    latch.await(180, java.util.concurrent.TimeUnit.SECONDS)
+    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS), "WAP threads timed out")
     pool.shutdown()
     assert(failures.get() == 0)
     assert(published.get() == threads)
