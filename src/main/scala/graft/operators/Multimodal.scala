@@ -32,9 +32,29 @@ case class MediaFeatures(
   */
 object Multimodal {
 
+  /** Real media ingestion: read a directory of media files through
+    * Spark's binaryFile source into the MediaRecord schema. Type derives
+    * from the extension; intrinsic dimensions/duration are unknown until
+    * decode, so they enter as 0 and the (stubbed) decode stage fills
+    * them. Partition parallelism, pushdown of path filters and the
+    * maxBytesPerTrigger-style batching all come from the source. */
+  def mediaFromFiles(spark: SparkSession, dir: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val mediaType = when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg", "aac"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv", "webm", "mov"), "video")
+      .otherwise("unknown")
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        mediaType.as("media_type"),
+        col("content"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("duration_ms"))
+  }
+
   /** Synthesize a deterministic media table from the documents table:
     * text bytes become the opaque payload, media_type round-robins by id.
-    * Stands in for `spark.read.format("binaryFile")` at the same schema. */
+    * Same schema as [[mediaFromFiles]], derived from testdata. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),

@@ -57,6 +57,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1L).content.sameElements(big.content), "payload untouched by metadata resize")
   }
 
+  test("mediaFromFiles ingests a binary drop directory with typed records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.jpg", Array[Byte](1, 2, 3))
+    put("b.WAV", Array[Byte](4, 5))
+    put("c.mp4", Array[Byte](6))
+    put("d.bin", Array[Byte](7, 8, 9, 9))
+
+    val media = Multimodal.mediaFromFiles(spark, dir.toString)
+    val byType = media.collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]]("content").length).toMap
+    assert(byType == Map("image" -> 3, "audio" -> 2, "video" -> 1, "unknown" -> 4))
+    // ids are stable across re-reads (derived from path, not read order)
+    val ids1 = media.select("media_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Multimodal.mediaFromFiles(spark, dir.toString)
+      .select("media_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // flows into the feature stage unchanged
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(media.as[MediaRecord], batchSize = 2).collect()
+    assert(feats.length == 4)
+    assert(feats.map(_.n_bytes).sum == 10)
+  }
+
   test("mediaFromDocuments manifest partitions every doc into exactly one type") {
     val docs = Tables.documents(spark, sfDir)
     val m = Multimodal.manifest(Multimodal.mediaFromDocuments(docs))
