@@ -478,7 +478,9 @@ case class SrpBands(child: Expression, bits: Int, tables: Int, seed: Long)
   * that do not survive the tokenizer as a single token (e.g. contain
   * non-ascii letters) are dropped from their profile at construction.
   * Returns struct(pred_lang: string, hits: int). */
-case class LangIdScore(child: Expression, profiles: Seq[(String, Seq[String])])
+case class LangIdScore(
+    child: Expression, profiles: Seq[(String, Seq[String])],
+    cjkLang: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
   require(profiles.nonEmpty, "at least one language profile")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -516,12 +518,14 @@ case class LangIdScore(child: Expression, profiles: Seq[(String, Seq[String])])
   }
 
   // alphabetical language order => argmax tie resolves to the first
-  private lazy val langs: Array[String] = profiles.map(_._1).sorted.toArray
+  private lazy val langs: Array[String] =
+    (profiles.map(_._1) ++ cjkLang.filterNot(profiles.map(_._1).contains)).sorted.toArray
+  private lazy val cjkIdx: Int = cjkLang.map(l => langs.indexOf(l)).getOrElse(-1)
   private lazy val wordSets: Array[java.util.HashSet[java.lang.Long]] = {
     val byLang = profiles.toMap
     langs.map { l =>
       val set = new java.util.HashSet[java.lang.Long]()
-      byLang(l).foreach { w =>
+      byLang.getOrElse(l, Seq.empty).foreach { w =>
         val hs = tokenHashes(w)
         if (hs.length == 1) set.add(hs.head)
       }
@@ -531,11 +535,22 @@ case class LangIdScore(child: Expression, profiles: Seq[(String, Seq[String])])
 
   override protected def nullSafeEval(v: Any): Any = {
     val hits = new Array[Int](langs.length)
-    tokenHashes(v.toString).foreach { h =>
+    val s = v.toString
+    tokenHashes(s).foreach { h =>
       var l = 0
       while (l < langs.length) {
         if (wordSets(l).contains(h)) hits(l) += 1
         l += 1
+      }
+    }
+    // CJK script detection: each han/kana character votes like a stopword
+    // hit for the configured language (CJK text has no ascii tokens at all)
+    if (cjkIdx >= 0) {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)) hits(cjkIdx) += 1
+        i += 1
       }
     }
     var best = 0
@@ -637,8 +652,9 @@ object VectorFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def normHash64(text: Column): Column =
     Bridge.column(NormHash64(Bridge.expression(text)))
-  def langIdScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =
-    Bridge.column(LangIdScore(Bridge.expression(text), profiles))
+  def langIdScore(text: Column, profiles: Seq[(String, Seq[String])],
+      cjkLang: Option[String] = None): Column =
+    Bridge.column(LangIdScore(Bridge.expression(text), profiles, cjkLang))
   /** aggregate: element-wise sum of array<float> vectors (array<double>) */
   def vecSumF(vec: Column): Column =
     Bridge.column(VecSumF(Bridge.expression(vec)).toAggregateExpression())

@@ -56,7 +56,8 @@ object TextAnalysis {
     * alphabetical tie-break. A real system swaps in character n-gram
     * profiles; the profile format and pipeline shape are identical. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = graft.functions.VectorFunctions.langIdScore(col(textCol), langStops)
+    val scored = graft.functions.VectorFunctions.langIdScore(
+      col(textCol), langStops, cjkLang = Some("zh"))
     df.select(
       col(idCol),
       scored.getField("pred_lang").as("pred_lang"),

@@ -17,7 +17,8 @@ class TextSpec extends SparkSpecBase {
       (2L, "der hund und die katze sind nicht mit der maus", "de"),
       (3L, "le chat est dans la maison et les oiseaux sont pour toi", "fr"),
       (4L, "el perro y la casa es una maravilla por la noche", "es"),
-      (5L, "il gatto non è per la casa e gli amici sono con te", "it"))
+      (5L, "il gatto non è per la casa e gli amici sono con te", "it"),
+      (6L, "这是一个用于测试语言识别的中文句子", "zh"))
     val got = TextAnalysis.langId(samples.map(t => (t._1, t._2)).toDF("doc_id", "text"),
         "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
