@@ -52,6 +52,7 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_redact" -> (PipelineQueries.textRedact _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
+    "mm_features" -> (PipelineQueries.mmFeatures _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
@@ -127,6 +128,8 @@ object SparkEntry {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1""",
     "sql_vector_norm" ->
       """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+    "mm_features" ->
+      """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled FROM documents""",
     "emb_centroids" ->
       """SELECT label, pos, round(avg(embedding[pos]), 4) AS mean_val FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) p GROUP BY label, pos""",
     "curate_splits" ->

@@ -72,15 +72,16 @@ object Multimodal {
     * schema, partitioning — is production-shaped. */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
+      val bytes = if (m.content == null) Array.emptyByteArray else m.content
       var d = 1125899906842597L
       var i = 0
-      while (i < m.content.length) { d = d * 31 + m.content(i); i += 1 }
+      while (i < bytes.length) { d = d * 31 + bytes(i); i += 1 }
       val frames = m.media_type match {
         case "video" => math.max(1, m.duration_ms / 1000)
         case "audio" => math.max(1, m.duration_ms / 5000)
         case _ => 1
       }
-      MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, d, frames)
+      MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames)
     }
 
   /** Feature extraction over micro-batches of `batchSize` records per

@@ -95,6 +95,17 @@ object PipelineQueries {
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
     Multimodal.manifest(Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
 
+  /** The batched decode/feature stage end to end (digest omitted — it is
+    * the stub's non-SQL-expressible hash; bytes and frame sampling have
+    * an exact DuckDB oracle). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, dir)).as[MediaRecord])
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("frames_sampled"))
+  }
+
   /** Per-label mean embedding (class centroids / mean pooling) via the
     * native VecSumF aggregate — one shuffle of K small arrays, never an
     * N x D explode. Emitted as (label, pos, mean_val) scalar rows with a

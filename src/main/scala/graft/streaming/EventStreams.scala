@@ -58,7 +58,8 @@ object EventStreams {
       checkpointDir: String,
       alerter: Alerter = LogAlerter,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dropDir)
@@ -70,6 +71,16 @@ object EventStreams {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
           Wap.run(catalog, table, batch, checks, branch, alerter)
+          // self-maintenance: streaming leaves one small file + manifest
+          // per micro-batch; every N batches fold them and expire the
+          // superseded history (branch heads always survive, so failed
+          // quarantine branches keep their data)
+          compactEvery.foreach { n =>
+            if (batchId % n == n - 1 && catalog.tableExists(table)) {
+              catalog.compactDataFiles(table)
+              catalog.expireSnapshots(table)
+            }
+          }
         }
         ()
       }

@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(cat.scan("people", "main").count() == 3)
   }
 
+  test("fileIngest self-maintenance: periodic compaction folds micro-batch files") {
+    val drop = tmp("graft-drop2")
+    val ckpt = tmp("graft-ckpt2")
+    val cat = new BranchCatalog(spark, tmp("graft-cat2"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    def ingest(): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "people",
+        Seq(NotNull("name")), ckpt, new BufferAlerter, Trigger.AvailableNow(),
+        maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+      q.awaitTermination()
+    }
+    for (i <- 0 until 4)
+      Seq((i.toLong, s"name-$i")).toDF("id", "name").coalesce(1).write.mode("append").parquet(drop)
+    ingest()
+    assert(cat.scan("people", "main").count() == 4)
+    // 4 single-file commits compacted every 2 batches -> far fewer than 4 files
+    assert(cat.dataFiles("people").size <= 2,
+      s"compaction must fold micro-batch files, have ${cat.dataFiles("people").size}")
+    assert(cat.scan("people").select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 4L))
+  }
+
   test("windowedCounts: tumbling window totals with watermark") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark, 1)
     val df = mem.toDF().toDF("ts", "event_type", "value")
