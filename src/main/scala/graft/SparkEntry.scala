@@ -53,6 +53,7 @@ object SparkEntry {
     "text_redact" -> (PipelineQueries.textRedact _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),
+    "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
@@ -130,6 +131,8 @@ object SparkEntry {
       """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
     "mm_features" ->
       """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled FROM documents""",
+    "mm_frames" ->
+      """SELECT media_id, frame_no, frame_no * 1000 AS offset_ms FROM (SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 90000 + 1000 - 1) // 1000)) AS frame_no FROM documents WHERE doc_id % 3 = 2) t""",
     "emb_centroids" ->
       """SELECT label, pos, round(avg(embedding[pos]), 4) AS mean_val FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) p GROUP BY label, pos""",
     "curate_splits" ->

@@ -108,6 +108,17 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling plan: one row per (video, frame offset) work unit —
+    * the distributed decode plan a real frame extractor consumes. Pure
+    * metadata expansion (sequence explode), so the binary payloads never
+    * move until the decode stage joins back on media_id. */
+  def frameSample(media: DataFrame, intervalMs: Int = 1000): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          floor((col("duration_ms").cast("long") - 1L) / intervalMs).cast("long"))).as("frame_no"))
+      .withColumn("offset_ms", col("frame_no") * intervalMs)
+
   /** Media manifest: per-type size/count stats — the catalog-facing
     * summary a 100 TB media lake maintains per partition. */
   def manifest(media: DataFrame): DataFrame =

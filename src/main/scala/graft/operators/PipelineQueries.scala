@@ -121,6 +121,11 @@ object PipelineQueries {
         round(col("__x") / col("__n"), 4).as("mean_val"))
   }
 
+  /** Frame-sampling work plan for every video asset (SQL oracle). */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
+
   // ---- §2.10 curation ---------------------------------------------------
 
   /** Deterministic 80/10/10 split assignment, summarized per (split,
