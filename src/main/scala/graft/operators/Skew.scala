@@ -24,6 +24,11 @@ object Skew {
       left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts >= 1 && salts <= 4096, "salts in [1,4096]")
+    // right/full joins would surface each replicated right row once per
+    // salt when unmatched — semantically wrong, so refuse them
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(Set("inner", "left", "leftsemi", "leftanti", "cross").contains(jt),
+      s"saltJoin supports inner/left/left_semi/left_anti joins, not $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(struct(left.columns.map(col).toIndexedSeq: _*), lit(0x5A17)), lit(salts)))
     val saltedRight = right.withColumn("__salt",

@@ -97,6 +97,20 @@ class StreamingSpec extends SparkSpecBase {
       ("2026-01-01 11:00:00.0", "click", 1L, 4.0)))
   }
 
+  test("windowedCounts sliding mode: events land in every overlapping window") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark, 1)
+    val out = EventStreams.windowedCounts(mem.toDF().toDF("ts", "event_type", "value"),
+      windowDuration = "1 hour", watermarkDelay = "5 minutes",
+      slideDuration = Some("30 minutes"))
+    val q = out.writeStream.format("memory").queryName("wcs").outputMode("complete").start()
+    mem.addData((Timestamp.valueOf("2026-01-01 10:40:00"), "click", 1.0))
+    q.processAllAvailable()
+    val starts = spark.table("wcs").collect().map(_.getTimestamp(0).toString).sorted
+    q.stop()
+    assert(starts.toSeq == Seq("2026-01-01 10:00:00.0", "2026-01-01 10:30:00.0"),
+      s"one event -> two overlapping hourly windows, got ${starts.toSeq}")
+  }
+
   test("streamingDedup: repeated texts across micro-batches are dropped, distinct texts pass") {
     val mem = MemoryStream[(Timestamp, Long, String)](spark, 1)
     val out = EventStreams.streamingDedup(
