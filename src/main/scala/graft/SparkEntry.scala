@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (PipelineQueries.dedupExactNorm _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
+    "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_embedding" -> (PipelineQueries.dedupEmbedding _),
     "sim_topk_brute" -> (PipelineQueries.simTopkBrute _),

@@ -80,6 +80,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold — the
+    * asymmetric measure that catches a document CONTAINED in a larger one
+    * (quote-heavy pages, concatenated crawls), which plain Jaccard
+    * under-scores by the size ratio. Candidate generation is the same
+    * narrow-band LSH as [[ngramJaccard]] (recall follows the pair's
+    * JACCARD, so containment of a tiny fragment inside a huge doc is
+    * beyond any minhash blocking — that regime needs suffix-based
+    * methods). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+    val banded = sh
+      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
+      .select(col("__id"),
+        posexplode(array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
+    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"))
+    a.join(b, a("__band") === b("__band") && a("__bkey") === b("__bkey") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash-LSH dedup: survivors after dropping every doc that has a
     * verified near-duplicate with a smaller id. */
   def minhashLsh(

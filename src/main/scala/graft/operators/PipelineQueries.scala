@@ -31,6 +31,11 @@ object PipelineQueries {
     Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** Containment near-dup pairs at 0.9 (doc-inside-doc detection). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.9)
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
       maxHamming = 3)

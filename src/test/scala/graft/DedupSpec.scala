@@ -98,6 +98,32 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors == docs.map(_._1).toSet -- dropped)
   }
 
+  test("containmentPairs catches doc-inside-doc pairs that jaccard under-scores") {
+    // B = A + 60% more text: containment(A,B) = 1.0, jaccard ~ 0.62
+    val base = docs.take(6).map(_._2)
+    val contained = base.zipWithIndex.map { case (t, i) =>
+      (300L + i, t + " " + docs(20 + i)._2.split(" ").take(18).mkString(" "))
+    }
+    val df = (docs.take(6) ++ contained ++ docs.drop(30).take(10)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until 6) {
+      val pair = (i.toLong, 300L + i)
+      assert(got.contains(pair), s"containment pair $pair missed; got ${got.keys}")
+      assert(got(pair) >= 0.9)
+    }
+    // verify the in-test ground truth: containment high, jaccard below 0.8
+    val sets = df.select(col("doc_id"), shingleHashes(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (i <- 0 until 6) {
+      val (a, b) = (sets(i.toLong), sets(300L + i))
+      val cont = a.intersect(b).size.toDouble / math.min(a.size, b.size)
+      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      assert(cont >= 0.9 && jac < 0.8,
+        s"test construction: containment $cont jaccard $jac")
+    }
+  }
+
   test("simhashPairs: exactly the brute-force hamming<=3 pairs (pigeonhole blocking is lossless)") {
     val sigs = docsDf.select(col("doc_id"), simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
