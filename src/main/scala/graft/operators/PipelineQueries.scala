@@ -95,6 +95,12 @@ object PipelineQueries {
   def textRedact(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Gopher quality-rule filter (word-count threshold lowered to fit the
+    * short synthetic documents). */
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(Tables.documents(spark, dir), "doc_id", "text",
+      minWords = 20)
+
   // ---- §2.7 multimodal --------------------------------------------------
 
   def mmManifest(spark: SparkSession, dir: String): DataFrame =

@@ -64,6 +64,34 @@ object TextAnalysis {
       scored.getField("hits").as("hits"))
   }
 
+  /** Gopher-style quality filter rules (Rae et al. 2021, publicly
+    * documented thresholds): word-count bounds, mean word length bounds,
+    * symbol-to-word ratio, and minimum alphabetic-word ratio. Emits the
+    * per-rule booleans plus the final keep decision so a pipeline can
+    * report WHY documents drop — every signal is plain SQL (exact DuckDB
+    * oracle). */
+  def gopherFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = size(words).cast("double")
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / nWords
+    val symbols = (length(t) - length(regexp_replace(t, "[#\\.\\*]", ""))).cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double")
+    df.select(
+      col(idCol),
+      (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
+      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("ok_word_len"),
+      (symbols / nWords <= maxSymbolRatio).as("ok_symbol_ratio"),
+      (alphaWords / nWords >= minAlphaWordRatio).as("ok_alpha_ratio"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_ratio"))
+  }
+
   /** Email address pattern — RE2-portable (no lookarounds) so the DuckDB
     * oracle applies the IDENTICAL regex. */
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -79,6 +79,25 @@ class TextSpec extends SparkSpecBase {
     assert(got(4L)._1.contains("12345"), "short digit runs stay")
   }
 
+  test("gopherFilter rules fire on the right pathologies") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val samples = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "too short"),                                // word count
+      (3L, (1 to 30).map(_ => "a").mkString(" ")),      // mean word len < 3
+      (4L, (1 to 30).map(i => s"word$i ###").mkString(" ")), // symbol ratio
+      (5L, (1 to 30).map(_ => "123456").mkString(" ")))  // alpha ratio
+    val got = TextAnalysis.gopherFilter(samples.toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._5)
+    assert(!got(3L)._2 && !got(3L)._5)
+    assert(!got(4L)._3 && !got(4L)._5)
+    assert(!got(5L)._4 && !got(5L)._5)
+  }
+
   test("fingerprint is stable on the real documents table") {
     val a = TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
