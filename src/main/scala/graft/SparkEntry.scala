@@ -53,6 +53,7 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_redact" -> (PipelineQueries.textRedact _),
     "text_gopher" -> (PipelineQueries.textGopher _),
+    "text_top_terms" -> (PipelineQueries.textTopTerms _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
@@ -123,6 +124,8 @@ object SparkEntry {
       """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cosine FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine, row_number() OVER (PARTITION BY q.vec_id ORDER BY round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC, c.vec_id ASC) AS rk FROM embeddings q, embeddings c WHERE q.vec_id < 20 AND c.vec_id >= 100) t WHERE rk <= 5""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens FROM documents""",
+    "text_top_terms" ->
+      """SELECT lang, term, n, rk FROM (SELECT lang, term, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rk FROM (SELECT lang, term, count(*) AS n FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents) u WHERE term <> '' GROUP BY lang, term) c) r WHERE rk <= 5""",
     "text_gopher" ->
       """SELECT doc_id, ok_word_count, ok_word_len, ok_symbol_ratio, ok_alpha_ratio, (ok_word_count AND ok_word_len AND ok_symbol_ratio AND ok_alpha_ratio) AS keep FROM (SELECT doc_id, n_words >= 20 AND n_words <= 100000 AS ok_word_count, mean_len >= 3.0 AND mean_len <= 10.0 AS ok_word_len, symbols / n_words <= 0.1 AS ok_symbol_ratio, alpha_words / n_words >= 0.8 AS ok_alpha_ratio FROM (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_words, CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_len, CAST(length(text) - length(regexp_replace(text, '[#\.\*]', '', 'g')) AS DOUBLE) AS symbols, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS alpha_words FROM documents) a) b""",
     "text_redact" ->

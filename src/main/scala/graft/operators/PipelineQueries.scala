@@ -95,6 +95,10 @@ object PipelineQueries {
   def textRedact(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Top-5 terms per language (SQL oracle). */
+  def textTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(Tables.documents(spark, dir), "text", "lang", k = 5)
+
   /** Gopher quality-rule filter (word-count threshold lowered to fit the
     * short synthetic documents). */
   def textGopher(spark: SparkSession, dir: String): DataFrame =

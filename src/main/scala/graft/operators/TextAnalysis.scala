@@ -92,6 +92,26 @@ object TextAnalysis {
           col("ok_symbol_ratio") && col("ok_alpha_ratio"))
   }
 
+  /** Top-k terms per group (vocabulary statistics — the corpus-level
+    * report behind stopword lists, tokenizer audits and contamination
+    * checks). Terms are whitespace tokens of the lowercased text; counts
+    * aggregate fully before the per-group rank, so the final window only
+    * sees vocabulary-bounded (group, term) rows — never corpus-sized
+    * data. Ties break on the term for determinism. */
+  def topTerms(
+      df: DataFrame, textCol: String, groupCol: String, k: Int = 5): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("term"), col("n"), col("rk"))
+  }
+
   /** Email address pattern — RE2-portable (no lookarounds) so the DuckDB
     * oracle applies the IDENTICAL regex. */
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
