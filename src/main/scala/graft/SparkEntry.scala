@@ -54,6 +54,7 @@ object SparkEntry {
     "text_redact" -> (PipelineQueries.textRedact _),
     "text_gopher" -> (PipelineQueries.textGopher _),
     "text_top_terms" -> (PipelineQueries.textTopTerms _),
+    "text_repetition" -> (PipelineQueries.textRepetition _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
@@ -124,6 +125,8 @@ object SparkEntry {
       """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, cosine FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine, row_number() OVER (PARTITION BY q.vec_id ORDER BY round(CAST(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE), 4) DESC, c.vec_id ASC) AS rk FROM embeddings q, embeddings c WHERE q.vec_id < 20 AND c.vec_id >= 100) t WHERE rk <= 5""",
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens FROM documents""",
+    "text_repetition" ->
+      """SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines, round(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 4) AS dup_line_ratio, round(CASE WHEN coalesce(list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 0) > 0 THEN (list_aggregate(list_transform(lines, l -> length(l)), 'sum') - list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum')) / CAST(list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS DOUBLE) ELSE 0.0 END, 4) AS dup_line_char_ratio FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines FROM documents) t""",
     "text_top_terms" ->
       """SELECT lang, term, n, rk FROM (SELECT lang, term, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rk FROM (SELECT lang, term, count(*) AS n FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents) u WHERE term <> '' GROUP BY lang, term) c) r WHERE rk <= 5""",
     "text_gopher" ->

@@ -95,6 +95,12 @@ object PipelineQueries {
   def textRedact(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Duplicate-line repetition stats (SQL oracle; the synthetic docs are
+    * single-line so values are trivial — the operator's behavior on real
+    * multi-line text is pinned in TextSpec). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Top-5 terms per language (SQL oracle). */
   def textTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(Tables.documents(spark, dir), "text", "lang", k = 5)

@@ -92,6 +92,30 @@ object TextAnalysis {
           col("ok_symbol_ratio") && col("ok_alpha_ratio"))
   }
 
+  /** Repetition statistics (the Gopher duplicate-line rules): line
+    * count, distinct-line count, duplicate-line fraction and the
+    * character fraction living in duplicated lines — the
+    * boilerplate/navigation-chrome signal for web text. Pure column
+    * expressions over the line split. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("double")
+    val nDistinct = size(array_distinct(lines)).cast("double")
+    val totalChars = aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double")
+    // chars in lines that appear more than once: total minus one copy of
+    // each distinct line leaves extra copies; count chars of lines whose
+    // text occurs earlier too — approximate via distinct-chars difference
+    val distinctChars = aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l)).cast("double")
+    df.select(
+      col(idCol),
+      nLines.cast("long").as("n_lines"),
+      nDistinct.cast("long").as("n_distinct_lines"),
+      round(when(nLines > 0, (nLines - nDistinct) / nLines).otherwise(0.0), 4)
+        .as("dup_line_ratio"),
+      round(when(totalChars > 0, (totalChars - distinctChars) / totalChars).otherwise(0.0), 4)
+        .as("dup_line_char_ratio"))
+  }
+
   /** Top-k terms per group (vocabulary statistics — the corpus-level
     * report behind stopword lists, tokenizer audits and contamination
     * checks). Terms are whitespace tokens of the lowercased text; counts

@@ -81,25 +81,35 @@ class BranchCatalog(spark: SparkSession, val root: String) {
 
   // ---- low-level JSON IO ------------------------------------------------
 
+  /** Atomic create-if-absent with the FULL content visible the instant
+    * the file exists: write a temp file, then hard-link (local; atomic
+    * O_EXCL semantics) or rename (HDFS/abfs; atomic, fails when the
+    * destination exists) into place. Creating the target directly and
+    * then writing would let a concurrent reader observe an empty/partial
+    * JSON between create and close — the race that intermittently broke
+    * racing committers. Returns false when the target already exists
+    * (= lost the commit race). */
   private def writeString(p: Path, s: String, overwriteExisting: Boolean): Boolean = {
+    require(!overwriteExisting, "catalog metadata files are immutable")
+    val tmp = new Path(p.getParent, s".tmp-${UUID.randomUUID().toString.take(12)}")
     try {
+      val out = fs.create(tmp, false)
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
       val qualified = fs.makeQualified(p)
-      if (!overwriteExisting && "file" == qualified.toUri.getScheme) {
-        // RawLocalFileSystem.create(overwrite=false) is check-then-act —
-        // two racing committers can both "win". NIO createFile is a real
-        // O_CREAT|O_EXCL, which is what optimistic concurrency needs.
-        val nioPath = java.nio.file.Paths.get(qualified.toUri.getPath)
-        java.nio.file.Files.createFile(nioPath)
-        java.nio.file.Files.write(nioPath, s.getBytes(StandardCharsets.UTF_8))
-        true
+      if ("file" == qualified.toUri.getScheme) {
+        val nio = java.nio.file.Paths.get(qualified.toUri.getPath)
+        val nioTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(nio, nioTmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        val out = fs.create(p, overwriteExisting)
-        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        true
+        // HDFS-style rename: atomic, returns false if destination exists
+        fs.rename(tmp, p)
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.io.IOException => false
+    } finally {
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Exception => () }
     }
   }
 

@@ -79,6 +79,23 @@ class TextSpec extends SparkSpecBase {
     assert(got(4L)._1.contains("12345"), "short digit runs stay")
   }
 
+  test("repetitionStats: duplicate-line and char fractions") {
+    val samples = Seq(
+      (1L, "alpha\nbeta\ngamma"),                 // all distinct
+      (2L, "menu\ncontent here\nmenu\nmenu"),     // 2 dup lines of 4
+      (3L, "single"),
+      (4L, ""))
+    val got = TextAnalysis.repetitionStats(samples.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 3L, 0.0, 0.0)))
+    assert(got(2L)._1 == 4L && got(2L)._2 == 2L)
+    assert(got(2L)._3 == 0.5)
+    // chars: total = 4+12+4+4 = 24, distinct = 4+12 = 16 -> 8/24
+    assert(math.abs(got(2L)._4 - 0.3333) < 1e-9)
+    assert(got(3L) == ((1L, 1L, 0.0, 0.0)))
+    assert(got(4L)._1 == 0L && got(4L)._3 == 0.0)
+  }
+
   test("gopherFilter rules fire on the right pathologies") {
     val good = (1 to 30).map(i => s"word$i").mkString(" ")
     val samples = Seq(
