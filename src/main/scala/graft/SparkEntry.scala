@@ -138,7 +138,7 @@ object SparkEntry {
     "mm_manifest" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1""",
     "sql_vector_norm" ->
-      """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+      """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) + 0.0 AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
     "mm_features" ->
       """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled FROM documents""",
     "mm_frames" ->
@@ -146,8 +146,8 @@ object SparkEntry {
     "emb_centroids" ->
       """SELECT label, pos, round(avg(embedding[pos]), 4) AS mean_val FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) p GROUP BY label, pos""",
     "curate_splits" ->
-      """SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, lang, n_chars FROM documents) t GROUP BY split, lang""",
+      """SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train' WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, lang, n_chars FROM documents) t GROUP BY split, lang""",
     "curate_sample" ->
-      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs FROM documents WHERE (doc_id * 2654435761) % 1000 < (CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END) GROUP BY source"""
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs FROM documents WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < (CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END) GROUP BY source"""
   )
 }

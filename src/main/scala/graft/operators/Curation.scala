@@ -13,10 +13,13 @@ object Curation {
 
   /** Knuth multiplicative hash bucket in [0, buckets). Expressible in
     * ANSI SQL (the DuckDB oracles run the identical arithmetic), stable
-    * everywhere; id * 2654435761 stays far inside int64 for any
-    * realistic id space. */
+    * everywhere. The id is masked to 31 bits BEFORE the multiply:
+    * (2^31-1) * 2654435761 < 2^63-1, so the product never overflows
+    * int64 in any engine — without the mask, ids above ~3.47e9 (well
+    * inside a 100 TB corpus) would wrap in Spark but raise in ANSI
+    * engines, silently breaking cross-engine reproducibility. */
   def hashBucket(id: Column, buckets: Int = 97): Column =
-    pmod(id * lit(2654435761L), lit(buckets.toLong))
+    pmod(id.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L), lit(buckets.toLong))
 
   /** Deterministic train/val/test assignment: bucket < trainPct% of the
     * bucket space -> train, next valPct% -> val, rest -> test. */

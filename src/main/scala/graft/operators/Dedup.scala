@@ -17,6 +17,35 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Within-bucket candidate pairs (id_a < id_b) from a banded
+    * (key1, key2, __id) frame, optionally carrying small payload columns
+    * through as <name>_a / <name>_b.
+    *
+    * Both sides are EXPLICITLY aliased and the join keys qualified, so the
+    * equi-join condition resolves one side to each plan. Building the
+    * condition as `a("__bkey") === b("__bkey")` from two projections of
+    * the same DataFrame is the construction Spark warns about
+    * ("trivially true equals predicate") — under plan transformation it
+    * can silently degrade to a within-bucket CROSS join, the exact
+    * scale-killer LSH blocking exists to avoid. DedupSpec asserts the
+    * resolved condition keeps distinct exprIds on the two sides. */
+  private def bucketPairs(
+      banded: DataFrame, k1: String, k2: String,
+      payload: Seq[String] = Nil): DataFrame = {
+    def side(tag: String, idName: String) =
+      banded.select(
+        Seq(col(k1), col(k2), col("__id").as(idName)) ++
+          payload.map(p => col(p).as(s"${p.stripPrefix("__")}_$tag")): _*)
+        .alias(tag)
+    val joined = side("a", "id_a").join(side("b", "id_b"),
+      col(s"a.$k1") === col(s"b.$k1") && col(s"a.$k2") === col(s"b.$k2") &&
+        col("id_a") < col("id_b"))
+    joined
+      .select(Seq(col("id_a"), col("id_b")) ++ payload.flatMap(p =>
+        Seq(col(s"${p.stripPrefix("__")}_a"), col(s"${p.stripPrefix("__")}_b"))): _*)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact dedup: hash-groupBy on the raw text, keep the smallest id.
     * One shuffle on the text hash; count kept for observability. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -62,12 +91,7 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
 
-    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"))
-    val candidates = a.join(b,
-        a("__band") === b("__band") && a("__bkey") === b("__bkey") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, "__band", "__bkey")
 
     // exact shingle-set Jaccard verify, shingles re-attached per side
     candidates
@@ -100,11 +124,7 @@ object Dedup {
       .select(col("__id"),
         posexplode(array((0 until bands).map(b =>
           hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
-    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"))
-    a.join(b, a("__band") === b("__band") && a("__bkey") === b("__bkey") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(banded, "__band", "__bkey")
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("containment",
@@ -139,11 +159,7 @@ object Dedup {
     val chunked = sigs.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("__chunk", "__ckey")))
-    val a = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, a("__chunk") === b("__chunk") && a("__ckey") === b("__ckey") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(chunked, "__chunk", "__ckey", payload = Seq("__sig"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -175,12 +191,7 @@ object Dedup {
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val banded = v.select(col("__id"),
       posexplode(srpBands(col("__v"), bits, tables, seed)).as(Seq("__t", "__b")))
-    val a = banded.select(col("__t"), col("__b"), col("__id").as("id_a"))
-    val b = banded.select(col("__t"), col("__b"), col("__id").as("id_b"))
-    val cand = a.join(b,
-        a("__t") === b("__t") && a("__b") === b("__b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketPairs(banded, "__t", "__b")
     cand
       .join(v.select(col("__id").as("id_a"), col("__v").as("v_a")), "id_a")
       .join(v.select(col("__id").as("id_b"), col("__v").as("v_b")), "id_b")

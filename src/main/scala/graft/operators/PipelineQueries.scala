@@ -174,7 +174,7 @@ object PipelineQueries {
     graft.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
     spark.sql(
-      """SELECT a.vec_id, round(dot_f(a.embedding, b.embedding), 3) AS dot_next
+      """SELECT a.vec_id, round(dot_f(a.embedding, b.embedding), 3) + 0.0 AS dot_next
          FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1""")
   }
 }

@@ -25,37 +25,96 @@ object Similarity {
     * Phase 1 (map-side): bounded heap per (partition, query) — each input
     * partition emits at most #queries x k rows. Phase 2: exact rank over
     * the partial winners (tiny: #partitions x #queries x k rows).
-    * Ordering is (cosine desc, neighbor_id asc), ties fully broken. */
+    * Ordering is (cosine desc, neighbor_id asc), ties fully broken.
+    *
+    * Id columns keep their input types: integral ids take a primitive
+    * LongMap fast path; string / floating ids a generic path keyed on the
+    * untyped values (heap tie-break = the same natural ordering the rank
+    * phase uses). Other id types are rejected loudly rather than silently
+    * cast to null. */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = scored.sparkSession
     import spark.implicits._
-    val typed = scored.select(
-        col("query_id").cast("long"),
-        col("neighbor_id").cast("long"),
-        col("cosine").cast("double"))
-      .as[(Long, Long, Double)]
 
-    // head of the queue = current worst of the kept k (lowest cosine,
-    // then largest neighbor id) so one compare decides evict-vs-skip
-    val worstFirst: Ordering[(Double, Long)] =
-      Ordering.by { case (c, id) => (-c, id) }
+    val qType = scored.schema("query_id").dataType
+    val nType = scored.schema("neighbor_id").dataType
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 
-    val partial = typed.mapPartitions { it =>
-      val heaps = scala.collection.mutable.LongMap
-        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (q, id, c) =>
-        val pq = heaps.getOrElseUpdate(q,
-          scala.collection.mutable.PriorityQueue.empty(worstFirst))
-        if (pq.size < k) pq.enqueue((c, id))
-        else {
-          val (wc, wid) = pq.head
-          if (c > wc || (c == wc && id < wid)) { pq.dequeue(); pq.enqueue((c, id)) }
+    val partial: DataFrame =
+      if (integral(qType) && integral(nType)) {
+        val typed = scored.select(
+            col("query_id").cast("long"),
+            col("neighbor_id").cast("long"),
+            col("cosine").cast("double"))
+          .as[(Long, Long, Double)]
+
+        // head of the queue = current worst of the kept k (lowest cosine,
+        // then largest neighbor id) so one compare decides evict-vs-skip
+        val worstFirst: Ordering[(Double, Long)] =
+          Ordering.by { case (c, id) => (-c, id) }
+
+        typed.mapPartitions { it =>
+          val heaps = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+          it.foreach { case (q, id, c) =>
+            val pq = heaps.getOrElseUpdate(q,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst))
+            if (pq.size < k) pq.enqueue((c, id))
+            else {
+              val (wc, wid) = pq.head
+              if (c > wc || (c == wc && id < wid)) { pq.dequeue(); pq.enqueue((c, id)) }
+            }
+          }
+          heaps.iterator.flatMap { case (q, pq) =>
+            pq.iterator.map { case (c, id) => (q, id, c) }
+          }
+        }.toDF("query_id", "neighbor_id", "cosine")
+          .select(col("query_id").cast(qType), col("neighbor_id").cast(nType),
+            col("cosine"))
+      } else {
+        def idOrdering(dt: DataType): Ordering[Any] = dt match {
+          case StringType => Ordering.by((a: Any) => a.asInstanceOf[String])
+          case FloatType  => Ordering.by((a: Any) => a.asInstanceOf[Float])
+          case DoubleType => Ordering.by((a: Any) => a.asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(
+            s"topKPerQuery: unsupported id type $other (use integral, string, " +
+              "float or double ids)")
         }
+        idOrdering(qType) // fail fast even though query ids only key a map
+        val nOrd = idOrdering(nType)
+        val worstFirst: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
+          def compare(x: (Double, Any), y: (Double, Any)): Int = {
+            val c = java.lang.Double.compare(y._1, x._1)
+            if (c != 0) c else nOrd.compare(x._2, y._2)
+          }
+        }
+        val prepared = scored.select(
+          col("query_id"), col("neighbor_id"), col("cosine").cast("double"))
+        val outSchema = StructType(Seq(
+          StructField("query_id", qType), StructField("neighbor_id", nType),
+          StructField("cosine", DoubleType)))
+        val rdd = prepared.rdd.mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
+          it.foreach { row =>
+            val q = row.get(0); val id = row.get(1); val c = row.getDouble(2)
+            val pq = heaps.getOrElseUpdate(q,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst))
+            if (pq.size < k) pq.enqueue((c, id))
+            else if (worstFirst.compare((c, id), pq.head) < 0) {
+              pq.dequeue(); pq.enqueue((c, id))
+            }
+          }
+          heaps.iterator.flatMap { case (q, pq) =>
+            pq.iterator.map { case (c, id) => org.apache.spark.sql.Row(q, id, c) }
+          }
+        }
+        spark.createDataFrame(rdd, outSchema)
       }
-      heaps.iterator.flatMap { case (q, pq) =>
-        pq.iterator.map { case (c, id) => (q, id, c) }
-      }
-    }.toDF("query_id", "neighbor_id", "cosine")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -170,6 +170,11 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   private def loadSnapshot(table: String, id: String): Snapshot =
     Serialization.read[Snapshot](readString(snapPath(table, id)))
 
+  /** None when the snapshot has been expired — parent-chain walks stop at
+    * the expiry horizon instead of throwing. */
+  private def loadSnapshotOpt(table: String, id: String): Option[Snapshot] =
+    if (fs.exists(snapPath(table, id))) Some(loadSnapshot(table, id)) else None
+
   private def writeSnapshot(table: String, s: Snapshot): Unit = {
     fs.mkdirs(new Path(rootPath, s"tables/$table/meta"))
     require(writeString(snapPath(table, s.id), Serialization.write(s), overwriteExisting = false),
@@ -257,10 +262,14 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Order two rendered stat strings with the statistics' own comparator
-    * semantics (numeric for numbers, lexicographic bytes for strings). */
+    * semantics (numeric for numbers, lexicographic bytes for strings).
+    * Strings compare in unsigned UTF-8 byte order (UTF8String) — the order
+    * parquet binary stats and Spark string comparison both use; Java's
+    * UTF-16 compareTo diverges for code points >= U+E000 vs supplementary
+    * characters, which would make non-ASCII pruning unsound. */
   private def statLt(a: String, b: String, stats: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
     stats match {
-      case _: org.apache.parquet.column.statistics.BinaryStatistics => a < b
+      case _: org.apache.parquet.column.statistics.BinaryStatistics => utf8Cmp(a, b) < 0
       case _: org.apache.parquet.column.statistics.DoubleStatistics |
            _: org.apache.parquet.column.statistics.FloatStatistics => a.toDouble < b.toDouble
       case _ => a.toLong < b.toLong
@@ -403,6 +412,12 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     case _ => None
   }
 
+  /** Unsigned UTF-8 byte-order comparison — matches parquet binary stats
+    * and Spark's own string ordering. */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Compare a stored stat string against a literal under the column's
     * declared type; None = incomparable (never prune on it). */
   private def cmpStat(stat: String, lit: Literal, dt: DataType): Option[Int] =
@@ -411,7 +426,7 @@ class BranchCatalog(spark: SparkSession, val root: String) {
         Some(java.lang.Long.compare(stat.toLong, lit.value.asInstanceOf[Number].longValue()))
       case FloatType | DoubleType =>
         Some(java.lang.Double.compare(stat.toDouble, lit.value.asInstanceOf[Number].doubleValue()))
-      case StringType => Some(stat.compareTo(lit.value.toString))
+      case StringType => Some(utf8Cmp(stat, lit.value.toString))
       case TimestampType | TimestampNTZType =>
         // parquet stores micros; Catalyst timestamp literals are micros
         Some(java.lang.Long.compare(stat.toLong, lit.value.asInstanceOf[Number].longValue()))
@@ -541,15 +556,20 @@ class BranchCatalog(spark: SparkSession, val root: String) {
 
   /** The table's commit history on a branch, oldest first, from the
     * snapshot parent chain — the metadata backbone of the quality
-    * dashboard (rows/files per commit without touching data). */
+    * dashboard (rows/files per commit without touching data). The walk
+    * stops at the expiry horizon: a parent expired by expireSnapshots
+    * ends the chain, and the oldest surviving commit reports its full
+    * manifest set as added (history before the horizon is gone — that is
+    * what expiry means). */
   def commitHistory(table: String, branch: String = "main"): Seq[CommitInfo] = {
     val headId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val chain = Iterator.iterate(Option(loadSnapshot(table, headId))) {
-      case Some(s) => s.parentId.map(loadSnapshot(table, _))
+      case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
       case None => None
     }.takeWhile(_.isDefined).flatten.toSeq.reverse
     chain.map { s =>
-      val parentManifests = s.parentId.map(loadSnapshot(table, _).manifests.map(_.path).toSet)
+      val parentManifests = s.parentId.flatMap(loadSnapshotOpt(table, _))
+        .map(_.manifests.map(_.path).toSet)
         .getOrElse(Set.empty)
       val added = s.manifests.filterNot(m => parentManifests.contains(m.path))
       CommitInfo(s.id, s.committedAtMillis,
@@ -651,7 +671,12 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     * committed between the read and the deletes. */
   def expireSnapshots(table: String, keepIds: Set[String] = Set.empty): ExpireResult = {
     val refs = currentRefs()
-    val liveIds = refs.branches.values.flatMap(_.tables.get(table)).toSet ++ keepIds
+    // every branch head AND every branch's fork base stays live: merge()
+    // and scanBranchDelta() on a branch forked before the expiry must
+    // still be able to load its baseOfMain snapshot
+    val liveIds = refs.branches.values
+      .flatMap(b => b.tables.get(table).toSeq ++ b.baseOfMain.get(table).toSeq)
+      .toSet ++ keepIds
     val metaDir = new Path(rootPath, s"tables/$table/meta")
     if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
 

@@ -36,4 +36,18 @@ class CurationSpec extends SparkSpecBase {
       .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc("src0") < bySrc("src1") / 2)
   }
+
+  test("hash buckets never overflow: huge ids match the masked reference formula") {
+    // ids far beyond 2^32 — unmasked, id * 2654435761 would wrap in Spark
+    // and raise in ANSI engines, so cross-engine determinism would break
+    val huge = Seq(0L, 3L, 3470000000L, 1L << 40, Long.MaxValue - 1)
+    val got = huge.toDF("id")
+      .select(col("id"), Curation.hashBucket(col("id"), 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- huge) {
+      val expect = java.lang.Math.floorMod((id & 0x7FFFFFFFL) * 2654435761L, 100L)
+      assert(got(id) == expect, s"id $id: got ${got(id)}, expect $expect")
+      assert(got(id) >= 0 && got(id) < 100)
+    }
+  }
 }

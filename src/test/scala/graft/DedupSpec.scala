@@ -194,6 +194,29 @@ class DedupSpec extends SparkSpecBase {
     assert(h(1L) != h(2L), "multiplicity must influence the vote")
   }
 
+  test("LSH band joins resolve to DISTINCT sides (no trivially-true predicate)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plans = Seq(
+      Dedup.minhashPairs(docsDf, "doc_id", "text").queryExecution.analyzed,
+      Dedup.simhashPairs(docsDf, "doc_id", "text").queryExecution.analyzed,
+      Dedup.embeddingPairs(
+        docsDf.select(col("doc_id"), array(lit(1.0f), lit(0.5f)).as("v")),
+        "doc_id", "v").queryExecution.analyzed)
+    for (plan <- plans) {
+      val eqs = plan.collect { case j: Join =>
+        j.condition.toSeq.flatMap(_.collect {
+          case EqualTo(l: AttributeReference, r: AttributeReference) => (l, r)
+        })
+      }.flatten
+      assert(eqs.nonEmpty, "band join must carry equi-conditions")
+      for ((l, r) <- eqs)
+        assert(l.exprId != r.exprId,
+          s"join condition $l = $r references the SAME attribute on both sides " +
+            "(trivially true => within-bucket cross join)")
+    }
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val out = Dedup.exact(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

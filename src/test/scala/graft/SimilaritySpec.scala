@@ -129,6 +129,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r1 >= 0.8, s"refined recall $r1")
   }
 
+  test("bruteForceTopK supports string ids and preserves id types") {
+    // same vectors, ids rendered as zero-padded strings so the string
+    // sort order equals the numeric order used by the long-id baseline
+    val sCorpus = corpus.map { case (i, v) => (f"c$i%04d", v) }.toDF("vec_id", "embedding")
+    val sQueries = queries.map { case (i, v) => (f"q$i%04d", v) }.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(sCorpus, "vec_id", "embedding",
+        sQueries, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = bruteTopK(5)
+    assert(got.keySet == expected.keySet.map(q => f"q$q%04d"))
+    for ((qid, rows) <- got) {
+      val want = expected(qid.stripPrefix("q").toLong)
+        .map { case (cid, rk, c) => (f"c$cid%04d", rk, c) }
+      val have = rows.toSeq.sortBy(_._3).map { case (_, cid, rk, c) => (cid, rk, c) }
+      assert(have == want, s"query $qid: $have != $want")
+    }
+    // long-id results keep their input type (not silently widened)
+    val typed = Similarity.bruteForceTopK(
+        corpus.map { case (i, v) => (i.toInt, v) }.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        queries.map { case (i, v) => (i.toInt, v) }.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+    assert(typed.schema("query_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(typed.schema("neighbor_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(typed.count() == queries.size * 3)
+  }
+
   test("ivfTopK is deterministic across runs (seeded centroid sample)") {
     def run() = Similarity.ivfTopK(corpusDf.repartition(7), "vec_id", "embedding",
         queryDf, "vec_id", "embedding", k = 3, centroids = 16, nprobe = 4)

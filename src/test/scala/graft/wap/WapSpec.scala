@@ -292,6 +292,29 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 20)
   }
 
+  test("expiry keeps fork bases: history, branch delta and merge survive it") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 5))
+    cat.append("t", docs.filter(col("doc_id") >= 5 && col("doc_id") < 10))
+    cat.createBranch("audit") // fork base = main's current head snapshot
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 15), "audit")
+    // main moves on, stranding intermediate snapshots behind the heads
+    cat.append("t", docs.filter(col("doc_id") >= 15 && col("doc_id") < 20))
+    val expired = cat.expireSnapshots("t")
+    assert(expired.snapshotsDeleted > 0, "test must actually expire something")
+    // commit history stops at the expiry horizon instead of throwing
+    val hist = cat.commitHistory("t")
+    assert(hist.nonEmpty)
+    assert(hist.last.cumulativeRows == 15, "main rows: 0-10 and 15-20")
+    // the branch's delta scope still loads its (kept-alive) fork base
+    assert(cat.scanBranchDelta("t", "audit").count() == 5)
+    // and a 3-way merge of the pre-expiry branch still publishes cleanly
+    cat.merge("audit", "main")
+    assert(cat.scan("t", "main").count() == 20)
+  }
+
   test("append rejects schema-mismatched batches before writing anything") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
