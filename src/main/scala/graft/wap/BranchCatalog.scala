@@ -74,10 +74,23 @@ case class Refs(version: Long, branches: Map[String, BranchState])
   * Match) or an external lock/catalog service for the refs pointer — the
   * reference delegates exactly this to Nessie's commit protocol.
   */
-class BranchCatalog(spark: SparkSession, val root: String) {
+class BranchCatalog(
+    spark: SparkSession, val root: String,
+    /** Above this many data files in a snapshot, scan planning reads
+      * manifests and prunes stats as a SPARK JOB instead of on the
+      * driver; only the surviving file paths ever reach the driver (the
+      * irreducible minimum any Spark file scan plans from). Below it the
+      * driver path is cheaper (no job-launch latency) — the same tiering
+      * Iceberg applies via its distributed planning threshold. */
+    val distributedMetaThreshold: Long = 100000L) {
   private implicit val fmts: Formats = DefaultFormats
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Count of manifests parsed ON THE DRIVER — observability for tests
+    * asserting that large-table scans never materialize per-file
+    * metadata driver-side. (Atomic: filesOf parses concurrently.) */
+  private[wap] val driverManifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- low-level JSON IO ------------------------------------------------
 
@@ -175,14 +188,14 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   private def loadSnapshotOpt(table: String, id: String): Option[Snapshot] =
     if (fs.exists(snapPath(table, id))) Some(loadSnapshot(table, id)) else None
 
-  private def writeSnapshot(table: String, s: Snapshot): Unit = {
+  private[wap] def writeSnapshot(table: String, s: Snapshot): Unit = {
     fs.mkdirs(new Path(rootPath, s"tables/$table/meta"))
     require(writeString(snapPath(table, s.id), Serialization.write(s), overwriteExisting = false),
       s"snapshot ${s.id} already exists for $table")
   }
 
   /** Write one immutable manifest listing `files`; return its ref. */
-  private def writeManifest(table: String, files: Seq[DataFileMeta]): ManifestRef = {
+  private[wap] def writeManifest(table: String, files: Seq[DataFileMeta]): ManifestRef = {
     val p = new Path(rootPath, s"tables/$table/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
@@ -190,8 +203,32 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum)
   }
 
-  private def readManifest(path: String): Seq[DataFileMeta] =
+  private def readManifest(path: String): Seq[DataFileMeta] = {
+    driverManifestReads.incrementAndGet()
     Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
+  }
+
+  /** Schema of one manifest entry as serialized in the per-manifest JSON
+    * (one compact JSON array per manifest file). */
+  private val manifestEntrySchema = StructType(Seq(
+    StructField("path", StringType), StructField("rows", LongType),
+    StructField("lower", MapType(StringType, StringType)),
+    StructField("upper", MapType(StringType, StringType)),
+    StructField("nullCounts", MapType(StringType, LongType))))
+
+  /** A snapshot's manifest entries as a DataFrame — manifests are read
+    * and parsed by EXECUTORS (Spark's JSON source yields one row per
+    * element of a root-level array), so per-file metadata never
+    * materializes on the driver. The driver holds only the manifest PATH
+    * list, which compaction keeps O(1)-ish — the same shape as Iceberg's
+    * snapshot -> manifest-list -> distributed manifest read (what the
+    * reference gets from PyIceberg's scan planning, app.py:220-223). */
+  def manifestEntries(snap: Snapshot): DataFrame =
+    if (snap.manifests.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestEntrySchema)
+    else
+      spark.read.schema(manifestEntrySchema).json(snap.manifests.map(_.path): _*)
 
   /** All data files of a snapshot. Manifests are independent files, so
     * a many-commit table reads them concurrently (remote-store latency,
@@ -367,18 +404,33 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     scanSnapshot(table, id, filter)
   }
 
-  /** Time travel: read any historical snapshot by id. */
+  /** Time travel: read any historical snapshot by id.
+    *
+    * Scan planning is tiered on the snapshot's file count (known for free
+    * from the manifest refs): beyond [[distributedMetaThreshold]] files,
+    * manifests are read and stats-pruned as a SPARK JOB
+    * ([[manifestEntries]] + [[mayMatchCol]]) and only the surviving
+    * paths return to the driver; below it, the driver path avoids the
+    * job-launch latency. Either way the driver never materializes
+    * per-file stats for a large table. */
   def scanSnapshot(table: String, snapshotId: String, filter: Option[Column] = None): DataFrame = {
     val snap = loadSnapshot(table, snapshotId)
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val files = filter match {
-      case Some(cond) => pruneFiles(filesOf(snap), cond, schema)
-      case None => filesOf(snap)
-    }
+    val totalFiles = snap.manifests.map(_.fileCount).sum
+    val paths: Seq[String] =
+      if (totalFiles > distributedMetaThreshold) {
+        distributedPrunedPaths(snap, filter, schema)
+      } else {
+        val files = filter match {
+          case Some(cond) => pruneFiles(filesOf(snap), cond, schema)
+          case None => filesOf(snap)
+        }
+        files.map(_.path)
+      }
     val df =
-      if (files.isEmpty)
+      if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+      else spark.read.schema(schema).parquet(paths: _*)
     filter.fold(df)(df.filter)
   }
 
@@ -441,15 +493,90 @@ class BranchCatalog(spark: SparkSession, val root: String) {
     * against the table schema first (Spark 4 Columns are lazy ColumnNode
     * graphs; analysis also applies the proper type coercion). */
   private def pruneFiles(files: Seq[DataFileMeta], cond: Column, schema: StructType): Seq[DataFileMeta] = {
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val resolved = empty.filter(cond).queryExecution.analyzed
-      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    resolved match {
+    resolvePredicate(cond, schema) match {
       case None => files
       case Some(pred) =>
         val preds = conjuncts(pred)
         files.filter { f => preds.forall(p => mayMatch(f, p, schema)) }
+    }
+  }
+
+  /** The distributed planning path: manifest entries read + stats-pruned
+    * by executors; only surviving paths come back. */
+  private[wap] def distributedPrunedPaths(
+      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val entries = manifestEntries(snap)
+    val kept = filter.flatMap(resolvePredicate(_, schema)) match {
+      case Some(pred) => entries.filter(conjuncts(pred).map(mayMatchCol).reduce(_ && _))
+      case None => entries
+    }
+    kept.select(col("path")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Resolve a user predicate against the table schema (Spark 4 Columns
+    * are lazy ColumnNode graphs; analysis also applies type coercion). */
+  private def resolvePredicate(cond: Column, schema: StructType): Option[Expression] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.filter(cond).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+  }
+
+  /** Column translation of [[mayMatch]] over [[manifestEntrySchema]] rows
+    * — the stats-prune predicate evaluated by EXECUTORS on the manifest-
+    * entry DataFrame. Missing stats and unsupported shapes evaluate to
+    * keep (pruning is always sound, never required); stat strings parse
+    * in the literal's analyzer-coerced type, and string stats compare raw
+    * (Spark string ordering = unsigned UTF-8 bytes, the same order
+    * statLt/cmpStat use). */
+  private def mayMatchCol(p: Expression): Column = {
+    import org.apache.spark.sql.functions._
+    def stat(m: String, name: String) = try_element_at(col(m), lit(name))
+    def typed(c: Column, l: Literal): Option[(Column, Column)] = l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((c.cast("long"), lit(l.value.asInstanceOf[Number].longValue())))
+      case FloatType | DoubleType =>
+        Some((c.cast("double"), lit(l.value.asInstanceOf[Number].doubleValue())))
+      case StringType => Some((c, lit(l.value.toString)))
+      case TimestampType | TimestampNTZType =>
+        Some((c.cast("long"), lit(l.value.asInstanceOf[Number].longValue())))
+      case DateType =>
+        Some((c.cast("int"), lit(l.value.asInstanceOf[Number].intValue())))
+      case _ => None
+    }
+    def check(name: String, l: Literal, op: String): Column =
+      (typed(stat("lower", name), l), typed(stat("upper", name), l)) match {
+        case (Some((lo, litC)), Some((hi, _))) => op match {
+          case "=" => !(coalesce(lo > litC, lit(false)) || coalesce(hi < litC, lit(false)))
+          case ">" => !coalesce(hi <= litC, lit(false))
+          case ">=" => !coalesce(hi < litC, lit(false))
+          case "<" => !coalesce(lo >= litC, lit(false))
+          case "<=" => !coalesce(lo > litC, lit(false))
+          case _ => lit(true)
+        }
+        case _ => lit(true)
+      }
+    def attr(e: Expression): Option[String] = attrName(stripCast(e))
+    p match {
+      case EqualTo(a, FoldedLit(l)) => attr(a).map(check(_, l, "=")).getOrElse(lit(true))
+      case EqualTo(FoldedLit(l), a) => attr(a).map(check(_, l, "=")).getOrElse(lit(true))
+      case GreaterThan(a, FoldedLit(l)) => attr(a).map(check(_, l, ">")).getOrElse(lit(true))
+      case GreaterThan(FoldedLit(l), a) => attr(a).map(check(_, l, "<")).getOrElse(lit(true))
+      case GreaterThanOrEqual(a, FoldedLit(l)) => attr(a).map(check(_, l, ">=")).getOrElse(lit(true))
+      case GreaterThanOrEqual(FoldedLit(l), a) => attr(a).map(check(_, l, "<=")).getOrElse(lit(true))
+      case LessThan(a, FoldedLit(l)) => attr(a).map(check(_, l, "<")).getOrElse(lit(true))
+      case LessThan(FoldedLit(l), a) => attr(a).map(check(_, l, ">")).getOrElse(lit(true))
+      case LessThanOrEqual(a, FoldedLit(l)) => attr(a).map(check(_, l, "<=")).getOrElse(lit(true))
+      case LessThanOrEqual(FoldedLit(l), a) => attr(a).map(check(_, l, ">=")).getOrElse(lit(true))
+      case IsNull(a) => attr(a)
+        .map(n => coalesce(stat("nullCounts", n) > 0, lit(true)))
+        .getOrElse(lit(true))
+      case IsNotNull(a) => attr(a)
+        .map(n => coalesce(stat("nullCounts", n) < col("rows"), lit(true)) ||
+          col("rows") === 0)
+        .getOrElse(lit(true))
+      case _ => lit(true)
     }
   }
 
@@ -459,6 +586,20 @@ class BranchCatalog(spark: SparkSession, val root: String) {
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
     case other => other
+  }
+
+  /** Match a literal THROUGH analyzer-inserted coercion: `doc_id < 20` on
+    * a bigint column analyzes to `doc_id#L < cast(20 as bigint)` — a bare
+    * `case l: Literal` never sees it and the file silently isn't pruned.
+    * Any foldable expression collapses to its evaluated literal. */
+  private object FoldedLit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case _ if e.foldable =>
+        try Some(Literal(e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
   }
 
   private def mayMatch(f: DataFileMeta, p: Expression, schema: StructType): Boolean = {
@@ -484,16 +625,16 @@ class BranchCatalog(spark: SparkSession, val root: String) {
           }
       }
     p match {
-      case EqualTo(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "="))
-      case EqualTo(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "="))
-      case GreaterThan(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, ">"))
-      case GreaterThan(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "<"))
-      case GreaterThanOrEqual(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, ">="))
-      case GreaterThanOrEqual(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, "<="))
-      case LessThan(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "<"))
-      case LessThan(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, ">"))
-      case LessThanOrEqual(a, l: Literal) => attrName(stripCast(a)).forall(check(_, l, "<="))
-      case LessThanOrEqual(l: Literal, a) => attrName(stripCast(a)).forall(check(_, l, ">="))
+      case EqualTo(a, FoldedLit(l)) => attrName(stripCast(a)).forall(check(_, l, "="))
+      case EqualTo(FoldedLit(l), a) => attrName(stripCast(a)).forall(check(_, l, "="))
+      case GreaterThan(a, FoldedLit(l)) => attrName(stripCast(a)).forall(check(_, l, ">"))
+      case GreaterThan(FoldedLit(l), a) => attrName(stripCast(a)).forall(check(_, l, "<"))
+      case GreaterThanOrEqual(a, FoldedLit(l)) => attrName(stripCast(a)).forall(check(_, l, ">="))
+      case GreaterThanOrEqual(FoldedLit(l), a) => attrName(stripCast(a)).forall(check(_, l, "<="))
+      case LessThan(a, FoldedLit(l)) => attrName(stripCast(a)).forall(check(_, l, "<"))
+      case LessThan(FoldedLit(l), a) => attrName(stripCast(a)).forall(check(_, l, ">"))
+      case LessThanOrEqual(a, FoldedLit(l)) => attrName(stripCast(a)).forall(check(_, l, "<="))
+      case LessThanOrEqual(FoldedLit(l), a) => attrName(stripCast(a)).forall(check(_, l, ">="))
       case IsNull(a) =>
         attrName(stripCast(a)).forall(n => f.nullCounts.get(n).forall(_ > 0))
       case IsNotNull(a) =>

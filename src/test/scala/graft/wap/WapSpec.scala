@@ -292,6 +292,44 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 20)
   }
 
+  test("distributed metadata: 1200-manifest scan plans with ZERO driver manifest reads") {
+    val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-dist").toString,
+      distributedMetaThreshold = 10)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    assert(cat.scan("t").count() == 20)
+    // synthesize a snapshot with 1200 single-file manifests whose stats
+    // place them OUTSIDE the test predicate; their data paths do not even
+    // exist, so a scan that fails to prune (or prunes without reading
+    // stats) cannot pass this test
+    val liveManifestRefs = Seq(cat.writeManifest("t", cat.dataFiles("t")))
+    val ghostRefs = (0 until 1200).map { i =>
+      cat.writeManifest("t", Seq(DataFileMeta(
+        path = s"${cat.root}/tables/t/data/ghost/part-$i.parquet",
+        rows = 1,
+        lower = Map("doc_id" -> (1000L + i).toString),
+        upper = Map("doc_id" -> (1000L + i).toString),
+        nullCounts = Map("doc_id" -> 0L))))
+    }
+    val snap = Snapshot("synth-dist-scan", None,
+      liveManifestRefs ++ ghostRefs, docs.schema.toDDL, 1L)
+    cat.writeSnapshot("t", snap)
+
+    cat.driverManifestReads.set(0L)
+    val out = cat.scanSnapshot("t", snap.id, Some(col("doc_id") < 20))
+    assert(out.count() == 20, "stats pruning must drop all 1200 ghost files")
+    assert(out.filter(col("doc_id") === 7).count() == 1)
+    assert(cat.driverManifestReads.get() == 0L,
+      s"distributed scan read ${cat.driverManifestReads.get()} manifests on the driver")
+
+    // parity: a driver-planned catalog over the SAME metadata agrees
+    val driverCat = new BranchCatalog(spark, cat.root)
+    val driverOut = driverCat.scanSnapshot("t", snap.id, Some(col("doc_id") < 20))
+    assert(driverOut.count() == 20)
+    assert(driverCat.driverManifestReads.get() == 1201L, "driver path reads every manifest")
+  }
+
   test("expiry keeps fork bases: history, branch delta and merge survive it") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
