@@ -69,10 +69,12 @@ case class Refs(version: Long, branches: Map[String, BranchState])
   * scan so Catalyst still pushes filters/projections into the columnar
   * reader.
   *
-  * Concurrency: the refs commit relies on atomic create-if-absent, which
-  * holds on HDFS, local and abfs. S3 needs a conditional-put (If-None-
-  * Match) or an external lock/catalog service for the refs pointer — the
-  * reference delegates exactly this to Nessie's commit protocol.
+  * Concurrency: the refs commit goes through the pluggable [[RefsStore]]
+  * seam. The default backend uses filesystem atomic create-if-absent
+  * (holds on HDFS, local, abfs); S3-style object stores plug in a
+  * [[ConditionalPutRefsStore]] whose commit is one conditional put
+  * (`If-None-Match: *`). The reference delegates exactly this role to
+  * Nessie's commit protocol.
   */
 class BranchCatalog(
     spark: SparkSession, val root: String,
@@ -82,10 +84,29 @@ class BranchCatalog(
       * irreducible minimum any Spark file scan plans from). Below it the
       * driver path is cheaper (no job-launch latency) — the same tiering
       * Iceberg applies via its distributed planning threshold. */
-    val distributedMetaThreshold: Long = 100000L) {
+    val distributedMetaThreshold: Long = 100000L,
+    /** Backend for the refs pointer — the one contended commit object.
+      * Default: filesystem atomic create-if-absent (local/HDFS/abfs).
+      * For S3-style stores, pass a [[ConditionalPutRefsStore]] so the
+      * commit maps to a conditional put (If-None-Match) instead. */
+    refsBackend: Option[RefsStore] = None) {
   private implicit val fmts: Formats = DefaultFormats
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val refsStore: RefsStore = refsBackend.getOrElse(new RefsStore {
+    override def listVersions(): Seq[Long] = {
+      if (!fs.exists(rootPath)) return Seq.empty
+      fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("refs-") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("refs-").stripSuffix(".json").toLong)
+    }
+    override def read(version: Long): String = readString(refsPath(version))
+    override def commit(version: Long, content: String): Boolean = {
+      fs.mkdirs(rootPath)
+      writeString(refsPath(version), content, overwriteExisting = false)
+    }
+  })
 
   /** Count of manifests parsed ON THE DRIVER — observability for tests
     * asserting that large-table scans never materialize per-file
@@ -142,29 +163,25 @@ class BranchCatalog(
   private def refsPath(v: Long) = new Path(rootPath, f"refs-$v%012d.json")
 
   private def currentVersion(): Long = {
-    if (!fs.exists(rootPath)) return -1L
-    val vs = fs.listStatus(rootPath).map(_.getPath.getName)
-      .filter(n => n.startsWith("refs-") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("refs-").stripSuffix(".json").toLong)
+    val vs = refsStore.listVersions()
     if (vs.isEmpty) -1L else vs.max
   }
 
   def currentRefs(): Refs = {
     val v = currentVersion()
     if (v < 0) Refs(-1L, Map("main" -> BranchState(Map.empty, Map.empty)))
-    else Serialization.read[Refs](readString(refsPath(v)))
+    else Serialization.read[Refs](refsStore.read(v))
   }
 
-  /** Optimistic commit: transform the latest refs, attempt to create the
-    * next version file (atomic create-if-absent on HDFS/local/abfs — see
-    * class doc for the S3 caveat); on a lost race, re-read and retry. */
+  /** Optimistic commit: transform the latest refs, attempt to publish the
+    * next version through the [[RefsStore]] (atomic create-if-absent /
+    * conditional put); on a lost race, re-read and retry. */
   private def commitRefs(update: Refs => Refs, maxRetries: Int = 50): Refs = {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentRefs()
       val next = update(cur).copy(version = cur.version + 1)
-      fs.mkdirs(rootPath)
-      if (writeString(refsPath(next.version), Serialization.write(next), overwriteExisting = false))
+      if (refsStore.commit(next.version, Serialization.write(next)))
         return next
       attempt += 1
       // jittered backoff: spinning losers re-collide on the next version

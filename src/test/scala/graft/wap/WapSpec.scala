@@ -401,6 +401,48 @@ class WapSpec extends SparkSpecBase {
     assert(cat.dataFiles("t").map(_.rows).sum == (threads * commitsEach).toLong)
   }
 
+  test("conditional-put refs backend: full catalog life cycle and racing commits") {
+    // two catalog instances share ONE conditional-put object store (the
+    // S3 If-None-Match model) and one data root — the refs pointer never
+    // touches the filesystem, and every commit is one conditional put
+    val store = new InMemoryObjectStore
+    val root = Files.createTempDirectory("wap-condput").toString
+    def newCat() = new BranchCatalog(spark, root,
+      refsBackend = Some(new ConditionalPutRefsStore(store, s"$root/")))
+    val cat = newCat()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.createBranch("b1")
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 20), "b1")
+    cat.merge("b1")
+    assert(cat.scan("t").count() == 20)
+    // refs live in the object store only
+    assert(store.list(s"$root/").nonEmpty)
+    assert(!new java.io.File(root).list().exists(_.startsWith("refs-")),
+      "refs must not leak to the filesystem when a store backend is given")
+
+    // racing committers from two separate catalog instances all land
+    val other = newCat()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    for ((c, base) <- Seq((cat, 100L), (other, 200L))) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try for (i <- 0L until 5L) c.append("t", docs.filter(col("doc_id") === base + i))
+          catch { case e: Throwable => failures.incrementAndGet(); e.printStackTrace() }
+          finally latch.countDown()
+        }
+      })
+    }
+    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.get() == 0)
+    assert(cat.scan("t").count() == 30)
+    assert(other.scan("t").select("doc_id").distinct().count() == 30)
+  }
+
   test("concurrent full WAP cycles on separate branches all publish") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
