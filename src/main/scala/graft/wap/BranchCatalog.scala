@@ -377,20 +377,14 @@ class BranchCatalog(
     * files) + one snapshot (manifest list grows by 1 ref) — O(commit),
     * independent of table file count. */
   def append(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
-    // fail BEFORE writing data: a mismatched batch must not corrupt the
-    // table (the reference inherits this check from PyIceberg's append)
-    snapshotIdOf(table, branch).map(loadSnapshot(table, _)).foreach { snap =>
-      if (snap.schemaDdl.nonEmpty) {
-        val expected = StructType.fromDDL(snap.schemaDdl)
-        val incoming = df.schema
-        require(
-          expected.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
-            incoming.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq,
-          s"schema mismatch appending to $table@$branch: table has " +
-            s"${expected.toDDL}; batch has ${incoming.toDDL}")
-      }
+    // validate/align BEFORE writing data: a mismatched batch must not
+    // corrupt the table (the reference inherits this from PyIceberg)
+    val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
+      case Some(snap) if snap.schemaDdl.nonEmpty =>
+        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
+      case _ => df
     }
-    val newFiles = writeDataFiles(table, df)
+    val newFiles = writeDataFiles(table, aligned)
     val manifest = writeManifest(table, newFiles)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -733,6 +727,93 @@ class BranchCatalog(
       CommitInfo(s.id, s.committedAtMillis,
         added.map(_.rows).sum, added.map(_.fileCount).sum,
         s.manifests.map(_.rows).sum)
+    }
+  }
+
+  /** Lossless numeric widenings appends and schema evolution accept. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Align a batch to the table schema for append: reorder columns, cast
+    * columns whose types widen losslessly, and fill columns the batch
+    * lacks with nulls (legal only for nullable columns — i.e. columns
+    * added by [[evolveSchema]], so pre-evolution writers keep working).
+    * Extra columns and non-widening type changes stay hard errors,
+    * raised BEFORE any data is written. */
+  private def alignToSchema(
+      df: DataFrame, expected: StructType, table: String, branch: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val incoming = df.schema
+    def mismatch(): Nothing = throw new IllegalArgumentException(
+      s"schema mismatch appending to $table@$branch: table has " +
+        s"${expected.toDDL}; batch has ${incoming.toDDL}")
+    if (incoming.fieldNames.exists(n => !expected.fieldNames.contains(n))) mismatch()
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val cols = expected.fields.map { f =>
+      incomingByName.get(f.name) match {
+        case Some(bf) if bf.dataType == f.dataType => col(f.name)
+        case Some(bf) if widens(bf.dataType, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(_) => mismatch()
+        case None =>
+          if (!f.nullable) throw new IllegalArgumentException(
+            s"schema mismatch appending to $table@$branch: batch lacks " +
+              s"non-nullable column ${f.name}")
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Evolve table@branch's schema: ADD nullable columns and WIDEN numeric
+    * columns (byte->short->int->long, float->double). A pure metadata
+    * commit — a child snapshot with the SAME manifests and the new DDL;
+    * no data is rewritten. Older snapshots keep the schema their data was
+    * committed under, so time travel returns exactly what was written
+    * (Iceberg semantics — the reference inherits this from PyIceberg's
+    * schema evolution). Dropping or renaming columns, narrowing types and
+    * adding non-nullable columns are rejected. */
+  def evolveSchema(table: String, newSchema: StructType, branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      val old = StructType.fromDDL(cur.schemaDdl)
+      val newByName = newSchema.fields.map(f => f.name -> f).toMap
+      for (of <- old.fields) {
+        val nf = newByName.getOrElse(of.name, throw new IllegalArgumentException(
+          s"schema evolution may not drop or rename column ${of.name}"))
+        require(of.dataType == nf.dataType || widens(of.dataType, nf.dataType),
+          s"illegal type change for ${of.name}: ${of.dataType.sql} -> ${nf.dataType.sql}")
+      }
+      for (nf <- newSchema.fields if !old.fieldNames.contains(nf.name))
+        require(nf.nullable, s"added column ${nf.name} must be nullable")
+      committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
+        System.currentTimeMillis())
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** The branch's schema CHANGE points, oldest first: (snapshotId, DDL)
+    * whenever the schema differs from the parent's — the schema history
+    * the snapshot chain records for free. */
+  def schemaHistory(table: String, branch: String = "main"): Seq[(String, String)] = {
+    val headId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val chain = Iterator.iterate(Option(loadSnapshot(table, headId))) {
+      case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSeq.reverse
+    chain.foldLeft(Seq.empty[(String, String)]) { (acc, s) =>
+      if (acc.lastOption.map(_._2).contains(s.schemaDdl)) acc
+      else acc :+ (s.id, s.schemaDdl)
     }
   }
 

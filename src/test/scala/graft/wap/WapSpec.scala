@@ -401,6 +401,56 @@ class WapSpec extends SparkSpecBase {
     assert(cat.dataFiles("t").map(_.rows).sum == (threads * commitsEach).toLong)
   }
 
+  test("schema evolution: add-with-nulls and numeric widening; time travel keeps the old schema") {
+    import org.apache.spark.sql.types._
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val oldBatch = Seq((1, "a"), (2, "b")).toDF("id", "name") // id is INT
+    cat.createTableIfNotExists("t", oldBatch.schema)
+    cat.append("t", oldBatch)
+    val preEvolveSnap = cat.snapshotIdOf("t").get
+
+    // widen id to LONG and add a nullable score column — metadata only
+    val evolved = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    cat.evolveSchema("t", evolved)
+
+    // a pre-evolution writer's old-schema batch still appends (aligned:
+    // id widened, score filled with nulls)
+    cat.append("t", Seq((3, "c")).toDF("id", "name"))
+    // and a new-schema batch appends values
+    cat.append("t", Seq((4L, "d", 0.9)).toDF("id", "name", "score"))
+
+    val out = cat.scan("t")
+    assert(out.schema("id").dataType == LongType, "old files read under the widened type")
+    assert(out.count() == 4)
+    assert(out.filter(col("score").isNull).count() == 3, "pre-evolution rows read as null score")
+    assert(out.filter(col("score") === 0.9).select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // time travel: the pre-evolution snapshot keeps its own schema
+    val old = cat.scanSnapshot("t", preEvolveSnap)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(old.schema("id").dataType == IntegerType)
+    assert(old.count() == 2)
+
+    // the snapshot chain records the change points
+    val hist = cat.schemaHistory("t")
+    assert(hist.size == 2)
+    assert(hist.last._2 == evolved.toDDL)
+
+    // illegal evolutions are rejected loudly
+    intercept[IllegalArgumentException](
+      cat.evolveSchema("t", StructType(evolved.fields.filterNot(_.name == "name"))))
+    intercept[IllegalArgumentException](cat.evolveSchema("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("score", DoubleType))))) // narrowing id back
+    intercept[IllegalArgumentException](cat.evolveSchema("t",
+      evolved.add(StructField("strict", LongType, nullable = false))))
+  }
+
   test("conditional-put refs backend: full catalog life cycle and racing commits") {
     // two catalog instances share ONE conditional-put object store (the
     // S3 If-None-Match model) and one data root — the refs pointer never
