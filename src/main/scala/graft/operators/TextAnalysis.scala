@@ -24,23 +24,30 @@ object TextAnalysis {
     "is", "it", "on", "for", "with", "as", "at", "by")
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
-    * length — combined into a [0,1] score with a CASE bucket. The exact
-    * formula is arbitrary (as all quality heuristics are); what matters is
-    * it's deterministic, single-pass, and each signal is exposed. */
+    * length — combined into a [0,1] score. The exact formula is arbitrary
+    * (as all quality heuristics are); what matters is it's deterministic
+    * and each signal is exposed. All four counters come from ONE native
+    * pass over the text ([[graft.functions.TextQualityStats]]) instead of
+    * four separate regex/split/array-filter evaluations — same SQL
+    * semantics (the DuckDB oracle runs the regex formulation), ~5x less
+    * per-row work on the hot path. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val toks = split(trim(lower(t)), "\\s+")
-    val nChars = length(t).cast("double")
-    val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
-    val nToks = size(toks).cast("double")
-    val stopHits = size(filter(toks, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double")
-    df.select(
-      col(idCol),
-      round((punct / nChars), 4).as("punct_ratio"),
-      round((stopHits / nToks), 4).as("stopword_ratio"),
-      round(nChars / nToks, 4).as("mean_word_len"),
-      round(greatest(lit(0.0), least(lit(1.0),
-        lit(0.5) + lit(0.5) * (stopHits / nToks) - (punct / nChars))), 4).as("quality_score"))
+    val stats = graft.functions.VectorFunctions.textQualityStats(col(textCol), stopwords)
+    // nullif guards the one divisor that can be zero (empty text -> 0
+    // chars; ANSI division would otherwise kill the job on the first
+    // empty document). n_toks is never 0: split yields >= 1 segment.
+    val nChars = nullif(col("__q.n_chars").cast("double"), lit(0.0))
+    val punct = col("__q.punct").cast("double")
+    val nToks = col("__q.n_toks").cast("double")
+    val stopHits = col("__q.stop_hits").cast("double")
+    df.select(col(idCol), stats.as("__q"))
+      .select(
+        col(idCol),
+        round((punct / nChars), 4).as("punct_ratio"),
+        round((stopHits / nToks), 4).as("stopword_ratio"),
+        round(nChars / nToks, 4).as("mean_word_len"),
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) + lit(0.5) * (stopHits / nToks) - (punct / nChars))), 4).as("quality_score"))
   }
 
   private val langStops: Seq[(String, Seq[String])] = Seq(

@@ -115,6 +115,40 @@ class TextSpec extends SparkSpecBase {
     assert(!got(5L)._4 && !got(5L)._5)
   }
 
+  test("native qualityScore equals the SQL regex formulation, including whitespace edge cases") {
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "on", "for", "with", "as", "at", "by")
+    // the previous 4-pass Column formulation, kept as the in-test oracle
+    def sqlFormulation(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val t = col("text")
+      val toks = split(trim(lower(t)), "\\s+")
+      val nChars = nullif(length(t).cast("double"), lit(0.0)) // same empty-text guard as production
+      val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
+      val nToks = size(toks).cast("double")
+      val stopHits = size(filter(toks, w => w.isin(stops.map(_.asInstanceOf[Any]): _*))).cast("double")
+      df.select(col("doc_id"),
+        round((punct / nChars), 4).as("punct_ratio"),
+        round((stopHits / nToks), 4).as("stopword_ratio"),
+        round(nChars / nToks, 4).as("mean_word_len"),
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) + lit(0.5) * (stopHits / nToks) - (punct / nChars))), 4).as("quality_score"))
+    }
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "\tthe fox\n"), (4L, "theand\fof"),
+      (5L, "the the THE tHe"), (6L, "!!!"), (7L, " a b "), (8L, "héllo wörld"),
+      (9L, "x"), (10L, "the quick brown fox and the lazy dog is at it"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        (1 to 4).map(i => if (r.isNullAt(i)) null else r.getDouble(i))
+      val want = sqlFormulation(df).collect().map(key).toMap
+      val got = TextAnalysis.qualityScore(df, "doc_id", "text").collect().map(key).toMap
+      assert(got.size == want.size)
+      for ((id, w) <- want) assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+  }
+
   test("fingerprint is stable on the real documents table") {
     val a = TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
