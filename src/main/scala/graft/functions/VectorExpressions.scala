@@ -478,11 +478,32 @@ case class SrpBands(child: Expression, bits: Int, tables: Int, seed: Long)
   * that do not survive the tokenizer as a single token (e.g. contain
   * non-ascii letters) are dropped from their profile at construction.
   * Returns struct(pred_lang: string, hits: int). */
+/** Language-ID scorer in one pass over the text.
+  *
+  * Two profile modes, same `lang -> Seq[String]` profile format:
+  *  - `charNgram = 0` (default): profile entries are stopWORDS; the text
+  *    is tokenized inline (ascii-alnum runs, lowercased) and each token
+  *    occurrence that equals a profile word scores one hit.
+  *  - `charNgram = n > 0`: Cavnar-Trenkle-style character n-grams. The
+  *    text is normalized on the fly (letters lowercased, every non-letter
+  *    becomes a space, space runs collapse, one virtual boundary space at
+  *    each end) and every n-char window that appears in a language's
+  *    profile scores a hit. Profile entries are written WITH explicit
+  *    boundary spaces (" the ", "ung ", "sch") and contribute all their
+  *    n-char windows, so one entry can encode a word, prefix or suffix.
+  *    N-grams catch morphology ("ción ", "sch", "mente ") on text that
+  *    contains no stopword at all — TextSpec asserts this mode beats the
+  *    stopword baseline on held-out samples.
+  *
+  * Either way the argmax ties break to the alphabetically first language,
+  * and `cjkLang` votes once per han/kana character (CJK text tokenizes to
+  * nothing in both modes). */
 case class LangIdScore(
     child: Expression, profiles: Seq[(String, Seq[String])],
-    cjkLang: Option[String] = None)
+    cjkLang: Option[String] = None, charNgram: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(profiles.nonEmpty, "at least one language profile")
+  require(charNgram == 0 || (charNgram >= 2 && charNgram <= 8), "charNgram in 0 or [2,8]")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -517,6 +538,27 @@ case class LangIdScore(
     out.toSeq
   }
 
+  /** All charNgram-length window hashes of a profile entry: lowercased,
+    * space runs collapsed, spaces kept as written (entries carry their own
+    * boundary spaces). */
+  private def entryNgramHashes(w: String): Seq[Long] = {
+    val norm = new StringBuilder(w.length)
+    var lastSpace = false
+    w.foreach { c0 =>
+      val isLetter = Character.isLetter(c0)
+      val c = if (isLetter) Character.toLowerCase(c0) else ' '
+      if (c != ' ') { norm.append(c); lastSpace = false }
+      else if (!lastSpace) { norm.append(' '); lastSpace = true }
+    }
+    val s = norm.toString
+    (0 to s.length - charNgram).map { i =>
+      var h = 0L
+      var j = 0
+      while (j < charNgram) { h = h * 31L + s.charAt(i + j); j += 1 }
+      mix(h)
+    }
+  }
+
   // alphabetical language order => argmax tie resolves to the first
   private lazy val langs: Array[String] =
     (profiles.map(_._1) ++ cjkLang.filterNot(profiles.map(_._1).contains)).sorted.toArray
@@ -526,17 +568,60 @@ case class LangIdScore(
     langs.map { l =>
       val set = new java.util.HashSet[java.lang.Long]()
       byLang.getOrElse(l, Seq.empty).foreach { w =>
-        val hs = tokenHashes(w)
-        if (hs.length == 1) set.add(hs.head)
+        if (charNgram > 0) entryNgramHashes(w).foreach(set.add(_))
+        else {
+          val hs = tokenHashes(w)
+          if (hs.length == 1) set.add(hs.head)
+        }
       }
       set
     }
   }
 
+  /** Rolling n-char window over the normalized text (letters lowercased,
+    * non-letters as collapsed spaces, virtual boundary spaces), scoring
+    * every window against each language set — one pass, no allocation
+    * beyond the n-char ring. */
+  private def scoreNgrams(s: String, hits: Array[Int]): Unit = {
+    val n = charNgram
+    val win = new Array[Char](n)
+    var filled = 0
+    var lastSpace = false
+    def push(c: Char): Unit = {
+      var k = 1
+      while (k < n) { win(k - 1) = win(k); k += 1 }
+      win(n - 1) = c
+      if (filled < n) filled += 1
+      if (filled == n) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 31L + win(j); j += 1 }
+        val hm = mix(h)
+        var l = 0
+        while (l < langs.length) {
+          if (wordSets(l).contains(hm)) hits(l) += 1
+          l += 1
+        }
+      }
+    }
+    push(' '); lastSpace = true // virtual leading boundary
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val isLetter = Character.isLetter(c0)
+      val c = if (isLetter) Character.toLowerCase(c0) else ' '
+      if (c != ' ') { push(c); lastSpace = false }
+      else if (!lastSpace) { push(' '); lastSpace = true }
+      i += 1
+    }
+    if (!lastSpace) push(' ') // virtual trailing boundary
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
     val hits = new Array[Int](langs.length)
     val s = v.toString
-    tokenHashes(s).foreach { h =>
+    if (charNgram > 0) scoreNgrams(s, hits)
+    else tokenHashes(s).foreach { h =>
       var l = 0
       while (l < langs.length) {
         if (wordSets(l).contains(h)) hits(l) += 1
@@ -759,8 +844,8 @@ object VectorFunctions {
   def normHash64(text: Column): Column =
     Bridge.column(NormHash64(Bridge.expression(text)))
   def langIdScore(text: Column, profiles: Seq[(String, Seq[String])],
-      cjkLang: Option[String] = None): Column =
-    Bridge.column(LangIdScore(Bridge.expression(text), profiles, cjkLang))
+      cjkLang: Option[String] = None, charNgram: Int = 0): Column =
+    Bridge.column(LangIdScore(Bridge.expression(text), profiles, cjkLang, charNgram))
   def textQualityStats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TextQualityStats(Bridge.expression(text), stopwords))
   /** aggregate: element-wise sum of array<float> vectors (array<double>) */

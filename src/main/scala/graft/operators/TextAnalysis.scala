@@ -50,19 +50,54 @@ object TextAnalysis {
           lit(0.5) + lit(0.5) * (stopHits / nToks) - (punct / nChars))), 4).as("quality_score"))
   }
 
-  private val langStops: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "por", "para"),
     "it" -> Seq("il", "la", "gli", "e", "è", "non", "un", "una", "per", "con"))
 
-  /** Language-ID heuristic: stopword-hit scoring per language in ONE
-    * native pass over the text (inline tokenization + per-language hash
-    * sets — see [[graft.functions.LangIdScore]]), argmax with
-    * alphabetical tie-break. A real system swaps in character n-gram
-    * profiles; the profile format and pipeline shape are identical. */
+  /** Character-trigram profiles (Cavnar-Trenkle style): each entry carries
+    * its own boundary spaces and contributes all its 3-char windows —
+    * function words AND bound morphology ("ung ", "ción ", "zione "), so
+    * text with no stopword at all still scores. Hand-curated from the
+    * highest-frequency trigrams of each language's function words and
+    * productive affixes (public frequency lists). */
+  private[graft] val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is ", " that ", " it ",
+      " for ", " with ", " this ", " have ", " are ", " was ", " not ",
+      " they ", " you ", "ing ", "tion ", "ally ", " wh"),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ",
+      " ein ", " mit ", " von ", " zu ", " den ", " auf ", " werden ",
+      " haben ", " für ", "ung ", "sch", "ich ", "keit ", "chen "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " pas ", " un ",
+      " une ", " pour ", " dans ", " que ", " des ", " avec ", " sur ",
+      " nous ", " vous ", "eux ", "aise ", "ment ", "çon"),
+    "es" -> Seq(" el ", " los ", " las ", " es ", " no ", " por ",
+      " para ", " que ", " con ", " se ", " del ", " una ", "ción ",
+      "dad ", "miento ", "ando ", "iendo ", "año", "ñol"),
+    "it" -> Seq(" il ", " gli ", " è ", " non ", " per ", " che ",
+      " di ", " della ", " sono ", " nel ", " con ", " una ",
+      "zione ", "mente ", "ità ", "ando "))
+
+  /** Language-ID: character-trigram scoring per language in ONE native
+    * pass over the text (rolling 3-char window + per-language hash sets —
+    * see [[graft.functions.LangIdScore]]), argmax with alphabetical
+    * tie-break, han/kana characters voting for zh. Trigrams beat the
+    * stopword baseline on stopword-free text (morphology still scores) —
+    * asserted on held-out samples in TextSpec. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = graft.functions.VectorFunctions.langIdScore(
+      col(textCol), langTrigrams, cjkLang = Some("zh"), charNgram = 3)
+    df.select(
+      col(idCol),
+      scored.getField("pred_lang").as("pred_lang"),
+      scored.getField("hits").as("hits"))
+  }
+
+  /** The previous stopword-token scorer, kept as the comparison baseline
+    * (TextSpec measures the trigram profiles against it). */
+  private[graft] def langIdStopwordBaseline(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scored = graft.functions.VectorFunctions.langIdScore(
       col(textCol), langStops, cjkLang = Some("zh"))
     df.select(

@@ -34,6 +34,37 @@ class TextSpec extends SparkSpecBase {
     assert(got.getInt(2) == 0)
   }
 
+  test("trigram langId beats the stopword baseline on held-out samples") {
+    // none of these sentences appear in the profiles; several contain NO
+    // stopword at all, so the baseline can only score them by luck
+    val heldOut = Seq(
+      ("en", "people were walking quickly through unfamiliar streets"),
+      ("en", "scientists discovered interesting things during the experiments"),
+      ("de", "wissenschaftliche entwicklung verändert unsere gesellschaft grundlegend"),
+      ("de", "freundlichkeit und ehrlichkeit bleiben wichtige eigenschaften"),
+      ("fr", "nous mangeons lentement quelques légumes délicieux"),
+      ("fr", "le gouvernement annonce des mesures pour la population"),
+      ("es", "generaciones enteras trabajando duro construyeron ciudades enormes"),
+      ("es", "la educación española necesita una transformación profunda"),
+      ("it", "capiamo perfettamente queste situazioni complicate"),
+      ("it", "la organizzazione della manifestazione procede velocemente"),
+      ("zh", "机器学习模型需要大量训练数据"))
+    val df = heldOut.zipWithIndex.map { case ((lang, text), i) => (i.toLong, text, lang) }
+      .toDF("doc_id", "text", "want")
+    def accuracy(pred: org.apache.spark.sql.DataFrame): Double = {
+      val p = pred.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      heldOut.zipWithIndex.count { case ((lang, _), i) => p(i.toLong) == lang }.toDouble / heldOut.size
+    }
+    val trigram = accuracy(TextAnalysis.langId(df, "doc_id", "text"))
+    val baseline = accuracy(TextAnalysis.langIdStopwordBaseline(df, "doc_id", "text"))
+    assert(trigram >= 0.9, s"trigram accuracy $trigram")
+    assert(trigram > baseline, s"trigram $trigram must beat stopword baseline $baseline")
+    // deterministic across runs and partitionings
+    val a = TextAnalysis.langId(df, "doc_id", "text").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.langId(df.repartition(5), "doc_id", "text").collect().map(_.toSeq).toSeq
+    assert(a.toSet == b.toSet)
+  }
+
   test("fingerprint matches the documented rolling-hash formula exactly") {
     // independent reimplementation of the documented formula: regex
     // tokenization + splitmix64 finalizer + 1000003 rolling fold
