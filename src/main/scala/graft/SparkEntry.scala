@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_exact_norm" -> (PipelineQueries.dedupExactNorm _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_cluster" -> (PipelineQueries.dedupCluster _),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),

@@ -200,6 +200,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Connected components of a near-duplicate pair graph by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round, a node takes the minimum of its own label and its neighbors'
+    * labels (edges are symmetrized); terminate when a round changes no
+    * label. Converges in O(component diameter) rounds — near-dup clusters
+    * are shallow, and `maxIter` guards pathological chains. All hash-
+    * partitioned joins/aggregations, no driver-side graph, no GraphFrames
+    * dependency; lineage is truncated per round via localCheckpoint so
+    * iteration depth can't blow up the plan.
+    *
+    * @return (id, comp) — comp is the smallest id in the node's component
+    */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.alias("n").join(labels.alias("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      done = changed == 0L
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup survivors: ONE representative (the smallest id)
+    * per connected component of `pairs`, instead of the pairwise
+    * "drop any doc with a smaller near-duplicate" rule. The two differ on
+    * transitive chains whose ids are not monotone: with pairs (2,3) and
+    * (1,3), doc 2's only path to the cluster minimum runs through 3, so
+    * pairwise keeps {1, 2} while cluster dedup keeps {1}. Use when
+    * near-duplication should be an equivalence (A~B~C collapses to one
+    * doc even though A and C never paired directly). */
+  def clusterDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash-LSH dedup with cluster (connected-component) semantics. */
+  def minhashLshClustered(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    clusterDedup(df, idCol,
+      minhashPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold))
+
   /** Embedding near-dup survivors (drop docs with a near-dup of smaller id). */
   def embeddingDedup(
       df: DataFrame, idCol: String, vecCol: String,

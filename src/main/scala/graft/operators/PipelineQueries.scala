@@ -25,6 +25,14 @@ object PipelineQueries {
     Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("doc_id"))
 
+  /** MinHash-LSH dedup with CLUSTER semantics: one survivor per connected
+    * component of the verified near-dup graph (label propagation), so
+    * transitive chains A~B~C collapse even when A and C never paired.
+    * Value oracle: DedupSpec equals an in-test union-find. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshClustered(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"))
+
   /** Exact n-gram Jaccard pairs at threshold 0.5 over LSH-blocked
     * candidates (narrow 32-band blocking for recall at the low threshold). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -98,6 +98,49 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors == docs.map(_._1).toSet -- dropped)
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    // components: {1,2,3} via non-monotone chain 2-3, 1-3; {10,11}; {20,21,22}
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusterDedup collapses transitive chains that pairwise dedup keeps") {
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // doc 2's only duplicate-path to the minimum 1 runs through 3
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clustered = Dedup.clusterDedup(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clustered == Set(1L, 10L, 50L), "one representative per component")
+    // the pairwise rule keeps 2 as well (no DIRECT smaller neighbor)
+    val pairwise = corpus.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(1L, 2L, 10L, 50L))
+  }
+
+  test("minhashLshClustered equals an in-test union-find over the verified pairs") {
+    val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // in-test union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedDropped = docs.map(_._1).filter(id => find(id) != id).toSet
+    val survivors = Dedup.minhashLshClustered(docsDf, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == docs.map(_._1).toSet -- expectedDropped)
+  }
+
   test("containmentPairs catches doc-inside-doc pairs that jaccard under-scores") {
     // B = A + 60% more text: containment(A,B) = 1.0, jaccard ~ 0.62
     val base = docs.take(6).map(_._2)
