@@ -16,10 +16,16 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM once (codegen, parquet reader, shuffle machinery) so
-    // per-query timings measure the query, not first-touch JIT cost
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // two-pass bench: run EVERY query shape once at the tiny SF first, so
+    // the measured pass times the query rather than first-touch JIT of
+    // whatever machinery (regex, codegen, shuffle, parquet reader) that
+    // query happens to exercise first — with a single-query warmup, the
+    // first alphabetical user of each subsystem absorbed its JIT cost
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -825,6 +825,76 @@ case class TextQualityStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass token counting: struct(ws_tokens, re_tokens) in a single
+  * scan, replacing a regex split AND a regexp_extract_all evaluation.
+  *
+  * Semantics EXACTLY mirror the SQL formulation the DuckDB oracle runs:
+  *  - ws_tokens = size(split(trim(text), "\\s+")): trim strips SPACES
+  *    only; Java split keeps leading/trailing empty segments when the
+  *    trimmed string still starts/ends with other whitespace; empty
+  *    string yields one empty token
+  *  - re_tokens = count of [a-z]+|[0-9]+|[^a-z0-9\s] matches over
+  *    lower(text): each letter run, digit run, and individual other
+  *    non-whitespace character counts once */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", IntegerType, nullable = false),
+    StructField("re_tokens", IntegerType, nullable = false)))
+  override def prettyName: String = "token_counts"
+
+  private def isWs(c: Char): Boolean = // Java regex \s = [ \t\n\x0B\f\r]
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val len = s.length
+    // ws_tokens over trim(s) (spaces only at the edges)
+    var i0 = 0
+    while (i0 < len && s.charAt(i0) == ' ') i0 += 1
+    var i1 = len
+    while (i1 > i0 && s.charAt(i1 - 1) == ' ') i1 -= 1
+    var wsToks = 0
+    if (i0 >= i1) wsToks = 1 // split("") -> [""]
+    else {
+      if (isWs(s.charAt(i0))) wsToks += 1
+      if (isWs(s.charAt(i1 - 1))) wsToks += 1
+      var inTok = false
+      var j = i0
+      while (j < i1) {
+        if (isWs(s.charAt(j))) { if (inTok) { wsToks += 1; inTok = false } }
+        else inTok = true
+        j += 1
+      }
+      if (inTok) wsToks += 1
+    }
+    // re_tokens over lower(s): run-length state machine, no regex.
+    // Iterate CODE POINTS — the regex engine counts one match per
+    // supplementary character, not per surrogate half.
+    var reToks = 0
+    var state = 0 // 0 none/ws, 1 in letter run, 2 in digit run
+    var k = 0
+    while (k < len) {
+      val cp0 = s.codePointAt(k)
+      val cp = Character.toLowerCase(cp0)
+      if (cp >= 'a' && cp <= 'z') { if (state != 1) { reToks += 1; state = 1 } }
+      else if (cp >= '0' && cp <= '9') { if (state != 2) { reToks += 1; state = 2 } }
+      else if (cp < 128 && isWs(cp.toChar)) state = 0
+      else { reToks += 1; state = 0 } // single-char match
+      k += Character.charCount(cp0)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(wsToks, reToks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -848,6 +918,8 @@ object VectorFunctions {
     Bridge.column(LangIdScore(Bridge.expression(text), profiles, cjkLang, charNgram))
   def textQualityStats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TextQualityStats(Bridge.expression(text), stopwords))
+  def tokenCounts(text: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(text)))
   /** aggregate: element-wise sum of array<float> vectors (array<double>) */
   def vecSumF(vec: Column): Column =
     Bridge.column(VecSumF(Bridge.expression(vec)).toAggregateExpression())

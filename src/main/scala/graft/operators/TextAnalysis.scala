@@ -11,14 +11,17 @@ object TextAnalysis {
 
   /** Whitespace token count + BPE-ish regex token count (letter runs,
     * digit runs, and single non-alphanumeric marks — the coarse shape of a
-    * byte-pair tokenizer's pretoken split). The pattern avoids lookarounds
-    * so it is portable RE2 (same semantics in the DuckDB oracle). */
+    * byte-pair tokenizer's pretoken split). Computed by the one-pass
+    * native [[graft.functions.TokenCounts]] run-length state machine; the
+    * DuckDB oracle runs the equivalent lookaround-free RE2 pattern, and
+    * TextSpec pins the two formulations equal. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(lower(col(textCol)),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+    df.select(col(idCol),
+        graft.functions.VectorFunctions.tokenCounts(col(textCol)).as("__t"))
+      .select(
+        col(idCol),
+        col("__t.ws_tokens").as("ws_tokens"),
+        col("__t.re_tokens").as("re_tokens"))
 
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "on", "for", "with", "as", "at", "by")

@@ -180,6 +180,26 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("native tokenCounts equals the regex formulation, including edge cases") {
+    def regexFormulation(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "\tfoo bar\n"), (4L, "abc123def"),
+      (5L, "Hello, World! 42"), (6L, "a-b_c.d"), (7L, "héllo wörld"),
+      (8L, "x  \t y"), (9L, "...")).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> (r.getInt(1), r.getInt(2))
+      val want = regexFormulation(df).collect().map(key).toMap
+      val got = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().map(key).toMap
+      assert(got.size == want.size)
+      for ((id, w) <- want) assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+  }
+
   test("fingerprint is stable on the real documents table") {
     val a = TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
