@@ -32,6 +32,9 @@ object SparkEntry {
     "q18_lag_lead" -> (Relational.q18LagLead _),
     "q19_exists_in" -> (Relational.q19ExistsIn _),
     "q20_multi_grouping" -> (Relational.q20MultiGrouping _),
+    "q21_percentiles" -> (Relational.q21Percentiles _),
+    "events_asof" -> (PipelineQueries.eventsAsof _),
+    "events_sessions" -> (PipelineQueries.eventsSessions _),
     "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
     "wap_metrics" -> (WapQueries.wapMetrics _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
@@ -108,6 +111,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""",
     "q20_multi_grouping" ->
       """SELECT 'status' AS "level", o_orderstatus AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'priority' AS "level", o_orderpriority AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderpriority""",
+    "q21_percentiles" ->
+      """SELECT event_type, round(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END), 2) AS p50, round(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END), 2) AS p90, round(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END), 2) AS p99, max(n) AS n FROM (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) t GROUP BY event_type""",
+    "events_asof" ->
+      """SELECT c.event_id, c.user_id, epoch_us(e.ts) AS err_ts_us, round(e.value, 2) AS err_value FROM (SELECT * FROM events WHERE event_type = 'click') c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e ON c.user_id = e.user_id AND e.ts <= c.ts""",
+    "events_sessions" ->
+      """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us, round(sum(value), 2) AS sum_value FROM (SELECT user_id, value, us, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us, CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM events) a) b GROUP BY user_id, session_idx""",
     "wap_roundtrip" ->
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200""",
     "wap_metrics" ->

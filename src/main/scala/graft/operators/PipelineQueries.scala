@@ -172,6 +172,38 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
 
+  // ---- §2.11 temporal ---------------------------------------------------
+
+  /** As-of join on the events table: each click picks the user's most
+    * recent error at or before it (kdb/DuckDB ASOF semantics; union-
+    * marker window plan, no range join). Times stay exact long nanos end
+    * to end; the DuckDB oracle is a genuine ASOF LEFT JOIN. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir) // ts = long nanos
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("value").as("err_value"))
+    Temporal.asofJoin(clicks, errors, Seq("user_id"), "ts", "err_ts", Seq("err_value"))
+      .select(col("event_id"), col("user_id"),
+        // micro-truncated for the oracle: DuckDB reads TIMESTAMP(NANOS)
+        // truncated to us (integer `div`, not `/` — true division through
+        // double loses exactness on ns epochs)
+        expr("asof_time div 1000").as("err_ts_us"),
+        round(col("asof_err_value"), 2).as("err_value"))
+  }
+
+  /** Batch sessionization of the events table: per-user sessions split on
+    * 30-minute inactivity gaps (the batch mirror of the streaming
+    * sessionize operator), exact integer nano arithmetic. */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame =
+    Temporal.sessionizeBatch(
+      Tables.events(spark, dir), keyCol = "user_id", timeCol = "ts",
+      valueCol = "value", tieBreak = "event_id", gap = 30L * 60L * 1000000000L)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        expr("start_t div 1000").as("start_us"),
+        expr("end_t div 1000").as("end_us"), col("sum_value"))
+
   // ---- §3 SQL surface ---------------------------------------------------
 
   /** The native vector expressions driven through spark.sql — proves the

@@ -234,4 +234,31 @@ object Relational {
       .select(lit("priority").as("level"), col("key"), col("n"), col("revenue"))
     byStatus.union(byPriority)
   }
+
+  /** Exact discrete p50/p90/p99 of event value per type: the value at
+    * rank ceil(p*n) in sorted order (SQL-standard percentile_disc,
+    * expressed as rank-picking so BOTH engines compute bit-identical
+    * results — interpolating percentiles differ across engines in their
+    * floating-point formulation). Exact per-group percentiles sort the
+    * group; 5 bounded groups here. At 100 TB use `approx_percentile`
+    * (t-digest sketch, map-side mergeable, one shuffle of sketches) —
+    * RelationalSpec asserts the sketch lands within tolerance of this
+    * exact result. */
+  def q21Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    val all = Window.partitionBy(col("event_type"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p), col("value")))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(byValue))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("event_type"))
+      .agg(
+        round(pick(0.5), 2).as("p50"),
+        round(pick(0.9), 2).as("p90"),
+        round(pick(0.99), 2).as("p99"),
+        max(col("n")).as("n"))
+  }
 }

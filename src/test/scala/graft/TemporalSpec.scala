@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PipelineQueries, Temporal}
+
+/** Value oracles for the temporal operators: as-of join and batch
+  * sessionization must equal in-test brute-force computations over the
+  * real events table (the driver additionally hash-checks both against
+  * genuine DuckDB ASOF JOIN / window SQL). */
+class TemporalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private case class Ev(id: Long, user: Long, ts: Long, typ: String, value: Double)
+
+  private lazy val events: Seq[Ev] =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("eventsAsof equals brute-force latest-error-at-or-before per user") {
+    val errorsByUser = events.filter(_.typ == "error").groupBy(_.user)
+    val expected = events.filter(_.typ == "click").map { c =>
+      val best = errorsByUser.getOrElse(c.user, Seq.empty)
+        .filter(_.ts <= c.ts)
+        .sortBy(_.ts).lastOption
+      c.id -> best.map(e => (e.ts / 1000, BigDecimal(e.value).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = PipelineQueries.eventsAsof(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    assert(got.size == expected.size)
+    for ((id, want) <- expected)
+      assert(got(id) == want, s"click $id: got ${got(id)}, want $want")
+  }
+
+  test("asofJoin emits nulls when no right row precedes, and sees same-time rows") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 99L, 500L)).toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7.0), (10L, 60L, 5.0)).toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(out(1L).contains((100L, 7.0)), "right row AT the left time is visible (<=)")
+    assert(out(2L).isEmpty, "no right row at or before t=50")
+    assert(out(3L).isEmpty, "unseen key joins to nothing")
+  }
+
+  test("eventsSessions equals brute-force gap-split sessionization") {
+    val gap = 30L * 60L * 1000000000L
+    val expected = events.groupBy(_.user).flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      var idx = 0L
+      var prev = Long.MinValue
+      val sessions = scala.collection.mutable.Map.empty[Long, Vector[Ev]]
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e.ts - prev > gap) idx += 1
+        sessions(idx) = sessions.getOrElse(idx, Vector.empty) :+ e
+        prev = e.ts
+      }
+      sessions.map { case (i, ss) =>
+        (user, i) -> (ss.size.toLong, ss.map(_.ts).min / 1000, ss.map(_.ts).max / 1000,
+          BigDecimal(ss.map(_.value).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = PipelineQueries.eventsSessions(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.size == expected.size, s"${got.size} sessions vs ${expected.size}")
+    for ((k, want) <- expected)
+      assert(got(k) == want, s"session $k: got ${got(k)}, want $want")
+  }
+
+  test("q21 exact percentiles: approx_percentile sketch lands within tolerance") {
+    val exact = graft.operators.Relational.q21Percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((t, ex) <- exact; (e, a) <- ex.zip(approx(t)))
+      assert(math.abs(e - a) <= 0.25, s"$t: exact $e vs approx $a")
+  }
+}
