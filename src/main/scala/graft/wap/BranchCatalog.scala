@@ -42,6 +42,9 @@ case class Snapshot(
 /** Catalog state on one branch: table name -> snapshot id. */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
 
+/** What one expireSnapshots run reclaimed. */
+case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
+
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
@@ -241,11 +244,14 @@ class BranchCatalog(
     * snapshot -> manifest-list -> distributed manifest read (what the
     * reference gets from PyIceberg's scan planning, app.py:220-223). */
   def manifestEntries(snap: Snapshot): DataFrame =
-    if (snap.manifests.isEmpty)
+    manifestEntriesOf(snap.manifests.map(_.path))
+
+  private def manifestEntriesOf(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestEntrySchema)
     else
-      spark.read.schema(manifestEntrySchema).json(snap.manifests.map(_.path): _*)
+      spark.read.schema(manifestEntrySchema).json(paths: _*)
 
   /** All data files of a snapshot. Manifests are independent files, so
     * a many-commit table reads them concurrently (remote-store latency,
@@ -900,8 +906,6 @@ class BranchCatalog(
     committed
   }
 
-  case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
-
   /** Expire history: keep only snapshots referenced by a branch head (or
     * listed in `keepIds`), then garbage-collect manifests and data files
     * no surviving snapshot references. Time travel to expired ids stops
@@ -928,18 +932,34 @@ class BranchCatalog(
       liveIds.contains(p.getName.stripPrefix("snap-").stripSuffix(".json"))
     }
     val liveSnapshots = keepSnaps.map(p => Serialization.read[Snapshot](readString(p)))
-    val liveManifests = liveSnapshots.flatMap(_.manifests.map(m => q(new Path(m.path)))).toSet
-    val liveData = liveSnapshots.flatMap(s => filesOf(s).map(f => q(new Path(f.path)))).toSet
+    val liveManifestRefs = liveSnapshots.flatMap(_.manifests)
+    val liveManifests = liveManifestRefs.map(m => q(new Path(m.path))).toSet
 
     dropSnaps.foreach(fs.delete(_, false))
 
     val manifestFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("manifest-"))
     val dropManifests = manifestFiles.filterNot(p => liveManifests.contains(q(p)))
-    // collect their data files BEFORE deleting the manifests
-    val candidateData = dropManifests.flatMap(p => readManifest(p.toString).map(f => q(new Path(f.path))))
+
+    // orphan set = files of dropped manifests MINUS files of live
+    // manifests — computed BEFORE any manifest is deleted. Above the
+    // distributed threshold the two sides are manifest-entry DataFrames
+    // and the set difference is a Spark job (the driver never holds a
+    // per-file set, only the delete list); both sides are stored path
+    // strings from the same writer, so they compare unqualified.
+    val totalLiveFiles = liveManifestRefs.map(_.fileCount).sum
+    val dropData: Seq[String] =
+      if (totalLiveFiles > distributedMetaThreshold) {
+        import org.apache.spark.sql.functions.col
+        manifestEntriesOf(dropManifests.map(_.toString)).select(col("path"))
+          .except(manifestEntriesOf(liveManifestRefs.map(_.path)).select(col("path")))
+          .collect().map(r => q(new Path(r.getString(0)))).toSeq
+      } else {
+        val liveData = liveSnapshots.flatMap(s => filesOf(s).map(f => q(new Path(f.path)))).toSet
+        dropManifests.flatMap(p => readManifest(p.toString).map(f => q(new Path(f.path))))
+          .distinct.filterNot(liveData.contains)
+      }
     dropManifests.foreach(fs.delete(_, false))
-    val dropData = candidateData.distinct.filterNot(liveData.contains)
     dropData.foreach(p => fs.delete(new Path(p), false))
 
     ExpireResult(dropSnaps.size, dropManifests.size, dropData.size)

@@ -330,6 +330,36 @@ class WapSpec extends SparkSpecBase {
     assert(driverCat.driverManifestReads.get() == 1201L, "driver path reads every manifest")
   }
 
+  test("distributed expiry equals driver expiry on identical logical content") {
+    val docs = Tables.documents(spark, sfDir)
+    // identical logical content in two roots (metadata embeds absolute
+    // paths, so a directory copy is NOT equivalent — build twice instead)
+    def build(cat: BranchCatalog): Unit = {
+      cat.createTableIfNotExists("t", docs.schema)
+      for (i <- 0 until 3)
+        cat.append("t", docs.filter(col("doc_id") >= i * 5L && col("doc_id") < (i + 1) * 5L))
+      cat.createBranch("b1")
+      cat.append("t", docs.filter(col("doc_id") >= 20 && col("doc_id") < 25), "b1")
+      // drop the branch so the pre-compaction manifests + files orphan
+      cat.merge("b1"); cat.dropBranch("b1")
+      cat.compactDataFiles("t", targetFiles = 1)
+    }
+    val cat1 = new BranchCatalog(spark, Files.createTempDirectory("wap-exp1").toString)
+    val cat2 = new BranchCatalog(spark, Files.createTempDirectory("wap-exp2").toString,
+      distributedMetaThreshold = 0)
+    build(cat1); build(cat2)
+
+    val r1 = cat1.expireSnapshots("t")
+    cat2.driverManifestReads.set(0L)
+    val r2 = cat2.expireSnapshots("t")
+    assert(r1 == r2, s"driver $r1 vs distributed $r2")
+    assert(r1.dataFilesDeleted > 0, "test must actually reclaim data files")
+    assert(cat2.driverManifestReads.get() == 0L,
+      "distributed expiry must not parse manifests on the driver")
+    assert(cat2.scan("t").count() == cat1.scan("t").count())
+    assert(cat2.scan("t").count() == 20)
+  }
+
   test("expiry keeps fork bases: history, branch delta and merge survive it") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
