@@ -70,6 +70,21 @@ object GraftFunctions {
       require(args.length >= 3 && args.length <= 4, "srp_bands(vec, bits, tables[, seed])")
       SrpBands(args(0), intArg(args(1), "bits"), intArg(args(2), "tables"),
         if (args.length == 4) longArg(args(3), "seed") else 0L)
+    },
+    "token_counts" -> { args =>
+      require(args.length == 1, "token_counts(text)")
+      TokenCounts(args(0))
+    },
+    "text_quality_stats" -> { args =>
+      // stopwords as a comma-separated string literal keeps the SQL
+      // surface to plain scalar arguments
+      require(args.length == 2, "text_quality_stats(text, 'stop1,stop2,...')")
+      val stops = args(1) match {
+        case Literal(s, _) if s != null => s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        case other => throw new IllegalArgumentException(
+          s"stopwords must be a string literal, got $other")
+      }
+      TextQualityStats(args(0), stops)
     })
 
   private[graft] def info(name: String): ExpressionInfo =

@@ -172,6 +172,15 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
 
+  /** BM25 relevance of every document against a fixed 3-term topic query,
+    * top-50 (score desc, id tiebreak). Corpus stats broadcast; no token
+    * explode — see [[TextAnalysis.bm25]]. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(spark, dir), "doc_id", "text",
+      terms = Seq("data", "query", "vector"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(50)
+
   // ---- §2.11 temporal ---------------------------------------------------
 
   /** As-of join on the events table: each click picks the user's most

@@ -213,4 +213,41 @@ object TextAnalysis {
     df.select(
       col(idCol),
       graft.functions.VectorFunctions.normHash64(col(textCol)).as("fp64"))
+
+  /** Okapi BM25 scoring of every document against a FIXED term set (the
+    * relevance-filter shape of an LLM-data pipeline: score a crawl
+    * against a topic query, keep the tail above a threshold).
+    *
+    * Scale design: for a fixed small query there is NO inverted index and
+    * NO token explode — per-term term frequencies are computed map-side
+    * with array `filter`/`size` over the tokenized text, the corpus
+    * statistics (N, avgdl, per-term document frequencies) reduce to ONE
+    * broadcast row, and the score is a map-side expression. The only
+    * shuffle is the single-row aggregate. idf = ln((N-df+0.5)/(df+0.5)+1)
+    * (Lucene's non-negative variant). Every arithmetic step is written
+    * identically in the DuckDB oracle, so the driver hash-checks it. */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= lit(""))
+    val base = df.select(
+      Seq(col(idCol), size(toks).cast("double").as("__dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1.0).otherwise(0.0)).as(s"__df$i")): _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log((col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("__dl").cast("long").as("dl"), round(score, 4).as("bm25"))
+  }
 }

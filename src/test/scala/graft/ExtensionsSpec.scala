@@ -35,6 +35,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaSql.length == 5)
     assert(viaSql.forall(_.getSeq[Long](1).length == 64))
     assert(viaSql.forall(_.getSeq[Long](4).length == 2))
+
+    val textStats = spark.sql(
+      """SELECT doc_id, token_counts(text) AS tc,
+                text_quality_stats(text, 'the,a,of') AS qs
+         FROM docs WHERE text IS NOT NULL LIMIT 5""").collect()
+    assert(textStats.length == 5)
+    for (r <- textStats) {
+      val tc = r.getStruct(1)
+      val qs = r.getStruct(2)
+      assert(tc.getInt(0) > 0 && tc.getInt(1) > 0, "token counts positive on real docs")
+      assert(qs.getInt(0) > 0, "n_chars positive")
+      assert(qs.getInt(2) >= 1, "n_toks >= 1")
+    }
   }
 
   test("saltJoin equals the plain join on skewed data, for inner and left joins") {

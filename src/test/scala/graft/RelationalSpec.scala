@@ -55,6 +55,16 @@ class RelationalSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("events_asof: one key shuffle, no range join, no nested-loop/cartesian") {
+    val p = planNoAutoBroadcast(PipelineQueries.eventsAsof(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the union-marker plan partitions once on the key for the window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one key shuffle, saw $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("brute-force top-k: scores reduce through the partial heap, no global score shuffle") {
     val e = Tables.embeddings(spark, sfDir)
     val df = Similarity.bruteForceTopK(

@@ -200,6 +200,29 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25 matches a hand-computed Okapi score on a tiny corpus") {
+    val corpus = Seq(
+      (1L, "data data query"),        // tf(data)=2, tf(query)=1, dl=3
+      (2L, "vector vector vector"),   // tf(vector)=3, dl=3
+      (3L, "other words entirely here")) // dl=4, no hits
+      .toDF("doc_id", "text")
+    val terms = Seq("data", "query", "vector")
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = 3.0
+    val avgdl = (3.0 + 3.0 + 4.0) / 3.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def part(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df(data)=1, df(query)=1, df(vector)=1
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == r4(part(2, 1, 3) + part(1, 1, 3) + part(0, 1, 3)))
+    assert(got(2L)._2 == r4(part(0, 1, 3) + part(0, 1, 3) + part(3, 1, 3)))
+    assert(got(3L)._2 == r4(0.0))
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
   test("fingerprint is stable on the real documents table") {
     val a = TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
