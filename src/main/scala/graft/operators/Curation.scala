@@ -32,6 +32,34 @@ object Curation {
       when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** Token-budget mixture sampling: given target mixture WEIGHTS per
+    * source and a total token budget B, keep each source at rate
+    * r_s = min(1, B*w_s / T_s) where T_s is the source's total tokens —
+    * the data-mixing step of training-set assembly (downsample
+    * overrepresented sources toward the target mixture; sources already
+    * under their budget keep everything). Weights need not sum to 1.
+    *
+    * Two passes at any scale: one tiny per-source aggregate (broadcast
+    * back) and one map-side hash filter. The keep decision derives from
+    * [[hashBucket]], so samples are reproducible, partition-invariant and
+    * nested across growing budgets; thresholds are integer per-mille
+    * (floor(r_s*1000)) so the same arithmetic runs in ANSI oracles. */
+  def tokenBudgetMix(
+      df: DataFrame, idCol: String, keyCol: String, tokenCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      budget: Long): DataFrame = {
+    val totals = df.groupBy(col(keyCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__total"))
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    df.join(broadcast(totals), keyCol)
+      .withColumn("__thr",
+        least(lit(1000L), floor(lit(budget.toDouble) * w * lit(1000.0) / col("__total"))))
+      .filter(hashBucket(col(idCol), 1000) < col("__thr"))
+      .drop("__total", "__thr")
+  }
+
   /** Deterministic per-key downsampling: keep a fraction of rows per value
     * of `keyCol` (e.g. source or lang quotas for data mixing). Rates are
     * in [0,1]; keys absent from the map keep `defaultRate`. Keep-decision

@@ -213,6 +213,16 @@ object PipelineQueries {
         expr("start_t div 1000").as("start_us"),
         expr("end_t div 1000").as("end_us"), col("sum_value"))
 
+  /** Token-budget mixture: downsample sources toward target mixture
+    * weights under a 40k-token budget (src2's oversized weight exercises
+    * the keep-everything cap), summarized per source. */
+  def curateMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetMix(Tables.documents(spark, dir), "doc_id", "source", "n_chars",
+      weights = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 2.0),
+      defaultWeight = 0.05, budget = 40000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_tokens"))
+
   // ---- §3 SQL surface ---------------------------------------------------
 
   /** The native vector expressions driven through spark.sql — proves the

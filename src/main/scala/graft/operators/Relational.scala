@@ -261,4 +261,23 @@ object Relational {
         round(pick(0.99), 2).as("p99"),
         max(col("n")).as("n"))
   }
+
+  /** Revenue per non-uniform price band via the bucket-decomposed
+    * interval join ([[Ranges.intervalJoin]]) — an equi-join on bucket
+    * keys plus exact bounds, never a nested-loop comparison against
+    * every band. */
+  def q22IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("b0", 0.0, 1000.0), ("b1", 1000.0, 2000.0), ("b2", 2000.0, 5000.0),
+      ("b3", 5000.0, 10000.0), ("b4", 10000.0, 20000.0), ("b5", 20000.0, 50000.0),
+      ("b6", 50000.0, 100000.0), ("b7", 100000.0, 200000.0),
+      ("b8", 200000.0, 500000.0), ("b9", 500000.0, 1000000.0))
+      .toDF("band", "lo", "hi")
+    Ranges.intervalJoin(
+        Tables.orders(spark, dir).select(col("o_totalprice")), "o_totalprice",
+        bands, "lo", "hi", width = 1000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
 }

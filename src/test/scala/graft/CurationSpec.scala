@@ -37,6 +37,36 @@ class CurationSpec extends SparkSpecBase {
     assert(bySrc("src0") < bySrc("src1") / 2)
   }
 
+  test("tokenBudgetMix: rates track the budget, capped sources keep everything, samples nest") {
+    val rnd = new scala.util.Random(3)
+    val docs2 = (0L until 3000L)
+      .map(i => (i, s"src${i % 3}", 100L + rnd.nextInt(200)))
+      .toDF("doc_id", "source", "n_tokens")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.1, "src2" -> 5.0)
+    def run(budget: Long) =
+      Curation.tokenBudgetMix(docs2, "doc_id", "source", "n_tokens", weights, 0.0, budget)
+    val out = run(100000L)
+    val kept = out.groupBy("source")
+      .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totals = docs2.groupBy("source").agg(sum(col("n_tokens")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2's oversized weight caps at keep-everything
+    assert(kept("src2")._1 == totals("src2"))
+    // src0 targets 50k tokens; hash sampling lands within ~15%
+    assert(math.abs(kept("src0")._1 - 50000L) < 7500L, s"src0 kept ${kept("src0")._1}")
+    // src1 targets 10k
+    assert(math.abs(kept("src1")._1 - 10000L) < 3000L, s"src1 kept ${kept("src1")._1}")
+    // nested: a smaller budget selects a subset of a larger one
+    val small = run(50000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = run(100000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+    // deterministic under repartitioning
+    val again = Curation.tokenBudgetMix(docs2.repartition(7), "doc_id", "source",
+      "n_tokens", weights, 0.0, 100000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == large)
+  }
+
   test("hash buckets never overflow: huge ids match the masked reference formula") {
     // ids far beyond 2^32 — unmasked, id * 2654435761 would wrap in Spark
     // and raise in ANSI engines, so cross-engine determinism would break

@@ -55,6 +55,26 @@ class RelationalSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("intervalJoin equals the nested-loop range join and never plans one") {
+    import graft.operators.Ranges
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 2000).map(i => (i.toLong, rnd.nextDouble() * 100.0)).toDF("pid", "x")
+    // deliberately OVERLAPPING intervals: points can match several
+    val ranges = Seq(("r0", 0.0, 30.0), ("r1", 20.0, 60.0), ("r2", 50.0, 100.0),
+      ("r3", 95.0, 101.0), ("r4", 10.0, 12.5)).toDF("rid", "lo", "hi")
+    val got = Ranges.intervalJoin(points, "x", ranges, "lo", "hi", width = 10.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, s"interval join diverged: ${(got -- want) ++ (want -- got)}")
+    val p = plan(Ranges.intervalJoin(points, "x", ranges, "lo", "hi", width = 10.0))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must be an equi-join on buckets:\n$p")
+  }
+
   test("events_asof: one key shuffle, no range join, no nested-loop/cartesian") {
     val p = planNoAutoBroadcast(PipelineQueries.eventsAsof(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
