@@ -66,6 +66,7 @@ object SparkEntry {
     "mm_features" -> (PipelineQueries.mmFeatures _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
+    "emb_quantize" -> (PipelineQueries.embQuantize _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
     "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)
@@ -164,6 +165,8 @@ object SparkEntry {
       """SELECT media_id, frame_no, frame_no * 1000 AS offset_ms FROM (SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 90000 + 1000 - 1) // 1000)) AS frame_no FROM documents WHERE doc_id % 3 = 2) t""",
     "emb_centroids" ->
       """SELECT label, pos, round(avg(embedding[pos]), 4) AS mean_val FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) p GROUP BY label, pos""",
+    "emb_quantize" ->
+      """SELECT vec_id, CAST(len(qs) AS INT) AS n_dims, round(scale, 6) AS scale, CAST(list_aggregate(qs, 'sum') AS BIGINT) AS sum_q, CAST(list_aggregate(qs, 'min') AS BIGINT) AS min_q, CAST(list_aggregate(qs, 'max') AS BIGINT) AS max_q FROM (SELECT vec_id, scale, list_transform(e, x -> greatest(-127, least(127, CAST(round(x / nullif(scale, 0.0)) AS BIGINT)))) AS qs FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a) b) c""",
     "curate_splits" ->
       """SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train' WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, lang, n_chars FROM documents) t GROUP BY split, lang""",
     "curate_sample" ->

@@ -150,6 +150,31 @@ object PipelineQueries {
         round(col("__x") / col("__n"), 4).as("mean_val"))
   }
 
+  /** Symmetric int8 quantization of every embedding (the storage-
+    * reduction step for a 100 TB vector corpus: 4x smaller than float32,
+    * per-vector scale preserves relative magnitudes). Entirely map-side
+    * higher-order array expressions — no explode, no UDF; emitted as
+    * per-vector summary scalars (dims, scale, sum/min/max of the
+    * quantized values) so the DuckDB oracle hash-checks the full
+    * quantization arithmetic. Zero vectors quantize to null (nullif
+    * guard), not a division error. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0)
+    Tables.embeddings(spark, dir)
+      .withColumn("__scale", scale)
+      .withColumn("__q", transform(e, x =>
+        greatest(lit(-127L), least(lit(127L),
+          round(x / nullif(col("__scale"), lit(0.0))).cast("long")))))
+      .select(
+        col("vec_id"),
+        size(col("__q")).as("n_dims"),
+        round(col("__scale"), 6).as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(col("__q")).as("min_q"),
+        array_max(col("__q")).as("max_q"))
+  }
+
   /** Frame-sampling work plan for every video asset (SQL oracle). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(
