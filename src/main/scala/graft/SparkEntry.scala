@@ -61,6 +61,7 @@ object SparkEntry {
     "text_gopher" -> (PipelineQueries.textGopher _),
     "text_top_terms" -> (PipelineQueries.textTopTerms _),
     "text_bm25" -> (PipelineQueries.textBm25 _),
+    "text_dup_ngrams" -> (PipelineQueries.textDupNgrams _),
     "text_repetition" -> (PipelineQueries.textRepetition _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),

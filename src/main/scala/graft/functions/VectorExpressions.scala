@@ -895,6 +895,96 @@ case class TokenCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Gopher-style duplicate word-n-gram statistics in one pass: tokenize
+  * (ascii-alnum runs, lowercased — the [[ShingleHashes]] token semantics),
+  * hash every n-gram of consecutive tokens, count occurrences, and report
+  * struct(n_grams, n_dup_grams, dup_char_frac) where dup_char_frac is the
+  * fraction of TOKEN CHARACTERS covered by at least one n-gram that
+  * occurs more than once (marked coverage: overlapping duplicated n-grams
+  * never double-count a token, so the fraction is bounded [0,1]). Texts
+  * with fewer than n tokens have no n-grams -> (0, 0, 0.0). */
+case class DupNgramStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2 && n <= 16, "ngram n in [2,16]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_dup_grams", IntegerType, nullable = false),
+    StructField("dup_char_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "dup_ngram_stats"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val tokLens = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var h = 0L
+    var tl = 0
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { h = h * 31L + c; tl += 1 }
+      else if (tl > 0) { tokHashes += mix(h); tokLens += tl; h = 0L; tl = 0 }
+      i += 1
+    }
+    if (tl > 0) { tokHashes += mix(h); tokLens += tl }
+
+    val nt = tokHashes.length
+    val grams = nt - this.n + 1
+    if (grams <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0, 0, 0.0)
+    val gramHashes = new Array[Long](grams)
+    val counts = new java.util.HashMap[java.lang.Long, Integer](grams * 2)
+    var g = 0
+    while (g < grams) {
+      var acc = 0L
+      var j = 0
+      while (j < this.n) { acc = acc * 1000003L + tokHashes(g + j); j += 1 }
+      val gh = mix(acc)
+      gramHashes(g) = gh
+      val prev = counts.get(gh)
+      counts.put(gh, if (prev == null) 1 else prev + 1)
+      g += 1
+    }
+    val covered = new Array[Boolean](nt)
+    var dupGrams = 0
+    g = 0
+    while (g < grams) {
+      if (counts.get(gramHashes(g)) > 1) {
+        dupGrams += 1
+        var j = 0
+        while (j < this.n) { covered(g + j) = true; j += 1 }
+      }
+      g += 1
+    }
+    var totalChars = 0L
+    var dupChars = 0L
+    var t = 0
+    while (t < nt) {
+      totalChars += tokLens(t)
+      if (covered(t)) dupChars += tokLens(t)
+      t += 1
+    }
+    val frac = if (totalChars == 0L) 0.0 else dupChars.toDouble / totalChars.toDouble
+    org.apache.spark.sql.catalyst.InternalRow(grams, dupGrams, frac)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -920,6 +1010,8 @@ object VectorFunctions {
     Bridge.column(TextQualityStats(Bridge.expression(text), stopwords))
   def tokenCounts(text: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(text)))
+  def dupNgramStats(text: Column, n: Int): Column =
+    Bridge.column(DupNgramStats(Bridge.expression(text), n))
   /** aggregate: element-wise sum of array<float> vectors (array<double>) */
   def vecSumF(vec: Column): Column =
     Bridge.column(VecSumF(Bridge.expression(vec)).toAggregateExpression())

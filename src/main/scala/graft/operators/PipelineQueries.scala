@@ -197,6 +197,11 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
 
+  /** Gopher duplicate-trigram repetition stats per document (rows-only:
+    * TextSpec recomputes the definition brute-force). */
+  def textDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgrams(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+
   /** BM25 relevance of every document against a fixed 3-term topic query,
     * top-50 (score desc, id tiebreak). Corpus stats broadcast; no token
     * explode — see [[TextAnalysis.bm25]]. */

@@ -214,6 +214,22 @@ object TextAnalysis {
       col(idCol),
       graft.functions.VectorFunctions.normHash64(col(textCol)).as("fp64"))
 
+  /** Gopher duplicate word-n-gram statistics (Rae et al. 2021 repetition
+    * rules, the n-gram half — [[repetitionStats]] covers duplicate
+    * lines): per document, the n-gram count, how many occur more than
+    * once, and the fraction of token characters covered by a duplicated
+    * n-gram (marked coverage, bounded [0,1]). One native pass per row
+    * ([[graft.functions.DupNgramStats]]); TextSpec recomputes the exact
+    * definition brute-force. */
+  def dupNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val stats = graft.functions.VectorFunctions.dupNgramStats(col(textCol), n)
+    df.select(col(idCol), stats.as("__d"))
+      .select(col(idCol),
+        col("__d.n_grams").as("n_grams"),
+        col("__d.n_dup_grams").as("n_dup_grams"),
+        round(col("__d.dup_char_frac"), 4).as("dup_char_frac"))
+  }
+
   /** Okapi BM25 scoring of every document against a FIXED term set (the
     * relevance-filter shape of an LLM-data pipeline: score a crawl
     * against a topic query, keep the tail above a threshold).

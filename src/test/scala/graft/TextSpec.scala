@@ -200,6 +200,46 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("dupNgrams equals a brute-force recompute of the marked-coverage definition") {
+    def brute(text: String, n: Int): (Int, Int, Double) = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toVector
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toVector
+      if (grams.isEmpty) return (0, 0, 0.0)
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val covered = Array.fill(toks.size)(false)
+      var dup = 0
+      for ((g, i) <- grams.zipWithIndex if counts(g) > 1) {
+        dup += 1
+        (i until i + n).foreach(covered(_) = true)
+      }
+      val total = toks.map(_.length).sum
+      val dupChars = toks.zipWithIndex.filter { case (_, i) => covered(i) }.map(_._1.length).sum
+      (grams.size, dup,
+        BigDecimal(if (total == 0) 0.0 else dupChars.toDouble / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val edge = Seq(
+      (1L, "a b c a b c a b c"),                // every trigram duplicated
+      (2L, "one two three four five six"),      // none duplicated
+      (3L, "x y"),                              // fewer than n tokens
+      (4L, ""),                                 // empty
+      (5L, "spam spam spam spam spam"),         // degenerate repetition
+      (6L, "The cat; the CAT... the cat!"))     // normalization collapses
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val want = df.collect().map(r => r.getLong(0) -> brute(r.getString(1), 3)).toMap
+      val got = TextAnalysis.dupNgrams(df, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+      assert(got.size == want.size)
+      for ((id, w) <- want) assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+    // sanity on the degenerate cases
+    val g = TextAnalysis.dupNgrams(edge, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(g(1L) == 1.0 && g(2L) == 0.0 && g(3L) == 0.0 && g(5L) == 1.0)
+  }
+
   test("bm25 matches a hand-computed Okapi score on a tiny corpus") {
     val corpus = Seq(
       (1L, "data data query"),        // tf(data)=2, tf(query)=1, dl=3
