@@ -68,6 +68,7 @@ object SparkEntry {
     "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "emb_quantize" -> (PipelineQueries.embQuantize _),
+    "emb_pca" -> (PipelineQueries.embPca _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
     "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)

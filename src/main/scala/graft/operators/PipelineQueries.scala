@@ -175,6 +175,21 @@ object PipelineQueries {
         array_max(col("__q")).as("max_q"))
   }
 
+  /** Top-8 PCA of the embeddings table: distributed moment pass + driver
+    * eigensolve on the 64x64 covariance; emitted as per-component
+    * eigenvalue + explained-variance fraction (rows-only: EmbeddingsSpec
+    * verifies the eigenpairs against an in-test covariance). */
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    val model = Embeddings.pca(Tables.embeddings(spark, dir), "embedding", k = 8)
+    import spark.implicits._
+    model.eigenvalues.zipWithIndex
+      .map { case (l, i) => (i + 1, l, l / model.totalVariance) }
+      .toSeq.toDF("component", "eigenvalue", "explained_frac")
+      .select(col("component"),
+        round(col("eigenvalue"), 4).as("eigenvalue"),
+        round(col("explained_frac"), 4).as("explained_frac"))
+  }
+
   /** Frame-sampling work plan for every video asset (SQL oracle). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(
