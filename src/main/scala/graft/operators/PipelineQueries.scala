@@ -86,6 +86,17 @@ object PipelineQueries {
       k = 5, centroids = 64, nprobe = 24, refineSteps = 1)
   }
 
+  /** PCA-reduced ANN: candidates in a 16-dim projected space, exact
+    * full-dim re-rank (rows-only; SimilaritySpec asserts recall vs
+    * brute force). */
+  def simTopkPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pcaTopK(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, pcaK = 16, candidateFactor = 4)
+  }
+
   // ---- §2.6 text analysis ----------------------------------------------
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =

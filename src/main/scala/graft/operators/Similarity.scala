@@ -169,6 +169,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PCA-reduced ANN: candidates are generated in a PCA-projected
+    * low-dimensional space (scoring cost drops by dims/pcaK per pair),
+    * then re-ranked with the EXACT full-dimension cosine — the classic
+    * reduce-then-refine pipeline (PCA projection preserves the dominant
+    * variance directions, so true neighbors stay in the candidate set
+    * when candidateFactor gives headroom). At 100 TB compose the reduced
+    * space with [[ivfTopK]] instead of the reduced brute force used
+    * here; the model fit is one distributed moment pass either way
+    * ([[Embeddings.pca]]). Recall vs brute force asserted in
+    * SimilaritySpec. */
+  def pcaTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 5, pcaK: Int = 8, candidateFactor: Int = 4): DataFrame = {
+    val model = Embeddings.pca(corpus, corpusVec, pcaK)
+    def reduced(df: DataFrame, id: String, vec: String): DataFrame =
+      Embeddings.project(df, id, vec, model)
+        .select(col(id), transform(col("pc"), x => x.cast("float")).as("__pcf"))
+    val cand = bruteForceTopK(
+        reduced(corpus, corpusId, corpusVec), corpusId, "__pcf",
+        reduced(queries, queryId, queryVec), queryId, "__pcf",
+        k = k * candidateFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val scored = cand
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path, complementary to
     * SRP-LSH: better recall on clustered corpora, and the centroid
     * assignment is reusable across query batches.

@@ -158,6 +158,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(typed.count() == queries.size * 3)
   }
 
+  test("pcaTopK: reduced-space candidates + exact re-rank reach a recall floor") {
+    val brute = bruteTopK(5)
+    val got = Similarity.pcaTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, pcaK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.toSeq.map { case (qid, want) =>
+      want.map(_._1).count(got.getOrElse(qid, Set.empty).contains)
+    }.sum
+    val recall = hits.toDouble / (brute.size * 5)
+    assert(recall >= 0.8, s"pca-reduced recall $recall")
+    // ranks returned are exact full-dimension cosine order
+    val ranked = Similarity.pcaTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, pcaK = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    ranked.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b },
+        "cosines must descend with rank")
+    }
+  }
+
   test("ivfTopK is deterministic across runs (seeded centroid sample)") {
     def run() = Similarity.ivfTopK(corpusDf.repartition(7), "vec_id", "embedding",
         queryDf, "vec_id", "embedding", k = 3, centroids = 16, nprobe = 4)
