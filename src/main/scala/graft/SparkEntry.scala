@@ -63,6 +63,7 @@ object SparkEntry {
     "text_top_terms" -> (PipelineQueries.textTopTerms _),
     "text_bm25" -> (PipelineQueries.textBm25 _),
     "text_dup_ngrams" -> (PipelineQueries.textDupNgrams _),
+    "text_decontaminate" -> (PipelineQueries.textDecontaminate _),
     "text_repetition" -> (PipelineQueries.textRepetition _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),

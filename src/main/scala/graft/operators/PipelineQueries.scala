@@ -223,6 +223,17 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
 
+  /** Decontamination sweep: docs 0-4 stand in as the "benchmark set";
+    * every document sharing an 8-gram with them is flagged (themselves,
+    * their exact dups, near-dups quoting 8 consecutive tokens). Rows-only
+    * — DecontaminationSpec recomputes the definition brute-force. */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontamination.flag(docs, "text", docs.filter(col("doc_id") < 5), "text", n = 8)
+      .groupBy(col("contaminated"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Gopher duplicate-trigram repetition stats per document (rows-only:
     * TextSpec recomputes the definition brute-force). */
   def textDupNgrams(spark: SparkSession, dir: String): DataFrame =
