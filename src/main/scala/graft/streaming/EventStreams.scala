@@ -87,6 +87,34 @@ object EventStreams {
       .start()
   }
 
+  /** Snapshot-fresh stream enrichment: join every micro-batch against
+    * the LATEST PUBLISHED state of a catalog table. A plain stream-static
+    * join fixes the static side's file list when the query STARTS, so
+    * dimension updates published mid-stream are invisible; resolving
+    * `catalog.scan` inside foreachBatch re-reads branch -> snapshot ->
+    * manifests per batch, so each micro-batch joins against exactly the
+    * snapshot current at batch time — and never sees unpublished branch
+    * data (WAP isolation extends to the streaming reader for free).
+    * The per-batch cost is one metadata resolution (O(manifests)); the
+    * join itself broadcasts when the dimension is small, like any batch
+    * join. */
+  def enrichLatest(
+      stream: DataFrame,
+      catalog: BranchCatalog,
+      table: String,
+      joinKeys: Seq[String],
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(batch.join(catalog.scan(table), joinKeys, "left"), batchId)
+        ()
+      }
+      .start()
+
   /** Watermarked windowed aggregation over an event stream:
     * (window, event_type) -> count + sum(value). Tumbling by default;
     * pass `slideDuration` < `windowDuration` for sliding windows (each

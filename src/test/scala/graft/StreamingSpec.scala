@@ -78,6 +78,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(cat.scan("people").select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 4L))
   }
 
+  test("enrichLatest: each micro-batch joins the latest PUBLISHED snapshot only") {
+    val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-enrich").toString)
+    val dimV1 = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "name")
+    cat.createTableIfNotExists("dim", dimV1.schema)
+    cat.append("dim", dimV1)
+
+    val mem = MemoryStream[Long](spark, 1)
+    val facts = mem.toDF().toDF("id")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[String])]
+    val q = EventStreams.enrichLatest(
+      facts, cat, "dim", Seq("id"),
+      Files.createTempDirectory("enrich-ckpt").toString,
+      (df, batchId) => seen.synchronized {
+        seen ++= df.collect().map(r =>
+          (batchId, r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
+      },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData(1L, 3L)
+      q.processAllAvailable()
+      // mid-stream: id=3 publishes via a full WAP cycle; id=4 stays on an
+      // UNPUBLISHED branch
+      cat.createBranch("staging")
+      cat.append("dim", Seq((4L, "delta")).toDF("id", "name"), "staging")
+      cat.append("dim", Seq((3L, "charlie")).toDF("id", "name"))
+      mem.addData(1L, 3L, 4L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val batches = byBatch.keys.toSeq.sorted
+    assert(batches.size == 2, s"expected 2 batches, saw $byBatch")
+    val (b1, b2) = (byBatch(batches(0)), byBatch(batches(1)))
+    assert(b1 == Map(1L -> Some("alpha"), 3L -> None), s"batch1 $b1")
+    assert(b2(3L).contains("charlie"), "batch 2 must see the snapshot published mid-stream")
+    assert(b2(4L).isEmpty, "unpublished branch data must stay invisible to the stream")
+    assert(b2(1L).contains("alpha"))
+  }
+
   test("windowedCounts: tumbling window totals with watermark") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark, 1)
     val df = mem.toDF().toDF("ts", "event_type", "value")
