@@ -124,7 +124,7 @@ object SparkEntry {
     "q22_interval_join" ->
       """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue FROM orders JOIN (VALUES ('b0', 0.0, 1000.0), ('b1', 1000.0, 2000.0), ('b2', 2000.0, 5000.0), ('b3', 5000.0, 10000.0), ('b4', 10000.0, 20000.0), ('b5', 20000.0, 50000.0), ('b6', 50000.0, 100000.0), ('b7', 100000.0, 200000.0), ('b8', 200000.0, 500000.0), ('b9', 500000.0, 1000000.0)) AS bands(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band""",
     "curate_mix" ->
-      """WITH totals AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total FROM documents GROUP BY source) SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_tokens FROM documents d JOIN totals t ON d.source = t.source WHERE ((d.doc_id & 2147483647) * 2654435761) % 1000 < least(1000, CAST(floor(40000.0 * (CASE d.source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 2.0 ELSE 0.05 END) * 1000.0 / t.total) AS BIGINT)) GROUP BY d.source""",
+      """WITH totals AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total FROM documents GROUP BY source) SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_tokens FROM documents d JOIN totals t ON d.source = t.source WHERE ((d.doc_id & 2147483647) * 2654435761) % 1000 < least(1000, CAST(floor(40000.0 * (CASE d.source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 2.0 ELSE 0.05 END) * 1000.0 / nullif(t.total, 0.0)) AS BIGINT)) GROUP BY d.source""",
     "events_asof" ->
       """SELECT c.event_id, c.user_id, epoch_us(e.ts) AS err_ts_us, round(e.value, 2) AS err_value FROM (SELECT * FROM events WHERE event_type = 'click') c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e ON c.user_id = e.user_id AND e.ts <= c.ts""",
     "events_sessions" ->

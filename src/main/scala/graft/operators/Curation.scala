@@ -55,7 +55,10 @@ object Curation {
     }
     df.join(broadcast(totals), keyCol)
       .withColumn("__thr",
-        least(lit(1000L), floor(lit(budget.toDouble) * w * lit(1000.0) / col("__total"))))
+        // nullif: a source whose tokens sum to 0 has nothing to keep —
+        // null threshold filters it out instead of an ANSI divide error
+        least(lit(1000L),
+          floor(lit(budget.toDouble) * w * lit(1000.0) / nullif(col("__total"), lit(0.0)))))
       .filter(hashBucket(col(idCol), 1000) < col("__thr"))
       .drop("__total", "__thr")
   }

@@ -37,6 +37,11 @@ object Temporal {
       payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__t", "__side", "__asof_time", "asof_time") ++
+      payload.map(p => s"asof_$p")
+    val clash = leftCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin output names collide with left columns: ${clash.mkString(", ")}")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

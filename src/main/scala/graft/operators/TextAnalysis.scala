@@ -246,10 +246,13 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // tokens are lowercased, so query terms must be too (a cased term
+    // would silently match nothing)
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= lit(""))
     val base = df.select(
       Seq(col(idCol), size(toks).cast("double").as("__dl")) ++
-        terms.zipWithIndex.map { case (t, i) =>
+        lowered.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf$i")
         }: _*)
     val stats = base.agg(
