@@ -55,6 +55,18 @@ class RelationalSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("text_bm25: corpus stats broadcast, no token explode in the plan") {
+    val p = plan(PipelineQueries.textBm25(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), "the one-row stats aggregate must broadcast\n" + p)
+    assert(!p.contains("Generate"), "tf must come from array ops, not an explode\n" + p)
+  }
+
+  test("q21: both windows share one event_type shuffle") {
+    val p = planNoAutoBroadcast(Relational.q21Percentiles(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"rank+count windows must reuse the event_type partitioning:\n$p")
+  }
+
   test("intervalJoin equals the nested-loop range join and never plans one") {
     import graft.operators.Ranges
     import org.apache.spark.sql.functions.col
