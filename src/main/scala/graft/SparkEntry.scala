@@ -42,6 +42,8 @@ object SparkEntry {
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
+    "dq_ref_integrity" -> (WapQueries.dqRefIntegrity _),
+    "dq_drift" -> (WapQueries.dqDrift _),
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_exact_norm" -> (PipelineQueries.dedupExactNorm _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
@@ -139,6 +141,10 @@ object SparkEntry {
       """SELECT '__rows' AS column_name, count(*) AS null_count FROM events UNION ALL SELECT 'event_type', CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'value', CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) FROM events UNION ALL SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events""",
     "dq_suite" ->
       """SELECT 'not_null(o_orderkey)' AS check_name, count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed, CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violations FROM orders UNION ALL SELECT 'unique_key(o_orderkey)', count(o_orderkey) - count(DISTINCT o_orderkey) = 0, CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders UNION ALL SELECT 'value_range(o_totalprice)', count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) = 0, CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000.0) AS BIGINT) FROM orders UNION ALL SELECT 'accepted_values(o_orderstatus)', count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) = 0, CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders UNION ALL SELECT 'row_count_min(10)', count(*) >= 10, CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) FROM orders UNION ALL SELECT 'freshness(o_orderdate)', max(o_orderdate) >= TIMESTAMP '1995-01-01 00:00:00', CAST(CASE WHEN max(o_orderdate) < TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END AS BIGINT) FROM orders""",
+    "dq_ref_integrity" ->
+      """SELECT count(*) AS n_rows, CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, round(CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_ratio FROM events e LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON e.user_id = p.pk""",
+    "dq_drift" ->
+      """WITH allx AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS side FROM orders), bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM allx), bucketed AS (SELECT least(9, CAST(floor((x - lo) / nullif(hi - lo, 0.0) * 10.0) AS BIGINT)) AS b, side FROM allx, bounds), counts AS (SELECT b, CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS cr, CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cc FROM bucketed GROUP BY b), totals AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc, count(*) AS np FROM counts) SELECT nr AS n_ref, nc AS n_cur, round(sum(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - (CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / ((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)))) + (10.0 - np) * (0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - 0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln((0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / (0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0))), 6) AS psi FROM counts, totals GROUP BY nr, nc, np""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "dedup_exact_norm" ->

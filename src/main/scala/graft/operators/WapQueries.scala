@@ -82,4 +82,24 @@ object WapQueries {
       Freshness("o_orderdate", "1995-01-01 00:00:00")))
     Audit.reportDF(spark, report)
   }
+
+  /** Referential integrity: event user_ids against the (25-key) nation
+    * table — intentionally orphan-rich so the check exercises both
+    * branches (SQL oracle: anti-join counts). */
+  def dqRefIntegrity(spark: SparkSession, dir: String): DataFrame =
+    Referential.orphans(
+      Tables.events(spark, dir), "user_id",
+      Tables.nation(spark, dir), "n_nationkey")
+
+  /** Distribution drift (PSI) of o_totalprice between the even- and
+    * odd-keyed halves of orders — a near-zero PSI on homogeneous halves
+    * (the formula, smoothing and analytic empty-bin term all hash-check
+    * against the DuckDB oracle). */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Drift.psi(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", buckets = 10)
+  }
 }

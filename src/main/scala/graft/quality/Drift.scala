@@ -1,0 +1,76 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-table / cross-batch quality checks that the single-pass
+  * [[Audit]] suite can't express (they need a second input): referential
+  * integrity and distribution drift. Both are WAP companions — run them
+  * on the branch against the published main before merging.
+  */
+object Referential {
+
+  /** Orphan count: child rows whose foreign key has no match in the
+    * parent's key set (null FKs count as orphans — they reference
+    * nothing). One distinct-project on the parent + one left join;
+    * Catalyst broadcasts the parent side when it's dimension-sized.
+    * @return one row: (n_rows, n_orphans, orphan_ratio) */
+  def orphans(
+      child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame =
+    child.select(col(fkCol).as("__fk"))
+      .join(parent.select(col(pkCol).as("__pk")).distinct(),
+        col("__fk") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(col("n_rows"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_ratio"))
+}
+
+/** Population Stability Index between a reference and a current
+  * distribution of one numeric column — the standard drift alarm
+  * (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift). */
+object Drift {
+
+  /** PSI over `buckets` equal-width bins spanning the COMBINED min/max,
+    * with +0.5 Laplace smoothing per bin so empty bins never divide by
+    * zero. Bins empty on both sides contribute analytically (their count
+    * is `buckets` minus the observed bins — no bin table materialized).
+    * Two tiny aggregates over one pass of each side; every arithmetic
+    * step is ANSI-expressible, so the driver hash-checks it.
+    * @return one row: (n_ref, n_cur, psi) */
+  def psi(
+      ref: DataFrame, cur: DataFrame, colName: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "at least 2 buckets")
+    val b = buckets.toDouble
+    val all = ref.select(col(colName).cast("double").as("__x")).withColumn("__side", lit("ref"))
+      .unionByName(
+        cur.select(col(colName).cast("double").as("__x")).withColumn("__side", lit("cur")))
+    val bounds = all.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val bucketed = all.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        least(lit(buckets - 1),
+          floor((col("__x") - col("__lo")) / nullif(col("__hi") - col("__lo"), lit(0.0)) * lit(b))))
+    val counts = bucketed.groupBy(col("__b")).agg(
+      sum(when(col("__side") === "ref", 1L).otherwise(0L)).as("cr"),
+      sum(when(col("__side") === "cur", 1L).otherwise(0L)).as("cc"))
+    val totals = counts.agg(
+      sum(col("cr")).as("nr"), sum(col("cc")).as("nc"), count(lit(1)).as("np"))
+    val p = (col("cr").cast("double") + lit(0.5)) / (col("nr").cast("double") + lit(0.5) * lit(b))
+    val q = (col("cc").cast("double") + lit(0.5)) / (col("nc").cast("double") + lit(0.5) * lit(b))
+    val p0 = lit(0.5) / (col("nr").cast("double") + lit(0.5) * lit(b))
+    val q0 = lit(0.5) / (col("nc").cast("double") + lit(0.5) * lit(b))
+    counts.crossJoin(broadcast(totals))
+      .agg(
+        sum((p - q) * log(p / q)).as("__present"),
+        first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        first(col("np")).as("__np"),
+        first(p0).as("__p0"), first(q0).as("__q0"))
+      .select(col("n_ref"), col("n_cur"),
+        round(col("__present") +
+          (lit(b) - col("__np")) * (col("__p0") - col("__q0")) * log(col("__p0") / col("__q0")),
+          6).as("psi"))
+  }
+}
