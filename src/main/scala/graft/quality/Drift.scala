@@ -28,6 +28,47 @@ object Referential {
         round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_ratio"))
 }
 
+/** An audit check that needs more than the audited batch itself (the
+  * published table, a dimension) — evaluated by [[graft.wap.Wap.run]]
+  * alongside the single-pass [[Expect]] suite and merged into the same
+  * report, so drift/integrity failures quarantine the branch exactly
+  * like a null check would. */
+trait CrossCheck {
+  def name: String
+  def run(audited: DataFrame): CheckResult
+}
+
+/** Quarantine the batch when its distribution of `colName` drifts from
+  * the reference (usually the published table: pass
+  * `() => catalog.scan(table)`) by more than `maxPsi`. An EMPTY reference
+  * passes — the first ever batch has nothing to drift from. `violations`
+  * reports the PSI in millionths for observability. */
+case class DriftCheck(
+    reference: () => DataFrame, colName: String,
+    maxPsi: Double = 0.25, buckets: Int = 10) extends CrossCheck {
+  def name = s"drift($colName, max=$maxPsi)"
+  def run(audited: DataFrame): CheckResult = {
+    val row = Drift.psi(reference(), audited, colName, buckets).collect().head
+    if (row.getLong(0) == 0L) CheckResult(name, passed = true, violations = 0L)
+    else {
+      val psi = row.getDouble(2)
+      CheckResult(name, passed = psi <= maxPsi, violations = math.round(psi * 1e6))
+    }
+  }
+}
+
+/** Quarantine the batch when it contains more than `maxOrphans` rows
+  * whose `fkCol` is missing from the parent's `pkCol` key set. */
+case class OrphanCheck(
+    parent: () => DataFrame, fkCol: String, pkCol: String,
+    maxOrphans: Long = 0L) extends CrossCheck {
+  def name = s"ref_integrity($fkCol -> $pkCol)"
+  def run(audited: DataFrame): CheckResult = {
+    val row = Referential.orphans(audited, fkCol, parent(), pkCol).collect().head
+    CheckResult(name, passed = row.getLong(1) <= maxOrphans, violations = row.getLong(1))
+  }
+}
+
 /** Population Stability Index between a reference and a current
   * distribution of one numeric column — the standard drift alarm
   * (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift). */

@@ -62,7 +62,15 @@ object Wap {
       branchName: String,
       alerter: Alerter = LogAlerter,
       dropBranchOnPublish: Boolean = true,
-      auditScope: AuditScope = AuditScope.Delta): WapResult = {
+      auditScope: AuditScope = AuditScope.Delta,
+      /** Checks needing a second input — drift vs the published table,
+        * FK integrity vs a dimension ([[graft.quality.DriftCheck]] /
+        * [[graft.quality.OrphanCheck]]). They audit the same scope and
+        * merge into the same report: a drifting batch quarantines
+        * exactly like a null violation. Resolved AT AUDIT TIME, so a
+        * `() => catalog.scan(dim)` reference sees the currently
+        * published state. */
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
 
     catalog.createTableIfNotExists(table, batch.schema)
     catalog.createBranch(branchName, from = "main")
@@ -72,7 +80,8 @@ object Wap {
       case AuditScope.Delta => catalog.scanBranchDelta(table, branchName)
       case AuditScope.FullTable => catalog.scan(table, branchName)
     }
-    val report = Audit.run(audited, checks)
+    val base = Audit.run(audited, checks)
+    val report = base.copy(checks = base.checks ++ crossChecks.map(_.run(audited)))
 
     if (report.passed) {
       catalog.merge(branchName, into = "main")

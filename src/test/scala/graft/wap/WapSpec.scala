@@ -86,6 +86,41 @@ class WapSpec extends SparkSpecBase {
     assert(cat.listBranches().contains("up-2"))
   }
 
+  test("cross checks gate publishing: drifting or orphaned batches quarantine like null violations") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cat = freshCatalog()
+    val alerter = new BufferAlerter
+    def batch(shift: Double, idBase: Long) =
+      (0 until 500).map(i => (idBase + i, 50.0 + (i % 20) + shift)).toDF("id", "v")
+    val drift = DriftCheck(() => cat.scan("m"), "v", maxPsi = 0.25)
+
+    val r1 = Wap.run(cat, "m", batch(0.0, 0L), Seq(NotNull("v")), "b1", alerter,
+      crossChecks = Seq(drift))
+    assert(r1.published, "first batch: empty reference has nothing to drift from")
+    val r2 = Wap.run(cat, "m", batch(0.5, 1000L), Seq(NotNull("v")), "b2", alerter,
+      crossChecks = Seq(drift))
+    assert(r2.published, s"similar distribution publishes: ${r2.report.failed}")
+    val r3 = Wap.run(cat, "m", batch(200.0, 2000L), Seq(NotNull("v")), "b3", alerter,
+      crossChecks = Seq(drift))
+    assert(!r3.published, "a shifted distribution must quarantine")
+    assert(r3.report.failed.head.name.startsWith("drift("))
+    assert(alerter.alerts.map(_._2) == Seq("b3"))
+    assert(cat.scan("m").count() == 1000, "main only holds the published batches")
+
+    // referential integrity as a publish gate
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val ok = Wap.run(cat, "facts", Seq((1L, "a"), (2L, "b")).toDF("fk", "x"),
+      Seq.empty, "f1", alerter,
+      crossChecks = Seq(OrphanCheck(() => dim, "fk", "pk")))
+    assert(ok.published)
+    val bad = Wap.run(cat, "facts", Seq((9L, "z")).toDF("fk", "x"),
+      Seq.empty, "f2", alerter,
+      crossChecks = Seq(OrphanCheck(() => dim, "fk", "pk")))
+    assert(!bad.published && bad.report.failed.head.violations == 1L)
+    assert(cat.scan("facts").count() == 2)
+  }
+
   test("commit history and append-rate anomalies come from metadata alone") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
