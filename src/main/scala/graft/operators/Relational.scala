@@ -262,6 +262,22 @@ object Relational {
         max(col("n")).as("n"))
   }
 
+  /** Customer spend deciles: per-customer totals, ntile(10) over the
+    * fully tie-broken global ranking, decile-level rollup. The global
+    * ntile inherently serializes the ranking onto one reducer — correct
+    * for a query whose RESULT is a global ranking; at 100 TB segment via
+    * approx quantile cutpoints instead (see q21's sketch note). */
+  def q23SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val ranked = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey").asc)))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("spend")), 2).as("decile_spend"))
+  }
+
   /** Revenue per non-uniform price band via the bucket-decomposed
     * interval join ([[Ranges.intervalJoin]]) — an equi-join on bucket
     * keys plus exact bounds, never a nested-loop comparison against
