@@ -59,7 +59,11 @@ object EventStreams {
       alerter: Alerter = LogAlerter,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      /** Cross-table publish gates (drift vs published history, FK
+        * integrity vs dimensions) — evaluated per micro-batch through
+        * [[graft.wap.Wap.run]] like the expectation suite. */
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dropDir)
@@ -70,7 +74,8 @@ object EventStreams {
         if (!batch.isEmpty) {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
-          Wap.run(catalog, table, batch, checks, branch, alerter)
+          Wap.run(catalog, table, batch, checks, branch, alerter,
+            crossChecks = crossChecks)
           // self-maintenance: streaming leaves one small file + manifest
           // per micro-batch; every N batches fold them and expire the
           // superseded history (branch heads always survive, so failed

@@ -57,6 +57,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(cat.scan("people", "main").count() == 3)
   }
 
+  test("fileIngest cross checks: a drifting file quarantines at ingest") {
+    import graft.quality.DriftCheck
+    val drop = tmp("graft-drop-drift")
+    val ckpt = tmp("graft-ckpt-drift")
+    val cat = new BranchCatalog(spark, tmp("graft-cat-drift"))
+    val alerter = new BufferAlerter
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+    def runOnce(): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "m",
+        checks = Seq.empty, ckpt, alerter, Trigger.AvailableNow(),
+        crossChecks = Seq(DriftCheck(() => cat.scan("m"), "v", maxPsi = 0.25)))
+      q.awaitTermination()
+    }
+    def file(shift: Double, base: Long): Unit =
+      (0 until 400).map(i => (base + i, 50.0 + (i % 20) + shift)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(drop)
+
+    file(0.0, 0L); runOnce()
+    assert(cat.scan("m").count() == 400, "first file publishes (empty reference)")
+    file(300.0, 1000L); runOnce()
+    assert(cat.scan("m").count() == 400, "a drifted file must not publish")
+    assert(alerter.alerts.size == 1)
+    assert(alerter.alerts.head._3.failed.head.name.startsWith("drift("))
+  }
+
   test("fileIngest self-maintenance: periodic compaction folds micro-batch files") {
     val drop = tmp("graft-drop2")
     val ckpt = tmp("graft-ckpt2")
