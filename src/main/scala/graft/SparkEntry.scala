@@ -35,6 +35,8 @@ object SparkEntry {
     "q21_percentiles" -> (Relational.q21Percentiles _),
     "q22_interval_join" -> (Relational.q22IntervalJoin _),
     "q23_spend_deciles" -> (Relational.q23SpendDeciles _),
+    "q23_deciles_approx" -> (Relational.q23SpendDecilesApprox _),
+    "q21_percentiles_approx" -> (Relational.q21PercentilesApprox _),
     "curate_mix" -> (PipelineQueries.curateMix _),
     "events_asof" -> (PipelineQueries.eventsAsof _),
     "events_sessions" -> (PipelineQueries.eventsSessions _),
@@ -123,7 +125,7 @@ object SparkEntry {
     "q20_multi_grouping" ->
       """SELECT 'status' AS "level", o_orderstatus AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'priority' AS "level", o_orderpriority AS "key", count(*) AS n, round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY o_orderpriority""",
     "q21_percentiles" ->
-      """SELECT event_type, round(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END), 2) AS p50, round(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END), 2) AS p90, round(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END), 2) AS p99, max(n) AS n FROM (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events) t GROUP BY event_type""",
+      """SELECT event_type, round(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END), 2) AS p50, round(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END), 2) AS p90, round(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END), 2) AS p99, max(n) AS n FROM (SELECT event_type, value, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events WHERE value IS NOT NULL) t GROUP BY event_type""",
     "q22_interval_join" ->
       """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue FROM orders JOIN (VALUES ('b0', 0.0, 1000.0), ('b1', 1000.0, 2000.0), ('b2', 2000.0, 5000.0), ('b3', 5000.0, 10000.0), ('b4', 10000.0, 20000.0), ('b5', 20000.0, 50000.0), ('b6', 50000.0, 100000.0), ('b7', 100000.0, 200000.0), ('b8', 200000.0, 500000.0), ('b9', 500000.0, 1000000.0)) AS bands(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band""",
     "q23_spend_deciles" ->
@@ -147,7 +149,7 @@ object SparkEntry {
     "dq_ref_integrity" ->
       """SELECT count(*) AS n_rows, CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, round(CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_ratio FROM events e LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON e.user_id = p.pk""",
     "dq_drift" ->
-      """WITH allx AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS side FROM orders), bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM allx), bucketed AS (SELECT least(9, CAST(floor((x - lo) / nullif(hi - lo, 0.0) * 10.0) AS BIGINT)) AS b, side FROM allx, bounds), counts AS (SELECT b, CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS cr, CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cc FROM bucketed GROUP BY b), totals AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc, count(*) AS np FROM counts) SELECT nr AS n_ref, nc AS n_cur, round(sum(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - (CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / ((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)))) + (10.0 - np) * (0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - 0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln((0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / (0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0))), 6) AS psi FROM counts, totals GROUP BY nr, nc, np""",
+      """WITH allx AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS side FROM orders WHERE o_totalprice IS NOT NULL), bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM allx), bucketed AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, CAST(floor((x - lo) / (hi - lo) * 10.0) AS BIGINT)) END AS b, side FROM allx, bounds), counts AS (SELECT b, CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS cr, CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cc FROM bucketed GROUP BY b), totals AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc, count(*) AS np FROM counts) SELECT nr AS n_ref, nc AS n_cur, round(sum(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - (CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln(((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / ((CAST(cc AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * 10.0)))) + greatest(0.0, 10.0 - np) * (0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0) - 0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0)) * ln((0.5 / (CAST(nr AS DOUBLE) + 0.5 * 10.0)) / (0.5 / (CAST(nc AS DOUBLE) + 0.5 * 10.0))), 6) AS psi FROM counts, totals GROUP BY nr, nc, np""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
     "dedup_exact_norm" ->

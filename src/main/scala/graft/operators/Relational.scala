@@ -250,8 +250,13 @@ object Relational {
     val all = Window.partitionBy(col("event_type"))
     def pick(p: Double) =
       max(when(col("rn") === ceil(col("n") * p), col("value")))
+    // Nulls are excluded BEFORE ranking: Spark windows sort NULLS FIRST
+    // while DuckDB sorts NULLS LAST, so a null value would both shift
+    // every rank and be pickable at p99 — percentiles are over observed
+    // values only.
     Tables.events(spark, dir)
       .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(byValue))
       .withColumn("n", count(lit(1)).over(all))
       .groupBy(col("event_type"))
@@ -264,9 +269,10 @@ object Relational {
 
   /** Customer spend deciles: per-customer totals, ntile(10) over the
     * fully tie-broken global ranking, decile-level rollup. The global
-    * ntile inherently serializes the ranking onto one reducer — correct
-    * for a query whose RESULT is a global ranking; at 100 TB segment via
-    * approx quantile cutpoints instead (see q21's sketch note). */
+    * ntile inherently serializes the ranking onto one reducer — it exists
+    * as the exact ORACLE for [[q23SpendDecilesApprox]], which is the
+    * scale path (sketch cutpoints + map-side bucketing, no global sort)
+    * and is what you'd run at 100 TB. */
   def q23SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(spark, dir)
@@ -277,6 +283,47 @@ object Relational {
     ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), round(sum(col("spend")), 2).as("decile_spend"))
   }
+
+  /** Scale-safe spend deciles: 9 decile cutpoints from one
+    * Greenwald-Khanna sketch job (`approxQuantile`, map-side-mergeable,
+    * 9 doubles on the driver) and decile assignment as a map-side chain
+    * of 9 codegen comparisons — no global sort, no single-reducer window,
+    * the plan that replaces [[q23SpendDeciles]]'s global ntile at 100 TB.
+    * Deciles are numbered like the exact query: 1 = highest spend.
+    * Boundary rows can land one decile off the exact ntile split (sketch
+    * error + ties share a decile here but are split round-robin by
+    * ntile) — RelationalSpec bounds the divergence against the exact
+    * hash-green result. */
+  def q23SpendDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val cuts = spend.stat.approxQuantile(
+      "spend", (1 to 9).map(_ / 10.0).toArray, 0.001)
+    // #{cutpoints <= spend} counts buckets from the bottom; flip so
+    // decile 1 is the top band, matching ntile(... ORDER BY spend DESC).
+    val decile = cuts.foldLeft(lit(10)) { (acc, c) =>
+      acc - when(col("spend") >= lit(c), 1).otherwise(0)
+    }
+    spend.withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("spend")), 2).as("decile_spend"))
+  }
+
+  /** Sketch percentiles — the operator form of q21's 100 TB note: ONE
+    * aggregate of map-side-mergeable t-digest sketches per event_type,
+    * no per-group sort, no windows keyed by a 5-value column. The exact
+    * rank-picked [[q21Percentiles]] stays as its accuracy oracle
+    * (TemporalSpec bounds the sketch against it). */
+  def q21PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 2).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 2).as("p90"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 2).as("p99"),
+        count(lit(1)).as("n"))
 
   /** Revenue per non-uniform price band via the bucket-decomposed
     * interval join ([[Ranges.intervalJoin]]) — an equi-join on bucket

@@ -23,8 +23,12 @@ object Temporal {
     * Implementation: tag and union the two inputs, then one window pass
     * per key ordered by (time, side) — right rows sort before left rows
     * at equal times, so a simultaneous right row IS visible (<=, not <) —
-    * carrying the last non-null right payload forward. One shuffle on the
-    * key, one sort, any number of payload columns.
+    * carrying the last right row forward AS ONE STRUCT, so a right row
+    * whose payload is NULL is carried intact (per-column carry would mix
+    * fields from different right rows when later payloads are null). The
+    * struct itself is the final orderBy tie-break, so equal-time right
+    * rows resolve deterministically regardless of partitioning. One
+    * shuffle on the key, one sort, any number of payload columns.
     *
     * @param payload right-side columns to attach (emitted as
     *                `asof_<name>` so they never collide with left
@@ -56,13 +60,19 @@ object Temporal {
       .select((keys.map(col) ++ Seq(col("__t"), col("__side"), col("__asof_time")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(p => col(p).as(s"__p_$p"))): _*)
+    // The whole right row as one nullable struct: null for left rows, so
+    // last(ignoreNulls) skips them but carries null PAYLOADS atomically.
+    val rStruct = when(col("__side") === 0,
+      struct((col("__asof_time").as("__at") +:
+        payload.map(p => col(s"__p_$p").as(s"__f_$p"))): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, rStruct.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(rStruct, ignoreNulls = true).over(w)
     val outCols: Seq[org.apache.spark.sql.Column] =
       Seq(col("__side")) ++ leftCols.map(col) ++
-        Seq(last(col("__asof_time"), ignoreNulls = true).over(w).as("asof_time")) ++
-        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))
+        Seq(carried.getField("__at").as("asof_time")) ++
+        payload.map(p => carried.getField(s"__f_$p").as(s"asof_$p"))
     l.unionByName(r)
       .select(outCols: _*)
       .filter(col("__side") === 1)

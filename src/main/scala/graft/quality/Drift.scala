@@ -49,7 +49,10 @@ case class DriftCheck(
   def name = s"drift($colName, max=$maxPsi)"
   def run(audited: DataFrame): CheckResult = {
     val row = Drift.psi(reference(), audited, colName, buckets).collect().head
-    if (row.getLong(0) == 0L) CheckResult(name, passed = true, violations = 0L)
+    // n_ref is NULL (not 0) when both sides are empty of non-null values —
+    // nothing to drift from either way.
+    if (row.isNullAt(0) || row.getLong(0) == 0L)
+      CheckResult(name, passed = true, violations = 0L)
     else {
       val psi = row.getDouble(2)
       CheckResult(name, passed = psi <= maxPsi, violations = math.round(psi * 1e6))
@@ -76,24 +79,30 @@ object Drift {
 
   /** PSI over `buckets` equal-width bins spanning the COMBINED min/max,
     * with +0.5 Laplace smoothing per bin so empty bins never divide by
-    * zero. Bins empty on both sides contribute analytically (their count
-    * is `buckets` minus the observed bins — no bin table materialized).
-    * Two tiny aggregates over one pass of each side; every arithmetic
-    * step is ANSI-expressible, so the driver hash-checks it.
+    * zero. NULL values are excluded before bucketing (n_ref/n_cur count
+    * non-null values only); a degenerate hi==lo range folds everything
+    * into bucket 0. Bins empty on both sides contribute analytically
+    * (their count is `buckets` minus the observed bins, clamped at 0 —
+    * no bin table materialized). Two tiny aggregates over one pass of
+    * each side; every arithmetic step is ANSI-expressible, so the driver
+    * hash-checks it.
     * @return one row: (n_ref, n_cur, psi) */
   def psi(
       ref: DataFrame, cur: DataFrame, colName: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "at least 2 buckets")
     val b = buckets.toDouble
-    val all = ref.select(col(colName).cast("double").as("__x")).withColumn("__side", lit("ref"))
+    val all = ref.select(col(colName).cast("double").as("__x"))
+      .filter(col("__x").isNotNull).withColumn("__side", lit("ref"))
       .unionByName(
-        cur.select(col(colName).cast("double").as("__x")).withColumn("__side", lit("cur")))
+        cur.select(col(colName).cast("double").as("__x"))
+          .filter(col("__x").isNotNull).withColumn("__side", lit("cur")))
     val bounds = all.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
     val bucketed = all.crossJoin(broadcast(bounds))
       .withColumn("__b",
-        least(lit(buckets - 1),
-          floor((col("__x") - col("__lo")) / nullif(col("__hi") - col("__lo"), lit(0.0)) * lit(b))))
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(buckets - 1),
+            floor((col("__x") - col("__lo")) / (col("__hi") - col("__lo")) * lit(b)))))
     val counts = bucketed.groupBy(col("__b")).agg(
       sum(when(col("__side") === "ref", 1L).otherwise(0L)).as("cr"),
       sum(when(col("__side") === "cur", 1L).otherwise(0L)).as("cc"))
@@ -111,7 +120,8 @@ object Drift {
         first(p0).as("__p0"), first(q0).as("__q0"))
       .select(col("n_ref"), col("n_cur"),
         round(col("__present") +
-          (lit(b) - col("__np")) * (col("__p0") - col("__q0")) * log(col("__p0") / col("__q0")),
+          greatest(lit(0.0), lit(b) - col("__np")) *
+            (col("__p0") - col("__q0")) * log(col("__p0") / col("__q0")),
           6).as("psi"))
   }
 }

@@ -52,4 +52,25 @@ class QualityChecksSpec extends SparkSpecBase {
     assert(math.abs(stable - r6(brute(sameA, sameB))) <= 1e-6)
     assert(math.abs(alarm - r6(brute(sameA, shifted))) <= 1e-6)
   }
+
+  test("psi: nulls are excluded, degenerate constant range is stable, empty sides pass DriftCheck") {
+    // Nulls must not form a phantom bucket that drives the analytic
+    // empty-bin count negative.
+    val ref = Seq(Some(1.0), Some(2.0), None, Some(3.0)).toDF("x")
+    val cur = Seq(Some(1.0), None, None, Some(3.0)).toDF("x")
+    val r = Drift.psi(ref, cur, "x", buckets = 10).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2, "n_ref/n_cur count non-null values only")
+    assert(r.getDouble(2) >= 0.0, "PSI is non-negative by definition")
+
+    // hi == lo (constant column): everything lands in bucket 0, no NaN.
+    val const = Drift.psi(Seq(7.0, 7.0).toDF("x"), Seq(7.0).toDF("x"), "x").collect().head
+    assert(const.getLong(0) == 2 && const.getLong(1) == 1)
+    assert(!const.getDouble(2).isNaN)
+
+    // Both sides empty (or all-null): DriftCheck passes instead of NPE-ing.
+    val empty = Seq.empty[Double].toDF("x")
+    val check = graft.quality.DriftCheck(() => empty, "x")
+    val res = check.run(Seq(Option.empty[Double]).toDF("x"))
+    assert(res.passed && res.violations == 0L)
+  }
 }

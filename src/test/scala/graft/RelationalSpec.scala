@@ -67,6 +67,31 @@ class RelationalSpec extends SparkSpecBase {
     assert(exchanges <= 2, s"rank+count windows must reuse the event_type partitioning:\n$p")
   }
 
+  test("q23 approx deciles: no global sort/window in the plan, close to exact ntile") {
+    val df = Relational.q23SpendDecilesApprox(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"sketch path must not plan a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Sort ["),
+      s"sketch path must not serialize onto one reducer:\n$p")
+
+    val exact = Relational.q23SpendDeciles(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = df.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nTotal = exact.values.map(_._1).sum
+    assert(approx.values.map(_._1).sum == nTotal, "every customer lands in exactly one decile")
+    assert(approx.keySet.subsetOf((1 to 10).toSet))
+    // each decile holds ~n/10 customers (sketch error + tie clustering allow slack)
+    val target = nTotal / 10.0
+    for ((d, (n, _)) <- approx)
+      assert(math.abs(n - target) <= math.max(2.0, 0.15 * target),
+        s"decile $d holds $n customers, expected ~$target")
+    // decile spend totals track the exact split
+    val exactSpend = exact.values.map(_._2).sum
+    for (d <- 1 to 10 if exact.contains(d) && approx.contains(d))
+      assert(math.abs(approx(d)._2 - exact(d)._2) <= 0.05 * exactSpend + 1.0,
+        s"decile $d spend ${approx(d)._2} vs exact ${exact(d)._2}")
+  }
+
   test("intervalJoin equals the nested-loop range join and never plans one") {
     import graft.operators.Ranges
     import org.apache.spark.sql.functions.col

@@ -49,6 +49,30 @@ class TemporalSpec extends SparkSpecBase {
     assert(out(3L).isEmpty, "unseen key joins to nothing")
   }
 
+  test("asofJoin carries a null-payload right row atomically (no field mixing)") {
+    // errors at t=1 (value 5.0) and t=2 (value NULL); a click at t=3 must
+    // pair asof_time=2 with a NULL value — not t=2 with the t=1 payload.
+    val left = Seq((1L, 10L, 3L)).toDF("id", "k", "t")
+    val right = Seq((10L, 1L, Option(5.0)), (10L, 2L, Option.empty[Double]))
+      .toDF("k", "rt", "v")
+    val row = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().head
+    assert(row.getLong(3) == 2L, "latest right row wins")
+    assert(row.isNullAt(4), "its NULL payload is carried, not an older value")
+  }
+
+  test("asofJoin equal-time right rows resolve deterministically across partitionings") {
+    val left = Seq((1L, 10L, 5L)).toDF("id", "k", "t")
+    val right = Seq((10L, 2L, 1.0), (10L, 2L, 9.0), (10L, 2L, 4.0)).toDF("k", "rt", "v")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      Temporal.asofJoin(left, r, Seq("k"), "t", "rt", Seq("v"))
+        .collect().head match { case row => (row.getLong(3), row.getDouble(4)) }
+    val base = run(right)
+    assert(base == (2L, 9.0), "tie-break = max right-row struct")
+    assert(run(right.repartition(7)) == base)
+    assert(run(right.orderBy(col("v").desc)) == base)
+  }
+
   test("eventsSessions equals brute-force gap-split sessionization") {
     val gap = 30L * 60L * 1000000000L
     val expected = events.groupBy(_.user).flatMap { case (user, evs) =>
@@ -76,14 +100,13 @@ class TemporalSpec extends SparkSpecBase {
       assert(got(k) == want, s"session $k: got ${got(k)}, want $want")
   }
 
-  test("q21 exact percentiles: approx_percentile sketch lands within tolerance") {
+  test("q21PercentilesApprox (the sketch operator) lands within tolerance of exact") {
     val exact = graft.operators.Relational.q21Percentiles(spark, sfDir)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    val approx = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = graft.operators.Relational.q21PercentilesApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     assert(exact.keySet == approx.keySet)
     for ((t, ex) <- exact; (e, a) <- ex.zip(approx(t)))
       assert(math.abs(e - a) <= 0.25, s"$t: exact $e vs approx $a")
