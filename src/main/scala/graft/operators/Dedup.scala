@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.4).
@@ -16,6 +17,37 @@ import graft.functions.VectorFunctions._
   * is the standard large-corpus behavior and needs no iterative jobs.
   */
 object Dedup {
+
+  /** The cached (id, shingle-hashes, minhash-signature) projection every
+    * shingle-based dedup variant starts from. Computing it is the one
+    * full-corpus pass of the family — at 100 TB, running MinHash-LSH,
+    * n-gram Jaccard, containment AND cluster dedup without sharing it
+    * means four redundant corpus scans + signature computations. Prepare
+    * once, pass the handle to each variant, `unpersist()` when done.
+    * The projection is long arrays only (shingle hashes + 128-long
+    * signature, never text), persisted MEMORY_AND_DISK so oversized
+    * partitions spill instead of OOM-ing. */
+  final case class Prepared private[operators] (
+      sh: DataFrame, numHashes: Int, shingleN: Int) {
+    def unpersist(): Unit = { sh.unpersist(); () }
+  }
+
+  /** One corpus pass: shingle hashes + minhash signature, persisted. */
+  def prepare(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, shingleN: Int = 3,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Prepared =
+    Prepared(shingleProjection(df, idCol, textCol, numHashes, shingleN).persist(storage),
+      numHashes, shingleN)
+
+  /** shingle HASHES, not strings: one native pass per row (the string
+    * shingle arrays exist nowhere), and the exact verify measures
+    * intersect long arrays instead of string arrays. */
+  private def shingleProjection(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
 
   /** Within-bucket candidate pairs (id_a < id_b) from a banded
     * (key1, key2, __id) frame, optionally carrying small payload columns
@@ -65,6 +97,37 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** LSH-blocked, exactly-verified pairs from a shingle projection: band
+    * the signature, generate within-bucket candidates, re-attach shingles
+    * and keep pairs where `measure(sh_a, sh_b) >= threshold`.
+    *
+    * Banding carries ONLY (band, bucket, id): the band join must not
+    * shuffle shingle payloads — at 100 TB the shingle sets dominate the
+    * row size and the explode multiplies them x bands x 2 sides. Shingles
+    * are re-attached to the (much smaller) surviving candidate set. */
+  private def lshVerifiedPairs(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      measure: (Column, Column) => Column, outName: String,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = sh.select(col("__id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
+    bucketPairs(banded, "__band", "__bkey")
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn(outName, measure(col("sh_a"), col("sh_b")))
+      .filter(col(outName) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col(outName), 4).as(outName))
+  }
+
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  private def containmentOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / least(size(a), size(b)).cast("double")
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
     * with exact shingle-set Jaccard.
     *
@@ -73,36 +136,14 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // shingle HASHES, not strings: one native pass per row (the string
-    // shingle arrays exist nowhere), and the exact-Jaccard verify below
-    // intersects long arrays instead of string arrays
-    val sh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
+      threshold: Double = 0.8): DataFrame =
+    lshVerifiedPairs(shingleProjection(df, idCol, textCol, numHashes, shingleN),
+      numHashes, bands, jaccardOf, "jaccard", threshold)
 
-    // Banding carries ONLY (band, bucket, id): the band join must not
-    // shuffle shingle payloads — at 100 TB the shingle sets dominate the
-    // row size and the explode multiplies them x bands x 2 sides. Shingles
-    // are re-attached to the (much smaller) surviving candidate set below.
-    val banded = sh
-      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
-      .select(col("__id"),
-        posexplode(array((0 until bands).map(b =>
-          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
-
-    val candidates = bucketPairs(banded, "__band", "__bkey")
-
-    // exact shingle-set Jaccard verify, shingles re-attached per side
-    candidates
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+  /** [[minhashPairs]] over a shared [[Prepared]] projection (no new
+    * corpus pass). */
+  def minhashPairs(p: Prepared, bands: Int, threshold: Double): DataFrame =
+    lshVerifiedPairs(p.sh, p.numHashes, bands, jaccardOf, "jaccard", threshold)
 
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold — the
     * asymmetric measure that catches a document CONTAINED in a larger one
@@ -115,24 +156,13 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
-      threshold: Double = 0.9): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
-    val banded = sh
-      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
-      .select(col("__id"),
-        posexplode(array((0 until bands).map(b =>
-          hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
-    bucketPairs(banded, "__band", "__bkey")
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
-  }
+      threshold: Double = 0.9): DataFrame =
+    lshVerifiedPairs(shingleProjection(df, idCol, textCol, numHashes, shingleN),
+      numHashes, bands, containmentOf, "containment", threshold)
+
+  /** [[containmentPairs]] over a shared [[Prepared]] projection. */
+  def containmentPairs(p: Prepared, bands: Int, threshold: Double): DataFrame =
+    lshVerifiedPairs(p.sh, p.numHashes, bands, containmentOf, "containment", threshold)
 
   /** MinHash-LSH dedup: survivors after dropping every doc that has a
     * verified near-duplicate with a smaller id. */
@@ -141,6 +171,15 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 16, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val dupIds = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashLsh]] over a shared [[Prepared]] projection. */
+  def minhashLsh(
+      df: DataFrame, idCol: String, p: Prepared,
+      bands: Int, threshold: Double): DataFrame = {
+    val dupIds = minhashPairs(p, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -175,6 +214,10 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
     minhashPairs(df, idCol, textCol,
       numHashes = 128, bands = 32, shingleN = shingleN, threshold = threshold)
+
+  /** [[ngramJaccard]] over a shared [[Prepared]] projection. */
+  def ngramJaccard(p: Prepared, threshold: Double): DataFrame =
+    minhashPairs(p, bands = 32, threshold = threshold)
 
   /** Embedding-cosine near-duplicate pairs, blocked by banded signed-
     * random-projection LSH (`tables` hash tables of `bits` bits — see
@@ -259,6 +302,12 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     clusterDedup(df, idCol,
       minhashPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold))
+
+  /** [[minhashLshClustered]] over a shared [[Prepared]] projection. */
+  def minhashLshClustered(
+      df: DataFrame, idCol: String, p: Prepared,
+      bands: Int, threshold: Double): DataFrame =
+    clusterDedup(df, idCol, minhashPairs(p, bands, threshold))
 
   /** Embedding near-dup survivors (drop docs with a near-dup of smaller id). */
   def embeddingDedup(

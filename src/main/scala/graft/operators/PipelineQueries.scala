@@ -13,6 +13,17 @@ object PipelineQueries {
 
   // ---- §2.4 dedup -------------------------------------------------------
 
+  /** The shingle+signature projection shared by the four shingle-based
+    * dedup queries, prepared once per (session, dataset) — running the
+    * family without it costs four redundant full-corpus passes (the
+    * SURVEY §4 shingle-reuse note, now code). Safe as a cache: contents
+    * are deterministic functions of (dir, seed-free native hashes). */
+  private val preparedDocs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.Prepared]()
+  private def docsPrepared(spark: SparkSession, dir: String): Dedup.Prepared =
+    preparedDocs.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => Dedup.prepare(Tables.documents(spark, dir), "doc_id", "text"))
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -22,7 +33,8 @@ object PipelineQueries {
   /** Survivors of MinHash-LSH dedup at jaccard>=0.8, with duplicate pair
     * count per survivor unavailable — emit (doc_id) sorted set. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", docsPrepared(spark, dir),
+      bands = 16, threshold = 0.8)
       .select(col("doc_id"))
 
   /** MinHash-LSH dedup with CLUSTER semantics: one survivor per connected
@@ -30,19 +42,18 @@ object PipelineQueries {
     * transitive chains A~B~C collapse even when A and C never paired.
     * Value oracle: DedupSpec equals an in-test union-find. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshClustered(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.minhashLshClustered(Tables.documents(spark, dir), "doc_id",
+      docsPrepared(spark, dir), bands = 16, threshold = 0.8)
       .select(col("doc_id"))
 
   /** Exact n-gram Jaccard pairs at threshold 0.5 over LSH-blocked
     * candidates (narrow 32-band blocking for recall at the low threshold). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(spark, dir), "doc_id", "text",
-      threshold = 0.5)
+    Dedup.ngramJaccard(docsPrepared(spark, dir), threshold = 0.5)
 
   /** Containment near-dup pairs at 0.9 (doc-inside-doc detection). */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
-      threshold = 0.9)
+    Dedup.containmentPairs(docsPrepared(spark, dir), bands = 32, threshold = 0.9)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",

@@ -20,7 +20,11 @@ case class DataFileMeta(
     rows: Long,
     lower: Map[String, String] = Map.empty,
     upper: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty)
+    nullCounts: Map[String, Long] = Map.empty,
+    /** Hidden-partitioning transform value ("pv" -> value) when the file
+      * was written by [[BranchCatalog.appendPartitioned]]; empty for
+      * unpartitioned files (which partition pruning then never skips). */
+    partition: Map[String, String] = Map.empty)
 
 /** One immutable manifest file: the unit of commit. An append writes
   * exactly one manifest (listing only ITS files), so commit metadata cost
@@ -37,13 +41,23 @@ case class Snapshot(
     parentId: Option[String],
     manifests: Seq[ManifestRef],
     schemaDdl: String,
-    committedAtMillis: Long)
+    committedAtMillis: Long,
+    /** Serialized [[PartitionSpec]] ("day(ts)", "bucket(16,id)") when the
+      * table is hidden-partitioned; scans align predicates against it
+      * before consulting footer stats. */
+    partitionSpec: Option[String] = None)
 
 /** Catalog state on one branch: table name -> snapshot id. */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
 
 /** What one expireSnapshots run reclaimed. */
 case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
+
+/** What one deleteWhere commit did. Top-level (not nested in the catalog)
+  * so results compare equal across catalog instances. */
+case class DeleteResult(
+    snapshot: Snapshot, rowsDeleted: Long,
+    filesRewritten: Long, filesUntouched: Long)
 
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
@@ -234,7 +248,8 @@ class BranchCatalog(
     StructField("path", StringType), StructField("rows", LongType),
     StructField("lower", MapType(StringType, StringType)),
     StructField("upper", MapType(StringType, StringType)),
-    StructField("nullCounts", MapType(StringType, LongType))))
+    StructField("nullCounts", MapType(StringType, LongType)),
+    StructField("partition", MapType(StringType, StringType))))
 
   /** A snapshot's manifest entries as a DataFrame — manifests are read
     * and parsed by EXECUTORS (Spark's JSON source yields one row per
@@ -273,42 +288,72 @@ class BranchCatalog(
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
     df.write.parquet(dir.toString)
-    val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val rows = blocks.map(_.getRowCount).sum
-          val lower = scala.collection.mutable.Map.empty[String, String]
-          val upper = scala.collection.mutable.Map.empty[String, String]
-          val nulls = scala.collection.mutable.Map.empty[String, Long]
-          for (b <- blocks; c <- b.getColumns.asScala) {
-            val name = c.getPath.toDotString
-            val stats = c.getStatistics
-            if (stats != null && !stats.isEmpty) {
-              nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
-              if (stats.hasNonNullValue) {
-                statString(stats.genericGetMin.asInstanceOf[AnyRef]).foreach { mn =>
-                  lower(name) = lower.get(name) match {
-                    case Some(cur) => if (statLt(mn, cur, stats)) mn else cur
-                    case None => mn
-                  }
-                }
-                statString(stats.genericGetMax.asInstanceOf[AnyRef]).foreach { mx =>
-                  upper(name) = upper.get(name) match {
-                    case Some(cur) => if (statLt(cur, mx, stats)) mx else cur
-                    case None => mx
-                  }
-                }
+      .map(footerMeta)
+  }
+
+  /** Hidden-partitioned write: ONE job writes the batch hash-grouped into
+    * `__pv=<value>` subdirectories (the transform column exists only in
+    * the directory name, never in the data files), then each file's
+    * metadata records its transform value alongside the footer stats. */
+  private def writePartitionedDataFiles(
+      table: String, df: DataFrame, spec: PartitionSpec): Seq[DataFileMeta] = {
+    import org.apache.spark.sql.functions.col
+    val commitId = UUID.randomUUID().toString
+    val dir = new Path(rootPath, s"tables/$table/data/$commitId")
+    df.withColumn("__pv", spec.valueCol)
+      .repartition(col("__pv"))
+      .write.partitionBy("__pv").parquet(dir.toString)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pv="))
+      .flatMap { pd =>
+        val raw = pd.getPath.getName.stripPrefix("__pv=")
+        val pv = java.net.URLDecoder.decode(raw, "UTF-8")
+        // a null transform value gets no partition metadata: it can never
+        // be proven out of range, so pruning keeps the file (sound)
+        val part =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") Map.empty[String, String]
+          else Map("pv" -> pv)
+        fs.listStatus(pd.getPath).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet"))
+          .map(st => footerMeta(st).copy(partition = part))
+      }
+  }
+
+  private def footerMeta(st: org.apache.hadoop.fs.FileStatus): DataFileMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val lower = scala.collection.mutable.Map.empty[String, String]
+      val upper = scala.collection.mutable.Map.empty[String, String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val stats = c.getStatistics
+        if (stats != null && !stats.isEmpty) {
+          nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+          if (stats.hasNonNullValue) {
+            statString(stats.genericGetMin.asInstanceOf[AnyRef]).foreach { mn =>
+              lower(name) = lower.get(name) match {
+                case Some(cur) => if (statLt(mn, cur, stats)) mn else cur
+                case None => mn
+              }
+            }
+            statString(stats.genericGetMax.asInstanceOf[AnyRef]).foreach { mx =>
+              upper(name) = upper.get(name) match {
+                case Some(cur) => if (statLt(cur, mx, stats)) mx else cur
+                case None => mx
               }
             }
           }
-          DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap)
-        } finally reader.close()
+        }
       }
+      DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap)
+    } finally reader.close()
   }
 
   /** Render a footer stat value to its canonical string (numbers via
@@ -399,7 +444,7 @@ class BranchCatalog(
       val parent = loadSnapshot(table, parentId)
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis())
+        System.currentTimeMillis(), parent.partitionSpec)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -439,7 +484,8 @@ class BranchCatalog(
         distributedPrunedPaths(snap, filter, schema)
       } else {
         val files = filter match {
-          case Some(cond) => pruneFiles(filesOf(snap), cond, schema)
+          case Some(cond) =>
+            pruneFiles(filesOf(snap), cond, schema, snap.partitionSpec.map(PartitionSpec.parse))
           case None => filesOf(snap)
         }
         files.map(_.path)
@@ -465,7 +511,8 @@ class BranchCatalog(
   def prunedDataFiles(table: String, cond: Column, branch: String = "main"): Seq[DataFileMeta] = {
     val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val snap = loadSnapshot(table, id)
-    pruneFiles(filesOf(snap), cond, StructType.fromDDL(snap.schemaDdl))
+    pruneFiles(filesOf(snap), cond, StructType.fromDDL(snap.schemaDdl),
+      snap.partitionSpec.map(PartitionSpec.parse))
   }
 
   // ---- file-level stats pruning -----------------------------------------
@@ -504,17 +551,77 @@ class BranchCatalog(
       case _ => None
     } catch { case _: Exception => None }
 
-  /** Keep only files whose stats cannot rule out `cond`. Unsupported
-    * predicate shapes / missing stats keep the file (pruning is always
-    * sound, never required). The Column is resolved through the analyzer
-    * against the table schema first (Spark 4 Columns are lazy ColumnNode
-    * graphs; analysis also applies the proper type coercion). */
-  private def pruneFiles(files: Seq[DataFileMeta], cond: Column, schema: StructType): Seq[DataFileMeta] = {
+  /** (column, op, literal) of a simple comparison conjunct, normalized so
+    * the attribute is always on the left (a literal-first comparison has
+    * its operator flipped). Shared by footer-stats pruning and partition-
+    * transform alignment on both planning paths. */
+  private def comparisonOf(p: Expression): Option[(String, String, Literal)] = p match {
+    case EqualTo(a, FoldedLit(l)) => attrName(stripCast(a)).map((_, "=", l))
+    case EqualTo(FoldedLit(l), a) => attrName(stripCast(a)).map((_, "=", l))
+    case GreaterThan(a, FoldedLit(l)) => attrName(stripCast(a)).map((_, ">", l))
+    case GreaterThan(FoldedLit(l), a) => attrName(stripCast(a)).map((_, "<", l))
+    case GreaterThanOrEqual(a, FoldedLit(l)) => attrName(stripCast(a)).map((_, ">=", l))
+    case GreaterThanOrEqual(FoldedLit(l), a) => attrName(stripCast(a)).map((_, "<=", l))
+    case LessThan(a, FoldedLit(l)) => attrName(stripCast(a)).map((_, "<", l))
+    case LessThan(FoldedLit(l), a) => attrName(stripCast(a)).map((_, ">", l))
+    case LessThanOrEqual(a, FoldedLit(l)) => attrName(stripCast(a)).map((_, "<=", l))
+    case LessThanOrEqual(FoldedLit(l), a) => attrName(stripCast(a)).map((_, ">=", l))
+    case _ => None
+  }
+
+  /** Partition-transform pruning, driver path: false ONLY when the file
+    * carries a transform value AND an aligned conjunct proves it out of
+    * range. Transform values compare as strings by construction (ISO
+    * dates order lexicographically; buckets compare for equality only). */
+  private def partitionMayMatch(
+      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec]): Boolean =
+    (for {
+      s <- spec
+      pv <- f.partition.get("pv")
+      (attr, op, l) <- comparisonOf(p) if attr == s.column
+      (alignOp, v) <- s.align(op, l)
+    } yield alignOp match {
+      case "=" => pv == v
+      case ">=" => pv >= v
+      case _ => pv <= v
+    }).getOrElse(true)
+
+  /** Partition-transform pruning as a Column over manifest entries (the
+    * distributed planning path); entries without partition metadata
+    * evaluate null and are kept. */
+  private def partitionMayMatchCol(p: Expression, spec: Option[PartitionSpec]): Column = {
+    import org.apache.spark.sql.functions._
+    (for {
+      s <- spec
+      (attr, op, l) <- comparisonOf(p) if attr == s.column
+      (alignOp, v) <- s.align(op, l)
+    } yield {
+      val pv = try_element_at(col("partition"), lit("pv"))
+      val cmp = alignOp match {
+        case "=" => pv === lit(v)
+        case ">=" => pv >= lit(v)
+        case _ => pv <= lit(v)
+      }
+      coalesce(cmp, lit(true))
+    }).getOrElse(org.apache.spark.sql.functions.lit(true))
+  }
+
+  /** Keep only files whose partition transform value and footer stats
+    * cannot rule out `cond`. Unsupported predicate shapes / missing stats
+    * keep the file (pruning is always sound, never required). The Column
+    * is resolved through the analyzer against the table schema first
+    * (Spark 4 Columns are lazy ColumnNode graphs; analysis also applies
+    * the proper type coercion). */
+  private def pruneFiles(
+      files: Seq[DataFileMeta], cond: Column, schema: StructType,
+      spec: Option[PartitionSpec] = None): Seq[DataFileMeta] = {
     resolvePredicate(cond, schema) match {
       case None => files
       case Some(pred) =>
         val preds = conjuncts(pred)
-        files.filter { f => preds.forall(p => mayMatch(f, p, schema)) }
+        files.filter { f =>
+          preds.forall(p => partitionMayMatch(f, p, spec) && mayMatch(f, p, schema))
+        }
     }
   }
 
@@ -523,9 +630,11 @@ class BranchCatalog(
   private[wap] def distributedPrunedPaths(
       snap: Snapshot, filter: Option[Column], schema: StructType): Seq[String] = {
     import org.apache.spark.sql.functions.col
+    val spec = snap.partitionSpec.map(PartitionSpec.parse)
     val entries = manifestEntries(snap)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
-      case Some(pred) => entries.filter(conjuncts(pred).map(mayMatchCol).reduce(_ && _))
+      case Some(pred) => entries.filter(conjuncts(pred)
+        .map(p => partitionMayMatchCol(p, spec) && mayMatchCol(p)).reduce(_ && _))
       case None => entries
     }
     kept.select(col("path")).collect().map(_.getString(0)).toSeq
@@ -660,13 +769,17 @@ class BranchCatalog(
     }
   }
 
-  /** reference app.py:302 catalog.merge(branch, 'main'): 3-way append-only
-    * merge at MANIFEST granularity — manifests the branch added since its
-    * fork base are appended onto the target's current snapshot, table by
+  /** reference app.py:302 catalog.merge(branch, 'main'): TRUE 3-way merge
+    * at MANIFEST granularity — relative to the branch's fork base, the
+    * manifests the branch ADDED are appended onto the target's current
+    * snapshot and the manifests the branch REMOVED (a [[deleteWhere]]
+    * rewrite, an on-branch compaction) are dropped from it, table by
     * table. Publishing is a pure metadata commit (no data copied).
-    * Idempotent: added manifests are also de-duplicated against the
-    * destination, and the source branch is advanced onto the merged state,
-    * so merging the same branch twice never duplicates rows. */
+    * Idempotent: added manifests are de-duplicated against the
+    * destination, removals of manifests the destination no longer carries
+    * are no-ops, and the source branch is advanced onto the merged state,
+    * so merging the same branch twice never duplicates or re-deletes
+    * rows. */
   def merge(branch: String, into: String = "main"): Unit =
     commitRefs { refs =>
       val src = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -681,16 +794,21 @@ class BranchCatalog(
           val baseManifests = baseSnapId.map(loadSnapshot(table, _).manifests).getOrElse(Seq.empty)
           val dstSnapOpt = dstTables.get(table).map(loadSnapshot(table, _))
           val dstManifests = dstSnapOpt.map(_.manifests).getOrElse(Seq.empty)
+          val srcPaths = srcManifests.map(_.path).toSet
+          val removed = baseManifests.map(_.path).filterNot(srcPaths.contains).toSet
           val added = srcManifests
             .filterNot(m => baseManifests.exists(_.path == m.path))
             .filterNot(m => dstManifests.exists(_.path == m.path))
-          if (added.nonEmpty || dstSnapOpt.isEmpty) {
+          val dropsFromDst = dstManifests.exists(m => removed.contains(m.path))
+          if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty) {
             val merged = Snapshot(
               newId(),
               dstSnapOpt.map(_.id),
-              dstManifests ++ added,
+              dstManifests.filterNot(m => removed.contains(m.path)) ++ added,
               dstSnapOpt.map(_.schemaDdl).getOrElse(loadSnapshot(table, srcSnapId).schemaDdl),
-              System.currentTimeMillis())
+              System.currentTimeMillis(),
+              dstSnapOpt.flatMap(_.partitionSpec)
+                .orElse(loadSnapshot(table, srcSnapId).partitionSpec))
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
             srcTables = srcTables.updated(table, merged.id)
@@ -800,7 +918,7 @@ class BranchCatalog(
       for (nf <- newSchema.fields if !old.fieldNames.contains(nf.name))
         require(nf.nullable, s"added column ${nf.name} must be nullable")
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
-        System.currentTimeMillis())
+        System.currentTimeMillis(), cur.partitionSpec)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -863,6 +981,108 @@ class BranchCatalog(
     append(table, ranged.sortWithinPartitions(cols: _*), branch)
   }
 
+  /** Append under a hidden-partitioning transform (day(ts) /
+    * bucket(n, id)): rows are grouped by the transform value in one write
+    * job, each data file records its value in manifest metadata, and the
+    * spec is committed on the snapshot so scans short-circuit
+    * transform-aligned predicates BEFORE footer stats — a point lookup on
+    * a bucket(n, id) table reads 1/n of the files however the id values
+    * interleave, where range stats alone prune nothing. The transform
+    * column itself is never stored (that is what "hidden" means — readers
+    * query the source column, partitioning is a layout concern). Mixing
+    * appendPartitioned with plain appends is legal: unpartitioned files
+    * carry no transform value and are simply never partition-pruned. */
+  def appendPartitioned(
+      table: String, df: DataFrame, spec: PartitionSpec,
+      branch: String = "main"): Snapshot = {
+    val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
+      case Some(snap) if snap.schemaDdl.nonEmpty =>
+        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
+      case _ => df
+    }
+    val newFiles = writePartitionedDataFiles(table, aligned, spec)
+    val manifest = writeManifest(table, newFiles)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val parent = loadSnapshot(table, parentId)
+      require(parent.partitionSpec.forall(_ == spec.format),
+        s"table $table is partitioned by ${parent.partitionSpec.get}, not ${spec.format}; " +
+          "partition evolution requires a rewrite")
+      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
+        if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
+        System.currentTimeMillis(), Some(spec.format))
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** Row-level DELETE, copy-on-write (the catalog-API table op the
+    * reference inherits from PyIceberg, app.py:173 `_table` surface):
+    * footer stats prune the table to the files that MAY hold matching
+    * rows, ONLY those files are rewritten minus the matching rows, and
+    * one commit swaps them — manifests with no affected file carry over
+    * by reference, a partially-affected manifest is replaced by a
+    * metadata-only rewrite listing its untouched files. Untouched data
+    * files are never read or copied, so a selective delete on a
+    * range-clustered 100 TB table costs O(matching files), not O(table).
+    * SQL DELETE semantics: rows where `cond` is NULL are KEPT. Older
+    * snapshots still reference the original files (time travel shows the
+    * pre-delete state) until [[expireSnapshots]] reclaims them; publish a
+    * branch delete with [[merge]], which carries manifest removals.
+    * Planning reads manifests driver-side (the affected set must reach
+    * the driver to be rewritten anyway — the same shape as Iceberg's
+    * copy-on-write RewriteFiles planning). */
+  def deleteWhere(table: String, cond: Column, branch: String = "main"): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    // per-manifest split so untouched manifests survive by reference
+    val perManifest = cur.manifests.map { m =>
+      val files = readManifest(m.path)
+      val affected = pruneFiles(files, cond, schema)
+      val affectedPaths = affected.map(_.path).toSet
+      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+    }
+    val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    if (affectedFiles.isEmpty)
+      return DeleteResult(cur, 0L, 0L, totalFiles)
+
+    val survivors = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+      .filter(not(coalesce(cond, lit(false))))
+    val rewritten = writeDataFiles(table, survivors)
+    val (kept, empty) = rewritten.partition(_.rows > 0)
+    // 0-row part files are ours and uncommitted — drop them now, they
+    // would otherwise be invisible to orphan GC (never in any manifest)
+    empty.foreach(f => fs.delete(new Path(f.path), false))
+
+    val newManifests =
+      perManifest.flatMap { case (m, affected, untouched) =>
+        if (affected.isEmpty) Some(m)
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+        else None
+      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept)) else Seq.empty)
+    val rowsDeleted = affectedFiles.map(_.rows).sum - kept.map(_.rows).sum
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during delete")
+      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    DeleteResult(committed, rowsDeleted,
+      affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+  }
+
   // ---- maintenance: compaction + snapshot expiry ------------------------
 
   /** Fold every manifest of table@branch's current snapshot into ONE new
@@ -877,7 +1097,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(folded), cur.schemaDdl, System.currentTimeMillis())
+      committed = Snapshot(newId(), Some(curId), Seq(folded), cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -899,7 +1120,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl, System.currentTimeMillis())
+      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }

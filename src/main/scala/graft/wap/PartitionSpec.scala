@@ -1,0 +1,90 @@
+package graft.wap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Literal, XxHash64}
+import org.apache.spark.sql.types._
+
+/** Hidden-partitioning transform (the Iceberg partition-spec analogue the
+  * reference gets from PyIceberg): data files carry the TRANSFORM value
+  * (a day, a bucket number) in manifest metadata, the transform column
+  * itself is never stored, and readers never name it — scans prune on
+  * transform-aligned predicates over the SOURCE column before footer
+  * stats are even consulted.
+  *
+  * Transform values serialize as strings chosen to compare correctly
+  * under plain string ordering (ISO dates; bucket equality only), so the
+  * same alignment logic serves the driver prune path and the distributed
+  * manifest-entry DataFrame path.
+  */
+sealed trait PartitionSpec {
+  /** Source column the transform derives from. */
+  def column: String
+  /** The transform value as a string Column over the data. */
+  def valueCol: Column
+  /** Canonical serialized form, stored in the snapshot. */
+  def format: String
+  /** Align one predicate conjunct with this transform: Some((op, value))
+    * with op in {"=", "<=", ">="} when the conjunct constrains the
+    * partition value, None when it doesn't (never prune on it). The
+    * literal arrives analyzer-coerced to the source column's type. */
+  def align(op: String, lit: Literal): Option[(String, String)]
+}
+
+/** day(col): one partition value per UTC day of a timestamp/date column.
+  * Range predicates align at day granularity (conservative: the boundary
+  * day is always kept). */
+case class DayPartition(column: String) extends PartitionSpec {
+  def valueCol: Column = date_format(col(column), "yyyy-MM-dd")
+  def format: String = s"day($column)"
+  /** Day of the literal; `backOff` shifts one unit earlier first, so a
+    * strict `col < L` bound at exactly midnight excludes L's whole day
+    * instead of conservatively keeping it. */
+  private def dayOf(l: Literal, backOff: Boolean = false): Option[String] = l.dataType match {
+    case TimestampType | TimestampNTZType =>
+      val micros = l.value.asInstanceOf[Number].longValue() - (if (backOff) 1L else 0L)
+      Some(java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+    case DateType =>
+      val days = l.value.asInstanceOf[Number].longValue() - (if (backOff) 1L else 0L)
+      Some(java.time.LocalDate.ofEpochDay(days).toString)
+    case _ => None
+  }
+  def align(op: String, lit: Literal): Option[(String, String)] = op match {
+    case "=" => dayOf(lit).map(("=", _))
+    // > and >= both keep the literal's own day (rows later that day qualify)
+    case ">" | ">=" => dayOf(lit).map((">=", _))
+    case "<" => dayOf(lit, backOff = true).map(("<=", _))
+    case "<=" => dayOf(lit).map(("<=", _))
+    case _ => None
+  }
+}
+
+/** bucket(n, col): xxhash64 of the source value mod n — spreads any
+  * high-cardinality key over n stable buckets; point predicates prune to
+  * one bucket. */
+case class BucketPartition(n: Int, column: String) extends PartitionSpec {
+  require(n >= 2, "bucket count >= 2")
+  def valueCol: Column = pmod(xxhash64(col(column)), lit(n)).cast("string")
+  def format: String = s"bucket($n,$column)"
+  def align(op: String, lit: Literal): Option[(String, String)] = op match {
+    case "=" =>
+      // the same Catalyst expression the SQL xxhash64 function evaluates,
+      // so the driver-side literal bucket is bit-identical to valueCol's
+      try {
+        val h = XxHash64(Seq(lit), 42L).eval(EmptyRow).asInstanceOf[Long]
+        Some(("=", (((h % n) + n) % n).toString))
+      } catch { case _: Exception => None }
+    case _ => None // a bucket constrains nothing about ranges
+  }
+}
+
+object PartitionSpec {
+  private val Day = """day\(([^)]+)\)""".r
+  private val Bucket = """bucket\((\d+),([^)]+)\)""".r
+  def parse(s: String): PartitionSpec = s match {
+    case Day(c) => DayPartition(c)
+    case Bucket(n, c) => BucketPartition(n.toInt, c)
+    case other => throw new IllegalArgumentException(s"unknown partition spec: $other")
+  }
+}

@@ -24,6 +24,60 @@ class BufferAlerter extends Alerter {
     alerts += ((table, branch, report))
 }
 
+/** Generic webhook transport for the reference's Slack alert
+  * (app.py:62-96 send_slack_alert): POSTs a JSON summary of the failed
+  * audit to `url`. Mirrors the reference's behavior exactly where it
+  * matters: an unset URL is a silent no-op (the reference skips when its
+  * token env var is absent), so the alerter is safe to wire
+  * unconditionally and configure per environment; and delivery failures
+  * are logged, never thrown — the batch is already quarantined on its
+  * branch, and alerting must not crash the pipeline on top of it.
+  * The payload carries a Slack-compatible `text` field plus structured
+  * per-check detail for any other webhook consumer. */
+class HttpWebhookAlerter(
+    url: Option[String],
+    connectTimeoutMs: Int = 5000,
+    readTimeoutMs: Int = 5000) extends Alerter {
+  private val log = org.apache.logging.log4j.LogManager.getLogger("graft.wap")
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def alert(table: String, branch: String, report: AuditReport): Unit = url.foreach { u =>
+    val failed = report.failed
+      .map(c => s"""{"check":${jstr(c.name)},"violations":${c.violations}}""")
+      .mkString(",")
+    val text = s"Quality check failed on table $table in branch $branch: " +
+      report.failed.map(c => s"${c.name}=${c.violations}").mkString(", ")
+    val body = s"""{"text":${jstr(text)},"table":${jstr(table)},""" +
+      s""""branch":${jstr(branch)},"failed":[$failed]}"""
+    try {
+      val conn = new java.net.URI(u).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        log.warn(s"webhook alert for $table@$branch returned HTTP $code")
+      conn.disconnect()
+    } catch {
+      case e: Exception =>
+        log.warn(s"webhook alert for $table@$branch failed: ${e.getMessage}")
+    }
+  }
+}
+
 case class WapResult(branch: String, published: Boolean, report: AuditReport)
 
 /** What the audit step reads — see [[Wap.run]]. */

@@ -89,6 +89,28 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("prepared projection: every variant equals its from-scratch result, one corpus pass") {
+    val p = Dedup.prepare(docsDf, "doc_id", "text")
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairSet(Dedup.minhashPairs(p, bands = 16, threshold = 0.8)) ==
+        pairSet(Dedup.minhashPairs(docsDf, "doc_id", "text", threshold = 0.8)))
+      assert(pairSet(Dedup.ngramJaccard(p, threshold = 0.5)) ==
+        pairSet(Dedup.ngramJaccard(docsDf, "doc_id", "text", threshold = 0.5)))
+      assert(pairSet(Dedup.containmentPairs(p, bands = 32, threshold = 0.9)) ==
+        pairSet(Dedup.containmentPairs(docsDf, "doc_id", "text", threshold = 0.9)))
+      def idSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idSet(Dedup.minhashLsh(docsDf, "doc_id", p, bands = 16, threshold = 0.8)) ==
+        idSet(Dedup.minhashLsh(docsDf, "doc_id", "text")))
+      assert(idSet(Dedup.minhashLshClustered(docsDf, "doc_id", p, bands = 16, threshold = 0.8)) ==
+        idSet(Dedup.minhashLshClustered(docsDf, "doc_id", "text")))
+      assert(p.sh.storageLevel.useMemory || p.sh.storageLevel.useDisk,
+        "prepared projection must be persisted")
+    } finally p.unpersist()
+  }
+
   test("minhashLsh survivors = all ids minus greater-id members of dup pairs") {
     val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text", threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

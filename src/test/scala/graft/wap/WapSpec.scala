@@ -276,6 +276,170 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").count() == 25)
   }
 
+  test("appendPartitioned day(ts): time-range scans skip other days' files on both planning paths") {
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    // 5 days x 40 events
+    val events = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-${10 + i % 5}%02d 12:00:${i / 5}%02d"), i * 1.5)
+    }.toDF("event_id", "ts", "value")
+    cat.createTableIfNotExists("ev", events.schema)
+    cat.appendPartitioned("ev", events, DayPartition("ts"))
+
+    val total = cat.dataFiles("ev").size
+    assert(total >= 5, "at least one file per day")
+    assert(cat.dataFiles("ev").forall(_.partition.contains("pv")))
+
+    val day = col("ts") >= lit("2024-03-12 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-03-13 00:00:00").cast("timestamp")
+    val pruned = cat.prunedDataFiles("ev", day)
+    assert(pruned.nonEmpty && pruned.size * 5 <= total + 4,
+      s"one of 5 days must prune ~4/5 of $total files, kept ${pruned.size}")
+    assert(pruned.forall(_.partition("pv") == "2024-03-12"))
+    assert(cat.scan("ev", filter = Some(day)).count() == 40)
+    // equality predicate prunes to a single day too
+    val eq = cat.prunedDataFiles("ev",
+      col("ts") === lit("2024-03-14 12:00:30").cast("timestamp"))
+    assert(eq.forall(_.partition("pv") == "2024-03-14"))
+
+    // distributed planning path agrees: a threshold-0 catalog plans the
+    // same scan as a Spark job over the manifest entries
+    val cat2 = new BranchCatalog(spark, cat.root, distributedMetaThreshold = 0L)
+    val viaJob = cat2.scan("ev", filter = Some(day))
+    assert(viaJob.count() == 40)
+    assert(viaJob.inputFiles.length == pruned.size,
+      s"distributed path kept ${viaJob.inputFiles.length} files, driver path ${pruned.size}")
+  }
+
+  test("appendPartitioned bucket(8, doc_id): point lookups read one bucket; plain appends stay unpruned") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendPartitioned("t", docs, BucketPartition(8, "doc_id"))
+    val total = cat.dataFiles("t").size
+    assert(total >= 8, s"expected >= 8 bucket files, got $total")
+
+    val pruned = cat.prunedDataFiles("t", col("doc_id") === 57L)
+    assert(pruned.size * 8 <= total,
+      s"a point lookup must read ~1/8 of $total files, read ${pruned.size}")
+    assert(cat.scan("t", filter = Some(col("doc_id") === 57L)).count() == 1)
+    // ranges don't align with buckets (partition pruning keeps all files;
+    // footer min/max stats may still prune some) — result stays exact
+    assert(cat.scan("t", filter = Some(col("doc_id") < 5L)).count() == 5)
+
+    // a later PLAIN append mixes in unpartitioned files: they are never
+    // partition-pruned, and the spec survives on the snapshot
+    cat.append("t", Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 210))
+    val afterMix = cat.prunedDataFiles("t", col("doc_id") === 57L)
+    assert(cat.scan("t", filter = Some(col("doc_id") === 57L)).count() == 1)
+    assert(afterMix.size < cat.dataFiles("t").size)
+    // appending under a DIFFERENT spec is rejected
+    assertThrows[IllegalArgumentException] {
+      cat.appendPartitioned("t", Tables.documents(spark, sfDir)
+        .filter(col("doc_id") >= 210 && col("doc_id") < 215), BucketPartition(4, "doc_id"))
+    }
+  }
+
+  test("webhook alerter posts the failed report as JSON; unset URL and dead endpoints are safe no-ops") {
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.put(body)
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val report = graft.quality.AuditReport(100L, Seq(
+        graft.quality.CheckResult("not_null(text)", passed = false, violations = 7L),
+        graft.quality.CheckResult("row_count_min(10)", passed = true, violations = 0L)))
+      new HttpWebhookAlerter(Some(url)).alert("docs", "batch-9", report)
+      val body = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "webhook must receive the alert")
+      assert(body.contains(""""table":"docs"""") && body.contains(""""branch":"batch-9""""))
+      assert(body.contains("not_null(text)") && body.contains(""""violations":7"""))
+      assert(!body.contains("row_count_min"), "only FAILED checks are reported")
+
+      // no URL -> no request, no error (the reference's unset-token path)
+      new HttpWebhookAlerter(None).alert("docs", "b", report)
+      assert(received.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null)
+      // dead endpoint -> logged, never thrown
+      new HttpWebhookAlerter(Some("http://127.0.0.1:1/hook"), connectTimeoutMs = 200)
+        .alert("docs", "b", report)
+    } finally server.stop(0)
+  }
+
+  test("deleteWhere: stats-bounded copy-on-write; merge publishes the removal; expiry reclaims replaced files") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    // two appends with disjoint doc_id ranges -> disjoint footer stats,
+    // so a delete on the first range must not touch the second's files
+    cat.append("t", docs.filter(col("doc_id") < 100).repartition(2))
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).repartition(2))
+    val preDeleteId = cat.snapshotIdOf("t").get
+
+    cat.createBranch("del")
+    val res = cat.deleteWhere("t", col("doc_id") < 50, "del")
+    assert(res.rowsDeleted == 50, s"$res")
+    assert(res.filesRewritten <= 2, s"stats must bound the rewrite to the first append: $res")
+    assert(res.filesUntouched >= 2, s"$res")
+
+    // the branch sees the delete; main does not (write-audit isolation)
+    assert(cat.scan("t", "del").count() == 150)
+    assert(cat.scan("t", "del").filter(col("doc_id") < 50).count() == 0)
+    assert(cat.scan("t", "main").count() == 200)
+    // time travel still shows the pre-delete state
+    assert(cat.scanSnapshot("t", preDeleteId).count() == 200)
+
+    // publish: merge carries the manifest removal, idempotently
+    cat.merge("del")
+    assert(cat.scan("t", "main").count() == 150)
+    cat.merge("del")
+    assert(cat.scan("t", "main").count() == 150, "double merge must not re-add or re-delete")
+    cat.dropBranch("del")
+
+    // expiry reclaims the replaced pre-delete files; the table is intact
+    val exp = cat.expireSnapshots("t")
+    assert(exp.dataFilesDeleted >= 1, s"replaced files must be GC'd: $exp")
+    assert(cat.scan("t", "main").count() == 150)
+    assert(cat.scan("t", "main").filter(col("doc_id") < 50).count() == 0)
+    assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
+  }
+
+  test("deleteWhere: NULL predicate keeps the row; out-of-range delete is a no-op; delete-all empties the table") {
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("b")))
+      .toDF("id", "v")
+    cat.createTableIfNotExists("t", df.schema)
+    cat.append("t", df)
+
+    val res = cat.deleteWhere("t", col("v") === "a")
+    assert(res.rowsDeleted == 1)
+    val rows = cat.scan("t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(rows == Set((2L, null), (3L, "b")), "the NULL-predicate row must be kept")
+
+    // predicate provably false by stats: no rewrite, no new snapshot
+    val head = cat.snapshotIdOf("t").get
+    val noop = cat.deleteWhere("t", col("id") > 100)
+    assert(noop.snapshot.id == head && noop.rowsDeleted == 0 && noop.filesRewritten == 0)
+
+    // delete everything: table scans empty, schema preserved
+    val all = cat.deleteWhere("t", lit(true))
+    assert(all.rowsDeleted == 2)
+    assert(cat.scan("t").count() == 0)
+    assert(cat.scan("t").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("compaction folds manifests and rewrites small files; expiry reclaims orphans") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
