@@ -170,6 +170,8 @@ object SparkEntry {
       """SELECT doc_id, round(punct / nullif(n_chars, 0), 4) AS punct_ratio, round(stop_hits / n_toks, 4) AS stopword_ratio, round(nullif(n_chars, 0) / n_toks, 4) AS mean_word_len, round(greatest(0.0, least(1.0, 0.5 + 0.5 * (stop_hits / n_toks) - (punct / nullif(n_chars, 0)))), 4) AS quality_score FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) AS DOUBLE) AS stop_hits FROM documents) t""",
     "text_bm25" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts FROM documents), base AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, CAST(len(list_filter(ts, t -> t = 'data')) AS DOUBLE) AS tf0, CAST(len(list_filter(ts, t -> t = 'query')) AS DOUBLE) AS tf1, CAST(len(list_filter(ts, t -> t = 'vector')) AS DOUBLE) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0, sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1, sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2 FROM base) SELECT doc_id, CAST(dl AS BIGINT) AS dl, round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25 FROM base, stats ORDER BY bm25 DESC, doc_id ASC LIMIT 50""",
+    "text_dup_ngrams" ->
+      """SELECT doc_id, CAST(len(gs) AS INT) AS n_grams, CAST(len(list_filter(flags, f -> f)) AS INT) AS n_dup_grams, round(CASE WHEN total = 0 THEN 0.0 ELSE dup_chars / total END, 4) AS dup_char_frac FROM (SELECT doc_id, gs, flags, ts, CAST(coalesce(list_aggregate(list_transform(ts, t -> length(t)), 'sum'), 0) AS DOUBLE) AS total, CAST(coalesce(list_aggregate(list_transform(generate_series(1, len(ts)), i -> CASE WHEN len(list_filter(generate_series(greatest(1, i - 2), least(i, len(gs))), j -> flags[j])) > 0 THEN length(ts[i]) ELSE 0 END), 'sum'), 0) AS DOUBLE) AS dup_chars FROM (SELECT doc_id, ts, gs, list_transform(generate_series(1, len(gs)), j -> len(list_filter(gs, g -> g = gs[j])) > 1) AS flags FROM (SELECT doc_id, ts, list_transform(generate_series(1, greatest(0, len(ts) - 2)), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gs FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents) t0) t1) t2) t3""",
     "mm_manifest" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, count(*) AS n_assets, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes FROM documents GROUP BY 1""",
     "sql_vector_norm" ->

@@ -63,6 +63,26 @@ class TextSpec extends SparkSpecBase {
     val a = TextAnalysis.langId(df, "doc_id", "text").collect().map(_.toSeq).toSeq
     val b = TextAnalysis.langId(df.repartition(5), "doc_id", "text").collect().map(_.toSeq).toSeq
     assert(a.toSet == b.toSet)
+
+    // confusion matrix over the held-out set: print the artifact and
+    // assert per-language correctness (every diagonal cell dominates its
+    // row — no language systematically absorbed by another)
+    val pred = TextAnalysis.langId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langs = heldOut.map(_._1).distinct.sorted
+    val confusion: Map[(String, String), Int] =
+      heldOut.zipWithIndex.groupBy { case ((want, _), i) => (want, pred(i.toLong)) }
+        .view.mapValues(_.size).toMap
+    info("langid confusion matrix (rows=truth, cols=predicted):")
+    info(("truth\\pred" +: langs).mkString("\t"))
+    for (t <- langs)
+      info((t +: langs.map(p => confusion.getOrElse((t, p), 0).toString)).mkString("\t"))
+    for (t <- langs) {
+      val row = langs.map(p => confusion.getOrElse((t, p), 0))
+      val diag = confusion.getOrElse((t, t), 0)
+      assert(diag == row.max && diag > 0,
+        s"language $t: diagonal $diag must dominate its row ${row.mkString(",")}")
+    }
   }
 
   test("fingerprint matches the documented rolling-hash formula exactly") {
