@@ -42,6 +42,8 @@ object SparkEntry {
     "events_sessions" -> (PipelineQueries.eventsSessions _),
     "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
     "wap_metrics" -> (WapQueries.wapMetrics _),
+    "wap_delete" -> (WapQueries.wapDelete _),
+    "wap_partitioned" -> (WapQueries.wapPartitioned _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -140,6 +142,10 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200""",
     "wap_metrics" ->
       """SELECT 'main' AS branch, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_text FROM documents WHERE doc_id < 200 UNION ALL SELECT 'batch-2' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 = 0) AS n_null_text""",
+    "wap_delete" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT min(doc_id) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS min_id, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_deleted""",
+    "wap_partitioned" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, true AS pruned""",
     "dq_null_audit" ->
       """SELECT 'not_null(text)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) AS violations UNION ALL SELECT 'not_null(lang)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) AS violations""",
     "dq_null_counts" ->

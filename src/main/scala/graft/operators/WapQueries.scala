@@ -57,6 +57,49 @@ object WapQueries {
     stats("main").union(stats("batch-2"))
   }
 
+  /** Copy-on-write delete end-to-end: load docs < 200, delete a
+    * stats-prunable id range on a branch, publish via merge, then report
+    * main's content plus what the delete touched. Oracle: plain SQL over
+    * the surviving rows — hash-equal means the rewrite dropped exactly
+    * the matching rows and merge carried the removal. */
+  def wapDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-del").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    // two appends with disjoint id ranges -> the delete's file rewrite is
+    // stats-bounded to the first range's files
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    cat.createBranch("gdpr")
+    val res = cat.deleteWhere("documents", col("doc_id") < 50, "gdpr")
+    cat.merge("gdpr")
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      min(col("doc_id")).as("min_id"))
+      .select(col("n_rows"), col("sum_chars"), col("min_id"),
+        lit(res.rowsDeleted).as("rows_deleted"))
+  }
+
+  /** Hidden partitioning end-to-end: bucket(8, doc_id) append, then a
+    * point-lookup scan — the returned row carries a `pruned` flag
+    * (>= 8 files written, the lookup planned <= 1/4 of them) so the
+    * ORACLE pins the pruning behavior, not just the lookup's result. */
+  def wapPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-part").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.appendPartitioned("documents", docs, graft.wap.BucketPartition(8, "doc_id"))
+    val total = cat.dataFiles("documents").size.toLong
+    val pruned = cat.prunedDataFiles("documents", col("doc_id") === 57L).size.toLong
+    cat.scan("documents", filter = Some(col("doc_id") === 57L))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(total >= 8L && pruned * 4L <= total).as("pruned"))
+  }
+
   /** The reference's exact audit (IsNull on the target column) over a
     * simulated faulty batch, as a one-pass suite report. */
   def dqNullAudit(spark: SparkSession, dir: String): DataFrame = {
