@@ -43,6 +43,7 @@ object SparkEntry {
     "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
     "wap_metrics" -> (WapQueries.wapMetrics _),
     "wap_delete" -> (WapQueries.wapDelete _),
+    "wap_update" -> (WapQueries.wapUpdate _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
@@ -144,6 +145,8 @@ object SparkEntry {
       """SELECT 'main' AS branch, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_text FROM documents WHERE doc_id < 200 UNION ALL SELECT 'batch-2' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 = 0) AS n_null_text""",
     "wap_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT min(doc_id) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS min_id, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_deleted""",
+    "wap_update" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + 1000) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_updated, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_untouched, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_updated""",
     "wap_partitioned" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, true AS pruned""",
     "dq_null_audit" ->

@@ -82,6 +82,28 @@ object WapQueries {
         lit(res.rowsDeleted).as("rows_deleted"))
   }
 
+  /** Copy-on-write update end-to-end: bump n_chars for a stats-prunable
+    * id range on a branch, publish via merge, report per-range sums.
+    * Oracle: plain SQL applying the same SET arithmetic. */
+  def wapUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-upd").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    cat.createBranch("fix")
+    val res = cat.updateWhere("documents", col("doc_id") < 50,
+      Map("n_chars" -> (col("n_chars") + lit(1000))), "fix")
+    cat.merge("fix")
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id") < 50, col("n_chars"))).cast("long").as("sum_updated"),
+      sum(when(col("doc_id") >= 50, col("n_chars"))).cast("long").as("sum_untouched"))
+      .select(col("n_rows"), col("sum_updated"), col("sum_untouched"),
+        lit(res.rowsUpdated).as("rows_updated"))
+  }
+
   /** Hidden partitioning end-to-end: bucket(8, doc_id) append, then a
     * point-lookup scan — the returned row carries a `pruned` flag
     * (>= 8 files written, the lookup planned <= 1/4 of them) so the

@@ -120,6 +120,37 @@ object EventStreams {
       }
       .start()
 
+  /** Snapshot-fresh AS-OF stream enrichment: every micro-batch attaches,
+    * per key, the latest right row at-or-before each event's time from
+    * the LATEST PUBLISHED state of a catalog table — the streaming face
+    * of [[graft.operators.Temporal.asofJoin]] composed with
+    * [[enrichLatest]]'s per-batch metadata re-resolution (a stream-static
+    * join would pin the file list at query start AND can't express the
+    * as-of inequality without a range join). Per batch: one metadata
+    * resolution + one key-shuffled window pass over batch ∪ reference —
+    * never a per-key range explosion. Unpublished branch data stays
+    * invisible (WAP isolation). */
+  def enrichAsof(
+      stream: DataFrame,
+      catalog: BranchCatalog,
+      table: String,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.operators.Temporal.asofJoin(
+          batch, catalog.scan(table), keys, leftTime, rightTime, payload), batchId)
+        ()
+      }
+      .start()
+
   /** Watermarked windowed aggregation over an event stream:
     * (window, event_type) -> count + sum(value). Tumbling by default;
     * pass `slideDuration` < `windowDuration` for sliding windows (each

@@ -59,6 +59,11 @@ case class DeleteResult(
     snapshot: Snapshot, rowsDeleted: Long,
     filesRewritten: Long, filesUntouched: Long)
 
+/** What one updateWhere commit did (same top-level rationale). */
+case class UpdateResult(
+    snapshot: Snapshot, rowsUpdated: Long,
+    filesRewritten: Long, filesUntouched: Long)
+
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
@@ -1044,7 +1049,8 @@ class BranchCatalog(
     // per-manifest split so untouched manifests survive by reference
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema)
+      val affected = pruneFiles(files, cond, schema,
+        cur.partitionSpec.map(PartitionSpec.parse))
       val affectedPaths = affected.map(_.path).toSet
       (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
     }
@@ -1081,6 +1087,94 @@ class BranchCatalog(
     }
     DeleteResult(committed, rowsDeleted,
       affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+  }
+
+  /** Row-level UPDATE, copy-on-write — the planning shape of
+    * [[deleteWhere]] (stats-prune to files that MAY hold matching rows,
+    * rewrite only those, untouched manifests carry over by reference),
+    * but every row of an affected file survives: matching rows get each
+    * `set` expression applied (cast back to the column's declared type),
+    * non-matching rows pass through byte-identical. Rows where `cond` is
+    * NULL are NOT updated (SQL UPDATE semantics). Older snapshots keep
+    * the pre-update files until expiry; publish a branch update with
+    * [[merge]]. */
+  def updateWhere(
+      table: String, cond: Column, set: Map[String, Column],
+      branch: String = "main"): UpdateResult = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when, col => fcol}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    for (c <- set.keys)
+      require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val perManifest = cur.manifests.map { m =>
+      val files = readManifest(m.path)
+      val affected = pruneFiles(files, cond, schema,
+        cur.partitionSpec.map(PartitionSpec.parse))
+      val affectedPaths = affected.map(_.path).toSet
+      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+    }
+    val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    if (affectedFiles.isEmpty)
+      return UpdateResult(cur, 0L, 0L, totalFiles)
+
+    val scan = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+    val hit = coalesce(cond, lit(false))
+    val rowsUpdated = scan.filter(hit).count()
+    val updated = scan.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(fcol(f.name)).as(f.name)
+        case None => fcol(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val rewritten = writeDataFiles(table, updated)
+    val newManifests =
+      perManifest.flatMap { case (m, affected, untouched) =>
+        if (affected.isEmpty) Some(m)
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+        else None
+      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten)) else Seq.empty)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during update")
+      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    UpdateResult(committed, rowsUpdated,
+      affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+  }
+
+  /** Partition evolution by rewrite: re-layout table@branch's CURRENT
+    * data under `spec` (the sanctioned path where [[appendPartitioned]]
+    * rejects a mismatched spec — hidden-partitioning metadata cannot be
+    * retrofitted without rewriting files). One partitioned write job +
+    * one metadata commit; older snapshots keep the old layout until
+    * expiry. */
+  def rewritePartitioned(
+      table: String, spec: PartitionSpec, branch: String = "main"): Snapshot = {
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), spec)
+    val manifest = writeManifest(table, rewritten)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during partition rewrite")
+      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
+        System.currentTimeMillis(), Some(spec.format))
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
   }
 
   // ---- maintenance: compaction + snapshot expiry ------------------------

@@ -142,6 +142,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(b2(1L).contains("alpha"))
   }
 
+  test("enrichAsof: micro-batches asof-join the latest published reference state") {
+    val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-asof").toString)
+    // reference quotes: (key, time, px)
+    val quotesV1 = Seq((1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 5L, 50.0))
+      .toDF("k", "qt", "px")
+    cat.createTableIfNotExists("quotes", quotesV1.schema)
+    cat.append("quotes", quotesV1)
+
+    val mem = MemoryStream[(Long, Long)](spark, 1)
+    val trades = mem.toDF().toDF("k", "t")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Option[Double])]
+    val q = EventStreams.enrichAsof(
+      trades, cat, "quotes", Seq("k"), "t", "qt", Seq("px"),
+      Files.createTempDirectory("asof-ckpt").toString,
+      (df, batchId) => seen.synchronized {
+        seen ++= df.collect().map(r =>
+          (batchId, r.getLong(0), r.getLong(1),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, 15L), (1L, 25L), (2L, 3L))
+      q.processAllAvailable()
+      // mid-stream publish: a newer quote for key 1 at t=22
+      cat.append("quotes", Seq((1L, 22L, 120.0)).toDF("k", "qt", "px"))
+      mem.addData((1L, 25L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byBatch = seen.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3) -> t._4).toMap).toMap
+    val batches = byBatch.keys.toSeq.sorted
+    assert(batches.size == 2, s"expected 2 batches, saw $byBatch")
+    val (b1, b2) = (byBatch(batches(0)), byBatch(batches(1)))
+    assert(b1 == Map((1L, 15L) -> Some(100.0), (1L, 25L) -> Some(110.0),
+      (2L, 3L) -> None), s"batch1 $b1")
+    assert(b2((1L, 25L)).contains(120.0),
+      "batch 2 must asof-join the quote published mid-stream")
+  }
+
   test("windowedCounts: tumbling window totals with watermark") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark, 1)
     val df = mem.toDF().toDF("ts", "event_type", "value")

@@ -440,6 +440,83 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t").schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("updateWhere: stats-bounded rewrite, NULL cond rows untouched, branch publish via merge") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100))
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val before = cat.scan("t").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val preId = cat.snapshotIdOf("t").get
+
+    cat.createBranch("fix")
+    val res = cat.updateWhere("t", col("doc_id") < 50,
+      Map("n_chars" -> (col("n_chars") + lit(1000))), "fix")
+    assert(res.rowsUpdated == 50, s"$res")
+    assert(res.filesRewritten >= 1 && res.filesUntouched >= 1,
+      s"the second append's files must not be rewritten: $res")
+
+    val after = cat.scan("t", "fix").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 200, "UPDATE never changes row count")
+    for ((id, n) <- after)
+      assert(n == before(id) + (if (id < 50) 1000 else 0), s"doc $id")
+    // isolation: main is untouched until merge; time travel sees pre-update
+    val mainBefore = cat.scan("t", "main").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mainBefore == before)
+    assert(cat.scanSnapshot("t", preId).count() == 200)
+
+    cat.merge("fix")
+    val main = cat.scan("t", "main").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(main == after, "merge publishes the update")
+    cat.merge("fix")
+    assert(cat.scan("t", "main").count() == 200, "idempotent")
+
+    // rows where cond is NULL stay untouched
+    val spark0 = spark
+    import spark0.implicits._
+    val cat2 = freshCatalog()
+    val df = Seq((1L, Option("a"), 1.0), (2L, Option.empty[String], 1.0), (3L, Option("b"), 1.0))
+      .toDF("id", "v", "x")
+    cat2.createTableIfNotExists("u", df.schema)
+    cat2.append("u", df)
+    val r2 = cat2.updateWhere("u", col("v") === "a", Map("x" -> lit(9.0)))
+    assert(r2.rowsUpdated == 1)
+    val xs = cat2.scan("u").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(xs == Map(1L -> 9.0, 2L -> 1.0, 3L -> 1.0), "NULL-cond row must not update")
+    // unknown SET column is rejected before any write
+    assertThrows[IllegalArgumentException] {
+      cat2.updateWhere("u", col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("rewritePartitioned retrofits (or changes) a partition layout; pruning works after") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs) // unpartitioned history
+    assert(cat.prunedDataFiles("t", col("doc_id") === 57L).nonEmpty)
+
+    val snap = cat.rewritePartitioned("t", BucketPartition(8, "doc_id"))
+    assert(snap.partitionSpec.contains("bucket(8,doc_id)"))
+    val total = cat.dataFiles("t").size
+    assert(total >= 8)
+    assert(cat.prunedDataFiles("t", col("doc_id") === 57L).size * 4 <= total)
+    assert(cat.scan("t").count() == 200)
+    assert(cat.scan("t", filter = Some(col("doc_id") === 57L)).count() == 1)
+    // appendPartitioned under the SAME spec now works; a different one is rejected
+    cat.appendPartitioned("t", Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 220), BucketPartition(8, "doc_id"))
+    assert(cat.scan("t").count() == 220)
+    // changing the layout again goes through another rewrite
+    val snap2 = cat.rewritePartitioned("t", BucketPartition(4, "doc_id"))
+    assert(snap2.partitionSpec.contains("bucket(4,doc_id)"))
+    assert(cat.scan("t").count() == 220)
+  }
+
   test("compaction folds manifests and rewrites small files; expiry reclaims orphans") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
