@@ -44,6 +44,7 @@ object SparkEntry {
     "wap_metrics" -> (WapQueries.wapMetrics _),
     "wap_delete" -> (WapQueries.wapDelete _),
     "wap_update" -> (WapQueries.wapUpdate _),
+    "wap_upsert" -> (WapQueries.wapUpsert _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
@@ -147,6 +148,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT min(doc_id) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS min_id, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_deleted""",
     "wap_update" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + 1000) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_updated, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_untouched, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_updated""",
+    "wap_upsert" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 90 AND doc_id < 110) AS rows_replaced, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 205) AS rows_inserted""",
     "wap_partitioned" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, true AS pruned""",
     "dq_null_audit" ->

@@ -104,6 +104,28 @@ object WapQueries {
         lit(res.rowsUpdated).as("rows_updated"))
   }
 
+  /** MERGE-INTO upsert end-to-end: replace ids 90..109 with bumped
+    * n_chars and insert 200..204, then aggregate main per range. Oracle:
+    * the same arithmetic in plain SQL. */
+  def wapUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-ups").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val source = docs.filter((col("doc_id") >= 90 && col("doc_id") < 110) ||
+        (col("doc_id") >= 200 && col("doc_id") < 205))
+      .withColumn("n_chars", col("n_chars") + lit(5000))
+    val res = cat.upsert("documents", source, Seq("doc_id"))
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(res.rowsReplaced).as("rows_replaced"),
+        lit(res.rowsInserted).as("rows_inserted"))
+  }
+
   /** Hidden partitioning end-to-end: bucket(8, doc_id) append, then a
     * point-lookup scan — the returned row carries a `pruned` flag
     * (>= 8 files written, the lookup planned <= 1/4 of them) so the

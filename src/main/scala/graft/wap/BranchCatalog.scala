@@ -64,6 +64,11 @@ case class UpdateResult(
     snapshot: Snapshot, rowsUpdated: Long,
     filesRewritten: Long, filesUntouched: Long)
 
+/** What one upsert commit did (same top-level rationale). */
+case class UpsertResult(
+    snapshot: Snapshot, rowsReplaced: Long, rowsInserted: Long,
+    filesRewritten: Long, filesUntouched: Long)
+
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
@@ -1149,6 +1154,91 @@ class BranchCatalog(
     }
     UpdateResult(committed, rowsUpdated,
       affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+  }
+
+  /** MERGE-INTO-style upsert, copy-on-write: every source row lands
+    * (replacing target rows that share its key, inserting otherwise) in
+    * ONE commit. Planning: the per-key min/max of the source (one small
+    * aggregate) builds a range predicate, footer stats prune the table
+    * to files that MAY hold a source key — a file proven outside the
+    * source's key range cannot contain a match, so only those files are
+    * rewritten (their non-matching rows survive byte-equal, matching
+    * rows are dropped) and the source batch is written alongside in the
+    * same job. Untouched manifests carry over by reference; the
+    * replacement is keyed, so duplicate-keyed TARGET rows all collapse
+    * to the source row. Source keys should be unique (every source row
+    * is inserted verbatim — duplicate source keys land as duplicate
+    * rows, exactly as they would via append). */
+  def upsert(
+      table: String, source: DataFrame, keys: Seq[String],
+      branch: String = "main"): UpsertResult = {
+    import org.apache.spark.sql.functions.{col => fcol, lit, max => fmax, min => fmin}
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    for (k <- keys)
+      require(schema.fieldNames.contains(k), s"key column $k is not in ${schema.toDDL}")
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    val aligned = alignToSchema(source, schema, table, branch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (aligned.isEmpty) return UpsertResult(cur, 0L, 0L, 0L, totalFiles)
+
+      // bounded per-key ranges -> a sound (conservative) prune predicate;
+      // an all-null key contributes no bound (that key prunes nothing)
+      val boundsRow = aligned.agg(
+        fmin(fcol(keys.head)).as("b0"),
+        (fmax(fcol(keys.head)).as("b1") +: keys.tail.zipWithIndex.flatMap {
+          case (k, i) => Seq(fmin(fcol(k)).as(s"b${2 * i + 2}"), fmax(fcol(k)).as(s"b${2 * i + 3}"))
+        }): _*).head
+      val cond = keys.zipWithIndex.flatMap { case (k, i) =>
+        val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
+        if (lo == null || hi == null) None
+        else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+
+      val perManifest = cur.manifests.map { m =>
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, cond, schema,
+          cur.partitionSpec.map(PartitionSpec.parse))
+        val affectedPaths = affected.map(_.path).toSet
+        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      }
+      val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+
+      val srcKeys = aligned.select(keys.map(fcol): _*).distinct()
+      val (survivors, rowsReplaced, rowsInserted) =
+        if (affectedFiles.isEmpty) (aligned, 0L, aligned.count())
+        else {
+          val scan = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+          val kept = scan.join(srcKeys, keys, "left_anti")
+          val replaced = affectedFiles.map(_.rows).sum - kept.count()
+          val inserted = aligned
+            .join(scan.select(keys.map(fcol): _*).distinct(), keys, "left_anti").count()
+          (kept.unionByName(aligned), replaced, inserted)
+        }
+      val rewritten = writeDataFiles(table, survivors)
+      val newManifests =
+        perManifest.flatMap { case (m, affected, untouched) =>
+          if (affected.isEmpty) Some(m)
+          else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+          else None
+        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten)) else Seq.empty)
+      var committed: Snapshot = null
+      commitRefs { refs =>
+        val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+        require(b.tables.get(table).contains(curId),
+          s"concurrent commit on $table@$branch during upsert")
+        committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+          System.currentTimeMillis(), cur.partitionSpec)
+        writeSnapshot(table, committed)
+        refs.copy(branches = refs.branches.updated(branch,
+          b.copy(tables = b.tables.updated(table, committed.id))))
+      }
+      UpsertResult(committed, rowsReplaced, rowsInserted,
+        affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+    } finally { aligned.unpersist(); () }
   }
 
   /** Partition evolution by rewrite: re-layout table@branch's CURRENT

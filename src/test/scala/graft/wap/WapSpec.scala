@@ -493,6 +493,44 @@ class WapSpec extends SparkSpecBase {
     }
   }
 
+  test("upsert: source rows replace matching keys and insert the rest, key-range bounded, one commit") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100))
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val preId = cat.snapshotIdOf("t").get
+
+    // source: modified copies of 90..109 plus brand-new 200..204
+    val source = docs.filter((col("doc_id") >= 90 && col("doc_id") < 110) ||
+        (col("doc_id") >= 200 && col("doc_id") < 205))
+      .withColumn("n_chars", col("n_chars") + lit(5000))
+    val res = cat.upsert("t", source, Seq("doc_id"))
+    assert(res.rowsReplaced == 20, s"$res")
+    assert(res.rowsInserted == 5, s"$res")
+    assert(res.filesRewritten >= 1 && res.filesRewritten + res.filesUntouched >= res.filesRewritten)
+
+    val after = cat.scan("t").select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = docs.filter(col("doc_id") < 205).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 205, "200 original + 5 inserted")
+    for ((id, n) <- after) {
+      val want = before(id) +
+        (if ((id >= 90 && id < 110) || (id >= 200 && id < 205)) 5000L else 0L)
+      assert(n == want, s"doc $id: got $n want $want")
+    }
+    // time travel shows the pre-upsert state
+    assert(cat.scanSnapshot("t", preId).count() == 200)
+    assert(cat.scanSnapshot("t", preId).filter(col("n_chars") >= 5000).count() ==
+      before.count(_._2 >= 5000L).toLong)
+
+    // an empty source is a clean no-op (same snapshot)
+    val head = cat.snapshotIdOf("t").get
+    val noop = cat.upsert("t", docs.filter(lit(false)), Seq("doc_id"))
+    assert(noop.snapshot.id == head && noop.rowsReplaced == 0 && noop.rowsInserted == 0)
+  }
+
   test("rewritePartitioned retrofits (or changes) a partition layout; pruning works after") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
