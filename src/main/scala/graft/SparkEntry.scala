@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_topk_brute" -> (PipelineQueries.simTopkBrute _),
     "sim_topk_lsh" -> (PipelineQueries.simTopkLsh _),
     "sim_topk_ivf" -> (PipelineQueries.simTopkIvf _),
+    "sim_topk_ivfq" -> (PipelineQueries.simTopkIvfq _),
     "sim_topk_pca" -> (PipelineQueries.simTopkPca _),
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),

@@ -97,6 +97,17 @@ object PipelineQueries {
       k = 5, centroids = 64, nprobe = 24, refineSteps = 1)
   }
 
+  /** IVF with int8-quantized candidate scoring + exact shortlist re-rank
+    * (the 4x-memory-reduction scale path; rows-only — SimilaritySpec
+    * asserts the recall floor and full-precision final scores). */
+  def simTopkIvfq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKQuantized(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, centroids = 64, nprobe = 24, candidateFactor = 4)
+  }
+
   /** PCA-reduced ANN: candidates in a 16-dim projected space, exact
     * full-dim re-rank (rows-only; SimilaritySpec asserts recall vs
     * brute force). */

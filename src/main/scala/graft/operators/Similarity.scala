@@ -270,4 +270,72 @@ object Similarity {
         round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF with int8-quantized candidate scoring (the IVF-PQ shape with a
+    * scalar quantizer): the probed candidates are first scored against
+    * the INT8 corpus — cosine is scale-invariant, so symmetric per-vector
+    * quantization needs no dequantization factor — and only the
+    * quantized shortlist (k x candidateFactor per query) re-ranks with
+    * the exact full-precision cosine. At 100 TB this is the memory
+    * story: the corpus resident in the scoring path is byte arrays (4x
+    * smaller in cache/shuffle than float32), full-precision vectors are
+    * touched for k x candidateFactor rows per query only. Index build
+    * (centroids, assignment, probes) stays full-precision — it is
+    * one-time / tiny respectively. Recall floor asserted in
+    * SimilaritySpec. */
+  def ivfTopKQuantized(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
+      candidateFactor: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+
+    // symmetric int8: scale = max|x| / 127 per vector (emb_quantize's
+    // exact arithmetic); byte arrays are what the candidate join carries
+    val scale = array_max(transform(col("__cv"), x => abs(x))) / lit(127.0)
+    val c8 = c.select(col("neighbor_id"),
+      transform(col("__cv"), x =>
+        greatest(lit(-127.0), least(lit(127.0), round(x / nullif(scale, lit(0.0)))))
+          .cast("tinyint")).as("__q8"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scores = c.crossJoin(broadcast(cents))
+        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+      topKPerQuery(scores, 1)
+        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+    }
+    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(centroids)
+      .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+    val assigned = assign(cents)
+    val probeScores = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__qv"), col("cent_vec")), 6).as("cosine"))
+    val probes = topKPerQuery(probeScores, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("cent_id"))
+
+    val cand = assigned.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("neighbor_id"))
+
+    // quantized scoring pass: byte arrays only, dequantized per pair into
+    // the codegen cosine (cosine ignores the per-vector scale)
+    val candQ = cand
+      .join(c8, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(transform(col("__q8"), x => x.cast("float")), col("__qv")), 4)
+          .as("cosine"))
+    val shortlist = topKPerQuery(candQ, k * candidateFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact full-precision re-rank of the shortlist only
+    val scored = shortlist
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
+  }
 }

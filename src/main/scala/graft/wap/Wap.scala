@@ -78,6 +78,37 @@ class HttpWebhookAlerter(
   }
 }
 
+/** Human-readable branch names (reference app.py:154 uses the
+  * `friendlywords` package for its WAP branches): adjective-animal-nnn,
+  * e.g. "brisk-otter-412". Random by default; seeded form is
+  * deterministic for tests/replays. Streaming ingest keeps its
+  * deterministic `ingest-<table>-<batchId>` names (restart-safe). */
+object BranchNames {
+  private val adjectives = Vector(
+    "amber", "bold", "brisk", "calm", "clever", "crisp", "deft", "eager",
+    "fleet", "gentle", "keen", "lively", "mellow", "nimble", "quiet",
+    "rapid", "sleek", "spry", "steady", "sunny", "swift", "tidy",
+    "vivid", "wise", "zesty")
+  private val animals = Vector(
+    "badger", "bison", "crane", "dingo", "falcon", "gecko", "heron",
+    "ibex", "jackal", "koala", "lemur", "marten", "newt", "ocelot",
+    "otter", "panda", "quokka", "raven", "stork", "tapir", "urchin",
+    "vole", "walrus", "yak", "zebra")
+  def friendly(): String =
+    friendly(java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  def friendly(seed: Long): String = {
+    // splitmix64 finisher: decorrelates sequential seeds
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val a = adjectives(java.lang.Long.remainderUnsigned(z, adjectives.size).toInt)
+    val n = animals(java.lang.Long.remainderUnsigned(z >>> 16, animals.size).toInt)
+    val num = java.lang.Long.remainderUnsigned(z >>> 32, 1000L)
+    s"$a-$n-$num"
+  }
+}
+
 case class WapResult(branch: String, published: Boolean, report: AuditReport)
 
 /** What the audit step reads — see [[Wap.run]]. */

@@ -112,6 +112,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"IVF recall $recall below floor")
   }
 
+  test("ivfTopKQuantized: int8 candidate scoring keeps recall >= 0.8; final scores are exact") {
+    val got = Similarity.ivfTopKQuantized(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = corpus.toMap
+    val qvecs = queries.toMap
+    // the re-rank reports FULL-PRECISION cosines despite int8 candidate scoring
+    got.foreach { case (q, n, c) => assert(math.abs(c - r4(cos(vecs(n), qvecs(q)))) < 1e-9) }
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = expected.toSeq.map { case (q, exp) =>
+      exp.count(gotByQ.getOrElse(q, Set.empty).contains).toDouble / exp.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.8, s"quantized IVF recall $recall below floor")
+  }
+
   test("ivfTopK Lloyd refinement never hurts recall on clustered data") {
     val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
     def recall(steps: Int): Double = {

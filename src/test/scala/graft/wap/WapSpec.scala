@@ -342,6 +342,19 @@ class WapSpec extends SparkSpecBase {
     }
   }
 
+  test("friendly branch names: valid, seeded-deterministic, usable as WAP branches") {
+    val n = BranchNames.friendly(42L)
+    assert(n == BranchNames.friendly(42L), "seeded form is deterministic")
+    assert(n.matches("[a-z]+-[a-z]+-\\d{1,3}"), n)
+    assert((0 until 50).map(i => BranchNames.friendly(i.toLong)).distinct.size > 40,
+      "sequential seeds must not collide often")
+    // usable end-to-end as a WAP branch name
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 10)
+    val r = Wap.run(cat, "t", docs, Seq(NotNull("text")), BranchNames.friendly(7L))
+    assert(r.published && r.branch == BranchNames.friendly(7L))
+  }
+
   test("webhook alerter posts the failed report as JSON; unset URL and dead endpoints are safe no-ops") {
     val received = new java.util.concurrent.LinkedBlockingQueue[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
