@@ -331,6 +331,16 @@ class BranchCatalog(
       }
   }
 
+  /** Spec-aware rewrite: partitioned tables keep their hidden layout
+    * through DML rewrites and compaction (otherwise every delete/update
+    * would silently degrade partition pruning on the touched files). */
+  private def writeTableFiles(
+      table: String, df: DataFrame, spec: Option[PartitionSpec]): Seq[DataFileMeta] =
+    spec match {
+      case Some(s) => writePartitionedDataFiles(table, df, s)
+      case None => writeDataFiles(table, df)
+    }
+
   private def footerMeta(st: org.apache.hadoop.fs.FileStatus): DataFileMeta = {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
@@ -809,6 +819,17 @@ class BranchCatalog(
           val added = srcManifests
             .filterNot(m => baseManifests.exists(_.path == m.path))
             .filterNot(m => dstManifests.exists(_.path == m.path))
+          // conflict: the branch REWROTE manifests (delete/compaction) that
+          // the destination no longer carries — the destination rewrote
+          // them too, and merging both rewrites would duplicate every row
+          // untouched by both. Optimistic concurrency: fail loudly, the
+          // branch must rebase (re-fork and replay) instead of corrupting.
+          val conflicting = removed.filterNot(p => dstManifests.exists(_.path == p))
+          if (conflicting.nonEmpty)
+            throw new IllegalStateException(
+              s"merge conflict on $table: branch $branch rewrote " +
+                s"${conflicting.size} manifest(s) that $into has since rewritten " +
+                s"itself — rebase the branch (re-fork from $into and replay)")
           val dropsFromDst = dstManifests.exists(m => removed.contains(m.path))
           if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty) {
             val merged = Snapshot(
@@ -1051,11 +1072,11 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val schema = StructType.fromDDL(cur.schemaDdl)
+    val spec = cur.partitionSpec.map(PartitionSpec.parse)
     // per-manifest split so untouched manifests survive by reference
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema,
-        cur.partitionSpec.map(PartitionSpec.parse))
+      val affected = pruneFiles(files, cond, schema, spec)
       val affectedPaths = affected.map(_.path).toSet
       (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
     }
@@ -1066,7 +1087,7 @@ class BranchCatalog(
 
     val survivors = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
       .filter(not(coalesce(cond, lit(false))))
-    val rewritten = writeDataFiles(table, survivors)
+    val rewritten = writeTableFiles(table, survivors, spec)
     val (kept, empty) = rewritten.partition(_.rows > 0)
     // 0-row part files are ours and uncommitted — drop them now, they
     // would otherwise be invisible to orphan GC (never in any manifest)
@@ -1113,10 +1134,10 @@ class BranchCatalog(
     val schema = StructType.fromDDL(cur.schemaDdl)
     for (c <- set.keys)
       require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val spec = cur.partitionSpec.map(PartitionSpec.parse)
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema,
-        cur.partitionSpec.map(PartitionSpec.parse))
+      val affected = pruneFiles(files, cond, schema, spec)
       val affectedPaths = affected.map(_.path).toSet
       (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
     }
@@ -1134,7 +1155,7 @@ class BranchCatalog(
         case None => fcol(f.name)
       }
     }.toIndexedSeq: _*)
-    val rewritten = writeDataFiles(table, updated)
+    val rewritten = writeTableFiles(table, updated, spec)
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
@@ -1198,10 +1219,10 @@ class BranchCatalog(
         else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
       }.reduceOption(_ && _).getOrElse(lit(true))
 
+      val spec = cur.partitionSpec.map(PartitionSpec.parse)
       val perManifest = cur.manifests.map { m =>
         val files = readManifest(m.path)
-        val affected = pruneFiles(files, cond, schema,
-          cur.partitionSpec.map(PartitionSpec.parse))
+        val affected = pruneFiles(files, cond, schema, spec)
         val affectedPaths = affected.map(_.path).toSet
         (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
       }
@@ -1218,7 +1239,7 @@ class BranchCatalog(
             .join(scan.select(keys.map(fcol): _*).distinct(), keys, "left_anti").count()
           (kept.unionByName(aligned), replaced, inserted)
         }
-      val rewritten = writeDataFiles(table, survivors)
+      val rewritten = writeTableFiles(table, survivors, spec)
       val newManifests =
         perManifest.flatMap { case (m, affected, untouched) =>
           if (affected.isEmpty) Some(m)
@@ -1298,7 +1319,9 @@ class BranchCatalog(
     require(targetFiles >= 1, "targetFiles >= 1")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val rewritten = writeDataFiles(table, scanSnapshot(table, curId).repartition(targetFiles))
+    val rewritten = writeTableFiles(table,
+      scanSnapshot(table, curId).repartition(targetFiles),
+      cur.partitionSpec.map(PartitionSpec.parse))
     val manifest = writeManifest(table, rewritten)
     var committed: Snapshot = null
     commitRefs { refs =>

@@ -453,6 +453,64 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t").schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("merge conflict: both sides rewriting the same manifests fails loudly instead of duplicating") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100))
+    cat.createBranch("del")
+    // both sides rewrite the SAME files: branch deletes some rows, main
+    // deletes different rows — an append-only merge of the two rewrites
+    // would duplicate every row untouched by both
+    cat.deleteWhere("t", col("doc_id") < 10, "del")
+    cat.deleteWhere("t", col("doc_id") >= 90, "main")
+    val e = intercept[IllegalStateException](cat.merge("del"))
+    assert(e.getMessage.contains("merge conflict"), e.getMessage)
+    assert(cat.scan("t", "main").count() == 90, "main untouched by the failed merge")
+
+    // rebase: re-fork from main and replay the delete -> publishes cleanly
+    cat.dropBranch("del")
+    cat.createBranch("del")
+    cat.deleteWhere("t", col("doc_id") < 10, "del")
+    cat.merge("del")
+    assert(cat.scan("t", "main").count() == 80)
+    assert(cat.scan("t", "main").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L until 90L))
+    // concurrent compactions are the same conflict
+    val cat2 = freshCatalog()
+    cat2.createTableIfNotExists("t", docs.schema)
+    for (i <- 0 until 3)
+      cat2.append("t", docs.filter(col("doc_id") >= i * 10L && col("doc_id") < (i + 1) * 10L))
+    cat2.createBranch("c")
+    cat2.compactDataFiles("t", "c")
+    cat2.compactDataFiles("t", "main")
+    assert(intercept[IllegalStateException](cat2.merge("c"))
+      .getMessage.contains("merge conflict"))
+    assert(cat2.scan("t", "main").count() == 30, "no duplication")
+  }
+
+  test("DML on a partitioned table preserves the hidden layout through rewrites") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendPartitioned("t", docs, BucketPartition(8, "doc_id"))
+    cat.deleteWhere("t", col("doc_id") === 57L)
+    assert(cat.scan("t").count() == 199)
+    // every surviving file still carries its transform value...
+    assert(cat.dataFiles("t").forall(_.partition.contains("pv")),
+      "delete rewrite must keep the bucket layout")
+    // ...so point lookups still prune after the delete
+    val total = cat.dataFiles("t").size
+    assert(cat.prunedDataFiles("t", col("doc_id") === 58L).size * 4 <= total)
+    assert(cat.scan("t", filter = Some(col("doc_id") === 58L)).count() == 1)
+
+    cat.updateWhere("t", col("doc_id") === 58L, Map("n_chars" -> lit(7L)))
+    assert(cat.dataFiles("t").forall(_.partition.contains("pv")),
+      "update rewrite must keep the bucket layout")
+    assert(cat.scan("t", filter = Some(col("doc_id") === 58L))
+      .select("n_chars").head.getLong(0) == 7L)
+  }
+
   test("updateWhere: stats-bounded rewrite, NULL cond rows untouched, branch publish via merge") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
