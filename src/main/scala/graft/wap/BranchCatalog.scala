@@ -594,12 +594,14 @@ class BranchCatalog(
     * range. Transform values compare as strings by construction (ISO
     * dates order lexicographically; buckets compare for equality only). */
   private def partitionMayMatch(
-      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec]): Boolean =
+      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec],
+      schema: StructType): Boolean =
     (for {
       s <- spec
       pv <- f.partition.get("pv")
       (attr, op, l) <- comparisonOf(p) if attr == s.column
-      (alignOp, v) <- s.align(op, l)
+      colType <- schema.fields.find(_.name == s.column).map(_.dataType)
+      (alignOp, v) <- s.align(op, l, colType)
     } yield alignOp match {
       case "=" => pv == v
       case ">=" => pv >= v
@@ -609,12 +611,14 @@ class BranchCatalog(
   /** Partition-transform pruning as a Column over manifest entries (the
     * distributed planning path); entries without partition metadata
     * evaluate null and are kept. */
-  private def partitionMayMatchCol(p: Expression, spec: Option[PartitionSpec]): Column = {
+  private def partitionMayMatchCol(
+      p: Expression, spec: Option[PartitionSpec], schema: StructType): Column = {
     import org.apache.spark.sql.functions._
     (for {
       s <- spec
       (attr, op, l) <- comparisonOf(p) if attr == s.column
-      (alignOp, v) <- s.align(op, l)
+      colType <- schema.fields.find(_.name == s.column).map(_.dataType)
+      (alignOp, v) <- s.align(op, l, colType)
     } yield {
       val pv = try_element_at(col("partition"), lit("pv"))
       val cmp = alignOp match {
@@ -640,7 +644,7 @@ class BranchCatalog(
       case Some(pred) =>
         val preds = conjuncts(pred)
         files.filter { f =>
-          preds.forall(p => partitionMayMatch(f, p, spec) && mayMatch(f, p, schema))
+          preds.forall(p => partitionMayMatch(f, p, spec, schema) && mayMatch(f, p, schema))
         }
     }
   }
@@ -654,7 +658,7 @@ class BranchCatalog(
     val entries = manifestEntries(snap)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
       case Some(pred) => entries.filter(conjuncts(pred)
-        .map(p => partitionMayMatchCol(p, spec) && mayMatchCol(p)).reduce(_ && _))
+        .map(p => partitionMayMatchCol(p, spec, schema) && mayMatchCol(p)).reduce(_ && _))
       case None => entries
     }
     kept.select(col("path")).collect().map(_.getString(0)).toSeq

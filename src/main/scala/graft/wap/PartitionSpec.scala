@@ -2,7 +2,7 @@ package graft.wap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EmptyRow, EvalMode, Literal, XxHash64}
 import org.apache.spark.sql.types._
 
 /** Hidden-partitioning transform (the Iceberg partition-spec analogue the
@@ -26,9 +26,12 @@ sealed trait PartitionSpec {
   def format: String
   /** Align one predicate conjunct with this transform: Some((op, value))
     * with op in {"=", "<=", ">="} when the conjunct constrains the
-    * partition value, None when it doesn't (never prune on it). The
-    * literal arrives analyzer-coerced to the source column's type. */
-  def align(op: String, lit: Literal): Option[(String, String)]
+    * partition value, None when it doesn't (never prune on it).
+    * `colType` is the SOURCE column's declared type: comparisons may
+    * arrive with the literal coerced wider than the column (int column
+    * vs long literal), and the transform must evaluate the literal in
+    * the column's own type to match what was computed at write time. */
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)]
 }
 
 /** day(col): one partition value per UTC day of a timestamp/date column.
@@ -50,7 +53,7 @@ case class DayPartition(column: String) extends PartitionSpec {
       Some(java.time.LocalDate.ofEpochDay(days).toString)
     case _ => None
   }
-  def align(op: String, lit: Literal): Option[(String, String)] = op match {
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] = op match {
     case "=" => dayOf(lit).map(("=", _))
     // > and >= both keep the literal's own day (rows later that day qualify)
     case ">" | ">=" => dayOf(lit).map((">=", _))
@@ -67,13 +70,25 @@ case class BucketPartition(n: Int, column: String) extends PartitionSpec {
   require(n >= 2, "bucket count >= 2")
   def valueCol: Column = pmod(xxhash64(col(column)), lit(n)).cast("string")
   def format: String = s"bucket($n,$column)"
-  def align(op: String, lit: Literal): Option[(String, String)] = op match {
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] = op match {
     case "=" =>
-      // the same Catalyst expression the SQL xxhash64 function evaluates,
-      // so the driver-side literal bucket is bit-identical to valueCol's
+      // xxhash64 is TYPE-sensitive (the same numeric value hashes
+      // differently as int vs long), so the literal must be evaluated in
+      // the column's own type — a comparison like `intCol = 57L` arrives
+      // with a LONG literal that would otherwise hash to the wrong
+      // bucket and prune away the matching file. TRY-cast: a literal
+      // that can't represent in the column's type matches nothing, so
+      // pruning nothing is sound.
       try {
-        val h = XxHash64(Seq(lit), 42L).eval(EmptyRow).asInstanceOf[Long]
-        Some(("=", (((h % n) + n) % n).toString))
+        val coerced =
+          if (lit.dataType == colType) lit
+          else Literal(
+            Cast(lit, colType, Some("UTC"), EvalMode.TRY).eval(EmptyRow), colType)
+        if (coerced.value == null) None
+        else {
+          val h = XxHash64(Seq(coerced), 42L).eval(EmptyRow).asInstanceOf[Long]
+          Some(("=", (((h % n) + n) % n).toString))
+        }
       } catch { case _: Exception => None }
     case _ => None // a bucket constrains nothing about ranges
   }

@@ -489,6 +489,26 @@ class WapSpec extends SparkSpecBase {
     assert(cat2.scan("t", "main").count() == 30, "no duplication")
   }
 
+  test("bucket pruning is type-coercion safe: a wider literal on a narrower key column still finds the row") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cat = freshCatalog()
+    // INT key column: xxhash64 hashes int and long DIFFERENTLY, so the
+    // literal must be evaluated in the column's own type
+    val df = (0 until 200).map(i => (i, s"row-$i")).toDF("id", "v")
+    cat.createTableIfNotExists("t", df.schema)
+    cat.appendPartitioned("t", df, BucketPartition(8, "id"))
+    // the comparison coerces the int column up to the long literal's type
+    val got = cat.scan("t", filter = Some(col("id") === 57L)).collect()
+    assert(got.length == 1 && got.head.getString(1) == "row-57",
+      "cross-type point lookup must not prune away the matching bucket")
+    // and it still PRUNES (the coerced literal hashes to the right bucket)
+    val total = cat.dataFiles("t").size
+    assert(cat.prunedDataFiles("t", col("id") === 57L).size * 4 <= total)
+    // an unrepresentable literal matches nothing and prunes nothing (sound)
+    assert(cat.scan("t", filter = Some(col("id") === 5000000000L)).count() == 0)
+  }
+
   test("DML on a partitioned table preserves the hidden layout through rewrites") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
