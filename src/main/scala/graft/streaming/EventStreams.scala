@@ -63,7 +63,12 @@ object EventStreams {
       /** Cross-table publish gates (drift vs published history, FK
         * integrity vs dimensions) — evaluated per micro-batch through
         * [[graft.wap.Wap.run]] like the expectation suite. */
-      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): StreamingQuery = {
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty,
+      /** CDC mode: when set, each micro-batch UPSERTS on these key
+        * columns through [[graft.wap.Wap.runUpsert]] — re-delivered or
+        * corrected records replace their earlier versions instead of
+        * appending duplicates. */
+      upsertKeys: Option[Seq[String]] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dropDir)
@@ -74,8 +79,14 @@ object EventStreams {
         if (!batch.isEmpty) {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
-          Wap.run(catalog, table, batch, checks, branch, alerter,
-            crossChecks = crossChecks)
+          upsertKeys match {
+            case Some(keys) =>
+              Wap.runUpsert(catalog, table, batch, keys, checks, branch, alerter,
+                crossChecks = crossChecks)
+            case None =>
+              Wap.run(catalog, table, batch, checks, branch, alerter,
+                crossChecks = crossChecks)
+          }
           // self-maintenance: streaming leaves one small file + manifest
           // per micro-batch; every N batches fold them and expire the
           // superseded history (branch heads always survive, so failed

@@ -156,11 +156,43 @@ object Wap {
         * `() => catalog.scan(dim)` reference sees the currently
         * published state. */
       crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
-
     catalog.createTableIfNotExists(table, batch.schema)
     catalog.createBranch(branchName, from = "main")
     catalog.append(table, batch, branchName)
+    auditAndPublish(catalog, table, branchName, checks, crossChecks,
+      auditScope, alerter, dropBranchOnPublish)
+  }
 
+  /** CDC-flavored WAP: the batch UPSERTS into the branch (keyed replace-
+    * or-insert) instead of appending — re-delivered or corrected records
+    * update in place rather than duplicating. The audit's Delta scope
+    * covers every manifest the upsert touched (so rewritten neighbors of
+    * the batch re-audit alongside it); publishing rides the 3-way merge,
+    * which carries the upsert's manifest removals and fails loudly on a
+    * conflicting concurrent rewrite of main (rebase + retry). */
+  def runUpsert(
+      catalog: BranchCatalog,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      checks: Seq[Expect],
+      branchName: String,
+      alerter: Alerter = LogAlerter,
+      dropBranchOnPublish: Boolean = true,
+      auditScope: AuditScope = AuditScope.Delta,
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
+    catalog.createTableIfNotExists(table, batch.schema)
+    catalog.createBranch(branchName, from = "main")
+    catalog.upsert(table, batch, keys, branchName)
+    auditAndPublish(catalog, table, branchName, checks, crossChecks,
+      auditScope, alerter, dropBranchOnPublish)
+  }
+
+  private def auditAndPublish(
+      catalog: BranchCatalog, table: String, branchName: String,
+      checks: Seq[Expect], crossChecks: Seq[graft.quality.CrossCheck],
+      auditScope: AuditScope, alerter: Alerter,
+      dropBranchOnPublish: Boolean): WapResult = {
     val audited = auditScope match {
       case AuditScope.Delta => catalog.scanBranchDelta(table, branchName)
       case AuditScope.FullTable => catalog.scan(table, branchName)

@@ -103,6 +103,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(cat.scan("people").select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 4L))
   }
 
+  test("fileIngest upsert mode: corrected records replace their earlier versions, no duplicates") {
+    val drop = tmp("graft-drop-ups")
+    val ckpt = tmp("graft-ckpt-ups")
+    val cat = new BranchCatalog(spark, tmp("graft-cat-ups"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    def runOnce(): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "people",
+        Seq(NotNull("name")), ckpt, new BufferAlerter, Trigger.AvailableNow(),
+        upsertKeys = Some(Seq("id")))
+      q.awaitTermination()
+    }
+    Seq((1L, "ada"), (2L, "grase")).toDF("id", "name") // typo in id=2
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people").count() == 2)
+
+    // correction file: id=2 fixed, id=3 new — upsert replaces, not appends
+    Seq((2L, "grace"), (3L, "edsger")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    val rows = cat.scan("people").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cat.scan("people").count() == 3, "no duplicate for the corrected id")
+    assert(rows == Map(1L -> "ada", 2L -> "grace", 3L -> "edsger"), s"$rows")
+
+    // a faulty correction still quarantines: main keeps the good state
+    Seq((1L, null.asInstanceOf[String])).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people", "main").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == rows,
+      "faulty upsert batch must not publish")
+  }
+
   test("enrichLatest: each micro-batch joins the latest PUBLISHED snapshot only") {
     val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-enrich").toString)
     val dimV1 = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "name")
