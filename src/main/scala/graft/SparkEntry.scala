@@ -36,6 +36,8 @@ object SparkEntry {
     "q22_interval_join" -> (Relational.q22IntervalJoin _),
     "q23_spend_deciles" -> (Relational.q23SpendDeciles _),
     "q23_deciles_approx" -> (Relational.q23SpendDecilesApprox _),
+    "q24_pivot" -> (Relational.q24Pivot _),
+    "q25_running_total" -> (Relational.q25RunningTotal _),
     "q21_percentiles_approx" -> (Relational.q21PercentilesApprox _),
     "curate_mix" -> (PipelineQueries.curateMix _),
     "events_asof" -> (PipelineQueries.eventsAsof _),
@@ -135,6 +137,10 @@ object SparkEntry {
       """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue FROM orders JOIN (VALUES ('b0', 0.0, 1000.0), ('b1', 1000.0, 2000.0), ('b2', 2000.0, 5000.0), ('b3', 5000.0, 10000.0), ('b4', 10000.0, 20000.0), ('b5', 20000.0, 50000.0), ('b6', 50000.0, 100000.0), ('b7', 100000.0, 200000.0), ('b8', 200000.0, 500000.0), ('b9', 500000.0, 1000000.0)) AS bands(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band""",
     "q23_spend_deciles" ->
       """SELECT decile, count(*) AS n_customers, round(sum(spend), 2) AS decile_spend FROM (SELECT o_custkey, spend, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT) AS decile FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend FROM orders GROUP BY o_custkey) s) t GROUP BY decile""",
+    "q24_pivot" ->
+      """SELECT user_id % 100 AS cohort, coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click, coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0.0) AS error, coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase, coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0.0) AS signup, coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0.0) AS view FROM events GROUP BY 1""",
+    "q25_running_total" ->
+      """SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING), 2) AS running_spend FROM orders""",
     "curate_mix" ->
       """WITH totals AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total FROM documents GROUP BY source) SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_tokens FROM documents d JOIN totals t ON d.source = t.source WHERE ((d.doc_id & 2147483647) * 2654435761) % 1000 < least(1000, CAST(floor(40000.0 * (CASE d.source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 2.0 ELSE 0.05 END) * 1000.0 / nullif(t.total, 0.0)) AS BIGINT)) GROUP BY d.source""",
     "events_asof" ->

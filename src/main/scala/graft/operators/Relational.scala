@@ -325,6 +325,30 @@ object Relational {
         round(expr("approx_percentile(value, 0.99, 10000)"), 2).as("p99"),
         count(lit(1)).as("n"))
 
+  /** Pivot: event-type columns per user cohort (user_id % 100). The
+    * pivot VALUES are declared, so Spark plans a single-pass pivot
+    * aggregate (no extra distinct-values job) — map-side partial
+    * aggregation survives, one shuffle on the cohort key. */
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 100).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .na.fill(0.0)
+
+  /** Running (cumulative) revenue per customer over their order history —
+    * the classic unbounded-preceding frame; one shuffle on the
+    * high-cardinality customer key. */
+  def q25RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+  }
+
   /** Revenue per non-uniform price band via the bucket-decomposed
     * interval join ([[Ranges.intervalJoin]]) — an equi-join on bucket
     * keys plus exact bounds, never a nested-loop comparison against
