@@ -63,6 +63,71 @@ case class DayPartition(column: String) extends PartitionSpec {
   }
 }
 
+/** Shared shape for the time-hierarchy transforms: a strftime-style
+  * value whose string ordering equals time ordering, alignment backed
+  * off one microsecond for strict upper bounds. */
+sealed abstract class TimePartition extends PartitionSpec {
+  /** "yyyy-MM" / "yyyy-MM-dd" / "yyyy-MM-dd HH" */
+  protected def pattern: String
+  def valueCol: Column = date_format(col(column), pattern)
+  protected def render(t: java.time.ZonedDateTime): String
+  private def unitOf(l: Literal, backOff: Boolean): Option[String] = l.dataType match {
+    case TimestampType | TimestampNTZType =>
+      val micros = l.value.asInstanceOf[Number].longValue() - (if (backOff) 1L else 0L)
+      Some(render(java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC)))
+    case DateType =>
+      val days = l.value.asInstanceOf[Number].longValue() - (if (backOff) 1L else 0L)
+      Some(render(java.time.LocalDate.ofEpochDay(days)
+        .atStartOfDay(java.time.ZoneOffset.UTC)))
+    case _ => None
+  }
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] = op match {
+    case "=" => unitOf(lit, backOff = false).map(("=", _))
+    case ">" | ">=" => unitOf(lit, backOff = false).map((">=", _))
+    case "<" => unitOf(lit, backOff = true).map(("<=", _))
+    case "<=" => unitOf(lit, backOff = false).map(("<=", _))
+    case _ => None
+  }
+}
+
+/** month(col): one partition value per UTC month. */
+case class MonthPartition(column: String) extends TimePartition {
+  protected def pattern = "yyyy-MM"
+  protected def render(t: java.time.ZonedDateTime): String =
+    f"${t.getYear}%04d-${t.getMonthValue}%02d"
+  def format: String = s"month($column)"
+}
+
+/** hour(col): one partition value per UTC hour. */
+case class HourPartition(column: String) extends TimePartition {
+  protected def pattern = "yyyy-MM-dd HH"
+  protected def render(t: java.time.ZonedDateTime): String =
+    f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d ${t.getHour}%02d"
+  def format: String = s"hour($column)"
+}
+
+/** truncate(width, col): the first `width` characters of a string key —
+  * prefix truncation preserves lexicographic order, so equality AND
+  * range predicates align. */
+case class TruncatePartition(width: Int, column: String) extends PartitionSpec {
+  require(width >= 1, "truncate width >= 1")
+  def valueCol: Column = substring(col(column), 1, width)
+  def format: String = s"truncate($width,$column)"
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] =
+    lit.dataType match {
+      case StringType =>
+        val prefix = lit.value.toString.take(width)
+        op match {
+          case "=" => Some(("=", prefix))
+          case ">" | ">=" => Some((">=", prefix))
+          case "<" | "<=" => Some(("<=", prefix))
+          case _ => None
+        }
+      case _ => None
+    }
+}
+
 /** bucket(n, col): xxhash64 of the source value mod n — spreads any
   * high-cardinality key over n stable buckets; point predicates prune to
   * one bucket. */
@@ -96,10 +161,16 @@ case class BucketPartition(n: Int, column: String) extends PartitionSpec {
 
 object PartitionSpec {
   private val Day = """day\(([^)]+)\)""".r
+  private val Month = """month\(([^)]+)\)""".r
+  private val Hour = """hour\(([^)]+)\)""".r
   private val Bucket = """bucket\((\d+),([^)]+)\)""".r
+  private val Truncate = """truncate\((\d+),([^)]+)\)""".r
   def parse(s: String): PartitionSpec = s match {
     case Day(c) => DayPartition(c)
+    case Month(c) => MonthPartition(c)
+    case Hour(c) => HourPartition(c)
     case Bucket(n, c) => BucketPartition(n.toInt, c)
+    case Truncate(w, c) => TruncatePartition(w.toInt, c)
     case other => throw new IllegalArgumentException(s"unknown partition spec: $other")
   }
 }

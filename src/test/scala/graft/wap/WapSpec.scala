@@ -489,6 +489,44 @@ class WapSpec extends SparkSpecBase {
     assert(cat2.scan("t", "main").count() == 30, "no duplication")
   }
 
+  test("hour/month/truncate transforms: range and prefix predicates prune") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hour(ts): 6 hours x 20 events
+    val cat = freshCatalog()
+    val events = (0 until 120).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-10 ${8 + i % 6}%02d:30:${i / 6}%02d"), i * 1.0)
+    }.toDF("event_id", "ts", "value")
+    cat.createTableIfNotExists("ev", events.schema)
+    cat.appendPartitioned("ev", events, HourPartition("ts"))
+    val hTotal = cat.dataFiles("ev").size
+    assert(hTotal >= 6)
+    val oneHour = col("ts") >= lit("2024-03-10 10:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-03-10 11:00:00").cast("timestamp")
+    val hPruned = cat.prunedDataFiles("ev", oneHour)
+    assert(hPruned.forall(_.partition("pv") == "2024-03-10 10"), s"$hPruned")
+    assert(cat.scan("ev", filter = Some(oneHour)).count() == 20)
+
+    // truncate(4, source): prefix groups; equality and range prune
+    val cat2 = freshCatalog()
+    val docs = (0 until 200).map(i => (i.toLong, s"src${i % 5}-shard${i % 3}"))
+      .toDF("doc_id", "source")
+    cat2.createTableIfNotExists("d", docs.schema)
+    cat2.appendPartitioned("d", docs, TruncatePartition(4, "source"))
+    val tTotal = cat2.dataFiles("d").size
+    assert(tTotal >= 5)
+    val eq = cat2.prunedDataFiles("d", col("source") === "src2-shard1")
+    assert(eq.forall(_.partition("pv") == "src2"), s"$eq")
+    assert(cat2.scan("d", filter = Some(col("source") === "src2-shard1")).count() > 0)
+    assert(cat2.prunedDataFiles("d", col("source") >= "src3").forall(
+      _.partition("pv") >= "src3"))
+
+    // month parses round-trip
+    assert(PartitionSpec.parse("month(ts)") == MonthPartition("ts"))
+    assert(PartitionSpec.parse("hour(ts)") == HourPartition("ts"))
+    assert(PartitionSpec.parse("truncate(4,source)") == TruncatePartition(4, "source"))
+  }
+
   test("bucket pruning is type-coercion safe: a wider literal on a narrower key column still finds the row") {
     val spark0 = spark
     import spark0.implicits._
