@@ -40,6 +40,7 @@ object SparkEntry {
     "q25_running_total" -> (Relational.q25RunningTotal _),
     "q21_percentiles_approx" -> (Relational.q21PercentilesApprox _),
     "curate_mix" -> (PipelineQueries.curateMix _),
+    "curate_pack" -> (PipelineQueries.curatePack _),
     "events_asof" -> (PipelineQueries.eventsAsof _),
     "events_sessions" -> (PipelineQueries.eventsSessions _),
     "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
@@ -143,6 +144,8 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING), 2) AS running_spend FROM orders""",
     "curate_mix" ->
       """WITH totals AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total FROM documents GROUP BY source) SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS kept_tokens FROM documents d JOIN totals t ON d.source = t.source WHERE ((d.doc_id & 2147483647) * 2654435761) % 1000 < least(1000, CAST(floor(40000.0 * (CASE d.source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 2.0 ELSE 0.05 END) * 1000.0 / nullif(t.total, 0.0)) AS BIGINT)) GROUP BY d.source""",
+    "curate_pack" ->
+      """WITH h AS (SELECT doc_id, n_chars, ((doc_id & 2147483647) * 2654435761) % 16 AS pb, ((doc_id & 2147483647) * 2654435761) % 1000000007 AS ho FROM documents), c AS (SELECT doc_id, n_chars, pb, sum(n_chars) OVER (PARTITION BY pb ORDER BY ho, doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS po FROM h) SELECT pb * 1099511627776 + CAST(floor(po / 4096.0) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_tokens FROM c GROUP BY 1""",
     "events_asof" ->
       """SELECT c.event_id, c.user_id, epoch_us(e.ts) AS err_ts_us, round(e.value, 2) AS err_value FROM (SELECT * FROM events WHERE event_type = 'click') c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e ON c.user_id = e.user_id AND e.ts <= c.ts""",
     "events_sessions" ->

@@ -78,4 +78,40 @@ object Curation {
     }
     df.filter(b < threshold)
   }
+
+  /** Sequence packing: assign every document to a fixed-token-budget
+    * training sequence (the pretraining "pack documents into context
+    * windows" step). Offset packing: docs are ordered deterministically
+    * (id hash), a running token sum places each doc at its start offset,
+    * and pack = floor(startOffset / budget) — so every pack holds
+    * ~budget tokens (a doc straddling the boundary belongs to the pack
+    * where it STARTS; trainers truncate/pad the remainder, and any doc
+    * longer than the budget still gets a pack of its own).
+    *
+    * Scale design: a global running sum would serialize onto one
+    * reducer, so packing runs WITHIN `buckets` deterministic hash
+    * buckets — one shuffle across plenty of reducers, each pack drawn
+    * from one bucket. Packing quality is unaffected (offset packing
+    * never compares docs across pack boundaries) and the assignment
+    * stays reproducible: same corpus, same buckets, same packs,
+    * any partitioning.
+    *
+    * @return input plus (pack_id, pack_offset) — pack_id is globally
+    *         unique (bucket * 2^40 + bucket-local index) */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, buckets: Int = 1024): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val b = hashBucket(col(idCol), buckets)
+    val w = Window.partitionBy(col("__pb"))
+      .orderBy(hashBucket(col(idCol), 1000000007).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pb", b)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_offset", col("__cum") - col(tokenCol))
+      .withColumn("pack_id",
+        col("__pb") * lit(1L << 40) + floor(col("pack_offset") / lit(budget.toDouble)).cast("long"))
+      .drop("__pb", "__cum")
+  }
 }

@@ -119,6 +119,15 @@ object PipelineQueries {
       k = 5, pcaK = 16, candidateFactor = 4)
   }
 
+  /** Sequence packing over documents (n_chars as the token proxy):
+    * per-pack doc counts + token sums, exact window arithmetic both
+    * engines (SQL oracle). */
+  def curatePack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, dir), "doc_id", "n_chars",
+      budget = 4096L, buckets = 16)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_tokens"))
+
   // ---- §2.6 text analysis ----------------------------------------------
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =

@@ -67,6 +67,34 @@ class CurationSpec extends SparkSpecBase {
     assert(again == large)
   }
 
+  test("packSequences: every doc packs once, pack spans stay under budget, partition-invariant") {
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val budget = 4096L
+    val out = Curation.packSequences(df, "doc_id", "n_chars", budget, buckets = 8)
+      .select("doc_id", "n_chars", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // exhaustive, exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.length == df.count())
+    // pack_id is consistent with the doc's start offset
+    for ((_, _, pid, off) <- out)
+      assert(pid % (1L << 40) == off / budget, s"pack $pid offset $off")
+    // offsets within one pack span less than the budget (offset packing)
+    for ((pid, docs) <- out.groupBy(_._3)) {
+      val offs = docs.map(_._4)
+      assert(offs.max - offs.min < budget, s"pack $pid spans ${offs.max - offs.min}")
+    }
+    // multi-doc packs exist at this budget (it actually packs)
+    assert(out.groupBy(_._3).values.exists(_.length > 1))
+
+    // reproducible under any input partitioning
+    val again = Curation.packSequences(df.repartition(13), "doc_id", "n_chars", budget, buckets = 8)
+      .select("doc_id", "pack_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out.map(t => t._1 -> t._3).toMap)
+  }
+
   test("hash buckets never overflow: huge ids match the masked reference formula") {
     // ids far beyond 2^32 — unmasked, id * 2654435761 would wrap in Spark
     // and raise in ANSI engines, so cross-engine determinism would break
