@@ -185,7 +185,7 @@ object SparkEntry {
     "text_top_terms" ->
       """SELECT lang, term, n, rk FROM (SELECT lang, term, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rk FROM (SELECT lang, term, count(*) AS n FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents) u WHERE term <> '' GROUP BY lang, term) c) r WHERE rk <= 5""",
     "text_gopher" ->
-      """SELECT doc_id, ok_word_count, ok_word_len, ok_symbol_ratio, ok_alpha_ratio, (ok_word_count AND ok_word_len AND ok_symbol_ratio AND ok_alpha_ratio) AS keep FROM (SELECT doc_id, n_words >= 20 AND n_words <= 100000 AS ok_word_count, mean_len >= 3.0 AND mean_len <= 10.0 AS ok_word_len, symbols / n_words <= 0.1 AS ok_symbol_ratio, alpha_words / n_words >= 0.8 AS ok_alpha_ratio FROM (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_words, CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_len, CAST(length(text) - length(regexp_replace(text, '[#\.\*]', '', 'g')) AS DOUBLE) AS symbols, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS alpha_words FROM documents) a) b""",
+      """SELECT doc_id, ok_word_count, ok_word_len, ok_symbol_ratio, ok_alpha_ratio, ok_bullet_ratio, ok_ellipsis_ratio, (ok_word_count AND ok_word_len AND ok_symbol_ratio AND ok_alpha_ratio AND ok_bullet_ratio AND ok_ellipsis_ratio) AS keep FROM (SELECT doc_id, n_words >= 20 AND n_words <= 100000 AS ok_word_count, mean_len >= 3.0 AND mean_len <= 10.0 AS ok_word_len, symbols / n_words <= 0.1 AS ok_symbol_ratio, alpha_words / n_words >= 0.8 AS ok_alpha_ratio, coalesce(bullet_lines / nullif(n_lines, 0.0) <= 0.9, true) AS ok_bullet_ratio, coalesce(ellipsis_lines / nullif(n_lines, 0.0) <= 0.3, true) AS ok_ellipsis_ratio FROM (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_words, CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_len, CAST(length(text) - length(regexp_replace(text, '[#\.\*]', '', 'g')) AS DOUBLE) AS symbols, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS alpha_words, CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS DOUBLE) AS n_lines, CAST(len(list_filter(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''), l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) AS bullet_lines, CAST(len(list_filter(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''), l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) AS ellipsis_lines FROM documents) a) b""",
     "text_redact" ->
       """SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INT) AS n_phones FROM documents""",
     "text_quality" ->

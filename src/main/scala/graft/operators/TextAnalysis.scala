@@ -119,22 +119,33 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8): DataFrame = {
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3): DataFrame = {
     val t = col(textCol)
     val words = split(trim(t), "\\s+")
     val nWords = size(words).cast("double")
     val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / nWords
     val symbols = (length(t) - length(regexp_replace(t, "[#\\.\\*]", ""))).cast("double")
     val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double")
+    // line-based rules (Rae et al. 2021 §A1.1): mostly-bullet and
+    // mostly-ellipsis documents are list fragments / truncated crawls.
+    // A document with no non-blank lines trivially passes (coalesce).
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = nullif(size(lines).cast("double"), lit(0.0))
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
     df.select(
       col(idCol),
       (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
       (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("ok_word_len"),
       (symbols / nWords <= maxSymbolRatio).as("ok_symbol_ratio"),
-      (alphaWords / nWords >= minAlphaWordRatio).as("ok_alpha_ratio"))
+      (alphaWords / nWords >= minAlphaWordRatio).as("ok_alpha_ratio"),
+      coalesce(bulletLines / nLines <= maxBulletRatio, lit(true)).as("ok_bullet_ratio"),
+      coalesce(ellipsisLines / nLines <= maxEllipsisRatio, lit(true)).as("ok_ellipsis_ratio"))
       .withColumn("keep",
         col("ok_word_count") && col("ok_word_len") &&
-          col("ok_symbol_ratio") && col("ok_alpha_ratio"))
+          col("ok_symbol_ratio") && col("ok_alpha_ratio") &&
+          col("ok_bullet_ratio") && col("ok_ellipsis_ratio"))
   }
 
   /** Repetition statistics (the Gopher duplicate-line rules): line

@@ -154,16 +154,23 @@ class TextSpec extends SparkSpecBase {
       (2L, "too short"),                                // word count
       (3L, (1 to 30).map(_ => "a").mkString(" ")),      // mean word len < 3
       (4L, (1 to 30).map(i => s"word$i ###").mkString(" ")), // symbol ratio
-      (5L, (1 to 30).map(_ => "123456").mkString(" ")))  // alpha ratio
+      (5L, (1 to 30).map(_ => "123456").mkString(" ")),  // alpha ratio
+      (6L, (1 to 30).map(i => s"- bullet item$i").mkString("\n")), // all-bullet lines
+      (7L, (1 to 30).map(i => s"truncated line$i...").mkString("\n"))) // all-ellipsis lines
     val got = TextAnalysis.gopherFilter(samples.toDF("doc_id", "text"),
         "doc_id", "text", minWords = 20)
       .collect().map(r => r.getLong(0) ->
-        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
-    assert(got(1L) == ((true, true, true, true, true)))
-    assert(!got(2L)._1 && !got(2L)._5)
-    assert(!got(3L)._2 && !got(3L)._5)
-    assert(!got(4L)._3 && !got(4L)._5)
-    assert(!got(5L)._4 && !got(5L)._5)
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._7)
+    assert(!got(3L)._2 && !got(3L)._7)
+    assert(!got(4L)._3 && !got(4L)._7)
+    assert(!got(5L)._4 && !got(5L)._7)
+    assert(!got(6L)._5 && !got(6L)._7, "mostly-bullet doc must fail ok_bullet_ratio")
+    assert(!got(7L)._6 && !got(7L)._7, "mostly-ellipsis doc must fail ok_ellipsis_ratio")
+    // single-line prose is unaffected by the line rules
+    assert(got(1L)._5 && got(1L)._6)
   }
 
   test("native qualityScore equals the SQL regex formulation, including whitespace edge cases") {
