@@ -404,9 +404,12 @@ class BranchCatalog(
 
   /** reference app.py:125-149 create_table_if_not_exists. Returns true if
     * the table was created. */
-  def createTableIfNotExists(table: String, schema: StructType, branch: String = "main"): Boolean = {
+  def createTableIfNotExists(
+      table: String, schema: StructType, branch: String = "main",
+      spec: Option[PartitionSpec] = None): Boolean = {
     if (tableExists(table, branch)) return false
-    val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL, System.currentTimeMillis())
+    val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
+      System.currentTimeMillis(), spec.map(_.format))
     writeSnapshot(table, snap)
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -424,6 +427,34 @@ class BranchCatalog(
     currentRefs().branches.get(branch).map(_.tables.keys.toSeq.sorted).getOrElse(Seq.empty)
 
   def listBranches(): Seq[String] = currentRefs().branches.keys.toSeq.sorted
+
+  /** Drop a table from one branch: metadata-only (the branch's pointer is
+    * removed; snapshots and data files stay on disk for time travel from
+    * other branches until [[expireSnapshots]] reclaims them). Returns
+    * false when the table was absent. */
+  def dropTable(table: String, branch: String = "main"): Boolean = {
+    var existed = false
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      existed = b.tables.contains(table)
+      if (!existed) refs
+      else refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables - table)))
+    }
+    existed
+  }
+
+  /** Rename a table on one branch: one pointer swap in the refs commit —
+    * snapshot/manifest files are content-addressed under the OLD name's
+    * directory and remain valid, so rename is O(1) regardless of table
+    * size. */
+  def renameTable(from: String, to: String, branch: String = "main"): Unit =
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val id = b.tables.getOrElse(from, sys.error(s"no table $from on $branch"))
+      require(!b.tables.contains(to), s"table $to already exists on $branch")
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables - from + (to -> id))))
+    }
 
   /** reference app.py:160-176 create_branch_from_main: zero-copy — copies
     * only the table->snapshot pointer map and records the fork base for
