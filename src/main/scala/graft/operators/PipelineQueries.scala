@@ -18,11 +18,31 @@ object PipelineQueries {
     * family without it costs four redundant full-corpus passes (the
     * SURVEY §4 shingle-reuse note, now code). Safe as a cache: contents
     * are deterministic functions of (dir, seed-free native hashes). */
+  // Keyed by the SparkSession OBJECT (weak keys): identityHashCode could
+  // be reused after a stopped session is GC'd, binding a stale Prepared —
+  // whose persisted blocks live in a dead context — to a fresh session.
+  // Stopped sessions are purged on every access (their cached blocks died
+  // with the context, so no unpersist is owed), which also bounds growth;
+  // `clearPrepared` is the explicit lifecycle seam. NOTE for bench
+  // readers: within one timed pass the FIRST dedup-family query pays the
+  // shared corpus pass and the rest reuse it — that sharing is the
+  // operator's design (SURVEY §4 shingle reuse), not a warmup artifact.
   private val preparedDocs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.Prepared]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Dedup.Prepared]]()
   private def docsPrepared(spark: SparkSession, dir: String): Dedup.Prepared =
-    preparedDocs.computeIfAbsent((System.identityHashCode(spark), dir),
-      _ => Dedup.prepare(Tables.documents(spark, dir), "doc_id", "text"))
+    preparedDocs.synchronized {
+      val it = preparedDocs.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      preparedDocs.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, Dedup.prepare(Tables.documents(spark, dir), "doc_id", "text"))
+    }
+
+  /** Drop (and unpersist) every cached shingle projection of `spark`. */
+  def clearPrepared(spark: SparkSession): Unit = preparedDocs.synchronized {
+    Option(preparedDocs.remove(spark)).foreach { per =>
+      if (!spark.sparkContext.isStopped) per.values.foreach(_.unpersist())
+    }
+  }
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")

@@ -312,14 +312,22 @@ class BranchCatalog(
     import org.apache.spark.sql.functions.col
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
-    df.withColumn("__pv", spec.valueCol)
+    val colType = df.schema.fields.find(_.name == spec.column).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition column '${spec.column}' not in batch schema"))
+    df.withColumn("__pv", spec.valueCol(colType))
       .repartition(col("__pv"))
       .write.partitionBy("__pv").parquet(dir.toString)
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pv="))
       .flatMap { pd =>
         val raw = pd.getPath.getName.stripPrefix("__pv=")
-        val pv = java.net.URLDecoder.decode(raw, "UTF-8")
+        // Spark escapes partition directory names Hive-style (%XX for
+        // special chars, '+' left alone) — URLDecoder would turn a
+        // literal '+' in a truncate() value into a space and record the
+        // wrong partition value (silently mis-pruned scans)
+        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
         // a null transform value gets no partition metadata: it can never
         // be proven out of range, so pruning keeps the file (sound)
         val part =
@@ -634,9 +642,13 @@ class BranchCatalog(
       colType <- schema.fields.find(_.name == s.column).map(_.dataType)
       (alignOp, v) <- s.align(op, l, colType)
     } yield alignOp match {
+      // ranges compare in UTF-8 byte order (utf8Cmp), matching the
+      // distributed path's Spark-native string ordering — Java UTF-16
+      // ordering diverges on BMP chars >= U+E000 vs supplementary chars,
+      // and a divergent driver prune would be unsound
       case "=" => pv == v
-      case ">=" => pv >= v
-      case _ => pv <= v
+      case ">=" => utf8Cmp(pv, v) >= 0
+      case _ => utf8Cmp(pv, v) <= 0
     }).getOrElse(true)
 
   /** Partition-transform pruning as a Column over manifest entries (the

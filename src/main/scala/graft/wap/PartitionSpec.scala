@@ -20,8 +20,13 @@ import org.apache.spark.sql.types._
 sealed trait PartitionSpec {
   /** Source column the transform derives from. */
   def column: String
-  /** The transform value as a string Column over the data. */
-  def valueCol: Column
+  /** The transform value as a string Column over the data. `colType` is
+    * the SOURCE column's declared type: time transforms must render a
+    * TimestampType instant in UTC explicitly (date_format alone renders
+    * in the SESSION timezone, and align() computes units in UTC — a
+    * non-UTC session would otherwise write partition values that
+    * disagree with prune-time alignment, an unsound prune). */
+  def valueCol(colType: DataType): Column
   /** Canonical serialized form, stored in the snapshot. */
   def format: String
   /** Align one predicate conjunct with this transform: Some((op, value))
@@ -38,7 +43,8 @@ sealed trait PartitionSpec {
   * Range predicates align at day granularity (conservative: the boundary
   * day is always kept). */
 case class DayPartition(column: String) extends PartitionSpec {
-  def valueCol: Column = date_format(col(column), "yyyy-MM-dd")
+  def valueCol(colType: DataType): Column =
+    date_format(PartitionSpec.utcRender(col(column), colType), "yyyy-MM-dd")
   def format: String = s"day($column)"
   /** Day of the literal; `backOff` shifts one unit earlier first, so a
     * strict `col < L` bound at exactly midnight excludes L's whole day
@@ -69,7 +75,8 @@ case class DayPartition(column: String) extends PartitionSpec {
 sealed abstract class TimePartition extends PartitionSpec {
   /** "yyyy-MM" / "yyyy-MM-dd" / "yyyy-MM-dd HH" */
   protected def pattern: String
-  def valueCol: Column = date_format(col(column), pattern)
+  def valueCol(colType: DataType): Column =
+    date_format(PartitionSpec.utcRender(col(column), colType), pattern)
   protected def render(t: java.time.ZonedDateTime): String
   private def unitOf(l: Literal, backOff: Boolean): Option[String] = l.dataType match {
     case TimestampType | TimestampNTZType =>
@@ -112,7 +119,7 @@ case class HourPartition(column: String) extends TimePartition {
   * range predicates align. */
 case class TruncatePartition(width: Int, column: String) extends PartitionSpec {
   require(width >= 1, "truncate width >= 1")
-  def valueCol: Column = substring(col(column), 1, width)
+  def valueCol(colType: DataType): Column = substring(col(column), 1, width)
   def format: String = s"truncate($width,$column)"
   def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] =
     lit.dataType match {
@@ -133,7 +140,8 @@ case class TruncatePartition(width: Int, column: String) extends PartitionSpec {
   * one bucket. */
 case class BucketPartition(n: Int, column: String) extends PartitionSpec {
   require(n >= 2, "bucket count >= 2")
-  def valueCol: Column = pmod(xxhash64(col(column)), lit(n)).cast("string")
+  def valueCol(colType: DataType): Column =
+    pmod(xxhash64(col(column)), lit(n)).cast("string")
   def format: String = s"bucket($n,$column)"
   def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] = op match {
     case "=" =>
@@ -160,6 +168,18 @@ case class BucketPartition(n: Int, column: String) extends PartitionSpec {
 }
 
 object PartitionSpec {
+  /** Render `c` timezone-independently for the time transforms: a
+    * TimestampType instant is converted to its UTC wall clock
+    * (convert_timezone returns TIMESTAMP_NTZ, which date_format renders
+    * verbatim); DateType and TimestampNTZType values are already
+    * timezone-free and must NOT be shifted (the 2-arg convert_timezone
+    * would reinterpret an NTZ value as session-local time). align()
+    * treats NTZ micros as UTC micros, so both paths agree. */
+  private[wap] def utcRender(c: Column, colType: DataType): Column = colType match {
+    case TimestampType => convert_timezone(lit("UTC"), c)
+    case _ => c
+  }
+
   private val Day = """day\(([^)]+)\)""".r
   private val Month = """month\(([^)]+)\)""".r
   private val Hour = """hour\(([^)]+)\)""".r

@@ -997,6 +997,80 @@ class WapSpec extends SparkSpecBase {
     assert(cat.listBranches() == Seq("main"), "all upload branches dropped")
   }
 
+  test("truncate partition values keep literal '+' and %XX-escaped chars verbatim") {
+    // Spark escapes partition dir names Hive-style: ':' becomes %3A but a
+    // literal '+' stays '+'. URL-decoding the dir name (the pre-r5 bug)
+    // turned '+' into a space, so the file carried the wrong partition
+    // value and equality pruning dropped it — silent missing results.
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = ((0 until 40).map(i => (i.toLong, s"a+b-${i % 2}")) ++
+      (40 until 80).map(i => (i.toLong, s"x:y-$i"))).toDF("doc_id", "source")
+    cat.createTableIfNotExists("d", df.schema)
+    cat.appendPartitioned("d", df, TruncatePartition(3, "source"))
+    val pvs = cat.dataFiles("d").flatMap(_.partition.get("pv")).toSet
+    assert(pvs == Set("a+b", "x:y"), s"recorded partition values: $pvs")
+    assert(cat.scan("d", filter = Some(col("source") === "a+b-1")).count() == 20)
+    assert(cat.scan("d", filter = Some(col("source") === "x:y-40")).count() == 1)
+    // and the pruning still actually prunes: equality keeps one prefix
+    val kept = cat.prunedDataFiles("d", col("source") === "a+b-1")
+    assert(kept.nonEmpty && kept.forall(_.partition("pv") == "a+b"))
+  }
+
+  test("time partitions write UTC values under a non-UTC session timezone") {
+    // date_format renders in the session timezone while align() computes
+    // units in UTC; pre-r5 a non-UTC session recorded local-day partition
+    // values that disagreed with prune-time alignment (unsound pruning).
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val cat = freshCatalog()
+      val spark0 = spark
+      import spark0.implicits._
+      // instants straddling UTC midnight (both are Mar 12 in LA local time)
+      val t0 = java.time.Instant.parse("2024-03-12T23:30:00Z").toEpochMilli
+      val t1 = java.time.Instant.parse("2024-03-13T00:30:00Z").toEpochMilli
+      val rows = (0 until 20).map(i => (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 1.0)) ++
+        (20 until 40).map(i => (i.toLong, new java.sql.Timestamp(t1 + i * 1000L), 1.0))
+      val df = rows.toDF("event_id", "ts", "value")
+      cat.createTableIfNotExists("ev", df.schema)
+      cat.appendPartitioned("ev", df, DayPartition("ts"))
+      val pvs = cat.dataFiles("ev").flatMap(_.partition.get("pv")).toSet
+      assert(pvs == Set("2024-03-12", "2024-03-13"), s"partition values must be UTC days: $pvs")
+      val cond = col("ts") >= lit(java.time.Instant.parse("2024-03-13T00:00:00Z"))
+      assert(cat.scan("ev", filter = Some(cond)).count() == 20)
+      val pruned = cat.prunedDataFiles("ev", cond)
+      assert(pruned.nonEmpty && pruned.forall(_.partition("pv") == "2024-03-13"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("driver partition range pruning orders strings by UTF-8 bytes, matching Spark") {
+    // U+E000 is 3 UTF-8 bytes, U+10000 (a surrogate pair in UTF-16) is 4:
+    // Spark's binary ordering puts U+E000 < U+10000 while Java String
+    // ordering puts the surrogate pair first. Pre-r5 the driver path used
+    // String ordering and pruned the supplementary-char file on a range
+    // predicate whose rows actually match (unsound prune).
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val hi = new String(Character.toChars(0x10000))
+    val pe = "\uE000"
+    val df = ((0 until 10).map(i => (i.toLong, s"$pe-a$i")) ++
+      (10 until 20).map(i => (i.toLong, s"$hi-b$i"))).toDF("doc_id", "source")
+    cat.createTableIfNotExists("d", df.schema)
+    cat.appendPartitioned("d", df, TruncatePartition(1, "source"))
+    assert(cat.dataFiles("d").flatMap(_.partition.get("pv")).toSet == Set(pe, hi))
+    // >= U+E000 matches BOTH partitions under UTF-8 order
+    assert(cat.scan("d", filter = Some(col("source") >= pe)).count() == 20)
+    assert(cat.prunedDataFiles("d", col("source") >= pe)
+      .flatMap(_.partition.get("pv")).toSet == Set(pe, hi))
+    // >= U+10000 soundly prunes the U+E000 partition
+    assert(cat.prunedDataFiles("d", col("source") >= hi)
+      .flatMap(_.partition.get("pv")).toSet == Set(hi))
+    assert(cat.scan("d", filter = Some(col("source") >= hi)).count() == 10)
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
