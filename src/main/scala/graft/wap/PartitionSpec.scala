@@ -194,3 +194,77 @@ object PartitionSpec {
     case other => throw new IllegalArgumentException(s"unknown partition spec: $other")
   }
 }
+
+/** Locale-portable %XX layer for `__pv=` partition directory names.
+  *
+  * Spark's Hive-style path escaping (`ExternalCatalogUtils.escapePathName`)
+  * only covers special ASCII characters — bytes >= 0x80 pass through
+  * literally, and a JVM on an ASCII-locale filesystem
+  * (`sun.jnu.encoding=ANSI_X3.4-1968`) cannot create such a directory
+  * (`InvalidPathException`). This layer %XX-escapes '%' and every byte
+  * >= 0x80 BEFORE the value reaches `partitionBy`, so the physical
+  * directory name is always pure ASCII on any filesystem locale. The
+  * two layers compose cleanly because Spark's escape set includes '%':
+  *
+  *   write: "café" --escape--> "caf%C3%A9" --Spark--> "caf%25C3%25A9"
+  *   read:  dir --unescapePathName--> "caf%C3%A9" --unescape--> "café"
+  *
+  * Manifest metadata stores the TRUE string, so pruning semantics are
+  * untouched — this layer exists only in the physical layout.
+  */
+object PathSafeEscape {
+  private val HEX = "0123456789ABCDEF"
+
+  /** Called from generated code — must stay public with this signature. */
+  def escape(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var needs = false
+    var i = 0
+    while (i < bytes.length && !needs) {
+      val b = bytes(i)
+      if (b == '%' || (b & 0x80) != 0) needs = true
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(bytes.length * 3)
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '%' || (b & 0x80) != 0) {
+        sb.append('%').append(HEX.charAt((b >> 4) & 0xf)).append(HEX.charAt(b & 0xf))
+      } else sb.append(b.toChar)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Inverse of [[escape]]; input is escape's output (pure ASCII), after
+    * Spark's own unescapePathName has already removed its layer. */
+  def unescape(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        out.write(c.toByte)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** Codegen'd wrapper over [[PathSafeEscape.escape]] for the write path. */
+case class PathSafeEscapeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    PathSafeEscape.escape(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.wap.PathSafeEscape.escape($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
