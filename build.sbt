@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked JVMs inherit the sandbox's ASCII locale unless overridden;
+// sun.jnu.encoding is read at JVM startup from the OS locale on some
+// builds, so set the env too (belt and suspenders — the %XX escape in
+// PathSafeEscape makes partition dirs pure ASCII regardless)
+Test / envVars := Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")

@@ -315,7 +315,14 @@ class BranchCatalog(
     val colType = df.schema.fields.find(_.name == spec.column).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"partition column '${spec.column}' not in batch schema"))
-    df.withColumn("__pv", spec.valueCol(colType))
+    // %XX-escape '%' and non-ASCII bytes BEFORE partitionBy so the
+    // physical directory name is pure ASCII on any filesystem locale
+    // (an ASCII-locale JVM throws InvalidPathException on literal
+    // non-ASCII dir names); manifest metadata keeps the true string
+    val pathSafe = org.apache.spark.sql.graft.Bridge.column(
+      PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
+        spec.valueCol(colType))))
+    df.withColumn("__pv", pathSafe)
       .repartition(col("__pv"))
       .write.partitionBy("__pv").parquet(dir.toString)
     fs.listStatus(dir).toSeq
@@ -326,8 +333,9 @@ class BranchCatalog(
         // special chars, '+' left alone) — URLDecoder would turn a
         // literal '+' in a truncate() value into a space and record the
         // wrong partition value (silently mis-pruned scans)
-        val pv = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(raw)
+        val pv = PathSafeEscape.unescape(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw))
         // a null transform value gets no partition metadata: it can never
         // be proven out of range, so pruning keeps the file (sound)
         val part =

@@ -2,8 +2,10 @@ package graft.wap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{Cast, EmptyRow, EvalMode, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EmptyRow, EvalMode, Expression, Literal, UnaryExpression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Hidden-partitioning transform (the Iceberg partition-spec analogue the
   * reference gets from PyIceberg): data files carry the TRANSFORM value
@@ -240,18 +242,38 @@ object PathSafeEscape {
 
   /** Inverse of [[escape]]; input is escape's output (pure ASCII), after
     * Spark's own unescapePathName has already removed its layer. */
+  private def hex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
   def unescape(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        out.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2)))
         i += 3
-      } else {
-        out.write(c.toByte)
+      } else if (c < 0x80) {
+        // a '%' not followed by two hex digits (legacy dir written before
+        // this layer) passes through literally
+        out.write(c)
         i += 1
+      } else {
+        // non-ASCII input means the dir predates this layer and the
+        // filesystem locale allowed it — re-encode as UTF-8 bytes rather
+        // than silently truncating the char to one byte
+        val end =
+          if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+              Character.isLowSurrogate(s.charAt(i + 1))) i + 2
+          else i + 1
+        val bytes = s.substring(i, end).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bytes, 0, bytes.length)
+        i = end
       }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)

@@ -1071,6 +1071,42 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("d", filter = Some(col("source") >= hi)).count() == 10)
   }
 
+  test("non-ASCII partition values produce pure-ASCII directory names (locale-portable layout)") {
+    // An ASCII-locale JVM (sun.jnu.encoding=ANSI_X3.4-1968) cannot create
+    // directories with non-ASCII names — PathSafeEscape %XX-escapes them
+    // at write so the physical layout survives any filesystem locale,
+    // while the manifest keeps the TRUE string for pruning.
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "café"), (2L, "caf%"), (3L, "naïve"), (4L, "plain"))
+      .toDF("doc_id", "source")
+    cat.createTableIfNotExists("p", df.schema)
+    cat.appendPartitioned("p", df, TruncatePartition(4, "source"))
+    // manifest carries the true strings
+    assert(cat.dataFiles("p").flatMap(_.partition.get("pv")).toSet ==
+      Set("café", "caf%", "naïv", "plai"))
+    // physical layout is pure ASCII
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        st.getPath.getName +: (if (st.isDirectory) walk(st.getPath) else Nil)
+      }
+    val names = walk(new org.apache.hadoop.fs.Path(cat.root, "tables/p/data"))
+    val nonAscii = names.filter(_.exists(_ > 0x7f))
+    assert(nonAscii.isEmpty, s"non-ASCII path components: $nonAscii")
+    // scans and pruning still see the true values
+    assert(cat.scan("p", filter = Some(col("source") === "café")).count() == 1)
+    assert(cat.prunedDataFiles("p", col("source") === "caf%")
+      .flatMap(_.partition.get("pv")).toSet == Set("caf%"))
+    // PathSafeEscape round-trips, including legacy lenient cases
+    assert(PathSafeEscape.unescape(
+      PathSafeEscape.escape(org.apache.spark.unsafe.types.UTF8String
+        .fromString("café 100% 𐀀")).toString) == "café 100% 𐀀")
+    assert(PathSafeEscape.unescape("50%off") == "50%off") // non-hex '%' passes through
+    assert(PathSafeEscape.unescape("trail%2") == "trail%2") // truncated suffix
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
