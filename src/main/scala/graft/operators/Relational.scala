@@ -295,9 +295,14 @@ object Relational {
     * ntile) — RelationalSpec bounds the divergence against the exact
     * hash-green result. */
   def q23SpendDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    // the per-customer aggregate feeds TWO passes (the sketch action and
+    // the decile rollup) — persist it so orders is scanned+shuffled once,
+    // not twice; lifecycle owned by SessionCaches (unpersist via clear)
+    val spend = SessionCaches.cached(spark, s"q23spend:$dir") {
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    }
     val cuts = spend.stat.approxQuantile(
       "spend", (1 to 9).map(_ / 10.0).toArray, 0.001)
     // #{cutpoints <= spend} counts buckets from the bottom; flip so

@@ -73,6 +73,8 @@ class RelationalSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"sketch path must not plan a window:\n$p")
     assert(!p.contains("Exchange SinglePartition") && !p.contains("Sort ["),
       s"sketch path must not serialize onto one reducer:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"rollup must reuse the persisted spend aggregate (one orders pass, not two):\n$p")
 
     val exact = Relational.q23SpendDeciles(spark, sfDir)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
