@@ -45,6 +45,7 @@ object SparkEntry {
     "events_sessions" -> (PipelineQueries.eventsSessions _),
     "wap_roundtrip" -> (WapQueries.wapRoundtrip _),
     "wap_metrics" -> (WapQueries.wapMetrics _),
+    "wap_branch_stats" -> (WapQueries.wapBranchStats _),
     "wap_delete" -> (WapQueries.wapDelete _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
@@ -154,6 +155,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200""",
     "wap_metrics" ->
       """SELECT 'main' AS branch, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_text FROM documents WHERE doc_id < 200 UNION ALL SELECT 'batch-2' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 = 0) AS n_null_text""",
+    "wap_branch_stats" ->
+      """SELECT 'batch-2' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 = 0) AS n_null_text UNION ALL SELECT 'main' AS branch, (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, CAST(0 AS BIGINT) AS n_null_text""",
     "wap_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT min(doc_id) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS min_id, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_deleted""",
     "wap_update" ->

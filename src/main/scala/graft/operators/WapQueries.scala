@@ -57,6 +57,21 @@ object WapQueries {
     stats("main").union(stats("batch-2"))
   }
 
+  /** The same dashboard numbers as [[wapMetrics]] computed from METADATA
+    * ALONE (BranchCatalog.branchStats: manifest-list sums + one
+    * distributed aggregate over manifest entries — zero data files
+    * opened). Hash-equality against the oracle's full data scan proves
+    * the footer-stats bookkeeping (row counts, per-column null counts)
+    * agrees with the data on every branch — the metadata a 100 TB
+    * dashboard must trust, because scanning is not an option there
+    * (reference quality_app.py:43-77 scans; this is the scale form). */
+  def wapBranchStats(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, _) = runFlow(spark, dir)
+    cat.branchStats("documents")
+      .select(col("branch"), col("n_rows"),
+        coalesce(try_element_at(col("null_counts"), lit("text")), lit(0L)).as("n_null_text"))
+  }
+
   /** Copy-on-write delete end-to-end: load docs < 200, delete a
     * stats-prunable id range on a branch, publish via merge, then report
     * main's content plus what the delete touched. Oracle: plain SQL over

@@ -444,6 +444,38 @@ class BranchCatalog(
 
   def listBranches(): Seq[String] = currentRefs().branches.keys.toSeq.sorted
 
+  /** One-call dashboard view of `table` across every branch that carries
+    * it (reference quality_app.py:43-77: the Streamlit app's per-branch
+    * row count + target-column null count, generalized to ALL columns) —
+    * branch, head snapshot id/parent/commit time, manifest/file/row
+    * counts and per-column null counts, all METADATA-FIRST: counts come
+    * from the snapshot's manifest LIST (no manifest reads at all) and
+    * null counts from ONE distributed aggregate over the manifest-entry
+    * DataFrames (executors parse manifests; the driver never holds
+    * per-file metadata). No data file is ever opened. */
+  def branchStats(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit, map_from_entries, collect_list, struct, sum => fsum}
+    val heads: Seq[(String, Snapshot)] = currentRefs().branches.toSeq.sortBy(_._1)
+      .flatMap { case (b, st) => st.tables.get(table).map(id => b -> loadSnapshot(table, id)) }
+    val summary = spark.createDataFrame(heads.map { case (b, s) =>
+      (b, s.id, s.parentId.getOrElse(""), s.committedAtMillis,
+        s.manifests.size.toLong, s.manifests.map(_.fileCount).sum, s.manifests.map(_.rows).sum)
+    }).toDF("branch", "snapshot_id", "parent_id", "committed_at_ms",
+      "n_manifests", "n_files", "n_rows")
+    val nulls = heads.map { case (b, s) =>
+      manifestEntries(s).select(lit(b).as("branch"), explode(col("nullCounts")))
+    }.reduceOption(_ unionAll _) match {
+      case None => spark.emptyDataFrame
+        .select(lit("").as("branch"), map_from_entries(
+          lit(Array.empty[(String, Long)])).as("null_counts")).limit(0)
+      case Some(df) => df
+        .groupBy(col("branch"), col("key")).agg(fsum(col("value")).as("nulls"))
+        .groupBy(col("branch"))
+        .agg(map_from_entries(collect_list(struct(col("key"), col("nulls")))).as("null_counts"))
+    }
+    summary.join(nulls, Seq("branch"), "left")
+  }
+
   /** Drop a table from one branch: metadata-only (the branch's pointer is
     * removed; snapshots and data files stay on disk for time travel from
     * other branches until [[expireSnapshots]] reclaims them). Returns

@@ -1107,6 +1107,34 @@ class WapSpec extends SparkSpecBase {
     assert(PathSafeEscape.unescape("trail%2") == "trail%2") // truncated suffix
   }
 
+  test("branchStats reports per-branch rows/files/nulls from metadata alone") {
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toLong, if (i % 10 == 0) null else s"t$i")).toDF("doc_id", "text")
+    cat.createTableIfNotExists("d", df.schema)
+    cat.append("d", df.filter(col("doc_id") < 60))
+    cat.createBranch("audit")
+    cat.append("d", df.filter(col("doc_id") >= 60), "audit")
+    val stats = cat.branchStats("d").collect()
+      .map(r => r.getAs[String]("branch") -> r).toMap
+    assert(stats.keySet == Set("main", "audit"))
+    assert(stats("main").getAs[Long]("n_rows") == 60)
+    assert(stats("audit").getAs[Long]("n_rows") == 100)
+    assert(stats("main").getAs[Map[String, Long]]("null_counts")("text") == 6)
+    assert(stats("audit").getAs[Map[String, Long]]("null_counts")("text") == 10)
+    assert(stats("audit").getAs[Long]("n_files") >=
+      stats("main").getAs[Long]("n_files"))
+    assert(stats("main").getAs[String]("snapshot_id") ==
+      cat.snapshotIdOf("d", "main").get)
+    assert(stats("main").getAs[Long]("committed_at_ms") > 0L)
+    // a branch not carrying the table simply contributes no row
+    cat.createBranch("spare", from = "main")
+    cat.dropTable("d", "spare")
+    assert(cat.branchStats("d").count() == 2)
+  }
+
   test("DataGen is deterministic and distributed-reproducible") {
     val a = DataGen.customerBatch(spark, 500).collect().map(_.toString).sorted
     val b = DataGen.customerBatch(spark, 500).repartition(7).collect().map(_.toString).sorted
