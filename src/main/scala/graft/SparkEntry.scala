@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{PipelineQueries, Relational, WapQueries}
+import graft.operators.{CheckQueries, PipelineQueries, Relational, WapQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_topk_lsh" -> (PipelineQueries.simTopkLsh _),
     "sim_topk_ivf" -> (PipelineQueries.simTopkIvf _),
     "sim_topk_ivfq" -> (PipelineQueries.simTopkIvfq _),
+    "sim_topk_ivfpq" -> (PipelineQueries.simTopkIvfpq _),
     "sim_topk_pca" -> (PipelineQueries.simTopkPca _),
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),
@@ -87,7 +88,15 @@ object SparkEntry {
     "emb_pca" -> (PipelineQueries.embPca _),
     "curate_splits" -> (PipelineQueries.curateSplits _),
     "curate_sample" -> (PipelineQueries.curateSample _),
-    "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _)
+    "sql_vector_norm" -> (PipelineQueries.sqlVectorNorm _),
+    "sim_check_recall" -> (CheckQueries.simCheckRecall _),
+    "q21_check_approx" -> (CheckQueries.q21CheckApprox _),
+    "q23_check_approx" -> (CheckQueries.q23CheckApprox _),
+    "text_check_fingerprint" -> (CheckQueries.textCheckFingerprint _),
+    "text_check_langid" -> (CheckQueries.textCheckLangid _),
+    "text_check_decontaminate" -> (CheckQueries.textCheckDecontaminate _),
+    "emb_check_pca" -> (CheckQueries.embCheckPca _),
+    "dedup_check_pairs" -> (CheckQueries.dedupCheckPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,6 +221,26 @@ object SparkEntry {
     "curate_splits" ->
       """SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train' WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, lang, n_chars FROM documents) t GROUP BY split, lang""",
     "curate_sample" ->
-      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs FROM documents WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < (CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END) GROUP BY source"""
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs FROM documents WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < (CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END) GROUP BY source""",
+    // ---- check queries (VERDICT r5 item 4): the boolean gates are pinned
+    // literal `true` — a recall/precision/tolerance regression flips the
+    // value and fails the hash compare; the counts are recomputed by
+    // DuckDB from the raw tables, so a shape change fails too.
+    "sim_check_recall" ->
+      """SELECT method, (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries, true AS full_k, true AS recall_ok FROM (VALUES ('ivf'), ('ivfpq'), ('ivfq'), ('lsh'), ('pca')) AS m(method)""",
+    "q21_check_approx" ->
+      """SELECT event_type, count(*) AS n, true AS n_match, true AS p50_ok, true AS p90_ok, true AS p99_ok FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+    "q23_check_approx" ->
+      """SELECT CAST(10 AS BIGINT) AS n_deciles, (SELECT count(DISTINCT o_custkey) FROM orders) AS total_customers, true AS cust_total_ok, true AS spend_total_ok, true AS balance_ok""",
+    "text_check_fingerprint" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT array_to_string(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'), ' ')) AS n_distinct_norm, true AS functional_ok, true AS collision_free_ok FROM documents""",
+    "text_check_langid" ->
+      """SELECT CAST(12 AS BIGINT) AS n_samples, CAST(6 AS BIGINT) AS n_langs, true AS accuracy_ok""",
+    "emb_check_pca" ->
+      """SELECT CAST(8 AS BIGINT) AS k, true AS orthonormal_ok, true AS descending_ok, true AS variance_ok""",
+    "text_check_decontaminate" ->
+      """SELECT count(*) AS n_docs, CAST(5 AS BIGINT) AS seeds_flagged, true AS exact_dups_flagged_ok FROM documents""",
+    "dedup_check_pairs" ->
+      """SELECT family, (SELECT count(*) FROM documents WHERE doc_id < 500) AS n_items, true AS precision_ok, true AS recall_ok FROM (VALUES ('containment09'), ('jaccard05'), ('jaccard08'), ('simhash3')) AS f(family) UNION ALL SELECT 'embedding95' AS family, (SELECT count(*) + (SELECT count(*) FROM embeddings WHERE vec_id < 50) FROM embeddings) AS n_items, true AS precision_ok, true AS recall_ok"""
   )
 }

@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-visible correctness gates for the rows-only operators
+  * (SURVEY §2.4-2.5, §2.3's approx twins; VERDICT r5 item 4).
+  *
+  * The hash/LSH/sketch operators are not ANSI-SQL-expressible, so their
+  * driver entries record only a rows>0 check and regressions surface only
+  * in ScalaTest. Each check query here RUNS the operator at the driver's
+  * scale, computes its ground truth IN-SPARK (brute force over a bounded
+  * subset, or the exact hash-green twin), and emits a deterministic
+  * summary row: exact counts the DuckDB oracle recomputes independently,
+  * plus bound/recall booleans the oracle pins as literal `true`. A
+  * regression that drops recall below its floor, breaks precision, or
+  * changes a count flips a value and fails the round's hash compare —
+  * the driver sees it, not just the test suite.
+  *
+  * Every aggregate here reduces to a handful of rows before any
+  * cross-join; ground truths are bounded (200-doc subset brute force, a
+  * 2 x 10^4-pair shingle cross, the K-row sketch-vs-exact join), so the
+  * checks stay cheap at any corpus scale.
+  */
+object CheckQueries {
+
+  // Recall floors: measured headroom below the observed recall at BOTH
+  // driver scales (r7 calibration, CheckCalibrate): lsh 0.70/0.73,
+  // ivf 0.90/0.80, ivfq 0.71/0.74, ivfpq 0.71/0.63, pca 0.79/0.54 at
+  // sf0.01/sf0.1. A floor trip means the operator genuinely degraded,
+  // not noise: every input is deterministic.
+  private val LshFloor = 0.55
+  private val IvfFloor = 0.65
+  private val IvfqFloor = 0.60
+  private val IvfpqFloor = 0.50
+  private val PcaFloor = 0.45
+
+  /** Recall + shape gates for the five ANN variants vs the hash-green
+    * brute-force baseline, in one pass: per method, the query count, the
+    * exactly-k-rows-per-query invariant, and recall >= the method's
+    * floor. The brute baseline is itself the oracle-verified
+    * `sim_topk_brute` plan (cached across the five comparisons). */
+  def simCheckRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = SessionCaches.cached(spark, s"simbrute:$dir") {
+      PipelineQueries.simTopkBrute(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def gate(name: String, ann: DataFrame, floor: Double): DataFrame = {
+      val ids = ann.select(col("query_id"), col("neighbor_id"))
+      val shape = ids.groupBy(col("query_id")).agg(count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("nq"), min(col("nr")).as("minr"), max(col("nr")).as("maxr"))
+      val hits = ids.join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+      val tot = brute.agg(count(lit(1)).as("ntot"))
+      shape.crossJoin(hits).crossJoin(tot).select(
+        lit(name).as("method"),
+        col("nq").as("n_queries"),
+        (col("minr") === 5 && col("maxr") === 5).as("full_k"),
+        (col("hits").cast("double") / col("ntot") >= floor).as("recall_ok"))
+    }
+    Seq(
+      gate("ivf", PipelineQueries.simTopkIvf(spark, dir), IvfFloor),
+      gate("ivfpq", PipelineQueries.simTopkIvfpq(spark, dir), IvfpqFloor),
+      gate("ivfq", PipelineQueries.simTopkIvfq(spark, dir), IvfqFloor),
+      gate("lsh", PipelineQueries.simTopkLsh(spark, dir), LshFloor),
+      gate("pca", PipelineQueries.simTopkPca(spark, dir), PcaFloor)
+    ).reduce(_.unionByName(_))
+  }
+
+  /** t-digest sketch percentiles vs the exact rank-picked twin: per
+    * event_type, the exact observation count (oracle recomputes it), the
+    * sketch's count agreement, and per-percentile closeness — within
+    * 0.1 absolute + 10% relative of the exact value (the sparse p99 tail
+    * at sf0.1 measures up to 0.52 absolute drift on values ~5; sf0.01 is
+    * exact to the cent — r7 calibration). */
+  def q21CheckApprox(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Relational.q21Percentiles(spark, dir)
+      .select(col("event_type"), col("p50").as("e50"), col("p90").as("e90"),
+        col("p99").as("e99"), col("n").as("en"))
+    val approx = Relational.q21PercentilesApprox(spark, dir)
+      .select(col("event_type"), col("p50").as("a50"), col("p90").as("a90"),
+        col("p99").as("a99"), col("n").as("an"))
+    def ok(e: String, a: String) =
+      (abs(col(e) - col(a)) <= lit(0.1) + lit(0.1) * abs(col(e)))
+    exact.join(approx, "event_type").select(
+      col("event_type"),
+      col("en").as("n"),
+      (col("en") === col("an")).as("n_match"),
+      ok("e50", "a50").as("p50_ok"),
+      ok("e90", "a90").as("p90_ok"),
+      ok("e99", "a99").as("p99_ok"))
+  }
+
+  /** Sketch-cutpoint deciles vs global invariants: exactly 10 deciles,
+    * every customer lands in exactly one (totals match the exact
+    * per-customer aggregate), total spend is conserved through the
+    * bucketing, and the sketch's decile sizes stay within 25% of the
+    * ideal N/10 (approxQuantile eps=0.001 => rank error ~0.1%). */
+  def q23CheckApprox(spark: SparkSession, dir: String): DataFrame = {
+    val approx = Relational.q23SpendDecilesApprox(spark, dir)
+    // same cache key as the operator: the per-customer aggregate is
+    // computed once across the operator run and this exact side
+    val spend = SessionCaches.cached(spark, s"q23spend:$dir") {
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    }
+    val a = approx.agg(
+      count(lit(1)).as("n_deciles"),
+      sum(col("n_customers")).as("cust_total"),
+      sum(col("decile_spend")).as("spend_total"),
+      min(col("n_customers")).as("min_n"),
+      max(col("n_customers")).as("max_n"))
+    val e = spend.agg(
+      count(lit(1)).as("n_cust"),
+      sum(col("spend")).as("spend_sum"))
+    a.crossJoin(e).select(
+      col("n_deciles"),
+      col("n_cust").as("total_customers"),
+      (col("cust_total") === col("n_cust")).as("cust_total_ok"),
+      (abs(col("spend_total") - col("spend_sum")) < lit(0.05)).as("spend_total_ok"),
+      (col("max_n").cast("double") <= col("n_cust") * 0.125 &&
+        col("min_n").cast("double") >= col("n_cust") * 0.075).as("balance_ok"))
+  }
+
+  /** Rolling-hash fingerprint invariants vs the exact normalized-text
+    * partition (the dedup_exact_norm arithmetic the oracle recomputes):
+    * the fingerprint is a FUNCTION of the normalized text (no two
+    * fingerprints for one norm class) and collision-free at this scale
+    * (no one fingerprint for two norm classes). */
+  def textCheckFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = array_join(
+      split(trim(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ")), "\\s+"), " ")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+    docs.select(col("doc_id"), norm.as("__norm"))
+      .join(fp, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("__norm")).as("n_distinct_norm"),
+        count_distinct(col("fp64")).as("n_fp"),
+        count_distinct(col("__norm"), col("fp64")).as("n_pairs"))
+      .select(
+        col("n_docs"),
+        col("n_distinct_norm"),
+        (col("n_pairs") === col("n_distinct_norm")).as("functional_ok"),
+        (col("n_fp") === col("n_distinct_norm")).as("collision_free_ok"))
+  }
+
+  /** Trigram language-ID accuracy on a FIXED held-out sample (the
+    * corpus `lang` column is a synthetic label unattached to the token
+    * salad in `text`, so label agreement there is noise, not accuracy —
+    * this gate uses real sentences in the six profiled languages
+    * instead, none present in the trigram profiles). */
+  private val LangidSample: Seq[(Long, String, String)] = Seq(
+    (1L, "the weather was beautiful and the children played outside all afternoon", "en"),
+    (2L, "many people enjoy reading books about history and science", "en"),
+    (3L, "die wirtschaft wächst langsam aber die preise steigen weiter", "de"),
+    (4L, "am wochenende fahren wir mit dem zug in die berge", "de"),
+    (5L, "les étudiants préparent leurs examens à la bibliothèque", "fr"),
+    (6L, "cette recette demande beaucoup de beurre et de fromage", "fr"),
+    (7L, "los niños juegan en la playa durante las vacaciones", "es"),
+    (8L, "mi familia prepara una cena especial cada domingo", "es"),
+    (9L, "il treno arriva sempre in ritardo alla stazione centrale", "it"),
+    (10L, "questa città antica conserva monumenti bellissimi", "it"),
+    (11L, "今天天气很好我们一起去海边游泳", "zh"),
+    (12L, "他每天早上都喝一杯咖啡然后去上班", "zh"))
+
+  def textCheckLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sample = LangidSample.toDF("doc_id", "text", "lang")
+    val pred = TextAnalysis.langId(sample, "doc_id", "text")
+    sample.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        count_distinct(col("lang")).as("n_langs"),
+        avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)).as("acc"))
+      .select(col("n_samples"), col("n_langs"),
+        (col("acc") >= 0.9).as("accuracy_ok"))
+  }
+
+  /** Decontamination invariants: the seed "benchmark" docs (0-4) must
+    * flag themselves (every document contains its own 8-grams), and any
+    * EXACT text duplicate of a seed must flag too — computed from an
+    * independent text-equality join, not the n-gram machinery under
+    * test. */
+  def textCheckDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flagged = Decontamination.flag(
+      docs, "text", docs.filter(col("doc_id") < 5), "text", n = 8)
+      .select(col("doc_id"), col("contaminated"))
+    val seedTexts = docs.filter(col("doc_id") < 5)
+      .select(col("text").as("__seed_text")).distinct()
+    val exactDups = docs.join(seedTexts, docs("text") === col("__seed_text"))
+      .select(col("doc_id"))
+    val a = flagged.agg(count(lit(1)).as("n_docs"))
+    val b = flagged.filter(col("doc_id") < 5)
+      .agg(sum(when(col("contaminated"), 1L).otherwise(0L)).as("seeds_flagged"))
+    val c = exactDups.join(flagged, "doc_id")
+      .agg(sum(when(col("contaminated"), 0L).otherwise(1L)).as("dups_missed"))
+    a.crossJoin(b).crossJoin(c).select(
+      col("n_docs"),
+      col("seeds_flagged"),
+      (col("dups_missed") === 0).as("exact_dups_flagged_ok"))
+  }
+
+  /** PCA model invariants, checked on the driver against the fitted
+    * model: orthonormal components, descending non-negative eigenvalues,
+    * and the top-k variance bounded by the total. */
+  def embCheckPca(spark: SparkSession, dir: String): DataFrame = {
+    val model = Embeddings.pca(Tables.embeddings(spark, dir), "embedding", k = 8)
+    val comps = model.components
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val orthonormal = comps.indices.forall { i =>
+      comps.indices.forall { j =>
+        val want = if (i == j) 1.0 else 0.0
+        math.abs(dot(comps(i), comps(j)) - want) < 1e-6
+      }
+    }
+    val ev = model.eigenvalues
+    val descending = ev.zip(ev.drop(1)).forall { case (a, b) => a >= b - 1e-9 } &&
+      ev.forall(_ >= -1e-9)
+    val variance = ev.sum <= model.totalVariance + 1e-6
+    import spark.implicits._
+    Seq((ev.length.toLong, orthonormal, descending, variance))
+      .toDF("k", "orthonormal_ok", "descending_ok", "variance_ok")
+  }
+
+  /** Precision/recall gates for the pair-emitting dedup family against
+    * brute-force ground truth on a bounded subset (doc_id < 200 for the
+    * shingle/simhash variants — a fixed 2 x 10^4-pair cross regardless of
+    * corpus scale; the full embeddings table for the SRP variant, which
+    * is small at every test SF). Precision must be exact (the operators
+    * verify candidates with the same measure as the truth); recall holds
+    * the LSH-theoretic floor for each blocking scheme. Simhash blocking
+    * is pigeonhole-complete at Hamming <= 3, so its floor is 1.0. */
+  def dedupCheckPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val docs = Tables.documents(spark, dir)
+    val p = PipelineQueries.docsPrepared(spark, dir)
+
+    // shingle-set truth over the subset cross (id_a < id_b)
+    val truth = SessionCaches.cached(spark, s"deduptruth:$dir") {
+      val sub = p.sh.filter(col("__id") < 500)
+      val ta = sub.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+      val tb = sub.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+      ta.join(tb, col("id_a") < col("id_b")).select(
+        col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jac"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double")).as("cont"))
+    }
+    val subPair = col("id_a") < 500 && col("id_b") < 500
+
+    def gate(name: String, truthPairs: DataFrame, got: DataFrame,
+        nItems: DataFrame, recallFloor: Double): DataFrame = {
+      val t = truthPairs.select(col("id_a"), col("id_b"))
+      val g = got.select(col("id_a"), col("id_b"))
+      val hits = g.join(t, Seq("id_a", "id_b")).agg(count(lit(1)).as("hits"))
+      val extra = g.join(t, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("extra"))
+      val nt = t.agg(count(lit(1)).as("n_true"))
+      nt.crossJoin(hits).crossJoin(extra).crossJoin(nItems).select(
+        lit(name).as("family"),
+        col("n_items"),
+        (col("extra") === 0).as("precision_ok"),
+        (col("n_true") === 0 ||
+          col("hits").cast("double") / col("n_true") >= recallFloor).as("recall_ok"))
+    }
+
+    val nDocsSub = docs.filter(col("doc_id") < 500).agg(count(lit(1)).as("n_items"))
+    val emb = Tables.embeddings(spark, dir)
+
+    // simhash truth: exact Hamming over the subset signature cross
+    val sigs = docs.filter(col("doc_id") < 500)
+      .select(col("doc_id").as("__id"), simhash64(col("text")).as("__sig"))
+    val truthSim = sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")),
+        col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+
+    // embedding truth: the natural corpus carries no cosine>=0.95 pairs
+    // (near-uniform random vectors), so PLANT deterministic near-dups —
+    // a rotated-blend copy of the first 50 vectors (cosine ~0.998) under
+    // shifted ids — and demand the SRP blocking recovers them; truth is
+    // still the exact cosine over the full cross, so any natural pair
+    // counts too
+    val ev = emb.select(col("vec_id"), col("embedding"))
+    val planted = ev.filter(col("vec_id") < 50).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x + 0.05 * " +
+        "element_at(embedding, ((i + 1) % size(embedding)) + 1) AS FLOAT))")
+        .as("embedding"))
+    val evAll = ev.unionByName(planted)
+    val nEmb = evAll.agg(count(lit(1)).as("n_items"))
+    val truthEmb = evAll.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .join(evAll.select(col("vec_id").as("id_b"), col("embedding").as("v_b")),
+        col("id_a") < col("id_b"))
+      .filter(cosineSimF(col("v_a"), col("v_b")) >= 0.95)
+
+    Seq(
+      gate("containment09", truth.filter(col("cont") >= 0.9),
+        Dedup.containmentPairs(p, bands = 32, threshold = 0.9).filter(subPair),
+        nDocsSub, recallFloor = 0.7),
+      gate("embedding95", truthEmb,
+        Dedup.embeddingPairs(evAll, "vec_id", "embedding", threshold = 0.95),
+        nEmb, recallFloor = 0.85),
+      gate("jaccard05", truth.filter(col("jac") >= 0.5),
+        Dedup.ngramJaccard(p, threshold = 0.5).filter(subPair),
+        nDocsSub, recallFloor = 0.7),
+      gate("jaccard08", truth.filter(col("jac") >= 0.8),
+        Dedup.minhashPairs(p, bands = 16, threshold = 0.8).filter(subPair),
+        nDocsSub, recallFloor = 0.8),
+      gate("simhash3", truthSim,
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).filter(subPair),
+        nDocsSub, recallFloor = 1.0)
+    ).reduce(_.unionByName(_))
+  }
+}

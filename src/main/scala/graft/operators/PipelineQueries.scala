@@ -29,7 +29,7 @@ object PipelineQueries {
   // operator's design (SURVEY §4 shingle reuse), not a warmup artifact.
   private val preparedDocs =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Dedup.Prepared]]()
-  private def docsPrepared(spark: SparkSession, dir: String): Dedup.Prepared =
+  private[operators] def docsPrepared(spark: SparkSession, dir: String): Dedup.Prepared =
     preparedDocs.synchronized {
       val it = preparedDocs.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
@@ -128,15 +128,31 @@ object PipelineQueries {
       k = 5, centroids = 64, nprobe = 24, candidateFactor = 4)
   }
 
-  /** PCA-reduced ANN: candidates in a 16-dim projected space, exact
+  /** IVF with TRUE product quantization: candidates carry 8 one-byte
+    * subspace codes (+ one norm float) instead of 64 floats — the ~24x
+    * candidate-memory scale path; ADC scoring, exact shortlist re-rank
+    * (rows-only; SimilaritySpec asserts the recall floor, exact final
+    * scores, and the m-byte candidate representation; sim_check_recall
+    * carries the driver-visible floor). */
+  def simTopkIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKPQ(
+      e.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, centroids = 64, nprobe = 24, candidateFactor = 12, ksub = 32)
+  }
+
+  /** PCA-reduced ANN: candidates in a 24-dim projected space, exact
     * full-dim re-rank (rows-only; SimilaritySpec asserts recall vs
-    * brute force). */
+    * brute force, sim_check_recall carries the driver-visible floor —
+    * 24/8 measures ~0.79 top-5 recall on the near-uniform testdata,
+    * the r7 calibration sweep; real clustered embeddings do better). */
   def simTopkPca(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.pcaTopK(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, pcaK = 16, candidateFactor = 4)
+      k = 5, pcaK = 24, candidateFactor = 8)
   }
 
   /** Sequence packing over documents (n_chars as the token proxy):

@@ -338,4 +338,95 @@ object Similarity {
         round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF with TRUE product quantization (SURVEY §7's r5+ item): candidates
+    * carry `m` one-byte subspace codeword ids instead of the vector — at
+    * the default geometry (m=8 over 64 float dims) that is 8 bytes + one
+    * reconstruction-norm float per candidate vs 256 bytes float32, a ~24x
+    * reduction in what the candidate-scoring path holds in cache/shuffle
+    * (the scalar-int8 variant stops at 4x). Scoring is asymmetric: each
+    * query computes its m x ksub partial-dot table ONCE
+    * ([[graft.functions.PqAdcTableExpr]]), and each candidate pair costs m
+    * table lookups + adds instead of d multiply-adds. The PQ shortlist
+    * (k x candidateFactor per query) re-ranks with the exact
+    * full-precision cosine, so final scores are bit-equal to brute force
+    * on the surfaced ids (SimilaritySpec asserts this and the recall
+    * floor).
+    *
+    * Codebooks train driver-side on a BOUNDED deterministic sample of
+    * `trainSample` corpus vectors (hash-ordered; O(1) in corpus scale —
+    * the standard PQ training recipe), and the trained codec broadcasts
+    * inside the expressions as ~4 KB of reference data. Index build
+    * (coarse centroids, assignment, probes) is the same full-precision
+    * machinery as [[ivfTopK]]. */
+  def ivfTopKPQ(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
+      candidateFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+      trainSample: Int = 2048, trainIters: Int = 8): DataFrame = {
+    import graft.functions.{PqCodec, PqFunctions}
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+
+    // bounded driver pull: trainSample vectors in deterministic hash order
+    // (~0.5 MB at the defaults, independent of corpus size)
+    val sample: Array[Array[Float]] = c
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
+      .limit(trainSample)
+      .select(col("__cv"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codec = PqCodec.train(sample, m, ksub, trainIters)
+
+    // m-byte codes + reconstruction norm: everything candidate scoring
+    // needs, derived map-side in one pass over the corpus
+    val cPq = c.select(col("neighbor_id"),
+        PqFunctions.pqEncode(col("__cv"), codec).as("__code"))
+      .withColumn("__rn", PqFunctions.pqReconNorm(col("__code"), codec))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scores = c.crossJoin(broadcast(cents))
+        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+      topKPerQuery(scores, 1)
+        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+    }
+    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(centroids)
+      .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+    val assigned = assign(cents)
+    val probeScores = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__qv"), col("cent_vec")), 6).as("cosine"))
+    val probes = topKPerQuery(probeScores, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("cent_id"))
+
+    val cand = assigned.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("neighbor_id"))
+
+    // per-query ADC table + true query norm, computed once per query row
+    val qAdc = q.select(col("query_id"),
+      PqFunctions.pqAdcTable(col("__qv"), codec).as("__tab"),
+      sqrt(dotF(col("__qv"), col("__qv"))).as("__qn"))
+
+    // PQ scoring pass: codes + table lookups only; approximate cosine =
+    // dot(q, c_hat) / (|q| * |c_hat|), null-guarded for zero vectors
+    val candQ = cand
+      .join(cPq, "neighbor_id")
+      .join(broadcast(qAdc), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(PqFunctions.pqAdcDot(col("__code"), col("__tab"), codec) /
+          nullif(col("__qn") * col("__rn"), lit(0.0)), 4).as("cosine"))
+    val shortlist = topKPerQuery(candQ, k * candidateFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact full-precision re-rank of the shortlist only
+    val scored = shortlist
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
+    topKPerQuery(scored, k)
+  }
 }

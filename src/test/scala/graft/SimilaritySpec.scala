@@ -129,6 +129,75 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"quantized IVF recall $recall below floor")
   }
 
+  test("ivfTopKPQ: true PQ candidate scoring reaches the int8 recall floor; final scores exact") {
+    val got = Similarity.ivfTopKPQ(corpusDf, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4,
+        candidateFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = corpus.toMap
+    val qvecs = queries.toMap
+    // the re-rank reports FULL-PRECISION cosines despite m-byte candidate scoring
+    got.foreach { case (q, n, c) => assert(math.abs(c - r4(cos(vecs(n), qvecs(q)))) < 1e-9) }
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = expected.toSeq.map { case (q, exp) =>
+      exp.count(gotByQ.getOrElse(q, Set.empty).contains).toDouble / exp.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.8, s"PQ IVF recall $recall below floor")
+  }
+
+  test("PqCodec: m-byte codes, ADC dot equals dot(q, reconstruction), deterministic train") {
+    import graft.functions.{PqCodec, PqFunctions}
+    val samples = corpus.map(_._2).toArray
+    val codec = PqCodec.train(samples, m = 8, ksub = 16, iters = 8)
+    assert(codec.dsub == dim / 8)
+
+    // the candidate representation really is m bytes (the memory claim)
+    val encoded = corpusDf
+      .select(PqFunctions.pqEncode(col("embedding"), codec).as("code"))
+    assert(encoded.schema("code").dataType == org.apache.spark.sql.types.BinaryType)
+    val codes = encoded.collect().map(_.getAs[Array[Byte]](0))
+    assert(codes.forall(_.length == 8))
+
+    // ADC identity: table lookups sum to dot(q, c_hat) against the codec's
+    // own reconstruction, and reconNorm is |c_hat|
+    def reconstruct(code: Array[Byte]): Array[Float] =
+      Array.tabulate(dim) { i =>
+        val sub = i / codec.dsub
+        val base = (sub * codec.ksub + (code(sub) & 0xff)) * codec.dsub
+        codec.codebooks(base + (i % codec.dsub))
+      }
+    val (qid0, qv0) = queries.head
+    val tableDf = queryDf.filter(col("vec_id") === qid0)
+      .select(PqFunctions.pqAdcTable(col("embedding"), codec).as("t"))
+    val table = tableDf.collect().head.getSeq[Float](0)
+    corpus.take(20).foreach { case (_, cv) =>
+      val code = codec.encode(new org.apache.spark.sql.catalyst.util.GenericArrayData(cv))
+      val chat = reconstruct(code)
+      val wantDot = qv0.zip(chat).map { case (a, b) => a.toDouble * b }.sum
+      val gotDot = (0 until 8).map(s => table(s * codec.ksub + (code(s) & 0xff)).toDouble).sum
+      assert(math.abs(gotDot - wantDot) < 1e-3, s"ADC dot $gotDot != $wantDot")
+      val wantNorm = math.sqrt(chat.map(x => x.toDouble * x).sum)
+      assert(math.abs(codec.reconNorm(code) - wantNorm) < 1e-5)
+    }
+
+    // training is deterministic (same sample order, same codebooks)
+    val codec2 = PqCodec.train(samples, m = 8, ksub = 16, iters = 8)
+    assert(java.util.Arrays.equals(codec.codebooks, codec2.codebooks))
+
+    // quantization actually quantizes toward the data: mean reconstruction
+    // error is well below the mean vector norm
+    val errs = corpus.map { case (_, cv) =>
+      val code = codec.encode(new org.apache.spark.sql.catalyst.util.GenericArrayData(cv))
+      val chat = reconstruct(code)
+      math.sqrt(cv.zip(chat).map { case (a, b) => val d = a - b; d.toDouble * d }.sum)
+    }
+    val norms = corpus.map { case (_, cv) => math.sqrt(cv.map(x => x.toDouble * x).sum) }
+    assert(errs.sum / errs.size < 0.5 * norms.sum / norms.size,
+      s"mean recon error ${errs.sum / errs.size} vs mean norm ${norms.sum / norms.size}")
+  }
+
   test("ivfTopK Lloyd refinement never hurts recall on clustered data") {
     val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
     def recall(steps: Int): Double = {
