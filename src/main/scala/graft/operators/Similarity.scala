@@ -370,8 +370,11 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
 
     // bounded driver pull: trainSample vectors in deterministic hash order
-    // (~0.5 MB at the defaults, independent of corpus size)
+    // (~0.5 MB at the defaults, independent of corpus size); null vectors
+    // carry no codebook signal and would NPE the trainer — excluded here,
+    // and the encode expression is null-safe for them downstream
     val sample: Array[Array[Float]] = c
+      .filter(col("__cv").isNotNull)
       .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
       .limit(trainSample)
       .select(col("__cv"))

@@ -198,6 +198,27 @@ class SimilaritySpec extends SparkSpecBase {
       s"mean recon error ${errs.sum / errs.size} vs mean norm ${norms.sum / norms.size}")
   }
 
+  test("ivfTopKPQ plans ADC scoring over binary codes in the optimized plan") {
+    import graft.functions.PqAdcDotExpr
+    val df = Similarity.ivfTopKPQ(corpusDf, "vec_id", "embedding",
+      queryDf, "vec_id", "embedding", k = 3, centroids = 16, nprobe = 4)
+    // structural search (plan STRINGS truncate on wide plans). Over this
+    // test's LocalRelation corpus, ConvertToLocalRelation folds the pure
+    // encode/table projections into precomputed rows at optimization
+    // time — itself evidence they are side-effect-free projections — so
+    // the one expression that must survive is the per-pair ADC dot fed
+    // by the candidate JOIN, and its code input must be BINARY (the
+    // m-byte representation), never a float vector.
+    val adcDots = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case e: PqAdcDotExpr => e })
+    }.flatten
+    assert(adcDots.nonEmpty, "candidate scoring must go through the ADC table")
+    adcDots.foreach { e =>
+      assert(e.left.dataType == org.apache.spark.sql.types.BinaryType,
+        "ADC scoring must consume m-byte PQ codes")
+    }
+  }
+
   test("ivfTopK Lloyd refinement never hurts recall on clustered data") {
     val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
     def recall(steps: Int): Double = {
