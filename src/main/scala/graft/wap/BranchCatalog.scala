@@ -308,7 +308,8 @@ class BranchCatalog(
     * the directory name, never in the data files), then each file's
     * metadata records its transform value alongside the footer stats. */
   private def writePartitionedDataFiles(
-      table: String, df: DataFrame, spec: PartitionSpec): Seq[DataFileMeta] = {
+      table: String, df: DataFrame, spec: PartitionSpec,
+      sortCols: Seq[String] = Nil): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
@@ -322,9 +323,14 @@ class BranchCatalog(
     val pathSafe = org.apache.spark.sql.graft.Bridge.column(
       PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
         spec.valueCol(colType))))
-    df.withColumn("__pv", pathSafe)
-      .repartition(col("__pv"))
-      .write.partitionBy("__pv").parquet(dir.toString)
+    val grouped = df.withColumn("__pv", pathSafe).repartition(col("__pv"))
+    // sorted-compaction path: order rows INSIDE each partition-value
+    // group so parquet row-group/page stats tighten on the sort keys
+    // (file-level min/max can't shrink — each value is one file here)
+    val arranged =
+      if (sortCols.isEmpty) grouped
+      else grouped.sortWithinPartitions((col("__pv") +: sortCols.map(col)): _*)
+    arranged.write.partitionBy("__pv").parquet(dir.toString)
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pv="))
       .flatMap { pd =>
@@ -351,9 +357,10 @@ class BranchCatalog(
     * through DML rewrites and compaction (otherwise every delete/update
     * would silently degrade partition pruning on the touched files). */
   private def writeTableFiles(
-      table: String, df: DataFrame, spec: Option[PartitionSpec]): Seq[DataFileMeta] =
+      table: String, df: DataFrame, spec: Option[PartitionSpec],
+      sortCols: Seq[String] = Nil): Seq[DataFileMeta] =
     spec match {
-      case Some(s) => writePartitionedDataFiles(table, df, s)
+      case Some(s) => writePartitionedDataFiles(table, df, s, sortCols)
       case None => writeDataFiles(table, df)
     }
 
@@ -1409,6 +1416,52 @@ class BranchCatalog(
     val rewritten = writeTableFiles(table,
       scanSnapshot(table, curId).repartition(targetFiles),
       cur.partitionSpec.map(PartitionSpec.parse))
+    val manifest = writeManifest(table, rewritten)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** Sort-clustered small-file compaction (the Iceberg
+    * `rewrite_data_files` "sort" strategy analogue): rewrite
+    * table@branch's CURRENT data range-partitioned and sorted on
+    * `clusterBy`, so files accumulated from interleaved appends — each
+    * spanning nearly the full key range, making footer-stats pruning
+    * useless — become `targetFiles` files with tight, nearly-disjoint
+    * min/max ranges that selective predicates prune down to one. Plain
+    * [[compactDataFiles]] fixes file COUNT but hash-repartitions, which
+    * keeps every output file fat-ranged; this fixes file count AND
+    * pruning. Hidden-partitioned tables keep their partition layout and
+    * sort WITHIN each partition value (file-level ranges there are the
+    * partition's by construction; the sort tightens parquet
+    * row-group/page stats for readers). */
+  def compactDataFilesSorted(
+      table: String, clusterBy: Seq[String], branch: String = "main",
+      targetFiles: Int = 8): Snapshot = {
+    require(clusterBy.nonEmpty, "clusterBy must name at least one column")
+    require(targetFiles >= 1, "targetFiles >= 1")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val data = scanSnapshot(table, curId)
+    val cols = clusterBy.map(data.col)
+    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val rewritten = spec match {
+      case None =>
+        // range layout survives writeDataFiles (no further shuffle):
+        // one tight-ranged file per range partition
+        writeTableFiles(table,
+          data.repartitionByRange(targetFiles, cols: _*).sortWithinPartitions(cols: _*),
+          None)
+      case s @ Some(_) =>
+        writeTableFiles(table, data, s, sortCols = clusterBy)
+    }
     val manifest = writeManifest(table, rewritten)
     var committed: Snapshot = null
     commitRefs { refs =>

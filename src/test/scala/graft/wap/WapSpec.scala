@@ -233,6 +233,50 @@ class WapSpec extends SparkSpecBase {
     assert(noLang.size <= all.size)
   }
 
+  test("compactDataFilesSorted: sorted rewrite turns fat-ranged files into pruning-tight ones") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("messy", docs.schema)
+    // four interleaved appends (doc_id % 4) — every file spans the whole
+    // id domain, so stats pruning can skip nothing
+    for (r <- 0 until 4)
+      cat.append("messy", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    val total = docs.count()
+    val cond = col("doc_id") === (total / 2)
+    assert(cat.prunedDataFiles("messy", cond).size == 4,
+      "interleaved appends must be unprunable (the pathology under test)")
+
+    // plain compaction fixes file count, not pruning
+    cat.compactDataFiles("messy", targetFiles = 4)
+    assert(cat.dataFiles("messy").size == 4)
+    assert(cat.prunedDataFiles("messy", cond).size == 4,
+      "hash-repartitioned compaction keeps every file fat-ranged")
+
+    // sorted compaction fixes both
+    val snap = cat.compactDataFilesSorted("messy", Seq("doc_id"), targetFiles = 4)
+    assert(cat.dataFiles("messy").size == 4)
+    assert(cat.prunedDataFiles("messy", cond).size == 1,
+      "sorted rewrite must make the point predicate prune to one file")
+    // rewrite preserves content exactly, and the pruned scan is sound
+    assert(cat.scan("messy").count() == total)
+    assert(cat.scan("messy", "main", Some(cond)).count() ==
+      docs.filter(cond).count())
+    // time travel to the pre-rewrite snapshot still works
+    assert(snap.parentId.isDefined)
+    assert(cat.scanSnapshot("messy", snap.parentId.get).count() == total)
+
+    // partitioned tables keep their layout through the sorted rewrite
+    cat.createTableIfNotExists("messy_part", docs.schema)
+    cat.appendPartitioned("messy_part", docs, BucketPartition(4, "doc_id"))
+    cat.compactDataFilesSorted("messy_part", Seq("n_chars"), targetFiles = 2)
+    val afterFiles = cat.dataFiles("messy_part")
+    assert(afterFiles.forall(_.partition.contains("pv")),
+      "sorted rewrite of a partitioned table must keep partition metadata")
+    assert(cat.scan("messy_part").count() == total)
+    assert(cat.prunedDataFiles("messy_part", col("doc_id") === 7L).size <=
+      afterFiles.size / 2, "partition pruning must survive the sorted rewrite")
+  }
+
   test("appendClustered: range-clustered files make point predicates prune to one file") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
