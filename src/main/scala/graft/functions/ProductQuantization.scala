@@ -123,6 +123,24 @@ case class PqCodec(m: Int, ksub: Int, dsub: Int, codebooks: Array[Float])
     while (s < m) { acc += table.getFloat(s * ksub + (codes(s) & 0xff)); s += 1 }
     acc
   }
+
+  /** |cent + r_hat|: reconstruction norm when `codes` encode a RESIDUAL
+    * against coarse centroid `cent` (the IVFADC layout). One fused pass
+    * at index-build time; the scoring path reads the stored float. */
+  def residualNorm(codes: Array[Byte], cent: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val dd = d
+    while (i < dd) {
+      val sub = i / dsub
+      val base = (sub * ksub + (codes(sub) & 0xff)) * dsub
+      val c = if (i < cent.numElements() && !cent.isNullAt(i)) cent.getFloat(i) else 0.0f
+      val x = c.toDouble + codebooks(base + (i % dsub))
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
 }
 
 object PqCodec {
@@ -257,6 +275,27 @@ case class PqAdcTableExpr(child: Expression, codec: PqCodec) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** |cent + r_hat| for residual-encoded codes (IVFADC reconstruction norm). */
+case class PqResidualNormExpr(left: Expression, right: Expression, codec: PqCodec)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary codes, array<float> centroid)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_residual_norm"
+  override protected def nullSafeEval(codes: Any, cent: Any): Any =
+    codec.residualNorm(codes.asInstanceOf[Array[Byte]], cent.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodec", codec, classOf[PqCodec].getName)
+    defineCodeGen(ctx, ev, (c, v) => s"$ref.residualNorm($c, $v)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** dot(query, c_hat) via the ADC table — m lookups per candidate pair. */
 case class PqAdcDotExpr(left: Expression, right: Expression, codec: PqCodec)
     extends BinaryExpression {
@@ -284,6 +323,8 @@ object PqFunctions {
     Bridge.column(PqEncodeExpr(Bridge.expression(vec), codec))
   def pqReconNorm(codes: Column, codec: PqCodec): Column =
     Bridge.column(PqReconNormExpr(Bridge.expression(codes), codec))
+  def pqResidualNorm(codes: Column, cent: Column, codec: PqCodec): Column =
+    Bridge.column(PqResidualNormExpr(Bridge.expression(codes), Bridge.expression(cent), codec))
   def pqAdcTable(queryVec: Column, codec: PqCodec): Column =
     Bridge.column(PqAdcTableExpr(Bridge.expression(queryVec), codec))
   def pqAdcDot(codes: Column, table: Column, codec: PqCodec): Column =

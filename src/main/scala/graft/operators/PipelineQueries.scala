@@ -139,7 +139,8 @@ object PipelineQueries {
     Similarity.ivfTopKPQ(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, centroids = 64, nprobe = 24, candidateFactor = 12, ksub = 32)
+      k = 5, centroids = 64, nprobe = 24, candidateFactor = 12, ksub = 32,
+      refineSteps = 1)
   }
 
   /** PCA-reduced ANN: candidates in a 24-dim projected space, exact

@@ -358,35 +358,24 @@ object Similarity {
     * the standard PQ training recipe), and the trained codec broadcasts
     * inside the expressions as ~4 KB of reference data. Index build
     * (coarse centroids, assignment, probes) is the same full-precision
-    * machinery as [[ivfTopK]]. */
+    * machinery as [[ivfTopK]], with optional Lloyd `refineSteps`.
+    *
+    * `residual = true` (default) is the canonical IVFADC layout: codes
+    * quantize r = v - c(v) against the vector's coarse centroid, whose
+    * spread is one cell diameter instead of the whole space, so the same
+    * codebook bits buy a finer grid; scoring decomposes dot(q, v_hat) =
+    * dot(q, cent) + dot(q, r_hat) with the first term exact over the
+    * tiny (query x probed-cell) frame. */
   def ivfTopKPQ(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
       candidateFactor: Int = 4, m: Int = 8, ksub: Int = 16,
-      trainSample: Int = 2048, trainIters: Int = 8): DataFrame = {
+      trainSample: Int = 2048, trainIters: Int = 8,
+      residual: Boolean = true, refineSteps: Int = 0): DataFrame = {
     import graft.functions.{PqCodec, PqFunctions}
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-
-    // bounded driver pull: trainSample vectors in deterministic hash order
-    // (~0.5 MB at the defaults, independent of corpus size); null vectors
-    // carry no codebook signal and would NPE the trainer — excluded here,
-    // and the encode expression is null-safe for them downstream
-    val sample: Array[Array[Float]] = c
-      .filter(col("__cv").isNotNull)
-      .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
-      .limit(trainSample)
-      .select(col("__cv"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    val codec = PqCodec.train(sample, m, ksub, trainIters)
-
-    // m-byte codes + reconstruction norm: everything candidate scoring
-    // needs, derived map-side in one pass over the corpus
-    val cPq = c.select(col("neighbor_id"),
-        PqFunctions.pqEncode(col("__cv"), codec).as("__code"))
-      .withColumn("__rn", PqFunctions.pqReconNorm(col("__code"), codec))
 
     def assign(cents: DataFrame): DataFrame = {
       val scores = c.crossJoin(broadcast(cents))
@@ -395,32 +384,85 @@ object Similarity {
       topKPerQuery(scores, 1)
         .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
     }
-    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+    var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+    // optional Lloyd steps (same recipe as ivfTopK): tighter coarse cells
+    // mean smaller residuals, which the PQ codebooks then quantize better
+    for (_ <- 0 until refineSteps) {
+      cents = assign(cents)
+        .join(c, "neighbor_id")
+        .groupBy(col("cent_id"))
+        .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cent_id"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+    }
     val assigned = assign(cents)
+
+    // corpus rows with their coarse centroid: residual encoding (the
+    // canonical IVFADC layout) quantizes r = v - c(v), whose spread is a
+    // cell diameter instead of the whole space — the same codebook bits
+    // buy a finer grid. Non-residual mode keeps the plain layout.
+    val withCent = c.join(assigned, "neighbor_id").join(broadcast(cents), "cent_id")
+    val encodeIn =
+      if (residual)
+        zip_with(col("__cv"), col("cent_vec"), (a, b) => (a - b).cast("float"))
+      else col("__cv")
+
+    // bounded driver pull: trainSample encode inputs in deterministic
+    // hash order (~0.5 MB at the defaults, independent of corpus size);
+    // null vectors carry no codebook signal and would NPE the trainer
+    val sample: Array[Array[Float]] = withCent
+      .filter(col("__cv").isNotNull)
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
+      .limit(trainSample)
+      .select(encodeIn.as("__ti"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codec = PqCodec.train(sample, m, ksub, trainIters)
+
+    // m-byte codes + reconstruction norm (|cent + r_hat| in residual
+    // mode), derived map-side in one index-build pass over the corpus
+    val cPq = withCent
+      .withColumn("__code", PqFunctions.pqEncode(encodeIn, codec))
+      .withColumn("__rn",
+        if (residual) PqFunctions.pqResidualNorm(col("__code"), col("cent_vec"), codec)
+        else PqFunctions.pqReconNorm(col("__code"), codec))
+      .select(col("neighbor_id"), col("cent_id"), col("__code"), col("__rn"))
+
     val probeScores = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cent_id").as("neighbor_id"),
         round(cosineSimF(col("__qv"), col("cent_vec")), 6).as("cosine"))
     val probes = topKPerQuery(probeScores, nprobe)
       .select(col("query_id"), col("neighbor_id").as("cent_id"))
 
+    // candidates keep their cell id: residual scoring decomposes
+    // dot(q, v_hat) = dot(q, cent) + dot(q, r_hat), and the first term is
+    // exact per (query, probed cell) — a Q x nprobe frame
     val cand = assigned.join(broadcast(probes), "cent_id")
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("cent_id"), col("neighbor_id"))
+    val probeDots = probes
+      .join(broadcast(q), "query_id")
+      .join(broadcast(cents), "cent_id")
+      .select(col("query_id"), col("cent_id"),
+        dotF(col("__qv"), col("cent_vec")).as("__qc"))
 
     // per-query ADC table + true query norm, computed once per query row
     val qAdc = q.select(col("query_id"),
       PqFunctions.pqAdcTable(col("__qv"), codec).as("__tab"),
       sqrt(dotF(col("__qv"), col("__qv"))).as("__qn"))
 
-    // PQ scoring pass: codes + table lookups only; approximate cosine =
-    // dot(q, c_hat) / (|q| * |c_hat|), null-guarded for zero vectors
-    val candQ = cand
-      .join(cPq, "neighbor_id")
+    // PQ scoring pass: codes + m table lookups per pair; approximate
+    // cosine = dot(q, v_hat) / (|q| * |v_hat|), null-guarded for zeros
+    val adc = PqFunctions.pqAdcDot(col("__code"), col("__tab"), codec)
+    val dotEst = if (residual) col("__qc") + adc else adc
+    val base = cand
+      .join(cPq.drop("cent_id"), "neighbor_id")
       .join(broadcast(qAdc), "query_id")
+    val candQ = (if (residual) base.join(broadcast(probeDots), Seq("query_id", "cent_id"))
+                 else base)
       .select(col("query_id"), col("neighbor_id"),
-        round(PqFunctions.pqAdcDot(col("__code"), col("__tab"), codec) /
-          nullif(col("__qn") * col("__rn"), lit(0.0)), 4).as("cosine"))
+        round(dotEst / nullif(col("__qn") * col("__rn"), lit(0.0)), 4).as("cosine"))
     val shortlist = topKPerQuery(candQ, k * candidateFactor)
       .select(col("query_id"), col("neighbor_id"))
 

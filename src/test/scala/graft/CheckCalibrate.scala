@@ -37,14 +37,11 @@ object CheckCalibrate {
     val e = Tables.embeddings(spark, dir)
     val corp = e.filter(col("vec_id") >= 100)
     val qs = e.filter(col("vec_id") < 20)
-    for (cf <- Seq(8, 12); ks <- Seq(16, 32))
-      annRecall(s"ivfpq-cf$cf-ks$ks", Similarity.ivfTopKPQ(
+    for (res <- Seq(false, true); rs <- Seq(0, 1))
+      annRecall(s"ivfpq-res$res-rs$rs", Similarity.ivfTopKPQ(
         corp, "vec_id", "embedding", qs, "vec_id", "embedding",
-        k = 5, centroids = 64, nprobe = 24, candidateFactor = cf, ksub = ks))
-    for (pk <- Seq(16, 24, 32); cf <- Seq(4, 8))
-      annRecall(s"pca-k$pk-cf$cf", Similarity.pcaTopK(
-        corp, "vec_id", "embedding", qs, "vec_id", "embedding",
-        k = 5, pcaK = pk, candidateFactor = cf))
+        k = 5, centroids = 64, nprobe = 24, candidateFactor = 12, ksub = 32,
+        residual = res, refineSteps = rs))
 
     // q21 sketch deltas
     val e21 = Relational.q21Percentiles(spark, dir)

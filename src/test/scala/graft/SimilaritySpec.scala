@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"PQ IVF recall $recall below floor")
   }
 
+  test("ivfTopKPQ residual mode (IVFADC) matches non-residual recall on clustered data") {
+    val expected = bruteTopK(5).map { case (q, rs) => q -> rs.map(_._1).toSet }
+    def recall(res: Boolean): Double = {
+      val got = Similarity.ivfTopKPQ(corpusDf, "vec_id", "embedding",
+          queryDf, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4,
+          candidateFactor = 8, residual = res, refineSteps = 1)
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = expected.toSeq.map { case (q, exp) =>
+        exp.count(got.getOrElse(q, Set.empty).contains).toDouble / exp.size }
+      hits.sum / hits.size
+    }
+    val plain = recall(false)
+    val resid = recall(true)
+    // residual codes quantize a cell diameter instead of the whole space —
+    // on clustered corpora that buys equal-or-better recall per bit
+    assert(resid >= plain - 0.05, s"residual recall $resid collapsed vs plain $plain")
+    assert(resid >= 0.8, s"residual recall $resid below floor")
+  }
+
   test("PqCodec: m-byte codes, ADC dot equals dot(q, reconstruction), deterministic train") {
     import graft.functions.{PqCodec, PqFunctions}
     val samples = corpus.map(_._2).toArray
