@@ -27,13 +27,13 @@ object CheckQueries {
 
   // Recall floors: measured headroom below the observed recall at BOTH
   // driver scales (r7 calibration, CheckCalibrate): lsh 0.70/0.73,
-  // ivf 0.90/0.80, ivfq 0.71/0.74, ivfpq 0.85/0.63 (residual IVFADC,
-  // 1 Lloyd step), pca 0.79/0.54 at sf0.01/sf0.1. A floor trip means
-  // the operator genuinely degraded, not noise: every input is
-  // deterministic.
+  // ivf 0.90/0.80, ivfq 0.90/0.80 (1 Lloyd step), ivfpq 0.85/0.63
+  // (residual IVFADC, 1 Lloyd step), pca 0.79/0.54 at sf0.01/sf0.1. A
+  // floor trip means the operator genuinely degraded, not noise: every
+  // input is deterministic.
   private val LshFloor = 0.55
   private val IvfFloor = 0.65
-  private val IvfqFloor = 0.60
+  private val IvfqFloor = 0.65
   private val IvfpqFloor = 0.50
   private val PcaFloor = 0.45
 

@@ -125,7 +125,7 @@ object PipelineQueries {
     Similarity.ivfTopKQuantized(
       e.filter(col("vec_id") >= 100), "vec_id", "embedding",
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, centroids = 64, nprobe = 24, candidateFactor = 4)
+      k = 5, centroids = 64, nprobe = 24, candidateFactor = 4, refineSteps = 1)
   }
 
   /** IVF with TRUE product quantization: candidates carry 8 one-byte

@@ -287,7 +287,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
-      candidateFactor: Int = 4): DataFrame = {
+      candidateFactor: Int = 4, refineSteps: Int = 0): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
 
@@ -306,9 +306,19 @@ object Similarity {
       topKPerQuery(scores, 1)
         .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
     }
-    val cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+    var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+    // optional Lloyd steps (same recipe as ivfTopK): tighter cells raise
+    // probe recall for the same nprobe
+    for (_ <- 0 until refineSteps) {
+      cents = assign(cents)
+        .join(c, "neighbor_id")
+        .groupBy(col("cent_id"))
+        .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cent_id"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+    }
     val assigned = assign(cents)
     val probeScores = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cent_id").as("neighbor_id"),
