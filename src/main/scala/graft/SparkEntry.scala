@@ -50,6 +50,7 @@ object SparkEntry {
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
+    "wap_sorted_compact" -> (WapQueries.wapSortedCompact _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -174,6 +175,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 90 AND doc_id < 110) AS rows_replaced, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 205) AS rows_inserted""",
     "wap_partitioned" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, true AS pruned""",
+    "wap_sorted_compact" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS pruned_before, CAST(4 AS BIGINT) AS n_files_after, CAST(1 AS BIGINT) AS pruned_after""",
     "dq_null_audit" ->
       """SELECT 'not_null(text)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0) AS violations UNION ALL SELECT 'not_null(lang)' AS check_name, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) = 0 AS passed, (SELECT count(*) FROM documents WHERE doc_id < 300 AND lang IS NULL) AS violations""",
     "dq_null_counts" ->

@@ -159,6 +159,32 @@ object WapQueries {
         lit(total >= 8L && pruned * 4L <= total).as("pruned"))
   }
 
+  /** Sort-clustered compaction end-to-end (W26): four interleaved
+    * appends leave every file spanning the full doc_id domain (point
+    * predicates prune nothing), `compactDataFilesSorted` rewrites into
+    * range-disjoint files, and the returned row pins BOTH behaviors —
+    * unprunable before (4/4 files), one-file pruning after — plus the
+    * content surviving the rewrite byte-for-byte. */
+  def wapSortedCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-sorted").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    for (r <- 0 until 4)
+      cat.append("documents", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    val cond = col("doc_id") === 57L
+    val prunedBefore = cat.prunedDataFiles("documents", cond).size.toLong
+    cat.compactDataFilesSorted("documents", Seq("doc_id"), targetFiles = 4)
+    val filesAfter = cat.dataFiles("documents").size.toLong
+    val prunedAfter = cat.prunedDataFiles("documents", cond).size.toLong
+    cat.scan("documents", filter = Some(cond))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(prunedBefore).as("pruned_before"),
+        lit(filesAfter).as("n_files_after"),
+        lit(prunedAfter).as("pruned_after"))
+  }
+
   /** The reference's exact audit (IsNull on the target column) over a
     * simulated faulty batch, as a one-pass suite report. */
   def dqNullAudit(spark: SparkSession, dir: String): DataFrame = {
