@@ -376,16 +376,31 @@ object Similarity {
     * codebook bits buy a finer grid; scoring decomposes dot(q, v_hat) =
     * dot(q, cent) + dot(q, r_hat) with the first term exact over the
     * tiny (query x probed-cell) frame. */
-  def ivfTopKPQ(
+  /** A prebuilt IVF-PQ index: coarse centroids, the m-byte-encoded
+    * corpus (persisted), the full-precision corpus for exact re-rank,
+    * and the trained codec. At 100 TB the index is built ONCE and
+    * amortized over every query batch — the same reuse seam as
+    * [[Dedup.prepare]]; `unpersist()` when done. */
+  final case class IvfPqIndex private[operators] (
+      cents: DataFrame,   // (cent_id, cent_vec) — K rows, broadcast at use
+      cPq: DataFrame,     // (neighbor_id, cent_id, __code, __rn), persisted
+      corpus: DataFrame,  // (neighbor_id, __cv) for the exact re-rank
+      codec: graft.functions.PqCodec,
+      residual: Boolean) {
+    def unpersist(): Unit = { cPq.unpersist(); () }
+  }
+
+  /** Build the IVF-PQ index for a corpus (see [[ivfTopKPQ]] for the
+    * scheme). `storage = None` skips persistence for one-shot use. */
+  def prepareIvfPq(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
-      candidateFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+      centroids: Int = 64, seed: Long = 11L, m: Int = 8, ksub: Int = 16,
       trainSample: Int = 2048, trainIters: Int = 8,
-      residual: Boolean = true, refineSteps: Int = 0): DataFrame = {
+      residual: Boolean = true, refineSteps: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): IvfPqIndex = {
     import graft.functions.{PqCodec, PqFunctions}
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
 
     def assign(cents: DataFrame): DataFrame = {
       val scores = c.crossJoin(broadcast(cents))
@@ -439,37 +454,47 @@ object Similarity {
         if (residual) PqFunctions.pqResidualNorm(col("__code"), col("cent_vec"), codec)
         else PqFunctions.pqReconNorm(col("__code"), codec))
       .select(col("neighbor_id"), col("cent_id"), col("__code"), col("__rn"))
+    val stored = storage.map(cPq.persist).getOrElse(cPq)
+    IvfPqIndex(cents, stored, c, codec, residual)
+  }
 
-    val probeScores = q.crossJoin(broadcast(cents))
+  /** Query a prebuilt [[IvfPqIndex]]: probe, ADC-score, exact re-rank —
+    * no index-build work on this path. */
+  def ivfTopKPQ(
+      index: IvfPqIndex, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int, candidateFactor: Int): DataFrame = {
+    import graft.functions.PqFunctions
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+
+    val probeScores = q.crossJoin(broadcast(index.cents))
       .select(col("query_id"), col("cent_id").as("neighbor_id"),
         round(cosineSimF(col("__qv"), col("cent_vec")), 6).as("cosine"))
     val probes = topKPerQuery(probeScores, nprobe)
       .select(col("query_id"), col("neighbor_id").as("cent_id"))
 
-    // candidates keep their cell id: residual scoring decomposes
-    // dot(q, v_hat) = dot(q, cent) + dot(q, r_hat), and the first term is
-    // exact per (query, probed cell) — a Q x nprobe frame
-    val cand = assigned.join(broadcast(probes), "cent_id")
-      .select(col("query_id"), col("cent_id"), col("neighbor_id"))
+    // residual scoring decomposes dot(q, v_hat) = dot(q, cent) +
+    // dot(q, r_hat); the first term is exact per (query, probed cell) —
+    // a Q x nprobe frame
     val probeDots = probes
       .join(broadcast(q), "query_id")
-      .join(broadcast(cents), "cent_id")
+      .join(broadcast(index.cents), "cent_id")
       .select(col("query_id"), col("cent_id"),
         dotF(col("__qv"), col("cent_vec")).as("__qc"))
 
     // per-query ADC table + true query norm, computed once per query row
     val qAdc = q.select(col("query_id"),
-      PqFunctions.pqAdcTable(col("__qv"), codec).as("__tab"),
+      PqFunctions.pqAdcTable(col("__qv"), index.codec).as("__tab"),
       sqrt(dotF(col("__qv"), col("__qv"))).as("__qn"))
 
     // PQ scoring pass: codes + m table lookups per pair; approximate
-    // cosine = dot(q, v_hat) / (|q| * |v_hat|), null-guarded for zeros
-    val adc = PqFunctions.pqAdcDot(col("__code"), col("__tab"), codec)
-    val dotEst = if (residual) col("__qc") + adc else adc
-    val base = cand
-      .join(cPq.drop("cent_id"), "neighbor_id")
+    // cosine = dot(q, v_hat) / (|q| * |v_hat|), null-guarded for zeros.
+    // Candidates come straight off the encoded corpus x probed cells.
+    val adc = PqFunctions.pqAdcDot(col("__code"), col("__tab"), index.codec)
+    val dotEst = if (index.residual) col("__qc") + adc else adc
+    val base = index.cPq
+      .join(broadcast(probes), "cent_id")
       .join(broadcast(qAdc), "query_id")
-    val candQ = (if (residual) base.join(broadcast(probeDots), Seq("query_id", "cent_id"))
+    val candQ = (if (index.residual) base.join(broadcast(probeDots), Seq("query_id", "cent_id"))
                  else base)
       .select(col("query_id"), col("neighbor_id"),
         round(dotEst / nullif(col("__qn") * col("__rn"), lit(0.0)), 4).as("cosine"))
@@ -478,10 +503,22 @@ object Similarity {
 
     // exact full-precision re-rank of the shortlist only
     val scored = shortlist
-      .join(c, "neighbor_id")
+      .join(index.corpus, "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosineSimF(col("__cv"), col("__qv")), 4).as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  def ivfTopKPQ(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 5, centroids: Int = 64, nprobe: Int = 8, seed: Long = 11L,
+      candidateFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+      trainSample: Int = 2048, trainIters: Int = 8,
+      residual: Boolean = true, refineSteps: Int = 0): DataFrame = {
+    val index = prepareIvfPq(corpus, corpusId, corpusVec, centroids, seed, m,
+      ksub, trainSample, trainIters, residual, refineSteps, storage = None)
+    ivfTopKPQ(index, queries, queryId, queryVec, k, nprobe, candidateFactor)
   }
 }

@@ -166,6 +166,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(resid >= 0.8, s"residual recall $resid below floor")
   }
 
+  test("prepareIvfPq: one index serves many query batches with one-shot-identical results") {
+    val index = Similarity.prepareIvfPq(corpusDf, "vec_id", "embedding",
+      centroids = 16, refineSteps = 1)
+    try {
+      def run(qs: Seq[(Long, Array[Float])]) =
+        Similarity.ivfTopKPQ(index, qs.toDF("vec_id", "embedding"),
+            "vec_id", "embedding", k = 3, nprobe = 4, candidateFactor = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch1 = queries.take(5)
+      val batch2 = queries.drop(5)
+      val oneShot = Similarity.ivfTopKPQ(corpusDf, "vec_id", "embedding",
+          queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 3, centroids = 16, nprobe = 4, candidateFactor = 8, refineSteps = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert((run(batch1) ++ run(batch2)) == oneShot,
+        "per-batch queries over the shared index must equal the one-shot run")
+    } finally index.unpersist()
+  }
+
   test("PqCodec: m-byte codes, ADC dot equals dot(q, reconstruction), deterministic train") {
     import graft.functions.{PqCodec, PqFunctions}
     val samples = corpus.map(_._2).toArray
