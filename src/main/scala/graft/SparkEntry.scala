@@ -97,7 +97,8 @@ object SparkEntry {
     "text_check_langid" -> (CheckQueries.textCheckLangid _),
     "text_check_decontaminate" -> (CheckQueries.textCheckDecontaminate _),
     "emb_check_pca" -> (CheckQueries.embCheckPca _),
-    "dedup_check_pairs" -> (CheckQueries.dedupCheckPairs _)
+    "dedup_check_pairs" -> (CheckQueries.dedupCheckPairs _),
+    "dedup_check_cluster" -> (CheckQueries.dedupCheckCluster _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,6 +244,8 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS k, true AS orthonormal_ok, true AS descending_ok, true AS variance_ok""",
     "text_check_decontaminate" ->
       """SELECT count(*) AS n_docs, CAST(5 AS BIGINT) AS seeds_flagged, true AS exact_dups_flagged_ok FROM documents""",
+    "dedup_check_cluster" ->
+      """SELECT count(*) AS n_docs, true AS fixpoint_ok, true AS labels_minimal_ok, true AS survivors_ok FROM documents""",
     "dedup_check_pairs" ->
       """SELECT family, (SELECT count(*) FROM documents WHERE doc_id < 500) AS n_items, true AS precision_ok, true AS recall_ok FROM (VALUES ('containment09'), ('jaccard05'), ('jaccard08'), ('simhash3')) AS f(family) UNION ALL SELECT 'embedding95' AS family, (SELECT count(*) + (SELECT count(*) FROM embeddings WHERE vec_id < 50) FROM embeddings) AS n_items, true AS precision_ok, true AS recall_ok"""
   )

@@ -182,6 +182,50 @@ object CheckQueries {
         (col("acc") >= 0.9).as("accuracy_ok"))
   }
 
+  /** Connected-component dedup invariants, checked against the live
+    * pair graph rather than a collected union-find (nothing leaves the
+    * executors): the label assignment must be a FIXPOINT (no edge joins
+    * two components — exactly the propagation's termination condition,
+    * recomputed independently here), labels must be candidate minima
+    * (comp <= id, and every component's root labels itself), and the
+    * cluster-dedup survivor set must be the corpus minus the non-root
+    * labeled nodes. */
+  def dedupCheckCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = PipelineQueries.docsPrepared(spark, dir)
+    val pairs = Dedup.minhashPairs(p, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+
+    val la = labels.select(col("id").as("id_a"), col("comp").as("__ca"))
+    val lb = labels.select(col("id").as("id_b"), col("comp").as("__cb"))
+    val splitEdges = pairs.join(la, "id_a").join(lb, "id_b")
+      .filter(col("__ca") =!= col("__cb"))
+      .agg(count(lit(1)).as("n_split"))
+
+    val minimal = labels
+      .agg(
+        sum(when(col("comp") > col("id"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_labeled"))
+    val roots = labels.select(col("comp")).distinct()
+      .join(labels.filter(col("comp") === col("id")).select(col("comp")), Seq("comp"), "left_anti")
+      .agg(count(lit(1)).as("n_rootless"))
+
+    val survivors = PipelineQueries.dedupCluster(spark, dir)
+      .agg(count(lit(1)).as("n_survivors"))
+    val dropped = labels.filter(col("comp") =!= col("id"))
+      .agg(count(lit(1)).as("n_dropped"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+    nDocs.crossJoin(splitEdges).crossJoin(minimal).crossJoin(roots)
+      .crossJoin(survivors).crossJoin(dropped)
+      .select(
+        col("n_docs"),
+        (col("n_split") === 0).as("fixpoint_ok"),
+        (col("n_above") === 0 && col("n_rootless") === 0).as("labels_minimal_ok"),
+        (col("n_survivors") + col("n_dropped") === col("n_docs")).as("survivors_ok"))
+  }
+
   /** Decontamination invariants: the seed "benchmark" docs (0-4) must
     * flag themselves (every document contains its own 8-grams), and any
     * EXACT text duplicate of a seed must flag too — computed from an
