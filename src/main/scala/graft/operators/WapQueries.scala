@@ -185,6 +185,28 @@ object WapQueries {
         lit(prunedAfter).as("pruned_after"))
   }
 
+  /** Incremental snapshot-window reads end-to-end (W27): three appends,
+    * then the deltas of each window — including an empty window and a
+    * window crossing a metadata-only manifest compaction, which must
+    * report nothing (file-level subtraction). */
+  def wapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-incr").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    val s1 = cat.append("documents", docs.filter(col("doc_id") < 50))
+    val s2 = cat.append("documents", docs.filter(col("doc_id") >= 50 && col("doc_id") < 120))
+    val s3 = cat.append("documents", docs.filter(col("doc_id") >= 120))
+    val s4 = cat.compactManifests("documents")
+    cat.scanChangesBetween("documents", s2.id, s3.id)
+      .agg(count(lit(1)).as("rows_w23"),
+        sum(col("n_chars")).cast("long").as("chars_w23"))
+      .select(col("rows_w23"), col("chars_w23"),
+        lit(cat.scanChangesBetween("documents", s1.id, s3.id).count()).as("rows_w13"),
+        lit(cat.scanChangesBetween("documents", s3.id, s3.id).count()).as("rows_empty"),
+        lit(cat.scanChangesBetween("documents", s3.id, s4.id).count()).as("rows_compaction"))
+  }
+
   /** The reference's exact audit (IsNull on the target column) over a
     * simulated faulty batch, as a one-pass suite report. */
   def dqNullAudit(spark: SparkSession, dir: String): DataFrame = {

@@ -1088,6 +1088,37 @@ class BranchCatalog(
     else spark.read.schema(schema).parquet(files.map(_.path): _*)
   }
 
+  /** Incremental read between two snapshots (the Iceberg
+    * incremental-append-scan analogue): rows in data files `toId`
+    * references that `fromId` does not — the append delta of a snapshot
+    * window, the feed for incremental downstream pipelines ("process
+    * only what landed since my last run"). A metadata diff: manifests
+    * new in `toId` are read, and their files subtracted against
+    * `fromId`'s FILE set — file-level subtraction keeps the delta exact
+    * when manifest compaction re-folded old files into a new manifest
+    * (manifest-level subtraction would re-report the whole table). Cost
+    * is O(manifests) driver reads on both sides, bounded by the same
+    * maintenance that bounds every scan's planning. DML rewrites
+    * (delete/update/data compaction) produce genuinely NEW files whose
+    * rows are reported again — snapshot deltas are append-granular, not
+    * row-level CDC; run incremental consumers against append-only
+    * windows or diff downstream. */
+  def scanChangesBetween(table: String, fromId: String, toId: String): DataFrame = {
+    val from = loadSnapshot(table, fromId)
+    val to = loadSnapshot(table, toId)
+    val schema = StructType.fromDDL(to.schemaDdl)
+    val fromManifests = from.manifests.map(_.path).toSet
+    val newManifests = to.manifests.filterNot(m => fromManifests.contains(m.path))
+    if (newManifests.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val fromFiles = from.manifests.flatMap(m => readManifest(m.path)).map(_.path).toSet
+    val files = newManifests.flatMap(m => readManifest(m.path))
+      .filterNot(f => fromFiles.contains(f.path))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
+
   /** Append with range-clustering on `clusterBy`: rows are range-
     * partitioned across `files` output files and sorted within each, so
     * every file owns a tight, nearly-disjoint min/max range on the

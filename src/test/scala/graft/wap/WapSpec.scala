@@ -233,6 +233,34 @@ class WapSpec extends SparkSpecBase {
     assert(noLang.size <= all.size)
   }
 
+  test("scanChangesBetween: append deltas by snapshot window, exact through manifest compaction") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    val s1 = cat.append("t", docs.filter(col("doc_id") < 20))
+    val s2 = cat.append("t", docs.filter(col("doc_id") >= 20 && col("doc_id") < 40))
+    val s3 = cat.append("t", docs.filter(col("doc_id") >= 40 && col("doc_id") < 60))
+
+    // window deltas are exactly the appends that landed inside them
+    assert(cat.scanChangesBetween("t", s1.id, s2.id).count() == 20)
+    assert(cat.scanChangesBetween("t", s1.id, s3.id).count() == 40)
+    assert(cat.scanChangesBetween("t", s2.id, s3.id)
+      .agg(min(col("doc_id")), max(col("doc_id"))).collect().head.toSeq == Seq(40L, 59L))
+    // empty window -> empty frame with the right schema
+    val same = cat.scanChangesBetween("t", s3.id, s3.id)
+    assert(same.count() == 0 && same.schema == docs.schema)
+
+    // manifest compaction folds metadata WITHOUT new data files: the
+    // incremental window across it must stay empty (file-level
+    // subtraction), and a window over compaction + an append must report
+    // only the append
+    val s4 = cat.compactManifests("t")
+    assert(cat.scanChangesBetween("t", s3.id, s4.id).count() == 0,
+      "metadata-only compaction must not re-report old rows")
+    val s5 = cat.append("t", docs.filter(col("doc_id") >= 60 && col("doc_id") < 65))
+    assert(cat.scanChangesBetween("t", s3.id, s5.id).count() == 5)
+  }
+
   test("compactDataFilesSorted: sorted rewrite turns fat-ranged files into pruning-tight ones") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
