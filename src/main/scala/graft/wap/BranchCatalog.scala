@@ -1119,6 +1119,53 @@ class BranchCatalog(
     else spark.read.schema(schema).parquet(files.map(_.path): _*)
   }
 
+  /** Checkpointed incremental consumption of a table (the batch mirror
+    * of "streaming from a lake table"): processes the append delta since
+    * the consumer's last recorded snapshot through `f`, then advances
+    * the consumer's checkpoint — each periodic invocation sees every
+    * appended row EXACTLY once, however many commits landed in between.
+    * First invocation processes the full table (the stream's initial
+    * load). The checkpoint is one tiny file per consumer under the
+    * catalog root, written atomically via the same rename discipline as
+    * the refs store; `f` runs BEFORE the checkpoint advances, so a
+    * crashed consumer re-processes its window (at-least-once across
+    * crashes, exactly-once in steady state — the standard incremental
+    * contract; make `f` idempotent for end-to-end exactly-once).
+    *
+    * @return Some(processed snapshot window) or None when nothing new
+    */
+  def consumeIncremental(
+      table: String, consumer: String, branch: String = "main")(
+      f: DataFrame => Unit): Option[(String, String)] = {
+    require(consumer.nonEmpty && !consumer.contains("/"), s"bad consumer name '$consumer'")
+    val headId = snapshotIdOf(table, branch)
+      .getOrElse(sys.error(s"no table $table on $branch"))
+    val ckptPath = new Path(rootPath, s"tables/$table/consumers/$consumer")
+    val last: Option[String] =
+      if (!fs.exists(ckptPath)) None
+      else {
+        val in = fs.open(ckptPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    if (last.contains(headId)) return None
+    val delta = last match {
+      case Some(fromId) => scanChangesBetween(table, fromId, headId)
+      case None => scanSnapshot(table, headId)
+    }
+    f(delta)
+    val tmp = new Path(rootPath, s"tables/$table/consumers/.$consumer.${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(headId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, ckptPath)) {
+      // racing consumer instance: replace atomically via delete+rename
+      fs.delete(ckptPath, false)
+      if (!fs.rename(tmp, ckptPath)) sys.error(s"cannot advance consumer $consumer")
+    }
+    Some(last.getOrElse("") -> headId)
+  }
+
   /** Append with range-clustering on `clusterBy`: rows are range-
     * partitioned across `files` output files and sorted within each, so
     * every file owns a tight, nearly-disjoint min/max range on the

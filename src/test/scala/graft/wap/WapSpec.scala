@@ -261,6 +261,40 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scanChangesBetween("t", s3.id, s5.id).count() == 5)
   }
 
+  test("consumeIncremental: each appended row is processed exactly once per consumer") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30))
+
+    var seen = Vector.empty[Set[Long]]
+    def drain(): Option[(String, String)] =
+      cat.consumeIncremental("t", "reporter") { df =>
+        seen :+= df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      }
+
+    // initial load = full table; nothing new -> None and f not invoked
+    assert(drain().isDefined)
+    assert(seen.head == (0L until 30L).toSet)
+    assert(drain().isEmpty && seen.size == 1)
+
+    // two commits land before the next drain: ONE delta covering both
+    cat.append("t", docs.filter(col("doc_id") >= 30 && col("doc_id") < 40))
+    cat.append("t", docs.filter(col("doc_id") >= 40 && col("doc_id") < 55))
+    assert(drain().isDefined)
+    assert(seen(1) == (30L until 55L).toSet, "one window must cover both commits")
+
+    // an independent consumer has its own checkpoint: full table first
+    var other = Set.empty[Long]
+    cat.consumeIncremental("t", "auditor") { df =>
+      other = df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    assert(other == (0L until 55L).toSet)
+
+    // exactly-once across the union of drains, no overlap
+    assert(seen.flatten.size == seen.map(_.size).sum, "windows must not overlap")
+  }
+
   test("compactDataFilesSorted: sorted rewrite turns fat-ranged files into pruning-tight ones") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
