@@ -52,6 +52,7 @@ object SparkEntry {
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
     "wap_sorted_compact" -> (WapQueries.wapSortedCompact _),
     "wap_incremental" -> (WapQueries.wapIncremental _),
+    "wap_zorder" -> (WapQueries.wapZorder _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -179,6 +180,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, true AS pruned""",
     "wap_sorted_compact" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS pruned_before, CAST(4 AS BIGINT) AS n_files_after, CAST(1 AS BIGINT) AS pruned_after""",
+    "wap_zorder" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

@@ -185,6 +185,37 @@ object WapQueries {
         lit(prunedAfter).as("pruned_after"))
   }
 
+  /** Z-order compaction end-to-end (W29): interleaved appends, Morton
+    * rewrite on (doc_id, n_chars), then pruning gates on BOTH dimensions
+    * plus scan soundness — lexicographic clustering can only serve its
+    * leading column, so the n_chars gate is the z-order-specific one. */
+  def wapZorder(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-zorder").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir)
+    cat.createTableIfNotExists("documents", docs.schema)
+    for (r <- 0 until 4)
+      cat.append("documents", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    cat.compactDataFilesZOrder("documents", Seq("doc_id", "n_chars"), targetFiles = 16)
+    val idSlice = col("doc_id") >= 100L && col("doc_id") < 130L
+    val b = docs.agg(min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long"))
+      .collect().head
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val chSlice = col("n_chars") >= mid && col("n_chars") < mid + (b.getLong(1) - b.getLong(0)) / 16
+    val nFiles = cat.dataFiles("documents").size.toLong
+    val pId = cat.prunedDataFiles("documents", idSlice).size.toLong
+    val pCh = cat.prunedDataFiles("documents", chSlice).size.toLong
+    val soundCh =
+      cat.scan("documents", filter = Some(chSlice)).count() == docs.filter(chSlice).count()
+    cat.scan("documents", filter = Some(idSlice))
+      .agg(count(lit(1)).as("n_rows_id_slice"))
+      .select(col("n_rows_id_slice"),
+        lit(nFiles).as("n_files"),
+        lit(pId < nFiles).as("prunes_id"),
+        lit(pCh < nFiles).as("prunes_chars"),
+        lit(soundCh).as("pruned_scan_sound"))
+  }
+
   /** Incremental snapshot-window reads end-to-end (W27): three appends,
     * then the deltas of each window — including an empty window and a
     * window crossing a metadata-only manifest compaction, which must

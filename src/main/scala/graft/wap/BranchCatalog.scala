@@ -1553,6 +1553,63 @@ class BranchCatalog(
     committed
   }
 
+  /** Z-order (Morton-curve) compaction (the Iceberg `rewrite_data_files`
+    * z-order strategy analogue): each cluster column maps to a bucket
+    * index through its own quantile cutpoints (one `approxQuantile`
+    * sketch job; 2^bits doubles per column on the driver), the bucket
+    * bits interleave into a z-value, and files sort by it — every file
+    * then owns a tight hyper-rectangle in the cluster space, so a
+    * selective predicate on ANY clustered column prunes most files.
+    * [[compactDataFilesSorted]] (lexicographic) serves only its LEADING
+    * column; z-order trades a little per-column tightness for pruning on
+    * all of them. Numeric columns only (bucket boundaries are value
+    * quantiles); hidden-partitioned tables should combine their
+    * transform with [[compactDataFilesSorted]] instead. */
+  def compactDataFilesZOrder(
+      table: String, zorderBy: Seq[String], branch: String = "main",
+      targetFiles: Int = 8, bits: Int = 8): Snapshot = {
+    import graft.functions.ZOrderFunctions._
+    require(zorderBy.size >= 2,
+      "z-order needs >= 2 columns; use compactDataFilesSorted for one")
+    require(zorderBy.size * bits <= 63, s"zorderBy.size * bits must fit a long")
+    require(targetFiles >= 1, "targetFiles >= 1")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.partitionSpec.isEmpty,
+      "z-order rewrite supports unpartitioned tables (combine the partition " +
+        "transform with compactDataFilesSorted instead)")
+    val data = scanSnapshot(table, curId)
+    zorderBy.foreach { c =>
+      val dt = data.schema.fields.find(_.name == c)
+        .getOrElse(sys.error(s"no column $c in $table")).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric, got $dt")
+    }
+    // 2^bits - 1 internal cutpoints per column from ONE sketch job
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val cuts = data.stat.approxQuantile(zorderBy.toArray, probs, 0.001)
+    val zcol = zInterleave(bits, zorderBy.zip(cuts).map { case (c, cu) =>
+      bucketizeSorted(org.apache.spark.sql.functions.col(c).cast("double"), cu)
+    }: _*)
+    val arranged = data
+      .withColumn("__z", zcol)
+      .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z") // projection: range layout + intra-partition order survive
+    val rewritten = writeTableFiles(table, arranged, None)
+    val manifest = writeManifest(table, rewritten)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
   /** Expire history: keep only snapshots referenced by a branch head (or
     * listed in `keepIds`), then garbage-collect manifests and data files
     * no surviving snapshot references. Time travel to expired ids stops

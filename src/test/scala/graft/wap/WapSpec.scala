@@ -339,6 +339,44 @@ class WapSpec extends SparkSpecBase {
       afterFiles.size / 2, "partition pruning must survive the sorted rewrite")
   }
 
+  test("compactDataFilesZOrder: pruning works on EVERY clustered column, not just the leading one") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    // the two predicates: a narrow slice on each dimension
+    val idSlice = col("doc_id") >= 200L && col("doc_id") < 230L
+    val charBounds = docs.agg(min(col("n_chars")).cast("long"),
+      max(col("n_chars")).cast("long")).collect().head
+    val (cLo, cHi) = (charBounds.getLong(0), charBounds.getLong(1))
+    val cMid = cLo + (cHi - cLo) / 2
+    val cSlice = col("n_chars") >= cMid && col("n_chars") < cMid + (cHi - cLo) / 16
+
+    def freshTable(cat: BranchCatalog): Unit = {
+      cat.createTableIfNotExists("t", docs.schema)
+      for (r <- 0 until 4) // interleaved: every file spans both domains
+        cat.append("t", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    }
+    val zcat = freshCatalog(); freshTable(zcat)
+    zcat.compactDataFilesZOrder("t", Seq("doc_id", "n_chars"), targetFiles = 16)
+    val scat = freshCatalog(); freshTable(scat)
+    scat.compactDataFilesSorted("t", Seq("doc_id", "n_chars"), targetFiles = 16)
+
+    val zFiles = zcat.dataFiles("t").size
+    assert(zFiles == 16)
+    val zId = zcat.prunedDataFiles("t", idSlice).size
+    val zCh = zcat.prunedDataFiles("t", cSlice).size
+    val sCh = scat.prunedDataFiles("t", cSlice).size
+    // z-order prunes on BOTH dimensions...
+    assert(zId < zFiles, s"z-order must prune the doc_id slice (planned $zId/$zFiles)")
+    assert(zCh < zFiles, s"z-order must prune the n_chars slice (planned $zCh/$zFiles)")
+    // ...where the lexicographic sort serves only its leading column
+    assert(zCh < sCh,
+      s"z-order must beat lexicographic on the trailing column ($zCh vs $sCh)")
+    // rewrite preserves content; pruned scans stay sound
+    assert(zcat.scan("t").count() == total)
+    assert(zcat.scan("t", "main", Some(cSlice)).count() == docs.filter(cSlice).count())
+    assert(zcat.scan("t", "main", Some(idSlice)).count() == docs.filter(idSlice).count())
+  }
+
   test("appendClustered: range-clustered files make point predicates prune to one file") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
