@@ -1119,6 +1119,46 @@ class BranchCatalog(
     else spark.read.schema(schema).parquet(files.map(_.path): _*)
   }
 
+  /** Time travel by TIMESTAMP (Iceberg `TIMESTAMP AS OF`): scan the last
+    * snapshot on `branch` committed at or before `asOfMillis` — walks the
+    * branch's parent chain (metadata only; stops at the expiry horizon
+    * like commitHistory). Errors when the table did not exist yet. */
+  def scanAsOf(
+      table: String, asOfMillis: Long, branch: String = "main",
+      filter: Option[Column] = None): DataFrame = {
+    val headId = snapshotIdOf(table, branch)
+      .getOrElse(sys.error(s"no table $table on $branch"))
+    val chain = Iterator.iterate(Option(loadSnapshot(table, headId))) {
+      case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+      case None => None
+    }.takeWhile(_.isDefined).flatten
+    val snap = chain.find(_.committedAtMillis <= asOfMillis)
+      .getOrElse(sys.error(
+        s"no snapshot of $table@$branch at or before $asOfMillis (created later, or expired)"))
+    scanSnapshot(table, snap.id, filter)
+  }
+
+  /** Roll a branch back to an earlier snapshot (Iceberg `rollback`):
+    * one pointer swap — the bad commits stay on disk for inspection and
+    * time travel until expiry, exactly like an unmerged branch. The
+    * target must be an ancestor of the branch head (rolling "back" to an
+    * unrelated snapshot would silently graft history). */
+  def rollbackTo(table: String, snapshotId: String, branch: String = "main"): Unit = {
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val headId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val ancestors = Iterator.iterate(Option(loadSnapshot(table, headId))) {
+        case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+        case None => None
+      }.takeWhile(_.isDefined).flatten.map(_.id).toSet
+      require(ancestors.contains(snapshotId),
+        s"$snapshotId is not an ancestor of $table@$branch — refusing to graft history")
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, snapshotId))))
+    }
+    ()
+  }
+
   /** Checkpointed incremental consumption of a table (the batch mirror
     * of "streaming from a lake table"): processes the append delta since
     * the consumer's last recorded snapshot through `f`, then advances

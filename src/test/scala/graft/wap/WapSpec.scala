@@ -261,6 +261,38 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scanChangesBetween("t", s3.id, s5.id).count() == 5)
   }
 
+  test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    Thread.sleep(5)
+    val preFirstAppend = System.currentTimeMillis()
+    Thread.sleep(5) // distinct commit timestamps throughout
+    val s1 = cat.append("t", docs.filter(col("doc_id") < 10))
+    Thread.sleep(5)
+    val s2 = cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+
+    // as-of between the two commits sees only the first
+    assert(cat.scanAsOf("t", s1.committedAtMillis).count() == 10)
+    assert(cat.scanAsOf("t", s2.committedAtMillis).count() == 30)
+    assert(cat.scanAsOf("t", System.currentTimeMillis() + 1000).count() == 30)
+    // between creation and the first append the table existed, empty
+    assert(cat.scanAsOf("t", preFirstAppend).count() == 0)
+    // before the table existed at all -> loud error
+    intercept[RuntimeException] { cat.scanAsOf("t", 0L) }
+
+    // rollback: main points at s1 again; the rolled-back snapshot stays
+    // readable by id; re-append builds on the rolled-back head
+    cat.rollbackTo("t", s1.id)
+    assert(cat.scan("t").count() == 10)
+    assert(cat.scanSnapshot("t", s2.id).count() == 30, "bad commit stays inspectable")
+    intercept[IllegalArgumentException] {
+      cat.rollbackTo("t", "not-an-ancestor")
+    }
+    cat.append("t", docs.filter(col("doc_id") >= 30 && col("doc_id") < 35))
+    assert(cat.scan("t").count() == 15)
+  }
+
   test("consumeIncremental: each appended row is processed exactly once per consumer") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
