@@ -185,6 +185,37 @@ object WapQueries {
         lit(prunedAfter).as("pruned_after"))
   }
 
+  /** Merge-on-read delete end-to-end (W31): key tombstones suppress
+    * their rows (including a re-appended tombstoned key) with ZERO data
+    * files touched, then compaction materializes them; the oracle pins
+    * the surviving content in plain SQL. */
+  def wapMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-mor").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    cat.deleteKeysMOR("documents",
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    val zeroRewrites = cat.dataFiles("documents").map(_.path).toSet == filesBefore
+    val morCount = cat.scan("documents").count()
+    // a re-appended tombstoned key stays suppressed (CDC retraction)
+    cat.append("documents", docs.filter(col("doc_id") === 7L))
+    val suppressed = cat.scan("documents").count() == morCount
+    val compacted = cat.compactDataFiles("documents", targetFiles = 2)
+    val clean = compacted.deleteManifests.isEmpty &&
+      cat.scan("documents").count() == morCount
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(zeroRewrites).as("zero_data_rewrites"),
+        lit(suppressed).as("reappend_suppressed"),
+        lit(clean).as("materialized_clean"))
+  }
+
   /** Z-order compaction end-to-end (W29): interleaved appends, Morton
     * rewrite on (doc_id, n_chars), then pruning gates on BOTH dimensions
     * plus scan soundness — lexicographic clustering can only serve its

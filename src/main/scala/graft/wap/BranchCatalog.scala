@@ -45,7 +45,13 @@ case class Snapshot(
     /** Serialized [[PartitionSpec]] ("day(ts)", "bucket(16,id)") when the
       * table is hidden-partitioned; scans align predicates against it
       * before consulting footer stats. */
-    partitionSpec: Option[String] = None)
+    partitionSpec: Option[String] = None,
+    /** Merge-on-read key tombstones ([[BranchCatalog.deleteKeysMOR]]):
+      * manifests of parquet files whose columns are the equality-delete
+      * key; scans anti-join them row-level. Empty for copy-on-write-only
+      * tables (and absent in pre-r7 snapshot JSON — json4s fills the
+      * default). */
+    deleteManifests: Seq[ManifestRef] = Nil)
 
 /** Catalog state on one branch: table name -> snapshot id. */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
@@ -550,7 +556,7 @@ class BranchCatalog(
       val parent = loadSnapshot(table, parentId)
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), parent.partitionSpec)
+        System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -600,7 +606,62 @@ class BranchCatalog(
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(paths: _*)
-    filter.fold(df)(df.filter)
+    val cleaned = applyDeletes(df, snap)
+    filter.fold(cleaned)(cleaned.filter)
+  }
+
+  /** Row-level application of merge-on-read key tombstones: anti-join the
+    * scan against the union of the snapshot's delete files on ALL their
+    * columns (null-safe equality — the delete file's schema IS the
+    * equality key, the Iceberg equality-delete convention). File pruning
+    * ran on data files only, which stays sound: deletes only remove
+    * rows. No-op (no join in the plan) for tables without tombstones. */
+  private def applyDeletes(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.deleteManifests.isEmpty) df
+    else {
+      val delFiles = snap.deleteManifests.flatMap(m => readManifest(m.path))
+      val del = spark.read.parquet(delFiles.map(_.path): _*).alias("__graft_del")
+      val cond = del.columns.map(c =>
+        df(c) <=> org.apache.spark.sql.functions.col(s"__graft_del.$c")).reduce(_ && _)
+      df.join(del, cond, "left_anti")
+    }
+
+  /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analogue —
+    * the write-cheap half of the DML pair; [[deleteWhere]] is the
+    * read-cheap copy-on-write half): commits KEY TOMBSTONES — parquet
+    * files holding the distinct key rows, referenced from the snapshot's
+    * delete-manifest list — as pure metadata + one tiny key write,
+    * touching ZERO data files. Every scan then suppresses rows matching
+    * a tombstone until [[compactDataFiles]]/[[compactDataFilesSorted]]/
+    * [[compactDataFilesZOrder]] materializes the deletes into rewritten
+    * files (their snapshots clear the tombstone list). Semantics are
+    * tombstones, not sequence-numbered deletes: a matching key appended
+    * AFTER the delete is also suppressed until materialization — the CDC
+    * retraction behavior. Copy-on-write DML and cross-branch merge
+    * refuse while tombstones are pending (materialize first), so the two
+    * delete representations never interleave ambiguously. */
+  def deleteKeysMOR(table: String, keys: DataFrame, branch: String = "main"): Snapshot = {
+    require(keys.schema.fields.nonEmpty, "deleteKeysMOR needs at least one key column")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val tableCols = StructType.fromDDL(cur.schemaDdl).fieldNames.toSet
+    keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
+      s"delete key column $c is not a column of $table"))
+    val delFiles = writeDataFiles(table, keys.distinct())
+    val delManifest = writeManifest(table, delFiles)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during MOR delete")
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec,
+        cur.deleteManifests :+ delManifest)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
   }
 
   def snapshotIdOf(table: String, branch: String = "main"): Option[String] =
@@ -904,7 +965,15 @@ class BranchCatalog(
       for ((table, srcSnapId) <- src.tables) {
         val baseSnapId = src.baseOfMain.get(table)
         if (!baseSnapId.contains(srcSnapId)) {
-          val srcManifests = loadSnapshot(table, srcSnapId).manifests
+          val srcSnap = loadSnapshot(table, srcSnapId)
+          val dstDeletes = dstTables.get(table)
+            .map(loadSnapshot(table, _).deleteManifests).getOrElse(Nil)
+          if (srcSnap.deleteManifests.nonEmpty || dstDeletes.nonEmpty)
+            throw new IllegalStateException(
+              s"merge of $table has pending MOR tombstones on " +
+                s"${if (srcSnap.deleteManifests.nonEmpty) branch else into} — " +
+                "materialize with compactDataFiles before publishing")
+          val srcManifests = srcSnap.manifests
           val baseManifests = baseSnapId.map(loadSnapshot(table, _).manifests).getOrElse(Seq.empty)
           val dstSnapOpt = dstTables.get(table).map(loadSnapshot(table, _))
           val dstManifests = dstSnapOpt.map(_.manifests).getOrElse(Seq.empty)
@@ -1043,7 +1112,7 @@ class BranchCatalog(
       for (nf <- newSchema.fields if !old.fieldNames.contains(nf.name))
         require(nf.nullable, s"added column ${nf.name} must be nullable")
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
-        System.currentTimeMillis(), cur.partitionSpec)
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1255,7 +1324,7 @@ class BranchCatalog(
           "partition evolution requires a rewrite")
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), Some(spec.format))
+        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1317,6 +1386,8 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during delete")
+      require(cur.deleteManifests.isEmpty,
+        s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec)
       writeSnapshot(table, committed)
@@ -1379,6 +1450,8 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during update")
+      require(cur.deleteManifests.isEmpty,
+        s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec)
       writeSnapshot(table, committed)
@@ -1463,6 +1536,8 @@ class BranchCatalog(
         val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
         require(b.tables.get(table).contains(curId),
           s"concurrent commit on $table@$branch during upsert")
+        require(cur.deleteManifests.isEmpty,
+          s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
         committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
           System.currentTimeMillis(), cur.partitionSpec)
         writeSnapshot(table, committed)
@@ -1515,7 +1590,7 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(folded), cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -1676,7 +1751,9 @@ class BranchCatalog(
       liveIds.contains(p.getName.stripPrefix("snap-").stripSuffix(".json"))
     }
     val liveSnapshots = keepSnaps.map(p => Serialization.read[Snapshot](readString(p)))
-    val liveManifestRefs = liveSnapshots.flatMap(_.manifests)
+    // delete manifests and their key files are references like any other
+    // — orphan GC must not reclaim a live snapshot's tombstones
+    val liveManifestRefs = liveSnapshots.flatMap(s => s.manifests ++ s.deleteManifests)
     val liveManifests = liveManifestRefs.map(m => q(new Path(m.path))).toSet
 
     dropSnaps.foreach(fs.delete(_, false))

@@ -261,6 +261,53 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scanChangesBetween("t", s3.id, s5.id).count() == 5)
   }
 
+  test("deleteKeysMOR: tombstones suppress rows on read, survive expiry, materialize on compaction") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30))
+    val dataFilesBefore = cat.dataFiles("t").map(_.path).toSet
+    val preDelete = cat.scan("t").count()
+
+    val morSnap = cat.deleteKeysMOR("t", Seq(5L, 17L, 23L).toDF("doc_id"))
+    // zero data files touched; rows suppressed on every read path
+    assert(cat.dataFiles("t").map(_.path).toSet == dataFilesBefore,
+      "MOR delete must not rewrite data files")
+    assert(cat.scan("t").count() == preDelete - 3)
+    assert(cat.scan("t", filter = Some(col("doc_id") === 17L)).count() == 0,
+      "pruned scans apply tombstones too")
+    // time travel to the pre-delete snapshot still sees the rows
+    assert(cat.scanSnapshot("t", morSnap.parentId.get).count() == preDelete)
+
+    // tombstone (not sequence) semantics: a re-appended key stays suppressed
+    cat.append("t", docs.filter(col("doc_id") === 5L))
+    assert(cat.scan("t").count() == preDelete - 3)
+    assert(cat.scan("t").filter(col("doc_id") === 5L).count() == 0)
+
+    // CoW DML and merge refuse while tombstones are pending
+    intercept[IllegalArgumentException] {
+      cat.deleteWhere("t", col("doc_id") === 7L)
+    }
+    cat.createBranch("pub")
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 105), "pub")
+    intercept[IllegalStateException] { cat.merge("pub") }
+
+    // expiry must not reclaim live tombstone files
+    cat.dropBranch("pub")
+    cat.expireSnapshots("t")
+    assert(cat.scan("t").count() == preDelete - 3, "tombstones survive expiry GC")
+
+    // compaction materializes: tombstone list cleared, content unchanged,
+    // CoW DML usable again
+    val compacted = cat.compactDataFiles("t", targetFiles = 2)
+    assert(compacted.deleteManifests.isEmpty)
+    assert(cat.scan("t").count() == preDelete - 3)
+    assert(cat.scan("t").filter(col("doc_id").isin(5L, 17L, 23L)).count() == 0)
+    cat.deleteWhere("t", col("doc_id") === 7L)
+    assert(cat.scan("t").count() == preDelete - 4)
+  }
+
   test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
