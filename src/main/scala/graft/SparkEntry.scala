@@ -54,6 +54,7 @@ object SparkEntry {
     "wap_incremental" -> (WapQueries.wapIncremental _),
     "wap_zorder" -> (WapQueries.wapZorder _),
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
+    "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -182,7 +183,9 @@ object SparkEntry {
     "wap_sorted_compact" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS pruned_before, CAST(4 AS BIGINT) AS n_files_after, CAST(1 AS BIGINT) AS pruned_after""",
     "wap_mor_delete" ->
-      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND doc_id % 7 <> 0) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND doc_id % 7 <> 0) AS sum_chars, true AS zero_data_rewrites, true AS reappend_suppressed, true AS materialized_clean""",
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
+    "wap_mor_upsert" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, true AS zero_data_rewrites""",
     "wap_zorder" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
     "wap_incremental" ->

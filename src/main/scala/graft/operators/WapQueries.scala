@@ -186,9 +186,9 @@ object WapQueries {
   }
 
   /** Merge-on-read delete end-to-end (W31): key tombstones suppress
-    * their rows (including a re-appended tombstoned key) with ZERO data
-    * files touched, then compaction materializes them; the oracle pins
-    * the surviving content in plain SQL. */
+    * their rows with ZERO data files touched; a re-appended tombstoned
+    * key is VISIBLE again (sequence semantics); compaction materializes;
+    * the oracle pins the final content in plain SQL. */
   def wapMorDelete(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-wap-mor").toString
     val cat = new BranchCatalog(spark, tmp)
@@ -201,19 +201,43 @@ object WapQueries {
       docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
     val zeroRewrites = cat.dataFiles("documents").map(_.path).toSet == filesBefore
     val morCount = cat.scan("documents").count()
-    // a re-appended tombstoned key stays suppressed (CDC retraction)
+    // sequence semantics: a key appended AFTER its tombstone is visible
     cat.append("documents", docs.filter(col("doc_id") === 7L))
-    val suppressed = cat.scan("documents").count() == morCount
+    val reappeared = cat.scan("documents").count() == morCount + 1
     val compacted = cat.compactDataFiles("documents", targetFiles = 2)
     val clean = compacted.deleteManifests.isEmpty &&
-      cat.scan("documents").count() == morCount
+      cat.scan("documents").count() == morCount + 1
     cat.scan("documents").agg(
       count(lit(1)).as("n_rows"),
       sum(col("n_chars")).cast("long").as("sum_chars"))
       .select(col("n_rows"), col("sum_chars"),
         lit(zeroRewrites).as("zero_data_rewrites"),
-        lit(suppressed).as("reappend_suppressed"),
+        lit(reappeared).as("reappend_visible"),
         lit(clean).as("materialized_clean"))
+  }
+
+  /** Merge-on-read UPSERT end-to-end (W31): the CDC shape — same source
+    * and expected content as the copy-on-write [[wapUpsert]] (the two
+    * oracles share their arithmetic), but applied as one
+    * tombstones+append commit with ZERO existing files rewritten. */
+  def wapMorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-morups").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val source = docs.filter((col("doc_id") >= 90 && col("doc_id") < 110) ||
+        (col("doc_id") >= 200 && col("doc_id") < 205))
+      .withColumn("n_chars", col("n_chars") + lit(5000))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    cat.upsertKeysMOR("documents", source, Seq("doc_id"))
+    val noRewrites = filesBefore.subsetOf(cat.dataFiles("documents").map(_.path).toSet)
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(noRewrites).as("zero_data_rewrites"))
   }
 
   /** Z-order compaction end-to-end (W29): interleaved appends, Morton

@@ -30,7 +30,13 @@ case class DataFileMeta(
   * exactly one manifest (listing only ITS files), so commit metadata cost
   * is O(files-per-commit) — never O(table). Iceberg's manifest-list
   * structure, minus the avro. */
-case class ManifestRef(path: String, fileCount: Long, rows: Long)
+/** `asOf` is set only on DELETE manifests ([[BranchCatalog.deleteKeysMOR]]):
+  * the snapshot whose data manifests the tombstones cover — scans apply
+  * the delete to those manifests only (Iceberg sequence-number
+  * semantics), so rows appended AFTER the delete are visible again.
+  * Absent on data manifests (and in pre-r7 JSON; json4s default). */
+case class ManifestRef(path: String, fileCount: Long, rows: Long,
+    asOf: Option[String] = None)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -563,6 +569,46 @@ class BranchCatalog(
     committed
   }
 
+  /** Merge-on-read UPSERT (CDC apply without file rewrites): ONE commit
+    * carries a tombstone manifest for the source's key values (covering
+    * only data up to the current snapshot) plus the source rows as a
+    * normal data manifest — matching old rows are suppressed on read,
+    * the new versions are visible, and NO existing file is rewritten.
+    * This is the streaming-CDC shape at 100 TB: per-micro-batch cost is
+    * O(batch) writes + O(1) metadata regardless of table size, where
+    * copy-on-write [[upsert]] pays a rewrite of every file that MAY hold
+    * a matching key. Compact periodically to materialize and keep the
+    * tombstone generation count small. */
+  def upsertKeysMOR(
+      table: String, source: DataFrame, keyCols: Seq[String],
+      branch: String = "main"): Snapshot = {
+    require(keyCols.nonEmpty, "upsertKeysMOR needs at least one key column")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"upsert key column $c is not a column of $table"))
+    val aligned = alignToSchema(source, schema, table, branch)
+    val dataFiles = writeDataFiles(table, aligned)
+    val dataManifest = writeManifest(table, dataFiles)
+    val keyFiles = writeDataFiles(table,
+      aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
+    val delManifest = writeManifest(table, keyFiles).copy(asOf = Some(curId))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during MOR upsert")
+      committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest,
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
+        cur.deleteManifests :+ delManifest)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
   /** reference app.py:201-246 run_quality_checks scan: resolve
     * branch -> snapshot -> manifests -> file list and return a plain
     * parquet scan, so downstream filters/projections push into the
@@ -589,6 +635,12 @@ class BranchCatalog(
     * per-file stats for a large table. */
   def scanSnapshot(table: String, snapshotId: String, filter: Option[Column] = None): DataFrame = {
     val snap = loadSnapshot(table, snapshotId)
+    if (snap.deleteManifests.isEmpty) scanPlain(snap, filter)
+    else scanWithDeletes(table, snap, filter)
+  }
+
+  /** The tombstone-free scan path (see [[scanSnapshot]] for the tiering). */
+  private def scanPlain(snap: Snapshot, filter: Option[Column]): DataFrame = {
     val schema = StructType.fromDDL(snap.schemaDdl)
     val totalFiles = snap.manifests.map(_.fileCount).sum
     val paths: Seq[String] =
@@ -606,25 +658,53 @@ class BranchCatalog(
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(paths: _*)
-    val cleaned = applyDeletes(df, snap)
-    filter.fold(cleaned)(cleaned.filter)
+    filter.fold(df)(df.filter)
   }
 
-  /** Row-level application of merge-on-read key tombstones: anti-join the
-    * scan against the union of the snapshot's delete files on ALL their
-    * columns (null-safe equality — the delete file's schema IS the
-    * equality key, the Iceberg equality-delete convention). File pruning
-    * ran on data files only, which stays sound: deletes only remove
-    * rows. No-op (no join in the plan) for tables without tombstones. */
-  private def applyDeletes(df: DataFrame, snap: Snapshot): DataFrame =
-    if (snap.deleteManifests.isEmpty) df
-    else {
-      val delFiles = snap.deleteManifests.flatMap(m => readManifest(m.path))
-      val del = spark.read.parquet(delFiles.map(_.path): _*).alias("__graft_del")
-      val cond = del.columns.map(c =>
-        df(c) <=> org.apache.spark.sql.functions.col(s"__graft_del.$c")).reduce(_ && _)
-      df.join(del, cond, "left_anti")
+  /** Merge-on-read scan: data manifests are grouped into EPOCHS by which
+    * tombstone manifests cover them (a delete's `asOf` snapshot fixes
+    * its covered manifest set — Iceberg sequence-number semantics, so a
+    * key appended AFTER its delete is visible again), and each epoch
+    * scans through the normal tiered/pruned path then anti-joins only
+    * ITS deletes (null-safe, on the delete file's own columns — the
+    * equality key). With periodic compaction the tombstone generation
+    * count stays small, so the union stays a handful of branches. A
+    * delete whose `asOf` snapshot has been expired falls back to
+    * covering every manifest (conservative: may re-suppress a
+    * re-appended key — [[expireSnapshots]] keeps live tombstones'
+    * anchors alive exactly so this fallback stays theoretical). */
+  private def scanWithDeletes(
+      table: String, snap: Snapshot, filter: Option[Column]): DataFrame = {
+    val coverage: Map[String, Option[Set[String]]] =
+      snap.deleteManifests.map { d =>
+        d.path -> d.asOf.flatMap(loadSnapshotOpt(table, _)).map(_.manifests.map(_.path).toSet)
+      }.toMap
+    def covers(d: ManifestRef, m: ManifestRef): Boolean =
+      coverage(d.path) match {
+        case Some(cov) => cov.contains(m.path)
+        case None => true // legacy/expired anchor: conservative
+      }
+    val epochs: Seq[(Seq[ManifestRef], Seq[ManifestRef])] = snap.manifests
+      .groupBy(m => snap.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
+      .toSeq.sortBy(_._1.size)
+      .map { case (sig, ms) =>
+        (ms, snap.deleteManifests.filter(d => sig.contains(d.path)))
+      }
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val parts = epochs.map { case (ms, dels) =>
+      val base = scanPlain(snap.copy(manifests = ms, deleteManifests = Nil), filter)
+      if (dels.isEmpty) base
+      else {
+        val delFiles = dels.flatMap(m => readManifest(m.path))
+        val del = spark.read.parquet(delFiles.map(_.path): _*).alias("__graft_del")
+        val cond = del.columns.map(c =>
+          base(c) <=> org.apache.spark.sql.functions.col(s"__graft_del.$c")).reduce(_ && _)
+        base.join(del, cond, "left_anti")
+      }
     }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
 
   /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analogue —
     * the write-cheap half of the DML pair; [[deleteWhere]] is the
@@ -635,9 +715,10 @@ class BranchCatalog(
     * a tombstone until [[compactDataFiles]]/[[compactDataFilesSorted]]/
     * [[compactDataFilesZOrder]] materializes the deletes into rewritten
     * files (their snapshots clear the tombstone list). Semantics are
-    * tombstones, not sequence-numbered deletes: a matching key appended
-    * AFTER the delete is also suppressed until materialization — the CDC
-    * retraction behavior. Copy-on-write DML and cross-branch merge
+    * sequence-scoped (Iceberg v2): the tombstone covers data committed
+    * at or before the delete's snapshot, so a matching key appended
+    * AFTER the delete is visible again — which is exactly what
+    * [[upsertKeysMOR]] builds on. Copy-on-write DML and cross-branch merge
     * refuse while tombstones are pending (materialize first), so the two
     * delete representations never interleave ambiguously. */
   def deleteKeysMOR(table: String, keys: DataFrame, branch: String = "main"): Snapshot = {
@@ -648,7 +729,9 @@ class BranchCatalog(
     keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
       s"delete key column $c is not a column of $table"))
     val delFiles = writeDataFiles(table, keys.distinct())
-    val delManifest = writeManifest(table, delFiles)
+    // asOf pins the covered manifest set: the delete applies to data
+    // committed at or before THIS snapshot, never to later appends
+    val delManifest = writeManifest(table, delFiles).copy(asOf = Some(curId))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1747,8 +1830,23 @@ class BranchCatalog(
     def q(p: Path): String = fs.makeQualified(p).toString
     val snapFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("snap-"))
+    // live tombstones need their asOf ANCHOR snapshots to stay readable
+    // (scan coverage would otherwise fall back to suppress-everything) —
+    // expand the live set to a fixpoint over anchors (anchors are
+    // ancestors, so this terminates within the chain length)
+    var live = liveIds
+    var stable = false
+    while (!stable) {
+      val anchors = snapFiles
+        .filter(p => live.contains(p.getName.stripPrefix("snap-").stripSuffix(".json")))
+        .map(p => Serialization.read[Snapshot](readString(p)))
+        .flatMap(_.deleteManifests.flatMap(_.asOf))
+        .toSet
+      stable = anchors.subsetOf(live)
+      live = live ++ anchors
+    }
     val (keepSnaps, dropSnaps) = snapFiles.partition { p =>
-      liveIds.contains(p.getName.stripPrefix("snap-").stripSuffix(".json"))
+      live.contains(p.getName.stripPrefix("snap-").stripSuffix(".json"))
     }
     val liveSnapshots = keepSnaps.map(p => Serialization.read[Snapshot](readString(p)))
     // delete manifests and their key files are references like any other

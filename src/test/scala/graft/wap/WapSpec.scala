@@ -280,10 +280,25 @@ class WapSpec extends SparkSpecBase {
     // time travel to the pre-delete snapshot still sees the rows
     assert(cat.scanSnapshot("t", morSnap.parentId.get).count() == preDelete)
 
-    // tombstone (not sequence) semantics: a re-appended key stays suppressed
+    // sequence semantics (Iceberg v2): the tombstone covers only data
+    // committed at or before the delete — a re-appended key is VISIBLE
     cat.append("t", docs.filter(col("doc_id") === 5L))
-    assert(cat.scan("t").count() == preDelete - 3)
-    assert(cat.scan("t").filter(col("doc_id") === 5L).count() == 0)
+    assert(cat.scan("t").count() == preDelete - 2)
+    assert(cat.scan("t").filter(col("doc_id") === 5L).count() == 1)
+    assert(cat.scan("t").filter(col("doc_id") === 17L).count() == 0,
+      "non-reappended tombstoned keys stay suppressed")
+
+    // MOR upsert: one commit = tombstones for the source keys + the new
+    // rows; matching old rows replaced, nothing rewritten
+    val upSrc = docs.filter(col("doc_id") >= 10 && col("doc_id") < 13)
+      .withColumn("n_chars", col("n_chars") + lit(100000))
+    val filesPreUpsert = cat.dataFiles("t").map(_.path).toSet
+    cat.upsertKeysMOR("t", upSrc, Seq("doc_id"))
+    assert(filesPreUpsert.subsetOf(cat.dataFiles("t").map(_.path).toSet),
+      "MOR upsert must not rewrite existing files")
+    assert(cat.scan("t").count() == preDelete - 2, "replace, not duplicate")
+    assert(cat.scan("t").filter(col("doc_id") === 11L).select(col("n_chars"))
+      .collect().head.getLong(0) > 100000L, "the new version wins")
 
     // CoW DML and merge refuse while tombstones are pending
     intercept[IllegalArgumentException] {
@@ -293,19 +308,23 @@ class WapSpec extends SparkSpecBase {
     cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 105), "pub")
     intercept[IllegalStateException] { cat.merge("pub") }
 
-    // expiry must not reclaim live tombstone files
+    // expiry must not reclaim live tombstone files NOR their asOf
+    // anchors (coverage would degrade to suppress-everything)
     cat.dropBranch("pub")
     cat.expireSnapshots("t")
-    assert(cat.scan("t").count() == preDelete - 3, "tombstones survive expiry GC")
+    assert(cat.scan("t").count() == preDelete - 2, "tombstones + anchors survive expiry GC")
+    assert(cat.scan("t").filter(col("doc_id") === 5L).count() == 1,
+      "sequence semantics survive expiry (anchor kept)")
 
     // compaction materializes: tombstone list cleared, content unchanged,
     // CoW DML usable again
     val compacted = cat.compactDataFiles("t", targetFiles = 2)
     assert(compacted.deleteManifests.isEmpty)
-    assert(cat.scan("t").count() == preDelete - 3)
-    assert(cat.scan("t").filter(col("doc_id").isin(5L, 17L, 23L)).count() == 0)
+    assert(cat.scan("t").count() == preDelete - 2)
+    assert(cat.scan("t").filter(col("doc_id").isin(17L, 23L)).count() == 0)
+    assert(cat.scan("t").filter(col("doc_id") === 5L).count() == 1)
     cat.deleteWhere("t", col("doc_id") === 7L)
-    assert(cat.scan("t").count() == preDelete - 4)
+    assert(cat.scan("t").count() == preDelete - 3)
   }
 
   test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
