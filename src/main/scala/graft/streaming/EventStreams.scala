@@ -68,7 +68,15 @@ object EventStreams {
         * columns through [[graft.wap.Wap.runUpsert]] — re-delivered or
         * corrected records replace their earlier versions instead of
         * appending duplicates. */
-      upsertKeys: Option[Seq[String]] = None): StreamingQuery = {
+      upsertKeys: Option[Seq[String]] = None,
+      /** With `upsertKeys`: apply batches merge-on-read
+        * ([[graft.wap.Wap.runUpsertMOR]] — audit-then-apply, one
+        * tombstones+append commit, ZERO file rewrites per micro-batch;
+        * O(batch) at any table size where copy-on-write pays a rewrite
+        * of every file holding a batch key). `compactEvery` maintenance
+        * then also MATERIALIZES accumulated tombstones, bounding the
+        * scan's epoch count. */
+      morUpsert: Boolean = false): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dropDir)
@@ -80,6 +88,9 @@ object EventStreams {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
           upsertKeys match {
+            case Some(keys) if morUpsert =>
+              Wap.runUpsertMOR(catalog, table, batch, keys, checks, branch, alerter,
+                crossChecks = crossChecks)
             case Some(keys) =>
               Wap.runUpsert(catalog, table, batch, keys, checks, branch, alerter,
                 crossChecks = crossChecks)

@@ -188,6 +188,41 @@ object Wap {
       auditScope, alerter, dropBranchOnPublish)
   }
 
+  /** MOR-flavored CDC apply: AUDIT-THEN-APPLY. The branch+merge WAP
+    * cycle cannot carry pending tombstones (merge refuses, by design —
+    * the two delete representations must not interleave), so this flow
+    * audits the BATCH itself (plus cross checks) BEFORE touching the
+    * table, then applies it as ONE tombstones+append commit straight to
+    * the target branch — the refs commit IS the atomic publish
+    * ([[BranchCatalog.upsertKeysMOR]]: zero file rewrites, O(batch) per
+    * micro-batch at any table size). Failed batches append to a
+    * quarantine branch for inspection, exactly like WAP's unmerged
+    * branch. Tradeoff vs [[runUpsert]]: no post-write re-audit of
+    * rewritten neighbor rows — MOR rewrites none, so the batch audit IS
+    * the delta audit. Run data compaction periodically to materialize
+    * accumulated tombstones. */
+  def runUpsertMOR(
+      catalog: BranchCatalog,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      checks: Seq[Expect],
+      quarantineBranch: String,
+      alerter: Alerter = LogAlerter,
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
+    catalog.createTableIfNotExists(table, batch.schema)
+    val base = Audit.run(batch, checks)
+    val report = base.copy(checks = base.checks ++ crossChecks.map(_.run(batch)))
+    if (report.passed) {
+      catalog.upsertKeysMOR(table, batch, keys)
+    } else {
+      catalog.createBranch(quarantineBranch, from = "main")
+      catalog.append(table, batch, quarantineBranch)
+      alerter.alert(table, quarantineBranch, report)
+    }
+    WapResult(quarantineBranch, report.passed, report)
+  }
+
   private def auditAndPublish(
       catalog: BranchCatalog, table: String, branchName: String,
       checks: Seq[Expect], crossChecks: Seq[graft.quality.CrossCheck],

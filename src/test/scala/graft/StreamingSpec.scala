@@ -136,6 +136,49 @@ class StreamingSpec extends SparkSpecBase {
       "faulty upsert batch must not publish")
   }
 
+  test("fileIngest MOR upsert mode: CDC apply with zero rewrites; compaction materializes") {
+    val drop = tmp("graft-drop-mor")
+    val ckpt = tmp("graft-ckpt-mor")
+    val cat = new BranchCatalog(spark, tmp("graft-cat-mor"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    def runOnce(compactEvery: Option[Int] = None): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "people",
+        Seq(NotNull("name")), ckpt, new BufferAlerter, Trigger.AvailableNow(),
+        upsertKeys = Some(Seq("id")), morUpsert = true, compactEvery = compactEvery)
+      q.awaitTermination()
+    }
+    Seq((1L, "ada"), (2L, "grase")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people").count() == 2)
+    val filesAfterB0 = cat.dataFiles("people").map(_.path).toSet
+
+    // correction replaces without touching batch-0's files
+    Seq((2L, "grace"), (3L, "edsger")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(filesAfterB0.subsetOf(cat.dataFiles("people").map(_.path).toSet),
+      "MOR CDC must not rewrite earlier micro-batches")
+    val rows = cat.scan("people").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "ada", 2L -> "grace", 3L -> "edsger"), s"$rows")
+
+    // faulty batch quarantines BEFORE touching the table (audit-then-apply)
+    Seq((1L, null.asInstanceOf[String])).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    assert(cat.scan("people", "main").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == rows,
+      "faulty MOR batch must not apply")
+
+    // maintenance materializes the accumulated tombstones
+    Seq((4L, "barbara")).toDF("id", "name").coalesce(1).write.mode("append").parquet(drop)
+    runOnce(compactEvery = Some(1))
+    val headId = cat.snapshotIdOf("people").get
+    assert(cat.scanSnapshot("people", headId).count() == 4)
+    assert(cat.scan("people").collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      rows + (4L -> "barbara"))
+  }
+
   test("enrichLatest: each micro-batch joins the latest PUBLISHED snapshot only") {
     val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-enrich").toString)
     val dimV1 = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "name")
