@@ -275,9 +275,9 @@ object CheckQueries {
   }
 
   /** Precision/recall gates for the pair-emitting dedup family against
-    * brute-force ground truth on a bounded subset (doc_id < 200 for the
-    * shingle/simhash variants — a fixed 2 x 10^4-pair cross regardless of
-    * corpus scale; the full embeddings table for the SRP variant, which
+    * brute-force ground truth on a bounded subset (doc_id < 500 for the
+    * shingle/simhash variants — a fixed ~1.25 x 10^5-pair cross regardless
+    * of corpus scale; the full embeddings table for the SRP variant, which
     * is small at every test SF). Precision must be exact (the operators
     * verify candidates with the same measure as the truth); recall holds
     * the LSH-theoretic floor for each blocking scheme. Simhash blocking

@@ -30,13 +30,21 @@ case class DataFileMeta(
   * exactly one manifest (listing only ITS files), so commit metadata cost
   * is O(files-per-commit) — never O(table). Iceberg's manifest-list
   * structure, minus the avro. */
-/** `asOf` is set only on DELETE manifests ([[BranchCatalog.deleteKeysMOR]]):
-  * the snapshot whose data manifests the tombstones cover — scans apply
-  * the delete to those manifests only (Iceberg sequence-number
-  * semantics), so rows appended AFTER the delete are visible again.
-  * Absent on data manifests (and in pre-r7 JSON; json4s default). */
+/** `seq` is the table's commit sequence number at the manifest's commit
+  * (Iceberg data-sequence-number semantics): a DELETE manifest
+  * ([[BranchCatalog.deleteKeysMOR]]) with sequence S covers exactly the
+  * data manifests with sequence < S, so rows appended AFTER the delete
+  * are visible again — and the relation SURVIVES manifest folding
+  * ([[BranchCatalog.compactManifests]] stamps each folded manifest with
+  * its group's max member sequence, which preserves every `m.seq < d.seq`
+  * comparison). `asOf` (the delete's anchor snapshot id) and `keyCols`
+  * (the tombstone's equality-key columns) are set on DELETE manifests
+  * only; `asOf` remains the coverage fallback for pre-r8 metadata whose
+  * tombstones carry no sequence (json4s fills the defaults). */
 case class ManifestRef(path: String, fileCount: Long, rows: Long,
-    asOf: Option[String] = None)
+    asOf: Option[String] = None,
+    seq: Long = 0L,
+    keyCols: Seq[String] = Nil)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -57,7 +65,12 @@ case class Snapshot(
       * key; scans anti-join them row-level. Empty for copy-on-write-only
       * tables (and absent in pre-r7 snapshot JSON — json4s fills the
       * default). */
-    deleteManifests: Seq[ManifestRef] = Nil)
+    deleteManifests: Seq[ManifestRef] = Nil,
+    /** Commit sequence on this table's lineage: parent.seq + 1 (a merge
+      * takes max over both parents + 1, so it stays monotone along every
+      * ancestry). Tombstone coverage compares manifest sequences against
+      * it — see [[ManifestRef]]. 0 in pre-r8 metadata. */
+    seq: Long = 0L)
 
 /** Catalog state on one branch: table name -> snapshot id. */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
@@ -124,6 +137,14 @@ class BranchCatalog(
       * driver path is cheaper (no job-launch latency) — the same tiering
       * Iceberg applies via its distributed planning threshold. */
     val distributedMetaThreshold: Long = 100000L,
+    /** MOR commits ([[deleteKeysMOR]]/[[upsertKeysMOR]]) REFUSE once this
+      * many tombstone manifests are pending, with a "compact first" error:
+      * every pending tombstone generation adds a union branch + anti-join
+      * to each scan's plan, so a compaction-averse workload would
+      * otherwise grow the plan without bound. [[compactDataFiles]] (and
+      * the sorted/z-order variants) materialize tombstones and reset the
+      * count; streaming ingest's `compactEvery` does this automatically. */
+    val maxPendingTombstones: Int = 64,
     /** Backend for the refs pointer — the one contended commit object.
       * Default: filesystem atomic create-if-absent (local/HDFS/abfs).
       * For S3-style stores, pass a [[ConditionalPutRefsStore]] so the
@@ -560,9 +581,10 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val parent = loadSnapshot(table, parentId)
-      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
+      val s = parent.seq + 1
+      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests)
+        System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -585,6 +607,7 @@ class BranchCatalog(
     require(keyCols.nonEmpty, "upsertKeysMOR needs at least one key column")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
+    requireTombstoneHeadroom(table, branch, cur, "upsertKeysMOR")
     val schema = StructType.fromDDL(cur.schemaDdl)
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"upsert key column $c is not a column of $table"))
@@ -593,15 +616,20 @@ class BranchCatalog(
     val dataManifest = writeManifest(table, dataFiles)
     val keyFiles = writeDataFiles(table,
       aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
-    val delManifest = writeManifest(table, keyFiles).copy(asOf = Some(curId))
+    // the tombstone's sequence equals the commit's, so it covers every
+    // manifest with a LOWER sequence — all prior data, never the new
+    // batch committed alongside it
+    val delManifest = writeManifest(table, keyFiles)
+      .copy(asOf = Some(curId), keyCols = keyCols)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during MOR upsert")
-      committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest,
+      val s = cur.seq + 1
+      committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest.copy(seq = s),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -661,50 +689,82 @@ class BranchCatalog(
     filter.fold(df)(df.filter)
   }
 
-  /** Merge-on-read scan: data manifests are grouped into EPOCHS by which
-    * tombstone manifests cover them (a delete's `asOf` snapshot fixes
-    * its covered manifest set — Iceberg sequence-number semantics, so a
-    * key appended AFTER its delete is visible again), and each epoch
-    * scans through the normal tiered/pruned path then anti-joins only
-    * ITS deletes (null-safe, on the delete file's own columns — the
-    * equality key). With periodic compaction the tombstone generation
-    * count stays small, so the union stays a handful of branches. A
-    * delete whose `asOf` snapshot has been expired falls back to
-    * covering every manifest (conservative: may re-suppress a
-    * re-appended key — [[expireSnapshots]] keeps live tombstones'
-    * anchors alive exactly so this fallback stays theoretical). */
-  private def scanWithDeletes(
-      table: String, snap: Snapshot, filter: Option[Column]): DataFrame = {
-    val coverage: Map[String, Option[Set[String]]] =
-      snap.deleteManifests.map { d =>
+  /** Does tombstone `d` cover data manifest `m` in `snap`? Sequence
+    * comparison when the tombstone carries one (`m.seq < d.seq` — Iceberg
+    * sequence-number semantics, robust to manifest folding); pre-r8
+    * tombstones (seq 0) fall back to the `asOf` anchor snapshot's
+    * manifest-path set, and a fallback whose anchor has been expired
+    * covers everything (conservative: may re-suppress a re-appended key —
+    * [[expireSnapshots]] keeps live tombstones' anchors alive exactly so
+    * this stays theoretical). */
+  private def tombstoneCovers(
+      table: String, snap: Snapshot): (ManifestRef, ManifestRef) => Boolean = {
+    val legacyCoverage: Map[String, Option[Set[String]]] =
+      snap.deleteManifests.filter(_.seq == 0L).map { d =>
         d.path -> d.asOf.flatMap(loadSnapshotOpt(table, _)).map(_.manifests.map(_.path).toSet)
       }.toMap
-    def covers(d: ManifestRef, m: ManifestRef): Boolean =
-      coverage(d.path) match {
+    (d, m) =>
+      if (d.seq > 0L) m.seq < d.seq
+      else legacyCoverage(d.path) match {
         case Some(cov) => cov.contains(m.path)
-        case None => true // legacy/expired anchor: conservative
+        case None => true // expired anchor: conservative
       }
+  }
+
+  /** Merge-on-read scan: data manifests are grouped into EPOCHS by which
+    * tombstone manifests cover them ([[tombstoneCovers]] — with sequence
+    * numbers the signatures are NESTED, so the epoch count is at most
+    * tombstones + 1, linear, and [[maxPendingTombstones]] bounds it), and
+    * each epoch scans through the normal tiered/pruned path then
+    * anti-joins only ITS deletes. Tombstones within an epoch are further
+    * grouped by their equality-key column set — one null-safe anti-join
+    * per key schema — so a tombstone keyed on (a) never reads through a
+    * (b)-keyed tombstone's files as all-NULL (which would silently narrow
+    * it to NULL-keyed rows). With periodic compaction the generation
+    * count stays small, so the union stays a handful of branches. */
+  private def scanWithDeletes(
+      table: String, snap: Snapshot, filter: Option[Column]): DataFrame = {
+    val covers = tombstoneCovers(table, snap)
     val epochs: Seq[(Seq[ManifestRef], Seq[ManifestRef])] = snap.manifests
       .groupBy(m => snap.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
-      .toSeq.sortBy(_._1.size)
+      .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
       .map { case (sig, ms) =>
         (ms, snap.deleteManifests.filter(d => sig.contains(d.path)))
       }
     val schema = StructType.fromDDL(snap.schemaDdl)
     val parts = epochs.map { case (ms, dels) =>
       val base = scanPlain(snap.copy(manifests = ms, deleteManifests = Nil), filter)
-      if (dels.isEmpty) base
-      else {
-        val delFiles = dels.flatMap(m => readManifest(m.path))
-        val del = spark.read.parquet(delFiles.map(_.path): _*).alias("__graft_del")
-        val cond = del.columns.map(c =>
-          base(c) <=> org.apache.spark.sql.functions.col(s"__graft_del.$c")).reduce(_ && _)
-        base.join(del, cond, "left_anti")
+      // one anti-join per key schema; legacy tombstones (no recorded
+      // keyCols) each form their own group, keyed by manifest path
+      val delGroups = dels
+        .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(" ") else d.path)
+        .toSeq.sortBy(_._1)
+      delGroups.zipWithIndex.foldLeft(base) { case (acc, ((_, group), i)) =>
+        val delFiles = group.flatMap(m => readManifest(m.path))
+        val alias = s"__graft_del_$i"
+        val raw = spark.read.parquet(delFiles.map(_.path): _*)
+        val keyed = group.head.keyCols match {
+          case Nil => raw
+          case cols => raw.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        }
+        val del = keyed.alias(alias)
+        val cond = keyed.columns.map(c =>
+          acc(c) <=> org.apache.spark.sql.functions.col(s"$alias.$c")).reduce(_ && _)
+        acc.join(del, cond, "left_anti")
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
+
+  /** The [[maxPendingTombstones]] gate shared by the MOR commit paths. */
+  private def requireTombstoneHeadroom(
+      table: String, branch: String, cur: Snapshot, op: String): Unit =
+    require(cur.deleteManifests.size < maxPendingTombstones,
+      s"$op refused: $table@$branch has ${cur.deleteManifests.size} pending MOR tombstone " +
+        s"generations (bound $maxPendingTombstones) — each adds a union branch + anti-join " +
+        "to every scan; materialize them with compactDataFiles (or the sorted/z-order " +
+        "variants) first")
 
   /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analogue —
     * the write-cheap half of the DML pair; [[deleteWhere]] is the
@@ -725,21 +785,24 @@ class BranchCatalog(
     require(keys.schema.fields.nonEmpty, "deleteKeysMOR needs at least one key column")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
+    requireTombstoneHeadroom(table, branch, cur, "deleteKeysMOR")
     val tableCols = StructType.fromDDL(cur.schemaDdl).fieldNames.toSet
     keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
       s"delete key column $c is not a column of $table"))
     val delFiles = writeDataFiles(table, keys.distinct())
-    // asOf pins the covered manifest set: the delete applies to data
-    // committed at or before THIS snapshot, never to later appends
-    val delManifest = writeManifest(table, delFiles).copy(asOf = Some(curId))
+    // the commit sequence pins the covered manifest set: the delete
+    // applies to data committed BEFORE it, never to later appends
+    val delManifest = writeManifest(table, delFiles)
+      .copy(asOf = Some(curId), keyCols = keys.schema.fieldNames.toSeq)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during MOR delete")
+      val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1085,7 +1148,11 @@ class BranchCatalog(
               dstSnapOpt.map(_.schemaDdl).getOrElse(loadSnapshot(table, srcSnapId).schemaDdl),
               System.currentTimeMillis(),
               dstSnapOpt.flatMap(_.partitionSpec)
-                .orElse(loadSnapshot(table, srcSnapId).partitionSpec))
+                .orElse(loadSnapshot(table, srcSnapId).partitionSpec),
+              // max over both ancestries + 1 keeps the sequence monotone
+              // on the merged lineage, so a tombstone committed later on
+              // `into` covers every manifest the merge carried over
+              seq = math.max(dstSnapOpt.map(_.seq).getOrElse(0L), srcSnap.seq) + 1)
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
             srcTables = srcTables.updated(table, merged.id)
@@ -1195,7 +1262,7 @@ class BranchCatalog(
       for (nf <- newSchema.fields if !old.fieldNames.contains(nf.name))
         require(nf.nullable, s"added column ${nf.name} must be nullable")
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
-        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests)
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1324,6 +1391,16 @@ class BranchCatalog(
     * crashes, exactly-once in steady state — the standard incremental
     * contract; make `f` idempotent for end-to-end exactly-once).
     *
+    * MOR interaction: deltas are APPEND-granular ([[scanChangesBetween]]
+    * ignores tombstones), while the initial load goes through
+    * [[scanSnapshot]] (tombstones applied) — composing a consumer with
+    * pending [[deleteKeysMOR]]/[[upsertKeysMOR]] tombstones would make
+    * the two windows follow different visibility rules (replaced rows
+    * re-reported, MOR deletions never observed), so this REFUSES while
+    * the head snapshot carries tombstones: materialize them with
+    * compactDataFiles first (streaming ingest's `compactEvery` does),
+    * or diff row-level changes downstream of an append-only window.
+    *
     * @return Some(processed snapshot window) or None when nothing new
     */
   def consumeIncremental(
@@ -1332,6 +1409,10 @@ class BranchCatalog(
     require(consumer.nonEmpty && !consumer.contains("/"), s"bad consumer name '$consumer'")
     val headId = snapshotIdOf(table, branch)
       .getOrElse(sys.error(s"no table $table on $branch"))
+    require(loadSnapshot(table, headId).deleteManifests.isEmpty,
+      s"consumeIncremental refused: $table@$branch has pending MOR tombstones and " +
+        "snapshot deltas are append-granular (deletions/replacements would be missed " +
+        "or re-reported) — materialize with compactDataFiles first")
     val ckptPath = new Path(rootPath, s"tables/$table/consumers/$consumer")
     val last: Option[String] =
       if (!fs.exists(ckptPath)) None
@@ -1405,9 +1486,10 @@ class BranchCatalog(
       require(parent.partitionSpec.forall(_ == spec.format),
         s"table $table is partitioned by ${parent.partitionSpec.get}, not ${spec.format}; " +
           "partition evolution requires a rewrite")
-      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest,
+      val s = parent.seq + 1
+      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests)
+        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests, s)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1457,12 +1539,13 @@ class BranchCatalog(
     // would otherwise be invisible to orphan GC (never in any manifest)
     empty.foreach(f => fs.delete(new Path(f.path), false))
 
+    val newSeq = cur.seq + 1
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
         else None
-      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept)) else Seq.empty)
+      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept).copy(seq = newSeq)) else Seq.empty)
     val rowsDeleted = affectedFiles.map(_.rows).sum - kept.map(_.rows).sum
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -1472,7 +1555,7 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1522,12 +1605,13 @@ class BranchCatalog(
       }
     }.toIndexedSeq: _*)
     val rewritten = writeTableFiles(table, updated, spec)
+    val newSeq = cur.seq + 1
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
         else None
-      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten)) else Seq.empty)
+      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq)) else Seq.empty)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1536,7 +1620,7 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1608,12 +1692,13 @@ class BranchCatalog(
           (kept.unionByName(aligned), replaced, inserted)
         }
       val rewritten = writeTableFiles(table, survivors, spec)
+      val newSeq = cur.seq + 1
       val newManifests =
         perManifest.flatMap { case (m, affected, untouched) =>
           if (affected.isEmpty) Some(m)
-          else if (untouched.nonEmpty) Some(writeManifest(table, untouched))
+          else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
           else None
-        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten)) else Seq.empty)
+        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq)) else Seq.empty)
       var committed: Snapshot = null
       commitRefs { refs =>
         val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1622,7 +1707,7 @@ class BranchCatalog(
         require(cur.deleteManifests.isEmpty,
           s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
         committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-          System.currentTimeMillis(), cur.partitionSpec)
+          System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
         writeSnapshot(table, committed)
         refs.copy(branches = refs.branches.updated(branch,
           b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1649,8 +1734,8 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during partition rewrite")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
-        System.currentTimeMillis(), Some(spec.format))
+      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+        cur.schemaDdl, System.currentTimeMillis(), Some(spec.format), seq = cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1660,20 +1745,41 @@ class BranchCatalog(
 
   // ---- maintenance: compaction + snapshot expiry ------------------------
 
-  /** Fold every manifest of table@branch's current snapshot into ONE new
-    * manifest (pure metadata rewrite — data files untouched). Run
-    * periodically so long-lived tables keep O(1) manifests to read per
-    * scan even after thousands of commits. */
+  /** Fold table@branch's current manifests into ONE new manifest per MOR
+    * coverage epoch (pure metadata rewrite — data files untouched; ONE
+    * manifest total when no tombstones are pending). Run periodically so
+    * long-lived tables keep O(1) manifests to read per scan even after
+    * thousands of commits.
+    *
+    * Pending tombstones survive folding correctly: manifests are grouped
+    * by their covering-tombstone signature and each folded manifest is
+    * stamped with its group's MAX member sequence — within a group every
+    * member agrees on `seq < d.seq` for every tombstone d (that is what
+    * sharing a signature means), so the max preserves each comparison,
+    * and any FUTURE tombstone's sequence exceeds this commit's. Folding a
+    * pre-r8 tombstone (no sequence — coverage is an anchor snapshot's
+    * manifest-path set, which folding would orphan into suppress-nothing)
+    * is refused: materialize it with compactDataFiles first. */
   def compactManifests(table: String, branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val folded = writeManifest(table, filesOf(cur))
+    require(cur.deleteManifests.forall(_.seq > 0L),
+      s"$table@$branch has pre-sequence MOR tombstones whose coverage cannot survive " +
+        "manifest folding — materialize them with compactDataFiles first")
+    val covers = tombstoneCovers(table, cur)
+    val folded = cur.manifests
+      .groupBy(m => cur.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
+      .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
+      .map { case (_, ms) =>
+        writeManifest(table, ms.flatMap(m => readManifest(m.path)))
+          .copy(seq = ms.map(_.seq).max)
+      }
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(folded), cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests)
+      committed = Snapshot(newId(), Some(curId), folded, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -1697,8 +1803,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -1743,8 +1849,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -1800,8 +1906,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest), cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec)
+      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }

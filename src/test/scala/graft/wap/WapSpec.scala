@@ -327,6 +327,127 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == preDelete - 3)
   }
 
+  test("compactManifests with pending tombstones preserves MOR coverage (sequence folding)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30))
+    val preDelete = cat.scan("t").count()
+
+    cat.deleteKeysMOR("t", Seq(3L, 9L).toDF("doc_id"))
+    // a key re-appended after the delete must stay visible THROUGH folding
+    cat.append("t", docs.filter(col("doc_id") === 3L))
+    assert(cat.scan("t").count() == preDelete - 1)
+
+    // metadata-only manifest folding: deleted rows must NOT resurrect,
+    // and the re-appended key must not get re-suppressed
+    val folded = cat.compactManifests("t")
+    assert(folded.deleteManifests.nonEmpty, "folding is metadata-only; tombstones remain")
+    assert(folded.manifests.size == 2,
+      "one folded manifest per coverage epoch (pre-delete vs post-delete)")
+    assert(cat.scan("t").count() == preDelete - 1,
+      "manifest folding must not resurrect MOR-deleted rows")
+    assert(cat.scan("t").filter(col("doc_id") === 9L).count() == 0)
+    assert(cat.scan("t").filter(col("doc_id") === 3L).count() == 1)
+
+    // a delete committed AFTER folding covers the folded manifests
+    cat.deleteKeysMOR("t", Seq(3L).toDF("doc_id"))
+    assert(cat.scan("t").filter(col("doc_id") === 3L).count() == 0)
+
+    // ... and repeated folding keeps working (nested signatures -> the
+    // epoch count stays <= tombstones + 1, never exponential)
+    val folded2 = cat.compactManifests("t")
+    assert(folded2.manifests.size <= folded2.deleteManifests.size + 1)
+    assert(cat.scan("t").count() == preDelete - 2)
+  }
+
+  test("MOR tombstones with different key schemas apply independently") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 40))
+    val pre = cat.scan("t").count()
+
+    // tombstone 1 keyed on doc_id, tombstone 2 keyed on (lang) — a
+    // different column set; mixed-schema reads must not narrow either
+    // tombstone to NULL-keyed rows
+    cat.deleteKeysMOR("t", Seq(7L).toDF("doc_id"))
+    val langOfDoc11 = docs.filter(col("doc_id") === 11L)
+      .select(col("lang")).collect().head.getString(0)
+    val langCount = cat.scan("t").filter(col("lang") === langOfDoc11).count()
+    assert(langCount > 0)
+    cat.deleteKeysMOR("t", Seq(langOfDoc11).toDF("lang"))
+    assert(cat.scan("t").count() == pre - 1 - langCount,
+      "both tombstones must apply on their own key columns")
+    assert(cat.scan("t").filter(col("doc_id") === 7L).count() == 0)
+    assert(cat.scan("t").filter(col("lang") === langOfDoc11).count() == 0)
+  }
+
+  test("MOR commits refuse past the pending-tombstone bound; compaction resets it") {
+    import spark.implicits._
+    val cat = new BranchCatalog(spark,
+      Files.createTempDirectory("wap-spec").toString, maxPendingTombstones = 4)
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30))
+    (0 until 4).foreach(i => cat.deleteKeysMOR("t", Seq(i.toLong).toDF("doc_id")))
+    val err = intercept[IllegalArgumentException] {
+      cat.deleteKeysMOR("t", Seq(99L).toDF("doc_id"))
+    }
+    assert(err.getMessage.contains("compactDataFiles"))
+    intercept[IllegalArgumentException] {
+      cat.upsertKeysMOR("t", docs.filter(col("doc_id") === 5L), Seq("doc_id"))
+    }
+    // scan plan stays bounded: epochs <= tombstones + 1
+    assert(cat.scan("t").count() == 26)
+    cat.compactDataFiles("t", targetFiles = 2)
+    cat.deleteKeysMOR("t", Seq(10L).toDF("doc_id")) // headroom restored
+    assert(cat.scan("t").count() == 25)
+  }
+
+  test("MOR delete on a hidden-partitioned table keeps transform pruning") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+    val spec = PartitionSpec.parse("bucket(4,doc_id)")
+    cat.createTableIfNotExists("t", docs.schema, spec = Some(spec))
+    cat.appendPartitioned("t", docs, spec)
+    val totalFiles = cat.dataFiles("t").size
+    assert(totalFiles >= 4)
+
+    cat.deleteKeysMOR("t", Seq(5L, 17L).toDF("doc_id"))
+    // partition pruning must still reach the epoch scan: a point lookup
+    // reads ~1/4 of the files, not all of them
+    val pruned = cat.prunedDataFiles("t", col("doc_id") === 33L)
+    assert(pruned.size < totalFiles, "transform pruning survives pending tombstones")
+    assert(cat.scan("t", filter = Some(col("doc_id") === 33L)).count() == 1)
+    assert(cat.scan("t", filter = Some(col("doc_id") === 17L)).count() == 0,
+      "tombstones apply within the pruned scan")
+    // MOR upsert composes with the partitioned table too
+    cat.upsertKeysMOR("t",
+      docs.filter(col("doc_id") === 33L).withColumn("n_chars", lit(999999L)),
+      Seq("doc_id"))
+    val row = cat.scan("t", filter = Some(col("doc_id") === 33L)).collect()
+    assert(row.length == 1 && row.head.getAs[Long]("n_chars") == 999999L)
+  }
+
+  test("consumeIncremental refuses while MOR tombstones are pending") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    cat.deleteKeysMOR("t", Seq(3L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException] {
+      cat.consumeIncremental("t", "c1")(_ => ())
+    }
+    assert(err.getMessage.contains("append-granular"))
+    cat.compactDataFiles("t")
+    assert(cat.consumeIncremental("t", "c1")(df => assert(df.count() == 9)).isDefined)
+  }
+
   test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
