@@ -7,18 +7,28 @@ import org.apache.spark.sql.graft.Bridge
 
 import graft.functions._
 
-/** SQL registration for graft's native expressions (SURVEY §3), so every
-  * operator is reachable from `spark.sql` as well as the Column API:
+/** SQL registration for graft's native expressions (SURVEY §3) and the
+  * catalog scan-lowering rules, so every operator AND every lake table
+  * is reachable from `spark.sql` as well as the Column API:
   *
   *  - at session BUILD time: `spark.sql.extensions=graft.GraftExtensions`
   *    or `SparkSession.builder().withExtensions(new GraftExtensions)`
-  *  - on an EXISTING session: `GraftFunctions.register(spark)`
+  *  - on an EXISTING session: `GraftFunctions.register(spark)` (functions
+  *    only — optimizer rules can only bind at session build, which is why
+  *    [[GraftSession.configure]] sets the extensions conf; without them
+  *    catalog tables still read correctly through the V1Scan fallback)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), GraftFunctions.info(name), builder))
     }
+    // filter-adjacent lowering inside the operator fixed point (predicates
+    // reach the manifest pruner), then a once-per-query sweep for bare
+    // relations before V2 scan planning — see GraftScanLowering's scaladoc
+    ext.injectOptimizerRule(new graft.sql.GraftScanLowering(_))
+    ext.injectPreCBORule(new graft.sql.GraftBareScanLowering(_))
+  }
 }
 
 object GraftFunctions {

@@ -20,6 +20,10 @@ object GraftSession {
       b: SparkSession.Builder,
       shufflePartitions: Int = 32
   ): SparkSession.Builder = b
+    // native functions + catalog scan lowering (optimizer rules bind at
+    // session build only; GraftTableCatalog instances are configured per
+    // catalog name at runtime via spark.sql.catalog.<name>[.root])
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

@@ -55,6 +55,7 @@ object SparkEntry {
     "wap_zorder" -> (WapQueries.wapZorder _),
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
+    "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -188,6 +189,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, true AS zero_data_rewrites""",
     "wap_zorder" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
+    "wap_sql_scan" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 210) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

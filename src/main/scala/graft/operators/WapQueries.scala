@@ -302,6 +302,62 @@ object WapQueries {
     Audit.reportDF(spark, Audit.run(docs, Seq(NotNull("text"), NotNull("lang"))))
   }
 
+  /** The DataSource V2 SQL surface end-to-end ([[graft.sql.GraftTableCatalog]]
+    * — the Spark-native form of the reference's "published tables are
+    * queryable by any engine" claim, reference app.py:201-246): publish
+    * two clustered commits, register the lake as a named catalog, and
+    * read it back ENTIRELY through `spark.sql` — a predicated aggregate
+    * on main, a `VERSION AS OF` read of the first commit, and a branch
+    * namespace read — plus two plan-derived gates: the filtered SQL read
+    * lowered onto a NATIVE parquet scan (no DSv2 row boundary) and its
+    * file list was manifest-pruned below the table's file count before
+    * Spark listed anything. Oracle: plain SQL over the source slices
+    * (time travel = the first commit's predicate). */
+  def wapSqlScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-sql").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    val s1 = cat.appendClustered("documents", docs.filter(col("doc_id") < 100),
+      Seq("doc_id"), files = 4)
+    cat.appendClustered("documents", docs.filter(col("doc_id") >= 100),
+      Seq("doc_id"), files = 4)
+    cat.createBranch("wip")
+    cat.append("documents",
+      Tables.documents(spark, dir).filter(col("doc_id") >= 200 && col("doc_id") < 210), "wip")
+
+    // catalog names are session-cached, so key the name to this run's root
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val filtered = spark.sql(
+      s"SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        s"FROM $lake.main.documents WHERE doc_id >= 50")
+    // gates on the OPTIMIZED LOGICAL plan (the physical root is an AQE
+    // wrapper whose subtree collect() does not traverse): lowering left a
+    // native file relation and no DSv2 scan, and its file list was
+    // manifest-pruned below the table's file count before Spark listed
+    // anything (doc_id >= 50 proves half the clustered files absent)
+    val optimized = filtered.queryExecution.optimizedPlan
+    val fileRels = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r.relation
+    }.collect { case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation => f }
+    val loweredNative = fileRels.nonEmpty && optimized.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => s
+    }.isEmpty
+    val manifestPruned =
+      fileRels.exists(_.location.inputFiles.length < cat.dataFiles("documents").size)
+
+    filtered
+      .crossJoin(spark.sql(
+        s"SELECT count(*) AS v1_rows FROM $lake.main.documents VERSION AS OF '${s1.id}'"))
+      .crossJoin(spark.sql(s"SELECT count(*) AS wip_rows FROM $lake.wip.documents"))
+      .select(col("n_rows"), col("sum_chars"), col("v1_rows"), col("wip_rows"),
+        lit(loweredNative).as("lowered_native"), lit(manifestPruned).as("manifest_pruned"))
+  }
+
   /** Per-column null counts + row count in one aggregation pass. */
   def dqNullCounts(spark: SparkSession, dir: String): DataFrame =
     Metrics.nullCounts(Tables.eventsWithTs(spark, dir).select("event_type", "value", "props"),

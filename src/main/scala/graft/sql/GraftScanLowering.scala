@@ -1,0 +1,109 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.Bridge
+
+/** Lowers a [[GraftTable]] V2 relation onto the catalog's NATIVE read
+  * plan — the plan `BranchCatalog.scanSnapshot` builds (tiered manifest
+  * planning, footer-stats + hidden-partition pruning, MOR tombstone
+  * anti-joins, then a plain parquet [[org.apache.spark.sql.DataFrame]]
+  * scan) — so `spark.sql("SELECT ... FROM lake.main.t WHERE ...")` runs
+  * the SAME physical plan as the Scala API: vectorized parquet +
+  * whole-stage codegen, with the query's own predicates reaching the
+  * manifest pruner. Without this rule the table still reads correctly
+  * through its [[org.apache.spark.sql.connector.read.V1Scan]] fallback,
+  * but rows pay a per-row conversion at the DSv2 boundary — exactly the
+  * overhead a 100 TB scan cannot afford.
+  *
+  * Two rules because filter adjacency decides what the pruner sees:
+  *  - [[GraftScanLowering]] runs INSIDE the operator-optimization
+  *    fixed point (after the built-in `PushDownPredicates` of the same
+  *    iteration), so it matches `Filter(cond, relation)` once predicates
+  *    have collapsed onto the relation and hands `cond` to the manifest
+  *    pruner; the spliced plan then keeps optimizing in the remaining
+  *    iterations (column pruning into the parquet read schema included).
+  *  - [[GraftBareScanLowering]] runs once as a pre-CBO rule and lowers
+  *    the relations no filter ever reached (full-table reads), before V2
+  *    scan planning would otherwise route them to the V1 fallback.
+  *
+  * Both splice the analyzed plan of the catalog DataFrame under a
+  * projection that re-aliases its fresh attributes back to the V2
+  * relation's attribute ids, so every parent reference stays valid.
+  * Lowering is on by default; `spark.graft.sql.lowering=false` turns it
+  * off (the correctness path for testing the pure-connector fallback).
+  */
+class GraftScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftScanLowering.enabled(spark)) plan
+    else plan.transformUp {
+      case f @ Filter(cond, rel: DataSourceV2Relation)
+          if rel.table.isInstanceOf[GraftTable] =>
+        val lowered = GraftScanLowering.lower(
+          spark, rel.table.asInstanceOf[GraftTable], rel.output,
+          GraftScanLowering.pruneCondition(cond))
+        Filter(cond, lowered)
+    }
+}
+
+/** The once-per-query sweep for filterless graft relations — see
+  * [[GraftScanLowering]]. */
+class GraftBareScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftScanLowering.enabled(spark)) plan
+    else plan.transformUp {
+      case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
+        GraftScanLowering.lower(
+          spark, rel.table.asInstanceOf[GraftTable], rel.output, None)
+    }
+}
+
+object GraftScanLowering {
+  private[sql] def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.sql.lowering", "true").toBoolean
+
+  /** The conjuncts of `cond` a detached DataFrame filter can express:
+    * deterministic, subquery-free ones, with attribute references
+    * rebound BY NAME (the catalog plan has fresh attribute ids). The
+    * result only PRUNES — the full original filter stays above the
+    * splice, so dropping a conjunct is always sound. */
+  private[sql] def pruneCondition(cond: Expression): Option[org.apache.spark.sql.Column] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val usable = conjuncts(cond).filter { c =>
+      c.deterministic && !c.exists(_.isInstanceOf[PlanExpression[_]])
+    }
+    usable.reduceOption(And).map { e =>
+      Bridge.column(e.transform {
+        case a: Attribute => UnresolvedAttribute.quoted(a.name)
+      })
+    }
+  }
+
+  /** Splice the catalog's scan plan in place of the relation, re-aliased
+    * to the relation's attribute ids. The OPTIMIZED sub-plan is spliced
+    * (not the analyzed one): the outer optimizer has already run its
+    * analysis-finishing batch, so leftovers like the MOR anti-join's
+    * SubqueryAlias would otherwise reach physical planning unhandled —
+    * and the sub-plan arrives column-pruned and constant-folded even on
+    * the once-only pre-CBO path. */
+  private[sql] def lower(
+      spark: SparkSession, t: GraftTable, out: Seq[Attribute],
+      filter: Option[org.apache.spark.sql.Column]): LogicalPlan = {
+    val df = t.scanDF(spark, filter)
+    val plan = df.queryExecution.optimizedPlan
+    val byName = plan.output.map(a => a.name -> a).toMap
+    Project(out.map { o =>
+      val src = byName.getOrElse(o.name, sys.error(
+        s"catalog plan for ${t.name()} lost column ${o.name}"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+        explicitMetadata = Some(o.metadata))
+    }, plan)
+  }
+}

@@ -1,0 +1,274 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.wap.BranchCatalog
+
+/** DataSource V2 catalog over [[graft.wap.BranchCatalog]] — the surface
+  * that makes graft tables first-class SQL citizens (the reference's
+  * published tables are queryable by any engine through the generic
+  * catalog API, reference app.py:201-246 and the README's
+  * "Querying from Snowflake" section; this is the Spark-native
+  * equivalent of that claim):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[GraftTableCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.root", "s3://bucket/lake")
+  *   spark.sql("SELECT * FROM lake.main.documents WHERE doc_id < 10")
+  *   spark.sql("SELECT * FROM lake.main.documents VERSION AS OF '<snapshot-id>'")
+  *   spark.sql("SELECT * FROM lake.main.documents TIMESTAMP AS OF '2026-01-01'")
+  *   spark.sql("SHOW NAMESPACES IN lake")           // branches
+  *   spark.sql("CREATE NAMESPACE lake.audit")       // = createBranch (from main)
+  * }}}
+  *
+  * Namespaces are BRANCHES (one level — `lake.<branch>.<table>`; a bare
+  * `lake.<table>` reads main). `loadTable` pins the branch head snapshot
+  * at analysis time, so one query referencing a table twice sees ONE
+  * snapshot (the same isolation `scan` gives the Scala API).
+  *
+  * Reads resolve through two paths:
+  *  - with [[graft.GraftExtensions]] installed (any session built via
+  *    [[graft.GraftSession.configure]]), [[GraftScanLowering]] replaces
+  *    the V2 relation with the catalog's NATIVE parquet plan before scan
+  *    planning — manifest stats pruning from the query's own predicates,
+  *    then Spark's vectorized columnar reader + whole-stage codegen, and
+  *    MOR tombstone anti-joins, identical to `BranchCatalog.scan`;
+  *  - without extensions, [[GraftTable.newScanBuilder]] serves a
+  *    [[V1Scan]] fallback: pushed filters still reach the manifest
+  *    pruner, but rows cross a per-row conversion boundary — correct on
+  *    any vanilla session, slower than the lowered path.
+  *
+  * Writes are deliberately NOT exposed (`INSERT INTO` fails with Spark's
+  * capability error): mutation goes through the WAP API so nothing can
+  * land on main unaudited — the whole point of the reference pattern.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root=<lake root path>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def cat: BranchCatalog = new BranchCatalog(spark, root)
+
+  private def branchOf(ns: Array[String]): String = ns match {
+    case Array() => "main"
+    case Array(b) => b
+    case other => throw new IllegalArgumentException(
+      s"graft namespaces are single-level branches, got ${other.mkString(".")}")
+  }
+
+  // ---- namespaces = branches ---------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array("main")
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listBranches().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new IllegalArgumentException(s"no branch ${namespace.mkString(".")}")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && cat.listBranches().contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new IllegalArgumentException(s"no branch ${namespace.mkString(".")}")
+    Map("branch" -> namespace.head).asJava
+  }
+
+  /** CREATE NAMESPACE = zero-copy branch from main. */
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    cat.createBranch(branchOf(namespace),
+      Option(metadata.get("from")).getOrElse("main"))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft branches carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val b = branchOf(namespace)
+    if (!cat.listBranches().contains(b)) return false
+    require(cascade || cat.listTables(b).isEmpty,
+      s"branch $b carries tables; use DROP NAMESPACE ... CASCADE")
+    cat.dropBranch(b)
+    true
+  }
+
+  // ---- tables -------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(branchOf(namespace)).map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.tableExists(ident.name(), branchOf(ident.namespace()))
+
+  override def loadTable(ident: Identifier): Table = {
+    val branch = branchOf(ident.namespace())
+    val id = cat.snapshotIdOf(ident.name(), branch).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName, branch, ident.name())))
+    table(ident, branch, id)
+  }
+
+  /** SQL `VERSION AS OF '<snapshot-id>'`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    table(ident, branchOf(ident.namespace()), version)
+
+  /** SQL `TIMESTAMP AS OF ...` — Spark hands MICROseconds since epoch;
+    * resolves to the last snapshot committed at or before it (same walk
+    * as [[BranchCatalog.scanAsOf]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val branch = branchOf(ident.namespace())
+    val id = cat.snapshotIdAsOf(ident.name(), timestamp / 1000L, branch)
+    table(ident, branch, id)
+  }
+
+  private def table(ident: Identifier, branch: String, snapshotId: String): GraftTable = {
+    val schema = cat.schemaOfSnapshot(ident.name(), snapshotId)
+    GraftTable(root, branch, ident.name(), snapshotId, schema)
+  }
+
+  /** `CREATE TABLE lake.<branch>.<t> (cols...)` — metadata-only, like
+    * `createTableIfNotExists` (no partition transforms / properties:
+    * hidden partitioning is committed by the first partitioned write). */
+  override def createTable(
+      ident: Identifier, columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft hidden partitioning is committed by appendPartitioned, not CREATE TABLE")
+    require(columns.forall(c => c.defaultValue() == null && c.generationExpression() == null),
+      "graft CREATE TABLE supports plain columns (no defaults / generated columns)")
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val branch = branchOf(ident.namespace())
+    if (!cat.createTableIfNotExists(ident.name(), schema, branch))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, branch, ident.name()))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not exposed over SQL; schema evolution goes through " +
+        "BranchCatalog.evolveSchema (validated widenings only)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    cat.dropTable(ident.name(), branchOf(ident.namespace()))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(branchOf(oldIdent.namespace()) == branchOf(newIdent.namespace()),
+      "RENAME cannot move a table across branches (merge the branch instead)")
+    cat.renameTable(oldIdent.name(), newIdent.name(), branchOf(oldIdent.namespace()))
+  }
+}
+
+/** One pinned (branch, snapshot) of a catalog table. Pure metadata — the
+  * read plan is built on demand by [[scanDF]]. */
+case class GraftTable(
+    root: String, branch: String, tableName: String,
+    snapshotId: String, tableSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"$branch.$tableName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
+
+  /** The catalog's native scan of this pinned snapshot: tiered manifest
+    * planning + footer-stats pruning on `filter`, MOR tombstone
+    * anti-joins, then a plain vectorized parquet scan. */
+  def scanDF(spark: SparkSession, filter: Option[Column]): DataFrame =
+    new BranchCatalog(spark, root).scanSnapshot(tableName, snapshotId, filter)
+
+  /** The connector-API read path ([[V1Scan]]): used only when
+    * [[GraftScanLowering]] has not replaced the relation first — a
+    * vanilla session without graft extensions, or lowering explicitly
+    * disabled. Pushed filters reach the same manifest pruner; Spark
+    * keeps every filter as a residual (the prune is conservative). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+}
+
+private class GraftScanBuilder(t: GraftTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = t.schema()
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // all residual: file pruning is conservative, rows re-checked
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          val cond = pushed.flatMap(GraftScanBuilder.toColumn)
+            .reduceOption(_ && _)
+          val df = t.scanDF(ctx.sparkSession, cond)
+          val sel =
+            if (required.fieldNames.sameElements(df.columns)) df
+            else df.select(required.fieldNames.toIndexedSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+          sel.rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+private object GraftScanBuilder {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** sources.Filter -> Column for the comparison shapes the manifest
+    * pruner understands; None marks a filter as prune-irrelevant. */
+  def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.In(a, vs) if vs.nonEmpty =>
+      Some(vs.map(v => col(a) === lit(v)).reduce(_ || _))
+    case sources.And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // half-convertible AND prunes on its half
+      }
+    case sources.Or(l, r) =>
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case _ => None
+  }
+}

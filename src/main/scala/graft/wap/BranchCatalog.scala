@@ -1344,18 +1344,29 @@ class BranchCatalog(
     * like commitHistory). Errors when the table did not exist yet. */
   def scanAsOf(
       table: String, asOfMillis: Long, branch: String = "main",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None): DataFrame =
+    scanSnapshot(table, snapshotIdAsOf(table, asOfMillis, branch), filter)
+
+  /** The id of the last snapshot on `branch` committed at or before
+    * `asOfMillis` — the resolution step of [[scanAsOf]], exposed for the
+    * SQL catalog's `TIMESTAMP AS OF`. */
+  def snapshotIdAsOf(table: String, asOfMillis: Long, branch: String = "main"): String = {
     val headId = snapshotIdOf(table, branch)
       .getOrElse(sys.error(s"no table $table on $branch"))
     val chain = Iterator.iterate(Option(loadSnapshot(table, headId))) {
       case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
       case None => None
     }.takeWhile(_.isDefined).flatten
-    val snap = chain.find(_.committedAtMillis <= asOfMillis)
+    chain.find(_.committedAtMillis <= asOfMillis)
       .getOrElse(sys.error(
         s"no snapshot of $table@$branch at or before $asOfMillis (created later, or expired)"))
-    scanSnapshot(table, snap.id, filter)
+      .id
   }
+
+  /** The committed schema of one snapshot (metadata read only) — the SQL
+    * catalog resolves `loadTable` schemas through this. */
+  def schemaOfSnapshot(table: String, snapshotId: String): StructType =
+    StructType.fromDDL(loadSnapshot(table, snapshotId).schemaDdl)
 
   /** Roll a branch back to an earlier snapshot (Iceberg `rollback`):
     * one pointer swap — the bad commits stay on disk for inspection and

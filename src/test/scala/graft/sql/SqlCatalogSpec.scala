@@ -1,0 +1,163 @@
+package graft.sql
+
+import java.nio.file.Files
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+import graft.wap.BranchCatalog
+
+class SqlCatalogSpec extends SparkSpecBase {
+
+  private var n = 0
+  /** A fresh catalog name + root per test (catalog instances are cached
+    * by name per session, so a reused name would pin the first root). */
+  private def register(): (String, BranchCatalog) = {
+    n += 1
+    val name = s"lakespec$n"
+    val root = Files.createTempDirectory("sql-cat").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, new BranchCatalog(spark, root))
+  }
+
+  private def utc(ms: Long): String =
+    DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSS")
+      .withZone(ZoneOffset.UTC).format(Instant.ofEpochMilli(ms))
+
+  test("spark.sql reads a published table; filters reach the manifest pruner natively") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+    cat.createTableIfNotExists("docs", docs.schema)
+    // clustered appends -> tight per-file ranges -> point predicates prune
+    cat.appendClustered("docs", docs, Seq("doc_id"), files = 8)
+    val totalFiles = cat.dataFiles("docs").size
+    assert(totalFiles >= 8)
+
+    val q = spark.sql(s"SELECT doc_id, n_chars FROM $lake.main.docs WHERE doc_id = 33")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(33L))
+
+    // the lowered plan IS a native parquet scan (vectorized + codegen),
+    // not a DSv2 row-conversion boundary…
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "lowering must produce a native parquet scan")
+    // …its file list was manifest-pruned BEFORE Spark listed anything…
+    assert(scans.head.relation.location.inputFiles.length < totalFiles,
+      "the SQL predicate must reach the footer-stats pruner")
+    // …and the residual filter + projection push into the parquet reader
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
+  }
+
+  test("branch namespaces, SHOW TABLES/NAMESPACES, CREATE NAMESPACE") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    cat.createTableIfNotExists("d", docs.schema)
+    cat.append("d", docs)
+    cat.createBranch("audit")
+    cat.append("d", docs.withColumn("doc_id", col("doc_id") + lit(1000L)), "audit")
+
+    assert(spark.sql(s"SELECT count(*) AS c FROM $lake.main.d").head.getLong(0) == 20)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $lake.audit.d").head.getLong(0) == 40)
+    // bare table name resolves through the default namespace (main)
+    spark.sql(s"USE $lake")
+    assert(spark.sql("SELECT count(*) FROM d").head.getLong(0) == 20)
+    spark.sql("USE spark_catalog.default")
+
+    val namespaces = spark.sql(s"SHOW NAMESPACES IN $lake").collect().map(_.getString(0))
+    assert(namespaces.toSet == Set("main", "audit"))
+    val tables = spark.sql(s"SHOW TABLES IN $lake.audit").collect().map(_.getString(1))
+    assert(tables.toSeq == Seq("d"))
+
+    // CREATE NAMESPACE = zero-copy branch of main (tables come along)
+    spark.sql(s"CREATE NAMESPACE $lake.wip")
+    assert(cat.listBranches().contains("wip"))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.wip.d").head.getLong(0) == 20)
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $lake.wip") } // carries tables
+    spark.sql(s"DROP NAMESPACE $lake.wip CASCADE")
+    assert(!cat.listBranches().contains("wip"))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time travel through SQL") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    val s1 = cat.append("t", docs.filter(col("doc_id") < 10))
+    Thread.sleep(5)
+    val s2 = cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t").head.getLong(0) == 30)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $lake.main.t VERSION AS OF '${s1.id}'").head.getLong(0) == 10)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $lake.main.t TIMESTAMP AS OF '${utc(s1.committedAtMillis)}'")
+      .head.getLong(0) == 10)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $lake.main.t TIMESTAMP AS OF '${utc(s2.committedAtMillis)}'")
+      .head.getLong(0) == 30)
+  }
+
+  test("SQL reads apply MOR tombstones (the scan plan comes along wholesale)") {
+    import spark.implicits._
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30))
+    cat.deleteKeysMOR("t", Seq(5L, 17L).toDF("doc_id"))
+    cat.append("t", docs.filter(col("doc_id") === 5L)) // re-appended key visible
+
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t").head.getLong(0) == 29)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $lake.main.t WHERE doc_id IN (5, 17)").head.getLong(0) == 1)
+  }
+
+  test("V1Scan fallback (lowering disabled) returns identical results") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendClustered("t", docs, Seq("doc_id"), files = 4)
+
+    val sql = s"SELECT doc_id, n_chars FROM $lake.main.t WHERE doc_id >= 20 ORDER BY doc_id"
+    val fast = spark.sql(sql).collect().map(_.toSeq)
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val viaConnector = spark.sql(sql)
+      assert(viaConnector.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.isEmpty,
+        "with lowering off the read must go through the DSv2 connector path")
+      assert(viaConnector.collect().map(_.toSeq).toSeq == fast.toSeq)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
+  test("SQL DDL: CREATE TABLE / DROP TABLE; writes are refused by design") {
+    val (lake, cat) = register()
+    spark.sql(s"CREATE TABLE $lake.main.fresh (id BIGINT, name STRING)")
+    assert(cat.listTables().contains("fresh"))
+    assert(spark.sql(s"SELECT * FROM $lake.main.fresh").count() == 0)
+    // mutation must go through the WAP API (write-audit-publish), never
+    // raw SQL INSERT — the table advertises no write capability
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $lake.main.fresh VALUES (1, 'x')")
+    }
+    import spark.implicits._
+    cat.append("fresh", Seq((1L, "x")).toDF("id", "name"))
+    assert(spark.sql(s"SELECT name FROM $lake.main.fresh WHERE id = 1").head.getString(0) == "x")
+    spark.sql(s"DROP TABLE $lake.main.fresh")
+    assert(!cat.listTables().contains("fresh"))
+  }
+
+  test("one query pins one snapshot (analysis-time isolation)") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    // self-join through TWO references: both resolve to the same pinned
+    // snapshot id, so the join is consistent even if a commit raced
+    val j = spark.sql(
+      s"SELECT count(*) FROM $lake.main.t a JOIN $lake.main.t b ON a.doc_id = b.doc_id")
+    assert(j.head.getLong(0) == 10)
+  }
+}
