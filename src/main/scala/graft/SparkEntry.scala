@@ -56,6 +56,8 @@ object SparkEntry {
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
+    "wap_txn" -> (WapQueries.wapTxn _),
+    "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -189,6 +191,10 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, true AS zero_data_rewrites""",
     "wap_zorder" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
+    "wap_merge_conditional" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0) AS rows_updated, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0) AS rows_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted""",
+    "wap_txn" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
     "wap_sql_scan" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 210) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
     "wap_incremental" ->

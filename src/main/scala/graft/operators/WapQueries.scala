@@ -302,6 +302,86 @@ object WapQueries {
     Audit.reportDF(spark, Audit.run(docs, Seq(NotNull("text"), NotNull("lang"))))
   }
 
+  /** Conditional MERGE INTO end-to-end
+    * ([[graft.wap.BranchCatalog.mergeInto]], Iceberg MERGE semantics):
+    * publish docs < 200, then ONE merge whose source overlaps 150..199
+    * and brings 200..219 — matched evens get n_chars bumped (+1000),
+    * remaining matched multiples of 3 are deleted, and only inserts with
+    * doc_id < 210 qualify. Oracle: plain SQL applying the same
+    * first-match-wins CASE over the source slices. */
+  def wapMergeConditional(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MergeClause._
+    val tmp = Files.createTempDirectory("graft-wap-merge").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val all = Tables.documents(spark, dir)
+    val docs = all.filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val source = all.filter(col("doc_id") >= 150 && col("doc_id") < 220)
+    val res = cat.mergeInto("documents", source, Seq("doc_id"), Seq(
+      MatchedUpdate(Some(col("s.doc_id") % 2 === 0),
+        Map("n_chars" -> (col("t.n_chars") + lit(1000L)))),
+      MatchedDelete(Some(col("s.doc_id") % 3 === 0)),
+      NotMatchedInsert(Some(col("s.doc_id") < 210))))
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(res.rowsUpdated).as("rows_updated"),
+        lit(res.rowsDeleted).as("rows_deleted"),
+        lit(res.rowsInserted).as("rows_inserted"))
+  }
+
+  /** Multi-table ATOMIC publish ([[graft.wap.BranchCatalog.transaction]] —
+    * the Nessie-style transactional commit the reference's catalog gives
+    * it for free): one transaction appends a fact batch AND its derived
+    * per-source stats table, so readers can never see the facts without
+    * the matching stats row (the refs swap is the single linearization
+    * point). A second, deliberately failing transaction proves
+    * all-or-nothing: after it aborts, NEITHER table moved and the refs
+    * version is unchanged. Oracle: plain SQL over the published slices
+    * plus constant-true atomicity gates. */
+  def wapTxn(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-txn").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.createTableIfNotExists("doc_stats",
+      org.apache.spark.sql.types.StructType.fromDDL("source STRING, n BIGINT"))
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+
+    val v0 = cat.currentRefs().version
+    cat.transaction() { txn =>
+      txn.append("documents", docs.filter(col("doc_id") >= 100))
+      txn.append("doc_stats",
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    }
+    val oneCommit = cat.currentRefs().version == v0 + 1
+
+    // a failing transaction moves NOTHING (all-or-nothing)
+    val headsBefore = (cat.snapshotIdOf("documents"), cat.snapshotIdOf("doc_stats"))
+    val abortedClean = try {
+      cat.transaction() { txn =>
+        txn.append("doc_stats", docs.limit(1).select(col("source"), col("doc_id").as("n")))
+        sys.error("audit failed after staging")
+      }
+      false
+    } catch {
+      case _: RuntimeException =>
+        (cat.snapshotIdOf("documents"), cat.snapshotIdOf("doc_stats")) == headsBefore
+    }
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .crossJoin(cat.scan("doc_stats").agg(
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n")).cast("long").as("stats_total")))
+      .select(col("n_rows"), col("sum_chars"), col("n_sources"), col("stats_total"),
+        lit(oneCommit).as("one_commit"), lit(abortedClean).as("aborted_clean"))
+  }
+
   /** The DataSource V2 SQL surface end-to-end ([[graft.sql.GraftTableCatalog]]
     * — the Spark-native form of the reference's "published tables are
     * queryable by any engine" claim, reference app.py:201-246): publish

@@ -94,6 +94,30 @@ case class UpsertResult(
     snapshot: Snapshot, rowsReplaced: Long, rowsInserted: Long,
     filesRewritten: Long, filesUntouched: Long)
 
+/** What one conditional MERGE commit did (same top-level rationale). */
+case class MergeIntoResult(
+    snapshot: Snapshot, rowsUpdated: Long, rowsDeleted: Long,
+    rowsInserted: Long, filesRewritten: Long, filesUntouched: Long)
+
+/** One `WHEN ...` clause of [[BranchCatalog.mergeInto]] (Iceberg/standard
+  * MERGE INTO semantics). Conditions and SET expressions see the TARGET
+  * row under alias `t` and the SOURCE row under alias `s`
+  * (`col("t.n_chars")`, `col("s.payload")`); a None condition always
+  * fires. Matched clauses are tried IN ORDER and the first whose
+  * condition holds wins (a NULL condition result means "does not fire",
+  * SQL semantics); a matched row no clause claims survives unchanged. */
+sealed trait MergeClause
+object MergeClause {
+  import org.apache.spark.sql.Column
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr, ... */
+  case class MatchedUpdate(cond: Option[Column], set: Map[String, Column]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  case class MatchedDelete(cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (the source row, aligned to
+    * the table schema). At most one per merge. */
+  case class NotMatchedInsert(cond: Option[Column] = None) extends MergeClause
+}
+
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
@@ -737,7 +761,7 @@ class BranchCatalog(
       // one anti-join per key schema; legacy tombstones (no recorded
       // keyCols) each form their own group, keyed by manifest path
       val delGroups = dels
-        .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(" ") else d.path)
+        .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(",") else d.path)
         .toSeq.sortBy(_._1)
       delGroups.zipWithIndex.foldLeft(base) { case (acc, ((_, group), i)) =>
         val delFiles = group.flatMap(m => readManifest(m.path))
@@ -808,6 +832,105 @@ class BranchCatalog(
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     committed
+  }
+
+  /** Multi-table ATOMIC commit (the transactional surface the reference
+    * inherits from Nessie, whose commits span every table on a branch —
+    * pyiceberg_patch_nessie.py): `body` STAGES writes against any number
+    * of tables (data files + manifests land immediately — the expensive
+    * IO happens once, outside the commit retry loop), then ONE refs swap
+    * publishes every staged table's new snapshot together. Readers can
+    * never observe table A advanced but table B not: the refs document is
+    * the single linearization point for the whole catalog. A concurrent
+    * commit just loses/wins the optimistic race — on retry every staged
+    * table re-parents onto the fresh branch state, so non-conflicting
+    * writers interleave freely; a schema changed mid-transaction aborts
+    * the whole commit (nothing publishes). A `body` that throws abandons
+    * the staged files to orphan GC — nothing publishes either.
+    *
+    * {{{
+    *   cat.transaction("main") { txn =>
+    *     txn.append("facts", factBatch)
+    *     txn.append("fact_audit", auditRows)
+    *     txn.deleteKeys("quarantine", resolvedKeys)
+    *   }
+    * }}}
+    *
+    * @return table -> committed snapshot (empty body = no commit)
+    */
+  def transaction(branch: String = "main")(
+      body: TableTransaction => Unit): Map[String, Snapshot] = {
+    val txn = new TableTransaction(branch)
+    body(txn)
+    val staged = txn.staged()
+    if (staged.isEmpty) return Map.empty
+    var out = Map.empty[String, Snapshot]
+    commitRefs { refs =>
+      out = Map.empty // retry-safe: rebuilt against the fresh refs
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      var tables = b.tables
+      for ((table, st) <- staged) {
+        val parentId = tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+        val parent = loadSnapshot(table, parentId)
+        require(parent.schemaDdl == st.schemaDdl,
+          s"schema of $table changed during the transaction — aborting the whole commit")
+        if (st.deletes.nonEmpty)
+          requireTombstoneHeadroom(table, branch, parent, "transactional deleteKeys")
+        val s = parent.seq + 1
+        val snap = Snapshot(newId(), Some(parentId),
+          parent.manifests ++ st.appends.map(_.copy(seq = s)),
+          parent.schemaDdl, System.currentTimeMillis(), parent.partitionSpec,
+          parent.deleteManifests ++ st.deletes.map(_.copy(seq = s)), s)
+        writeSnapshot(table, snap)
+        tables = tables.updated(table, snap.id)
+        out += table -> snap
+      }
+      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = tables)))
+    }
+    out
+  }
+
+  private[wap] case class StagedTable(
+      schemaDdl: String, appends: Vector[ManifestRef], deletes: Vector[ManifestRef])
+
+  /** The staging handle [[transaction]] passes to its body. Staging
+    * writes files and manifests eagerly; NOTHING is visible to any reader
+    * until the transaction's single refs commit. */
+  final class TableTransaction private[wap] (branch: String) {
+    private val byTable =
+      scala.collection.mutable.LinkedHashMap.empty[String, StagedTable]
+
+    private def schemaOf(table: String): StructType = {
+      val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+      StructType.fromDDL(loadSnapshot(table, id).schemaDdl)
+    }
+    private def entry(table: String): StagedTable =
+      byTable.getOrElseUpdate(table,
+        StagedTable(schemaOf(table).toDDL, Vector.empty, Vector.empty))
+
+    /** Stage an append (same alignment rules as [[BranchCatalog.append]]). */
+    def append(table: String, df: DataFrame): Unit = {
+      val st = entry(table)
+      val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
+      val manifest = writeManifest(table, writeDataFiles(table, aligned))
+      byTable(table) = st.copy(appends = st.appends :+ manifest)
+    }
+
+    /** Stage a merge-on-read key delete ([[BranchCatalog.deleteKeysMOR]]
+      * semantics: covers data committed BEFORE this transaction — never
+      * appends staged alongside it). */
+    def deleteKeys(table: String, keys: DataFrame): Unit = {
+      require(keys.schema.fields.nonEmpty, "deleteKeys needs at least one key column")
+      val st = entry(table)
+      val cols = StructType.fromDDL(st.schemaDdl).fieldNames.toSet
+      keys.schema.fieldNames.foreach(c => require(cols.contains(c),
+        s"delete key column $c is not a column of $table"))
+      val manifest = writeManifest(table, writeDataFiles(table, keys.distinct()))
+        .copy(keyCols = keys.schema.fieldNames.toSeq)
+      byTable(table) = st.copy(deletes = st.deletes :+ manifest)
+    }
+
+    private[wap] def staged(): Seq[(String, StagedTable)] = byTable.toSeq
   }
 
   def snapshotIdOf(table: String, branch: String = "main"): Option[String] =
@@ -1725,6 +1848,148 @@ class BranchCatalog(
       }
       UpsertResult(committed, rowsReplaced, rowsInserted,
         affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+    } finally { aligned.unpersist(); () }
+  }
+
+  /** Conditional MERGE INTO, copy-on-write (standard / Iceberg MERGE
+    * semantics — the conditional superset of [[upsert]], which is the
+    * replace-only special case): source and target rows pair on `keys`,
+    * and each pairing outcome is decided by `clauses` —
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ...`,
+    * `WHEN MATCHED [AND cond] THEN DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT` — see [[MergeClause]] for
+    * the `t.`/`s.` alias contract and first-match-wins ordering.
+    *
+    * Planning is [[upsert]]'s: the source's per-key min/max builds a
+    * range predicate, footer stats prune the table to files that MAY
+    * pair with a source key, ONLY those files are rewritten (matched
+    * rows transformed per their winning clause, unclaimed rows surviving
+    * byte-equal) with the qualifying inserts written alongside in the
+    * same job; untouched manifests carry over by reference. One full-
+    * outer join resolves matched / target-only / source-only in a single
+    * pass. Source keys should be unique (duplicate source keys pair
+    * every copy with the same target row). Rows where a clause condition
+    * is NULL do not fire it (SQL semantics). */
+  def mergeInto(
+      table: String, source: DataFrame, keys: Seq[String],
+      clauses: Seq[MergeClause], branch: String = "main"): MergeIntoResult = {
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit, sum => fsum, when}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    require(clauses.count(_.isInstanceOf[MergeClause.NotMatchedInsert]) <= 1,
+      "at most one WHEN NOT MATCHED clause")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    for (k <- keys)
+      require(schema.fieldNames.contains(k), s"key column $k is not in ${schema.toDDL}")
+    for (MergeClause.MatchedUpdate(_, set) <- clauses; c <- set.keys)
+      require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    val aligned = alignToSchema(source, schema, table, branch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (aligned.isEmpty) return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
+
+      // same sound key-range prune as upsert
+      val boundsRow = aligned.agg(
+        org.apache.spark.sql.functions.min(fcol(keys.head)).as("b0"),
+        (org.apache.spark.sql.functions.max(fcol(keys.head)).as("b1") +:
+          keys.tail.zipWithIndex.flatMap { case (k, i) =>
+            Seq(org.apache.spark.sql.functions.min(fcol(k)).as(s"b${2 * i + 2}"),
+              org.apache.spark.sql.functions.max(fcol(k)).as(s"b${2 * i + 3}"))
+          }): _*).head
+      val pruneCond = keys.zipWithIndex.flatMap { case (k, i) =>
+        val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
+        if (lo == null || hi == null) None
+        else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+
+      val spec = cur.partitionSpec.map(PartitionSpec.parse)
+      val perManifest = cur.manifests.map { m =>
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, pruneCond, schema, spec)
+        val affectedPaths = affected.map(_.path).toSet
+        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      }
+      val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+
+      val targetScan =
+        if (affectedFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+      val joined = targetScan
+        .withColumn("__t_hit", lit(true)).alias("t")
+        .join(aligned.withColumn("__s_hit", lit(true)).alias("s"),
+          // plain equality: NULL keys never match (SQL MERGE semantics) —
+          // a null-keyed target row survives unchanged, a null-keyed
+          // source row is NOT MATCHED
+          keys.map(k => fcol(s"t.$k") === fcol(s"s.$k")).reduce(_ && _), "full_outer")
+      val matched = fcol("t.__t_hit").isNotNull && fcol("s.__s_hit").isNotNull
+      val targetOnly = fcol("t.__t_hit").isNotNull && fcol("s.__s_hit").isNull
+      val sourceOnly = fcol("t.__t_hit").isNull && fcol("s.__s_hit").isNotNull
+
+      // one action label per row: first-match-wins over the clause list
+      val fires = clauses.zipWithIndex.map {
+        case (MergeClause.MatchedUpdate(c, _), i) =>
+          (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"u$i")
+        case (MergeClause.MatchedDelete(c), i) =>
+          (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"d$i")
+        case (MergeClause.NotMatchedInsert(c), i) =>
+          (sourceOnly && coalesce(c.getOrElse(lit(true)), lit(false)), s"i$i")
+      }
+      val action = fires.foldRight(
+        when(targetOnly || matched, "t").otherwise("x")) { case ((cond, label), rest) =>
+        when(cond, label).otherwise(rest)
+      }
+      val actioned = joined.withColumn("__action", action)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val isU = fcol("__action").startsWith("u")
+        val isD = fcol("__action").startsWith("d")
+        val isI = fcol("__action").startsWith("i")
+        val countsRow = actioned.agg(
+          fsum(when(isU, 1L).otherwise(0L)).as("u"),
+          fsum(when(isD, 1L).otherwise(0L)).as("d"),
+          fsum(when(isI, 1L).otherwise(0L)).as("i")).head
+        def cnt(i: Int): Long = if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i)
+        val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
+
+        val survivors = actioned.filter(!isD && fcol("__action") =!= "x")
+          .select(schema.fields.map { f =>
+            val updated = clauses.zipWithIndex.foldLeft(
+              when(isI, fcol(s"s.${f.name}")).otherwise(fcol(s"t.${f.name}"))) {
+              case (acc, (MergeClause.MatchedUpdate(_, set), i)) if set.contains(f.name) =>
+                when(fcol("__action") === s"u$i", set(f.name).cast(f.dataType)).otherwise(acc)
+              case (acc, _) => acc
+            }
+            updated.as(f.name)
+          }.toIndexedSeq: _*)
+        val rewritten = writeTableFiles(table, survivors, spec)
+        val newSeq = cur.seq + 1
+        val newManifests =
+          perManifest.flatMap { case (m, affected, untouched) =>
+            if (affected.isEmpty) Some(m)
+            else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
+            else None
+          } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq))
+                else Seq.empty)
+        var committed: Snapshot = null
+        commitRefs { refs =>
+          val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+          require(b.tables.get(table).contains(curId),
+            s"concurrent commit on $table@$branch during merge")
+          require(cur.deleteManifests.isEmpty,
+            s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
+          committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+            System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+          writeSnapshot(table, committed)
+          refs.copy(branches = refs.branches.updated(branch,
+            b.copy(tables = b.tables.updated(table, committed.id))))
+        }
+        MergeIntoResult(committed, nUpd, nDel, nIns,
+          affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+      } finally { actioned.unpersist(); () }
     } finally { aligned.unpersist(); () }
   }
 

@@ -2,6 +2,7 @@ package graft.wap
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.{SparkSpecBase, Tables}
 import graft.quality._
 import graft.sources.DataGen
@@ -446,6 +447,124 @@ class WapSpec extends SparkSpecBase {
     assert(err.getMessage.contains("append-granular"))
     cat.compactDataFiles("t")
     assert(cat.consumeIncremental("t", "c1")(df => assert(df.count() == 9)).isDefined)
+  }
+
+  test("transaction: multi-table commit is atomic, retries races, aborts whole") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wap-txn").toString
+    val cat = new BranchCatalog(spark, root)
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("facts", docs.schema)
+    cat.createTableIfNotExists("audit", StructType.fromDDL("batch STRING, n BIGINT"))
+    cat.append("facts", docs.filter(col("doc_id") < 10))
+
+    // 1) two tables, one commit: both advance together, one refs version
+    val v0 = cat.currentRefs().version
+    val snaps = cat.transaction() { txn =>
+      txn.append("facts", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+      txn.append("audit", Seq(("b1", 20L)).toDF("batch", "n"))
+    }
+    assert(cat.currentRefs().version == v0 + 1, "one refs swap for the whole txn")
+    assert(snaps.keySet == Set("facts", "audit"))
+    assert(cat.snapshotIdOf("facts").contains(snaps("facts").id))
+    assert(cat.snapshotIdOf("audit").contains(snaps("audit").id))
+    assert(cat.scan("facts").count() == 30 && cat.scan("audit").count() == 1)
+
+    // 2) a concurrent committer lands between stage and commit: the
+    // transaction's optimistic commit re-parents onto the fresh state
+    // (losing a race just retries) and BOTH writers survive
+    val competitor = new BranchCatalog(spark, root)
+    val txnResult = cat.transaction() { txn =>
+      txn.append("facts", docs.filter(col("doc_id") >= 40 && col("doc_id") < 45))
+      txn.append("audit", Seq(("b2", 5L)).toDF("batch", "n"))
+      // lands BEFORE the txn's refs swap: the txn's first attempt reads
+      // refs after this, or loses the race and retries — either way both
+      // commits survive on top of each other
+      competitor.append("facts", docs.filter(col("doc_id") >= 30 && col("doc_id") < 35))
+    }
+    assert(txnResult.size == 2)
+    assert(cat.scan("facts").count() == 40, "competitor + txn rows all present")
+    assert(cat.scan("audit").count() == 2)
+
+    // 3) all-or-nothing: schema change mid-transaction aborts BOTH tables
+    val factsHead = cat.snapshotIdOf("facts").get
+    val auditHead = cat.snapshotIdOf("audit").get
+    intercept[IllegalArgumentException] {
+      cat.transaction() { txn =>
+        txn.append("facts", docs.filter(col("doc_id") >= 50 && col("doc_id") < 55))
+        txn.append("audit", Seq(("b3", 5L)).toDF("batch", "n"))
+        cat.evolveSchema("audit", StructType.fromDDL("batch STRING, n BIGINT, extra STRING"))
+      }
+    }
+    assert(cat.snapshotIdOf("facts").contains(factsHead), "facts must not advance")
+    assert(cat.scan("facts").count() == 40)
+
+    // 4) a throwing body commits nothing
+    val before = cat.currentRefs().version
+    intercept[RuntimeException] {
+      cat.transaction() { txn =>
+        txn.append("facts", docs.filter(col("doc_id") >= 60 && col("doc_id") < 65))
+        sys.error("boom")
+      }
+    }
+    assert(cat.currentRefs().version == before)
+    assert(cat.scan("facts").count() == 40)
+
+    // 5) staged MOR delete joins the same atomic commit
+    cat.transaction() { txn =>
+      txn.deleteKeys("facts", Seq(3L, 7L).toDF("doc_id"))
+      txn.append("audit", Seq(("gdpr", 2L)).toDF("batch", "n"))
+    }
+    assert(cat.scan("facts").count() == 38)
+    assert(cat.scan("audit").count() == 3)
+  }
+
+  test("mergeInto: conditional WHEN MATCHED UPDATE/DELETE + NOT MATCHED INSERT") {
+    import graft.wap.MergeClause._
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 40))          // ids 0..39
+    cat.append("t", docs.filter(col("doc_id") >= 40 && col("doc_id") < 80))
+    // outside the source key range: its files must survive by reference
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 140))
+
+    // source overlaps 20..59 (matched) and brings 80..89 (not matched)
+    val source = docs.filter(
+      (col("doc_id") >= 20 && col("doc_id") < 60) ||
+        (col("doc_id") >= 80 && col("doc_id") < 90))
+    val res = cat.mergeInto("t", source, Seq("doc_id"), Seq(
+      MatchedUpdate(Some(col("s.doc_id") % 2 === 0),
+        Map("n_chars" -> (col("t.n_chars") + lit(1000L)))),
+      MatchedDelete(Some(col("s.doc_id") % 3 === 0)),
+      NotMatchedInsert(Some(col("s.doc_id") < 85))))
+
+    // matched evens (20,22,...,58) -> updated: 20 rows
+    assert(res.rowsUpdated == 20)
+    // matched odd multiples of 3 in 20..59 (21,27,...,57) -> deleted: 7
+    assert(res.rowsDeleted == 7)
+    // 80..84 inserted; 85..89 fail the insert condition -> dropped
+    assert(res.rowsInserted == 5)
+    val out = cat.scan("t")
+    assert(out.count() == 120 - 7 + 5)
+    // the winning clause transformed exactly its rows
+    val updated = out.filter(col("doc_id") >= 20 && col("doc_id") < 60 && col("doc_id") % 2 === 0)
+    val origSum = docs.filter(col("doc_id") >= 20 && col("doc_id") < 60 && col("doc_id") % 2 === 0)
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    assert(updated.agg(sum(col("n_chars"))).head.getLong(0) == origSum + 20 * 1000L)
+    assert(out.filter(col("doc_id") === 21L).count() == 0, "delete clause fired")
+    assert(out.filter(col("doc_id") === 23L).count() == 1, "unclaimed matched row survives")
+    assert(out.filter(col("doc_id") === 87L).count() == 0, "conditional insert filtered")
+    // first-match-wins: 24 is even AND %3 - update won, row still there
+    assert(out.filter(col("doc_id") === 24L).count() == 1)
+    // rows outside the source key range never rewritten
+    assert(res.filesUntouched > 0)
+
+    // empty-SET safety: merge with only a delete clause, no source match
+    val res2 = cat.mergeInto("t",
+      docs.filter(col("doc_id") >= 500 && col("doc_id") < 505),
+      Seq("doc_id"), Seq(MatchedDelete(None)))
+    assert(res2.rowsDeleted == 0 && res2.rowsInserted == 0)
   }
 
   test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
