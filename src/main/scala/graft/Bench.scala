@@ -75,7 +75,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's bench artifact truncates to the stdout tail and loses
+    // most per-query timings; ALSO write the full line to a file so every
+    // round's complete map is reviewable in-repo (SPARK_GRAFT_BENCH_OUT
+    // overrides the default repo-root path; failures are non-fatal — the
+    // bench itself has already reported)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -13,19 +13,25 @@ import org.apache.spark.sql.functions._
   * TESTDATA.md). Dimension tables (region/nation/supplier/part) stay
   * fixed, as TPC-H's own nation/region do.
   *
-  * documents/embeddings are copied VERBATIM, not replicated: replicating
-  * text ×N makes every doc an exact duplicate family, which inverts the
-  * selectivity of the dedup/text family rather than scaling it — those
-  * queries are benchmarked at driver SFs only (use SPARK_GRAFT_ONLY to
-  * bench the scaled relational subset).
+  * documents/embeddings are copied VERBATIM by default, not replicated:
+  * replicating text ×N makes every doc an exact duplicate family, which
+  * inverts the selectivity of the dedup/text family rather than scaling
+  * it — those queries are benchmarked at driver SFs only (use
+  * SPARK_GRAFT_ONLY to bench the scaled relational subset). A trailing
+  * `--with-docs` ALSO key-shift-replicates documents (doc_id shifted,
+  * text verbatim per copy): wrong for the similarity-sensitive families,
+  * right for scaling the WAP lifecycle queries, whose work depends on
+  * table/batch SIZE, never on text content.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> [factor=10]
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> [factor=10] [--with-docs]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcDir> <dstDir> [factor]")
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <dstDir> [factor] [--with-docs]")
     val (src, dst) = (args(0), args(1))
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val withDocs = args.contains("--with-docs")
+    val factor = args.drop(2).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
@@ -36,7 +42,10 @@ object ScaleGen {
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
 
-    for (t <- Seq("region", "nation", "supplier", "part", "documents", "embeddings"))
+    val verbatim =
+      if (withDocs) Seq("region", "nation", "supplier", "part", "embeddings")
+      else Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+    for (t <- verbatim)
       read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     def replicate(t: String, shifts: Map[String, Long]): Unit = {
@@ -58,6 +67,8 @@ object ScaleGen {
     replicate("orders", Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
     replicate("lineitem", Map("l_orderkey" -> ordOff))
     replicate("events", Map("event_id" -> evOff, "user_id" -> userOff))
+    if (withDocs)
+      replicate("documents", Map("doc_id" -> maxOf(read("documents"), "doc_id")))
 
     println(s"""{"scalegen":"done","src":"$src","dst":"$dst","factor":$factor}""")
     spark.stop()

@@ -45,6 +45,17 @@ class RelationalSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q19: IN-subquery plans a broadcast LEFT SEMI join, no shuffle") {
+    // pins q19's shape against perf drift: the hinted broadcast survives
+    // threshold -1, the join is left-semi (stops at first match), and the
+    // fact side reaches the join without any exchange
+    val p = planNoAutoBroadcast(Relational.q19ExistsIn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the orders side must stream into the broadcast join unshuffled\n$p")
+  }
+
   test("q14: the per-partkey aggregate is NOT force-broadcast") {
     // with the size threshold off, a broadcast can only appear through an
     // explicit hint — the OOM path this test guards against. (At real
