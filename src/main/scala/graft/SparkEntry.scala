@@ -196,7 +196,7 @@ object SparkEntry {
     "wap_txn" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
     "wap_sql_scan" ->
-      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 210) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 215) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

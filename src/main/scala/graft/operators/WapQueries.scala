@@ -411,6 +411,11 @@ object WapQueries {
     spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
 
+    // the SQL WRITE path: INSERT INTO the branch namespace (main is
+    // write-audit-publish-guarded and refuses direct SQL writes)
+    spark.sql(s"INSERT INTO $lake.wip.documents " +
+      s"SELECT * FROM parquet.`$dir/documents.parquet` WHERE doc_id >= 210 AND doc_id < 215")
+
     val filtered = spark.sql(
       s"SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         s"FROM $lake.main.documents WHERE doc_id >= 50")

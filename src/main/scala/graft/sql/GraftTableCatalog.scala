@@ -9,6 +9,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -50,9 +52,13 @@ import graft.wap.BranchCatalog
   *    pruner, but rows cross a per-row conversion boundary — correct on
   *    any vanilla session, slower than the lowered path.
   *
-  * Writes are deliberately NOT exposed (`INSERT INTO` fails with Spark's
-  * capability error): mutation goes through the WAP API so nothing can
-  * land on main unaudited — the whole point of the reference pattern.
+  * Writes: `INSERT INTO` / `INSERT OVERWRITE` (and therefore CTAS)
+  * commit through the ordinary catalog write path — but only on BRANCH
+  * namespaces. A write to main is refused unless the catalog sets
+  * `write.main=true`: nothing lands on main unaudited, which is the
+  * whole point of the reference pattern — `INSERT INTO lake.wip.t`,
+  * audit, then publish. Row-level SQL DML (UPDATE/DELETE/MERGE) stays on
+  * the Scala API ([[graft.wap.BranchCatalog.mergeInto]] etc.).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -64,6 +70,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root=<lake root path>"))
+    mainWritesAllowed = options.getBoolean("write.main", false)
   }
 
   override def name(): String = catalogName
@@ -148,8 +155,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def table(ident: Identifier, branch: String, snapshotId: String): GraftTable = {
     val schema = cat.schemaOfSnapshot(ident.name(), snapshotId)
-    GraftTable(root, branch, ident.name(), snapshotId, schema)
+    GraftTable(root, branch, ident.name(), snapshotId, schema, mainWritesAllowed)
   }
+
+  /** SQL writes land on BRANCHES by default: `INSERT INTO <cat>.main.t`
+    * would bypass write-audit-publish, so it is refused unless the
+    * catalog is configured with `spark.sql.catalog.<name>.write.main=
+    * true`. Branch writes + a WAP publish keep the reference's guarantee
+    * that nothing reaches main unaudited. */
+  private var mainWritesAllowed: Boolean = false
 
   /** `CREATE TABLE lake.<branch>.<t> (cols...)` — metadata-only, like
     * `createTableIfNotExists` (no partition transforms / properties:
@@ -189,13 +203,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   * read plan is built on demand by [[scanDF]]. */
 case class GraftTable(
     root: String, branch: String, tableName: String,
-    snapshotId: String, tableSchema: StructType)
-  extends Table with SupportsRead {
+    snapshotId: String, tableSchema: StructType,
+    mainWritesAllowed: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$branch.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
 
@@ -212,6 +229,34 @@ case class GraftTable(
     * keeps every filter as a residual (the prune is conservative). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
+
+  /** `INSERT INTO` = [[BranchCatalog.append]]; `INSERT OVERWRITE` (via
+    * the TRUNCATE capability) = [[BranchCatalog.overwrite]]. Both are
+    * ordinary catalog commits — snapshot isolation, O(batch) metadata —
+    * through the connector's V1 write bridge (the df is handed over
+    * whole; no per-row boundary). Writes target THIS table's branch and
+    * are refused on main unless the catalog opts in — publish a branch
+    * with the WAP flow instead (that is the reference's contract). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              require(branch != "main" || mainWritesAllowed,
+                s"SQL writes to $tableName on main are disabled: main only changes " +
+                  "through write-audit-publish (write to a branch namespace and " +
+                  "publish it, or set spark.sql.catalog.<name>.write.main=true)")
+              val cat = new BranchCatalog(data.sparkSession, root)
+              if (overwrite) cat.overwrite(tableName, data, branch)
+              else cat.append(tableName, data, branch)
+              ()
+            }
+          }
+      }
+    }
 }
 
 private class GraftScanBuilder(t: GraftTable) extends ScanBuilder

@@ -834,6 +834,36 @@ class BranchCatalog(
     committed
   }
 
+  /** Replace table@branch's CURRENT content with `df` in one commit (SQL
+    * `INSERT OVERWRITE` semantics): the new snapshot's manifest list is
+    * exactly the batch's manifest — prior files stay referenced by older
+    * snapshots for time travel until expiry, and pending MOR tombstones
+    * are cleared (everything they covered is gone). Metadata cost is the
+    * same O(batch) as [[append]]. */
+  def overwrite(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val aligned =
+      if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl), table, branch)
+      else df
+    val manifest = writeManifest(table, writeTableFiles(table, aligned,
+      cur.partitionSpec.map(PartitionSpec.parse)))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during overwrite")
+      val s = cur.seq + 1
+      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = s)),
+        if (cur.schemaDdl.nonEmpty) cur.schemaDdl else df.schema.toDDL,
+        System.currentTimeMillis(), cur.partitionSpec, Nil, s)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
   /** Multi-table ATOMIC commit (the transactional surface the reference
     * inherits from Nessie, whose commits span every table on a branch —
     * pyiceberg_patch_nessie.py): `body` STAGES writes against any number

@@ -132,13 +132,13 @@ class SqlCatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
-  test("SQL DDL: CREATE TABLE / DROP TABLE; writes are refused by design") {
+  test("SQL DDL: CREATE TABLE / DROP TABLE; main writes are refused by design") {
     val (lake, cat) = register()
     spark.sql(s"CREATE TABLE $lake.main.fresh (id BIGINT, name STRING)")
     assert(cat.listTables().contains("fresh"))
     assert(spark.sql(s"SELECT * FROM $lake.main.fresh").count() == 0)
-    // mutation must go through the WAP API (write-audit-publish), never
-    // raw SQL INSERT — the table advertises no write capability
+    // main only changes through write-audit-publish: direct SQL INSERT
+    // into the main namespace is refused (branch namespaces accept it)
     intercept[Exception] {
       spark.sql(s"INSERT INTO $lake.main.fresh VALUES (1, 'x')")
     }
@@ -147,6 +147,63 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT name FROM $lake.main.fresh WHERE id = 1").head.getString(0) == "x")
     spark.sql(s"DROP TABLE $lake.main.fresh")
     assert(!cat.listTables().contains("fresh"))
+  }
+
+  test("SQL writes: INSERT INTO a branch, publish via merge; main writes refused") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+
+    // main is WAP-protected: the write must not land
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $lake.main.t SELECT * FROM parquet.`$sfDir/documents.parquet` WHERE doc_id >= 10 AND doc_id < 20")
+    }
+    assert(err.getMessage.contains("write-audit-publish"))
+    assert(cat.scan("t").count() == 10)
+
+    // the branch route: INSERT INTO the namespace, then publish
+    spark.sql(s"CREATE NAMESPACE $lake.ingest")
+    spark.sql(s"INSERT INTO $lake.ingest.t SELECT * FROM parquet.`$sfDir/documents.parquet` WHERE doc_id >= 10 AND doc_id < 20")
+    assert(cat.scan("t", "ingest").count() == 20)
+    assert(cat.scan("t", "main").count() == 10, "branch write is isolated")
+    cat.merge("ingest")
+    assert(cat.scan("t", "main").count() == 20)
+
+    // INSERT OVERWRITE replaces the branch content in one commit
+    spark.sql(s"INSERT OVERWRITE $lake.ingest.t SELECT * FROM parquet.`$sfDir/documents.parquet` WHERE doc_id < 5")
+    assert(cat.scan("t", "ingest").count() == 5)
+    assert(cat.scan("t", "main").count() == 20, "overwrite stays on its branch")
+
+    // time travel still reaches the pre-overwrite content
+    val hist = cat.commitHistory("t", "ingest")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $lake.ingest.t VERSION AS OF '${hist.init.last.snapshotId}'")
+      .head.getLong(0) == 20)
+  }
+
+  test("CTAS into a branch namespace (create + insert through the connector)") {
+    val (lake, cat) = register()
+    spark.sql(s"CREATE NAMESPACE $lake.wip")
+    spark.sql(
+      s"CREATE TABLE $lake.wip.top AS SELECT doc_id, n_chars FROM parquet.`$sfDir/documents.parquet` WHERE doc_id < 30")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.wip.top").head.getLong(0) == 30)
+    assert(cat.listTables("wip").contains("top"))
+    // schema came from the query
+    assert(cat.scan("top", "wip").columns.toSeq == Seq("doc_id", "n_chars"))
+  }
+
+  test("write.main=true opts a catalog into direct main writes") {
+    import spark.implicits._
+    val (lakeDefault, cat) = register()
+    val root = cat.root
+    val lake = s"${lakeDefault}rw"
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+    spark.conf.set(s"spark.sql.catalog.$lake.write.main", "true")
+    cat.createTableIfNotExists("t", Seq((1L, "a")).toDF("id", "v").schema)
+    spark.sql(s"INSERT INTO $lake.main.t VALUES (1, 'a'), (2, 'b')")
+    assert(cat.scan("t").count() == 2)
   }
 
   test("one query pins one snapshot (analysis-time isolation)") {
