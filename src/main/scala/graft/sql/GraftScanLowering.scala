@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graft.Bridge
@@ -40,13 +40,16 @@ import org.apache.spark.sql.graft.Bridge
 class GraftScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!GraftScanLowering.enabled(spark)) plan
-    else plan.transformUp {
-      case f @ Filter(cond, rel: DataSourceV2Relation)
-          if rel.table.isInstanceOf[GraftTable] =>
-        val lowered = GraftScanLowering.lower(
-          spark, rel.table.asInstanceOf[GraftTable], rel.output,
-          GraftScanLowering.pruneCondition(cond))
-        Filter(cond, lowered)
+    else {
+      val protect = GraftScanLowering.commandTargets(plan)
+      plan.transformUp {
+        case Filter(cond, rel: DataSourceV2Relation)
+            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) =>
+          val lowered = GraftScanLowering.lower(
+            spark, rel.table.asInstanceOf[GraftTable], rel.output,
+            GraftScanLowering.pruneCondition(cond))
+          Filter(cond, lowered)
+      }
     }
 }
 
@@ -55,16 +58,32 @@ class GraftScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftBareScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!GraftScanLowering.enabled(spark)) plan
-    else plan.transformUp {
-      case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
-        GraftScanLowering.lower(
-          spark, rel.table.asInstanceOf[GraftTable], rel.output, None)
+    else {
+      val protect = GraftScanLowering.commandTargets(plan)
+      plan.transformUp {
+        case rel: DataSourceV2Relation
+            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) =>
+          GraftScanLowering.lower(
+            spark, rel.table.asInstanceOf[GraftTable], rel.output, None)
+      }
     }
 }
 
 object GraftScanLowering {
   private[sql] def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.sql.lowering", "true").toBoolean
+
+  /** Relations that are the TARGET of a row-level command (`DELETE FROM`
+    * etc.): the command's strategy must see the V2 relation itself, so
+    * lowering skips them (the condition is already pushed to the table's
+    * own deleteWhere, not read through a scan). Reference identity: a
+    * self-referencing statement may hold an equal-looking read relation
+    * that SHOULD lower. */
+  private[sql] def commandTargets(plan: LogicalPlan): Seq[LogicalPlan] = plan.collect {
+    case d: DeleteFromTable => d.table
+    case u: UpdateTable => u.table
+    case m: MergeIntoTable => m.targetTable
+  }
 
   /** The conjuncts of `cond` a detached DataFrame filter can express:
     * deterministic, subquery-free ones, with attribute references

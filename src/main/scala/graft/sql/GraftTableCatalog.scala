@@ -184,10 +184,39 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not exposed over SQL; schema evolution goes through " +
-        "BranchCatalog.evolveSchema (validated widenings only)")
+  /** `ALTER TABLE ... ADD COLUMN` (nullable, top-level) and
+    * `ALTER COLUMN ... TYPE` (lossless widenings) — both lower onto
+    * [[BranchCatalog.evolveSchema]], which enforces the same rules for
+    * SQL and Scala callers (no drops/renames; added columns nullable;
+    * widenings only). Metadata-only, one commit. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val branch = branchOf(ident.namespace())
+    val name = ident.name()
+    val id = cat.snapshotIdOf(name, branch).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName, branch, name)))
+    val evolved = changes.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft columns are top-level; nested ADD COLUMN is not supported")
+          require(add.isNullable, s"added column ${add.fieldNames().head} must be nullable")
+          StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+            add.fieldNames().head, add.dataType(), nullable = true))
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames().length == 1,
+            "graft columns are top-level; nested ALTER COLUMN is not supported")
+          StructType(schema.fields.map(f =>
+            if (f.name == upd.fieldNames().head) f.copy(dataType = upd.newDataType()) else f))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported ALTER TABLE change $other: graft schema evolution " +
+              "accepts ADD COLUMN (nullable) and type widenings only")
+      }
+    }
+    cat.evolveSchema(name, evolved, branch)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     cat.dropTable(ident.name(), branchOf(ident.namespace()))
@@ -205,7 +234,7 @@ case class GraftTable(
     root: String, branch: String, tableName: String,
     snapshotId: String, tableSchema: StructType,
     mainWritesAllowed: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$branch.$tableName"
   override def schema(): StructType = tableSchema
@@ -230,6 +259,29 @@ case class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
 
+  private def requireWritable(op: String): Unit =
+    require(branch != "main" || mainWritesAllowed,
+      s"SQL $op on $tableName@main is disabled: main only changes through " +
+        "write-audit-publish (run it on a branch namespace and publish, or " +
+        "set spark.sql.catalog.<name>.write.main=true)")
+
+  /** `DELETE FROM` — lowered onto the copy-on-write
+    * [[BranchCatalog.deleteWhere]] (stats-bounded file rewrite), under
+    * the same branch guard as inserts. Only predicates the manifest
+    * pruner can evaluate are accepted ([[canDeleteWhere]]); Spark
+    * reports unsupported shapes at analysis time. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    requireWritable("DELETE")
+    val cond = filters.flatMap(GraftScanBuilder.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t (no WHERE)
+    new BranchCatalog(SparkSession.active, root).deleteWhere(tableName, cond, branch)
+    ()
+  }
+
   /** `INSERT INTO` = [[BranchCatalog.append]]; `INSERT OVERWRITE` (via
     * the TRUNCATE capability) = [[BranchCatalog.overwrite]]. Both are
     * ordinary catalog commits — snapshot isolation, O(batch) metadata —
@@ -245,10 +297,7 @@ case class GraftTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
-              require(branch != "main" || mainWritesAllowed,
-                s"SQL writes to $tableName on main are disabled: main only changes " +
-                  "through write-audit-publish (write to a branch namespace and " +
-                  "publish it, or set spark.sql.catalog.<name>.write.main=true)")
+              requireWritable("writes")
               val cat = new BranchCatalog(data.sparkSession, root)
               if (overwrite) cat.overwrite(tableName, data, branch)
               else cat.append(tableName, data, branch)

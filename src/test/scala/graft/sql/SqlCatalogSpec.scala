@@ -206,6 +206,43 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 2)
   }
 
+  test("DELETE FROM lowers onto copy-on-write deleteWhere, branch-guarded") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    cat.createBranch("fix")
+
+    spark.sql(s"DELETE FROM $lake.fix.t WHERE doc_id < 10")
+    assert(cat.scan("t", "fix").count() == 30)
+    assert(cat.scan("t", "main").count() == 40, "delete is branch-isolated until merged")
+    cat.merge("fix")
+    assert(cat.scan("t", "main").count() == 30)
+
+    val err = intercept[Exception] { spark.sql(s"DELETE FROM $lake.main.t WHERE doc_id < 20") }
+    assert(err.getMessage.contains("write-audit-publish"))
+    assert(cat.scan("t", "main").count() == 30)
+  }
+
+  test("ALTER TABLE: ADD COLUMN and type widening through SQL; drops refused") {
+    val (lake, cat) = register()
+    import spark.implicits._
+    cat.createTableIfNotExists("t", Seq((1, "a")).toDF("id", "v").schema)
+    cat.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+
+    spark.sql(s"ALTER TABLE $lake.main.t ADD COLUMN score DOUBLE")
+    spark.sql(s"ALTER TABLE $lake.main.t ALTER COLUMN id TYPE BIGINT")
+    val schema = cat.scan("t").schema
+    assert(schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType)
+    // old files read under the evolved schema (added col null, id widened)
+    assert(spark.sql(s"SELECT sum(id) FROM $lake.main.t WHERE score IS NULL").head.getLong(0) == 3)
+
+    intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t DROP COLUMN v") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t ALTER COLUMN id TYPE INT") }
+    assert(cat.scan("t").columns.toSeq == Seq("id", "v", "score"))
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
