@@ -9,6 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.sources
@@ -240,6 +241,7 @@ case class GraftTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
@@ -338,6 +340,11 @@ private class GraftScanBuilder(t: GraftTable) extends ScanBuilder
           sel.rdd
         }
       }.asInstanceOf[T]
+
+    /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftMicroBatchStream(SparkSession.active, t.root, t.branch,
+        t.tableName, t.tableSchema, required)
   }
 }
 

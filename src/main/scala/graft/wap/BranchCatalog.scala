@@ -24,7 +24,11 @@ case class DataFileMeta(
     /** Hidden-partitioning transform value ("pv" -> value) when the file
       * was written by [[BranchCatalog.appendPartitioned]]; empty for
       * unpartitioned files (which partition pruning then never skips). */
-    partition: Map[String, String] = Map.empty)
+    partition: Map[String, String] = Map.empty,
+    /** File size in bytes (from the write-time FileStatus — no extra IO);
+      * 0 in pre-r8 metadata. Streaming reads and byte-aware planning use
+      * it; a 0 falls back to a getFileStatus call. */
+    bytes: Long = 0L)
 
 /** One immutable manifest file: the unit of commit. An append writes
   * exactly one manifest (listing only ITS files), so commit metadata cost
@@ -316,7 +320,8 @@ class BranchCatalog(
     StructField("lower", MapType(StringType, StringType)),
     StructField("upper", MapType(StringType, StringType)),
     StructField("nullCounts", MapType(StringType, LongType)),
-    StructField("partition", MapType(StringType, StringType))))
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("bytes", LongType)))
 
   /** A snapshot's manifest entries as a DataFrame — manifests are read
     * and parsed by EXECUTORS (Spark's JSON source yields one row per
@@ -452,7 +457,8 @@ class BranchCatalog(
           }
         }
       }
-      DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap)
+      DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap,
+        bytes = st.getLen)
     } finally reader.close()
   }
 
@@ -1475,6 +1481,34 @@ class BranchCatalog(
     * rows are reported again — snapshot deltas are append-granular, not
     * row-level CDC; run incremental consumers against append-only
     * windows or diff downstream. */
+  /** The data FILES `toId` references that `fromId` (None = nothing) does
+    * not — the file-level planning primitive behind [[scanChangesBetween]]
+    * and the streaming source. Same append-granular semantics; refuses
+    * while the head snapshot carries MOR tombstones (a row-suppressing
+    * delta cannot be expressed as added files). */
+  def changedFilesBetween(
+      table: String, fromId: Option[String], toId: String): Seq[DataFileMeta] = {
+    val to = loadSnapshot(table, toId)
+    require(to.deleteManifests.isEmpty,
+      s"snapshot $toId of $table has pending MOR tombstones and incremental deltas " +
+        "are append-granular — materialize with compactDataFiles first")
+    fromId match {
+      case None => filesOf(to)
+      case Some(f) =>
+        val from = loadSnapshotOpt(table, f).getOrElse(sys.error(
+          s"incremental start snapshot $f of $table has been expired — " +
+            "restart the consumer from scratch"))
+        val fromManifests = from.manifests.map(_.path).toSet
+        val newManifests = to.manifests.filterNot(m => fromManifests.contains(m.path))
+        if (newManifests.isEmpty) Seq.empty
+        else {
+          val fromFiles = from.manifests.flatMap(m => readManifest(m.path)).map(_.path).toSet
+          newManifests.flatMap(m => readManifest(m.path))
+            .filterNot(fl => fromFiles.contains(fl.path))
+        }
+    }
+  }
+
   def scanChangesBetween(table: String, fromId: String, toId: String): DataFrame = {
     val from = loadSnapshot(table, fromId)
     val to = loadSnapshot(table, toId)
@@ -1520,6 +1554,11 @@ class BranchCatalog(
     * catalog resolves `loadTable` schemas through this. */
   def schemaOfSnapshot(table: String, snapshotId: String): StructType =
     StructType.fromDDL(loadSnapshot(table, snapshotId).schemaDdl)
+
+  /** One snapshot's commit sequence (metadata read only) — orders the
+    * streaming source's offsets. */
+  def seqOfSnapshot(table: String, snapshotId: String): Long =
+    loadSnapshot(table, snapshotId).seq
 
   /** Roll a branch back to an earlier snapshot (Iceberg `rollback`):
     * one pointer swap — the bad commits stay on disk for inspection and

@@ -27,4 +27,57 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Spark's own executor-side parquet row reader, built on the driver
+    * and serialized into [[org.apache.spark.sql.connector.read
+    * .PartitionReaderFactory]] instances — the same `PartitionedFile =>
+    * Iterator[InternalRow]` closure FileSourceScanExec ships (vectorized
+    * reader, broadcast Hadoop conf). `buildReaderWithPartitionValues` is
+    * `private[sql]`, hence this bridge. The returned iterator may smuggle
+    * whole ColumnarBatches as InternalRow elements when the vectorized
+    * reader decides to return batches — callers unwrap via
+    * [[flattenBatches]]. */
+  def parquetReadFunc(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = classic,
+        dataSchema = dataSchema,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        requiredSchema = requiredSchema,
+        filters = Seq.empty,
+        // rows, never smuggled ColumnarBatches: the DSv2 PartitionReader
+        // contract is one InternalRow per next()
+        options = Map(
+          org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH
+            -> "false"),
+        hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
+  }
+
+  def partitionedFile(
+      path: String, length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      partitionValues = org.apache.spark.sql.catalyst.InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
+      start = 0L, length = length, locations = Array.empty,
+      modificationTime = 0L, fileSize = length)
+
+  /** Unwrap vectorized-reader ColumnarBatches smuggled through an
+    * InternalRow iterator (see [[parquetReadFunc]]). */
+  def flattenBatches(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    // the element type is a lie when the vectorized reader returns
+    // batches (Spark's own FileSourceScanExec does the same unchecked
+    // dance), so match through AnyRef
+    it.asInstanceOf[Iterator[AnyRef]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+      case r => Iterator.single(r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
 }

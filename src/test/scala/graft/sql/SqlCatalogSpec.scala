@@ -243,6 +243,76 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("t").columns.toSeq == Seq("id", "v", "score"))
   }
 
+  test("readStream.table streams the lake: initial load, per-commit deltas, WAP isolation") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+
+    val q = spark.readStream.table(s"$lake.main.t")
+      .writeStream.format("memory").queryName(s"lakestream$n").start()
+    try {
+      q.processAllAvailable()
+      def seen(): Long = spark.sql(s"SELECT count(*) FROM lakestream$n").head.getLong(0)
+      assert(seen() == 10, "first batch = full table (initial load)")
+
+      cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 30))
+      q.processAllAvailable()
+      assert(seen() == 30, "each commit arrives exactly once")
+
+      // WAP isolation: unpublished branch data must never stream
+      cat.createBranch("staging")
+      cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 120), "staging")
+      q.processAllAvailable()
+      assert(seen() == 30, "branch commits are invisible until published")
+      cat.merge("staging")
+      q.processAllAvailable()
+      assert(seen() == 50, "publishing the branch delivers its rows")
+
+      // values round-trip through the executor-side parquet reader
+      val ids = spark.sql(s"SELECT doc_id FROM lakestream$n ORDER BY doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == ((0L until 30L) ++ (100L until 120L)))
+    } finally q.stop()
+  }
+
+  test("streaming restart resumes from the checkpoint; MOR tombstones refuse") {
+    import spark.implicits._
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10))
+    val ckpt = Files.createTempDirectory("lakestream-ckpt").toString
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.table(s"$lake.main.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.select(col("doc_id")).collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(got.size == 10)
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 25))
+    run() // restart: only the new commit replays
+    assert(got.size == 25, s"restart must deliver exactly the new rows, got ${got.size}")
+
+    // a pending MOR tombstone makes append-granular streaming unsound -> fail loudly
+    cat.deleteKeysMOR("t", Seq(3L).toDF("doc_id"))
+    cat.append("t", docs.filter(col("doc_id") === 99L))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.table(s"$lake.main.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("tombstones") || err.getCause.getMessage.contains("tombstones"))
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
