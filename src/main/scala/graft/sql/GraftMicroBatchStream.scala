@@ -3,36 +3,46 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.StructType
 
 import graft.wap.BranchCatalog
 
-/** Streaming offset = a committed snapshot of the table (the sequence
-  * number orders offsets; the id resolves the snapshot). The sentinel
-  * `seq = -1` means "before the table's first commit" — the first batch
-  * is the full table (initial load), like Delta/Iceberg streaming
-  * sources. */
-case class GraftStreamOffset(snapshotId: String, seq: Long) extends Offset {
+/** Streaming offset: a committed snapshot of the table, plus an optional
+  * position WITHIN the stream-start snapshot's file list while the
+  * initial load is being delivered in chunks.
+  *
+  *  - `seq = -1` (sentinel): before anything — the next batch starts the
+  *    initial load.
+  *  - `idx >= 0`: the initial load over snapshot `snapshotId` has
+  *    delivered its first `idx` files (path-sorted order) and is not
+  *    done; the anchor snapshot stays FIXED until the load completes,
+  *    however far the branch head advances meanwhile.
+  *  - `idx = -1`: snapshot `snapshotId` fully delivered; later batches
+  *    are per-commit file deltas.
+  *
+  * The sequence number orders offsets; the id resolves the snapshot. */
+case class GraftStreamOffset(snapshotId: String, seq: Long, idx: Long = -1L) extends Offset {
   override def json(): String =
-    s"""{"snapshotId":"$snapshotId","seq":$seq}"""
+    s"""{"snapshotId":"$snapshotId","seq":$seq,"idx":$idx}"""
 }
 
 object GraftStreamOffset {
   val start: GraftStreamOffset = GraftStreamOffset("", -1L)
   def fromJson(json: String): GraftStreamOffset = {
-    // two scalar fields, fixed writer — a regex keeps this dependency-free
-    val id = """"snapshotId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse(sys.error(s"bad graft offset: $json"))
-    val seq = """"seq"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(sys.error(s"bad graft offset: $json"))
-    GraftStreamOffset(id, seq)
+    def field(name: String): Option[String] =
+      (""""""" + name + """"\s*:\s*("([^"]*)"|-?\d+)""").r
+        .findFirstMatchIn(json).map(m => Option(m.group(2)).getOrElse(m.group(1)))
+    GraftStreamOffset(
+      field("snapshotId").getOrElse(sys.error(s"bad graft offset: $json")),
+      field("seq").map(_.toLong).getOrElse(sys.error(s"bad graft offset: $json")),
+      field("idx").map(_.toLong).getOrElse(-1L))
   }
 }
 
-/** One micro-batch partition: a slice of the files one snapshot window
+/** One micro-batch partition: a slice of the files one offset window
   * added. Plain paths+lengths — executors never touch catalog metadata. */
 case class GraftFilesPartition(files: Seq[(String, Long)]) extends InputPartition
 
@@ -41,8 +51,9 @@ case class GraftFilesPartition(files: Seq[(String, Long)]) extends InputPartitio
   * mirror of [[graft.wap.BranchCatalog.consumeIncremental]]):
   *
   * {{{
-  *   spark.readStream.table("lake.main.events_log")
-  *     .writeStream...   // first batch = full table, then append deltas
+  *   spark.readStream
+  *     .option("maxFilesPerTrigger", 64)       // optional admission control
+  *     .table("lake.main.events_log")
   * }}}
   *
   * Per trigger the driver resolves the branch head (one refs + snapshot
@@ -54,20 +65,112 @@ case class GraftFilesPartition(files: Seq[(String, Long)]) extends InputPartitio
   * offsets are committed snapshots of ONE branch, so WAP isolation
   * extends to streaming readers for free. Exactly-once comes from the
   * deterministic offset -> file-set mapping (snapshots and manifests are
-  * immutable). */
+  * immutable).
+  *
+  * Admission control (`maxFilesPerTrigger`) is what makes a 100 TB
+  * restart survivable: the INITIAL LOAD chunks through the stream-start
+  * snapshot's path-sorted file list at most N files per batch (the
+  * anchor stays fixed while the head advances), and steady-state
+  * triggers deliver whole commits, stopping before the commit that would
+  * exceed the budget (always at least one — a single oversized commit
+  * still goes through, like the file-stream source). Estimation is
+  * manifest-metadata only: no manifest JSON is read to pick an offset.
+  * `Trigger.AvailableNow` pins the head at prepare time and drains up to
+  * it in budgeted batches. */
 class GraftMicroBatchStream(
     spark: SparkSession, root: String, branch: String, tableName: String,
-    tableSchema: StructType, requiredSchema: StructType)
-  extends MicroBatchStream {
+    tableSchema: StructType, requiredSchema: StructType,
+    maxFilesPerTrigger: Option[Int])
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def cat = new BranchCatalog(spark, root)
 
-  override def initialOffset(): Offset = GraftStreamOffset.start
+  /** Head pinned by Trigger.AvailableNow, else resolved per trigger. */
+  @volatile private var availableNowHead: Option[GraftStreamOffset] = None
 
-  override def latestOffset(): Offset = {
+  /** The initial-load anchor's path-sorted file list, resolved once per
+    * stream lifetime (manifests are immutable, so this never goes
+    * stale). */
+  private val anchorFiles =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[(String, Long)]]
+
+  private def resolveHead(): GraftStreamOffset = {
     val id = cat.snapshotIdOf(tableName, branch)
       .getOrElse(sys.error(s"no table $tableName on $branch"))
     GraftStreamOffset(id, cat.seqOfSnapshot(tableName, id))
+  }
+
+  private def initialFiles(snapshotId: String): IndexedSeq[(String, Long)] =
+    anchorFiles.getOrElseUpdate(snapshotId,
+      cat.changedFilesBetween(tableName, None, snapshotId)
+        .map(f => f.path -> f.bytes).sortBy(_._1).toIndexedSeq)
+
+  override def initialOffset(): Offset = GraftStreamOffset.start
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(resolveHead())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    sys.error("latestOffset(start, limit) should be called (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = resolveHead()
+
+  private def fileBudget(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case _: ReadAllAvailable => None
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+    case _ => None
+  }
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftStreamOffset]
+    val head = availableNowHead.getOrElse(resolveHead())
+    val budget = fileBudget(limit)
+    start match {
+      case s if s.seq < 0 => // begin the initial load over the current head
+        budget match {
+          case Some(n) if initialFiles(head.snapshotId).length > n =>
+            head.copy(idx = n.toLong)
+          case _ => head
+        }
+      case s if s.idx >= 0 => // continue the initial load over its anchor
+        val total = initialFiles(s.snapshotId).length.toLong
+        val next = budget.map(n => s.idx + n).getOrElse(total)
+        if (next >= total) s.copy(idx = -1L) else s.copy(idx = next)
+      case s if s.snapshotId == head.snapshotId => s // nothing new
+      case s => // steady state: whole commits up to the file budget
+        budget match {
+          case None => head
+          case Some(n) =>
+            // parent-chain walk head -> s (newest first, excluding s);
+            // per-commit file counts come from manifest REFS — no
+            // manifest JSON is read to pick an offset
+            val chain = Iterator.iterate(cat.snapshotMetaOpt(tableName, head.snapshotId)) {
+              case Some(snap) => snap.parentId.flatMap(cat.snapshotMetaOpt(tableName, _))
+              case None => None
+            }.takeWhile(_.isDefined).flatten
+              .takeWhile(_.id != s.snapshotId).toVector.reverse // oldest first
+            var prevManifests = cat.snapshotMetaOpt(tableName, s.snapshotId)
+              .map(_.manifests.map(m => m.path -> m.fileCount).toMap)
+              .getOrElse(Map.empty[String, Long])
+            var cum = 0L
+            var chosen = s
+            var stop = false
+            for (snap <- chain if !stop) {
+              val cur = snap.manifests.map(m => m.path -> m.fileCount).toMap
+              cum += cur.collect { case (p, c) if !prevManifests.contains(p) => c }.sum
+              prevManifests = cur
+              if (chosen == s || cum <= n) // always deliver at least one commit
+                chosen = GraftStreamOffset(snap.id, snap.seq)
+              else stop = true
+            }
+            chosen
+        }
+    }
   }
 
   override def deserializeOffset(json: String): Offset = GraftStreamOffset.fromJson(json)
@@ -76,13 +179,21 @@ class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     if (s == e) return Array.empty
-    val files = cat.changedFilesBetween(tableName,
-      if (s.seq < 0) None else Some(s.snapshotId), e.snapshotId)
-    // one partition per file: a commit's files were sized by the writer,
-    // and per-batch parallelism tracks per-commit file count
-    files.map { f =>
-      val len = if (f.bytes > 0) f.bytes else fileLength(f.path)
-      GraftFilesPartition(Seq(f.path -> len)): InputPartition
+    val files: Seq[(String, Long)] =
+      if (e.idx >= 0 || (s.idx >= 0 && s.snapshotId == e.snapshotId)) {
+        // a slice of the initial-load anchor's ordered file list
+        val all = initialFiles(e.snapshotId)
+        val from = if (s.seq < 0 || s.idx < 0) 0 else s.idx.toInt
+        val until = if (e.idx < 0) all.length else e.idx.toInt
+        all.slice(from, until)
+      } else {
+        cat.changedFilesBetween(tableName,
+          if (s.seq < 0) None else Some(s.snapshotId), e.snapshotId)
+          .map(f => f.path -> f.bytes)
+      }
+    files.map { case (path, bytes) =>
+      val len = if (bytes > 0) bytes else fileLength(path)
+      GraftFilesPartition(Seq(path -> len)): InputPartition
     }.toArray
   }
 

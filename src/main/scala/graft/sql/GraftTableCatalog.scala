@@ -259,7 +259,8 @@ case class GraftTable(
     * disabled. Pushed filters reach the same manifest pruner; Spark
     * keeps every filter as a residual (the prune is conservative). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   private def requireWritable(op: String): Unit =
     require(branch != "main" || mainWritesAllowed,
@@ -310,7 +311,8 @@ case class GraftTable(
     }
 }
 
-private class GraftScanBuilder(t: GraftTable) extends ScanBuilder
+private class GraftScanBuilder(
+    t: GraftTable, maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = t.schema()
@@ -344,7 +346,7 @@ private class GraftScanBuilder(t: GraftTable) extends ScanBuilder
     /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new GraftMicroBatchStream(SparkSession.active, t.root, t.branch,
-        t.tableName, t.tableSchema, required)
+        t.tableName, t.tableSchema, required, maxFilesPerTrigger)
   }
 }
 

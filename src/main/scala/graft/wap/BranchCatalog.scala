@@ -1560,6 +1560,14 @@ class BranchCatalog(
   def seqOfSnapshot(table: String, snapshotId: String): Long =
     loadSnapshot(table, snapshotId).seq
 
+  /** One snapshot's full metadata (manifest refs, parent, seq — no
+    * manifest/data reads); the Opt variant returns None past the expiry
+    * horizon. The streaming source's admission control walks these. */
+  def snapshotMeta(table: String, snapshotId: String): Snapshot =
+    loadSnapshot(table, snapshotId)
+  def snapshotMetaOpt(table: String, snapshotId: String): Option[Snapshot] =
+    loadSnapshotOpt(table, snapshotId)
+
   /** Roll a branch back to an earlier snapshot (Iceberg `rollback`):
     * one pointer swap — the bad commits stay on disk for inspection and
     * time travel until expiry, exactly like an unmerged branch. The

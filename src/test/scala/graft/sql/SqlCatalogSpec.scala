@@ -313,6 +313,50 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(err.getMessage.contains("tombstones") || err.getCause.getMessage.contains("tombstones"))
   }
 
+  test("maxFilesPerTrigger chunks the initial load and paces commits") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    // 5 single-file commits before the stream starts
+    for (r <- 0 until 5)
+      cat.append("t", docs.filter(col("doc_id") >= r * 10 && col("doc_id") < r * 10 + 10).coalesce(1))
+    assert(cat.dataFiles("t").size == 5)
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", 2)
+        .table(s"$lake.main.t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batchSizes.add(id -> df.count()); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val sizes = batchSizes.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1).map(_._2)
+    // initial load: 5 files / 2 per trigger -> 20, 20, 10 rows
+    assert(sizes == Seq(20L, 20L, 10L), s"got $sizes")
+    assert(batchSizes.size == 3, "the 100 TB restart case: no single giant initial batch")
+
+    // steady state: 3 one-file commits, budget 2 -> commits are paced,
+    // never split, and everything arrives
+    batchSizes.clear()
+    for (r <- 5 until 8)
+      cat.append("t", docs.filter(col("doc_id") >= r * 10 && col("doc_id") < r * 10 + 10).coalesce(1))
+    val q2 = spark.readStream
+      .option("maxFilesPerTrigger", 2)
+      .table(s"$lake.main.t")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchSizes.add(id -> df.count()); ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sizes2 = batchSizes.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1).map(_._2)
+    assert(sizes2.sum == 80L, s"fresh stream initial-loads all 8 files: $sizes2")
+    assert(sizes2.forall(_ <= 20L), s"no batch exceeds the 2-file budget: $sizes2")
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
