@@ -207,7 +207,17 @@ class GraftMicroBatchStream(
     new GraftReaderFactory(readFunc)
   }
 
-  override def commit(end: Offset): Unit = () // checkpoint state lives with Spark
+  /** Checkpoint state lives with Spark; the only driver state to drop is
+    * the initial-load anchor's cached file list — once the batch ending
+    * at `idx = -1` is COMMITTED the load never replays, so the entry
+    * (O(table files) of paths on exactly the 100 TB workload this source
+    * targets) must not stay pinned for the stream's lifetime. A
+    * steady-state offset's id is never a cache key — the remove is a
+    * no-op there. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (e.idx < 0) { anchorFiles.remove(e.snapshotId); () }
+  }
   override def stop(): Unit = ()
   override def toString: String = s"GraftMicroBatchStream($branch.$tableName @ $root)"
 }

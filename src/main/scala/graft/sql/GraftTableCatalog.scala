@@ -96,14 +96,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
     else if (namespaceExists(namespace)) Array.empty
-    else throw new IllegalArgumentException(s"no branch ${namespace.mkString(".")}")
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      catalogName +: namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 && cat.listBranches().contains(namespace.head)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
-      throw new IllegalArgumentException(s"no branch ${namespace.mkString(".")}")
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace)
     Map("branch" -> namespace.head).asJava
   }
 
@@ -270,16 +272,20 @@ case class GraftTable(
 
   /** `DELETE FROM` — lowered onto the copy-on-write
     * [[BranchCatalog.deleteWhere]] (stats-bounded file rewrite), under
-    * the same branch guard as inserts. Only predicates the manifest
-    * pruner can evaluate are accepted ([[canDeleteWhere]]); Spark
-    * reports unsupported shapes at analysis time. */
+    * the same branch guard as inserts. The predicate must convert in
+    * FULL ([[GraftScanBuilder.toColumnExact]] — a weakened predicate
+    * would over-delete); unsupported shapes are refused at analysis time
+    * via [[canDeleteWhere]]. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters.forall(f => GraftScanBuilder.toColumnExact(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     requireWritable("DELETE")
-    val cond = filters.flatMap(GraftScanBuilder.toColumn)
-      .reduceOption(_ && _)
+    val cols = filters.map(f => GraftScanBuilder.toColumnExact(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicate $f is not expressible against $tableName — " +
+          "use the Scala API (BranchCatalog.deleteWhere) for arbitrary conditions")))
+    val cond = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t (no WHERE)
     new BranchCatalog(SparkSession.active, root).deleteWhere(tableName, cond, branch)
     ()
@@ -353,8 +359,22 @@ private class GraftScanBuilder(
 private object GraftScanBuilder {
   import org.apache.spark.sql.functions.{col, lit}
 
+  /** sources.Filter -> Column, EXACT: None unless the filter converts in
+    * full. This is the only safe mode for row-mutating predicates
+    * (`DELETE FROM`) — [[toColumn]]'s half-convertible AND fallback is a
+    * sound WEAKENING for scan pruning, but a weakened delete predicate
+    * would delete rows the user's condition keeps. */
+  def toColumnExact(f: sources.Filter): Option[Column] = f match {
+    case sources.And(l, r) => for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a && b
+    case sources.Or(l, r) => for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a || b
+    case other => toColumn(other)
+  }
+
   /** sources.Filter -> Column for the comparison shapes the manifest
-    * pruner understands; None marks a filter as prune-irrelevant. */
+    * pruner understands; None marks a filter as prune-irrelevant. A
+    * half-convertible AND converts to its convertible half — sound ONLY
+    * for pruning (the full filter is re-applied row-level); never use
+    * for deletes ([[toColumnExact]]). */
   def toColumn(f: sources.Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))

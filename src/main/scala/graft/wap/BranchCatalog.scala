@@ -910,8 +910,14 @@ class BranchCatalog(
         val parent = loadSnapshot(table, parentId)
         require(parent.schemaDdl == st.schemaDdl,
           s"schema of $table changed during the transaction — aborting the whole commit")
-        if (st.deletes.nonEmpty)
-          requireTombstoneHeadroom(table, branch, parent, "transactional deleteKeys")
+        // the bound counts pending + STAGED generations: one transaction
+        // staging many deletes must not blow past what single commits
+        // cannot (the bound caps every scan's epoch union)
+        require(parent.deleteManifests.size + st.deletes.size <= maxPendingTombstones,
+          s"transactional deleteKeys refused: $table@$branch would reach " +
+            s"${parent.deleteManifests.size + st.deletes.size} pending MOR tombstone " +
+            s"generations (bound $maxPendingTombstones) — materialize with " +
+            "compactDataFiles first")
         val s = parent.seq + 1
         val snap = Snapshot(newId(), Some(parentId),
           parent.manifests ++ st.appends.map(_.copy(seq = s)),

@@ -222,6 +222,15 @@ class SqlCatalogSpec extends SparkSpecBase {
     val err = intercept[Exception] { spark.sql(s"DELETE FROM $lake.main.t WHERE doc_id < 20") }
     assert(err.getMessage.contains("write-audit-publish"))
     assert(cat.scan("t", "main").count() == 30)
+
+    // a predicate with a non-convertible piece nested under OR must be
+    // REFUSED whole, never silently weakened (a weakened delete predicate
+    // over-deletes: (a AND unsupported) OR b must not become a OR b)
+    val before = cat.scan("t", "fix").count()
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $lake.fix.t WHERE (doc_id > 10 AND text LIKE 'z%') OR doc_id = 12")
+    }
+    assert(cat.scan("t", "fix").count() == before, "refused delete must touch nothing")
   }
 
   test("ALTER TABLE: ADD COLUMN and type widening through SQL; drops refused") {

@@ -517,6 +517,16 @@ class WapSpec extends SparkSpecBase {
     }
     assert(cat.scan("facts").count() == 38)
     assert(cat.scan("audit").count() == 3)
+
+    // 6) the tombstone bound counts pending + STAGED generations: one
+    // transaction cannot blow past what single commits cannot
+    val bounded = new BranchCatalog(spark, root, maxPendingTombstones = 3)
+    intercept[IllegalArgumentException] {
+      bounded.transaction() { txn =>
+        (20 to 22).foreach(i => txn.deleteKeys("facts", Seq(i.toLong).toDF("doc_id")))
+      }
+    }
+    assert(cat.scan("facts").count() == 38, "over-bound txn must commit nothing")
   }
 
   test("mergeInto: conditional WHEN MATCHED UPDATE/DELETE + NOT MATCHED INSERT") {
