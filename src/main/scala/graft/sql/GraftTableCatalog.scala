@@ -331,8 +331,28 @@ private class GraftScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** Stats of the PINNED snapshot for the planner: row count from
+      * manifest-ref sums (free), byte size from manifest entries only
+      * while the table is small enough that the driver read is trivial —
+      * a big table reports no size and Spark's defaults keep it off the
+      * broadcast path, which is the safe direction. */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val cat = new BranchCatalog(SparkSession.active, t.root)
+        private val snap = cat.snapshotMeta(t.tableName, t.snapshotId)
+        override def sizeInBytes(): java.util.OptionalLong = {
+          val bytes =
+            if (snap.manifests.map(_.fileCount).sum > 4096) 0L
+            else cat.filesOf(snap).map(_.bytes).sum
+          if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
+        }
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(snap.manifests.map(_.rows).sum)
+      }
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = ctx
