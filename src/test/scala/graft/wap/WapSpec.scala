@@ -577,6 +577,46 @@ class WapSpec extends SparkSpecBase {
     assert(res2.rowsDeleted == 0 && res2.rowsInserted == 0)
   }
 
+  test("transactions survive real concurrency: racing multi-table commits all land atomically") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTableIfNotExists("a", StructType.fromDDL("id BIGINT, who STRING"))
+    cat.createTableIfNotExists("b", StructType.fromDDL("id BIGINT, who STRING"))
+    val threads = 4
+    val txnsEach = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(threads)
+    for (th <- 0 until threads) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            for (i <- 0 until txnsEach) {
+              val rows = Seq((th * 100L + i, s"t$th")).toDF("id", "who")
+              cat.transaction() { txn =>
+                txn.append("a", rows)
+                txn.append("b", rows)
+              }
+            }
+          } catch { case _: Throwable => failures.incrementAndGet() }
+          finally latch.countDown()
+          ()
+        }
+      })
+    }
+    latch.await()
+    pool.shutdown()
+    assert(failures.get() == 0, "every racing transaction must eventually commit")
+    assert(cat.scan("a").count() == threads * txnsEach)
+    assert(cat.scan("b").count() == threads * txnsEach)
+    // atomicity held at every intermediate version: walking the refs
+    // history, a and b always advanced TOGETHER (same row count)
+    val hist = cat.commitHistory("a").map(_.cumulativeRows)
+      .zip(cat.commitHistory("b").map(_.cumulativeRows))
+    assert(hist.forall { case (ra, rb) => ra == rb },
+      s"a and b must never diverge: $hist")
+  }
+
   test("scanAsOf + rollbackTo: timestamp time travel and pointer-swap rollback") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir)
