@@ -18,6 +18,27 @@ import org.apache.spark.sql.SparkSession
   * (SURVEY §4 shingle reuse), so medians time the steady-state path.
   */
 object Bench {
+
+  /** Fixed-work single-threaded CPU sentinel: a deterministic FNV-style
+    * fold over 3e8 iterations, timed. Run at bench start AND end and
+    * written into the JSON, it makes host contention detectable from the
+    * artifact alone — two rounds in a row the driver host produced
+    * phantom regressions (uniform ~2x inflation across unchanged
+    * sub-second queries) that only an isolated re-run could adjudicate.
+    * The work is constant, so calib values far above the known-idle
+    * figure (~0.25 s) mean the HOST was loaded and the query timings are
+    * untrustworthy; stable calib values mean a slowdown is real. */
+  private def calibrate(): Double = {
+    var h = 0x811c9dc5L
+    var i = 0L
+    val n = 300000000L
+    val t0 = System.nanoTime()
+    while (i < n) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.println(h) // defeat dead-code elimination
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,6 +70,8 @@ object Bench {
       catch { case _: Throwable => () }
     }
     clearCaches() // warmup artifacts must not subsidize the timed pass
+    calibrate() // untimed: JIT-compile the sentinel loop itself
+    val calibStart = calibrate()
     def family(name: String): String = name.takeWhile(_ != '_')
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var prevFamily = ""
@@ -70,13 +93,22 @@ object Bench {
       val sorted = times.sorted
       name -> sorted(sorted.size / 2)
     }
+    val calibEnd = calibrate()
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // ms precision: full-double timings made the line outgrow the
+    // driver artifact's 2000-char stdout tail (r8 lost 30 of 94 rows)
+    def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // field order is deliberate: the driver keeps the stdout TAIL, so the
+    // per-query map and headline value sit at the END of the line and
+    // survive even if boilerplate fields are truncated away
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$es,""" +
+        s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
+        s""""value":${ms(total)},"queries":$qs}"""
     println(line)
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every

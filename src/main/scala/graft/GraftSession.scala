@@ -16,6 +16,22 @@ object GraftSession {
     shufflePartitions = cores
   ).getOrCreate()
 
+  /** `spark.sql.extensions` with [[GraftExtensions]] APPENDED to whatever
+    * the caller already configured (builder option first, then
+    * spark-defaults / system properties) — Spark accepts a comma list and
+    * applies each, so graft composes with other extension libraries
+    * instead of silently clobbering them. */
+  private def mergedExtensions(b: SparkSession.Builder): String = {
+    val existing = org.apache.spark.sql.graft.Bridge
+      .builderOption(b, "spark.sql.extensions")
+      .orElse(Option(new org.apache.spark.SparkConf(true).get("spark.sql.extensions", null)))
+    val graftExt = classOf[GraftExtensions].getName
+    existing.map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty) match {
+      case prior if prior.contains(graftExt) => prior.mkString(",")
+      case prior => (prior :+ graftExt).mkString(",")
+    }
+  }
+
   def configure(
       b: SparkSession.Builder,
       shufflePartitions: Int = 32
@@ -23,7 +39,7 @@ object GraftSession {
     // native functions + catalog scan lowering (optimizer rules bind at
     // session build only; GraftTableCatalog instances are configured per
     // catalog name at runtime via spark.sql.catalog.<name>[.root])
-    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.sql.extensions", mergedExtensions(b))
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

@@ -143,6 +143,7 @@ class GraftMicroBatchStream(
         if (next >= total) s.copy(idx = -1L) else s.copy(idx = next)
       case s if s.snapshotId == head.snapshotId => s // nothing new
       case s => // steady state: whole commits up to the file budget
+        requireInAncestry(s, head)
         budget match {
           case None => head
           case Some(n) =>
@@ -173,6 +174,25 @@ class GraftMicroBatchStream(
     }
   }
 
+  /** A committed offset must sit in the head's ancestry: after a
+    * `rollbackTo` (or any branch rewrite) under a live checkpoint the
+    * manifest set-diff would silently deliver a partial — or even
+    * regressed — window, so fail LOUDLY instead. The walk is bounded by
+    * the monotone snapshot sequence (ancestors older than the offset
+    * cannot contain it). */
+  private def requireInAncestry(s: GraftStreamOffset, head: GraftStreamOffset): Unit = {
+    val found = Iterator.iterate(cat.snapshotMetaOpt(tableName, head.snapshotId)) {
+      case Some(snap) => snap.parentId.flatMap(cat.snapshotMetaOpt(tableName, _))
+      case None => None
+    }.takeWhile(_.isDefined).flatten
+      .takeWhile(_.seq >= s.seq)
+      .exists(_.id == s.snapshotId)
+    if (!found)
+      sys.error(s"stream offset ${s.snapshotId} is no longer in the ancestry " +
+        s"of $branch.$tableName's head ${head.snapshotId}: the branch was " +
+        "rewritten or rolled back — restart the stream from a fresh checkpoint")
+  }
+
   override def deserializeOffset(json: String): Offset = GraftStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -191,10 +211,30 @@ class GraftMicroBatchStream(
           if (s.seq < 0) None else Some(s.snapshotId), e.snapshotId)
           .map(f => f.path -> f.bytes)
       }
-    files.map { case (path, bytes) =>
+    // Bin-pack files into partitions by byte size (maxPartitionBytes
+    // budget + per-file open cost, FileSourceScanExec's sizing): one
+    // task per FILE would launch millions of tiny tasks on the 100 TB
+    // initial load this source exists for. Order is preserved, so the
+    // initial-load slice contract is unchanged.
+    val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val bins = Vector.newBuilder[InputPartition]
+    var bin = Vector.newBuilder[(String, Long)]
+    var binBytes = 0L
+    var binEmpty = true
+    for ((path, bytes) <- files) {
       val len = if (bytes > 0) bytes else fileLength(path)
-      GraftFilesPartition(Seq(path -> len)): InputPartition
-    }.toArray
+      val cost = len + openCost
+      if (!binEmpty && binBytes + cost > maxBytes) {
+        bins += GraftFilesPartition(bin.result())
+        bin = Vector.newBuilder[(String, Long)]; binBytes = 0L; binEmpty = true
+      }
+      bin += (path -> len); binBytes += cost; binEmpty = false
+    }
+    if (!binEmpty) bins += GraftFilesPartition(bin.result())
+    bins.result().toArray
   }
 
   private def fileLength(path: String): Long = {

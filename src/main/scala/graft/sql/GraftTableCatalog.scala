@@ -61,7 +61,8 @@ import graft.wap.BranchCatalog
   * audit, then publish. Row-level SQL DML (UPDATE/DELETE/MERGE) stays on
   * the Scala API ([[graft.wap.BranchCatalog.mergeInto]] etc.).
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -174,18 +175,51 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(
       ident: Identifier, columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft hidden partitioning is committed by appendPartitioned, not CREATE TABLE")
-    require(columns.forall(c => c.defaultValue() == null && c.generationExpression() == null),
-      "graft CREATE TABLE supports plain columns (no defaults / generated columns)")
-    val schema = StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val schema = plainSchemaOf(columns, partitions)
     val branch = branchOf(ident.namespace())
     if (!cat.createTableIfNotExists(ident.name(), schema, branch))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
     loadTable(ident)
   }
+
+  private def plainSchemaOf(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform]): StructType = {
+    require(partitions.isEmpty,
+      "graft hidden partitioning is committed by appendPartitioned, not CREATE TABLE")
+    require(columns.forall(c => c.defaultValue() == null && c.generationExpression() == null),
+      "graft CREATE TABLE supports plain columns (no defaults / generated columns)")
+    StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+  }
+
+  /** CTAS lands here (Spark stages CREATE TABLE AS SELECT on any
+    * [[StagingTableCatalog]]): NOTHING is committed until the write
+    * succeeds, so `CREATE TABLE lake.main.t AS SELECT ...` is refused by
+    * the write guard before any metadata lands — no half-created empty
+    * table on main (plain metadata-only CREATE TABLE stays allowed there;
+    * it is the documented bootstrap path, same as the Scala
+    * `createTableIfNotExists`). On a write failure after the staged
+    * create committed, [[GraftStagedTable.abortStagedChanges]] drops the
+    * residue. */
+  override def stageCreate(
+      ident: Identifier, info: TableInfo): StagedTable = {
+    val schema = plainSchemaOf(info.columns(), info.partitions())
+    val branch = branchOf(ident.namespace())
+    if (cat.tableExists(ident.name(), branch))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, branch, ident.name()))
+    GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    throw new UnsupportedOperationException(
+      "graft has no REPLACE TABLE: write INSERT OVERWRITE on a branch and publish")
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    throw new UnsupportedOperationException(
+      "graft has no CREATE OR REPLACE TABLE: write INSERT OVERWRITE on a branch and publish")
 
   /** `ALTER TABLE ... ADD COLUMN` (nullable, top-level) and
     * `ALTER COLUMN ... TYPE` (lossless widenings) — both lower onto
@@ -317,6 +351,61 @@ case class GraftTable(
     }
 }
 
+/** The staged side of an atomic CTAS ([[GraftTableCatalog.stageCreate]]):
+  * holds the would-be table's shape, commits NOTHING until the write
+  * runs. The write path re-checks the branch guard FIRST, so a refused
+  * main write aborts before any catalog commit; if the create commits
+  * and a later step fails, Spark calls [[abortStagedChanges]] and the
+  * residue is dropped — either way no empty table survives a failed
+  * CTAS. */
+case class GraftStagedTable(
+    root: String, branch: String, tableName: String,
+    tableSchema: StructType, mainWritesAllowed: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var created = false
+
+  override def name(): String = s"$branch.$tableName (staged)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): util.Map[String, String] =
+    Map("root" -> root, "branch" -> branch).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // a staged table is empty
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              require(branch != "main" || mainWritesAllowed,
+                s"SQL CTAS on $tableName@main is disabled: main only changes " +
+                  "through write-audit-publish (run it on a branch namespace and " +
+                  "publish, or set spark.sql.catalog.<name>.write.main=true)")
+              val cat = new BranchCatalog(data.sparkSession, root)
+              created = cat.createTableIfNotExists(tableName, tableSchema, branch)
+              if (!created) throw new org.apache.spark.sql.catalyst.analysis
+                .TableAlreadyExistsException(Array(branch, tableName))
+              cat.append(tableName, data, branch)
+              ()
+            }
+          }
+      }
+    }
+
+  /** The create + append above each committed atomically; nothing left
+    * to flip. */
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit =
+    if (created) {
+      new BranchCatalog(SparkSession.active, root).dropTable(tableName, branch)
+      ()
+    }
+}
+
 private class GraftScanBuilder(
     t: GraftTable, maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -350,8 +439,14 @@ private class GraftScanBuilder(
             else cat.filesOf(snap).map(_.bytes).sum
           if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
         }
+        /** Manifest-ref sums are exact only with no pending MOR
+          * tombstones: a key tombstone suppresses EVERY data row
+          * matching the key, so tombstone row counts bound nothing —
+          * report no row count rather than an inflated one (the planner
+          * falls back to sizeInBytes, the safe direction). */
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(snap.manifests.map(_.rows).sum)
+          if (snap.deleteManifests.nonEmpty) java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(snap.manifests.map(_.rows).sum)
       }
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
       new BaseRelation with TableScan {

@@ -59,6 +59,20 @@ object Bridge {
         hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
   }
 
+  /** The config value a builder currently carries for `key`, if any.
+    * `SparkSessionBuilder.options` is `protected` in Scala but its
+    * accessor is public bytecode, so one reflective call reads it (no
+    * setAccessible). Lets [[graft.GraftSession.configure]] APPEND to a
+    * caller-set `spark.sql.extensions` instead of clobbering it; returns
+    * None (configure then just sets) if Spark ever changes the field. */
+  def builderOption(
+      b: org.apache.spark.sql.SparkSession.Builder, key: String): Option[String] =
+    scala.util.Try {
+      classOf[org.apache.spark.sql.SparkSessionBuilder].getMethod("options")
+        .invoke(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]]
+        .get(key)
+    }.toOption.flatten
+
   def partitionedFile(
       path: String, length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(

@@ -69,4 +69,26 @@ class ExtensionsSpec extends SparkSpecBase {
       .select("k", "v", "name").collect().map(_.toString).sorted
     assert(saltedLeft.sameElements(plainLeft))
   }
+
+  test("GraftSession.configure appends to caller-set spark.sql.extensions, idempotently") {
+    import org.apache.spark.sql.graft.Bridge
+    val graftExt = classOf[GraftExtensions].getName
+    def ext(b: org.apache.spark.sql.SparkSession.Builder): Option[String] =
+      Bridge.builderOption(b, "spark.sql.extensions")
+
+    // no prior value: plain set
+    val fresh = GraftSession.configure(org.apache.spark.sql.SparkSession.builder())
+    assert(ext(fresh).contains(graftExt))
+
+    // a caller's extension list is APPENDED to, never clobbered
+    val other = "com.example.OtherExtensions"
+    val merged = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().config("spark.sql.extensions", other))
+    assert(ext(merged).contains(s"$other,$graftExt"))
+
+    // configuring twice must not duplicate the graft entry
+    val twice = GraftSession.configure(GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().config("spark.sql.extensions", other)))
+    assert(ext(twice).contains(s"$other,$graftExt"))
+  }
 }

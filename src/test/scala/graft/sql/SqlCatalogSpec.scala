@@ -193,6 +193,108 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("top", "wip").columns.toSeq == Seq("doc_id", "n_chars"))
   }
 
+  test("CTAS on main is refused atomically: no half-created table survives") {
+    val (lake, cat) = register()
+    // a published table so main exists and has content to protect
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 10)
+    cat.createTableIfNotExists("base", docs.schema)
+    cat.append("base", docs)
+
+    val err = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $lake.main.residue AS SELECT * FROM $lake.main.base")
+    }
+    assert(err.getMessage.contains("write-audit-publish"),
+      s"refusal must cite the policy, got: ${err.getMessage}")
+    // the r8 behavior left a committed EMPTY table on main (create landed,
+    // insert was refused); the staged create must leave nothing behind
+    assert(!cat.tableExists("residue"),
+      "a refused CTAS must not leave a created table on main")
+
+    // CTAS still works on branches (SupportsTruncate path unchanged)
+    spark.sql(s"CREATE NAMESPACE $lake.scratch")
+    spark.sql(s"CREATE TABLE $lake.scratch.ok AS SELECT * FROM $lake.main.base")
+    assert(cat.scan("ok", "scratch").count() == 10)
+  }
+
+  test("a rolled-back branch fails a live stream loudly (no offset regression)") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    val s1 = cat.append("t", docs.filter(col("doc_id") < 10))
+    val ckpt = Files.createTempDirectory("rollback-ckpt").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$lake.main.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // commits an offset at s2's lineage
+    cat.append("t", docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+    drain() // offset now at the second commit
+    cat.rollbackTo("t", s1.id) // rewrite the branch under the checkpoint
+    cat.append("t", docs.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m => m.contains("rolled back") || m.contains("rewritten")),
+      s"must fail loudly on a rewritten branch, got: ${messages(err)}")
+  }
+
+  test("connector stats drop the row count under pending MOR tombstones") {
+    import spark.implicits._
+    val (_, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 30)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+
+    def stats(): org.apache.spark.sql.connector.read.Statistics = {
+      val id = cat.snapshotIdOf("t").get
+      val t = GraftTable(cat.root, "main", "t", id, cat.schemaOfSnapshot("t", id))
+      t.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    assert(stats().numRows().getAsLong == 30, "manifest-ref sums are exact pre-tombstone")
+
+    // a key tombstone can suppress ANY number of matching rows — the
+    // planner must see no row count rather than an inflated one
+    cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id"))
+    assert(!stats().numRows().isPresent,
+      "pending MOR tombstones make manifest row sums an overcount")
+  }
+
+  test("streaming input partitions are bin-packed by byte size, not per-file") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    for (r <- 0 until 5)
+      cat.append("t", docs.filter(col("doc_id") >= r * 10 && col("doc_id") < r * 10 + 10).coalesce(1))
+    assert(cat.dataFiles("t").size == 5)
+
+    val head = cat.snapshotIdOf("t").get
+    val schema = cat.schemaOfSnapshot("t", head)
+    val stream = new GraftMicroBatchStream(spark, cat.root, "main", "t", schema, schema, None)
+    val end = GraftStreamOffset(head, cat.seqOfSnapshot("t", head))
+
+    // 5 tiny files, default 128 MB budget + 4 MB open cost -> ONE task,
+    // not one per file (the r8 behavior: a million-file initial load
+    // would have launched a million tasks)
+    val packed = stream.planInputPartitions(GraftStreamOffset.start, end)
+    assert(packed.length == 1, s"tiny files must pack into one partition, got ${packed.length}")
+    assert(packed.head.asInstanceOf[GraftFilesPartition].files.size == 5)
+
+    // a tight byte budget splits again (per-file open cost dominates)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (6L * 1024 * 1024).toString)
+    try {
+      val split = stream.planInputPartitions(GraftStreamOffset.start, end)
+      assert(split.length == 5, s"6 MB budget with 4 MB open cost -> one file per bin, got ${split.length}")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("write.main=true opts a catalog into direct main writes") {
     import spark.implicits._
     val (lakeDefault, cat) = register()
