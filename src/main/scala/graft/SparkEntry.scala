@@ -56,6 +56,7 @@ object SparkEntry {
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
+    "wap_export" -> (WapQueries.wapExport _),
     "wap_txn" -> (WapQueries.wapTxn _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
@@ -197,6 +198,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
     "wap_sql_scan" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 215) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
+    "wap_export" ->
+      """SELECT d.n_rows, d.sum_chars, d.n_docs, m.n_files FROM (SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM read_parquet('/tmp/graft-export-_root_testdata_sf0.01/files/*.parquet')) d CROSS JOIN (SELECT CAST(len(files) AS BIGINT) AS n_files FROM read_json_auto('/tmp/graft-export-_root_testdata_sf0.01/manifest.json')) m""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

@@ -382,6 +382,57 @@ object WapQueries {
         lit(oneCommit).as("one_commit"), lit(abortedClean).as("aborted_clean"))
   }
 
+  /** Where one sf-dir's snapshot export lands — a FIXED path (not a
+    * random temp dir) because the DuckDB oracle must locate the export
+    * artifacts from static SQL. */
+  def exportDir(dir: String): String =
+    s"/tmp/graft-export-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Foreign-engine snapshot export end-to-end (the reference's core
+    * premise, README:174-191: a published table is queryable from its
+    * metadata alone by an engine that never loaded the writer's code).
+    * Publish two commits, MOR-delete ten keys and MATERIALIZE the
+    * tombstones, add a hidden-partitioned commit, then export the head
+    * snapshot ([[graft.wap.BranchCatalog.exportSnapshot]]) and re-read
+    * the table USING ONLY THE EXPORT — the returned aggregate is
+    * computed from the manifest.json path list, nothing else. The DuckDB
+    * oracle reads the same export artifacts (the symlink farm + the
+    * manifest), so hash-equality proves an engine with no graft code
+    * sees exactly the branch content. */
+  def wapExport(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-exp").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    // MOR-delete ten keys, then materialize: exports refuse pending
+    // tombstones (a path list cannot carry an anti-join), so the
+    // compacted snapshot is what leaves the building
+    cat.deleteKeysMOR("documents",
+      spark.range(40, 50).select(col("id").as("doc_id")))
+    cat.compactDataFiles("documents", targetFiles = 2)
+    // hidden-partitioned tail commit: partitioned files carry full rows,
+    // so they export like any other parquet
+    cat.appendPartitioned("documents",
+      Tables.documents(spark, dir).filter(col("doc_id") >= 200 && col("doc_id") < 300),
+      graft.wap.PartitionSpec.parse("bucket(4,doc_id)"))
+    val exp = cat.exportSnapshot("documents", exportDir(dir))
+
+    // read back THROUGH THE EXPORT ONLY: manifest.json -> path list ->
+    // plain parquet scan (the driver-side collect is the export's own
+    // O(files) metadata, already materialized)
+    val paths = spark.read.option("multiLine", true).json(exp.manifestPath)
+      .select(explode(col("files")).as("f")).select(col("f.path"))
+      .collect().map(_.getString(0))
+    spark.read.parquet(paths.toIndexedSeq: _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("n_rows"), col("sum_chars"), col("n_docs"),
+        lit(paths.length.toLong).as("n_files"))
+  }
+
   /** The DataSource V2 SQL surface end-to-end ([[graft.sql.GraftTableCatalog]]
     * — the Spark-native form of the reference's "published tables are
     * queryable by any engine" claim, reference app.py:201-246): publish

@@ -103,6 +103,23 @@ case class MergeIntoResult(
     snapshot: Snapshot, rowsUpdated: Long, rowsDeleted: Long,
     rowsInserted: Long, filesRewritten: Long, filesUntouched: Long)
 
+/** One engine-neutral snapshot export ([[BranchCatalog.exportSnapshot]]):
+  * where the artifacts landed and what they cover. `filesDir` is None
+  * when the data files are not on a local filesystem (the symlink farm
+  * is a local-FS convenience; manifest + view are the portable truth). */
+case class ExportedSnapshot(
+    dest: String, manifestPath: String, viewPath: String, filesDir: Option[String],
+    snapshotId: String, fileCount: Long, rows: Long)
+
+/** The schema of `manifest.json` in an export: everything a FOREIGN
+  * engine needs to query the snapshot — absolute data-file paths with
+  * per-file row/byte counts, the schema DDL, and the snapshot identity.
+  * Deliberately engine-neutral JSON (no graft types leak). */
+private[wap] case class ExportManifest(
+    table: String, snapshotId: String, seq: Long, committedAtMillis: Long,
+    schemaDdl: String, partitionSpec: Option[String], files: Seq[ExportFileEntry])
+private[wap] case class ExportFileEntry(path: String, rows: Long, bytes: Long)
+
 /** One `WHEN ...` clause of [[BranchCatalog.mergeInto]] (Iceberg/standard
   * MERGE INTO semantics). Conditions and SET expressions see the TARGET
   * row under alias `t` and the SOURCE row under alias `s`
@@ -2119,6 +2136,85 @@ class BranchCatalog(
     * pre-r8 tombstone (no sequence — coverage is an anchor snapshot's
     * manifest-path set, which folding would orphan into suppress-nothing)
     * is refused: materialize it with compactDataFiles first. */
+  /** Export one snapshot for a FOREIGN engine — the reference's core
+    * premise is that a published table is standard metadata any engine
+    * can query without the writer's code (reference README:174-191
+    * "Querying from Snowflake": Snowflake reads the table from the
+    * metadata file path alone). graft's bespoke metadata needs its own
+    * connector, so this emits the engine-neutral equivalent under
+    * `dest`:
+    *
+    *  - `manifest.json` — snapshot identity + schema DDL + the absolute
+    *    parquet path list with per-file row/byte counts
+    *    ([[ExportManifest]]);
+    *  - `view.sql` — a ready-to-run ANSI view definition over
+    *    `read_parquet([...])` (DuckDB dialect; the literal path list is
+    *    the portable part);
+    *  - `files/` — a numbered-symlink farm over the data files, so
+    *    glob-only readers (a `read_parquet` over the files directory)
+    *    work without list-parameter support. Local filesystems only;
+    *    on object stores the manifest/view carry the real URIs.
+    *
+    * Data files are immutable and never copied: the export is METADATA
+    * ONLY, O(table files) of driver work at publish time — the same
+    * hand-off any engine's snapshot export makes. Pending MOR tombstones
+    * are refused (a plain path list cannot carry an anti-join);
+    * materialize with [[compactDataFiles]] first. Exports of EXPIRED
+    * snapshots fail on read, not export — callers pin with
+    * [[expireSnapshots]]' keepIds when an export must outlive history.
+    * Pass `snapshotId` to export a historical snapshot (time travel
+    * export). */
+  def exportSnapshot(
+      table: String, dest: String, branch: String = "main",
+      snapshotId: Option[String] = None): ExportedSnapshot = {
+    val id = snapshotId.getOrElse(snapshotIdOf(table, branch).getOrElse(
+      sys.error(s"no table $table on $branch")))
+    val snap = loadSnapshot(table, id)
+    require(snap.deleteManifests.isEmpty,
+      s"snapshot $id of $table has pending MOR tombstones and an export is a " +
+        "plain file list — materialize with compactDataFiles first")
+    val files = filesOf(snap).sortBy(_.path)
+    def plain(p: String): String = {
+      val uri = new Path(p).toUri
+      if (uri.getScheme == null || uri.getScheme == "file") uri.getPath else p
+    }
+    val destPath = new Path(dest)
+    val dfs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(destPath)) dfs.delete(destPath, true)
+    dfs.mkdirs(destPath)
+    def emit(name: String, content: String): String = {
+      val p = new Path(destPath, name)
+      val out = dfs.create(p, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      p.toString
+    }
+    val entries = files.map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes))
+    val manifestPath = emit("manifest.json", Serialization.write(ExportManifest(
+      table, id, snap.seq, snap.committedAtMillis, snap.schemaDdl,
+      snap.partitionSpec, entries)))
+    val viewPath = emit("view.sql",
+      s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
+        entries.map(e => s"'${e.path}'").mkString(",\n  ") + "\n]);\n")
+    // numbered symlinks preserve the manifest's (path-sorted) file order
+    val filesDir: Option[String] =
+      if ("file" != dfs.makeQualified(destPath).toUri.getScheme ||
+          !entries.forall(e => new Path(e.path).toUri.getScheme == null ||
+            "file" == new Path(e.path).toUri.getScheme)) None
+      else {
+        val dir = java.nio.file.Paths.get(
+          dfs.makeQualified(new Path(destPath, "files")).toUri.getPath)
+        java.nio.file.Files.createDirectories(dir)
+        entries.zipWithIndex.foreach { case (e, i) =>
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve(f"$i%05d.parquet"),
+            java.nio.file.Paths.get(new Path(e.path).toUri.getPath))
+        }
+        Some(dir.toString)
+      }
+    ExportedSnapshot(dest, manifestPath, viewPath, filesDir, id,
+      entries.length.toLong, entries.map(_.rows).sum)
+  }
+
   def compactManifests(table: String, branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)

@@ -1,0 +1,131 @@
+package graft.wap
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** Foreign-engine snapshot export ([[BranchCatalog.exportSnapshot]]):
+  * the artifacts alone must let an engine that never loaded graft query
+  * the published snapshot (the reference's "Querying from Snowflake"
+  * premise, README:174-191). The strongest test here actually RUNS a
+  * foreign engine: DuckDB (via the host python3) executes the generated
+  * view.sql and must reproduce the branch scan.
+  */
+class ExportSpec extends SparkSpecBase {
+
+  private def freshCat(): BranchCatalog =
+    new BranchCatalog(spark, Files.createTempDirectory("graft-export-spec").toString)
+
+  private def exportTo(): String =
+    Files.createTempDirectory("graft-export-dest").toString + "/exp"
+
+  /** DuckDB available to the host python3? (It is driver-side tooling —
+    * never a library dependency — so the round-trip tests skip cleanly
+    * where it is absent.) */
+  private lazy val duckdbAvailable: Boolean =
+    scala.util.Try(scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
+
+  /** Run `sql` in DuckDB after executing the export's view.sql; returns
+    * the first result row as strings. */
+  private def duckdb(viewPath: String, sql: String): Seq[String] = {
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute(open(${"\"\"\""}$viewPath${"\"\"\""}).read())
+         |print("|".join(str(v) for v in con.execute(${"\"\"\""}$sql${"\"\"\""}).fetchone()))
+         |""".stripMargin
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq("python3", "-c", script))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    assert(rc == 0, s"duckdb run failed:\n$out")
+    out.toString.trim.split("\\|").toSeq
+  }
+
+  test("export artifacts: manifest lists the snapshot's files, symlink farm matches") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 60)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 30).coalesce(1))
+    cat.append("t", docs.filter(col("doc_id") >= 30).coalesce(1))
+
+    val exp = cat.exportSnapshot("t", exportTo())
+    assert(exp.fileCount == 2 && exp.rows == 60)
+    val manifest = new String(Files.readAllBytes(Paths.get(
+      new org.apache.hadoop.fs.Path(exp.manifestPath).toUri.getPath)))
+    assert(manifest.contains("\"table\":\"t\"") && manifest.contains(exp.snapshotId))
+    assert(manifest.contains("schemaDdl"))
+    // the symlink farm holds exactly the manifest's files, in order
+    val links = Files.list(Paths.get(exp.filesDir.get)).toArray.map(_.toString).sorted
+    assert(links.length == 2)
+    assert(links.forall(l => Files.isSymbolicLink(Paths.get(l))))
+    // re-reading ONLY the exported paths reproduces the table
+    val viaExport = spark.read.parquet(links.toIndexedSeq: _*)
+    assert(viaExport.count() == 60)
+    assert(viaExport.agg(sum("n_chars")).head.getLong(0) ==
+      cat.scan("t").agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("DuckDB executes view.sql and reproduces the branch scan (foreign-engine read)") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("docs", docs.schema)
+    cat.append("docs", docs.filter(col("doc_id") < 50))
+    cat.append("docs", docs.filter(col("doc_id") >= 50))
+    import spark.implicits._
+    cat.deleteKeysMOR("docs", Seq(3L, 7L, 11L).toDF("doc_id"))
+    cat.compactDataFiles("docs", targetFiles = 2)
+
+    val exp = cat.exportSnapshot("docs", exportTo())
+    val expected = cat.scan("docs")
+      .agg(count(lit(1)), sum("n_chars"), countDistinct("doc_id"))
+      .head
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT doc_id) FROM docs_export")
+    assert(got == Seq(expected.getLong(0).toString,
+      expected.getLong(1).toString, expected.getLong(2).toString),
+      s"DuckDB saw $got, Spark saw $expected")
+  }
+
+  test("time-travel export: a historical snapshot exports its own content") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 80)
+    cat.createTableIfNotExists("t", docs.schema)
+    val s1 = cat.append("t", docs.filter(col("doc_id") < 40))
+    cat.append("t", docs.filter(col("doc_id") >= 40)) // head moves on
+
+    val exp = cat.exportSnapshot("t", exportTo(), snapshotId = Some(s1.id))
+    assert(exp.snapshotId == s1.id && exp.rows == 40)
+    // a foreign engine reading the export sees the HISTORICAL content
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*), max(doc_id) FROM t_export")
+    assert(got == Seq("40", "39"), s"got $got")
+    assert(cat.scan("t").count() == 80, "head unaffected")
+  }
+
+  test("pending MOR tombstones refuse to export; partitioned tables export fine") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 60)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    import spark.implicits._
+    cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException] { cat.exportSnapshot("t", exportTo()) }
+    assert(err.getMessage.contains("compactDataFiles"))
+
+    // hidden-partitioned data files carry full rows -> export like any parquet
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("p", docs.schema)
+    cat2.appendPartitioned("p", docs, PartitionSpec.parse("bucket(4,doc_id)"))
+    val exp = cat2.exportSnapshot("p", exportTo())
+    assert(exp.rows == 60)
+    assert(spark.read.parquet(exp.filesDir.get + "/*.parquet").count() == 60)
+    val manifest = new String(Files.readAllBytes(Paths.get(
+      new org.apache.hadoop.fs.Path(exp.manifestPath).toUri.getPath)))
+    assert(manifest.contains("bucket(4,doc_id)"), "partition spec travels with the export")
+  }
+}
