@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations before V2 scan planning — see GraftScanLowering's scaladoc
     ext.injectOptimizerRule(new graft.sql.GraftScanLowering(_))
     ext.injectPreCBORule(new graft.sql.GraftBareScanLowering(_))
+    // SQL UPDATE / MERGE INTO on catalog tables lower onto the native
+    // row-level ops (updateWhere / mergeInto) — see GraftDmlLowering
+    ext.injectResolutionRule(new graft.sql.GraftDmlLowering(_))
   }
 }
 

@@ -57,6 +57,8 @@ object SparkEntry {
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
+    "wap_sql_dml" -> (WapQueries.wapSqlDml _),
+    "wap_meta_tables" -> (WapQueries.wapMetaTables _),
     "wap_txn" -> (WapQueries.wapTxn _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
@@ -198,6 +200,10 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
     "wap_sql_scan" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 215) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
+    "wap_meta_tables" ->
+      """SELECT CAST(3 AS BIGINT) AS n_snapshots, (SELECT count(*) FROM documents WHERE doc_id < 200) AS head_rows, CAST(2 AS BIGINT) AS n_files, (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_from_files, CAST(3 AS BIGINT) AS n_heads, true AS head_current""",
+    "wap_sql_dml" ->
+      """SELECT count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS main_guarded FROM (SELECT doc_id, n_chars + 1000 AS chars FROM documents WHERE doc_id < 50 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50 AND doc_id < 150 UNION ALL SELECT doc_id, n_chars + 5000 FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 200 AND doc_id < 230)""",
     "wap_export" ->
       """SELECT d.n_rows, d.sum_chars, d.n_docs, m.n_files FROM (SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM read_parquet('/tmp/graft-export-_root_testdata_sf0.01/files/*.parquet')) d CROSS JOIN (SELECT CAST(len(files) AS BIGINT) AS n_files FROM read_json_auto('/tmp/graft-export-_root_testdata_sf0.01/manifest.json')) m""",
     "wap_incremental" ->

@@ -382,6 +382,89 @@ object WapQueries {
         lit(oneCommit).as("one_commit"), lit(abortedClean).as("aborted_clean"))
   }
 
+  /** The SQL row-level DML surface end-to-end
+    * ([[graft.sql.GraftDmlLowering]] — the analogue of Iceberg's full
+    * SQL DML on the reference's tables): publish docs < 200, then
+    * mutate a branch ENTIRELY through `spark.sql` — an UPDATE with SET
+    * arithmetic, a three-clause conditional MERGE INTO (update evens /
+    * delete odds / bounded insert) — publish via merge, and prove the
+    * main guard refused a direct SQL UPDATE. Oracle: the same mutations
+    * in plain SQL over the source table. */
+  def wapSqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-dml").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    cat.createBranch("dml")
+
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    spark.sql(s"UPDATE $lake.dml.documents SET n_chars = n_chars + 1000 WHERE doc_id < 50")
+
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 150 && col("doc_id") < 250)
+      .createOrReplaceTempView("graft_dml_src")
+    spark.sql(
+      s"""MERGE INTO $lake.dml.documents AS t USING graft_dml_src AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.doc_id % 2 = 0 THEN UPDATE SET n_chars = s.n_chars + 5000
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.doc_id < 230 THEN INSERT *
+         |""".stripMargin)
+
+    // the branch guard holds for row-level DML exactly as for inserts
+    val mainGuarded = try {
+      spark.sql(s"UPDATE $lake.main.documents SET n_chars = 0 WHERE doc_id = 1"); false
+    } catch { case e: Exception => e.getMessage.contains("write-audit-publish") }
+
+    cat.merge("dml")
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("n_rows"), col("sum_chars"), col("n_docs"),
+        lit(mainGuarded).as("main_guarded"))
+  }
+
+  /** SQL metadata tables end-to-end ([[graft.sql.GraftMetadataTable]] —
+    * the Iceberg `$snapshots`/`$files`/`$history` analogue): publish two
+    * commits, then answer everything through `spark.sql` over the
+    * metadata tables — snapshot count and head row count from
+    * `$snapshots`, file count and footer row sums from `$files` (the
+    * DISTRIBUTED manifest-entry read), head lineage from `$history`.
+    * Oracle: the same numbers as constants + plain SQL over the source
+    * table (the flow is deterministic: create + two single-file
+    * appends). */
+  def wapMetaTables(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-meta").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100).coalesce(1))
+    cat.append("documents", docs.filter(col("doc_id") >= 100).coalesce(1))
+
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    spark.sql(
+      s"""SELECT s.n_snapshots, s.head_rows, f.n_files, f.rows_from_files,
+         |       h.n_heads, h.head_current
+         |FROM (SELECT count(*) AS n_snapshots, max(n_rows) AS head_rows
+         |      FROM $lake.main.`documents$$snapshots`) s
+         |CROSS JOIN (SELECT count(*) AS n_files, CAST(sum(rows) AS BIGINT) AS rows_from_files
+         |            FROM $lake.main.`documents$$files`) f
+         |CROSS JOIN (SELECT count(*) AS n_heads,
+         |                   max(CASE WHEN is_current THEN refs_version END) = max(refs_version) AS head_current
+         |            FROM $lake.main.`documents$$history`
+         |            WHERE snapshot_id IS NOT NULL) h
+         |""".stripMargin)
+  }
+
   /** Where one sf-dir's snapshot export lands — a FIXED path (not a
     * random temp dir) because the DuckDB oracle must locate the export
     * artifacts from static SQL. */

@@ -138,10 +138,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val branch = branchOf(ident.namespace())
-    val id = cat.snapshotIdOf(ident.name(), branch).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Array(catalogName, branch, ident.name())))
-    table(ident, branch, id)
+    GraftMetadataTable.kindOf(ident.name()) match {
+      case Some((base, kind)) => // `t$snapshots` / `t$files` / `t$history`
+        val id = cat.snapshotIdOf(base, branch).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Array(catalogName, branch, ident.name())))
+        GraftMetadataTable(root, branch, base, kind, id)
+      case None =>
+        val id = cat.snapshotIdOf(ident.name(), branch).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Array(catalogName, branch, ident.name())))
+        table(ident, branch, id)
+    }
   }
 
   /** SQL `VERSION AS OF '<snapshot-id>'`. */
@@ -349,6 +357,102 @@ case class GraftTable(
           }
       }
     }
+}
+
+/** SQL-visible metadata tables (the Iceberg `t$snapshots` / `t$files` /
+  * `t$history` analogue) — every operator debugging a table asks for
+  * these through SQL, not a Scala API:
+  *
+  * {{{
+  *   SELECT * FROM lake.main.`events$snapshots`  -- lineage + per-commit sizes
+  *   SELECT * FROM lake.main.`events$files`      -- current data files + stats
+  *   SELECT * FROM lake.main.`events$history`    -- head per catalog commit
+  * }}}
+  *
+  * `snapshots` and `history` are O(history) driver metadata (the same
+  * walks `commitHistory`/`headHistory` make); `files` is the DISTRIBUTED
+  * manifest-entry read — per-file metadata of a 100 TB table never
+  * lands on the driver. Read-only; pinned at the branch head like any
+  * other load. */
+case class GraftMetadataTable(
+    root: String, branch: String, baseTable: String, kind: String,
+    snapshotId: String) extends Table with SupportsRead {
+  import GraftMetadataTable._
+
+  override def name(): String = s"$branch.$baseTable$$$kind"
+  override def schema(): StructType = schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
+
+  private[sql] def df(spark: SparkSession): DataFrame = {
+    val cat = new BranchCatalog(spark, root)
+    kind match {
+      case "snapshots" =>
+        val chain = Iterator.iterate(cat.snapshotMetaOpt(baseTable, snapshotId)) {
+          case Some(s) => s.parentId.flatMap(cat.snapshotMetaOpt(baseTable, _))
+          case None => None
+        }.takeWhile(_.isDefined).flatten.toSeq.reverse // oldest first
+        val rows = chain.map(s => Row(s.id, s.parentId.orNull, s.seq,
+          s.committedAtMillis, s.manifests.size.toLong,
+          s.manifests.map(_.fileCount).sum, s.manifests.map(_.rows).sum,
+          s.deleteManifests.size.toLong))
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), schemaOf(kind))
+      case "files" =>
+        cat.manifestEntries(cat.snapshotMeta(baseTable, snapshotId))
+      case "history" =>
+        val rows = cat.headHistory(baseTable, branch).map { case (v, head) =>
+          Row(v, head.orNull, head.contains(snapshotId))
+        }
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), schemaOf(kind))
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schemaOf(kind)
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = schemaOf(kind)
+            override def buildScan(): RDD[Row] = df(ctx.sparkSession).rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object GraftMetadataTable {
+  import org.apache.spark.sql.types._
+
+  private val kinds = Set("snapshots", "files", "history")
+
+  /** `name$kind` -> (name, kind) when `kind` is a metadata table. */
+  def kindOf(ident: String): Option[(String, String)] = ident.split('$') match {
+    case Array(base, kind) if base.nonEmpty && kinds(kind) => Some((base, kind))
+    case _ => None
+  }
+
+  private[sql] def schemaOf(kind: String): StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("snapshot_id", StringType), StructField("parent_id", StringType),
+      StructField("seq", LongType), StructField("committed_at", LongType),
+      StructField("n_manifests", LongType), StructField("n_files", LongType),
+      StructField("n_rows", LongType), StructField("n_delete_manifests", LongType)))
+    case "files" => StructType(Seq(
+      StructField("path", StringType), StructField("rows", LongType),
+      StructField("lower", MapType(StringType, StringType)),
+      StructField("upper", MapType(StringType, StringType)),
+      StructField("nullCounts", MapType(StringType, LongType)),
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("bytes", LongType)))
+    case "history" => StructType(Seq(
+      StructField("refs_version", LongType), StructField("snapshot_id", StringType),
+      StructField("is_current", BooleanType)))
+  }
 }
 
 /** The staged side of an atomic CTAS ([[GraftTableCatalog.stageCreate]]):

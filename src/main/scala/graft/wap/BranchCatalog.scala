@@ -1380,6 +1380,17 @@ class BranchCatalog(
     }
   }
 
+  /** Head lineage of table@branch across catalog commits (the Iceberg
+    * `$history` metadata-table analogue): which snapshot was the branch
+    * head at each refs version. Oldest first; versions where the table
+    * (or branch) did not exist yet report None. O(refs versions) driver
+    * metadata reads — a maintenance/debug surface, not a data path. */
+  def headHistory(table: String, branch: String = "main"): Seq[(Long, Option[String])] =
+    refsStore.listVersions().sorted.map { v =>
+      val refs = Serialization.read[Refs](refsStore.read(v))
+      v -> refs.branches.get(branch).flatMap(_.tables.get(table))
+    }
+
   /** Lossless numeric widenings appends and schema evolution accept. */
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType, ShortType | IntegerType | LongType) => true

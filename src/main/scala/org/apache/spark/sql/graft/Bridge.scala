@@ -59,6 +59,16 @@ object Bridge {
         hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
   }
 
+  /** A DataFrame over an already-analyzed logical plan
+    * (`Dataset.ofRows` is `private[sql]`) — lets eager DML commands
+    * materialize their captured source plan. */
+  def dataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The config value a builder currently carries for `key`, if any.
     * `SparkSessionBuilder.options` is `protected` in Scala but its
     * accessor is public bytecode, so one reflective call reads it (no

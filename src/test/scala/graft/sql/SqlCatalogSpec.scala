@@ -335,6 +335,83 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("t", "fix").count() == before, "refused delete must touch nothing")
   }
 
+  test("SQL UPDATE lowers onto copy-on-write updateWhere, branch-guarded") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    cat.createBranch("fix")
+
+    spark.sql(s"UPDATE $lake.fix.t SET n_chars = n_chars + 1000 WHERE doc_id < 10")
+    val bumped = cat.scan("t", "fix").filter(col("doc_id") < 10)
+      .agg(sum("n_chars")).head.getLong(0)
+    val original = cat.scan("t", "main").filter(col("doc_id") < 10)
+      .agg(sum("n_chars")).head.getLong(0)
+    assert(bumped == original + 10 * 1000, "SET arithmetic applied on the branch")
+    assert(cat.scan("t", "main").agg(sum("n_chars")).head.getLong(0) !=
+      cat.scan("t", "fix").agg(sum("n_chars")).head.getLong(0),
+      "update is branch-isolated until merged")
+    cat.merge("fix")
+    assert(cat.scan("t", "main").filter(col("doc_id") < 10)
+      .agg(sum("n_chars")).head.getLong(0) == bumped)
+
+    // main refusal
+    val err = intercept[Exception] {
+      spark.sql(s"UPDATE $lake.main.t SET n_chars = 0 WHERE doc_id = 1")
+    }
+    assert(err.getMessage.contains("write-audit-publish"))
+
+    // a subquery condition must be refused whole, never approximated
+    intercept[Exception] {
+      spark.sql(s"UPDATE $lake.fix.t SET n_chars = 0 WHERE doc_id IN " +
+        s"(SELECT doc_id FROM $lake.fix.t WHERE n_chars > 100)")
+    }
+  }
+
+  test("SQL MERGE INTO lowers onto the native conditional merge") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 30)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 20))
+    cat.createBranch("up")
+
+    // source: overlap 10..19 (update or delete), new 20..29 (insert)
+    Tables.documents(spark, sfDir).filter(col("doc_id") >= 10 && col("doc_id") < 30)
+      .createOrReplaceTempView("merge_src")
+
+    spark.sql(
+      s"""MERGE INTO $lake.up.t AS t USING merge_src AS s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.doc_id % 2 = 0 THEN UPDATE SET n_chars = s.n_chars + 100
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.doc_id < 25 THEN INSERT *
+         |""".stripMargin)
+
+    val after = cat.scan("t", "up")
+    // evens 10..18 updated (+100), odds 11..19 deleted, 20..24 inserted
+    assert(after.filter(col("doc_id") >= 10 && col("doc_id") < 20 && col("doc_id") % 2 =!= 0)
+      .count() == 0, "matched odds deleted")
+    assert(after.filter(col("doc_id") >= 20).agg(count(lit(1))).head.getLong(0) == 5,
+      "conditional insert stops at 25")
+    val srcChars = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 12).agg(sum("n_chars")).head.getLong(0)
+    assert(after.filter(col("doc_id") === 12).agg(sum("n_chars")).head.getLong(0) ==
+      srcChars + 100, "matched evens take the source value + 100")
+    assert(cat.scan("t", "main").count() == 20, "merge is branch-isolated")
+
+    // main refusal
+    val err = intercept[Exception] {
+      spark.sql(s"MERGE INTO $lake.main.t AS t USING merge_src AS s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(err.getMessage.contains("write-audit-publish"))
+
+    // a non-equi ON must be refused, not weakened
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $lake.up.t AS t USING merge_src AS s ON t.doc_id > s.doc_id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+  }
+
   test("ALTER TABLE: ADD COLUMN and type widening through SQL; drops refused") {
     val (lake, cat) = register()
     import spark.implicits._
@@ -466,6 +543,40 @@ class SqlCatalogSpec extends SparkSpecBase {
     val sizes2 = batchSizes.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1).map(_._2)
     assert(sizes2.sum == 80L, s"fresh stream initial-loads all 8 files: $sizes2")
     assert(sizes2.forall(_ <= 20L), s"no batch exceeds the 2-file budget: $sizes2")
+  }
+
+  test("SQL metadata tables: t$snapshots, t$files, t$history") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 30)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 10).coalesce(1))
+    cat.append("t", docs.filter(col("doc_id") >= 10).coalesce(1))
+
+    val snaps = spark.sql(s"SELECT * FROM $lake.main.`t$$snapshots` ORDER BY seq").collect()
+    assert(snaps.length == 3, "create + two appends")
+    assert(snaps.last.getLong(6) == 30, "head snapshot reports cumulative rows")
+    assert(snaps.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L), "monotone sequence")
+    // lineage: each row's parent is the previous row's id
+    assert(snaps.sliding(2).forall(p => p(1).getString(1) == p(0).getString(0)))
+
+    val files = spark.sql(
+      s"SELECT count(*) AS n, CAST(sum(rows) AS BIGINT) AS r FROM $lake.main.`t$$files`").head
+    assert(files.getLong(0) == 2 && files.getLong(1) == 30)
+    // per-file footer stats are visible through SQL
+    val bounds = spark.sql(
+      s"SELECT path, lower['doc_id'], upper['doc_id'] FROM $lake.main.`t$$files`").collect()
+    assert(bounds.forall(r => r.getString(1) != null && r.getString(2) != null))
+
+    val hist = spark.sql(
+      s"SELECT refs_version, snapshot_id, is_current FROM $lake.main.`t$$history` " +
+        "WHERE snapshot_id IS NOT NULL ORDER BY refs_version").collect()
+    assert(hist.length == 3, "three catalog commits carried the table")
+    assert(hist.count(_.getBoolean(2)) == 1 && hist.last.getBoolean(2),
+      "exactly the newest head is current")
+
+    // unknown kinds and missing bases still error like missing tables
+    intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`t$$bogus`") }
+    intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`nope$$files`") }
   }
 
   test("one query pins one snapshot (analysis-time isolation)") {
