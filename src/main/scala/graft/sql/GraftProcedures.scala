@@ -1,0 +1,86 @@
+package graft.sql
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+
+import graft.wap.BranchCatalog
+
+/** Maintenance as SQL procedures (the Iceberg system-procedure
+  * analogue), under the reserved `system` namespace of a
+  * [[GraftTableCatalog]]:
+  *
+  * {{{
+  *   CALL lake.system.expire_snapshots('events')
+  *   CALL lake.system.rewrite_data_files('events', 'main', 8, 'ts')
+  *   CALL lake.system.rewrite_manifests('events', 'main')
+  * }}}
+  *
+  * `rewrite_data_files` with a non-empty `cluster_by` column list runs
+  * the sort-clustered rewrite (tight per-file ranges for pruning);
+  * empty runs the plain small-file compaction. All three are
+  * CONTENT-PRESERVING — they commit new metadata but never change what
+  * a scan returns — so they run on any branch, main included: the
+  * write-audit-publish guard protects content, and maintenance is not a
+  * content write (same stance as Iceberg running procedures on main).
+  */
+object GraftProcedures {
+
+  val namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests")
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  def load(root: String, name: String): UnboundProcedure = name match {
+    case "expire_snapshots" =>
+      procedure(root, name, Array(param("table", StringType))) { (cat, args) =>
+        cat.expireSnapshots(args.getString(0)); ()
+      }
+    case "rewrite_data_files" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"),
+        param("target_files", IntegerType, "4"),
+        param("cluster_by", StringType, "''"))) { (cat, args) =>
+        val (table, branch) = (args.getString(0), args.getString(1))
+        val target = args.getInt(2)
+        val cluster = args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cluster.isEmpty) cat.compactDataFiles(table, branch, target)
+        else cat.compactDataFilesSorted(table, cluster, branch, target)
+        ()
+      }
+    case "rewrite_manifests" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.compactManifests(args.getString(0), args.getString(1)); ()
+      }
+    case other =>
+      throw new UnsupportedOperationException(
+        s"no procedure system.$other (have: ${names.mkString(", ")})")
+  }
+
+  private def procedure(root: String, procName: String, params: Array[ProcedureParameter])(
+      body: (BranchCatalog, InternalRow) => Unit): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        body(new BranchCatalog(SparkSession.active, root), input)
+        util.Collections.emptyIterator[Scan]()
+      }
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sql
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graft.{Bridge, ParquetStageWriterFactory}
+import org.apache.spark.sql.types.StructType
+
+import graft.quality.{Expect, NotNull, UniqueKey, ValueRange}
+import graft.wap.{BranchCatalog, HttpWebhookAlerter, LogAlerter, Wap}
+
+/** Audited streaming writes — `writeStream.toTable("lake.main.t")` as
+  * the STANDARD API for the foreachBatch WAP contract
+  * ([[graft.streaming.EventStreams.fileIngest]]'s library-call flow,
+  * exposed through the connector):
+  *
+  * {{{
+  *   df.writeStream
+  *     .option("graft.wap", true)                     // route through Wap.run
+  *     .option("graft.checks", "not_null:text")       // the audit suite
+  *     .toTable("lake.main.events_log")
+  * }}}
+  *
+  * Per micro-batch: executors stage rows as parquet (Spark's own writer,
+  * so footers carry real stats), and the driver commit routes the staged
+  * batch through [[Wap.run]] — fork an audit branch, append, audit,
+  * publish to main on pass; on FAIL the batch stays quarantined on its
+  * `stream-<table>-<epoch>` branch, the alerter fires, and the stream
+  * continues (per-batch quarantine, the fileIngest contract). The RAW
+  * sink refusal holds: `toTable` on main WITHOUT `graft.wap` is refused
+  * up front — nothing reaches main unaudited. Branch targets stay raw
+  * staging appends (audit-then-publish later), mirroring batch INSERT.
+  *
+  * Exactly-once: a per-epoch marker under the stage dir makes commit
+  * idempotent across Spark's epoch replays (the standard sink contract);
+  * staged files are deleted once the catalog commit lands. */
+class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends StreamingWrite {
+
+  private val schema: StructType = info.schema()
+  private val options = info.options()
+  private val wapMode = options.getBoolean("graft.wap", false)
+  private val checks: Seq[Expect] =
+    GraftStreamingWrite.parseChecks(Option(options.get("graft.checks")))
+
+  if (t.branch == "main" && !wapMode && !t.mainWritesAllowed)
+    throw new IllegalArgumentException(
+      s"raw streaming writes to ${t.tableName}@main are disabled: main only " +
+        "changes through write-audit-publish — set .option(\"graft.wap\", true) " +
+        "(with graft.checks) to publish audited batches, or target a branch " +
+        "namespace and publish later")
+  if (wapMode && t.branch != "main")
+    throw new IllegalArgumentException(
+      "graft.wap publishes audited batches to MAIN; target lake.main." +
+        s"${t.tableName} (got branch ${t.branch})")
+
+  private def spark = SparkSession.active
+  private val stageDir = new Path(t.root, s"tables/${t.tableName}/stage-${info.queryId()}")
+
+  override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(
+      Bridge.parquetStageWriterFactory(spark, schema), stageDir.toString)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = messages.collect { case GraftStagedFiles(fns) => fns }.flatten.toSeq
+    val marker = new Path(stageDir, s"epoch-$epochId.committed")
+    if (fs.exists(marker)) { cleanup(fs, files); return } // replayed epoch
+    if (files.nonEmpty) {
+      val cat = new BranchCatalog(spark, t.root)
+      val batch = spark.read.schema(schema).parquet(files: _*)
+      if (wapMode) {
+        val alerter = Option(options.get("graft.alert.url"))
+          .map(u => new HttpWebhookAlerter(Some(u))).getOrElse(LogAlerter)
+        val auditBranch = s"stream-${t.tableName}-$epochId"
+        // a crash between Wap's branch fork and the marker leaves the
+        // branch behind; the replay must start clean
+        if (cat.listBranches().contains(auditBranch)) cat.dropBranch(auditBranch)
+        Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter)
+      } else {
+        cat.createTableIfNotExists(t.tableName, batch.schema)
+        cat.append(t.tableName, batch, t.branch)
+      }
+    }
+    fs.mkdirs(stageDir)
+    fs.create(marker, true).close()
+    cleanup(fs, files)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cleanup(fs, messages.collect { case GraftStagedFiles(fns) => fns }.flatten.toSeq)
+  }
+
+  private def cleanup(fs: org.apache.hadoop.fs.FileSystem, files: Seq[String]): Unit =
+    files.foreach { f =>
+      try { fs.delete(new Path(f), false); () } catch { case _: Exception => () }
+    }
+
+  override def toString: String = s"GraftStreamingWrite(${t.branch}.${t.tableName})"
+}
+
+object GraftStreamingWrite {
+  /** `graft.checks` syntax: comma-separated `not_null:<col>`,
+    * `unique:<col>`, `value_range:<col>:<lo>:<hi>`. */
+  private[sql] def parseChecks(spec: Option[String]): Seq[Expect] =
+    spec.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":").map(_.trim) match {
+        case Array("not_null", c) => NotNull(c)
+        case Array("unique", c) => UniqueKey(c)
+        case Array("value_range", c, lo, hi) => ValueRange(c, lo.toDouble, hi.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"bad graft.checks entry '$entry' (want not_null:<col>, unique:<col>, " +
+            "or value_range:<col>:<lo>:<hi>)")
+      }
+    }
+}
+
+/** Staged file paths one write task produced. */
+case class GraftStagedFiles(files: Seq[String]) extends WriterCommitMessage
+
+private class GraftStreamingWriterFactory(
+    writers: ParquetStageWriterFactory, stageDir: String)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val path = s"$stageDir/epoch-$epochId-p$partitionId-t$taskId-" +
+      s"${UUID.randomUUID().toString.take(8)}.parquet"
+    new DataWriter[InternalRow] {
+      private var writer: org.apache.spark.sql.graft.ParquetStageWriter = _
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) writer = writers.create(path) // no empty files
+        writer.write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        if (writer == null) GraftStagedFiles(Nil)
+        else { writer.close(); writer = null; GraftStagedFiles(Seq(path)) }
+      }
+      override def abort(): Unit = close()
+      override def close(): Unit =
+        if (writer != null) { writer.close(); writer = null }
+    }
+  }
+}

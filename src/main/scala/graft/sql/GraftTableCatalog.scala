@@ -62,7 +62,7 @@ import graft.wap.BranchCatalog
   * the Scala API ([[graft.wap.BranchCatalog.mergeInto]] etc.).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -263,6 +263,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // ---- maintenance procedures (`CALL <cat>.system.<proc>(...)`) ----------
+
+  /** `CALL lake.system.expire_snapshots('t')` etc — see
+    * [[GraftProcedures]]. `system` is a reserved pseudo-namespace (it
+    * can never collide: branches with that name are legal but tables
+    * and procedures resolve through different plans). */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.namespace),
+      s"procedures live under $catalogName.system, got " +
+        (ident.namespace() :+ ident.name()).mkString("."))
+    GraftProcedures.load(root, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(GraftProcedures.namespace)) Array.empty
+    else GraftProcedures.names.map(Identifier.of(GraftProcedures.namespace, _)).toArray
+
   override def dropTable(ident: Identifier): Boolean =
     cat.dropTable(ident.name(), branchOf(ident.namespace()))
 
@@ -287,6 +304,7 @@ case class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
@@ -355,6 +373,10 @@ case class GraftTable(
               ()
             }
           }
+        /** `writeStream.toTable` — see [[GraftStreamingWrite]] (audited
+          * WAP publishes to main, raw staging appends to branches). */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(GraftTable.this, info)
       }
     }
 }

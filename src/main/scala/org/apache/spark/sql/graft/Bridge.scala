@@ -59,6 +59,24 @@ object Bridge {
         hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
   }
 
+  /** Executor-side parquet STAGE writer factory: Spark's own parquet
+    * `OutputWriter` (ParquetFileFormat.prepareWrite is `private[sql]`,
+    * hence this bridge), serializable for shipping inside a
+    * [[org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory]].
+    * This is the writer FileFormatWriter tasks use — proper footers (so
+    * the catalog's stats reader works on staged files), session codec. */
+  def parquetStageWriterFactory(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): ParquetStageWriterFactory = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      classic.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(classic, job, Map.empty, schema)
+    new ParquetStageWriterFactory(factory, schema,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
   /** A DataFrame over an already-analyzed logical plan
     * (`Dataset.ofRows` is `private[sql]`) — lets eager DML commands
     * materialize their captured source plan. */
@@ -104,4 +122,25 @@ object Bridge {
         scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
       case r => Iterator.single(r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
     }
+}
+
+/** Serializable wrapper over Spark's parquet [[org.apache.spark.sql
+  * .execution.datasources.OutputWriterFactory]] (a `private[sql]`
+  * surface) — see [[Bridge.parquetStageWriterFactory]]. */
+class ParquetStageWriterFactory private[graft] (
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    schema: org.apache.spark.sql.types.StructType,
+    conf: org.apache.spark.util.SerializableConfiguration) extends Serializable {
+  def create(path: String): ParquetStageWriter = {
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    new ParquetStageWriter(factory.newInstance(path, schema, tac))
+  }
+}
+
+/** One open staged parquet file (executor-side). */
+class ParquetStageWriter private[graft] (
+    w: org.apache.spark.sql.execution.datasources.OutputWriter) {
+  def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = w.write(row)
+  def close(): Unit = w.close()
 }

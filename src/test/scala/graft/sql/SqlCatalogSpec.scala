@@ -579,6 +579,114 @@ class SqlCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`nope$$files`") }
   }
 
+  test("CALL lake.system.* runs catalog maintenance through SQL") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+    cat.createTableIfNotExists("t", docs.schema)
+    // interleaved appends: every file spans the id range -> 8 fat files
+    for (r <- 0 until 8)
+      cat.append("t", docs.filter(col("doc_id") % 8 === r).coalesce(1))
+    assert(cat.dataFiles("t").size == 8)
+    val before = cat.scan("t").agg(sum("n_chars")).head.getLong(0)
+
+    // sort-clustered rewrite: fewer files, tight ranges, same content
+    spark.sql(s"CALL $lake.system.rewrite_data_files('t', 'main', 4, 'doc_id')")
+    assert(cat.dataFiles("t").size == 4)
+    assert(cat.scan("t").agg(sum("n_chars")).head.getLong(0) == before,
+      "maintenance is content-preserving")
+    val afterRewrite = cat.dataFiles("t")
+    assert(afterRewrite.forall(f => f.lower.contains("doc_id")), "files carry stats")
+
+    // manifest folding: one manifest ref after
+    spark.sql(s"CALL $lake.system.rewrite_manifests('t')")
+    assert(cat.snapshotMeta("t", cat.snapshotIdOf("t").get).manifests.size == 1)
+
+    // expire: history collapses to the live head, data intact
+    val historyBefore = cat.commitHistory("t").size
+    assert(historyBefore > 1)
+    spark.sql(s"CALL $lake.system.expire_snapshots('t')")
+    assert(cat.commitHistory("t").size == 1, "only the head survives expiry")
+    assert(cat.scan("t").agg(sum("n_chars")).head.getLong(0) == before)
+
+    // defaults resolve (branch/target_files/cluster_by omitted)
+    spark.sql(s"CALL $lake.system.rewrite_data_files('t')")
+    assert(cat.dataFiles("t").size == 4)
+
+    intercept[Exception] { spark.sql(s"CALL $lake.system.no_such_proc('t')") }
+  }
+
+  test("writeStream.toTable routes micro-batches through write-audit-publish") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+    cat.createTableIfNotExists("t",
+      Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars").schema)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("sink-ckpt").toString
+    def drain(): Unit = {
+      val q = mem.toDF.toDF("doc_id", "text", "n_chars")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:text")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.t")
+      q.awaitTermination()
+    }
+
+    mem.addData(docs.take(20).toIndexedSeq: _*)
+    drain()
+    assert(cat.scan("t").count() == 20, "clean batch published to main")
+
+    // a dirty batch QUARANTINES (branch survives, main untouched), and
+    // the stream keeps going
+    mem.addData((900L, null: String, 1L), (901L, "ok", 2L))
+    drain()
+    assert(cat.scan("t").count() == 20, "failed audit leaves main untouched")
+    val quarantine = cat.listBranches().filter(_.startsWith("stream-t-"))
+    assert(quarantine.size == 1, s"quarantine branch kept: $quarantine")
+    assert(cat.scan("t", quarantine.head).count() == 22, "batch inspectable on its branch")
+
+    // stream continues: next clean batch publishes
+    mem.addData(docs.slice(20, 40).toIndexedSeq: _*)
+    drain()
+    assert(cat.scan("t").count() == 40)
+
+    // raw sink refusal for main: no graft.wap -> refused up front
+    val mem2 = MemoryStream[(Long, String, Long)]
+    mem2.addData((1L, "x", 1L))
+    val err = intercept[Exception] {
+      val q = mem2.toDF.toDF("doc_id", "text", "n_chars")
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("sink-raw").toString)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.t")
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("write-audit-publish")), s"got ${msgs(err)}")
+
+    // branch targets are raw staging appends (audit later), like INSERT
+    spark.sql(s"CREATE NAMESPACE $lake.ingest")
+    val mem3 = MemoryStream[(Long, String, Long)]
+    mem3.addData((500L, "staged", 6L))
+    val q3 = mem3.toDF.toDF("doc_id", "text", "n_chars")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sink-br").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$lake.ingest.t")
+    q3.awaitTermination()
+    assert(cat.scan("t", "ingest").filter(col("doc_id") === 500L).count() == 1)
+    assert(cat.scan("t", "main").filter(col("doc_id") === 500L).count() == 0)
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
