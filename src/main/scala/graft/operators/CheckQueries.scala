@@ -26,15 +26,17 @@ import graft.Tables
 object CheckQueries {
 
   // Recall floors: measured headroom below the observed recall at BOTH
-  // driver scales (r7 calibration, CheckCalibrate): lsh 0.70/0.73,
-  // ivf 0.90/0.80, ivfq 0.90/0.80 (1 Lloyd step), ivfpq 0.85/0.63
-  // (residual IVFADC, 1 Lloyd step), pca 0.79/0.54 at sf0.01/sf0.1. A
-  // floor trip means the operator genuinely degraded, not noise: every
-  // input is deterministic.
+  // driver scales (r9 calibration, CheckCalibrate): lsh 0.70/0.73,
+  // ivf 0.90/0.80, ivfq 0.90/0.80 (1 Lloyd step), ivfpq 0.96/0.82
+  // (residual IVFADC, 1 Lloyd step, nprobe=32 cf=24 — the r9 sweep
+  // showed shortlist depth, not PQ distortion, bounded recall on the
+  // near-uniform testdata), pca 0.79/0.54 at sf0.01/sf0.1. A floor trip
+  // means the operator genuinely degraded, not noise: every input is
+  // deterministic.
   private val LshFloor = 0.55
   private val IvfFloor = 0.65
   private val IvfqFloor = 0.65
-  private val IvfpqFloor = 0.50
+  private val IvfpqFloor = 0.75
   private val PcaFloor = 0.45
 
   /** Recall + shape gates for the five ANN variants vs the hash-green

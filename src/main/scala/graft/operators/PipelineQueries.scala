@@ -163,7 +163,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
     Similarity.ivfTopKPQ(ivfPqIndex(spark, dir),
       e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, nprobe = 24, candidateFactor = 12)
+      k = 5, nprobe = 32, candidateFactor = 24)
   }
 
   /** PCA-reduced ANN: candidates in a 24-dim projected space, exact

@@ -211,35 +211,7 @@ class GraftMicroBatchStream(
           if (s.seq < 0) None else Some(s.snapshotId), e.snapshotId)
           .map(f => f.path -> f.bytes)
       }
-    // Bin-pack files into partitions by byte size (maxPartitionBytes
-    // budget + per-file open cost, FileSourceScanExec's sizing): one
-    // task per FILE would launch millions of tiny tasks on the 100 TB
-    // initial load this source exists for. Order is preserved, so the
-    // initial-load slice contract is unchanged.
-    val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.conf
-    val maxBytes = conf.filesMaxPartitionBytes
-    val openCost = conf.filesOpenCostInBytes
-    val bins = Vector.newBuilder[InputPartition]
-    var bin = Vector.newBuilder[(String, Long)]
-    var binBytes = 0L
-    var binEmpty = true
-    for ((path, bytes) <- files) {
-      val len = if (bytes > 0) bytes else fileLength(path)
-      val cost = len + openCost
-      if (!binEmpty && binBytes + cost > maxBytes) {
-        bins += GraftFilesPartition(bin.result())
-        bin = Vector.newBuilder[(String, Long)]; binBytes = 0L; binEmpty = true
-      }
-      bin += (path -> len); binBytes += cost; binEmpty = false
-    }
-    if (!binEmpty) bins += GraftFilesPartition(bin.result())
-    bins.result().toArray
-  }
-
-  private def fileLength(path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    GraftPartitions.binPack(spark, files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -262,7 +234,44 @@ class GraftMicroBatchStream(
   override def toString: String = s"GraftMicroBatchStream($branch.$tableName @ $root)"
 }
 
-private class GraftReaderFactory(
+/** Bin-packing of catalog files into read partitions, shared by the
+  * micro-batch stream and the native batch scan. */
+private[sql] object GraftPartitions {
+
+  /** Pack `files` into partitions by byte size (maxPartitionBytes budget
+    * + per-file open cost, FileSourceScanExec's sizing): one task per
+    * FILE would launch millions of tiny tasks on a 100 TB table. Order
+    * is preserved. A recorded size of 0 (pre-r8 metadata) falls back to
+    * one getFileStatus call. */
+  def binPack(spark: SparkSession, files: Seq[(String, Long)]): Array[InputPartition] = {
+    val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val bins = Vector.newBuilder[InputPartition]
+    var bin = Vector.newBuilder[(String, Long)]
+    var binBytes = 0L
+    var binEmpty = true
+    for ((path, bytes) <- files) {
+      val len = if (bytes > 0) bytes else fileLength(spark, path)
+      val cost = len + openCost
+      if (!binEmpty && binBytes + cost > maxBytes) {
+        bins += GraftFilesPartition(bin.result())
+        bin = Vector.newBuilder[(String, Long)]; binBytes = 0L; binEmpty = true
+      }
+      bin += (path -> len); binBytes += cost; binEmpty = false
+    }
+    if (!binEmpty) bins += GraftFilesPartition(bin.result())
+    bins.result().toArray
+  }
+
+  private def fileLength(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+  }
+}
+
+private[sql] class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow])
   extends PartitionReaderFactory {
 

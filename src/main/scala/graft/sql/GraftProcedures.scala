@@ -32,7 +32,8 @@ object GraftProcedures {
 
   val namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests")
+  def names: Seq[String] =
+    Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests", "analyze_table")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -55,6 +56,15 @@ object GraftProcedures {
         val cluster = args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (cluster.isEmpty) cat.compactDataFiles(table, branch, target)
         else cat.compactDataFilesSorted(table, cluster, branch, target)
+        ()
+      }
+    case "analyze_table" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"),
+        param("columns", StringType, "''"))) { (cat, args) =>
+        cat.analyzeTable(args.getString(0), args.getString(1),
+          args.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         ()
       }
     case "rewrite_manifests" =>

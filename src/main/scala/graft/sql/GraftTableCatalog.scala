@@ -546,55 +546,131 @@ private class GraftScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new V1Scan
-      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-    override def readSchema(): StructType = required
+  /** No pending MOR tombstones -> a NATIVE DSv2 batch scan (columnar
+    * parquet reader, bin-packed splits, stats the planner can SEE —
+    * Spark's V1ScanWrapper does not forward SupportsReportStatistics, so
+    * the V1 route always planned with default sizes). Pending tombstones
+    * need the full anti-join plan only `scanDF` builds -> V1 fallback. */
+  override def build(): Scan = {
+    val cat = new BranchCatalog(SparkSession.active, t.root)
+    if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty)
+      new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
+    else new V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = required
+          override def buildScan(): RDD[Row] = {
+            val cond = pushed.flatMap(GraftScanBuilder.toColumn)
+              .reduceOption(_ && _)
+            val df = t.scanDF(ctx.sparkSession, cond)
+            val sel =
+              if (required.fieldNames.sameElements(df.columns)) df
+              else df.select(required.fieldNames.toIndexedSeq
+                .map(org.apache.spark.sql.functions.col): _*)
+            sel.rdd
+          }
+        }.asInstanceOf[T]
 
-    /** Stats of the PINNED snapshot for the planner: row count from
-      * manifest-ref sums (free), byte size from manifest entries only
-      * while the table is small enough that the driver read is trivial —
-      * a big table reports no size and Spark's defaults keep it off the
-      * broadcast path, which is the safe direction. */
-    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      new org.apache.spark.sql.connector.read.Statistics {
-        private val cat = new BranchCatalog(SparkSession.active, t.root)
-        private val snap = cat.snapshotMeta(t.tableName, t.snapshotId)
-        override def sizeInBytes(): java.util.OptionalLong = {
-          val bytes =
-            if (snap.manifests.map(_.fileCount).sum > 4096) 0L
-            else cat.filesOf(snap).map(_.bytes).sum
-          if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
-        }
-        /** Manifest-ref sums are exact only with no pending MOR
-          * tombstones: a key tombstone suppresses EVERY data row
-          * matching the key, so tombstone row counts bound nothing —
-          * report no row count rather than an inflated one (the planner
-          * falls back to sizeInBytes, the safe direction). */
-        override def numRows(): java.util.OptionalLong =
-          if (snap.deleteManifests.nonEmpty) java.util.OptionalLong.empty()
-          else java.util.OptionalLong.of(snap.manifests.map(_.rows).sum)
-      }
-    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = ctx
-        override def schema: StructType = required
-        override def buildScan(): RDD[Row] = {
-          val cond = pushed.flatMap(GraftScanBuilder.toColumn)
-            .reduceOption(_ && _)
-          val df = t.scanDF(ctx.sparkSession, cond)
-          val sel =
-            if (required.fieldNames.sameElements(df.columns)) df
-            else df.select(required.fieldNames.toIndexedSeq
-              .map(org.apache.spark.sql.functions.col): _*)
-          sel.rdd
-        }
-      }.asInstanceOf[T]
-
-    /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new GraftMicroBatchStream(SparkSession.active, t.root, t.branch,
-        t.tableName, t.tableSchema, required, maxFilesPerTrigger)
+      /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]
+        * (which refuses pending tombstones itself, loudly). */
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftMicroBatchStream(SparkSession.active, t.root, t.branch,
+          t.tableName, t.tableSchema, required, maxFilesPerTrigger)
+    }
   }
+}
+
+/** The native read path of a tombstone-free snapshot: manifest-pruned,
+  * bin-packed parquet splits through Spark's own reader — no V1 per-row
+  * conversion boundary even WITHOUT the optimizer lowering rules (a
+  * vanilla session reading a graft catalog gets this plan), and
+  * planner-visible statistics (row count, byte size, ANALYZE NDV). */
+private[sql] class GraftBatchScan(
+    t: GraftTable, required: StructType, pushed: Array[sources.Filter],
+    maxFilesPerTrigger: Option[Int])
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft ${t.branch}.${t.tableName} @ ${t.snapshotId}"
+
+  override def planInputPartitions(): Array[
+      org.apache.spark.sql.connector.read.InputPartition] = {
+    val cond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    val files = new BranchCatalog(spark, t.root)
+      .plannedFilesOfSnapshot(t.tableName, t.snapshotId, cond)
+    GraftPartitions.binPack(spark, files)
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftReaderFactory(
+      org.apache.spark.sql.graft.Bridge.parquetReadFunc(spark, t.tableSchema, required))
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftStats.of(spark, t)
+
+  /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(spark, t.root, t.branch,
+      t.tableName, t.tableSchema, required, maxFilesPerTrigger)
+}
+
+/** Planner statistics of one pinned snapshot. */
+private[sql] object GraftStats {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  /** Row count from manifest-ref sums (free); byte size from manifest
+    * entries only while the table is small enough that the driver read
+    * is trivial — a big table reports no size and Spark's defaults keep
+    * it off the broadcast path, the safe direction. Under pending MOR
+    * tombstones row counts are an overcount (a key tombstone suppresses
+    * EVERY matching row), so none is reported. */
+  def of(spark: SparkSession, t: GraftTable): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val cat = new BranchCatalog(spark, t.root)
+      private val snap = cat.snapshotMeta(t.tableName, t.snapshotId)
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val bytes =
+          if (snap.manifests.map(_.fileCount).sum > 4096) 0L
+          else cat.filesOf(snap).map(_.bytes).sum
+        if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
+      }
+      override def numRows(): java.util.OptionalLong =
+        if (snap.deleteManifests.nonEmpty) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(snap.manifests.map(_.rows).sum)
+      /** Per-column stats for CBO: NDV from the nearest ANALYZE blob
+        * ([[BranchCatalog.analyzeTable]] — a maintenance pass, so
+        * reporting costs one tiny metadata read), null counts from
+        * exact manifest sums (same driver-read guard as sizeInBytes).
+        * Empty when neither exists — absent stats beat wrong stats. */
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {
+        val ndv = cat.columnStatsOf(t.tableName, t.snapshotId).getOrElse(Map.empty)
+        val nulls: Map[String, Long] =
+          if (snap.deleteManifests.nonEmpty ||
+              snap.manifests.map(_.fileCount).sum > 4096) Map.empty
+          else cat.filesOf(snap).flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
+        val out = new util.HashMap[NamedReference, ColumnStatistics]()
+        (ndv.keySet ++ nulls.keySet).foreach { c =>
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.get(c).map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nulls.get(c).map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+        }
+        out
+      }
+    }
 }
 
 private object GraftScanBuilder {

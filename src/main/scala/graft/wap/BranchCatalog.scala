@@ -1131,7 +1131,11 @@ class BranchCatalog(
   /** The distributed planning path: manifest entries read + stats-pruned
     * by executors; only surviving paths come back. */
   private[wap] def distributedPrunedPaths(
-      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[String] = {
+      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[String] =
+    distributedPrunedFiles(snap, filter, schema).map(_._1)
+
+  private def distributedPrunedFiles(
+      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val spec = snap.partitionSpec.map(PartitionSpec.parse)
     val entries = manifestEntries(snap)
@@ -1140,7 +1144,32 @@ class BranchCatalog(
         .map(p => partitionMayMatchCol(p, spec, schema) && mayMatchCol(p)).reduce(_ && _))
       case None => entries
     }
-    kept.select(col("path")).collect().map(_.getString(0)).toSeq
+    kept.select(col("path"), col("bytes")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+  }
+
+  /** The pruned (path, bytes) list of ONE pinned snapshot, for connector
+    * batch planning ([[graft.sql]]'s native DSv2 scan) — the same prune
+    * `scanPlain` makes, and the same driver hand-off any DSv2 planner's
+    * planInputPartitions requires (tiered: above the threshold the prune
+    * itself is distributed and only the surviving list is collected).
+    * Refuses pending MOR tombstones — the connector falls back to the
+    * full scan plan for those. */
+  private[graft] def plannedFilesOfSnapshot(
+      table: String, snapshotId: String, cond: Option[Column]): Seq[(String, Long)] = {
+    val snap = loadSnapshot(table, snapshotId)
+    require(snap.deleteManifests.isEmpty,
+      s"snapshot $snapshotId of $table has pending MOR tombstones — plan via scanSnapshot")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    if (snap.manifests.map(_.fileCount).sum > distributedMetaThreshold)
+      distributedPrunedFiles(snap, cond, schema)
+    else {
+      val files = cond match {
+        case Some(c) => pruneFiles(filesOf(snap), c, schema, snap.partitionSpec.map(PartitionSpec.parse))
+        case None => filesOf(snap)
+      }
+      files.map(f => f.path -> f.bytes)
+    }
   }
 
   /** Resolve a user predicate against the table schema (Spark 4 Columns
@@ -1378,6 +1407,59 @@ class BranchCatalog(
         added.map(_.rows).sum, added.map(_.fileCount).sum,
         s.manifests.map(_.rows).sum)
     }
+  }
+
+  private def colStatsPath(table: String, snapshotId: String) =
+    new Path(rootPath, s"tables/$table/meta/colstats-$snapshotId.json")
+
+  /** ANALYZE: per-column approximate NDV of the branch head, stored as a
+    * stats sidecar keyed by snapshot id (the Iceberg ANALYZE / puffin
+    * analogue — NDV is a SEPARATE maintenance pass, never a write-path
+    * tax: one distributed `approx_count_distinct` aggregate over the
+    * snapshot, O(1) driver state). Connector scans surface it through
+    * `estimateStatistics.columnStats`, so CBO join planning sees real
+    * distinct counts without hints. Stats sidecars are derived and
+    * idempotent (re-analyze overwrites); [[columnStatsOf]] serves the
+    * NEAREST ancestor's blob, so stats stay usable (approximately)
+    * as the table advances until the next analyze. */
+  def analyzeTable(
+      table: String, branch: String = "main",
+      columns: Seq[String] = Nil): Map[String, Long] = {
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val df = scanSnapshot(table, id)
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filterNot(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.MapType => true
+        case _: org.apache.spark.sql.types.StructType => true
+        case org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }).map(_.name).toSeq
+    require(cols.nonEmpty, s"no analyzable (atomic-typed) columns in $table")
+    val row = df.agg(
+      approx_count_distinct(cols.head).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(c).as(c)): _*).head
+    val ndv = cols.map(c => c -> row.getAs[Long](c)).toMap
+    val p = colStatsPath(table, id)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Serialization.write(ndv).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    ndv
+  }
+
+  /** The nearest analyze blob at or above `snapshotId` in the parent
+    * chain (bounded walk — stats older than 32 commits are stale enough
+    * to ignore). */
+  def columnStatsOf(table: String, snapshotId: String): Option[Map[String, Long]] = {
+    val chain = Iterator.iterate(Option(snapshotId)) {
+      case Some(id) => loadSnapshotOpt(table, id).flatMap(_.parentId)
+      case None => None
+    }.takeWhile(_.isDefined).flatten.take(32)
+    chain.map(colStatsPath(table, _)).find(fs.exists)
+      .map(p => Serialization.read[Map[String, Long]](readString(p)))
   }
 
   /** Head lineage of table@branch across catalog commits (the Iceberg
@@ -2427,6 +2509,11 @@ class BranchCatalog(
     val liveManifests = liveManifestRefs.map(m => q(new Path(m.path))).toSet
 
     dropSnaps.foreach(fs.delete(_, false))
+    // analyze sidecars die with their snapshots
+    dropSnaps.foreach { p =>
+      val id = p.getName.stripPrefix("snap-").stripSuffix(".json")
+      try { fs.delete(colStatsPath(table, id), false); () } catch { case _: Exception => () }
+    }
 
     val manifestFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("manifest-"))

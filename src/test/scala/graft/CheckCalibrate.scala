@@ -37,11 +37,11 @@ object CheckCalibrate {
     val e = Tables.embeddings(spark, dir)
     val corp = e.filter(col("vec_id") >= 100)
     val qs = e.filter(col("vec_id") < 20)
-    for (res <- Seq(false, true); rs <- Seq(0, 1))
-      annRecall(s"ivfpq-res$res-rs$rs", Similarity.ivfTopKPQ(
+    for (m <- Seq(8, 16); np <- Seq(24, 32); cf <- Seq(12, 24); ts <- Seq(2048, 4096))
+      annRecall(s"ivfpq-m$m-np$np-cf$cf-ts$ts", Similarity.ivfTopKPQ(
         corp, "vec_id", "embedding", qs, "vec_id", "embedding",
-        k = 5, centroids = 64, nprobe = 24, candidateFactor = 12, ksub = 32,
-        residual = res, refineSteps = rs))
+        k = 5, centroids = 64, nprobe = np, candidateFactor = cf, ksub = 32,
+        trainSample = ts, residual = true, refineSteps = 1))
 
     // q21 sketch deltas
     val e21 = Relational.q21Percentiles(spark, dir)

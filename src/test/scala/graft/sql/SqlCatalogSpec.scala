@@ -250,21 +250,25 @@ class SqlCatalogSpec extends SparkSpecBase {
     cat.createTableIfNotExists("t", docs.schema)
     cat.append("t", docs)
 
-    def stats(): org.apache.spark.sql.connector.read.Statistics = {
+    def scan(): org.apache.spark.sql.connector.read.Scan = {
       val id = cat.snapshotIdOf("t").get
       val t = GraftTable(cat.root, "main", "t", id, cat.schemaOfSnapshot("t", id))
       t.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap())).build()
-        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
-        .estimateStatistics()
     }
-    assert(stats().numRows().getAsLong == 30, "manifest-ref sums are exact pre-tombstone")
+    assert(scan().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().numRows().getAsLong == 30,
+      "manifest-ref sums are exact pre-tombstone")
 
-    // a key tombstone can suppress ANY number of matching rows — the
-    // planner must see no row count rather than an inflated one
+    // a key tombstone can suppress ANY number of matching rows: the scan
+    // falls back to the full MOR plan and reports NO stats — the planner
+    // sees defaults rather than an inflated row count
     cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id"))
-    assert(!stats().numRows().isPresent,
+    val morScan = scan()
+    assert(!morScan.isInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics],
       "pending MOR tombstones make manifest row sums an overcount")
+    assert(!morScan.isInstanceOf[org.apache.spark.sql.connector.read.Batch],
+      "tombstoned snapshots read through the V1 scanDF plan (anti-joins)")
   }
 
   test("streaming input partitions are bin-packed by byte size, not per-file") {
@@ -685,6 +689,59 @@ class SqlCatalogSpec extends SparkSpecBase {
     q3.awaitTermination()
     assert(cat.scan("t", "ingest").filter(col("doc_id") === 500L).count() == 1)
     assert(cat.scan("t", "main").filter(col("doc_id") === 500L).count() == 0)
+  }
+
+  test("ANALYZE: NDV sketches reach connector column stats; joins broadcast unhinted") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("fact", docs.schema)
+    cat.append("fact", docs) // 500 rows
+    cat.createTableIfNotExists("dim",
+      docs.select(col("source"), col("lang")).distinct().schema)
+    cat.append("dim", docs.select(col("source"), col("lang")).distinct())
+
+    spark.sql(s"CALL $lake.system.analyze_table('fact')")
+
+    def stats() = {
+      val id = cat.snapshotIdOf("fact").get
+      GraftTable(cat.root, "main", "fact", id, cat.schemaOfSnapshot("fact", id))
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())).build()
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    val cs = stats().columnStats()
+    val byName = cs.entrySet().toArray.map { e =>
+      val kv = e.asInstanceOf[java.util.Map.Entry[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]]
+      kv.getKey.fieldNames().mkString(".") -> kv.getValue
+    }.toMap
+    val exactDocs = docs.select(countDistinct("doc_id")).head.getLong(0)
+    val ndv = byName("doc_id").distinctCount().getAsLong
+    assert(math.abs(ndv - exactDocs).toDouble / exactDocs < 0.1,
+      s"approx NDV $ndv vs exact $exactDocs")
+    assert(byName("text").nullCount().isPresent, "exact null counts from manifests")
+
+    // stats survive the table advancing (nearest-ancestor blob)
+    cat.append("fact", docs.limit(5))
+    assert(stats().columnStats().size() > 0, "nearest-ancestor analyze blob serves")
+
+    // connector-path join (lowering off): the small dim broadcasts with
+    // NO hint, from connector-reported stats alone
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      // the dim's optimized relation carries REAL stats (the native batch
+      // scan reports them; the old V1ScanWrapper hid them from the planner)
+      val dimPlan = spark.sql(s"SELECT * FROM $lake.main.dim").queryExecution.optimizedPlan
+      assert(dimPlan.stats.sizeInBytes < (1L << 20),
+        s"planner must see the dim's true size, got ${dimPlan.stats.sizeInBytes}")
+      val q = spark.sql(
+        s"SELECT f.doc_id, d.lang FROM $lake.main.fact f JOIN $lake.main.dim d ON f.source = d.source")
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "small dim must broadcast without a hint, from connector stats alone")
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
   test("one query pins one snapshot (analysis-time isolation)") {
