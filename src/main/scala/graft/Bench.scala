@@ -110,6 +110,16 @@ object Bench {
         s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
         s""""value":${ms(total)},"queries":$qs}"""
     println(line)
+    // At ~97 queries the full line outgrows the driver artifact's
+    // 2000-char stdout tail no matter the precision, so a SECOND compact
+    // line follows with the adjudication-critical fields (headline value
+    // + the calibration sentinels). The tail then always carries: the
+    // trailing ~85% of the query map (alphabetical — the cheap curate_*
+    // rows are what truncates) plus this complete summary; a driver that
+    // parses the LAST line gets valid JSON with value + calibration.
+    println(s"""{"metric":"total","unit":"sec","runs":$runs,""" +
+      s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},"value":${ms(total)}}""")
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every
     // round's complete map is reviewable in-repo (SPARK_GRAFT_BENCH_OUT
