@@ -35,9 +35,13 @@ import graft.wap.{BranchCatalog, HttpWebhookAlerter, LogAlerter, Wap}
   * up front — nothing reaches main unaudited. Branch targets stay raw
   * staging appends (audit-then-publish later), mirroring batch INSERT.
   *
-  * Exactly-once: a per-epoch marker under the stage dir makes commit
-  * idempotent across Spark's epoch replays (the standard sink contract);
-  * staged files are deleted once the catalog commit lands. */
+  * Delivery: a per-epoch marker under the stage dir makes commit
+  * idempotent across Spark's epoch replays — the common failure (crash
+  * BEFORE the catalog commit lands) never duplicates. The marker is
+  * written AFTER the commit, so a crash in the window between the two
+  * filesystem operations replays the batch (at-least-once there, like
+  * the foreachBatch contract this wraps); true exactly-once would need
+  * the epoch recorded inside the refs commit itself. */
 class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends StreamingWrite {
 
   private val schema: StructType = info.schema()
@@ -52,6 +56,13 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         "changes through write-audit-publish — set .option(\"graft.wap\", true) " +
         "(with graft.checks) to publish audited batches, or target a branch " +
         "namespace and publish later")
+  // graft.wap with ZERO checks would be a vacuous audit — an unaudited
+  // path to main that the raw-sink refusal exists to close
+  if (wapMode && checks.isEmpty && !t.mainWritesAllowed)
+    throw new IllegalArgumentException(
+      "graft.wap without graft.checks is an empty audit: declare at least one " +
+        "check (e.g. graft.checks=not_null:<col>), or opt the catalog into raw " +
+        "main writes with write.main=true")
   if (wapMode && t.branch != "main")
     throw new IllegalArgumentException(
       "graft.wap publishes audited batches to MAIN; target lake.main." +
@@ -81,12 +92,24 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         if (cat.listBranches().contains(auditBranch)) cat.dropBranch(auditBranch)
         Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter)
       } else {
-        cat.createTableIfNotExists(t.tableName, batch.schema)
+        cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)
         cat.append(t.tableName, batch, t.branch)
       }
     }
     fs.mkdirs(stageDir)
     fs.create(marker, true).close()
+    // only the last couple of epochs can replay — older markers are dead
+    // weight a months-long stream would otherwise accumulate forever
+    try {
+      fs.listStatus(stageDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("epoch-") && n.endsWith(".committed") &&
+            scala.util.Try(n.stripPrefix("epoch-").stripSuffix(".committed").toLong)
+              .toOption.exists(_ < epochId - 1)) {
+          fs.delete(st.getPath, false); ()
+        }
+      }
+    } catch { case _: Exception => () }
     cleanup(fs, files)
   }
 
@@ -140,7 +163,16 @@ private class GraftStreamingWriterFactory(
         if (writer == null) GraftStagedFiles(Nil)
         else { writer.close(); writer = null; GraftStagedFiles(Seq(path)) }
       }
-      override def abort(): Unit = close()
+      /** A failed/preempted task's partial file must not wait for a
+        * commit message that will never carry it. */
+      override def abort(): Unit = {
+        close()
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(writers.hadoopConf).delete(p, false)
+          ()
+        } catch { case _: Exception => () }
+      }
       override def close(): Unit =
         if (writer != null) { writer.close(); writer = null }
     }

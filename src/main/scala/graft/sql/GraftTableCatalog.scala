@@ -152,14 +152,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private def refuseMetaTimeTravel(ident: Identifier): Unit =
+    if (GraftMetadataTable.kindOf(ident.name()).isDefined)
+      throw new UnsupportedOperationException(
+        s"metadata table ${ident.name()} does not support time travel — " +
+          "query the BASE table with VERSION/TIMESTAMP AS OF instead")
+
   /** SQL `VERSION AS OF '<snapshot-id>'`. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    refuseMetaTimeTravel(ident)
     table(ident, branchOf(ident.namespace()), version)
+  }
 
   /** SQL `TIMESTAMP AS OF ...` — Spark hands MICROseconds since epoch;
     * resolves to the last snapshot committed at or before it (same walk
     * as [[BranchCatalog.scanAsOf]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    refuseMetaTimeTravel(ident)
     val branch = branchOf(ident.namespace())
     val id = cat.snapshotIdAsOf(ident.name(), timestamp / 1000L, branch)
     table(ident, branch, id)
@@ -464,13 +473,11 @@ object GraftMetadataTable {
       StructField("seq", LongType), StructField("committed_at", LongType),
       StructField("n_manifests", LongType), StructField("n_files", LongType),
       StructField("n_rows", LongType), StructField("n_delete_manifests", LongType)))
-    case "files" => StructType(Seq(
-      StructField("path", StringType), StructField("rows", LongType),
-      StructField("lower", MapType(StringType, StringType)),
-      StructField("upper", MapType(StringType, StringType)),
-      StructField("nullCounts", MapType(StringType, LongType)),
-      StructField("partition", MapType(StringType, StringType)),
-      StructField("bytes", LongType)))
+    // the one shared definition: a manifest-entry field added in a
+    // future round reaches the SQL surface automatically (schema drift
+    // between the scan declaration and the served rows would be a
+    // runtime-only failure)
+    case "files" => BranchCatalog.manifestEntrySchema
     case "history" => StructType(Seq(
       StructField("refs_version", LongType), StructField("snapshot_id", StringType),
       StructField("is_current", BooleanType)))
@@ -636,10 +643,14 @@ private[sql] object GraftStats {
     new org.apache.spark.sql.connector.read.Statistics {
       private val cat = new BranchCatalog(spark, t.root)
       private val snap = cat.snapshotMeta(t.tableName, t.snapshotId)
+      /** One manifest read shared by sizeInBytes AND columnStats — the
+        * planner may call both per query, and each filesOf is a full
+        * driver read of every manifest JSON. */
+      private lazy val files: Seq[graft.wap.DataFileMeta] =
+        if (snap.manifests.map(_.fileCount).sum > 4096) Nil
+        else cat.filesOf(snap)
       override def sizeInBytes(): java.util.OptionalLong = {
-        val bytes =
-          if (snap.manifests.map(_.fileCount).sum > 4096) 0L
-          else cat.filesOf(snap).map(_.bytes).sum
+        val bytes = files.map(_.bytes).sum
         if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
       }
       override def numRows(): java.util.OptionalLong =
@@ -653,9 +664,8 @@ private[sql] object GraftStats {
       override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {
         val ndv = cat.columnStatsOf(t.tableName, t.snapshotId).getOrElse(Map.empty)
         val nulls: Map[String, Long] =
-          if (snap.deleteManifests.nonEmpty ||
-              snap.manifests.map(_.fileCount).sum > 4096) Map.empty
-          else cat.filesOf(snap).flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
+          if (snap.deleteManifests.nonEmpty) Map.empty
+          else files.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
         val out = new util.HashMap[NamedReference, ColumnStatistics]()
         (ndv.keySet ++ nulls.keySet).foreach { c =>
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),

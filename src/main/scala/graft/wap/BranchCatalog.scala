@@ -330,15 +330,7 @@ class BranchCatalog(
     Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
   }
 
-  /** Schema of one manifest entry as serialized in the per-manifest JSON
-    * (one compact JSON array per manifest file). */
-  private val manifestEntrySchema = StructType(Seq(
-    StructField("path", StringType), StructField("rows", LongType),
-    StructField("lower", MapType(StringType, StringType)),
-    StructField("upper", MapType(StringType, StringType)),
-    StructField("nullCounts", MapType(StringType, LongType)),
-    StructField("partition", MapType(StringType, StringType)),
-    StructField("bytes", LongType)))
+  private def manifestEntrySchema = BranchCatalog.manifestEntrySchema
 
   /** A snapshot's manifest entries as a DataFrame — manifests are read
     * and parsed by EXECUTORS (Spark's JSON source yields one row per
@@ -2267,6 +2259,9 @@ class BranchCatalog(
       s"snapshot $id of $table has pending MOR tombstones and an export is a " +
         "plain file list — materialize with compactDataFiles first")
     val files = filesOf(snap).sortBy(_.path)
+    require(files.nonEmpty,
+      s"snapshot $id of $table has no data files — an empty export would emit " +
+        "an invalid read_parquet([]) view; append data (or export a later snapshot)")
     def plain(p: String): String = {
       val uri = new Path(p).toUri
       if (uri.getScheme == null || uri.getScheme == "file") uri.getPath else p
@@ -2544,4 +2539,19 @@ class BranchCatalog(
   }
 
   private def newId(): String = UUID.randomUUID().toString.take(16)
+}
+
+object BranchCatalog {
+  /** Schema of one manifest entry as serialized in the per-manifest JSON
+    * (one compact JSON array per manifest file). The single source of
+    * truth for every surface that serves manifest entries — the
+    * distributed reader here and the SQL `t$files` metadata table
+    * ([[graft.sql]]) must never drift apart. */
+  val manifestEntrySchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("rows", LongType),
+    StructField("lower", MapType(StringType, StringType)),
+    StructField("upper", MapType(StringType, StringType)),
+    StructField("nullCounts", MapType(StringType, LongType)),
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("bytes", LongType)))
 }

@@ -136,6 +136,9 @@ class ParquetStageWriterFactory private[graft] (
       conf.value, new org.apache.hadoop.mapreduce.TaskAttemptID())
     new ParquetStageWriter(factory.newInstance(path, schema, tac))
   }
+  /** The shipped Hadoop conf — lets executor-side cleanup resolve the
+    * same filesystem the writer used. */
+  def hadoopConf: org.apache.hadoop.conf.Configuration = conf.value
 }
 
 /** One open staged parquet file (executor-side). */

@@ -581,6 +581,12 @@ class SqlCatalogSpec extends SparkSpecBase {
     // unknown kinds and missing bases still error like missing tables
     intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`t$$bogus`") }
     intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`nope$$files`") }
+    // time travel over a metadata table refuses CLEARLY (it would
+    // otherwise die resolving tables/t$snapshots/meta/snap-<id>.json)
+    val tt = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $lake.main.`t$$snapshots` VERSION AS OF '${snaps.head.getString(0)}'")
+    }
+    assert(tt.getMessage.contains("time travel"), s"got ${tt.getMessage}")
   }
 
   test("CALL lake.system.* runs catalog maintenance through SQL") {
@@ -677,7 +683,20 @@ class SqlCatalogSpec extends SparkSpecBase {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(err).exists(_.contains("write-audit-publish")), s"got ${msgs(err)}")
 
-    // branch targets are raw staging appends (audit later), like INSERT
+    // graft.wap with NO checks is a vacuous audit -> refused up front
+    val errVacuous = intercept[Exception] {
+      val q = mem2.toDF.toDF("doc_id", "text", "n_chars")
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("sink-vac").toString)
+        .option("graft.wap", "true")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.t")
+      q.awaitTermination()
+    }
+    assert(msgs(errVacuous).exists(_.contains("empty audit")), s"got ${msgs(errVacuous)}")
+
+    // branch targets are raw staging appends (audit later), like INSERT —
+    // and a table the stream CREATES lands on the TARGET branch, not main
     spark.sql(s"CREATE NAMESPACE $lake.ingest")
     val mem3 = MemoryStream[(Long, String, Long)]
     mem3.addData((500L, "staged", 6L))
@@ -685,9 +704,11 @@ class SqlCatalogSpec extends SparkSpecBase {
       .writeStream
       .option("checkpointLocation", Files.createTempDirectory("sink-br").toString)
       .trigger(Trigger.AvailableNow())
-      .toTable(s"$lake.ingest.t")
+      .toTable(s"$lake.ingest.fresh_stream")
     q3.awaitTermination()
-    assert(cat.scan("t", "ingest").filter(col("doc_id") === 500L).count() == 1)
+    assert(cat.scan("fresh_stream", "ingest").count() == 1)
+    assert(!cat.tableExists("fresh_stream"),
+      "a branch-targeted stream must not create its table on main")
     assert(cat.scan("t", "main").filter(col("doc_id") === 500L).count() == 0)
   }
 

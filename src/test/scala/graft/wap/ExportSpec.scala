@@ -117,6 +117,13 @@ class ExportSpec extends SparkSpecBase {
     val err = intercept[IllegalArgumentException] { cat.exportSnapshot("t", exportTo()) }
     assert(err.getMessage.contains("compactDataFiles"))
 
+    // an EMPTY snapshot refuses too: read_parquet([]) is not a view any
+    // engine can run
+    val catE = freshCat()
+    catE.createTableIfNotExists("empty", docs.schema)
+    val errEmpty = intercept[IllegalArgumentException] { catE.exportSnapshot("empty", exportTo()) }
+    assert(errEmpty.getMessage.contains("no data files"))
+
     // hidden-partitioned data files carry full rows -> export like any parquet
     val cat2 = freshCat()
     cat2.createTableIfNotExists("p", docs.schema)
