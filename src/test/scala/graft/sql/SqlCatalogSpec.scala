@@ -765,6 +765,29 @@ class SqlCatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
+  test("the native batch scan prunes files from pushed filters (connector path)") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendClustered("t", docs, Seq("doc_id"), files = 8)
+    assert(cat.dataFiles("t").size >= 8)
+
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val q = spark.sql(s"SELECT doc_id FROM $lake.main.t WHERE doc_id = 33")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(33L))
+      // the physical scan is the NATIVE batch scan, and its input was
+      // manifest-pruned to fewer splits than the table's file count
+      val batchScans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(batchScans.nonEmpty, "connector read must plan a DSv2 batch scan")
+      val nFiles = batchScans.head.inputPartitions
+        .map(_.asInstanceOf[GraftFilesPartition].files.size).sum
+      assert(nFiles < 8, s"point predicate must prune clustered files, scanned $nFiles")
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
