@@ -109,7 +109,7 @@ case class MergeIntoResult(
   * is a local-FS convenience; manifest + view are the portable truth). */
 case class ExportedSnapshot(
     dest: String, manifestPath: String, viewPath: String, filesDir: Option[String],
-    snapshotId: String, fileCount: Long, rows: Long)
+    filesParquet: String, snapshotId: String, fileCount: Long, rows: Long)
 
 /** The schema of `manifest.json` in an export: everything a FOREIGN
   * engine needs to query the snapshot — absolute data-file paths with
@@ -2235,6 +2235,11 @@ class BranchCatalog(
     *  - `view.sql` — a ready-to-run ANSI view definition over
     *    `read_parquet([...])` (DuckDB dialect; the literal path list is
     *    the portable part);
+    *  - `files.parquet` — the file list (path, rows, bytes) as a
+    *    DISTRIBUTED parquet table written by executors from the manifest
+    *    entries: the scale form of the list (an engine joins or globs it
+    *    natively; the inline JSON array is for small snapshots and
+    *    humans);
     *  - `files/` — a numbered-symlink farm over the data files, so
     *    glob-only readers (a `read_parquet` over the files directory)
     *    work without list-parameter support. Local filesystems only;
@@ -2283,6 +2288,19 @@ class BranchCatalog(
     val viewPath = emit("view.sql",
       s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
         entries.map(e => s"'${e.path}'").mkString(",\n  ") + "\n]);\n")
+    // files.parquet: the same file list as a DISTRIBUTED parquet table
+    // (path, rows, bytes) — at 100 TB the inline JSON array is the wrong
+    // shape for an engine to parse, and this artifact is written by
+    // executors straight from the manifest entries (nothing extra lands
+    // on the driver); any engine reads it natively
+    val filesParquet = new Path(destPath, "files.parquet").toString
+    manifestEntries(snap)
+      .select(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("path"), "^file:", "").as("path"),
+        org.apache.spark.sql.functions.col("rows"),
+        org.apache.spark.sql.functions.col("bytes"))
+      .write.mode("overwrite").parquet(filesParquet)
     // numbered symlinks preserve the manifest's (path-sorted) file order
     val filesDir: Option[String] =
       if ("file" != dfs.makeQualified(destPath).toUri.getScheme ||
@@ -2299,7 +2317,7 @@ class BranchCatalog(
         }
         Some(dir.toString)
       }
-    ExportedSnapshot(dest, manifestPath, viewPath, filesDir, id,
+    ExportedSnapshot(dest, manifestPath, viewPath, filesDir, filesParquet, id,
       entries.length.toLong, entries.map(_.rows).sum)
   }
 

@@ -433,6 +433,15 @@ class SqlCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t DROP COLUMN v") }
     intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t ALTER COLUMN id TYPE INT") }
     assert(cat.scan("t").columns.toSeq == Seq("id", "v", "score"))
+
+    // the CONNECTOR batch path must read evolved files identically: old
+    // int32 parquet under the widened long schema, added column as null
+    // (a schema/reader mismatch here would be a runtime-only failure)
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      assert(spark.sql(s"SELECT sum(id) FROM $lake.main.t WHERE score IS NULL")
+        .head.getLong(0) == 3)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
   test("readStream.table streams the lake: initial load, per-commit deltas, WAP isolation") {

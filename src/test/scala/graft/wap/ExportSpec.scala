@@ -66,6 +66,14 @@ class ExportSpec extends SparkSpecBase {
     assert(viaExport.count() == 60)
     assert(viaExport.agg(sum("n_chars")).head.getLong(0) ==
       cat.scan("t").agg(sum("n_chars")).head.getLong(0))
+
+    // the distributed file-list artifact agrees with the inline manifest
+    val fl = spark.read.parquet(exp.filesParquet)
+    assert(fl.columns.toSeq == Seq("path", "rows", "bytes"))
+    assert(fl.count() == 2 && fl.agg(sum("rows")).head.getLong(0) == 60)
+    // and the paths it lists ARE the data files (readable directly)
+    val listed = fl.select("path").collect().map(_.getString(0))
+    assert(spark.read.parquet(listed.toIndexedSeq: _*).count() == 60)
   }
 
   test("DuckDB executes view.sql and reproduces the branch scan (foreign-engine read)") {
