@@ -204,8 +204,10 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS n_snapshots, (SELECT count(*) FROM documents WHERE doc_id < 200) AS head_rows, CAST(2 AS BIGINT) AS n_files, (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_from_files, CAST(3 AS BIGINT) AS n_heads, true AS head_current""",
     "wap_sql_dml" ->
       """SELECT count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS main_guarded FROM (SELECT doc_id, n_chars + 1000 AS chars FROM documents WHERE doc_id < 50 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50 AND doc_id < 150 UNION ALL SELECT doc_id, n_chars + 5000 FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 200 AND doc_id < 230)""",
+    // __EXPORT_DIR__ is substituted by Verify at dump time with the
+    // actual export dir for the SF being verified (WapQueries.exportDir)
     "wap_export" ->
-      """SELECT d.n_rows, d.sum_chars, d.n_docs, m.n_files FROM (SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM read_parquet('/tmp/graft-export-_root_testdata_sf0.01/files/*.parquet')) d CROSS JOIN (SELECT CAST(len(files) AS BIGINT) AS n_files FROM read_json_auto('/tmp/graft-export-_root_testdata_sf0.01/manifest.json')) m""",
+      """SELECT d.n_rows, d.sum_chars, d.n_docs, m.n_files, t.tail_rows, t.tail_chars, a.n_admitted FROM (SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM read_parquet('__EXPORT_DIR__/files/*.parquet')) d CROSS JOIN (SELECT CAST(len(files) AS BIGINT) AS n_files FROM read_json_auto('__EXPORT_DIR__/manifest.json')) m CROSS JOIN (SELECT count(*) AS tail_rows, CAST(sum(n_chars) AS BIGINT) AS tail_chars FROM read_parquet('__EXPORT_DIR__/files/*.parquet') WHERE doc_id >= 210) t CROSS JOIN (SELECT count(*) AS n_admitted FROM (SELECT unnest(files) AS f FROM read_json_auto('__EXPORT_DIR__/manifest.json')) u WHERE CAST(u.f.upper.doc_id AS BIGINT) >= 210) a""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

@@ -39,8 +39,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __EXPORT_DIR__ resolves HERE, against the SF dir actually being
+    // verified — a literal path in the oracle would silently compare a
+    // stale export when correctness runs at any other SF
+    val exportDir = graft.operators.WapQueries.exportDir(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__EXPORT_DIR__", exportDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -481,7 +481,17 @@ object WapQueries {
     * computed from the manifest.json path list, nothing else. The DuckDB
     * oracle reads the same export artifacts (the symlink farm + the
     * manifest), so hash-equality proves an engine with no graft code
-    * sees exactly the branch content. */
+    * sees exactly the branch content.
+    *
+    * Second leg — PRUNED read: the manifest carries per-file column
+    * bounds, so for the selective predicate `doc_id >= 210` this reads
+    * ONLY the files whose `upper.doc_id` admits a match (the compacted
+    * head files, doc_id < 200, never leave the manifest). The oracle
+    * recomputes `n_admitted` independently from manifest.json and the
+    * tail aggregate from the full export, so the hash pins both that
+    * the bounds are sound (no admitted-file read loses rows) and that
+    * the admitted count is what the manifest says — the foreign-engine
+    * pruning premise, not just the read-back. */
   def wapExport(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-wap-exp").toString
     val cat = new BranchCatalog(spark, tmp)
@@ -505,15 +515,31 @@ object WapQueries {
     // read back THROUGH THE EXPORT ONLY: manifest.json -> path list ->
     // plain parquet scan (the driver-side collect is the export's own
     // O(files) metadata, already materialized)
-    val paths = spark.read.option("multiLine", true).json(exp.manifestPath)
-      .select(explode(col("files")).as("f")).select(col("f.path"))
-      .collect().map(_.getString(0))
+    val fileMeta = spark.read.option("multiLine", true).json(exp.manifestPath)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.path").as("path"),
+        col("f.upper.doc_id").cast("long").as("doc_id_hi"))
+      .collect()
+    val paths = fileMeta.map(_.getString(0))
+    // pruned leg: admit a file for `doc_id >= 210` only if its manifest
+    // upper bound can match — an engine that never loaded graft makes
+    // the same decision from manifest.json alone
+    val admitted = fileMeta
+      .filter(r => !r.isNullAt(1) && r.getLong(1) >= 210)
+      .map(_.getString(0))
+    val tail = spark.read.parquet(admitted.toIndexedSeq: _*)
+      .filter(col("doc_id") >= 210)
+      .agg(count(lit(1)).as("tail_rows"),
+        sum(col("n_chars")).cast("long").as("tail_chars"))
     spark.read.parquet(paths.toIndexedSeq: _*).agg(
       count(lit(1)).as("n_rows"),
       sum(col("n_chars")).cast("long").as("sum_chars"),
       countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(tail)
       .select(col("n_rows"), col("sum_chars"), col("n_docs"),
-        lit(paths.length.toLong).as("n_files"))
+        lit(paths.length.toLong).as("n_files"),
+        col("tail_rows"), col("tail_chars"),
+        lit(admitted.length.toLong).as("n_admitted"))
   }
 
   /** The DataSource V2 SQL surface end-to-end ([[graft.sql.GraftTableCatalog]]

@@ -113,12 +113,24 @@ case class ExportedSnapshot(
 
 /** The schema of `manifest.json` in an export: everything a FOREIGN
   * engine needs to query the snapshot — absolute data-file paths with
-  * per-file row/byte counts, the schema DDL, and the snapshot identity.
-  * Deliberately engine-neutral JSON (no graft types leak). */
+  * per-file row/byte counts AND pruning metadata (column min/max,
+  * null counts, hidden-partition transform values), the schema DDL,
+  * and the snapshot identity. The stats are what let an external
+  * planner skip files a selective predicate cannot match — the same
+  * reason Iceberg manifests carry bounds (reference README:174-191:
+  * a foreign engine plans from the metadata alone). Deliberately
+  * engine-neutral JSON (no graft types leak); stats values are
+  * strings re-typed against `schemaDdl` by the consumer, exactly as
+  * graft's own scans re-type [[DataFileMeta]]. */
 private[wap] case class ExportManifest(
     table: String, snapshotId: String, seq: Long, committedAtMillis: Long,
     schemaDdl: String, partitionSpec: Option[String], files: Seq[ExportFileEntry])
-private[wap] case class ExportFileEntry(path: String, rows: Long, bytes: Long)
+private[wap] case class ExportFileEntry(
+    path: String, rows: Long, bytes: Long,
+    lower: Map[String, String] = Map.empty,
+    upper: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty,
+    partition: Map[String, String] = Map.empty)
 
 /** One `WHEN ...` clause of [[BranchCatalog.mergeInto]] (Iceberg/standard
   * MERGE INTO semantics). Conditions and SET expressions see the TARGET
@@ -2230,14 +2242,17 @@ class BranchCatalog(
     * `dest`:
     *
     *  - `manifest.json` — snapshot identity + schema DDL + the absolute
-    *    parquet path list with per-file row/byte counts
+    *    parquet path list with per-file row/byte counts, column min/max
+    *    bounds, null counts and hidden-partition values, so an external
+    *    planner PRUNES the export instead of scanning every file
     *    ([[ExportManifest]]);
     *  - `view.sql` — a ready-to-run ANSI view definition over
     *    `read_parquet([...])` (DuckDB dialect; the literal path list is
     *    the portable part);
-    *  - `files.parquet` — the file list (path, rows, bytes) as a
-    *    DISTRIBUTED parquet table written by executors from the manifest
-    *    entries: the scale form of the list (an engine joins or globs it
+    *  - `files.parquet` — the file list (path, rows, bytes, plus the
+    *    same per-file stats maps as manifest.json) as a DISTRIBUTED
+    *    parquet table written by executors from the manifest entries:
+    *    the scale form of the list (an engine joins or globs it
     *    natively; the inline JSON array is for small snapshots and
     *    humans);
     *  - `files/` — a numbered-symlink farm over the data files, so
@@ -2273,7 +2288,16 @@ class BranchCatalog(
     }
     val destPath = new Path(dest)
     val dfs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (dfs.exists(destPath)) dfs.delete(destPath, true)
+    if (dfs.exists(destPath)) {
+      // overwrite ONLY a previous export: a dest that exists, is
+      // non-empty and carries no manifest.json is someone else's data —
+      // a mistyped path must not silently destroy it
+      val nonEmpty = dfs.listStatus(destPath).nonEmpty
+      require(!nonEmpty || dfs.exists(new Path(destPath, "manifest.json")),
+        s"export dest $dest exists, is non-empty and is not a prior export " +
+          "(no manifest.json) — refusing to overwrite; pick an empty dest")
+      dfs.delete(destPath, true)
+    }
     dfs.mkdirs(destPath)
     def emit(name: String, content: String): String = {
       val p = new Path(destPath, name)
@@ -2281,25 +2305,36 @@ class BranchCatalog(
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
       p.toString
     }
-    val entries = files.map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes))
+    val entries = files.map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes,
+      f.lower, f.upper, f.nullCounts, f.partition))
     val manifestPath = emit("manifest.json", Serialization.write(ExportManifest(
       table, id, snap.seq, snap.committedAtMillis, snap.schemaDdl,
       snap.partitionSpec, entries)))
+    // single quotes in a path are doubled: the view must survive any
+    // filesystem name SQL can express
     val viewPath = emit("view.sql",
       s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
-        entries.map(e => s"'${e.path}'").mkString(",\n  ") + "\n]);\n")
+        entries.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ") + "\n]);\n")
     // files.parquet: the same file list as a DISTRIBUTED parquet table
-    // (path, rows, bytes) — at 100 TB the inline JSON array is the wrong
-    // shape for an engine to parse, and this artifact is written by
-    // executors straight from the manifest entries (nothing extra lands
-    // on the driver); any engine reads it natively
+    // (path, rows, bytes + the pruning stats maps) — at 100 TB the inline
+    // JSON array is the wrong shape for an engine to parse, and this
+    // artifact is written by executors straight from the manifest entries
+    // (nothing extra lands on the driver); any engine reads it natively.
+    // Path normalization is THE SAME plain() as manifest.json (URI-parse,
+    // not a regex strip), so the two artifacts never disagree on a path;
+    // a UDF is justified here: URI semantics have no builtin, and this
+    // runs once per FILE at export time, never per row.
+    val plainUdf = org.apache.spark.sql.functions.udf(plain _)
     val filesParquet = new Path(destPath, "files.parquet").toString
     manifestEntries(snap)
       .select(
-        org.apache.spark.sql.functions.regexp_replace(
-          org.apache.spark.sql.functions.col("path"), "^file:", "").as("path"),
+        plainUdf(org.apache.spark.sql.functions.col("path")).as("path"),
         org.apache.spark.sql.functions.col("rows"),
-        org.apache.spark.sql.functions.col("bytes"))
+        org.apache.spark.sql.functions.col("bytes"),
+        org.apache.spark.sql.functions.col("lower"),
+        org.apache.spark.sql.functions.col("upper"),
+        org.apache.spark.sql.functions.col("nullCounts"),
+        org.apache.spark.sql.functions.col("partition"))
       .write.mode("overwrite").parquet(filesParquet)
     // numbered symlinks preserve the manifest's (path-sorted) file order
     val filesDir: Option[String] =

@@ -69,7 +69,8 @@ class ExportSpec extends SparkSpecBase {
 
     // the distributed file-list artifact agrees with the inline manifest
     val fl = spark.read.parquet(exp.filesParquet)
-    assert(fl.columns.toSeq == Seq("path", "rows", "bytes"))
+    assert(fl.columns.toSeq ==
+      Seq("path", "rows", "bytes", "lower", "upper", "nullCounts", "partition"))
     assert(fl.count() == 2 && fl.agg(sum("rows")).head.getLong(0) == 60)
     // and the paths it lists ARE the data files (readable directly)
     val listed = fl.select("path").collect().map(_.getString(0))
@@ -142,5 +143,119 @@ class ExportSpec extends SparkSpecBase {
     val manifest = new String(Files.readAllBytes(Paths.get(
       new org.apache.hadoop.fs.Path(exp.manifestPath).toUri.getPath)))
     assert(manifest.contains("bucket(4,doc_id)"), "partition spec travels with the export")
+  }
+
+  test("manifest carries pruning stats: bounds admit exactly the right files, " +
+      "partition values drive transform pruning") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    cat.createTableIfNotExists("t", docs.schema)
+    // three bound-disjoint commits (sorted within each, so min/max are tight)
+    cat.appendClustered("t", docs.filter(col("doc_id") < 40), Seq("doc_id"), files = 1)
+    cat.appendClustered("t", docs.filter(col("doc_id") >= 40 && col("doc_id") < 80),
+      Seq("doc_id"), files = 1)
+    cat.appendClustered("t", docs.filter(col("doc_id") >= 80), Seq("doc_id"), files = 1)
+    val exp = cat.exportSnapshot("t", exportTo())
+
+    val files = spark.read.option("multiLine", true).json(exp.manifestPath)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.path").as("path"),
+        col("f.lower.doc_id").cast("long").as("lo"),
+        col("f.upper.doc_id").cast("long").as("hi"),
+        col("f.nullCounts.text").cast("long").as("text_nulls"))
+      .collect()
+    assert(files.length == 3)
+    assert(files.forall(r => !r.isNullAt(1) && !r.isNullAt(2)), "bounds on every entry")
+    assert(files.forall(r => !r.isNullAt(3)), "null counts on every entry")
+    // a foreign planner pruning `doc_id >= 80` from the manifest alone
+    // admits exactly one file, and reading ONLY it is still correct
+    val admitted = files.filter(r => r.getLong(2) >= 80).map(_.getString(0))
+    assert(admitted.length == 1, s"expected 1 admitted file, got ${admitted.length}")
+    val pruned = spark.read.parquet(admitted.toIndexedSeq: _*)
+      .filter(col("doc_id") >= 80)
+    assert(pruned.count() == 40)
+    assert(pruned.agg(sum("n_chars")).head.getLong(0) ==
+      cat.scan("t").filter(col("doc_id") >= 80).agg(sum("n_chars")).head.getLong(0))
+
+    // hidden-partitioned export: each entry carries its transform value,
+    // so an engine that implements the transform prunes by partition
+    val catP = freshCat()
+    catP.createTableIfNotExists("p", docs.schema)
+    catP.appendPartitioned("p", docs, PartitionSpec.parse("bucket(4,doc_id)"))
+    val expP = catP.exportSnapshot("p", exportTo())
+    val pFiles = spark.read.option("multiLine", true).json(expP.manifestPath)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.path").as("path"), col("f.partition.pv").as("pv"))
+      .collect()
+    assert(pFiles.map(_.getString(1)).distinct.sorted.toSeq == Seq("0", "1", "2", "3"))
+    // expected bucket value for doc_id=7, computed with the SAME transform
+    // the spec serialized into the manifest
+    val spec = PartitionSpec.parse("bucket(4,doc_id)")
+    val pv7 = docs.filter(col("doc_id") === 7)
+      .select(spec.valueCol(org.apache.spark.sql.types.LongType).cast("string"))
+      .head.getString(0)
+    val admittedP = pFiles.filter(_.getString(1) == pv7).map(_.getString(0))
+    assert(admittedP.length < pFiles.length, "partition pruning skips files")
+    val hit = spark.read.parquet(admittedP.toIndexedSeq: _*).filter(col("doc_id") === 7)
+    assert(hit.count() == 1, "the pruned read still finds the row")
+  }
+
+  test("files.parquet carries the same stats and paths as manifest.json") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.coalesce(1))
+    val exp = cat.exportSnapshot("t", exportTo())
+    val fl = spark.read.parquet(exp.filesParquet)
+    assert(fl.columns.toSeq ==
+      Seq("path", "rows", "bytes", "lower", "upper", "nullCounts", "partition"))
+    val flRow = fl.head
+    assert(flRow.getMap[String, String](3).get("doc_id").contains("0"))
+    assert(flRow.getMap[String, String](4).get("doc_id").contains("49"))
+    // path normalization agrees byte-for-byte with manifest.json
+    val manifestPaths = spark.read.option("multiLine", true).json(exp.manifestPath)
+      .select(explode(col("files")).as("f")).select(col("f.path"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val parquetPaths = fl.select("path").collect().map(_.getString(0)).sorted.toSeq
+    assert(manifestPaths == parquetPaths)
+  }
+
+  test("export refuses to destroy a non-export dest; re-export over a prior export works") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    // dest holding unrelated data: refused, content intact
+    val foreign = Files.createTempDirectory("graft-export-foreign")
+    val keep = foreign.resolve("precious.txt")
+    Files.writeString(keep, "do not delete")
+    val err = intercept[IllegalArgumentException] {
+      cat.exportSnapshot("t", foreign.toString)
+    }
+    assert(err.getMessage.contains("refusing to overwrite"))
+    assert(Files.readString(keep) == "do not delete")
+    // a prior export dest is fair game (it has manifest.json)
+    val dest = exportTo()
+    cat.exportSnapshot("t", dest)
+    cat.append("t", Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 20 && col("doc_id") < 30))
+    val again = cat.exportSnapshot("t", dest)
+    assert(again.rows == 30)
+  }
+
+  test("view.sql survives a single quote in the data path (DuckDB executes it)") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val root = Files.createTempDirectory("graft-export-q")
+    val quoted = root.resolve("it's data")
+    Files.createDirectories(quoted)
+    val cat = new BranchCatalog(spark, quoted.toString)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 25)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    val exp = cat.exportSnapshot("t", exportTo())
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*), CAST(sum(n_chars) AS BIGINT) FROM t_export")
+    val expected = cat.scan("t").agg(count(lit(1)), sum("n_chars")).head
+    assert(got == Seq(expected.getLong(0).toString, expected.getLong(1).toString))
   }
 }
