@@ -175,8 +175,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def table(ident: Identifier, branch: String, snapshotId: String): GraftTable = {
-    val schema = cat.schemaOfSnapshot(ident.name(), snapshotId)
-    GraftTable(root, branch, ident.name(), snapshotId, schema, mainWritesAllowed)
+    val snap = cat.snapshotMeta(ident.name(), snapshotId)
+    GraftTable(root, branch, ident.name(), snapshotId,
+      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec)
   }
 
   /** SQL writes land on BRANCHES by default: `INSERT INTO <cat>.main.t`
@@ -186,25 +187,28 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * that nothing reaches main unaudited. */
   private var mainWritesAllowed: Boolean = false
 
-  /** `CREATE TABLE lake.<branch>.<t> (cols...)` — metadata-only, like
-    * `createTableIfNotExists` (no partition transforms / properties:
-    * hidden partitioning is committed by the first partitioned write). */
+  /** `CREATE TABLE lake.<branch>.<t> (cols...) [PARTITIONED BY (transform)]`
+    * — metadata-only, like `createTableIfNotExists`. A `PARTITIONED BY`
+    * transform (`days(ts)`, `months(ts)`, `hours(ts)`, `bucket(n, col)`,
+    * `truncate(w, col)`) maps onto graft's hidden
+    * [[graft.wap.PartitionSpec]], is committed on the table's first
+    * snapshot, and every subsequent SQL `INSERT INTO` writes
+    * partition-valued files through `appendPartitioned` — the SQL-first
+    * user gets the same transform pruning as the Scala API (W21). */
   override def createTable(
       ident: Identifier, columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val schema = plainSchemaOf(columns, partitions)
+    val schema = plainSchemaOf(columns)
+    val spec = GraftTableCatalog.specOfTransforms(partitions, schema)
     val branch = branchOf(ident.namespace())
-    if (!cat.createTableIfNotExists(ident.name(), schema, branch))
+    if (!cat.createTableIfNotExists(ident.name(), schema, branch, spec))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
     loadTable(ident)
   }
 
   private def plainSchemaOf(
-      columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      partitions: Array[Transform]): StructType = {
-    require(partitions.isEmpty,
-      "graft hidden partitioning is committed by appendPartitioned, not CREATE TABLE")
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
     require(columns.forall(c => c.defaultValue() == null && c.generationExpression() == null),
       "graft CREATE TABLE supports plain columns (no defaults / generated columns)")
     StructType(columns.map(c =>
@@ -222,12 +226,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * residue. */
   override def stageCreate(
       ident: Identifier, info: TableInfo): StagedTable = {
-    val schema = plainSchemaOf(info.columns(), info.partitions())
+    val schema = plainSchemaOf(info.columns())
+    val spec = GraftTableCatalog.specOfTransforms(info.partitions(), schema)
     val branch = branchOf(ident.namespace())
     if (cat.tableExists(ident.name(), branch))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
-    GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed)
+    GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed,
+      spec.map(_.format))
   }
 
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
@@ -299,16 +305,89 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object GraftTableCatalog {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference}
+  import graft.wap.{BucketPartition, DayPartition, HourPartition, MonthPartition, PartitionSpec, TruncatePartition}
+
+  /** SQL `PARTITIONED BY` transforms -> graft's hidden
+    * [[graft.wap.PartitionSpec]]. graft specs are single-transform
+    * (one `pv` per file), so exactly one transform is accepted;
+    * unsupported shapes are refused AT CREATE with the Scala
+    * alternative named — never silently dropped (a user who declared a
+    * layout must not end up with an unpartitioned table). */
+  private[sql] def specOfTransforms(
+      partitions: Array[Transform], schema: StructType): Option[PartitionSpec] = {
+    if (partitions.isEmpty) return None
+    require(partitions.length == 1,
+      s"graft hidden partitioning takes ONE transform, got ${partitions.length} " +
+        s"(${partitions.mkString(", ")}); for multi-column layout use " +
+        "appendClustered(cols...) from the Scala API")
+    val t = partitions.head
+    val args = t.arguments().toSeq
+    val refs = args.collect {
+      case n: NamedReference =>
+        require(n.fieldNames().length == 1,
+          s"graft partition columns are top-level, got ${n.describe()}")
+        n.fieldNames().head
+    }
+    val nums = args.collect { case l: VLiteral[_] => l.value.toString.toInt }
+    def col1: String = {
+      require(refs.length == 1 && nums.isEmpty,
+        s"transform ${t.describe()} takes exactly one column argument")
+      refs.head
+    }
+    def numAndCol: (Int, String) = {
+      require(refs.length == 1 && nums.length == 1,
+        s"transform ${t.describe()} takes one integer and one column argument")
+      (nums.head, refs.head)
+    }
+    val fmt = t.name().toLowerCase match {
+      case "day" | "days" => s"day($col1)"
+      case "month" | "months" => s"month($col1)"
+      case "hour" | "hours" => s"hour($col1)"
+      case "bucket" => val (n, c) = numAndCol; s"bucket($n,$c)"
+      case "truncate" => val (w, c) = numAndCol; s"truncate($w,$c)"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other(${args.map(_.describe()).mkString(", ")}): " +
+          "graft supports days/months/hours(ts), bucket(n, col), truncate(w, col); " +
+          "for identity layout use bucket or the Scala appendClustered")
+    }
+    val spec = PartitionSpec.parse(fmt)
+    require(schema.fieldNames.contains(spec.column),
+      s"partition column ${spec.column} is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    Some(spec)
+  }
+
+  /** The committed spec rendered back as a connector transform, so
+    * `DESCRIBE TABLE` / `Table.partitioning()` show the declared layout. */
+  private[sql] def transformsOfSpec(fmt: Option[String]): Array[Transform] =
+    fmt.map(PartitionSpec.parse).map {
+      case DayPartition(c) => Expressions.days(c)
+      case MonthPartition(c) => Expressions.months(c)
+      case HourPartition(c) => Expressions.hours(c)
+      case BucketPartition(n, c) => Expressions.bucket(n, c)
+      case TruncatePartition(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+    }.toArray
+}
+
 /** One pinned (branch, snapshot) of a catalog table. Pure metadata — the
   * read plan is built on demand by [[scanDF]]. */
 case class GraftTable(
     root: String, branch: String, tableName: String,
     snapshotId: String, tableSchema: StructType,
-    mainWritesAllowed: Boolean = false)
+    mainWritesAllowed: Boolean = false,
+    /** Serialized hidden-partition spec of the pinned snapshot (e.g.
+      * "bucket(8,doc_id)") — surfaces through [[partitioning]] and
+      * routes SQL inserts through `appendPartitioned`. */
+    partitionSpecFmt: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$branch.$tableName"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    GraftTableCatalog.transformsOfSpec(partitionSpecFmt)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -377,8 +456,21 @@ case class GraftTable(
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
               requireWritable("writes")
               val cat = new BranchCatalog(data.sparkSession, root)
+              // a PARTITIONED BY table routes inserts through the
+              // partitioned writer, so SQL-written files carry transform
+              // values and prune like Scala-written ones; the HEAD spec
+              // (not this pinned snapshot's) decides, matching where the
+              // append will land. overwrite() is already spec-aware.
+              val headSpec =
+                if (overwrite) None
+                else cat.snapshotIdOf(tableName, branch)
+                  .flatMap(id => cat.snapshotMeta(tableName, id).partitionSpec)
               if (overwrite) cat.overwrite(tableName, data, branch)
-              else cat.append(tableName, data, branch)
+              else headSpec match {
+                case Some(fmt) => cat.appendPartitioned(tableName, data,
+                  graft.wap.PartitionSpec.parse(fmt), branch)
+                case None => cat.append(tableName, data, branch)
+              }
               ()
             }
           }
@@ -493,13 +585,16 @@ object GraftMetadataTable {
   * CTAS. */
 case class GraftStagedTable(
     root: String, branch: String, tableName: String,
-    tableSchema: StructType, mainWritesAllowed: Boolean)
+    tableSchema: StructType, mainWritesAllowed: Boolean,
+    partitionSpecFmt: Option[String] = None)
   extends StagedTable with SupportsWrite {
 
   @volatile private var created = false
 
   override def name(): String = s"$branch.$tableName (staged)"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    GraftTableCatalog.transformsOfSpec(partitionSpecFmt)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -518,10 +613,14 @@ case class GraftStagedTable(
                   "through write-audit-publish (run it on a branch namespace and " +
                   "publish, or set spark.sql.catalog.<name>.write.main=true)")
               val cat = new BranchCatalog(data.sparkSession, root)
-              created = cat.createTableIfNotExists(tableName, tableSchema, branch)
+              val spec = partitionSpecFmt.map(graft.wap.PartitionSpec.parse)
+              created = cat.createTableIfNotExists(tableName, tableSchema, branch, spec)
               if (!created) throw new org.apache.spark.sql.catalyst.analysis
                 .TableAlreadyExistsException(Array(branch, tableName))
-              cat.append(tableName, data, branch)
+              spec match {
+                case Some(s) => cat.appendPartitioned(tableName, data, s, branch)
+                case None => cat.append(tableName, data, branch)
+              }
               ()
             }
           }

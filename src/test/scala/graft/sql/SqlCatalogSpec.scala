@@ -797,6 +797,68 @@ class SqlCatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
+  test("CREATE TABLE PARTITIONED BY maps onto hidden partitioning; SQL inserts prune") {
+    val (lake, cat) = register()
+    spark.sql(s"CREATE NAMESPACE $lake.wip")
+    spark.sql(s"CREATE TABLE $lake.wip.pt (doc_id BIGINT, n_chars BIGINT) " +
+      "PARTITIONED BY (bucket(8, doc_id))")
+    // the transform landed on the table's first snapshot
+    val created = cat.snapshotMeta("pt", cat.snapshotIdOf("pt", "wip").get)
+    assert(created.partitionSpec.contains("bucket(8,doc_id)"))
+    // DESCRIBE surfaces the declared layout
+    val desc = spark.sql(s"DESCRIBE TABLE $lake.wip.pt").collect().map(_.mkString("|"))
+    assert(desc.exists(_.contains("bucket")), desc.mkString("\n"))
+
+    // a plain SQL INSERT writes partition-VALUED files (no Scala API ever
+    // touched) …
+    spark.sql(s"INSERT INTO $lake.wip.pt " +
+      s"SELECT doc_id, n_chars FROM parquet.`$sfDir/documents.parquet` WHERE doc_id < 64")
+    val files = cat.dataFiles("pt", "wip")
+    assert(files.size == 8 && files.forall(_.partition.contains("pv")),
+      s"expected 8 bucket files with transform values, got ${files.size}")
+
+    // … and a point predicate through SQL reads 1/8 of the files
+    val q = spark.sql(s"SELECT n_chars FROM $lake.wip.pt WHERE doc_id = 33")
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "lowering must produce a native parquet scan")
+    assert(scans.head.relation.location.inputFiles.length == 1,
+      "bucket transform must admit exactly one file for a point predicate")
+    assert(q.collect().length == 1)
+
+    // CTAS carries the transform too (staged create + partitioned write)
+    spark.sql(s"CREATE TABLE $lake.wip.pt2 PARTITIONED BY (bucket(4, doc_id)) " +
+      s"AS SELECT doc_id, n_chars FROM parquet.`$sfDir/documents.parquet` WHERE doc_id < 40")
+    val ctas = cat.snapshotMeta("pt2", cat.snapshotIdOf("pt2", "wip").get)
+    assert(ctas.partitionSpec.contains("bucket(4,doc_id)"))
+    assert(cat.dataFiles("pt2", "wip").forall(_.partition.contains("pv")))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.wip.pt2").head.getLong(0) == 40)
+
+    // time transform: days(ts) lowers onto day(ts)
+    spark.sql(s"CREATE TABLE $lake.wip.evts (event_id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    assert(cat.snapshotMeta("evts", cat.snapshotIdOf("evts", "wip").get)
+      .partitionSpec.contains("day(ts)"))
+
+    // unsupported shapes are refused at CREATE, never silently dropped
+    val twoTransforms = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $lake.wip.bad1 (a BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts), bucket(4, a))")
+    }
+    assert(twoTransforms.getMessage.contains("ONE transform"))
+    val identity = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $lake.wip.bad2 (a BIGINT, s STRING) PARTITIONED BY (s)")
+    }
+    assert(identity.getMessage.contains("unsupported partition transform"))
+    // Spark's own analysis catches the unknown column first; graft's
+    // schema check (specOfTransforms) is the backstop for API callers
+    val badCol = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $lake.wip.bad3 (a BIGINT) PARTITIONED BY (bucket(4, nope))")
+    }
+    assert(badCol.getMessage.contains("nope"))
+    assert(!cat.tableExists("bad1", "wip") && !cat.tableExists("bad2", "wip") &&
+      !cat.tableExists("bad3", "wip"))
+  }
+
   test("one query pins one snapshot (analysis-time isolation)") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
