@@ -35,13 +35,19 @@ import graft.wap.{BranchCatalog, HttpWebhookAlerter, LogAlerter, Wap}
   * up front — nothing reaches main unaudited. Branch targets stay raw
   * staging appends (audit-then-publish later), mirroring batch INSERT.
   *
-  * Delivery: a per-epoch marker under the stage dir makes commit
-  * idempotent across Spark's epoch replays — the common failure (crash
-  * BEFORE the catalog commit lands) never duplicates. The marker is
-  * written AFTER the commit, so a crash in the window between the two
-  * filesystem operations replays the batch (at-least-once there, like
-  * the foreachBatch contract this wraps); true exactly-once would need
-  * the epoch recorded inside the refs commit itself. */
+  * Delivery is EXACTLY-ONCE into the catalog: the epoch id is recorded
+  * in [[graft.wap.Refs.streamEpochs]] INSIDE the very refs swap that
+  * publishes the batch (the WAP merge, or the branch-staging append) —
+  * there is no window where data landed but the record didn't, or vice
+  * versa. A replayed epoch (Spark re-delivers the last batch after any
+  * crash) sees its id already recorded and discards its staged files; a
+  * crash BEFORE the publishing commit left no data behind, so the replay
+  * re-runs cleanly (dropping a half-built audit branch if one survived).
+  * The one at-least-once residue is QUARANTINE: a failed audit's batch
+  * publishes nothing to main, and its epoch is recorded in a separate
+  * stamp-only commit after the alert — a crash between the two re-runs
+  * the audit and re-quarantines the same content (main is never touched
+  * twice either way). */
 class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends StreamingWrite {
 
   private val schema: StructType = info.schema()
@@ -75,41 +81,50 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
     new GraftStreamingWriterFactory(
       Bridge.parquetStageWriterFactory(spark, schema), stageDir.toString)
 
+  /** Delivery record key: queryIds are unique per stream lifetime, so
+    * concurrent streams into the same table never share a record. */
+  private def epochKey = s"${info.queryId()}/${t.branch}.${t.tableName}"
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = messages.collect { case GraftStagedFiles(fns) => fns }.flatten.toSeq
-    val marker = new Path(stageDir, s"epoch-$epochId.committed")
-    if (fs.exists(marker)) { cleanup(fs, files); return } // replayed epoch
+    val cat = new BranchCatalog(spark, t.root)
+    val auditBranch = s"stream-${t.tableName}-$epochId"
+    if (cat.streamEpochOf(epochKey).exists(_ >= epochId)) {
+      // replayed epoch, already published/recorded atomically; a crash
+      // between the stamped merge and dropBranch can leave the (already
+      // merged, now empty-delta) audit branch behind — drop it ONLY if
+      // its head equals main's (a QUARANTINE branch for this epoch also
+      // carries the stamp, but holds unpublished rows the operator must
+      // be able to inspect: never drop those)
+      if (wapMode) {
+        val refs = cat.currentRefs()
+        val fullyMerged = (for {
+          b <- refs.branches.get(auditBranch); m <- refs.branches.get("main")
+        } yield b.tables.get(t.tableName) == m.tables.get(t.tableName)).getOrElse(false)
+        if (fullyMerged) cat.dropBranch(auditBranch)
+      }
+      cleanup(fs, files)
+      return
+    }
     if (files.nonEmpty) {
-      val cat = new BranchCatalog(spark, t.root)
       val batch = spark.read.schema(schema).parquet(files: _*)
       if (wapMode) {
         val alerter = Option(options.get("graft.alert.url"))
           .map(u => new HttpWebhookAlerter(Some(u))).getOrElse(LogAlerter)
-        val auditBranch = s"stream-${t.tableName}-$epochId"
-        // a crash between Wap's branch fork and the marker leaves the
-        // branch behind; the replay must start clean
+        // a crash between Wap's branch fork and the publishing (stamped)
+        // merge leaves the branch behind; the replay must start clean
         if (cat.listBranches().contains(auditBranch)) cat.dropBranch(auditBranch)
-        Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter)
+        val result = Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter,
+          epochStamp = Some((epochKey, epochId)))
+        // failed audit: nothing published — record the epoch in its own
+        // commit so the quarantined batch is not re-delivered forever
+        if (!result.published) cat.stampStreamEpoch(epochKey, epochId)
       } else {
         cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)
-        cat.append(t.tableName, batch, t.branch)
+        cat.append(t.tableName, batch, t.branch, Some((epochKey, epochId)))
       }
     }
-    fs.mkdirs(stageDir)
-    fs.create(marker, true).close()
-    // only the last couple of epochs can replay — older markers are dead
-    // weight a months-long stream would otherwise accumulate forever
-    try {
-      fs.listStatus(stageDir).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("epoch-") && n.endsWith(".committed") &&
-            scala.util.Try(n.stripPrefix("epoch-").stripSuffix(".committed").toLong)
-              .toOption.exists(_ < epochId - 1)) {
-          fs.delete(st.getPath, false); ()
-        }
-      }
-    } catch { case _: Exception => () }
     cleanup(fs, files)
   }
 

@@ -154,7 +154,15 @@ object MergeClause {
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
-case class Refs(version: Long, branches: Map[String, BranchState])
+case class Refs(version: Long, branches: Map[String, BranchState],
+    /** Streaming-sink delivery record: `"<queryId>/<table>" -> highest
+      * published epoch`. Stamped INSIDE the same refs swap that publishes
+      * the epoch's data ([[BranchCatalog.append]] / [[BranchCatalog.merge]]
+      * `epochStamp`), so "did this epoch commit?" and "is its data
+      * visible?" are one atomic fact — the exactly-once backbone of
+      * [[graft.sql.GraftStreamingWrite]]. One ~50-byte entry per stream
+      * query lifetime (epochs within a query overwrite via max). */
+    streamEpochs: Map[String, Long] = Map.empty)
 
 /** Git-like branch-versioned table catalog over parquet + JSON metadata —
   * the Spark-native re-expression of the reference's Nessie+PyIceberg
@@ -617,7 +625,8 @@ class BranchCatalog(
     * files (snapshot isolation). Metadata cost: one manifest (the new
     * files) + one snapshot (manifest list grows by 1 ref) — O(commit),
     * independent of table file count. */
-  def append(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
+  def append(table: String, df: DataFrame, branch: String = "main",
+      epochStamp: Option[(String, Long)] = None): Snapshot = {
     // validate/align BEFORE writing data: a mismatched batch must not
     // corrupt the table (the reference inherits this from PyIceberg)
     val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
@@ -637,9 +646,31 @@ class BranchCatalog(
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
+  }
+
+  /** Fold a streaming epoch stamp into a refs document (monotone max —
+    * replays never regress the record). See [[Refs.streamEpochs]]. */
+  private def withEpochStamp(refs: Refs, stamp: Option[(String, Long)]): Refs =
+    stamp match {
+      case Some((key, epoch)) => refs.copy(streamEpochs = refs.streamEpochs
+        .updated(key, math.max(refs.streamEpochs.getOrElse(key, Long.MinValue), epoch)))
+      case None => refs
+    }
+
+  /** Highest epoch recorded as published for a streaming key (or None). */
+  def streamEpochOf(key: String): Option[Long] =
+    currentRefs().streamEpochs.get(key)
+
+  /** Record an epoch WITHOUT data movement — the quarantine path of the
+    * streaming sink (a failed audit publishes nothing to main, but the
+    * epoch is done: its batch sits on the quarantine branch). */
+  def stampStreamEpoch(key: String, epoch: Long): Unit = {
+    commitRefs(refs => withEpochStamp(refs, Some((key, epoch))))
+    ()
   }
 
   /** Merge-on-read UPSERT (CDC apply without file rewrites): ONE commit
@@ -1316,7 +1347,8 @@ class BranchCatalog(
     * are no-ops, and the source branch is advanced onto the merged state,
     * so merging the same branch twice never duplicates or re-deletes
     * rows. */
-  def merge(branch: String, into: String = "main"): Unit =
+  def merge(branch: String, into: String = "main",
+      epochStamp: Option[(String, Long)] = None): Unit =
     commitRefs { refs =>
       val src = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val dst = refs.branches.getOrElse(into, sys.error(s"no branch $into"))
@@ -1378,9 +1410,9 @@ class BranchCatalog(
           }
         }
       }
-      refs.copy(branches = refs.branches
+      withEpochStamp(refs.copy(branches = refs.branches
         .updated(into, dst.copy(tables = dstTables))
-        .updated(branch, BranchState(srcTables, srcBase)))
+        .updated(branch, BranchState(srcTables, srcBase))), epochStamp)
     }
 
   /** One commit on a table's history. `rowsAdded` comes from the manifest

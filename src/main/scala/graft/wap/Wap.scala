@@ -155,12 +155,19 @@ object Wap {
         * exactly like a null violation. Resolved AT AUDIT TIME, so a
         * `() => catalog.scan(dim)` reference sees the currently
         * published state. */
-      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty,
+      /** `(key, epoch)` recorded in [[Refs.streamEpochs]] INSIDE the
+        * publishing merge commit — the streaming sink's exactly-once
+        * anchor ([[graft.sql.GraftStreamingWrite]]): either the epoch's
+        * data is on main AND the epoch is recorded, or neither. Not
+        * stamped on a failed audit (nothing published — the sink stamps
+        * the quarantine separately). */
+      epochStamp: Option[(String, Long)] = None): WapResult = {
     catalog.createTableIfNotExists(table, batch.schema)
     catalog.createBranch(branchName, from = "main")
     catalog.append(table, batch, branchName)
     auditAndPublish(catalog, table, branchName, checks, crossChecks,
-      auditScope, alerter, dropBranchOnPublish)
+      auditScope, alerter, dropBranchOnPublish, epochStamp)
   }
 
   /** CDC-flavored WAP: the batch UPSERTS into the branch (keyed replace-
@@ -227,7 +234,8 @@ object Wap {
       catalog: BranchCatalog, table: String, branchName: String,
       checks: Seq[Expect], crossChecks: Seq[graft.quality.CrossCheck],
       auditScope: AuditScope, alerter: Alerter,
-      dropBranchOnPublish: Boolean): WapResult = {
+      dropBranchOnPublish: Boolean,
+      epochStamp: Option[(String, Long)] = None): WapResult = {
     val audited = auditScope match {
       case AuditScope.Delta => catalog.scanBranchDelta(table, branchName)
       case AuditScope.FullTable => catalog.scan(table, branchName)
@@ -236,7 +244,7 @@ object Wap {
     val report = base.copy(checks = base.checks ++ crossChecks.map(_.run(audited)))
 
     if (report.passed) {
-      catalog.merge(branchName, into = "main")
+      catalog.merge(branchName, into = "main", epochStamp)
       if (dropBranchOnPublish) catalog.dropBranch(branchName)
     } else {
       alerter.alert(table, branchName, report)

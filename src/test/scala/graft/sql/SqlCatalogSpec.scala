@@ -721,6 +721,86 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") === 500L).count() == 0)
   }
 
+  test("streaming sink is exactly-once: replayed epochs never duplicate") {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val (lake, cat) = register()
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, n_chars BIGINT")
+    cat.createTableIfNotExists("t", sch)
+    val root = spark.conf.get(s"spark.sql.catalog.$lake.root")
+
+    // drive the StreamingWrite directly so each epoch can be RE-DELIVERED
+    // (Spark replays the last epoch after any crash between the write
+    // commit and the checkpoint advance — that is the window under test)
+    def writeInfo(opts: Map[String, String]) = new LogicalWriteInfo {
+      override def queryId(): String = "q-replay-test"
+      override def schema(): org.apache.spark.sql.types.StructType = sch
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(opts.asJava)
+    }
+    def stage(rows: Seq[(Long, String, Long)]): Array[WriterCommitMessage] = {
+      val dir = Files.createTempDirectory("staged").toString
+      rows.toDF("doc_id", "text", "n_chars").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      Array(GraftStagedFiles(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq))
+    }
+    val clean = (0 until 20).map(i => (i.toLong, s"doc $i", 6L))
+    val t = GraftTable(root, "main", "t", cat.snapshotIdOf("t").get, sch)
+    val w = new GraftStreamingWrite(t,
+      writeInfo(Map("graft.wap" -> "true", "graft.checks" -> "not_null:text")))
+
+    // epoch 0 publishes; the epoch id is recorded INSIDE the publishing
+    // refs swap (same document version as the new main head)
+    w.commit(0, stage(clean))
+    assert(cat.scan("t").count() == 20)
+    assert(cat.streamEpochOf("q-replay-test/main.t").contains(0L))
+
+    // full replay of epoch 0 (crash after commit, before checkpoint):
+    // freshly staged copies of the same batch must be discarded unread
+    val replayed = stage(clean)
+    w.commit(0, replayed)
+    assert(cat.scan("t").count() == 20, "replayed epoch must not duplicate")
+    assert(replayed.collect { case GraftStagedFiles(f) => f }.flatten
+      .forall(p => !new java.io.File(p).exists()), "replayed stage files cleaned")
+
+    // crash AFTER the branch fork but BEFORE the publishing merge: the
+    // half-built audit branch is dropped and the epoch re-runs cleanly
+    cat.createBranch("stream-t-1", from = "main")
+    cat.append("t", Seq((100L, "partial", 7L)).toDF("doc_id", "text", "n_chars"), "stream-t-1")
+    w.commit(1, stage((20 until 40).map(i => (i.toLong, s"doc $i", 6L))))
+    assert(cat.scan("t").count() == 40)
+    assert(!cat.listBranches().contains("stream-t-1"), "published audit branch dropped")
+
+    // a FAILED audit quarantines and records its epoch; the replay must
+    // neither touch main NOR drop the quarantine branch
+    w.commit(2, stage(Seq((900L, null: String, 1L))))
+    assert(cat.scan("t").count() == 40)
+    assert(cat.streamEpochOf("q-replay-test/main.t").contains(2L))
+    assert(cat.scan("t", "stream-t-2").count() == 41)
+    w.commit(2, stage(Seq((900L, null: String, 1L))))
+    assert(cat.scan("t").count() == 40)
+    assert(cat.listBranches().contains("stream-t-2"), "quarantine survives replay")
+    assert(cat.scan("t", "stream-t-2").count() == 41, "quarantine not duplicated")
+
+    // branch-staging mode (no WAP): the append commit itself carries the
+    // stamp — ONE refs version publishes the rows AND the record
+    cat.createBranch("ingest", from = "main")
+    val tb = GraftTable(root, "ingest", "t", cat.snapshotIdOf("t").get, sch)
+    val wb = new GraftStreamingWrite(tb, writeInfo(Map.empty))
+    val vBefore = cat.currentRefs().version
+    wb.commit(0, stage(Seq((700L, "staged", 6L))))
+    val refs = cat.currentRefs()
+    assert(refs.version == vBefore + 1, "append + epoch record must be ONE commit")
+    assert(refs.streamEpochs.get("q-replay-test/ingest.t").contains(0L))
+    assert(cat.scan("t", "ingest").count() == 41)
+    wb.commit(0, stage(Seq((700L, "staged", 6L))))
+    assert(cat.scan("t", "ingest").count() == 41, "branch replay must not duplicate")
+  }
+
   test("ANALYZE: NDV sketches reach connector column stats; joins broadcast unhinted") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
