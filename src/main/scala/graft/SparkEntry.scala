@@ -60,6 +60,7 @@ object SparkEntry {
     "wap_sql_dml" -> (WapQueries.wapSqlDml _),
     "wap_meta_tables" -> (WapQueries.wapMetaTables _),
     "wap_txn" -> (WapQueries.wapTxn _),
+    "wap_stream_sink" -> (WapQueries.wapStreamSink _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
@@ -198,6 +199,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0) AS rows_updated, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0) AS rows_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted""",
     "wap_txn" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
+    "wap_stream_sink" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 200) AS n_docs, (SELECT count(*) FROM documents WHERE doc_id < 150 OR (doc_id >= 200 AND doc_id < 300)) AS q_rows, CAST(1 AS BIGINT) AS n_stream_keys, CAST(2 AS BIGINT) AS last_epoch""",
     "wap_sql_scan" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT count(*) FROM documents WHERE doc_id < 215) AS wip_rows, true AS lowered_native, true AS manifest_pruned""",
     "wap_meta_tables" ->

@@ -603,6 +603,63 @@ object WapQueries {
         lit(loweredNative).as("lowered_native"), lit(manifestPruned).as("manifest_pruned"))
   }
 
+  /** Audited STREAMING ingestion end-to-end (W41,
+    * [[graft.sql.GraftStreamingWrite]]): a memory-source stream writes
+    * through `writeStream.toTable` with `graft.wap` — epoch 0 (doc_id <
+    * 150) publishes to main, epoch 1 (ids 200-300 with planted nulls)
+    * FAILS its audit and quarantines on `stream-events_log-1` while the
+    * stream continues, epoch 2 (ids 150-200) publishes. All three epochs
+    * ride ONE checkpoint, so the refs delivery record ends at one stream
+    * key with last epoch 2 — the exactly-once bookkeeping is part of the
+    * hashed result. Oracle: main = documents under 200; quarantine = the
+    * fork-time main (under 150) plus the dirty batch (200-300). */
+  def wapStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wap-sink").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    cat.createTableIfNotExists("events_log", docs.schema)
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    def drain(): Unit = {
+      val q = mem.toDF.toDF("doc_id", "text", "n_chars")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:text")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.events_log")
+      q.awaitTermination()
+    }
+    // bounded driver collect: the memory SOURCE is the harness (<= 350
+    // rows at any SF); the sink under test stays fully distributed
+    def rowsOf(df: DataFrame): Seq[(Long, String, Long)] =
+      df.select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toIndexedSeq
+
+    mem.addData(rowsOf(docs.filter(col("doc_id") < 150)): _*); drain()
+    mem.addData(rowsOf(badBatch(Tables.documents(spark, dir))): _*); drain()
+    mem.addData(rowsOf(docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)): _*); drain()
+
+    val epochs = cat.currentRefs().streamEpochs
+    val quarantine = cat.listBranches().filter(_.startsWith("stream-events_log-"))
+    require(quarantine.size == 1, s"expected one quarantine branch, got $quarantine")
+    cat.scan("events_log", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(cat.scan("events_log", quarantine.head).agg(count(lit(1)).as("q_rows")))
+      .select(col("n_rows"), col("sum_chars"), col("n_docs"), col("q_rows"),
+        lit(epochs.size.toLong).as("n_stream_keys"),
+        lit(epochs.values.max).as("last_epoch"))
+  }
+
   /** Per-column null counts + row count in one aggregation pass. */
   def dqNullCounts(spark: SparkSession, dir: String): DataFrame =
     Metrics.nullCounts(Tables.eventsWithTs(spark, dir).select("event_type", "value", "props"),
