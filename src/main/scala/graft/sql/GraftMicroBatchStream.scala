@@ -46,6 +46,20 @@ object GraftStreamOffset {
   * added. Plain paths+lengths — executors never touch catalog metadata. */
 case class GraftFilesPartition(files: Seq[(String, Long)]) extends InputPartition
 
+/** One equality-delete group a MOR partition must anti-probe: key column
+  * names plus the tombstone parquet files holding the deleted keys. `id`
+  * keys the per-executor key-set cache AND the factory's delete read
+  * funcs. */
+case class GraftDeleteGroupSpec(
+    id: String, keyCols: Seq[String], files: Seq[(String, Long)]) extends Serializable
+
+/** A batch-scan partition of a MOR coverage epoch: data files plus the
+  * delete groups covering exactly THIS epoch (sequence semantics — a key
+  * re-appended after its delete sits in a later epoch with fewer
+  * covering groups, so it stays visible). */
+case class GraftMorFilesPartition(
+    files: Seq[(String, Long)], groups: Seq[GraftDeleteGroupSpec]) extends InputPartition
+
 /** Structured Streaming source over a catalog table ("stream FROM the
   * lake" — the Delta/Iceberg streaming-read analogue, and the streaming
   * mirror of [[graft.wap.BranchCatalog.consumeIncremental]]):
@@ -277,14 +291,123 @@ private[sql] class GraftReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[GraftFilesPartition].files
+    GraftReaderFactory.reader(files.iterator.flatMap { case (path, len) =>
+      Bridge.flattenBatches(readFunc(Bridge.partitionedFile(path, len)))
+    })
+  }
+}
+
+private[sql] object GraftReaderFactory {
+  def reader(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it: Iterator[InternalRow] = files.iterator.flatMap { case (path, len) =>
-        Bridge.flattenBatches(readFunc(Bridge.partitionedFile(path, len)))
-      }
       private var current: InternalRow = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+}
+
+/** The MOR batch-scan reader: vectorized parquet read of the data files
+  * (same executor-side reader as [[GraftReaderFactory]] — no V1 RDD[Row]
+  * boundary), then a hash anti-probe of each covering delete group, then
+  * a projection from the widened read schema down to Spark's required
+  * columns. The per-group key sets are built ONCE PER EXECUTOR from the
+  * tombstone parquet files ([[GraftDeleteSets]] — the broadcast-hash-join
+  * shape without a driver collect; [[graft.wap.BranchCatalog
+  * .maxPendingTombstones]] + compaction cadence bound their size). */
+private[sql] class GraftMorReaderFactory(
+    /** reads `readAll` (required + any missing delete-key columns). */
+    morReadFunc: PartitionedFile => Iterator[InternalRow],
+    /** reads `required` directly — tombstone-free epochs pay nothing. */
+    plainReadFunc: PartitionedFile => Iterator[InternalRow],
+    readAll: StructType, required: StructType,
+    /** per [[GraftDeleteGroupSpec.id]]: reads THE KEY COLUMNS (in
+      * keyCols order) from that group's tombstone files. */
+    delReadFuncs: Map[String, PartitionedFile => Iterator[InternalRow]])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (files, groups) = partition match {
+      case GraftMorFilesPartition(fs, gs) => (fs, gs)
+      case GraftFilesPartition(fs) => (fs, Nil)
+    }
+    if (groups.isEmpty)
+      return GraftReaderFactory.reader(files.iterator.flatMap { case (p, l) =>
+        Bridge.flattenBatches(plainReadFunc(Bridge.partitionedFile(p, l)))
+      })
+
+    val probes: Seq[(Array[Int], Array[org.apache.spark.sql.types.DataType], Set[Seq[Any]])] =
+      groups.map { g =>
+        val ords = g.keyCols.map(c => readAll.fieldIndex(c)).toArray
+        val types = ords.map(readAll(_).dataType)
+        val keySet = GraftDeleteSets.get(g, delReadFuncs(g.id), types)
+        (ords, types, keySet)
+      }
+    val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      required.fieldNames.map { c =>
+        val i = readAll.fieldIndex(c)
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, readAll(i).dataType, nullable = true)
+      }.toIndexedSeq)
+    val rows = files.iterator.flatMap { case (p, l) =>
+      Bridge.flattenBatches(morReadFunc(Bridge.partitionedFile(p, l)))
+    }.filter { row =>
+      probes.forall { case (ords, types, keys) =>
+        !keys.contains(GraftDeleteSets.keyOf(row, ords, types))
+      }
+    }.map(project)
+    GraftReaderFactory.reader(rows)
+  }
+}
+
+/** Executor-global cache of MOR delete-key sets, keyed by group id (the
+  * tombstone file list): every task in a JVM shares one hash build per
+  * group. No eviction — tombstone generations die at compaction, and the
+  * bounded pending count keeps live sets small; a restarted executor
+  * starts empty. */
+private[sql] object GraftDeleteSets {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Set[Seq[Any]]]()
+
+  def get(g: GraftDeleteGroupSpec,
+      readFunc: PartitionedFile => Iterator[InternalRow],
+      keyTypes: Array[org.apache.spark.sql.types.DataType]): Set[Seq[Any]] =
+    cache.computeIfAbsent(g.id, _ => {
+      val ords = Array.range(0, keyTypes.length) // delete read = key schema
+      val b = Set.newBuilder[Seq[Any]]
+      g.files.foreach { case (p, l) =>
+        Bridge.flattenBatches(readFunc(Bridge.partitionedFile(p, l)))
+          .foreach(row => b += keyOf(row, ords, keyTypes))
+      }
+      b.result()
+    })
+
+  /** One probe/build key: values normalized to immutable JVM objects
+    * (the vectorized reader REUSES its row and UTF8String buffers — a
+    * stored reference would mutate under the iterator). Null-safe by
+    * construction: null elements compare equal inside Seq, matching the
+    * `<=>` anti-join of the DataFrame MOR scan. */
+  def keyOf(row: InternalRow, ords: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType]): Seq[Any] = {
+    val out = new Array[Any](ords.length)
+    var i = 0
+    while (i < ords.length) {
+      out(i) = if (row.isNullAt(ords(i))) null else normalize(row.get(ords(i), types(i)))
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Immutable + width-normalized: integrals to Long, floats to Double
+    * (a delete key written as INT before a widening evolution must still
+    * match a LONG probe), UTF8String copied out of the reused buffer. */
+  private def normalize(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case f: java.lang.Float => f.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case b: Array[Byte] => b.toSeq
+    case other => other
   }
 }

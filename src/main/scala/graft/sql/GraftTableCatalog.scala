@@ -652,47 +652,31 @@ private class GraftScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** No pending MOR tombstones -> a NATIVE DSv2 batch scan (columnar
-    * parquet reader, bin-packed splits, stats the planner can SEE —
-    * Spark's V1ScanWrapper does not forward SupportsReportStatistics, so
-    * the V1 route always planned with default sizes). Pending tombstones
-    * need the full anti-join plan only `scanDF` builds -> V1 fallback. */
-  override def build(): Scan = {
-    val cat = new BranchCatalog(SparkSession.active, t.root)
-    if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty)
-      new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
-    else new V1Scan {
-      override def readSchema(): StructType = required
-      override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-        new BaseRelation with TableScan {
-          override def sqlContext: SQLContext = ctx
-          override def schema: StructType = required
-          override def buildScan(): RDD[Row] = {
-            val cond = pushed.flatMap(GraftScanBuilder.toColumn)
-              .reduceOption(_ && _)
-            val df = t.scanDF(ctx.sparkSession, cond)
-            val sel =
-              if (required.fieldNames.sameElements(df.columns)) df
-              else df.select(required.fieldNames.toIndexedSeq
-                .map(org.apache.spark.sql.functions.col): _*)
-            sel.rdd
-          }
-        }.asInstanceOf[T]
-
-      /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]
-        * (which refuses pending tombstones itself, loudly). */
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftMicroBatchStream(SparkSession.active, t.root, t.branch,
-          t.tableName, t.tableSchema, required, maxFilesPerTrigger)
-    }
-  }
+  /** Always the NATIVE DSv2 batch scan (vectorized parquet reader,
+    * bin-packed splits, stats the planner can SEE — Spark's
+    * V1ScanWrapper does not forward SupportsReportStatistics, so a V1
+    * route would always plan with default sizes). Pending MOR tombstones
+    * stay on this path too: the scan plans per coverage epoch and its
+    * readers anti-probe per-executor key-set builds
+    * ([[GraftMorReaderFactory]]) — no per-row V1 boundary between
+    * compactions. */
+  override def build(): Scan =
+    new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
 }
 
-/** The native read path of a tombstone-free snapshot: manifest-pruned,
+/** The native read path of a pinned snapshot: manifest-pruned,
   * bin-packed parquet splits through Spark's own reader — no V1 per-row
   * conversion boundary even WITHOUT the optimizer lowering rules (a
   * vanilla session reading a graft catalog gets this plan), and
-  * planner-visible statistics (row count, byte size, ANALYZE NDV). */
+  * planner-visible statistics (row count, byte size, ANALYZE NDV).
+  *
+  * Pending MOR tombstones ride the SAME scan: files are planned per
+  * coverage epoch ([[BranchCatalog.plannedMorEpochs]] — the identical
+  * epoch grouping the DataFrame scan makes, so sequence semantics hold),
+  * each epoch's partitions carry its equality-delete groups, and the
+  * readers anti-probe per-executor key-set hash builds
+  * ([[GraftMorReaderFactory]]). A CDC-heavy table between compactions
+  * keeps the vectorized read and the pruner. */
 private[sql] class GraftBatchScan(
     t: GraftTable, required: StructType, pushed: Array[sources.Filter],
     maxFilesPerTrigger: Option[Int])
@@ -701,22 +685,66 @@ private[sql] class GraftBatchScan(
 
   private def spark = SparkSession.active
 
+  private val cond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+
+  /** Planned once per scan (driver): None = tombstone-free. Shared by
+    * [[planInputPartitions]] and [[createReaderFactory]]. */
+  private lazy val morEpochs: Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = {
+    val cat = new BranchCatalog(spark, t.root)
+    if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty) None
+    else Some(cat.plannedMorEpochs(t.tableName, t.snapshotId, cond))
+  }
+
+  private def specOf(g: graft.wap.MorDeleteGroupPlan): GraftDeleteGroupSpec =
+    GraftDeleteGroupSpec(
+      g.keyCols.mkString(",") + "|" + g.files.map(_._1).mkString("|"),
+      g.keyCols, g.files)
+
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String =
     s"graft ${t.branch}.${t.tableName} @ ${t.snapshotId}"
 
   override def planInputPartitions(): Array[
-      org.apache.spark.sql.connector.read.InputPartition] = {
-    val cond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
-    val files = new BranchCatalog(spark, t.root)
-      .plannedFilesOfSnapshot(t.tableName, t.snapshotId, cond)
-    GraftPartitions.binPack(spark, files)
+      org.apache.spark.sql.connector.read.InputPartition] = morEpochs match {
+    case None =>
+      val files = new BranchCatalog(spark, t.root)
+        .plannedFilesOfSnapshot(t.tableName, t.snapshotId, cond)
+      GraftPartitions.binPack(spark, files)
+    case Some(epochs) =>
+      epochs.flatMap { case (files, groups) =>
+        val specs = groups.map(specOf)
+        GraftPartitions.binPack(spark, files).map {
+          case GraftFilesPartition(fs) if specs.nonEmpty =>
+            GraftMorFilesPartition(fs, specs)
+          case p => p
+        }
+      }.toArray
   }
 
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new GraftReaderFactory(
-      org.apache.spark.sql.graft.Bridge.parquetReadFunc(spark, t.tableSchema, required))
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val bridge = org.apache.spark.sql.graft.Bridge
+    morEpochs match {
+      case None => new GraftReaderFactory(bridge.parquetReadFunc(spark, t.tableSchema, required))
+      case Some(epochs) =>
+        val groups = epochs.flatMap(_._2).map(g => specOf(g).id -> g).toMap
+        val extraKeys = groups.values.flatMap(_.keyCols).toSeq.distinct
+          .filterNot(required.fieldNames.contains)
+        val readAll = StructType(required.fields ++ extraKeys.map(c => t.tableSchema(c)))
+        val delFuncs = groups.map { case (id, g) =>
+          // key schema in keyCols order, typed from the delete FILE (the
+          // written key types; probe values normalize integral/floating
+          // widths so a later widening evolution still matches)
+          val fileSchema = StructType.fromDDL(g.fileSchemaDdl)
+          val keySchema = StructType(g.keyCols.map(c => fileSchema(c)))
+          id -> bridge.parquetReadFunc(spark, fileSchema, keySchema)
+        }
+        new GraftMorReaderFactory(
+          bridge.parquetReadFunc(spark, t.tableSchema, readAll),
+          bridge.parquetReadFunc(spark, t.tableSchema, required),
+          readAll, required, delFuncs)
+    }
+  }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStats.of(spark, t)

@@ -151,6 +151,13 @@ object MergeClause {
   case class NotMatchedInsert(cond: Option[Column] = None) extends MergeClause
 }
 
+/** One equality-delete group of one MOR coverage epoch, as the connector
+  * batch scan plans it ([[BranchCatalog.plannedMorEpochs]]): the key
+  * column names, the tombstone parquet files, and the delete files'
+  * schema DDL (the key schema itself for modern tombstones). */
+case class MorDeleteGroupPlan(
+    keyCols: Seq[String], files: Seq[(String, Long)], fileSchemaDdl: String)
+
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
   * relies on Nessie's commit protocol for this). */
@@ -1205,6 +1212,56 @@ class BranchCatalog(
       }
       files.map(f => f.path -> f.bytes)
     }
+  }
+
+  /** The MOR equivalent of [[plannedFilesOfSnapshot]], for the connector
+    * batch scan of a snapshot WITH pending tombstones: per coverage
+    * epoch, the (pruned, tiered) data file list plus its equality-delete
+    * groups — the same epoch grouping and per-key-schema split
+    * [[scanWithDeletes]] makes, flattened to what a
+    * [[org.apache.spark.sql.connector.read.Batch]] can plan (each epoch's
+    * partitions anti-probe only ITS delete groups, so sequence
+    * semantics — a key re-appended after its delete is visible —
+    * survive the lowering). */
+  private[graft] def plannedMorEpochs(
+      table: String, snapshotId: String, cond: Option[Column])
+      : Seq[(Seq[(String, Long)], Seq[MorDeleteGroupPlan])] = {
+    val snap = loadSnapshot(table, snapshotId)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val covers = tombstoneCovers(table, snap)
+    snap.manifests
+      .groupBy(m => snap.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
+      .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
+      .map { case (sig, ms) =>
+        val sub = snap.copy(manifests = ms, deleteManifests = Nil)
+        val dataFiles: Seq[(String, Long)] =
+          if (ms.map(_.fileCount).sum > distributedMetaThreshold)
+            distributedPrunedFiles(sub, cond, schema)
+          else {
+            val fs = cond match {
+              case Some(c) =>
+                pruneFiles(filesOf(sub), c, schema, snap.partitionSpec.map(PartitionSpec.parse))
+              case None => filesOf(sub)
+            }
+            fs.map(f => f.path -> f.bytes)
+          }
+        val groups = snap.deleteManifests.filter(d => sig.contains(d.path))
+          .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(",") else d.path)
+          .toSeq.sortBy(_._1)
+          .map { case (_, group) =>
+            val delFiles = group.flatMap(m => readManifest(m.path)).map(f => f.path -> f.bytes)
+            // one footer read resolves the delete FILE schema (legacy
+            // tombstones recorded no keyCols — their whole file schema
+            // is the key)
+            val fileSchema = spark.read.parquet(delFiles.map(_._1): _*).schema
+            val keyCols = group.head.keyCols match {
+              case Nil => fileSchema.fieldNames.toSeq
+              case cols => cols
+            }
+            MorDeleteGroupPlan(keyCols, delFiles, fileSchema.toDDL)
+          }
+        (dataFiles, groups)
+      }
   }
 
   /** Resolve a user predicate against the table schema (Spark 4 Columns

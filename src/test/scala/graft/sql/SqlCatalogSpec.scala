@@ -132,6 +132,48 @@ class SqlCatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
+  test("pending MOR tombstones read through the native batch scan (connector path)") {
+    import spark.implicits._
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendClustered("t", docs.filter(col("doc_id") < 40), Seq("doc_id"), files = 4)
+    cat.deleteKeysMOR("t", Seq(5L, 17L).toDF("doc_id"))
+    cat.append("t", docs.filter(col("doc_id") === 5L)) // later epoch: visible again
+    // a second generation with a DIFFERENT key schema — epochs (two) and
+    // per-key-schema groups (two in the older epoch) both in play
+    cat.deleteKeysMOR("t",
+      docs.filter(col("doc_id") === 23).select("doc_id", "n_chars"))
+
+    val viaScala = cat.scan("t").select("doc_id", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val q = spark.sql(s"SELECT doc_id, n_chars FROM $lake.main.t ORDER BY doc_id")
+      val rows = q.collect()
+      // the whole point: NO per-row V1/RDD boundary between compactions —
+      // the connector read is the native DSv2 batch scan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BatchScan"), s"expected the native batch scan, got:\n$plan")
+      assert(!plan.contains("ExistingRDD") && !plan.contains("RowDataSourceScan"),
+        s"MOR-pending read must not drop to a per-row scan:\n$plan")
+      assert(rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq ==
+        viaScala.toSeq, "connector MOR read must equal the Scala scan")
+      assert(rows.map(_.getLong(0)).count(_ == 5L) == 1, "re-appended key visible once")
+      assert(!rows.map(_.getLong(0)).contains(17L) && !rows.map(_.getLong(0)).contains(23L))
+
+      // required-column pruning still holds when the key columns are not
+      // selected (the reader widens internally and projects back down)
+      assert(spark.sql(s"SELECT count(*) FROM $lake.main.t").head.getLong(0) ==
+        viaScala.length.toLong)
+      val texts = spark.sql(s"SELECT text FROM $lake.main.t WHERE doc_id = 5")
+      assert(texts.collect().length == 1)
+      // and pushed predicates keep pruning files under MOR
+      val pruned = spark.sql(s"SELECT n_chars FROM $lake.main.t WHERE doc_id = 33")
+      assert(pruned.collect().length == 1)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
   test("SQL DDL: CREATE TABLE / DROP TABLE; main writes are refused by design") {
     val (lake, cat) = register()
     spark.sql(s"CREATE TABLE $lake.main.fresh (id BIGINT, name STRING)")
@@ -261,14 +303,15 @@ class SqlCatalogSpec extends SparkSpecBase {
       "manifest-ref sums are exact pre-tombstone")
 
     // a key tombstone can suppress ANY number of matching rows: the scan
-    // falls back to the full MOR plan and reports NO stats — the planner
-    // sees defaults rather than an inflated row count
+    // stays on the native batch path but reports NO row count — the
+    // planner sees defaults rather than an inflated sum
     cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id"))
     val morScan = scan()
-    assert(!morScan.isInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics],
-      "pending MOR tombstones make manifest row sums an overcount")
-    assert(!morScan.isInstanceOf[org.apache.spark.sql.connector.read.Batch],
-      "tombstoned snapshots read through the V1 scanDF plan (anti-joins)")
+    assert(morScan.isInstanceOf[org.apache.spark.sql.connector.read.Batch],
+      "pending MOR tombstones must stay on the native batch scan")
+    assert(morScan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().numRows().isEmpty,
+      "pending MOR tombstones make manifest row sums an overcount — report none")
   }
 
   test("streaming input partitions are bin-packed by byte size, not per-file") {
