@@ -22,18 +22,22 @@ import graft.wap.BranchCatalog
   *
   * `rewrite_data_files` with a non-empty `cluster_by` column list runs
   * the sort-clustered rewrite (tight per-file ranges for pruning);
-  * empty runs the plain small-file compaction. All three are
-  * CONTENT-PRESERVING — they commit new metadata but never change what
-  * a scan returns — so they run on any branch, main included: the
-  * write-audit-publish guard protects content, and maintenance is not a
-  * content write (same stance as Iceberg running procedures on main).
+  * empty runs the plain small-file compaction. `analyze_table` computes
+  * NDV column stats (its `incremental` variant folds per-manifest HLL
+  * sketches, scanning only manifests sketched for the first time). All
+  * five procedures are CONTENT-PRESERVING — they commit new metadata but
+  * never change what a scan returns — so they run on any branch, main
+  * included: the write-audit-publish guard protects content, and
+  * maintenance is not a content write (same stance as Iceberg running
+  * procedures on main).
   */
 object GraftProcedures {
 
   val namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests", "analyze_table")
+    Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
+      "analyze_table", "analyze_table_incremental")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -64,6 +68,15 @@ object GraftProcedures {
         param("branch", StringType, "'main'"),
         param("columns", StringType, "''"))) { (cat, args) =>
         cat.analyzeTable(args.getString(0), args.getString(1),
+          args.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        ()
+      }
+    case "analyze_table_incremental" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"),
+        param("columns", StringType, "''"))) { (cat, args) =>
+        cat.analyzeTableIncremental(args.getString(0), args.getString(1),
           args.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         ()
       }

@@ -1521,15 +1521,7 @@ class BranchCatalog(
     import org.apache.spark.sql.functions.approx_count_distinct
     val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val df = scanSnapshot(table, id)
-    val cols =
-      if (columns.nonEmpty) columns
-      else df.schema.fields.filterNot(f => f.dataType match {
-        case _: org.apache.spark.sql.types.ArrayType => true
-        case _: org.apache.spark.sql.types.MapType => true
-        case _: org.apache.spark.sql.types.StructType => true
-        case org.apache.spark.sql.types.BinaryType => true
-        case _ => false
-      }).map(_.name).toSeq
+    val cols = analyzableCols(df.schema, columns)
     require(cols.nonEmpty, s"no analyzable (atomic-typed) columns in $table")
     val row = df.agg(
       approx_count_distinct(cols.head).as(cols.head),
@@ -1541,6 +1533,87 @@ class BranchCatalog(
     try out.write(Serialization.write(ndv).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     ndv
+  }
+
+  private def sketchPath(table: String, manifestPath: String) = {
+    val name = new Path(manifestPath).getName.stripSuffix(".json")
+    new Path(rootPath, s"tables/$table/meta/sketch-$name.json")
+  }
+
+  /** The analyzable (atomic-typed) column set [[analyzeTable]] and
+    * [[analyzeTableIncremental]] share. */
+  private def analyzableCols(schema: StructType, columns: Seq[String]): Seq[String] =
+    if (columns.nonEmpty) columns
+    else schema.fields.filterNot(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType => true
+      case _: org.apache.spark.sql.types.StructType => true
+      case org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }).map(_.name).toSeq
+
+  /** INCREMENTAL ANALYZE: per-MANIFEST mergeable HLL sketches instead of
+    * [[analyzeTable]]'s full-table pass. Each manifest's sketch sidecar
+    * (one Datasketches HLL per column, values normalized through a
+    * string cast so every atomic type sketches uniformly) is computed
+    * the FIRST time this sees the manifest — one job over just that
+    * manifest's files — and reused forever after (manifests are
+    * immutable; compaction mints new manifests, which re-sketch from the
+    * compacted files once). The head NDV is the driver-side union of all
+    * sidecar sketches (KB each), written to the SAME colstats sidecar
+    * [[columnStatsOf]]/the connector serve — so after N appends, a
+    * re-analyze scans ONLY the N new manifests' files, never the table:
+    * at 100 TB stats stay fresh at O(delta) cost per refresh. Returns
+    * (ndv, manifests freshly sketched). Falls back to the exact-scoped
+    * [[analyzeTable]] while MOR tombstones are pending (raw file sketches
+    * cannot see suppressed rows; compaction clears them). */
+  def analyzeTableIncremental(
+      table: String, branch: String = "main",
+      columns: Seq[String] = Nil): (Map[String, Long], Int) = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val snap = loadSnapshot(table, id)
+    if (snap.deleteManifests.nonEmpty)
+      return (analyzeTable(table, branch, columns), 0)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val cols = analyzableCols(schema, columns)
+    require(cols.nonEmpty, s"no analyzable (atomic-typed) columns in $table")
+    var computed = 0
+    val perManifest: Seq[Map[String, Array[Byte]]] = snap.manifests.map { m =>
+      val p = sketchPath(table, m.path)
+      if (fs.exists(p)) {
+        Serialization.read[Map[String, String]](readString(p))
+          .map { case (c, b64) => c -> java.util.Base64.getDecoder.decode(b64) }
+      } else {
+        computed += 1
+        val files = readManifest(m.path)
+        val df = spark.read.schema(schema).parquet(files.map(_.path): _*)
+        val row = df.agg(
+          hll_sketch_agg(col(cols.head).cast("string")).as(cols.head),
+          cols.tail.map(c => hll_sketch_agg(col(c).cast("string")).as(c)): _*).head
+        val sketches = cols.map(c => c -> row.getAs[Array[Byte]](c)).toMap
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(Serialization.write(sketches.map { case (c, b) =>
+          c -> java.util.Base64.getEncoder.encodeToString(b)
+        }).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        sketches
+      }
+    }
+    val ndv = cols.map { c =>
+      val u = new org.apache.datasketches.hll.Union(12)
+      perManifest.foreach(_.get(c).foreach { bytes =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+      })
+      c -> math.round(u.getEstimate)
+    }.toMap
+    val p = colStatsPath(table, id)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Serialization.write(ndv).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    (ndv, computed)
   }
 
   /** The nearest analyze blob at or above `snapshotId` in the parent
@@ -2675,6 +2748,11 @@ class BranchCatalog(
           .distinct.filterNot(liveData.contains)
       }
     dropManifests.foreach(fs.delete(_, false))
+    // incremental-analyze sketch sidecars die with their manifests
+    dropManifests.foreach { p =>
+      try { fs.delete(sketchPath(table, p.toString), false); () }
+      catch { case _: Exception => () }
+    }
     dropData.foreach(p => fs.delete(new Path(p), false))
 
     ExpireResult(dropSnaps.size, dropManifests.size, dropData.size)

@@ -674,6 +674,12 @@ class SqlCatalogSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.rewrite_data_files('t')")
     assert(cat.dataFiles("t").size == 4)
 
+    // incremental analyze through SQL: sketches land, stats served
+    spark.sql(s"CALL $lake.system.analyze_table_incremental('t')")
+    val ndv = cat.columnStatsOf("t", cat.snapshotIdOf("t").get)
+    assert(ndv.exists(m => math.abs(m("doc_id") - 64L) <= 7),
+      s"incremental NDV must approximate the 64 distinct ids, got $ndv")
+
     intercept[Exception] { spark.sql(s"CALL $lake.system.no_such_proc('t')") }
   }
 

@@ -1674,4 +1674,59 @@ class WapSpec extends SparkSpecBase {
     val withNulls = DataGen.customerBatch(spark, 500, injectNulls = true, nullEvery = 100)
     assert(withNulls.filter(col("my_col_1").isNull).count() == 5)
   }
+
+  test("incremental ANALYZE folds per-manifest sketches; a refresh scans only the delta") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100))
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    cat.append("t", docs.filter(col("doc_id") >= 200 && col("doc_id") < 300))
+
+    val (ndv1, sketched1) = cat.analyzeTableIncremental("t")
+    assert(sketched1 == 3, "first pass sketches every manifest")
+    assert(math.abs(ndv1("doc_id") - 300L) <= 30, s"NDV ${ndv1("doc_id")} vs exact 300")
+    // the merged result serves through the SAME sidecar the connector reads
+    assert(cat.columnStatsOf("t", cat.snapshotIdOf("t").get).contains(ndv1))
+
+    // a new append re-sketches exactly ONE manifest, reading only its
+    // rows — never the table (the 100 TB freshness contract)
+    cat.append("t", docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (ndv2, sketched2) =
+      try {
+        val r = cat.analyzeTableIncremental("t")
+        // drain the async listener bus: poll until the counter is stable
+        var last = -1L
+        var spins = 0
+        while (records.get() != last && spins < 25) {
+          last = records.get(); Thread.sleep(200); spins += 1
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(sketched2 == 1, "refresh sketches only the new manifest")
+    assert(records.get() <= 150,
+      s"refresh read ${records.get()} records — must scan only the 100-row delta")
+    assert(math.abs(ndv2("doc_id") - 400L) <= 40, s"NDV ${ndv2("doc_id")} vs exact 400")
+
+    // idempotent: nothing new, nothing scanned
+    val (_, sketched3) = cat.analyzeTableIncremental("t")
+    assert(sketched3 == 0)
+
+    // string/source column survives the union too (low-cardinality)
+    val exactSources = cat.scan("t").select("source").distinct().count()
+    assert(math.abs(ndv2("source") - exactSources) <= math.max(1L, exactSources / 10))
+
+    // pending MOR tombstones fall back to the exact scoped pass (raw
+    // file sketches cannot see suppressed rows)
+    import spark.implicits._
+    cat.deleteKeysMOR("t", Seq(7L).toDF("doc_id"))
+    val (ndvMor, sketchedMor) = cat.analyzeTableIncremental("t")
+    assert(sketchedMor == 0 && ndvMor.contains("doc_id"))
+  }
 }
