@@ -760,12 +760,15 @@ private[sql] object GraftStats {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 
-  /** Row count from manifest-ref sums (free); byte size from manifest
-    * entries only while the table is small enough that the driver read
-    * is trivial — a big table reports no size and Spark's defaults keep
-    * it off the broadcast path, the safe direction. Under pending MOR
-    * tombstones row counts are an overcount (a key tombstone suppresses
-    * EVERY matching row), so none is reported. */
+  /** Row count AND byte size from manifest-ref sums (free — r10 refs
+    * carry per-manifest byte totals, so any table size reports a real
+    * planner size at O(manifests) cost). Pre-r10 metadata falls back to
+    * reading manifest entries only while the table is small enough that
+    * the driver read is trivial — then a big table reports no size and
+    * Spark's defaults keep it off the broadcast path, the safe
+    * direction. Under pending MOR tombstones row counts are an overcount
+    * (a key tombstone suppresses EVERY matching row), so none is
+    * reported. */
   def of(spark: SparkSession, t: GraftTable): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val cat = new BranchCatalog(spark, t.root)
@@ -777,7 +780,15 @@ private[sql] object GraftStats {
         if (snap.manifests.map(_.fileCount).sum > 4096) Nil
         else cat.filesOf(snap)
       override def sizeInBytes(): java.util.OptionalLong = {
-        val bytes = files.map(_.bytes).sum
+        // r10 manifests carry byte sums: O(manifests) from the snapshot
+        // alone, no per-file driver read, no size cap — a 100 TB table
+        // reports its real size. Pre-r10 refs (bytes 0) fall back to the
+        // guarded per-file read.
+        val refBytes = snap.manifests.map(_.bytes).sum
+        val bytes =
+          if (refBytes > 0 && snap.manifests.forall(m => m.fileCount == 0 || m.bytes > 0))
+            refBytes
+          else files.map(_.bytes).sum
         if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
       }
       override def numRows(): java.util.OptionalLong =

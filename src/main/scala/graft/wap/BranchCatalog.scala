@@ -48,7 +48,12 @@ case class DataFileMeta(
 case class ManifestRef(path: String, fileCount: Long, rows: Long,
     asOf: Option[String] = None,
     seq: Long = 0L,
-    keyCols: Seq[String] = Nil)
+    keyCols: Seq[String] = Nil,
+    /** Byte sum of the manifest's files (0 for pre-r10 metadata): lets
+      * planner `sizeInBytes` come from O(manifests) ref sums instead of
+      * a driver read of every manifest entry — a 100 TB table reports a
+      * real size (CBO/AQE/broadcast decisions) at metadata cost. */
+    bytes: Long = 0L)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -349,7 +354,8 @@ class BranchCatalog(
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
       s"manifest ${p.getName} already exists for $table")
-    ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum)
+    ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum,
+      bytes = files.map(_.bytes).sum)
   }
 
   private def readManifest(path: String): Seq[DataFileMeta] = {

@@ -301,6 +301,11 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(scan().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics().numRows().getAsLong == 30,
       "manifest-ref sums are exact pre-tombstone")
+    // byte size comes from manifest-REF sums (O(manifests), uncapped)
+    assert(scan().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().sizeInBytes().getAsLong ==
+      cat.dataFiles("t").map(_.bytes).sum,
+      "planner size must equal the manifest byte sums")
 
     // a key tombstone can suppress ANY number of matching rows: the scan
     // stays on the native batch path but reports NO row count — the

@@ -1729,4 +1729,20 @@ class WapSpec extends SparkSpecBase {
     val (ndvMor, sketchedMor) = cat.analyzeTableIncremental("t")
     assert(sketchedMor == 0 && ndvMor.contains("doc_id"))
   }
+
+  test("manifest refs carry byte sums; folding preserves them") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 60))
+    cat.append("t", docs.filter(col("doc_id") >= 60))
+    def refSum = cat.snapshotMeta("t", cat.snapshotIdOf("t").get).manifests.map(_.bytes).sum
+    val exact = cat.dataFiles("t").map(_.bytes).sum
+    assert(exact > 0 && refSum == exact,
+      "ref byte sums must equal the per-file sums (planner sizes are O(manifests))")
+    // manifest folding re-sums from the folded entries — nothing lost
+    cat.compactManifests("t")
+    assert(cat.snapshotMeta("t", cat.snapshotIdOf("t").get).manifests.size == 1)
+    assert(refSum == exact, "folded manifest must carry the summed bytes")
+  }
 }
