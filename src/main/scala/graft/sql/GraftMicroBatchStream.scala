@@ -230,7 +230,8 @@ class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val readFunc = Bridge.parquetReadFunc(spark, tableSchema, requiredSchema)
-    new GraftReaderFactory(readFunc)
+    new GraftReaderFactory(readFunc,
+      Bridge.parquetBatchReadFunc(spark, tableSchema, requiredSchema))
   }
 
   /** Checkpoint state lives with Spark; the only driver state to drop is
@@ -286,8 +287,26 @@ private[sql] object GraftPartitions {
 }
 
 private[sql] class GraftReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    /** When present, partitions are read COLUMNAR: whole vectorized
+      * batches cross the DSv2 boundary and Spark's codegen'd
+      * ColumnarToRow takes over — no per-row iteration on this side.
+      * None when the read schema cannot batch (nested types). */
+    batchFunc: Option[PartitionedFile => Iterator[
+      org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
   extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batchFunc.isDefined
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val files = partition.asInstanceOf[GraftFilesPartition].files
+    val f = batchFunc.get
+    GraftReaderFactory.reader(files.iterator.flatMap { case (path, len) =>
+      f(Bridge.partitionedFile(path, len))
+    })
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[GraftFilesPartition].files
@@ -298,11 +317,11 @@ private[sql] class GraftReaderFactory(
 }
 
 private[sql] object GraftReaderFactory {
-  def reader(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
+  def reader[T](it: Iterator[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private var current: T = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-      override def get(): InternalRow = current
+      override def get(): T = current
       override def close(): Unit = ()
     }
 }

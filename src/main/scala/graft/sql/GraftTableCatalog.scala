@@ -725,7 +725,9 @@ private[sql] class GraftBatchScan(
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val bridge = org.apache.spark.sql.graft.Bridge
     morEpochs match {
-      case None => new GraftReaderFactory(bridge.parquetReadFunc(spark, t.tableSchema, required))
+      case None => new GraftReaderFactory(
+        bridge.parquetReadFunc(spark, t.tableSchema, required),
+        bridge.parquetBatchReadFunc(spark, t.tableSchema, required))
       case Some(epochs) =>
         val groups = epochs.flatMap(_._2).map(g => specOf(g).id -> g).toMap
         val extraKeys = groups.values.flatMap(_.keyCols).toSeq.distinct

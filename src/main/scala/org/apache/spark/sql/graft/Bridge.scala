@@ -59,6 +59,43 @@ object Bridge {
         hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
   }
 
+  /** COLUMNAR variant of [[parquetReadFunc]]: the same executor-side
+    * vectorized reader asked to return whole ColumnarBatches, for a DSv2
+    * `PartitionReader[ColumnarBatch]` — Spark then plans the scan
+    * columnar and inserts a codegen'd ColumnarToRow above it, instead of
+    * this side iterating rows out of each batch. None when the required
+    * schema cannot be read vectorized-batched (nested types, or the
+    * vectorized reader disabled) — callers fall back to the row func. */
+  def parquetBatchReadFunc(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    if (!fmt.supportBatch(classic, requiredSchema)) None
+    else {
+      val f = fmt.buildReaderWithPartitionValues(
+        sparkSession = classic,
+        dataSchema = dataSchema,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        requiredSchema = requiredSchema,
+        filters = Seq.empty,
+        options = Map(
+          org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH
+            -> "true"),
+        hadoopConf = classic.sessionState.newHadoopConfWithOptions(Map.empty))
+      // the iterator's element type is a lie when batches are returned
+      // (same unchecked dance as [[flattenBatches]])
+      Some(pf => f(pf).asInstanceOf[Iterator[AnyRef]].map {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch => b
+        case other => throw new IllegalStateException(
+          s"vectorized reader returned ${other.getClass} despite batch mode")
+      })
+    }
+  }
+
   /** Executor-side parquet STAGE writer factory: Spark's own parquet
     * `OutputWriter` (ParquetFileFormat.prepareWrite is `private[sql]`,
     * hence this bridge), serializable for shipping inside a

@@ -928,6 +928,12 @@ class SqlCatalogSpec extends SparkSpecBase {
       val nFiles = batchScans.head.inputPartitions
         .map(_.asInstanceOf[GraftFilesPartition].files.size).sum
       assert(nFiles < 8, s"point predicate must prune clustered files, scanned $nFiles")
+      // the scan hands over whole vectorized batches (atomic schema):
+      // Spark plans it columnar and converts with codegen'd ColumnarToRow
+      assert(batchScans.head.supportsColumnar,
+        "atomic-schema connector reads must cross the DSv2 boundary columnar")
+      assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "columnar scan must be consumed through ColumnarToRow")
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
