@@ -805,6 +805,9 @@ private[sql] object GraftStats {
         val ndv = cat.columnStatsOf(t.tableName, t.snapshotId).getOrElse(Map.empty)
         val nulls: Map[String, Long] =
           if (snap.deleteManifests.nonEmpty) Map.empty
+          // r10 refs carry per-manifest null sums: O(manifests), uncapped
+          else if (snap.manifests.forall(m => m.fileCount == 0 || m.nullCounts.nonEmpty))
+            snap.manifests.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
           else files.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
         val out = new util.HashMap[NamedReference, ColumnStatistics]()
         (ndv.keySet ++ nulls.keySet).foreach { c =>

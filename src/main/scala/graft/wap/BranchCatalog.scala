@@ -53,7 +53,11 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
       * planner `sizeInBytes` come from O(manifests) ref sums instead of
       * a driver read of every manifest entry — a 100 TB table reports a
       * real size (CBO/AQE/broadcast decisions) at metadata cost. */
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    /** Per-column null-count sums of the manifest's files (empty for
+      * pre-r10 metadata): the same O(manifests) serving for planner
+      * `columnStats.nullCount`. */
+    nullCounts: Map[String, Long] = Map.empty)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -355,7 +359,8 @@ class BranchCatalog(
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
       s"manifest ${p.getName} already exists for $table")
     ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum,
-      bytes = files.map(_.bytes).sum)
+      bytes = files.map(_.bytes).sum,
+      nullCounts = files.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _))
   }
 
   private def readManifest(path: String): Seq[DataFileMeta] = {
