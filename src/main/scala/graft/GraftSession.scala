@@ -80,15 +80,25 @@ object Tables {
     * never mutated at read time. */
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
 
-  /** events with both the exact `ts_ns` (long nanos) and a microsecond-
-    * truncated `ts` timestamp column derived from it. Truncation is
-    * harmless for every bucketing query (>= 1-minute windows); exact
-    * arithmetic (event gaps) uses `ts_ns`. */
+  /** events with both an exact `ts_ns` (long nanos) and a `ts` timestamp
+    * column, whatever the physical encoding of the generated parquet:
+    * older testdata wrote parquet TIMESTAMP(NANOS) (reads as long under
+    * nanosAsLong), current testdata writes timestamp[us] (reads as
+    * TIMESTAMP_NTZ). The session TZ is pinned to UTC, so the NTZ→
+    * timestamp cast is wall-clock-identity and `unix_micros` is exact —
+    * bucketing queries use `ts`, exact gap arithmetic uses `ts_ns`. */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

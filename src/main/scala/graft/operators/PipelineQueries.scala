@@ -346,16 +346,16 @@ object PipelineQueries {
     * marker window plan, no range join). Times stay exact long nanos end
     * to end; the DuckDB oracle is a genuine ASOF LEFT JOIN. */
   def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir) // ts = long nanos
+    val ev = Tables.eventsWithTs(spark, dir) // ts_ns = long nanos, any physical encoding
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts_ns").as("ts"))
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts").as("err_ts"), col("value").as("err_value"))
+      .select(col("user_id"), col("ts_ns").as("err_ts"), col("value").as("err_value"))
     Temporal.asofJoin(clicks, errors, Seq("user_id"), "ts", "err_ts", Seq("err_value"))
       .select(col("event_id"), col("user_id"),
-        // micro-truncated for the oracle: DuckDB reads TIMESTAMP(NANOS)
-        // truncated to us (integer `div`, not `/` — true division through
-        // double loses exactness on ns epochs)
+        // micro-truncated for the oracle's epoch_us(ts) (integer `div`,
+        // not `/` — true division through double loses exactness on ns
+        // epochs)
         expr("asof_time div 1000").as("err_ts_us"),
         round(col("asof_err_value"), 2).as("err_value"))
   }
@@ -365,7 +365,7 @@ object PipelineQueries {
     * sessionize operator), exact integer nano arithmetic. */
   def eventsSessions(spark: SparkSession, dir: String): DataFrame =
     Temporal.sessionizeBatch(
-      Tables.events(spark, dir), keyCol = "user_id", timeCol = "ts",
+      Tables.eventsWithTs(spark, dir), keyCol = "user_id", timeCol = "ts_ns",
       valueCol = "value", tieBreak = "event_id", gap = 30L * 60L * 1000000000L)
       .select(col("user_id"), col("session_idx"), col("n_events"),
         expr("start_t div 1000").as("start_us"),

@@ -13,8 +13,8 @@ class TemporalSpec extends SparkSpecBase {
   private case class Ev(id: Long, user: Long, ts: Long, typ: String, value: Double)
 
   private lazy val events: Seq[Ev] =
-    Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    Tables.eventsWithTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type"), col("value"))
       .collect()
       .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .toSeq
