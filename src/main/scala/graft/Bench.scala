@@ -39,6 +39,31 @@ object Bench {
     dt
   }
 
+  /** Fixed-work ALL-CORES sentinel: the single-threaded calibration above
+    * cannot see co-tenant load that steals only SOME cores — r10's driver
+    * host reported near-idle single-thread calib (0.43 s) while the
+    * 32-way-parallel check queries ran 3-6x slow. This one saturates
+    * every core with the same deterministic fold (one unit of
+    * [[calibrate]]'s work per core, so the wall-clock is ~the
+    * single-thread figure on an idle host and degrades in proportion to
+    * whatever share of the machine someone else is using). */
+  private def calibrateParallel(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until cores).map { c =>
+      val t = new Thread(() => {
+        var h = 0x811c9dc5L ^ c
+        var i = 0L
+        val n = 300000000L
+        while (i < n) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+        if (h == 42L) System.err.println(h)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,6 +97,7 @@ object Bench {
     clearCaches() // warmup artifacts must not subsidize the timed pass
     calibrate() // untimed: JIT-compile the sentinel loop itself
     val calibStart = calibrate()
+    val calibParStart = calibrateParallel()
     def family(name: String): String = name.takeWhile(_ != '_')
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var prevFamily = ""
@@ -94,6 +120,7 @@ object Bench {
       name -> sorted(sorted.size / 2)
     }
     val calibEnd = calibrate()
+    val calibParEnd = calibrateParallel()
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     // ms precision: full-double timings made the line outgrow the
@@ -108,6 +135,7 @@ object Bench {
     val line =
       s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$es,""" +
         s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
+        s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
         s""""value":${ms(total)},"queries":$qs}"""
     println(line)
     // At ~97 queries the full line outgrows the driver artifact's
@@ -119,6 +147,7 @@ object Bench {
     // parses the LAST line gets valid JSON with value + calibration.
     println(s"""{"metric":"total","unit":"sec","runs":$runs,""" +
       s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
+      s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},"value":${ms(total)}}""")
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every

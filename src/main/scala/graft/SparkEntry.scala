@@ -62,6 +62,7 @@ object SparkEntry {
     "wap_txn" -> (WapQueries.wapTxn _),
     "wap_stream_sink" -> (WapQueries.wapStreamSink _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
+    "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -207,6 +208,8 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS n_snapshots, (SELECT count(*) FROM documents WHERE doc_id < 200) AS head_rows, CAST(2 AS BIGINT) AS n_files, (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_from_files, CAST(3 AS BIGINT) AS n_heads, true AS head_current""",
     "wap_sql_dml" ->
       """SELECT count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS main_guarded FROM (SELECT doc_id, n_chars + 1000 AS chars FROM documents WHERE doc_id < 50 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50 AND doc_id < 150 UNION ALL SELECT doc_id, n_chars + 5000 FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 200 AND doc_id < 230)""",
+    "wap_runtime_prune" ->
+      """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
     // __EXPORT_DIR__ is substituted by Verify at dump time with the
     // actual export dir for the SF being verified (WapQueries.exportDir)
     "wap_export" ->

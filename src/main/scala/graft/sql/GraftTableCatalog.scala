@@ -681,18 +681,57 @@ private[sql] class GraftBatchScan(
     t: GraftTable, required: StructType, pushed: Array[sources.Filter],
     maxFilesPerTrigger: Option[Int])
   extends Scan with org.apache.spark.sql.connector.read.Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private def spark = SparkSession.active
 
-  private val cond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+  /** Join-key filters delivered at EXECUTION time (dynamic partition
+    * pruning): Spark evaluates the build side of a selective join first,
+    * hands the observed key set here as an IN predicate, and this scan
+    * re-prunes its file splits through the same manifest pruner the
+    * static pushdown uses — a star join against a bucket- or
+    * day-partitioned 100 TB fact table reads only the files whose
+    * transform value / column bounds admit some build-side key, without
+    * the user writing the partition predicate by hand. */
+  @volatile private var runtime: Array[sources.Filter] = Array.empty
 
-  /** Planned once per scan (driver): None = tombstone-free. Shared by
-    * [[planInputPartitions]] and [[createReaderFactory]]. */
-  private lazy val morEpochs: Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = {
-    val cat = new BranchCatalog(spark, t.root)
-    if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty) None
-    else Some(cat.plannedMorEpochs(t.tableName, t.snapshotId, cond))
+  private def cond =
+    (pushed ++ runtime).flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    // every column in the scan OUTPUT (Spark resolves these against the
+    // column-pruned output — declaring a projected-away column throws in
+    // PartitionPruning). The manifest pruner is conservative (a filter it
+    // cannot evaluate prunes nothing), so declaring every output column
+    // is sound — Spark's own benefit heuristic gates which joins
+    // actually plant a runtime filter.
+    required.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtime = predicates.flatMap(p =>
+      org.apache.spark.sql.graft.Bridge.predicateToV1(p))
+    morEpochsCache = null // re-plan under the narrowed condition
+  }
+
+  /** Planned once per (runtime-filter state) on the driver: None =
+    * tombstone-free. Shared by [[planInputPartitions]] and
+    * [[createReaderFactory]]; invalidated by [[filter]], which Spark
+    * calls before either. */
+  @volatile private var morEpochsCache:
+      Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = null
+  private def morEpochs: Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = {
+    var c = morEpochsCache
+    if (c == null) {
+      val cat = new BranchCatalog(spark, t.root)
+      c = if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty) None
+      else Some(cat.plannedMorEpochs(t.tableName, t.snapshotId, cond))
+      morEpochsCache = c
+    }
+    c
   }
 
   private def specOf(g: graft.wap.MorDeleteGroupPlan): GraftDeleteGroupSpec =

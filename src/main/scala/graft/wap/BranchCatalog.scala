@@ -1070,6 +1070,45 @@ class BranchCatalog(
     case other => Seq(other)
   }
 
+  /** Leaf count of a predicate tree (IN counts its value list) — used to
+    * cap disjunction expansion: a conjunct wider than this is skipped
+    * whole (its files are kept — pruning is sound, never required, and a
+    * multi-thousand-key IN admits most files anyway). */
+  private def predLeaves(e: Expression): Int = e match {
+    case And(l, r) => predLeaves(l) + predLeaves(r)
+    case Or(l, r) => predLeaves(l) + predLeaves(r)
+    case In(_, vs) => vs.size
+    case _ => 1
+  }
+  private val maxPruneLeaves = 256
+
+  /** Disjunction-aware "file possibly matches": an OR (or an IN — the
+    * shape DPP runtime filters and `isin` predicates arrive in) admits a
+    * file if ANY branch does; each leaf runs the partition-transform +
+    * footer-stats checks. Before this, a disjunctive conjunct pruned
+    * NOTHING — in particular a runtime join-key IN-set on a
+    * bucket-partitioned table, the 100 TB star-join shape. */
+  private def admits(
+      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec],
+      schema: StructType): Boolean = p match {
+    case And(l, r) => admits(f, l, spec, schema) && admits(f, r, spec, schema)
+    case Or(l, r) => admits(f, l, spec, schema) || admits(f, r, spec, schema)
+    case In(a, vs) if vs.forall(_.foldable) =>
+      vs.exists(v => admits(f, EqualTo(a, v), spec, schema))
+    case leaf => partitionMayMatch(f, leaf, spec, schema) && mayMatch(f, leaf, schema)
+  }
+
+  /** [[admits]] as a Column over manifest entries (the distributed
+    * planning path). */
+  private def admitsCol(
+      p: Expression, spec: Option[PartitionSpec], schema: StructType): Column = p match {
+    case And(l, r) => admitsCol(l, spec, schema) && admitsCol(r, spec, schema)
+    case Or(l, r) => admitsCol(l, spec, schema) || admitsCol(r, spec, schema)
+    case In(a, vs) if vs.forall(_.foldable) =>
+      vs.map(v => admitsCol(EqualTo(a, v), spec, schema)).reduce(_ || _)
+    case leaf => partitionMayMatchCol(leaf, spec, schema) && mayMatchCol(leaf)
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.name)
@@ -1174,10 +1213,8 @@ class BranchCatalog(
     resolvePredicate(cond, schema) match {
       case None => files
       case Some(pred) =>
-        val preds = conjuncts(pred)
-        files.filter { f =>
-          preds.forall(p => partitionMayMatch(f, p, spec, schema) && mayMatch(f, p, schema))
-        }
+        val preds = conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
+        files.filter { f => preds.forall(p => admits(f, p, spec, schema)) }
     }
   }
 
@@ -1193,8 +1230,11 @@ class BranchCatalog(
     val spec = snap.partitionSpec.map(PartitionSpec.parse)
     val entries = manifestEntries(snap)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
-      case Some(pred) => entries.filter(conjuncts(pred)
-        .map(p => partitionMayMatchCol(p, spec, schema) && mayMatchCol(p)).reduce(_ && _))
+      case Some(pred) => conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
+        .map(p => admitsCol(p, spec, schema))
+        .reduceOption(_ && _)
+        .map(entries.filter)
+        .getOrElse(entries)
       case None => entries
     }
     kept.select(col("path"), col("bytes")).collect()

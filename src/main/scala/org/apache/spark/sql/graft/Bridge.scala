@@ -16,6 +16,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** V2 runtime-filter `Predicate` -> V1 `sources.Filter`, values
+    * converted to external Scala types (`PredicateUtils` is
+    * `private[sql]`). `BatchScanExec` delivers DPP runtime filters to
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * as V2 predicates (IN over the join key); graft's manifest pruner
+    * speaks V1 filters. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Register a function builder on an EXISTING session's registry (the
     * runtime-equivalent of injecting through SparkSessionExtensions,
     * which only applies at session build time). */

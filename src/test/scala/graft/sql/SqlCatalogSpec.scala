@@ -1010,4 +1010,36 @@ class SqlCatalogSpec extends SparkSpecBase {
       s"SELECT count(*) FROM $lake.main.t a JOIN $lake.main.t b ON a.doc_id = b.doc_id")
     assert(j.head.getLong(0) == 10)
   }
+
+  test("runtime (DPP) join-key filters re-prune the batch scan's splits") {
+    // the full lifecycle the driver gate runs: e2e SQL join plants a
+    // dynamicpruning filter on the connector scan AND the scan-level
+    // filter() call shrinks the planned splits
+    val row = GraftRuntimePrune.query(spark, sfDir).collect().head
+    assert(row.getLong(0) == 4, "4 selective dim keys join 4 fact rows")
+    assert(row.getLong(2) == 8, "bucket(8) fact table wrote 8 files")
+    assert(row.getBoolean(3), "runtime IN filter must re-prune file splits")
+    assert(row.getBoolean(4), "SQL join must plant a dynamicpruning runtime filter")
+
+    // conservatism: a predicate the pruner cannot evaluate prunes NOTHING
+    // (runtime filters are advisory — dropping a file wrongly loses rows)
+    val (_, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 32)
+      .select(col("doc_id"), col("text"))
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.appendClustered("t", docs, Seq("doc_id"), files = 4)
+    val tbl = GraftTable(cat.root, "main", "t",
+      cat.snapshotIdOf("t", "main").get, docs.schema)
+    val scan = new GraftScanBuilder(tbl).build().asInstanceOf[GraftBatchScan]
+    val before = scan.planInputPartitions()
+      .map { case GraftFilesPartition(fs) => fs.size case _ => 0 }.sum
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    scan.filter(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+      "ENDS_WITH", Array[org.apache.spark.sql.connector.expressions.Expression](
+        E.column("text"),
+        E.literal(org.apache.spark.unsafe.types.UTF8String.fromString("xyz"))))))
+    val after = scan.planInputPartitions()
+      .map { case GraftFilesPartition(fs) => fs.size case _ => 0 }.sum
+    assert(after == before, "unconvertible runtime predicates must not prune")
+  }
 }
