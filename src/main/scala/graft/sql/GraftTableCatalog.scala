@@ -763,10 +763,17 @@ private[sql] class GraftBatchScan(
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val bridge = org.apache.spark.sql.graft.Bridge
+    // pushed INTO the parquet reader too: per-file row-group/page
+    // skipping below the manifest-level file pruning (at 100 TB a kept
+    // file still holds many 128 MB row groups a selective predicate can
+    // skip from footer stats alone). Sound: Spark re-applies every
+    // filter above this scan (all filters are residual), and the join
+    // re-checks runtime DPP keys.
+    val readerFilters = (pushed ++ runtime).toSeq
     morEpochs match {
       case None => new GraftReaderFactory(
-        bridge.parquetReadFunc(spark, t.tableSchema, required),
-        bridge.parquetBatchReadFunc(spark, t.tableSchema, required))
+        bridge.parquetReadFunc(spark, t.tableSchema, required, readerFilters),
+        bridge.parquetBatchReadFunc(spark, t.tableSchema, required, readerFilters))
       case Some(epochs) =>
         val groups = epochs.flatMap(_._2).map(g => specOf(g).id -> g).toMap
         val extraKeys = groups.values.flatMap(_.keyCols).toSeq.distinct
@@ -781,8 +788,8 @@ private[sql] class GraftBatchScan(
           id -> bridge.parquetReadFunc(spark, fileSchema, keySchema)
         }
         new GraftMorReaderFactory(
-          bridge.parquetReadFunc(spark, t.tableSchema, readAll),
-          bridge.parquetReadFunc(spark, t.tableSchema, required),
+          bridge.parquetReadFunc(spark, t.tableSchema, readAll, readerFilters),
+          bridge.parquetReadFunc(spark, t.tableSchema, required, readerFilters),
           readAll, required, delFuncs)
     }
   }

@@ -51,7 +51,15 @@ object Bridge {
   def parquetReadFunc(
       spark: org.apache.spark.sql.SparkSession,
       dataSchema: org.apache.spark.sql.types.StructType,
-      requiredSchema: org.apache.spark.sql.types.StructType)
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      /** Pushed down INTO the parquet reader: row-group stats skipping,
+        * column-index page skipping, dictionary filtering — per FILE,
+        * below graft's manifest-level pruning. Sound for scans only
+        * (rows are re-checked by Spark's residual filter above); delete-
+        * file readers must pass Seq.empty. Filters on columns a given
+        * file lacks (schema evolution) are dropped per file by Spark's
+        * ParquetFilters. */
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -61,7 +69,7 @@ object Bridge {
         dataSchema = dataSchema,
         partitionSchema = new org.apache.spark.sql.types.StructType(),
         requiredSchema = requiredSchema,
-        filters = Seq.empty,
+        filters = filters,
         // rows, never smuggled ColumnarBatches: the DSv2 PartitionReader
         // contract is one InternalRow per next()
         options = Map(
@@ -80,7 +88,10 @@ object Bridge {
   def parquetBatchReadFunc(
       spark: org.apache.spark.sql.SparkSession,
       dataSchema: org.apache.spark.sql.types.StructType,
-      requiredSchema: org.apache.spark.sql.types.StructType)
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      /** See [[parquetReadFunc]]: pushed into the reader for row-group /
+        * page / dictionary skipping within each file. */
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -92,7 +103,7 @@ object Bridge {
         dataSchema = dataSchema,
         partitionSchema = new org.apache.spark.sql.types.StructType(),
         requiredSchema = requiredSchema,
-        filters = Seq.empty,
+        filters = filters,
         options = Map(
           org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH
             -> "true"),

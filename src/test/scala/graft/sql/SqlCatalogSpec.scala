@@ -1042,4 +1042,26 @@ class SqlCatalogSpec extends SparkSpecBase {
       .map { case GraftFilesPartition(fs) => fs.size case _ => 0 }.sum
     assert(after == before, "unconvertible runtime predicates must not prune")
   }
+
+  test("pushed filters reach INTO the parquet reader (row-group skipping)") {
+    // one file, many row groups: a tiny block size makes the writer roll
+    // groups as it checks memory, so footer stats can skip within-file
+    val dir = Files.createTempDirectory("graft-rg").toString + "/t"
+    spark.range(0, 20000).selectExpr("id AS doc_id", "id * 2 AS n_chars")
+      .coalesce(1).sortWithinPartitions("doc_id")
+      .write.option("parquet.block.size", 16 * 1024).parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, n_chars BIGINT")
+    val bridge = org.apache.spark.sql.graft.Bridge
+    def rows(filters: Seq[org.apache.spark.sql.sources.Filter]): Int =
+      bridge.flattenBatches(bridge.parquetReadFunc(spark, schema, schema, filters)(
+        bridge.partitionedFile(f.getAbsolutePath, f.length()))).size
+    val all = rows(Seq.empty)
+    assert(all == 20000)
+    val filtered = rows(Seq(org.apache.spark.sql.sources.LessThan("doc_id", 100L)))
+    assert(filtered < all, "reader-level pushdown must skip row groups")
+    assert(filtered >= 100, "skipping must never drop matching rows")
+  }
 }
