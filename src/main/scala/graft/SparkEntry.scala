@@ -63,6 +63,7 @@ object SparkEntry {
     "wap_stream_sink" -> (WapQueries.wapStreamSink _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
+    "wap_bloom" -> (WapQueries.wapBloom _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -210,6 +211,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS main_guarded FROM (SELECT doc_id, n_chars + 1000 AS chars FROM documents WHERE doc_id < 50 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50 AND doc_id < 150 UNION ALL SELECT doc_id, n_chars + 5000 FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id >= 200 AND doc_id < 230)""",
     "wap_runtime_prune" ->
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
+    "wap_bloom" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS files_before, true AS point_pruned, true AS in_pruned, CAST(4 AS BIGINT) AS manifests_indexed""",
     // __EXPORT_DIR__ is substituted by Verify at dump time with the
     // actual export dir for the SF being verified (WapQueries.exportDir)
     "wap_export" ->

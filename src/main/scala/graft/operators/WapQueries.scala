@@ -185,6 +185,37 @@ object WapQueries {
         lit(prunedAfter).as("pruned_after"))
   }
 
+  /** Per-file bloom index end-to-end (W43): four interleaved appends
+    * leave every file spanning the full doc_id domain, so range stats
+    * prune NOTHING for a point predicate; `buildBloomIndex` writes
+    * per-manifest-per-file bloom sidecars and the same predicate — and a
+    * DPP-shaped IN set — then reads only files whose bloom admits some
+    * key. The aggregate itself is the soundness gate (the pruned scan
+    * must still return exactly the key's rows, DuckDB-checked); fpp is
+    * dialed low so the pruned-file booleans are stable under the
+    * deterministic per-dataset false-positive draw. */
+  def wapBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-bloom").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    for (r <- 0 until 4)
+      cat.append("documents", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    val cond = col("doc_id") === 57L
+    val before = cat.prunedDataFiles("documents", cond).size.toLong
+    val built = cat.buildBloomIndex("documents", "doc_id", fpp = 0.001)
+    val afterPoint = cat.prunedDataFiles("documents", cond).size.toLong
+    val afterIn = cat.prunedDataFiles("documents",
+      col("doc_id").isin(57L, 58L, 59L)).size.toLong
+    cat.scan("documents", filter = Some(cond))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(before).as("files_before"),
+        lit(afterPoint < before).as("point_pruned"),
+        lit(afterIn < 4L && afterIn >= 1L).as("in_pruned"),
+        lit(built.toLong).as("manifests_indexed"))
+  }
+
   /** Merge-on-read delete end-to-end (W31): key tombstones suppress
     * their rows with ZERO data files touched; a re-appended tombstoned
     * key is VISIBLE again (sequence semantics); compaction materializes;

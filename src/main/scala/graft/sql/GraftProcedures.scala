@@ -24,8 +24,10 @@ import graft.wap.BranchCatalog
   * the sort-clustered rewrite (tight per-file ranges for pruning);
   * empty runs the plain small-file compaction. `analyze_table` computes
   * NDV column stats (its `incremental` variant folds per-manifest HLL
-  * sketches, scanning only manifests sketched for the first time). All
-  * five procedures are CONTENT-PRESERVING — they commit new metadata but
+  * sketches, scanning only manifests sketched for the first time);
+  * `build_bloom_index` writes per-file bloom sidecars for equality/IN
+  * pruning on unclustered columns. All
+  * six procedures are CONTENT-PRESERVING — they commit new metadata but
   * never change what a scan returns — so they run on any branch, main
   * included: the write-audit-publish guard protects content, and
   * maintenance is not a content write (same stance as Iceberg running
@@ -37,7 +39,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-      "analyze_table", "analyze_table_incremental")
+      "analyze_table", "analyze_table_incremental", "build_bloom_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -85,6 +87,15 @@ object GraftProcedures {
         param("table", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.compactManifests(args.getString(0), args.getString(1)); ()
+      }
+    case "build_bloom_index" =>
+      // per-file bloom filters for equality/IN pruning on unclustered
+      // columns (content-preserving metadata, like the other procedures)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("column", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.buildBloomIndex(args.getString(0), args.getString(1), args.getString(2)); ()
       }
     case other =>
       throw new UnsupportedOperationException(

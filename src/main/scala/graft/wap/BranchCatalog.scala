@@ -777,7 +777,9 @@ class BranchCatalog(
       } else {
         val files = filter match {
           case Some(cond) =>
-            pruneFiles(filesOf(snap), cond, schema, snap.partitionSpec.map(PartitionSpec.parse))
+            pruneFiles(filesOf(snap), cond, schema,
+              snap.partitionSpec.map(PartitionSpec.parse),
+              Some(new BloomProbe(snap.manifests)))
           case None => filesOf(snap)
         }
         files.map(_.path)
@@ -1060,7 +1062,7 @@ class BranchCatalog(
     val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val snap = loadSnapshot(table, id)
     pruneFiles(filesOf(snap), cond, StructType.fromDDL(snap.schemaDdl),
-      snap.partitionSpec.map(PartitionSpec.parse))
+      snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
   }
 
   // ---- file-level stats pruning -----------------------------------------
@@ -1090,12 +1092,17 @@ class BranchCatalog(
     * bucket-partitioned table, the 100 TB star-join shape. */
   private def admits(
       f: DataFileMeta, p: Expression, spec: Option[PartitionSpec],
-      schema: StructType): Boolean = p match {
-    case And(l, r) => admits(f, l, spec, schema) && admits(f, r, spec, schema)
-    case Or(l, r) => admits(f, l, spec, schema) || admits(f, r, spec, schema)
+      schema: StructType, bloom: Option[BloomProbe] = None): Boolean = p match {
+    case And(l, r) => admits(f, l, spec, schema, bloom) && admits(f, r, spec, schema, bloom)
+    case Or(l, r) => admits(f, l, spec, schema, bloom) || admits(f, r, spec, schema, bloom)
     case In(a, vs) if vs.forall(_.foldable) =>
-      vs.exists(v => admits(f, EqualTo(a, v), spec, schema))
-    case leaf => partitionMayMatch(f, leaf, spec, schema) && mayMatch(f, leaf, schema)
+      vs.exists(v => admits(f, EqualTo(a, v), spec, schema, bloom))
+    case leaf =>
+      partitionMayMatch(f, leaf, spec, schema) && mayMatch(f, leaf, schema) &&
+        bloom.forall(b => comparisonOf(leaf) match {
+          case Some((attr, "=", l)) => b.mightContain(f, attr, l)
+          case _ => true
+        })
   }
 
   /** [[admits]] as a Column over manifest entries (the distributed
@@ -1209,12 +1216,13 @@ class BranchCatalog(
     * the proper type coercion). */
   private def pruneFiles(
       files: Seq[DataFileMeta], cond: Column, schema: StructType,
-      spec: Option[PartitionSpec] = None): Seq[DataFileMeta] = {
+      spec: Option[PartitionSpec] = None,
+      bloom: Option[BloomProbe] = None): Seq[DataFileMeta] = {
     resolvePredicate(cond, schema) match {
       case None => files
       case Some(pred) =>
         val preds = conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
-        files.filter { f => preds.forall(p => admits(f, p, spec, schema)) }
+        files.filter { f => preds.forall(p => admits(f, p, spec, schema, bloom)) }
     }
   }
 
@@ -1258,7 +1266,8 @@ class BranchCatalog(
       distributedPrunedFiles(snap, cond, schema)
     else {
       val files = cond match {
-        case Some(c) => pruneFiles(filesOf(snap), c, schema, snap.partitionSpec.map(PartitionSpec.parse))
+        case Some(c) => pruneFiles(filesOf(snap), c, schema,
+          snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
         case None => filesOf(snap)
       }
       files.map(f => f.path -> f.bytes)
@@ -1291,7 +1300,9 @@ class BranchCatalog(
           else {
             val fs = cond match {
               case Some(c) =>
-                pruneFiles(filesOf(sub), c, schema, snap.partitionSpec.map(PartitionSpec.parse))
+                pruneFiles(filesOf(sub), c, schema,
+                  snap.partitionSpec.map(PartitionSpec.parse),
+                  Some(new BloomProbe(sub.manifests)))
               case None => filesOf(sub)
             }
             fs.map(f => f.path -> f.bytes)
@@ -1590,6 +1601,116 @@ class BranchCatalog(
     val name = new Path(manifestPath).getName.stripSuffix(".json")
     new Path(rootPath, s"tables/$table/meta/sketch-$name.json")
   }
+
+  /** Sidecar of the per-FILE bloom filters of `column` for one manifest —
+    * a SIBLING of the manifest itself, so probes need no table context
+    * (scan paths that only hold a Snapshot can consult it) and expiry
+    * can glob sidecars away with their manifest. */
+  private def bloomSidecarPath(manifestPath: String, column: String): Path = {
+    val mp = new Path(manifestPath)
+    new Path(mp.getParent, s"bloom-${mp.getName.stripSuffix(".json")}-$column.json")
+  }
+
+  /** Build a per-file BLOOM index of `column` — equality/IN pruning for
+    * high-cardinality UNCLUSTERED columns, where min/max footer stats
+    * admit every file (the Iceberg-puffin / Delta-bloom-index shape).
+    * Composes with runtime DPP filters: a join-key IN-set then prunes
+    * files even when the key interleaves across all of them.
+    *
+    * Like the incremental-ANALYZE sketches, the index is per MANIFEST
+    * (immutable, computed once, one job over just that manifest's files,
+    * new appends index only their new manifest) and per column. Values
+    * normalize through a string cast so every atomic type probes
+    * uniformly; executors emit per-file bloom PARTIALS (KB each) that
+    * merge on the driver — no shuffle of the column data. Missing
+    * sidecars simply decline to prune. Returns the number of manifests
+    * newly indexed. */
+  def buildBloomIndex(
+      table: String, column: String, branch: String = "main",
+      fpp: Double = 0.03): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val snap = loadSnapshot(table, id)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in $table")
+    var built = 0
+    snap.manifests.foreach { m =>
+      val p = bloomSidecarPath(m.path, column)
+      if (!fs.exists(p)) {
+        built += 1
+        val files = readManifest(m.path)
+        val expect = files.map(_.rows).max.max(64L)
+        implicit val enc: org.apache.spark.sql.Encoder[(String, String)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)
+        implicit val outEnc: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
+        val partials = spark.read.schema(schema).parquet(files.map(_.path): _*)
+          .select(input_file_name().as("f"), col(column).cast("string").as("v"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            val blooms = scala.collection.mutable.Map
+              .empty[String, org.apache.spark.util.sketch.BloomFilter]
+            it.foreach { case (f, v) =>
+              if (v != null) {
+                val name = f.substring(f.lastIndexOf('/') + 1)
+                blooms.getOrElseUpdate(name,
+                  org.apache.spark.util.sketch.BloomFilter.create(expect, fpp)).putString(v)
+              }
+            }
+            blooms.iterator.map { case (n, b) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              b.writeTo(bos)
+              (n, bos.toByteArray)
+            }
+          }.collect()
+        val merged: Map[String, String] = partials.groupBy(_._1).map { case (n, bs) =>
+          val acc = org.apache.spark.util.sketch.BloomFilter.readFrom(bs.head._2)
+          bs.tail.foreach(b =>
+            acc.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b._2)))
+          val bos = new java.io.ByteArrayOutputStream()
+          acc.writeTo(bos)
+          n -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        }
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(Serialization.write(merged).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    built
+  }
+
+  /** Lazily-loaded per-file bloom probes over one snapshot's manifests.
+    * A column with no sidecar anywhere, a file absent from the loaded
+    * map, or a null probe value all answer "might match" — bloom pruning
+    * is sound extra evidence, never required. */
+  private[wap] final class BloomProbe(manifests: Seq[ManifestRef]) {
+    private val perCol = scala.collection.mutable.Map
+      .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+    private def loaded(column: String) = perCol.getOrElseUpdate(column,
+      manifests.flatMap { m =>
+        val p = bloomSidecarPath(m.path, column)
+        if (!fs.exists(p)) Nil
+        else Serialization.read[Map[String, String]](readString(p)).map {
+          case (n, b64) => n -> org.apache.spark.util.sketch.BloomFilter
+            .readFrom(java.util.Base64.getDecoder.decode(b64))
+        }
+      }.toMap)
+    def mightContain(f: DataFileMeta, column: String, l: Literal): Boolean = {
+      val m = loaded(column)
+      m.isEmpty || m.get(f.path.substring(f.path.lastIndexOf('/') + 1)).forall { bf =>
+        litString(l).forall(bf.mightContainString)
+      }
+    }
+  }
+
+  /** Literal -> the string its column-side `cast(col as string)` twin
+    * produces (same Cast expression, UTC like the session), None for
+    * null. */
+  private def litString(l: Literal): Option[String] =
+    Option(Cast(l, StringType, Some("UTC")).eval(EmptyRow)).map(_.toString)
 
   /** The analyzable (atomic-typed) column set [[analyzeTable]] and
     * [[analyzeTableIncremental]] share. */
@@ -2063,10 +2184,11 @@ class BranchCatalog(
     val cur = loadSnapshot(table, curId)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val bloomIdx = Some(new BloomProbe(cur.manifests))
     // per-manifest split so untouched manifests survive by reference
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema, spec)
+      val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
       val affectedPaths = affected.map(_.path).toSet
       (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
     }
@@ -2128,9 +2250,10 @@ class BranchCatalog(
     for (c <- set.keys)
       require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
     val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val bloomIdx = Some(new BloomProbe(cur.manifests))
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema, spec)
+      val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
       val affectedPaths = affected.map(_.path).toSet
       (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
     }
@@ -2216,9 +2339,10 @@ class BranchCatalog(
       }.reduceOption(_ && _).getOrElse(lit(true))
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
+      val bloomIdx = Some(new BloomProbe(cur.manifests))
       val perManifest = cur.manifests.map { m =>
         val files = readManifest(m.path)
-        val affected = pruneFiles(files, cond, schema, spec)
+        val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
         val affectedPaths = affected.map(_.path).toSet
         (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
       }
@@ -2316,9 +2440,10 @@ class BranchCatalog(
       }.reduceOption(_ && _).getOrElse(lit(true))
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
+      val bloomIdx = Some(new BloomProbe(cur.manifests))
       val perManifest = cur.manifests.map { m =>
         val files = readManifest(m.path)
-        val affected = pruneFiles(files, pruneCond, schema, spec)
+        val affected = pruneFiles(files, pruneCond, schema, spec, bloomIdx)
         val affectedPaths = affected.map(_.path).toSet
         (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
       }
@@ -2802,6 +2927,13 @@ class BranchCatalog(
     // incremental-analyze sketch sidecars die with their manifests
     dropManifests.foreach { p =>
       try { fs.delete(sketchPath(table, p.toString), false); () }
+      catch { case _: Exception => () }
+    }
+    // bloom-index sidecars (one per indexed column) die with them too
+    dropManifests.foreach { p =>
+      val name = p.getName.stripSuffix(".json")
+      try Option(fs.globStatus(new Path(p.getParent, s"bloom-$name-*.json")))
+        .foreach(_.foreach(s => fs.delete(s.getPath, false)))
       catch { case _: Exception => () }
     }
     dropData.foreach(p => fs.delete(new Path(p), false))

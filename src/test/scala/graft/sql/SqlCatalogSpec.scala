@@ -685,6 +685,13 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(ndv.exists(m => math.abs(m("doc_id") - 64L) <= 7),
       s"incremental NDV must approximate the 64 distinct ids, got $ndv")
 
+    // bloom index through SQL: the same sidecars buildBloomIndex writes,
+    // consulted by equality pruning (value absent everywhere -> 0 files)
+    spark.sql(s"CALL $lake.system.build_bloom_index('t', 'doc_id')")
+    assert(cat.prunedDataFiles("t", col("doc_id") === 9999L).isEmpty,
+      "bloom must reject a key no file contains")
+    assert(cat.scan("t", filter = Some(col("doc_id") === 7L)).count() == 1)
+
     intercept[Exception] { spark.sql(s"CALL $lake.system.no_such_proc('t')") }
   }
 

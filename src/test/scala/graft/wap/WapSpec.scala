@@ -1745,4 +1745,57 @@ class WapSpec extends SparkSpecBase {
     assert(cat.snapshotMeta("t", cat.snapshotIdOf("t").get).manifests.size == 1)
     assert(refSum == exact, "folded manifest must carry the summed bytes")
   }
+
+  test("bloom index: equality/IN pruning on unclustered files, incremental + GC'd") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("t", docs.schema)
+    // interleaved appends: every file spans the whole doc_id range, so
+    // range stats admit all files for any point predicate
+    for (r <- 0 until 4)
+      cat.append("t", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    val cond = col("doc_id") === 57L
+    assert(cat.prunedDataFiles("t", cond).size == 4, "ranges overlap: nothing prunes")
+
+    assert(cat.buildBloomIndex("t", "doc_id", fpp = 0.001) == 4,
+      "one sidecar per manifest")
+    val afterPoint = cat.prunedDataFiles("t", cond)
+    assert(afterPoint.size < 4, "bloom must reject files without the key")
+    // soundness: the pruned scan still returns exactly the key's rows
+    assert(cat.scan("t", filter = Some(cond)).count() == 1)
+    val inFiles = cat.prunedDataFiles("t", col("doc_id").isin(57L, 58L, 59L))
+    assert(inFiles.size >= 1 && inFiles.size < 4,
+      "an IN set prunes to the union of its keys' bloom-admitted files")
+    // rebuild is a no-op (manifests immutable, sidecars reused)
+    assert(cat.buildBloomIndex("t", "doc_id", fpp = 0.001) == 0)
+
+    // a NEW append's manifest has no sidecar yet: its file is KEPT
+    // (pruning declines, never drops), and an incremental rebuild
+    // indexes only that one manifest
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 104).coalesce(1))
+    val mixed = cat.prunedDataFiles("t", col("doc_id") === 101L)
+    assert(mixed.exists(f => cat.dataFiles("t").takeRight(1).map(_.path).contains(f.path)),
+      "unindexed new file must survive pruning")
+    assert(cat.buildBloomIndex("t", "doc_id", fpp = 0.001) == 1,
+      "only the new manifest gets indexed")
+
+    // string columns probe through the same string-cast normalization
+    cat.buildBloomIndex("t", "source", fpp = 0.001)
+    val srcFiles = cat.prunedDataFiles("t", col("source") === "no_such_source")
+    assert(srcFiles.isEmpty, "a value in no file's bloom prunes everything")
+
+    // compaction mints new manifests; expiry deletes the stale sidecars
+    // with their manifests (glob cleanup)
+    val metaDir = new org.apache.hadoop.fs.Path(cat.root, "tables/t/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecars() = fs.listStatus(metaDir).map(_.getPath.getName)
+      .count(_.startsWith("bloom-"))
+    val before = sidecars()
+    assert(before >= 5, s"expected >=5 sidecars, got $before")
+    cat.compactDataFiles("t")
+    cat.expireSnapshots("t")
+    assert(sidecars() < before, "expired manifests take their bloom sidecars along")
+    // and the compacted table reads intact
+    assert(cat.scan("t").count() == 204)
+  }
 }
