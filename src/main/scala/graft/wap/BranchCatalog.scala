@@ -1106,14 +1106,50 @@ class BranchCatalog(
   }
 
   /** [[admits]] as a Column over manifest entries (the distributed
-    * planning path). */
+    * planning path). `bloom` carries the executor-side probe for columns
+    * with bloom sidecars — entries must then have a `__manifest` column
+    * (`input_file_name()` of the manifest read). */
   private def admitsCol(
-      p: Expression, spec: Option[PartitionSpec], schema: StructType): Column = p match {
-    case And(l, r) => admitsCol(l, spec, schema) && admitsCol(r, spec, schema)
-    case Or(l, r) => admitsCol(l, spec, schema) || admitsCol(r, spec, schema)
+      p: Expression, spec: Option[PartitionSpec], schema: StructType,
+      bloom: Option[DistBloom] = None): Column = p match {
+    case And(l, r) => admitsCol(l, spec, schema, bloom) && admitsCol(r, spec, schema, bloom)
+    case Or(l, r) => admitsCol(l, spec, schema, bloom) || admitsCol(r, spec, schema, bloom)
     case In(a, vs) if vs.forall(_.foldable) =>
-      vs.map(v => admitsCol(EqualTo(a, v), spec, schema)).reduce(_ || _)
-    case leaf => partitionMayMatchCol(leaf, spec, schema) && mayMatchCol(leaf)
+      vs.map(v => admitsCol(EqualTo(a, v), spec, schema, bloom)).reduce(_ || _)
+    case leaf =>
+      val base = partitionMayMatchCol(leaf, spec, schema) && mayMatchCol(leaf)
+      (for {
+        ctx <- bloom
+        cmp <- comparisonOf(leaf) if cmp._2 == "=" && ctx.cols(cmp._1)
+        v <- litString(cmp._3)
+      } yield base && ctx.probe(cmp._1, v)).getOrElse(base)
+  }
+
+  /** Columns compared by equality (incl. IN) anywhere in a predicate —
+    * the candidates for bloom-sidecar probing. */
+  private def equalityCols(p: Expression): Set[String] = p match {
+    case And(l, r) => equalityCols(l) ++ equalityCols(r)
+    case Or(l, r) => equalityCols(l) ++ equalityCols(r)
+    case In(a, vs) if vs.forall(_.foldable) => attrName(stripCast(a)).toSet
+    case leaf => comparisonOf(leaf).filter(_._2 == "=").map(_._1).toSet
+  }
+
+  /** Executor-side bloom probing for DISTRIBUTED scan planning: the
+    * driver only decides WHICH columns have sidecars; each executor
+    * loads the sidecars of the manifests it is pruning (cached per JVM
+    * in [[BranchCatalog.BloomSidecarCache]]) — sidecar bytes never
+    * aggregate on the driver, so the 100 TB tier keeps bloom pruning. */
+  private final class DistBloom(
+      val cols: Set[String],
+      confBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration]) {
+    def probe(column: String, value: String): Column = {
+      val bc = confBc
+      org.apache.spark.sql.functions.udf((m: String, p: String) =>
+        BranchCatalog.BloomSidecarCache.mightContain(bc.value.value, m, column, p, value)
+      ).apply(org.apache.spark.sql.functions.col("__manifest"),
+        org.apache.spark.sql.functions.col("path"))
+    }
   }
 
   private def attrName(e: Expression): Option[String] = e match {
@@ -1234,16 +1270,28 @@ class BranchCatalog(
 
   private def distributedPrunedFiles(
       snap: Snapshot, filter: Option[Column], schema: StructType): Seq[(String, Long)] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val spec = snap.partitionSpec.map(PartitionSpec.parse)
-    val entries = manifestEntries(snap)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
-      case Some(pred) => conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
-        .map(p => admitsCol(p, spec, schema))
-        .reduceOption(_ && _)
-        .map(entries.filter)
-        .getOrElse(entries)
-      case None => entries
+      case Some(pred) =>
+        // bloom context only when some equality-probed column actually
+        // has sidecars (driver-side existence checks, O(manifests));
+        // otherwise no UDF enters the plan at all
+        val bloomCols = equalityCols(pred).filter(c =>
+          snap.manifests.exists(m => fs.exists(bloomSidecarPath(m.path, c))))
+        val bloom =
+          if (bloomCols.isEmpty) None
+          else Some(new DistBloom(bloomCols, spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration))))
+        val entries = manifestEntries(snap)
+          .withColumn("__manifest", input_file_name())
+        conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
+          .map(p => admitsCol(p, spec, schema, bloom))
+          .reduceOption(_ && _)
+          .map(entries.filter)
+          .getOrElse(entries)
+      case None => manifestEntries(snap)
     }
     kept.select(col("path"), col("bytes")).collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
@@ -2957,4 +3005,39 @@ object BranchCatalog {
     StructField("nullCounts", MapType(StringType, LongType)),
     StructField("partition", MapType(StringType, StringType)),
     StructField("bytes", LongType)))
+
+  /** Executor-side bloom sidecar cache for distributed scan planning:
+    * each sidecar JSON loads once per JVM (manifests are immutable, so
+    * entries never invalidate — expiry deletes the files but their cache
+    * entries just go cold). Missing sidecars, files absent from a loaded
+    * map, and empty maps all answer "might match". */
+  private[wap] object BloomSidecarCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+    def mightContain(
+        conf: org.apache.hadoop.conf.Configuration, manifestPath: String,
+        column: String, filePath: String, value: String): Boolean = {
+      val mp = new Path(manifestPath)
+      val sidecar = new Path(mp.getParent,
+        s"bloom-${mp.getName.stripSuffix(".json")}-$column.json")
+      val blooms = cache.computeIfAbsent(sidecar.toString, _ => {
+        val sfs = sidecar.getFileSystem(conf)
+        if (!sfs.exists(sidecar)) Map.empty
+        else {
+          val in = sfs.open(sidecar)
+          val body =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          implicit val fmts: Formats = DefaultFormats
+          Serialization.read[Map[String, String]](body).map { case (k, v) =>
+            k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              java.util.Base64.getDecoder.decode(v))
+          }
+        }
+      })
+      blooms.isEmpty ||
+        blooms.get(filePath.substring(filePath.lastIndexOf('/') + 1))
+          .forall(_.mightContainString(value))
+    }
+  }
 }

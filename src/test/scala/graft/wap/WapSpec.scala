@@ -1784,6 +1784,17 @@ class WapSpec extends SparkSpecBase {
     val srcFiles = cat.prunedDataFiles("t", col("source") === "no_such_source")
     assert(srcFiles.isEmpty, "a value in no file's bloom prunes everything")
 
+    // DISTRIBUTED planning tier: with the threshold forced low, manifest
+    // pruning runs as a Spark job and executors load the sidecars
+    // themselves (BloomSidecarCache) — same prune, no driver aggregation
+    val dcat = new BranchCatalog(spark, cat.root, distributedMetaThreshold = 2)
+    val dsnap = dcat.snapshotMeta("t", dcat.snapshotIdOf("t").get)
+    val dschema = StructType.fromDDL(dsnap.schemaDdl)
+    assert(dcat.distributedPrunedPaths(dsnap, Some(col("doc_id") === 57L), dschema).size < 4,
+      "distributed tier must consult bloom sidecars")
+    assert(dcat.scan("t", filter = Some(col("doc_id") === 57L)).count() == 1,
+      "tiered scan stays sound under bloom pruning")
+
     // compaction mints new manifests; expiry deletes the stale sidecars
     // with their manifests (glob cleanup)
     val metaDir = new org.apache.hadoop.fs.Path(cat.root, "tables/t/meta")
