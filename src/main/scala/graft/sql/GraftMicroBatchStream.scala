@@ -94,7 +94,12 @@ case class GraftMorFilesPartition(
 class GraftMicroBatchStream(
     spark: SparkSession, root: String, branch: String, tableName: String,
     tableSchema: StructType, requiredSchema: StructType,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    /** Pushed INTO the per-file parquet readers (row-group/page
+      * skipping) — a filtered stream reads only the row groups its
+      * predicate admits. File sets per micro-batch stay commit-exact
+      * (delta semantics); rows are re-checked by the residual filter. */
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def cat = new BranchCatalog(spark, root)
@@ -229,9 +234,9 @@ class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val readFunc = Bridge.parquetReadFunc(spark, tableSchema, requiredSchema)
+    val readFunc = Bridge.parquetReadFunc(spark, tableSchema, requiredSchema, pushed)
     new GraftReaderFactory(readFunc,
-      Bridge.parquetBatchReadFunc(spark, tableSchema, requiredSchema))
+      Bridge.parquetBatchReadFunc(spark, tableSchema, requiredSchema, pushed))
   }
 
   /** Checkpoint state lives with Spark; the only driver state to drop is

@@ -800,7 +800,7 @@ private[sql] class GraftBatchScan(
   /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, t.root, t.branch,
-      t.tableName, t.tableSchema, required, maxFilesPerTrigger)
+      t.tableName, t.tableSchema, required, maxFilesPerTrigger, pushed.toSeq)
 }
 
 /** Planner statistics of one pinned snapshot. */
