@@ -96,6 +96,7 @@ object Bench {
     }
     clearCaches() // warmup artifacts must not subsidize the timed pass
     calibrate() // untimed: JIT-compile the sentinel loop itself
+    calibrateParallel() // untimed: the parallel sentinel's lambda JITs separately
     val calibStart = calibrate()
     val calibParStart = calibrateParallel()
     def family(name: String): String = name.takeWhile(_ != '_')

@@ -87,6 +87,20 @@ object GraftRuntimePrune {
           .expressions.Expression)).toArray)))
     val planAfter = nFiles(scan.planInputPartitions())
 
+    // the result below is fully materialized driver-side values, so the
+    // per-run catalog registration and temp lake can go now (Bench runs
+    // this 3x per process — without cleanup the session conf map and
+    // /tmp grow per invocation)
+    spark.conf.unset(s"spark.sql.catalog.$lake")
+    spark.conf.unset(s"spark.sql.catalog.$lake.root")
+    try {
+      val dir = new java.io.File(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    } catch { case _: Exception => () }
+
     import spark.implicits._
     Seq((nRows, sumChars, filesBefore,
       planBefore == filesBefore && planAfter < planBefore && planAfter <= keys.size,

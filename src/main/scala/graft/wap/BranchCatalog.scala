@@ -1115,7 +1115,10 @@ class BranchCatalog(
     case And(l, r) => admitsCol(l, spec, schema, bloom) && admitsCol(r, spec, schema, bloom)
     case Or(l, r) => admitsCol(l, spec, schema, bloom) || admitsCol(r, spec, schema, bloom)
     case In(a, vs) if vs.forall(_.foldable) =>
-      vs.map(v => admitsCol(EqualTo(a, v), spec, schema, bloom)).reduce(_ || _)
+      // empty IN is FALSE (matches the driver tier's exists-over-Nil)
+      vs.map(v => admitsCol(EqualTo(a, v), spec, schema, bloom))
+        .reduceOption(_ || _)
+        .getOrElse(org.apache.spark.sql.functions.lit(false))
     case leaf =>
       val base = partitionMayMatchCol(leaf, spec, schema) && mayMatchCol(leaf)
       (for {
@@ -1278,7 +1281,8 @@ class BranchCatalog(
         // has sidecars (driver-side existence checks, O(manifests));
         // otherwise no UDF enters the plan at all
         val bloomCols = equalityCols(pred).filter(c =>
-          snap.manifests.exists(m => fs.exists(bloomSidecarPath(m.path, c))))
+          snap.manifests.exists(m => BranchCatalog.BloomSidecarCache.exists(
+            spark.sparkContext.hadoopConfiguration, m.path, c)))
         val bloom =
           if (bloomCols.isEmpty) None
           else Some(new DistBloom(bloomCols, spark.sparkContext.broadcast(
@@ -1654,10 +1658,8 @@ class BranchCatalog(
     * a SIBLING of the manifest itself, so probes need no table context
     * (scan paths that only hold a Snapshot can consult it) and expiry
     * can glob sidecars away with their manifest. */
-  private def bloomSidecarPath(manifestPath: String, column: String): Path = {
-    val mp = new Path(manifestPath)
-    new Path(mp.getParent, s"bloom-${mp.getName.stripSuffix(".json")}-$column.json")
-  }
+  private def bloomSidecarPath(manifestPath: String, column: String): Path =
+    BranchCatalog.BloomSidecarCache.sidecarFor(manifestPath, column)
 
   /** Build a per-file BLOOM index of `column` — equality/IN pruning for
     * high-cardinality UNCLUSTERED columns, where min/max footer stats
@@ -1687,6 +1689,14 @@ class BranchCatalog(
       if (!fs.exists(p)) {
         built += 1
         val files = readManifest(m.path)
+        if (files.isEmpty) {
+          // an empty commit's manifest: write an empty sidecar so the
+          // build is done once and probes answer "might match" per file
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, true)
+          try out.write("{}".getBytes(StandardCharsets.UTF_8)) finally out.close()
+          BranchCatalog.BloomSidecarCache.invalidate(m.path, column)
+        } else {
         val expect = files.map(_.rows).max.max(64L)
         implicit val enc: org.apache.spark.sql.Encoder[(String, String)] =
           org.apache.spark.sql.Encoders.tuple(
@@ -1694,8 +1704,17 @@ class BranchCatalog(
         implicit val outEnc: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
+        // the string normalization is pinned to UTC EXPLICITLY (not the
+        // session TZ): probes render literals through the same fixed-UTC
+        // Cast ([[litString]]), so build and probe agree even when they
+        // happen in sessions with different time zones — a session-TZ
+        // cast here would make timestamp-column pruning silently unsound
+        // anywhere off-UTC
+        val utcString = org.apache.spark.sql.graft.Bridge.column(
+          Cast(org.apache.spark.sql.graft.Bridge.expression(col(column)),
+            StringType, Some("UTC")))
         val partials = spark.read.schema(schema).parquet(files.map(_.path): _*)
-          .select(input_file_name().as("f"), col(column).cast("string").as("v"))
+          .select(input_file_name().as("f"), utcString.as("v"))
           .as[(String, String)]
           .mapPartitions { it =>
             val blooms = scala.collection.mutable.Map
@@ -1725,27 +1744,26 @@ class BranchCatalog(
         val out = fs.create(p, true)
         try out.write(Serialization.write(merged).getBytes(StandardCharsets.UTF_8))
         finally out.close()
+        BranchCatalog.BloomSidecarCache.invalidate(m.path, column)
+        }
       }
     }
     built
   }
 
-  /** Lazily-loaded per-file bloom probes over one snapshot's manifests.
-    * A column with no sidecar anywhere, a file absent from the loaded
-    * map, or a null probe value all answer "might match" — bloom pruning
-    * is sound extra evidence, never required. */
+  /** Lazily-loaded per-file bloom probes over one snapshot's manifests,
+    * served from the JVM-wide [[BranchCatalog.BloomSidecarCache]] (so
+    * repeated scans of an un-indexed table pay no per-scan existence
+    * checks past the cache's negative TTL). A column with no sidecar
+    * anywhere, a file absent from the loaded map, or a null probe value
+    * all answer "might match" — bloom pruning is sound extra evidence,
+    * never required. */
   private[wap] final class BloomProbe(manifests: Seq[ManifestRef]) {
     private val perCol = scala.collection.mutable.Map
       .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
     private def loaded(column: String) = perCol.getOrElseUpdate(column,
-      manifests.flatMap { m =>
-        val p = bloomSidecarPath(m.path, column)
-        if (!fs.exists(p)) Nil
-        else Serialization.read[Map[String, String]](readString(p)).map {
-          case (n, b64) => n -> org.apache.spark.util.sketch.BloomFilter
-            .readFrom(java.util.Base64.getDecoder.decode(b64))
-        }
-      }.toMap)
+      manifests.flatMap(m => BranchCatalog.BloomSidecarCache.load(
+        spark.sparkContext.hadoopConfiguration, m.path, column)).toMap)
     def mightContain(f: DataFileMeta, column: String, l: Literal): Boolean = {
       val m = loaded(column)
       m.isEmpty || m.get(f.path.substring(f.path.lastIndexOf('/') + 1)).forall { bf =>
@@ -3006,35 +3024,90 @@ object BranchCatalog {
     StructField("partition", MapType(StringType, StringType)),
     StructField("bytes", LongType)))
 
-  /** Executor-side bloom sidecar cache for distributed scan planning:
-    * each sidecar JSON loads once per JVM (manifests are immutable, so
-    * entries never invalidate — expiry deletes the files but their cache
-    * entries just go cold). Missing sidecars, files absent from a loaded
-    * map, and empty maps all answer "might match". */
+  /** JVM-wide bloom sidecar cache, shared by the driver tier
+    * ([[BranchCatalog.BloomProbe]]) and distributed-planning executors.
+    * Manifests are immutable, so PRESENT sidecars (and positive
+    * existence answers) cache forever; ABSENT answers expire after 60 s
+    * because an index may be built after the first miss — without the
+    * TTL a long-lived executor would never consult a later-built index,
+    * and an un-indexed table would pay per-scan existence checks
+    * forever. Missing sidecars, files absent from a loaded map, and
+    * empty maps all answer "might match". */
   private[wap] object BloomSidecarCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+    private val negativeTtlMs = 60000L
+    private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
+    private val existsCache = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Boolean)]()
+
+    private[wap] def sidecarFor(manifestPath: String, column: String): Path = {
+      val mp = new Path(manifestPath)
+      new Path(mp.getParent, s"bloom-${mp.getName.stripSuffix(".json")}-$column.json")
+    }
+
+    /** The ONE place the sidecar wire format (JSON of file-name ->
+      * base64 bloom bytes) is parsed — both tiers go through it. */
+    private def parse(body: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+      implicit val fmts: Formats = DefaultFormats
+      Serialization.read[Map[String, String]](body).map { case (k, v) =>
+        k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          java.util.Base64.getDecoder.decode(v))
+      }
+    }
+
+    /** Drop cached answers for one sidecar — [[BranchCatalog
+      * .buildBloomIndex]] calls this after writing, so the building JVM
+      * sees its own index immediately instead of waiting out a cached
+      * negative's TTL. */
+    def invalidate(manifestPath: String, column: String): Unit = {
+      val key = sidecarFor(manifestPath, column).toString
+      loadCache.remove(key)
+      existsCache.remove(key)
+      ()
+    }
+
+    /** Existence only — never loads sidecar bytes (the driver's
+      * distributed-planning sweep must not aggregate them). */
+    def exists(conf: org.apache.hadoop.conf.Configuration,
+        manifestPath: String, column: String): Boolean = {
+      val sidecar = sidecarFor(manifestPath, column)
+      val now = System.currentTimeMillis()
+      val cur = existsCache.get(sidecar.toString)
+      if (cur != null && (cur._2 || now - cur._1 < negativeTtlMs)) cur._2
+      else {
+        val fresh = (now, sidecar.getFileSystem(conf).exists(sidecar))
+        existsCache.put(sidecar.toString, fresh)
+        fresh._2
+      }
+    }
+
+    def load(conf: org.apache.hadoop.conf.Configuration,
+        manifestPath: String, column: String)
+        : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+      val sidecar = sidecarFor(manifestPath, column)
+      val now = System.currentTimeMillis()
+      val cur = loadCache.get(sidecar.toString)
+      if (cur != null && (cur._2.nonEmpty || now - cur._1 < negativeTtlMs)) cur._2
+      else {
+        val sfs = sidecar.getFileSystem(conf)
+        val blooms =
+          if (!sfs.exists(sidecar)) Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+          else {
+            val in = sfs.open(sidecar)
+            val body =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            parse(body)
+          }
+        loadCache.put(sidecar.toString, (now, blooms))
+        blooms
+      }
+    }
+
     def mightContain(
         conf: org.apache.hadoop.conf.Configuration, manifestPath: String,
         column: String, filePath: String, value: String): Boolean = {
-      val mp = new Path(manifestPath)
-      val sidecar = new Path(mp.getParent,
-        s"bloom-${mp.getName.stripSuffix(".json")}-$column.json")
-      val blooms = cache.computeIfAbsent(sidecar.toString, _ => {
-        val sfs = sidecar.getFileSystem(conf)
-        if (!sfs.exists(sidecar)) Map.empty
-        else {
-          val in = sfs.open(sidecar)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          implicit val fmts: Formats = DefaultFormats
-          Serialization.read[Map[String, String]](body).map { case (k, v) =>
-            k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-              java.util.Base64.getDecoder.decode(v))
-          }
-        }
-      })
+      val blooms = load(conf, manifestPath, column)
       blooms.isEmpty ||
         blooms.get(filePath.substring(filePath.lastIndexOf('/') + 1))
           .forall(_.mightContainString(value))

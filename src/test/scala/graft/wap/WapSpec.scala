@@ -1784,6 +1784,16 @@ class WapSpec extends SparkSpecBase {
     val srcFiles = cat.prunedDataFiles("t", col("source") === "no_such_source")
     assert(srcFiles.isEmpty, "a value in no file's bloom prunes everything")
 
+    // an EMPTY IN prunes everything without crashing, on both tiers
+    assert(cat.prunedDataFiles("t", col("doc_id").isin()).isEmpty,
+      "empty IN is false: driver tier prunes all files")
+
+    // an empty commit's manifest indexes to an empty sidecar (no crash,
+    // probes keep answering "might match" for its zero files)
+    cat.append("t", docs.limit(0))
+    assert(cat.buildBloomIndex("t", "doc_id", fpp = 0.001) == 1,
+      "the empty manifest still gets its (empty) sidecar")
+
     // DISTRIBUTED planning tier: with the threshold forced low, manifest
     // pruning runs as a Spark job and executors load the sidecars
     // themselves (BloomSidecarCache) — same prune, no driver aggregation
@@ -1794,6 +1804,32 @@ class WapSpec extends SparkSpecBase {
       "distributed tier must consult bloom sidecars")
     assert(dcat.scan("t", filter = Some(col("doc_id") === 57L)).count() == 1,
       "tiered scan stays sound under bloom pruning")
+    assert(dcat.distributedPrunedPaths(dsnap, Some(col("doc_id").isin()), dschema).isEmpty,
+      "empty IN is false on the distributed tier too (no reduce-on-Nil crash)")
+
+    // timestamp normalization is SESSION-TZ-INDEPENDENT: build the index
+    // under a non-UTC session TZ; probes (fixed-UTC rendering) must
+    // still admit the matching file — a session-TZ build would render
+    // "2024-.. 19:00 EST" while probes render UTC, silently dropping
+    // files that DO match
+    val tcat = freshCatalog()
+    val evs = graft.Tables.eventsWithTs(spark, sfDir)
+      .filter(col("event_id") < 40).select(col("event_id"), col("ts"))
+    tcat.createTableIfNotExists("ev", evs.schema)
+    for (r <- 0 until 2)
+      tcat.append("ev", evs.filter(col("event_id") % 2 === r).coalesce(1))
+    val probeTs = evs.filter(col("event_id") === 7L).head.getTimestamp(1)
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      tcat.buildBloomIndex("ev", "ts", fpp = 0.001)
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+    val tsHits = tcat.prunedDataFiles("ev", col("ts") === lit(probeTs))
+    assert(tsHits.nonEmpty, "bloom built off-UTC must still admit a present timestamp")
+    assert(tcat.scan("ev", filter = Some(col("ts") === lit(probeTs))).count() >= 1)
+    assert(tcat.prunedDataFiles("ev",
+      col("ts") === lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))).isEmpty,
+      "an absent timestamp prunes everything")
 
     // compaction mints new manifests; expiry deletes the stale sidecars
     // with their manifests (glob cleanup)
