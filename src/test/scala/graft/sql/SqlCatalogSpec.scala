@@ -1050,6 +1050,33 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(after == before, "unconvertible runtime predicates must not prune")
   }
 
+  test("runtime DPP keys compose with the bloom index on unclustered files") {
+    // the flagship 100 TB shape: the fact table is NOT clustered or
+    // partitioned by the join key (ranges fully overlap), so neither
+    // footer stats nor transform values prune — only the bloom sidecars
+    // can reject files for the runtime key set
+    val (_, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+      .select(col("doc_id"), col("n_chars"))
+    cat.createTableIfNotExists("fact", docs.schema)
+    for (r <- 0 until 4)
+      cat.appendClustered("fact", docs.filter(col("doc_id") % 4 === r), Seq("doc_id"), files = 1)
+    cat.buildBloomIndex("fact", "doc_id", fpp = 0.001)
+    val tbl = GraftTable(cat.root, "main", "fact",
+      cat.snapshotIdOf("fact", "main").get, docs.schema)
+    val scan = new GraftScanBuilder(tbl).build().asInstanceOf[GraftBatchScan]
+    def nFiles = scan.planInputPartitions()
+      .map { case GraftFilesPartition(fs) => fs.size case _ => 0 }.sum
+    assert(nFiles == 4, "unclustered: static planning admits every file")
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    scan.filter(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+      "IN", Array[org.apache.spark.sql.connector.expressions.Expression](
+        E.column("doc_id"), E.literal(5L), E.literal(9L)))))
+    // keys 5 and 9 both live in file r=1 — bloom rejects the other three
+    assert(nFiles < 4, "runtime IN keys must prune via bloom sidecars")
+    assert(nFiles >= 1, "the admitting file survives")
+  }
+
   test("pushed filters reach INTO the parquet reader (row-group skipping)") {
     // one file, many row groups: a tiny block size makes the writer roll
     // groups as it checks memory, so footer stats can skip within-file
