@@ -2375,6 +2375,41 @@ class BranchCatalog(
     * to the source row. Source keys should be unique (every source row
     * is inserted verbatim — duplicate source keys land as duplicate
     * rows, exactly as they would via append). */
+  /** Source-key prune predicate shared by [[upsert]] and [[mergeInto]]:
+    * per-key min/max range conjuncts (always — sound for any key count),
+    * PLUS, for a single-key source with at most [[maxPruneLeaves]]
+    * distinct non-null keys, the exact key IN-list. The IN conjunct's
+    * equality leaves engage bucket-transform and bloom-sidecar pruning
+    * that ranges cannot, so a CDC point-upsert on an unclustered table
+    * rewrites only the files whose bloom admits some source key. Sound:
+    * a target row only matches a source row on EQUAL non-null keys, so
+    * every affected row's key is in the list (null-keyed source rows
+    * match nothing). */
+  private def sourceKeyPruneCond(aligned: DataFrame, keys: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{col => fcol, lit, max => fmax, min => fmin}
+    val boundsRow = aligned.agg(
+      fmin(fcol(keys.head)).as("b0"),
+      (fmax(fcol(keys.head)).as("b1") +: keys.tail.zipWithIndex.flatMap {
+        case (k, i) => Seq(fmin(fcol(k)).as(s"b${2 * i + 2}"), fmax(fcol(k)).as(s"b${2 * i + 3}"))
+      }): _*).head
+    val ranges = keys.zipWithIndex.flatMap { case (k, i) =>
+      val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
+      if (lo == null || hi == null) None
+      else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val inList =
+      if (keys.size != 1) None
+      else {
+        // one cheap pass over the (persisted) source; the +1 overflow
+        // row distinguishes "small key set" from "gave up counting"
+        val ks = aligned.select(fcol(keys.head)).filter(fcol(keys.head).isNotNull)
+          .distinct().limit(maxPruneLeaves + 1).collect().map(_.get(0))
+        if (ks.isEmpty || ks.length > maxPruneLeaves) None
+        else Some(fcol(keys.head).isin(ks.toIndexedSeq: _*))
+      }
+    inList.map(ranges && _).getOrElse(ranges)
+  }
+
   def upsert(
       table: String, source: DataFrame, keys: Seq[String],
       branch: String = "main"): UpsertResult = {
@@ -2391,18 +2426,10 @@ class BranchCatalog(
     try {
       if (aligned.isEmpty) return UpsertResult(cur, 0L, 0L, 0L, totalFiles)
 
-      // bounded per-key ranges -> a sound (conservative) prune predicate;
-      // an all-null key contributes no bound (that key prunes nothing)
-      val boundsRow = aligned.agg(
-        fmin(fcol(keys.head)).as("b0"),
-        (fmax(fcol(keys.head)).as("b1") +: keys.tail.zipWithIndex.flatMap {
-          case (k, i) => Seq(fmin(fcol(k)).as(s"b${2 * i + 2}"), fmax(fcol(k)).as(s"b${2 * i + 3}"))
-        }): _*).head
-      val cond = keys.zipWithIndex.flatMap { case (k, i) =>
-        val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
-        if (lo == null || hi == null) None
-        else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
-      }.reduceOption(_ && _).getOrElse(lit(true))
+      // bounded per-key ranges (+ small-source key IN-list for bucket/
+      // bloom pruning) -> a sound (conservative) prune predicate; an
+      // all-null key contributes no bound (that key prunes nothing)
+      val cond = sourceKeyPruneCond(aligned, keys)
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
@@ -2491,19 +2518,9 @@ class BranchCatalog(
     try {
       if (aligned.isEmpty) return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
 
-      // same sound key-range prune as upsert
-      val boundsRow = aligned.agg(
-        org.apache.spark.sql.functions.min(fcol(keys.head)).as("b0"),
-        (org.apache.spark.sql.functions.max(fcol(keys.head)).as("b1") +:
-          keys.tail.zipWithIndex.flatMap { case (k, i) =>
-            Seq(org.apache.spark.sql.functions.min(fcol(k)).as(s"b${2 * i + 2}"),
-              org.apache.spark.sql.functions.max(fcol(k)).as(s"b${2 * i + 3}"))
-          }): _*).head
-      val pruneCond = keys.zipWithIndex.flatMap { case (k, i) =>
-        val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
-        if (lo == null || hi == null) None
-        else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
-      }.reduceOption(_ && _).getOrElse(lit(true))
+      // same sound source-key prune as upsert (ranges + small-source
+      // key IN-list engaging bucket/bloom pruning)
+      val pruneCond = sourceKeyPruneCond(aligned, keys)
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
       val bloomIdx = Some(new BloomProbe(cur.manifests))

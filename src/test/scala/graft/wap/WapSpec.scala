@@ -1807,6 +1807,19 @@ class WapSpec extends SparkSpecBase {
     assert(dcat.distributedPrunedPaths(dsnap, Some(col("doc_id").isin()), dschema).isEmpty,
       "empty IN is false on the distributed tier too (no reduce-on-Nil crash)")
 
+    // a small-source UPSERT prunes its rewrite set through the bloom
+    // index: the source keys' IN-list (not just their range, which spans
+    // every interleaved file) bounds the files rewritten
+    val up = cat.upsert("t",
+      docs.filter(col("doc_id").isin(57L, 61L))
+        .withColumn("n_chars", col("n_chars") + 1000), Seq("doc_id"))
+    assert(up.rowsReplaced == 2 && up.rowsInserted == 0)
+    assert(up.filesRewritten < 5,
+      s"bloom + key IN-list must bound the rewrite set, rewrote ${up.filesRewritten}")
+    assert(cat.scan("t", filter = Some(col("doc_id") === 57L))
+      .head.getAs[Long]("n_chars") ==
+      docs.filter(col("doc_id") === 57L).head.getAs[Long]("n_chars") + 1000)
+
     // timestamp normalization is SESSION-TZ-INDEPENDENT: build the index
     // under a non-UTC session TZ; probes (fixed-UTC rendering) must
     // still admit the matching file — a session-TZ build would render
