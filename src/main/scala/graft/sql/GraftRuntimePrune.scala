@@ -88,9 +88,12 @@ object GraftRuntimePrune {
     val planAfter = nFiles(scan.planInputPartitions())
 
     // the result below is fully materialized driver-side values, so the
-    // per-run catalog registration and temp lake can go now (Bench runs
-    // this 3x per process — without cleanup the session conf map and
-    // /tmp grow per invocation)
+    // per-run catalog confs and temp lake can go now (Bench runs this
+    // 3x per process — without cleanup the session conf map and /tmp
+    // grow per invocation). Spark's CatalogManager still holds the tiny
+    // catalog INSTANCE under the per-run name for the session's
+    // lifetime — that cache has no public eviction; the instance holds
+    // two strings and is never consulted again.
     spark.conf.unset(s"spark.sql.catalog.$lake")
     spark.conf.unset(s"spark.sql.catalog.$lake.root")
     try {

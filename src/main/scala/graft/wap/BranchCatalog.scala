@@ -1690,11 +1690,15 @@ class BranchCatalog(
         built += 1
         val files = readManifest(m.path)
         if (files.isEmpty) {
-          // an empty commit's manifest: write an empty sidecar so the
-          // build is done once and probes answer "might match" per file
+          // an empty commit's manifest: write an empty (marker-only)
+          // sidecar so the build is done once and probes answer "might
+          // match" per file
           fs.mkdirs(p.getParent)
           val out = fs.create(p, true)
-          try out.write("{}".getBytes(StandardCharsets.UTF_8)) finally out.close()
+          try out.write(Serialization.write(Map(
+            "__graft_bloom_format" -> BranchCatalog.BloomSidecarCache.formatVersion))
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
           BranchCatalog.BloomSidecarCache.invalidate(m.path, column)
         } else {
         val expect = files.map(_.rows).max.max(64L)
@@ -1742,7 +1746,9 @@ class BranchCatalog(
         }
         fs.mkdirs(p.getParent)
         val out = fs.create(p, true)
-        try out.write(Serialization.write(merged).getBytes(StandardCharsets.UTF_8))
+        try out.write(Serialization.write(merged +
+          ("__graft_bloom_format" -> BranchCatalog.BloomSidecarCache.formatVersion))
+          .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         BranchCatalog.BloomSidecarCache.invalidate(m.path, column)
         }
@@ -2386,22 +2392,27 @@ class BranchCatalog(
     * every affected row's key is in the list (null-keyed source rows
     * match nothing). */
   private def sourceKeyPruneCond(aligned: DataFrame, keys: Seq[String]): Column = {
-    import org.apache.spark.sql.functions.{col => fcol, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{approx_count_distinct, col => fcol, lit, max => fmax, min => fmin}
+    val single = keys.size == 1
+    // the NDV estimate rides the bounds pass for free, so a big CDC
+    // batch never pays a distinct aggregation it would only discard
     val boundsRow = aligned.agg(
       fmin(fcol(keys.head)).as("b0"),
-      (fmax(fcol(keys.head)).as("b1") +: keys.tail.zipWithIndex.flatMap {
-        case (k, i) => Seq(fmin(fcol(k)).as(s"b${2 * i + 2}"), fmax(fcol(k)).as(s"b${2 * i + 3}"))
-      }): _*).head
+      (fmax(fcol(keys.head)).as("b1") +:
+        (keys.tail.zipWithIndex.flatMap {
+          case (k, i) => Seq(fmin(fcol(k)).as(s"b${2 * i + 2}"), fmax(fcol(k)).as(s"b${2 * i + 3}"))
+        } ++ (if (single) Seq(approx_count_distinct(fcol(keys.head)).as("andv")) else Nil))): _*).head
     val ranges = keys.zipWithIndex.flatMap { case (k, i) =>
       val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
       if (lo == null || hi == null) None
       else Some(fcol(k) >= lit(lo) && fcol(k) <= lit(hi))
     }.reduceOption(_ && _).getOrElse(lit(true))
     val inList =
-      if (keys.size != 1) None
+      if (!single || boundsRow.getAs[Long]("andv") > maxPruneLeaves * 2L) None
       else {
-        // one cheap pass over the (persisted) source; the +1 overflow
-        // row distinguishes "small key set" from "gave up counting"
+        // one pass over the (persisted) source, only when the estimate
+        // says the key set is plausibly small; the +1 overflow row
+        // distinguishes "small key set" from "estimate was low"
         val ks = aligned.select(fcol(keys.head)).filter(fcol(keys.head).isNotNull)
           .distinct().limit(maxPruneLeaves + 1).collect().map(_.get(0))
         if (ks.isEmpty || ks.length > maxPruneLeaves) None
@@ -3052,10 +3063,27 @@ object BranchCatalog {
     * empty maps all answer "might match". */
   private[wap] object BloomSidecarCache {
     private val negativeTtlMs = 60000L
+    /** Cache-entry budget: sidecar maps are KBs-to-MBs, and the working
+      * set is one snapshot's manifests — past the cap the cache clears
+      * whole (correctness unaffected, next probes re-read). Bounds
+      * driver memory across manifest churn (compaction mints new
+      * sidecars; expired ones would otherwise stay pinned forever). */
+    private val maxLoadEntries = 256
+    /** value: (loadedAtMillis, None = sidecar absent (TTL-expiring) |
+      * Some(map) = present, cached forever — possibly EMPTY for an
+      * empty manifest's sidecar, which is still a permanent answer). */
     private val loadCache = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
+      String, (Long, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]])]()
     private val existsCache = new java.util.concurrent.ConcurrentHashMap[
       String, (Long, Boolean)]()
+
+    /** Sidecar format marker: a reserved JSON key (no file basename can
+      * collide with it) written since the fixed-UTC normalization.
+      * Sidecars WITHOUT it (a pre-marker format whose timestamp
+      * rendering may be session-TZ-dependent) decline to prune rather
+      * than prune wrongly. */
+    private val formatKey = "__graft_bloom_format"
+    private[wap] val formatVersion = "1-utc"
 
     private[wap] def sidecarFor(manifestPath: String, column: String): Path = {
       val mp = new Path(manifestPath)
@@ -3063,10 +3091,14 @@ object BranchCatalog {
     }
 
     /** The ONE place the sidecar wire format (JSON of file-name ->
-      * base64 bloom bytes) is parsed — both tiers go through it. */
+      * base64 bloom bytes + the format marker) is parsed — both tiers
+      * go through it. A sidecar without the current format marker
+      * answers as empty (declines to prune). */
     private def parse(body: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
       implicit val fmts: Formats = DefaultFormats
-      Serialization.read[Map[String, String]](body).map { case (k, v) =>
+      val raw = Serialization.read[Map[String, String]](body)
+      if (!raw.get(formatKey).contains(formatVersion)) Map.empty
+      else (raw - formatKey).map { case (k, v) =>
         k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
           java.util.Base64.getDecoder.decode(v))
       }
@@ -3102,23 +3134,26 @@ object BranchCatalog {
         manifestPath: String, column: String)
         : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
       val sidecar = sidecarFor(manifestPath, column)
-      val now = System.currentTimeMillis()
-      val cur = loadCache.get(sidecar.toString)
-      if (cur != null && (cur._2.nonEmpty || now - cur._1 < negativeTtlMs)) cur._2
-      else {
-        val sfs = sidecar.getFileSystem(conf)
-        val blooms =
-          if (!sfs.exists(sidecar)) Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
-          else {
-            val in = sfs.open(sidecar)
-            val body =
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            parse(body)
-          }
-        loadCache.put(sidecar.toString, (now, blooms))
-        blooms
-      }
+      if (loadCache.size > maxLoadEntries) loadCache.clear()
+      // compute (not get/put): SINGLE-FLIGHT — 32 first-probe tasks on
+      // one executor read and parse the sidecar once, not 32 times
+      loadCache.compute(sidecar.toString, (_, cur) => {
+        val now = System.currentTimeMillis()
+        if (cur != null && (cur._2.isDefined || now - cur._1 < negativeTtlMs)) cur
+        else {
+          val sfs = sidecar.getFileSystem(conf)
+          val blooms =
+            if (!sfs.exists(sidecar)) None
+            else {
+              val in = sfs.open(sidecar)
+              val body =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              Some(parse(body))
+            }
+          (now, blooms)
+        }
+      })._2.getOrElse(Map.empty)
     }
 
     def mightContain(
