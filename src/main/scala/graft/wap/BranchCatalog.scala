@@ -2788,6 +2788,57 @@ class BranchCatalog(
       entries.length.toLong, entries.map(_.rows).sum)
   }
 
+  /** Columns with a bloom sidecar on ANY of `manifestPaths` (from the
+    * sidecar file names — no reads). */
+  private def bloomIndexedColumns(manifestPaths: Seq[String]): Seq[String] =
+    manifestPaths.flatMap { sp =>
+      val mp = new Path(sp)
+      val prefix = s"bloom-${mp.getName.stripSuffix(".json")}-"
+      Option(fs.globStatus(new Path(mp.getParent, prefix + "*.json")))
+        .toSeq.flatten.map(_.getPath.getName.stripPrefix(prefix).stripSuffix(".json"))
+    }.distinct
+
+  /** Re-index the columns that were bloom-indexed on `prior` after a
+    * data-rewriting compaction — maintenance must not silently lose the
+    * index (the freshly-minted manifests have no sidecars until built,
+    * and [[buildBloomIndex]] is incremental, so only they are scanned;
+    * the compaction just rewrote this data anyway). Best-effort: the
+    * compaction itself is already committed and correct without it. */
+  private def carryBloomIndexes(table: String, prior: Snapshot, branch: String): Unit =
+    bloomIndexedColumns(prior.manifests.map(_.path)).foreach { c =>
+      try { buildBloomIndex(table, c, branch); () } catch { case _: Exception => () }
+    }
+
+  /** Metadata-only sidecar carry for MANIFEST folding: the folded
+    * manifest covers exactly the union of its sources' files, so the
+    * per-file blooms merge by map union — zero data reads. Sources
+    * without a current-format sidecar contribute nothing (their files
+    * just stay unprobed, which is sound). */
+  private def carryBloomSidecars(newManifestPath: String, sources: Seq[String]): Unit = {
+    val fmtKey = "__graft_bloom_format"
+    bloomIndexedColumns(sources).foreach { c =>
+      val merged = sources.flatMap { sp =>
+        val p = bloomSidecarPath(sp, c)
+        if (!fs.exists(p)) Nil
+        else {
+          val raw = Serialization.read[Map[String, String]](readString(p))
+          if (!raw.get(fmtKey).contains(BranchCatalog.BloomSidecarCache.formatVersion)) Nil
+          else (raw - fmtKey).toSeq
+        }
+      }.toMap
+      if (merged.nonEmpty) {
+        val p = bloomSidecarPath(newManifestPath, c)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(Serialization.write(
+          merged + (fmtKey -> BranchCatalog.BloomSidecarCache.formatVersion))
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        BranchCatalog.BloomSidecarCache.invalidate(newManifestPath, c)
+      }
+    }
+  }
+
   def compactManifests(table: String, branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
@@ -2795,13 +2846,14 @@ class BranchCatalog(
       s"$table@$branch has pre-sequence MOR tombstones whose coverage cannot survive " +
         "manifest folding — materialize them with compactDataFiles first")
     val covers = tombstoneCovers(table, cur)
-    val folded = cur.manifests
+    val foldedWithSrc = cur.manifests
       .groupBy(m => cur.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
       .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
       .map { case (_, ms) =>
-        writeManifest(table, ms.flatMap(m => readManifest(m.path)))
-          .copy(seq = ms.map(_.seq).max)
+        (writeManifest(table, ms.flatMap(m => readManifest(m.path)))
+          .copy(seq = ms.map(_.seq).max), ms)
       }
+    val folded = foldedWithSrc.map(_._1)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2811,6 +2863,8 @@ class BranchCatalog(
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
+    // manifest folding keeps the files, so bloom sidecars merge over
+    foldedWithSrc.foreach { case (nm, ms) => carryBloomSidecars(nm.path, ms.map(_.path)) }
     committed
   }
 
@@ -2836,6 +2890,7 @@ class BranchCatalog(
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
+    carryBloomIndexes(table, cur, branch)
     committed
   }
 
@@ -2882,6 +2937,7 @@ class BranchCatalog(
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
+    carryBloomIndexes(table, cur, branch)
     committed
   }
 
@@ -2939,6 +2995,7 @@ class BranchCatalog(
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
+    carryBloomIndexes(table, cur, branch)
     committed
   }
 

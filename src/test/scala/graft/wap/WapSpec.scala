@@ -1852,9 +1852,17 @@ class WapSpec extends SparkSpecBase {
       .count(_.startsWith("bloom-"))
     val before = sidecars()
     assert(before >= 5, s"expected >=5 sidecars, got $before")
+    // manifest FOLDING carries sidecars metadata-only (files unchanged,
+    // maps merge — no data read), so pruning survives the fold
+    cat.compactManifests("t")
+    assert(cat.prunedDataFiles("t", col("doc_id") === 9999L).isEmpty,
+      "bloom pruning must survive manifest folding without a rebuild")
+    // data compaction re-indexes the previously-indexed columns itself
     cat.compactDataFiles("t")
     cat.expireSnapshots("t")
     assert(sidecars() < before, "expired manifests take their bloom sidecars along")
+    assert(cat.prunedDataFiles("t", col("doc_id") === 9999L).isEmpty,
+      "bloom pruning must survive data compaction without a rebuild")
     // and the compacted table reads intact
     assert(cat.scan("t").count() == 204)
   }
