@@ -64,6 +64,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work ALL-CORES MEMORY sentinel: each core strides a private
+    * 32 MB long array (3 sweeps, sum-folded) — aggregate bandwidth, the
+    * resource the ALU sentinels above cannot see. r11 observed uniform
+    * 30-60% inflation on every memory-heavy parallel query while BOTH
+    * ALU sentinels stayed flat: co-tenant memory-bandwidth/LLC pressure
+    * is invisible to compute-bound probes. Arrays allocate once per
+    * process (timed region is the sweeps only). */
+  private lazy val memArrays: Array[Array[Long]] = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    Array.fill(cores)(Array.tabulate(4 * 1024 * 1024)(i => i.toLong))
+  }
+  private def calibrateMemory(): Double = {
+    val t0 = System.nanoTime()
+    val threads = memArrays.map { arr =>
+      val t = new Thread(() => {
+        var s = 0L
+        var sweep = 0
+        while (sweep < 3) {
+          var i = 0
+          while (i < arr.length) { s += arr(i); i += 16 } // one miss per line
+          sweep += 1
+        }
+        if (s == 42L) System.err.println(s)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,6 +106,14 @@ object Bench {
     def clearCaches(): Unit = {
       graft.operators.PipelineQueries.clearPrepared(spark)
       graft.operators.SessionCaches.clear(spark)
+      // family-boundary GC: over a 100-query run the heap accumulates
+      // (unpersisted blocks, codegen classes, catalog metadata) and GC
+      // ergonomics then differ per PROCESS — four same-code idle-host
+      // runs ranged 62-78 s with the swing concentrated in the
+      // largest late-heap queries. A forced collection at each family
+      // boundary resets that state deterministically, so per-query
+      // medians compare across runs (the boundary cost is untimed).
+      System.gc()
     }
     // two-pass bench: run EVERY query shape once at the tiny SF first, so
     // the measured pass times the query rather than first-touch JIT of
@@ -97,8 +135,15 @@ object Bench {
     clearCaches() // warmup artifacts must not subsidize the timed pass
     calibrate() // untimed: JIT-compile the sentinel loop itself
     calibrateParallel() // untimed: the parallel sentinel's lambda JITs separately
+    calibrateMemory() // untimed: allocates the arrays + JITs the sweep
+    // min-of-3 for the all-cores sentinels: own-process residue (GC from
+    // the warmup pass, thread-pool churn) inflates a single sample by
+    // 2-4x, while CO-TENANT pressure persists across all three — the min
+    // keeps the signal and drops the self-noise
+    def min3(f: () => Double): Double = Seq(f(), f(), f()).min
     val calibStart = calibrate()
-    val calibParStart = calibrateParallel()
+    val calibParStart = min3(() => calibrateParallel())
+    val calibMemStart = min3(() => calibrateMemory())
     def family(name: String): String = name.takeWhile(_ != '_')
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var prevFamily = ""
@@ -121,7 +166,8 @@ object Bench {
       name -> sorted(sorted.size / 2)
     }
     val calibEnd = calibrate()
-    val calibParEnd = calibrateParallel()
+    val calibParEnd = min3(() => calibrateParallel())
+    val calibMemEnd = min3(() => calibrateMemory())
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     // ms precision: full-double timings made the line outgrow the
@@ -137,6 +183,7 @@ object Bench {
       s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","errors":$es,""" +
         s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
         s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
+        s""""calib_mem_start_sec":${ms(calibMemStart)},"calib_mem_end_sec":${ms(calibMemEnd)},""" +
         s""""value":${ms(total)},"queries":$qs}"""
     println(line)
     // At ~97 queries the full line outgrows the driver artifact's
@@ -149,6 +196,7 @@ object Bench {
     println(s"""{"metric":"total","unit":"sec","runs":$runs,""" +
       s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
       s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
+      s""""calib_mem_start_sec":${ms(calibMemStart)},"calib_mem_end_sec":${ms(calibMemEnd)},""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},"value":${ms(total)}}""")
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every
