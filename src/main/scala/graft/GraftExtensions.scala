@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reach the manifest pruner), then a once-per-query sweep for bare
     // relations before V2 scan planning — see GraftScanLowering's scaladoc
     ext.injectOptimizerRule(new graft.sql.GraftScanLowering(_))
+    // metadata-only global aggregates must see the bare relation, so the
+    // agg rule is injected BEFORE the bare-relation sweep (pre-CBO rules
+    // run in injection order)
+    ext.injectPreCBORule(new graft.sql.GraftAggLowering(_))
     ext.injectPreCBORule(new graft.sql.GraftBareScanLowering(_))
     // SQL UPDATE / MERGE INTO on catalog tables lower onto the native
     // row-level ops (updateWhere / mergeInto) — see GraftDmlLowering

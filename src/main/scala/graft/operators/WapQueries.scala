@@ -634,6 +634,74 @@ object WapQueries {
         lit(loweredNative).as("lowered_native"), lit(manifestPruned).as("manifest_pruned"))
   }
 
+  /** Metadata-only global aggregates end-to-end (W44): `SELECT count(*),
+    * count(c), min(c), max(c) FROM t` answered from per-manifest stats
+    * with ZERO data-file IO on BOTH read paths — the extension-session
+    * rule ([[graft.sql.GraftAggLowering]]: plan collapses to a one-row
+    * projection, no relation at all) and the vanilla DSv2
+    * `SupportsPushDownAggregates` route ([[graft.sql.GraftScanBuilder]]:
+    * complete pushdown onto the one-row metadata scan). The zero-IO
+    * claim is proven PHYSICALLY: the data files are deleted from disk
+    * and the aggregates still answer. Bounds survive manifest folding
+    * (compactManifests runs mid-flow). Oracle: the same aggregates in
+    * DuckDB over documents with doc_id < 200. */
+  def wapAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-agg").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 120))
+    cat.append("documents", docs.filter(col("doc_id") >= 120))
+    cat.compactManifests("documents") // folded manifests must keep serving
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val sqlText =
+      s"SELECT count(*) AS n_rows, CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        s"CAST(max(doc_id) AS BIGINT) AS max_id, min(lang) AS min_lang, " +
+        s"max(lang) AS max_lang, count(lang) AS n_lang FROM $lake.main.documents"
+
+    // extension path: the optimized plan must hold NO relation at all
+    // (one-row projection of literals)
+    val ext = spark.sql(sqlText)
+    val extMetaOnly = ext.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => s
+    }.isEmpty
+    val extRow = ext.collect().head
+
+    // vanilla connector path: complete pushdown onto the metadata scan
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    val (v2Row, v2Pushed) =
+      try {
+        val q = spark.sql(sqlText)
+        val pushed = q.queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.scan
+        }.exists(_.description().contains("PushedAggregation: metadata-only"))
+        (q.collect().head, pushed)
+      } finally spark.conf.set("spark.graft.sql.lowering", "true")
+
+    // the zero-IO proof: data files physically gone, metadata still answers
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(s"$tmp/tables/documents/data"))
+    val ghostRow = spark.sql(sqlText).collect().head
+
+    import spark.implicits._
+    Seq((extRow.getLong(0), extRow.getLong(1), extRow.getLong(2),
+      extRow.getString(3), extRow.getString(4), extRow.getLong(5)))
+      .toDF("n_rows", "min_id", "max_id", "min_lang", "max_lang", "n_lang")
+      .select(col("*"),
+        lit(extMetaOnly).as("ext_meta_only"),
+        lit(v2Pushed).as("v2_pushed"),
+        lit(extRow == v2Row).as("paths_agree"),
+        lit(extRow == ghostRow).as("zero_data_io"))
+  }
+
   /** Audited STREAMING ingestion end-to-end (W41,
     * [[graft.sql.GraftStreamingWrite]]): a memory-source stream writes
     * through `writeStream.toTable` with `graft.wap` — epoch 0 (doc_id <

@@ -69,6 +69,81 @@ class GraftBareScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** Metadata-only GLOBAL aggregates for EXTENSION sessions (the DSv2
+  * `SupportsPushDownAggregates` route in [[GraftTableCatalog]] serves
+  * vanilla sessions, but graft sessions lower relations to the native
+  * parquet plan before V2 pushdown ever runs — without this rule they
+  * would SCAN for `SELECT count(*) FROM t`):
+  * `Aggregate(no grouping, count/min/max, graft relation)` whose every
+  * aggregate [[graft.wap.BranchCatalog.metaAggregate]] answers exactly
+  * becomes a one-row `Project(literals, OneRowRelation)` — O(manifests)
+  * metadata, zero data IO, computed once at optimization time.
+  * Runs BEFORE [[GraftBareScanLowering]] (injection order) so the bare
+  * relation under the aggregate is still visible. Anything it cannot
+  * answer exactly — filters below, group-bys, other functions, DISTINCT,
+  * pending MOR tombstones, uncovered stats — is left for the ordinary
+  * lowered scan. `spark.graft.sql.metaAgg=false` disables. */
+class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, OneRowRelation}
+  import graft.wap.{BranchCatalog, MetaAgg}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftScanLowering.enabled(spark) ||
+        !spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) plan
+    else plan.transformUp {
+      case agg @ Aggregate(Seq(), aggExprs, child, _) =>
+        relUnder(child).flatMap(rel => tryAnswer(rel, aggExprs)).getOrElse(agg)
+    }
+
+  /** The graft V2 relation under the aggregate: bare, or behind the
+    * attribute-only Project column pruning inserts. */
+  private def relUnder(p: LogicalPlan): Option[GraftTable] = p match {
+    case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
+      Some(rel.table.asInstanceOf[GraftTable])
+    case Project(ps, rel: DataSourceV2Relation)
+        if rel.table.isInstanceOf[GraftTable] &&
+          ps.forall(_.isInstanceOf[AttributeReference]) =>
+      Some(rel.table.asInstanceOf[GraftTable])
+    case _ => None
+  }
+
+  private def metaOf(ae: AggregateExpression): Option[MetaAgg] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null => Some(MetaAgg.CountStar)
+      case Count(Seq(a: AttributeReference)) => Some(MetaAgg.CountCol(a.name))
+      case Min(a: AttributeReference) => Some(MetaAgg.MinCol(a.name))
+      case Max(a: AttributeReference) => Some(MetaAgg.MaxCol(a.name))
+      case _ => None
+    }
+
+  private def tryAnswer(
+      t: GraftTable, aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val aes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    val metas = aes.map(metaOf)
+    if (aes.isEmpty || metas.exists(_.isEmpty)) return None
+    new BranchCatalog(spark, t.root)
+      .metaAggregate(t.tableName, t.snapshotId, metas.flatten)
+      .flatMap { values =>
+        val byAgg = aes.zip(values)
+        val rewritten = aggExprs.map(_.transform {
+          case ae: AggregateExpression =>
+            byAgg.collectFirst { case (a, v) if a eq ae => Literal(v, ae.dataType) }
+              .getOrElse(ae)
+        })
+        // everything must now be literal-computable: a leftover attribute
+        // or aggregate means the shape was richer than the translation
+        if (rewritten.exists(e => e.exists(x =>
+            x.isInstanceOf[AttributeReference] || x.isInstanceOf[AggregateExpression])))
+          None
+        else
+          Some(Project(rewritten.map(_.asInstanceOf[NamedExpression]), OneRowRelation()))
+      }
+  }
+}
+
 object GraftScanLowering {
   private[sql] def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.sql.lowering", "true").toBoolean

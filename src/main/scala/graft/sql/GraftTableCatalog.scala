@@ -640,10 +640,14 @@ case class GraftStagedTable(
 
 private class GraftScanBuilder(
     t: GraftTable, maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = t.schema()
   private var pushed: Array[sources.Filter] = Array.empty
+  /** Set by [[pushAggregation]] when the WHOLE aggregate answered from
+    * snapshot metadata: (one-row schema, catalyst-internal values). */
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -652,6 +656,65 @@ private class GraftScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** GLOBAL COUNT(*)/COUNT(col)/MIN/MAX answered from per-manifest
+    * metadata — O(manifests), zero data IO ([[BranchCatalog
+    * .metaAggregate]]). Complete-only: either the snapshot stats answer
+    * every function EXACTLY (coverage-aware bounds + null sums, no
+    * pending MOR tombstones, no float/double extrema) or nothing is
+    * pushed and Spark plans the ordinary scan+aggregate. Spark only
+    * attempts aggregate pushdown when no Filter sits between the
+    * aggregate and this scan, and every graft filter stays residual, so
+    * a filtered aggregate can never reach the metadata path. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = answer(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) return None
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames().length == 1 &&
+          t.tableSchema.fieldNames.contains(n.fieldNames().head) =>
+          Some(n.fieldNames().head)
+        case _ => None
+      }
+    val translated = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((graft.wap.MetaAgg.CountStar: graft.wap.MetaAgg,
+          org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).map(n => (graft.wap.MetaAgg.CountCol(n),
+          org.apache.spark.sql.types.LongType))
+      case m: Min => colOf(m.column).map(n =>
+        (graft.wap.MetaAgg.MinCol(n), t.tableSchema(n).dataType))
+      case m: Max => colOf(m.column).map(n =>
+        (graft.wap.MetaAgg.MaxCol(n), t.tableSchema(n).dataType))
+      case _ => None
+    }
+    if (translated.exists(_.isEmpty)) return None
+    val metas = translated.flatten
+    new BranchCatalog(spark, t.root)
+      .metaAggregate(t.tableName, t.snapshotId, metas.map(_._1))
+      .map { values =>
+        val schema = StructType(metas.zipWithIndex.map { case ((_, dt), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i", dt)
+        })
+        (schema, values.toArray)
+      }
+  }
+
   /** Always the NATIVE DSv2 batch scan (vectorized parquet reader,
     * bin-packed splits, stats the planner can SEE — Spark's
     * V1ScanWrapper does not forward SupportsReportStatistics, so a V1
@@ -659,9 +722,53 @@ private class GraftScanBuilder(
     * stay on this path too: the scan plans per coverage epoch and its
     * readers anti-probe per-executor key-set builds
     * ([[GraftMorReaderFactory]]) — no per-row V1 boundary between
-    * compactions. */
-  override def build(): Scan =
-    new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
+    * compactions. A pushed metadata aggregate short-circuits to the
+    * one-row [[GraftMetaAggScan]] instead. */
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => new GraftMetaAggScan(t, schema, values)
+    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
+  }
+}
+
+/** The one-row scan serving a completely-pushed metadata aggregate: the
+  * "SELECT count(*), min(x) FROM <100 TB table>" plan reads NOTHING —
+  * one partition, one [[org.apache.spark.sql.catalyst.InternalRow]]
+  * computed on the driver from O(manifests) snapshot metadata. */
+private[sql] class GraftMetaAggScan(
+    t: GraftTable, aggSchema: StructType, values: Array[Any])
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft ${t.branch}.${t.tableName} @ ${t.snapshotId} " +
+      s"PushedAggregation: metadata-only [${aggSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[
+      org.apache.spark.sql.connector.read.InputPartition] =
+    Array(GraftMetaAggPartition(values))
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftMetaAggReaderFactory
+}
+
+/** Carries the catalyst-internal aggregate values (UTF8String is
+  * Externalizable; primitives box) to the single reader. */
+private[sql] case class GraftMetaAggPartition(values: Array[Any])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sql] class GraftMetaAggReaderFactory
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val vals = p.asInstanceOf[GraftMetaAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.clone())
+      override def close(): Unit = ()
+    }
 }
 
 /** The native read path of a pinned snapshot: manifest-pruned,

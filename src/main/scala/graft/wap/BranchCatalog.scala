@@ -56,8 +56,27 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
     bytes: Long = 0L,
     /** Per-column null-count sums of the manifest's files (empty for
       * pre-r10 metadata): the same O(manifests) serving for planner
-      * `columnStats.nullCount`. */
-    nullCounts: Map[String, Long] = Map.empty)
+      * `columnStats.nullCount`. r11: COVERAGE-AWARE — a column appears
+      * only when EVERY file with rows holds its null count, so the sum
+      * is exact, never a silent undercount (metadata-only COUNT(col)
+      * depends on that). */
+    nullCounts: Map[String, Long] = Map.empty,
+    /** Per-column min/max bounds folded over the manifest's files (empty
+      * for pre-r11 metadata), canonical stat strings typed against the
+      * table schema at read time like [[DataFileMeta.lower]]. Coverage-
+      * aware: a column appears only when every file with rows carries
+      * its bound OR is provably all-null for it (`nullCounts(c) ==
+      * rows`) — so a present bound is the EXACT min/max of the
+      * manifest's non-null values, and metadata-only MIN/MAX aggregates
+      * (plus O(manifests) planner range stats) can trust it. */
+    lower: Map[String, String] = Map.empty,
+    upper: Map[String, String] = Map.empty,
+    /** Manifest-stats format version: 0 = pre-r11 (nullCounts may be a
+      * partial union — usable as a planner hint, never as an exact
+      * value), 2 = coverage-aware nullCounts + lower/upper as above.
+      * Exact-value consumers ([[BranchCatalog.metaAggregate]]) require
+      * >= 2. Survives `.copy(seq = ...)` restamping by construction. */
+    statsV: Int = 0)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -84,6 +103,17 @@ case class Snapshot(
       * ancestry). Tombstone coverage compares manifest sequences against
       * it — see [[ManifestRef]]. 0 in pre-r8 metadata. */
     seq: Long = 0L)
+
+/** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
+  * snapshot metadata alone. */
+sealed trait MetaAgg
+object MetaAgg {
+  case object CountStar extends MetaAgg
+  /** COUNT(column) — non-null rows, from exact null-count sums. */
+  final case class CountCol(column: String) extends MetaAgg
+  final case class MinCol(column: String) extends MetaAgg
+  final case class MaxCol(column: String) extends MetaAgg
+}
 
 /** Catalog state on one branch: table name -> snapshot id. */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
@@ -352,15 +382,49 @@ class BranchCatalog(
       s"snapshot ${s.id} already exists for $table")
   }
 
-  /** Write one immutable manifest listing `files`; return its ref. */
-  private[wap] def writeManifest(table: String, files: Seq[DataFileMeta]): ManifestRef = {
+  /** Write one immutable manifest listing `files`; return its ref.
+    * `schema` types the per-column stat folds (string vs numeric order)
+    * — pass the files' TABLE schema (delete-key manifests pass the full
+    * table schema too; their key columns resolve by name). */
+  private[wap] def writeManifest(
+      table: String, files: Seq[DataFileMeta], schema: StructType): ManifestRef = {
     val p = new Path(rootPath, s"tables/$table/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
       s"manifest ${p.getName} already exists for $table")
+    val live = files.filter(_.rows > 0)
+    // a column's manifest-level null sum is recorded only when EVERY
+    // live file carries it — a partial sum would silently undercount
+    val nullCols =
+      if (live.isEmpty) Set.empty[String]
+      else live.map(_.nullCounts.keySet).reduce(_ & _)
+    // a column's manifest bound is exact iff every live file either has
+    // the bound or is provably all-null for the column; fold in the
+    // schema type's order (string stats in UTF-8 byte order, numbers
+    // numerically — folding "45" vs "123" the wrong way would corrupt
+    // a string column's bound)
+    def fold(side: DataFileMeta => Map[String, String], takeMin: Boolean): Map[String, String] =
+      schema.fields.iterator.flatMap { sf =>
+        BranchCatalog.statOrder(sf.dataType).flatMap { cmp =>
+          val covered = live.nonEmpty && live.forall(f =>
+            side(f).contains(sf.name) || f.nullCounts.get(sf.name).contains(f.rows))
+          if (!covered) None
+          else {
+            val vs = live.flatMap(f => side(f).get(sf.name))
+            if (vs.isEmpty) None // every live file all-null: no non-null bound exists
+            else try Some(sf.name -> vs.reduce((a, b) =>
+              if ((cmp(a, b) <= 0) == takeMin) a else b))
+            catch { case _: Exception => None } // unparseable stat: skip the column
+          }
+        }
+      }.toMap
     ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum,
       bytes = files.map(_.bytes).sum,
-      nullCounts = files.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _))
+      nullCounts = files.flatMap(_.nullCounts.filter(kv => nullCols(kv._1)))
+        .groupMapReduce(_._1)(_._2)(_ + _),
+      lower = fold(_.lower, takeMin = true),
+      upper = fold(_.upper, takeMin = false),
+      statsV = 2)
   }
 
   private def readManifest(path: String): Seq[DataFileMeta] = {
@@ -530,6 +594,8 @@ class BranchCatalog(
       case _: org.apache.parquet.column.statistics.BinaryStatistics => utf8Cmp(a, b) < 0
       case _: org.apache.parquet.column.statistics.DoubleStatistics |
            _: org.apache.parquet.column.statistics.FloatStatistics => a.toDouble < b.toDouble
+      case _: org.apache.parquet.column.statistics.BooleanStatistics =>
+        java.lang.Boolean.compare(a == "true", b == "true") < 0
       case _ => a.toLong < b.toLong
     }
 
@@ -653,7 +719,7 @@ class BranchCatalog(
       case _ => df
     }
     val newFiles = writeDataFiles(table, aligned)
-    val manifest = writeManifest(table, newFiles)
+    val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -713,13 +779,13 @@ class BranchCatalog(
       s"upsert key column $c is not a column of $table"))
     val aligned = alignToSchema(source, schema, table, branch)
     val dataFiles = writeDataFiles(table, aligned)
-    val dataManifest = writeManifest(table, dataFiles)
+    val dataManifest = writeManifest(table, dataFiles, schema)
     val keyFiles = writeDataFiles(table,
       aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
     // the tombstone's sequence equals the commit's, so it covers every
     // manifest with a LOWER sequence — all prior data, never the new
     // batch committed alongside it
-    val delManifest = writeManifest(table, keyFiles)
+    val delManifest = writeManifest(table, keyFiles, schema)
       .copy(asOf = Some(curId), keyCols = keyCols)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -892,9 +958,10 @@ class BranchCatalog(
     keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
       s"delete key column $c is not a column of $table"))
     val delFiles = writeDataFiles(table, keys.distinct())
+    val tschema = StructType.fromDDL(cur.schemaDdl)
     // the commit sequence pins the covered manifest set: the delete
     // applies to data committed BEFORE it, never to later appends
-    val delManifest = writeManifest(table, delFiles)
+    val delManifest = writeManifest(table, delFiles, tschema)
       .copy(asOf = Some(curId), keyCols = keys.schema.fieldNames.toSeq)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -925,7 +992,7 @@ class BranchCatalog(
       if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl), table, branch)
       else df
     val manifest = writeManifest(table, writeTableFiles(table, aligned,
-      cur.partitionSpec.map(PartitionSpec.parse)))
+      cur.partitionSpec.map(PartitionSpec.parse)), aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1026,7 +1093,7 @@ class BranchCatalog(
     def append(table: String, df: DataFrame): Unit = {
       val st = entry(table)
       val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
-      val manifest = writeManifest(table, writeDataFiles(table, aligned))
+      val manifest = writeManifest(table, writeDataFiles(table, aligned), aligned.schema)
       byTable(table) = st.copy(appends = st.appends :+ manifest)
     }
 
@@ -1039,8 +1106,8 @@ class BranchCatalog(
       val cols = StructType.fromDDL(st.schemaDdl).fieldNames.toSet
       keys.schema.fieldNames.foreach(c => require(cols.contains(c),
         s"delete key column $c is not a column of $table"))
-      val manifest = writeManifest(table, writeDataFiles(table, keys.distinct()))
-        .copy(keyCols = keys.schema.fieldNames.toSeq)
+      val manifest = writeManifest(table, writeDataFiles(table, keys.distinct()),
+        StructType.fromDDL(st.schemaDdl)).copy(keyCols = keys.schema.fieldNames.toSeq)
       byTable(table) = st.copy(deletes = st.deletes :+ manifest)
     }
 
@@ -1174,7 +1241,12 @@ class BranchCatalog(
       case ByteType | ShortType | IntegerType | LongType =>
         Some(java.lang.Long.compare(stat.toLong, lit.value.asInstanceOf[Number].longValue()))
       case FloatType | DoubleType =>
-        Some(java.lang.Double.compare(stat.toDouble, lit.value.asInstanceOf[Number].doubleValue()))
+        // a NaN literal is incomparable against footer bounds: parquet
+        // stats exclude NaN, so a file whose max < NaN may still HOLD
+        // NaN rows (Spark orders NaN above everything) — pruning on it
+        // would be unsound
+        val d = lit.value.asInstanceOf[Number].doubleValue()
+        if (d.isNaN) None else Some(java.lang.Double.compare(stat.toDouble, d))
       case StringType => Some(utf8Cmp(stat, lit.value.toString))
       case TimestampType | TimestampNTZType =>
         // parquet stores micros; Catalyst timestamp literals are micros
@@ -1401,7 +1473,9 @@ class BranchCatalog(
       case ByteType | ShortType | IntegerType | LongType =>
         Some((c.cast("long"), lit(l.value.asInstanceOf[Number].longValue())))
       case FloatType | DoubleType =>
-        Some((c.cast("double"), lit(l.value.asInstanceOf[Number].doubleValue())))
+        // same NaN guard as cmpStat: never prune against a NaN literal
+        val d = l.value.asInstanceOf[Number].doubleValue()
+        if (d.isNaN) None else Some((c.cast("double"), lit(d)))
       case StringType => Some((c, lit(l.value.toString)))
       case TimestampType | TimestampNTZType =>
         Some((c.cast("long"), lit(l.value.asInstanceOf[Number].longValue())))
@@ -1872,6 +1946,66 @@ class BranchCatalog(
       .map(p => Serialization.read[Map[String, Long]](readString(p)))
   }
 
+  // ---- metadata-only aggregates -----------------------------------------
+
+  /** Answer GLOBAL aggregates over one pinned snapshot from per-manifest
+    * metadata alone — O(manifests) driver reads, ZERO data-file IO (the
+    * `SELECT count(*), min(x), max(x) FROM t` of a 100 TB table answers
+    * from the snapshot document in milliseconds). Returns the values as
+    * CATALYST-INTERNAL representations (UTF8String for strings, micros
+    * for timestamps, days for dates) in `aggs` order, or None when the
+    * metadata cannot answer EXACTLY, which callers must treat as "run
+    * the real scan":
+    *  - pending MOR tombstones (manifest row counts overcount suppressed
+    *    rows);
+    *  - any live manifest below stats format 2 ([[ManifestRef.statsV]] —
+    *    pre-r11 nullCounts may be partial unions);
+    *  - a column some manifest covers neither by bound nor by a proven
+    *    all-null count (absent footer stats, column added by evolution);
+    *  - float/double MIN/MAX (parquet footer bounds ignore NaN, so they
+    *    are range hints, not exact extrema — count(col) on them is still
+    *    fine);
+    *  - types whose stats don't fold (decimal, binary, nested).
+    * Empty tables / all-null columns answer (count 0 / NULL extremum),
+    * matching SQL semantics. */
+  def metaAggregate(
+      table: String, snapshotId: String, aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
+    val snap = loadSnapshot(table, snapshotId)
+    if (snap.deleteManifests.nonEmpty) return None
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val live = snap.manifests.filter(_.rows > 0)
+    if (live.exists(_.statsV < 2)) {
+      if (aggs.forall(_ == MetaAgg.CountStar)) // row sums are exact at any statsV
+        return Some(aggs.map(_ => snap.manifests.map(_.rows).sum))
+      return None
+    }
+    val totalRows = snap.manifests.map(_.rows).sum
+    def nullsOf(c: String): Option[Long] =
+      if (live.forall(_.nullCounts.contains(c))) Some(live.map(_.nullCounts(c)).sum)
+      else None
+    def extremum(c: String, takeMin: Boolean): Option[Any] = for {
+      f <- schema.fields.find(_.name == c)
+      if BranchCatalog.exactStatType(f.dataType)
+      cmp <- BranchCatalog.statOrder(f.dataType)
+      side = if (takeMin) (m: ManifestRef) => m.lower else (m: ManifestRef) => m.upper
+      if live.forall(m => side(m).contains(c) || m.nullCounts.get(c).contains(m.rows))
+      v <- {
+        val bounds = live.flatMap(m => side(m).get(c))
+        if (bounds.isEmpty) Some(null) // no non-null value anywhere -> SQL NULL
+        else try Some(BranchCatalog.statInternal(f.dataType,
+          bounds.reduce((a, b) => if ((cmp(a, b) <= 0) == takeMin) a else b)))
+        catch { case _: Exception => None }
+      }
+    } yield v
+    val answers = aggs.map {
+      case MetaAgg.CountStar => Some(totalRows)
+      case MetaAgg.CountCol(c) => nullsOf(c).map(totalRows - _)
+      case MetaAgg.MinCol(c) => extremum(c, takeMin = true)
+      case MetaAgg.MaxCol(c) => extremum(c, takeMin = false)
+    }
+    if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
+  }
+
   /** Head lineage of table@branch across catalog commits (the Iceberg
     * `$history` metadata-table analogue): which snapshot was the branch
     * head at each refs version. Oldest first; versions where the table
@@ -2214,7 +2348,7 @@ class BranchCatalog(
       case _ => df
     }
     val newFiles = writePartitionedDataFiles(table, aligned, spec)
-    val manifest = writeManifest(table, newFiles)
+    val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2281,9 +2415,9 @@ class BranchCatalog(
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
         else None
-      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept).copy(seq = newSeq)) else Seq.empty)
+      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept, schema).copy(seq = newSeq)) else Seq.empty)
     val rowsDeleted = affectedFiles.map(_.rows).sum - kept.map(_.rows).sum
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -2348,9 +2482,9 @@ class BranchCatalog(
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
         else None
-      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq)) else Seq.empty)
+      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq)) else Seq.empty)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2468,9 +2602,9 @@ class BranchCatalog(
       val newManifests =
         perManifest.flatMap { case (m, affected, untouched) =>
           if (affected.isEmpty) Some(m)
-          else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
+          else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
           else None
-        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq)) else Seq.empty)
+        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq)) else Seq.empty)
       var committed: Snapshot = null
       commitRefs { refs =>
         val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2599,9 +2733,9 @@ class BranchCatalog(
         val newManifests =
           perManifest.flatMap { case (m, affected, untouched) =>
             if (affected.isEmpty) Some(m)
-            else if (untouched.nonEmpty) Some(writeManifest(table, untouched).copy(seq = newSeq))
+            else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
             else None
-          } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten).copy(seq = newSeq))
+          } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq))
                 else Seq.empty)
         var committed: Snapshot = null
         commitRefs { refs =>
@@ -2633,7 +2767,7 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), spec)
-    val manifest = writeManifest(table, rewritten)
+    val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2850,7 +2984,8 @@ class BranchCatalog(
       .groupBy(m => cur.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
       .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
       .map { case (_, ms) =>
-        (writeManifest(table, ms.flatMap(m => readManifest(m.path)))
+        (writeManifest(table, ms.flatMap(m => readManifest(m.path)),
+            StructType.fromDDL(cur.schemaDdl))
           .copy(seq = ms.map(_.seq).max), ms)
       }
     val folded = foldedWithSrc.map(_._1)
@@ -2880,7 +3015,7 @@ class BranchCatalog(
     val rewritten = writeTableFiles(table,
       scanSnapshot(table, curId).repartition(targetFiles),
       cur.partitionSpec.map(PartitionSpec.parse))
-    val manifest = writeManifest(table, rewritten)
+    val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2927,7 +3062,7 @@ class BranchCatalog(
       case s @ Some(_) =>
         writeTableFiles(table, data, s, sortCols = clusterBy)
     }
-    val manifest = writeManifest(table, rewritten)
+    val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2985,7 +3120,7 @@ class BranchCatalog(
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
       .drop("__z") // projection: range layout + intra-partition order survive
     val rewritten = writeTableFiles(table, arranged, None)
-    val manifest = writeManifest(table, rewritten)
+    val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -3108,6 +3243,57 @@ object BranchCatalog {
     StructField("nullCounts", MapType(StringType, LongType)),
     StructField("partition", MapType(StringType, StringType)),
     StructField("bytes", LongType)))
+
+  /** Comparison for canonical stat strings ([[DataFileMeta.lower]]
+    * rendering: numbers via toString, binary via UTF-8, booleans
+    * "true"/"false") under a column's DECLARED type; None = a type whose
+    * stats don't fold (decimal, binary, nested). Timestamps compare as
+    * their stored long micros, dates as day numbers, strings in unsigned
+    * UTF-8 byte order (parquet binary stats order = Spark string order).
+    * Float/double fold numerically — exact-value consumers
+    * ([[BranchCatalog.metaAggregate]]) must still refuse them (parquet
+    * footer min/max ignore NaN, so the bound is not necessarily the
+    * true extremum of a NaN-bearing file). */
+  private[graft] def statOrder(dt: DataType): Option[(String, String) => Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         TimestampType | TimestampNTZType | DateType =>
+      Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+    case FloatType | DoubleType =>
+      Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
+    case StringType =>
+      Some((a, b) => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+    case BooleanType =>
+      Some((a, b) => java.lang.Boolean.compare(a == "true", b == "true"))
+    case _ => None
+  }
+
+  /** Types whose parquet footer min/max are EXACT values of the data
+    * (written by graft's own Spark parquet writes, which do not truncate
+    * footer statistics) — the ones metadata-only MIN/MAX may serve.
+    * Float/double are excluded: footer bounds ignore NaN, which Spark
+    * orders above every value, so a NaN-bearing file's true max is not
+    * its stats max. */
+  private[graft] def exactStatType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Canonical stat string -> Catalyst-internal value under the column's
+    * declared type (strings as UTF8String, timestamps as micros, dates
+    * as day numbers). Callers guard with [[exactStatType]]. */
+  private[graft] def statInternal(dt: DataType, s: String): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType => s.toLong.toInt
+    case LongType => s.toLong
+    case DateType => s.toInt
+    case TimestampType | TimestampNTZType => s.toLong
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case BooleanType => s == "true"
+    case other => sys.error(s"no internal stat representation for $other")
+  }
 
   /** JVM-wide bloom sidecar cache, shared by the driver tier
     * ([[BranchCatalog.BloomProbe]]) and distributed-planning executors.

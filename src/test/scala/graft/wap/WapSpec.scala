@@ -1278,14 +1278,14 @@ class WapSpec extends SparkSpecBase {
     // place them OUTSIDE the test predicate; their data paths do not even
     // exist, so a scan that fails to prune (or prunes without reading
     // stats) cannot pass this test
-    val liveManifestRefs = Seq(cat.writeManifest("t", cat.dataFiles("t")))
+    val liveManifestRefs = Seq(cat.writeManifest("t", cat.dataFiles("t"), docs.schema))
     val ghostRefs = (0 until 1200).map { i =>
       cat.writeManifest("t", Seq(DataFileMeta(
         path = s"${cat.root}/tables/t/data/ghost/part-$i.parquet",
         rows = 1,
         lower = Map("doc_id" -> (1000L + i).toString),
         upper = Map("doc_id" -> (1000L + i).toString),
-        nullCounts = Map("doc_id" -> 0L))))
+        nullCounts = Map("doc_id" -> 0L))), docs.schema)
     }
     val snap = Snapshot("synth-dist-scan", None,
       liveManifestRefs ++ ghostRefs, docs.schema.toDDL, 1L)
