@@ -65,6 +65,7 @@ object SparkEntry {
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
     "wap_bloom" -> (WapQueries.wapBloom _),
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
+    "wap_sql_changes" -> (WapQueries.wapSqlChanges _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -214,6 +215,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
     "wap_bloom" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS files_before, true AS point_pruned, true AS in_pruned, CAST(4 AS BIGINT) AS manifests_indexed""",
+    "wap_sql_changes" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS delta_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS delta_chars, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 160) AS window_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 160) AS window_chars, CAST(0 AS BIGINT) AS empty_rows, true AS window_pruned""",
     "wap_agg_pushdown" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(min(doc_id) AS BIGINT) FROM documents WHERE doc_id < 200) AS min_id, (SELECT CAST(max(doc_id) AS BIGINT) FROM documents WHERE doc_id < 200) AS max_id, (SELECT min(lang) FROM documents WHERE doc_id < 200) AS min_lang, (SELECT max(lang) FROM documents WHERE doc_id < 200) AS max_lang, (SELECT count(lang) FROM documents WHERE doc_id < 200) AS n_lang, true AS ext_meta_only, true AS v2_pushed, true AS paths_agree, true AS zero_data_io""",
     // __EXPORT_DIR__ is substituted by Verify at dump time with the

@@ -702,6 +702,49 @@ object WapQueries {
         lit(extRow == ghostRow).as("zero_data_io"))
   }
 
+  /** Incremental snapshot-window reads through the SQL connector (W46):
+    * `spark.read.option("graft.changes.from", id)` serves the append
+    * delta since a consumer's last snapshot — the SQL/DataFrame surface
+    * of [[graft.wap.BranchCatalog.changedFilesBetween]] — and
+    * `graft.changes.to` bounds the window; predicates prune files WITHIN
+    * the window; an up-to-date consumer reads zero rows. Oracle: the
+    * same slices in plain SQL over documents. */
+  def wapSqlChanges(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-changes").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    val s1 = cat.append("documents", docs.filter(col("doc_id") < 100))
+    val s2 = cat.appendClustered("documents",
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 160), Seq("doc_id"), files = 4)
+    cat.append("documents", docs.filter(col("doc_id") >= 160))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val head = cat.snapshotIdOf("documents").get
+    // in-window pruning gate: the clustered middle window holds 4 files,
+    // a point predicate must admit fewer
+    val windowFiles = cat.plannedChangedFiles("documents", Some(s1.id), s2.id, None).size
+    val prunedFiles = cat.plannedChangedFiles("documents", Some(s1.id), s2.id,
+      Some(col("doc_id") === 130L)).size
+    val emptyRows = spark.read.option("graft.changes.from", head)
+      .table(s"$lake.main.documents").count()
+
+    val delta = spark.read.option("graft.changes.from", s1.id)
+      .table(s"$lake.main.documents")
+      .agg(count(lit(1)).as("delta_rows"),
+        sum(col("n_chars")).cast("long").as("delta_chars"))
+    val window = spark.read.option("graft.changes.from", s1.id)
+      .option("graft.changes.to", s2.id).table(s"$lake.main.documents")
+      .agg(count(lit(1)).as("window_rows"),
+        sum(col("n_chars")).cast("long").as("window_chars"))
+    delta.crossJoin(window).select(
+      col("delta_rows"), col("delta_chars"), col("window_rows"), col("window_chars"),
+      lit(emptyRows).as("empty_rows"),
+      lit(windowFiles == 4 && prunedFiles < windowFiles).as("window_pruned"))
+  }
+
   /** Audited STREAMING ingestion end-to-end (W41,
     * [[graft.sql.GraftStreamingWrite]]): a memory-source stream writes
     * through `writeStream.toTable` with `graft.wap` — epoch 0 (doc_id <

@@ -44,7 +44,8 @@ class GraftScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
       val protect = GraftScanLowering.commandTargets(plan)
       plan.transformUp {
         case Filter(cond, rel: DataSourceV2Relation)
-            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) =>
+            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) &&
+              GraftScanLowering.lowerable(rel) =>
           val lowered = GraftScanLowering.lower(
             spark, rel.table.asInstanceOf[GraftTable], rel.output,
             GraftScanLowering.pruneCondition(cond))
@@ -62,7 +63,8 @@ class GraftBareScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
       val protect = GraftScanLowering.commandTargets(plan)
       plan.transformUp {
         case rel: DataSourceV2Relation
-            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) =>
+            if rel.table.isInstanceOf[GraftTable] && !protect.exists(_ eq rel) &&
+              GraftScanLowering.lowerable(rel) =>
           GraftScanLowering.lower(
             spark, rel.table.asInstanceOf[GraftTable], rel.output, None)
       }
@@ -98,12 +100,15 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** The graft V2 relation under the aggregate: bare, or behind the
-    * attribute-only Project column pruning inserts. */
+    * attribute-only Project column pruning inserts. A changes-window
+    * relation never qualifies — its aggregate is over the DELTA, not the
+    * snapshot the metadata describes. */
   private def relUnder(p: LogicalPlan): Option[GraftTable] = p match {
-    case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[GraftTable] && GraftScanLowering.lowerable(rel) =>
       Some(rel.table.asInstanceOf[GraftTable])
     case Project(ps, rel: DataSourceV2Relation)
-        if rel.table.isInstanceOf[GraftTable] &&
+        if rel.table.isInstanceOf[GraftTable] && GraftScanLowering.lowerable(rel) &&
           ps.forall(_.isInstanceOf[AttributeReference]) =>
       Some(rel.table.asInstanceOf[GraftTable])
     case _ => None
@@ -147,6 +152,15 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
 object GraftScanLowering {
   private[sql] def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.sql.lowering", "true").toBoolean
+
+  /** A relation carrying an incremental-window read option must stay on
+    * the connector path ([[GraftTable.newScanBuilder]] serves the
+    * window); lowering it to the full-snapshot native plan would
+    * silently IGNORE the option and return the whole table. */
+  private[sql] def lowerable(rel: DataSourceV2Relation): Boolean =
+    rel.options == null || (rel.options.get("graft.changes.from") == null &&
+      rel.options.get("graft.changes.to") == null) // to-without-from must
+      // reach the connector too, whose builder refuses it loudly
 
   /** Relations that are the TARGET of a row-level command (`DELETE FROM`
     * etc.): the command's strategy must see the V2 relation itself, so

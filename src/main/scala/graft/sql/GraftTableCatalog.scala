@@ -403,14 +403,26 @@ case class GraftTable(
   def scanDF(spark: SparkSession, filter: Option[Column]): DataFrame =
     new BranchCatalog(spark, root).scanSnapshot(tableName, snapshotId, filter)
 
-  /** The connector-API read path ([[V1Scan]]): used only when
-    * [[GraftScanLowering]] has not replaced the relation first — a
-    * vanilla session without graft extensions, or lowering explicitly
-    * disabled. Pushed filters reach the same manifest pruner; Spark
-    * keeps every filter as a residual (the prune is conservative). */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** The connector read path. Read options:
+    *  - `graft.changes.from` (+ optional `graft.changes.to`, default =
+    *    this pinned snapshot): serve the INCREMENTAL append delta of the
+    *    snapshot window instead of the full table — the SQL/DataFrame
+    *    surface of [[BranchCatalog.changedFilesBetween]] (W27/W46):
+    *    {{{ spark.read.option("graft.changes.from", id).table("lake.main.t") }}}
+    *    Pushed filters prune WITHIN the window; pending MOR tombstones
+    *    refuse loudly (deltas are append-granular). Extension sessions
+    *    keep the relation on this connector path (lowering skips
+    *    windowed reads).
+    *  - `maxFilesPerTrigger`: streaming admission control. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val from = Option(options.get("graft.changes.from"))
+    val to = Option(options.get("graft.changes.to"))
+    require(from.isDefined || to.isEmpty,
+      "graft.changes.to needs graft.changes.from (an incremental window has a start)")
     new GraftScanBuilder(this,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      from.map(f => (f, to.getOrElse(snapshotId))))
+  }
 
   private def requireWritable(op: String): Unit =
     require(branch != "main" || mainWritesAllowed,
@@ -639,7 +651,10 @@ case class GraftStagedTable(
 }
 
 private class GraftScanBuilder(
-    t: GraftTable, maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
+    t: GraftTable, maxFilesPerTrigger: Option[Int] = None,
+    /** (fromId, toId) of an incremental-changes window read — see
+      * [[GraftTable.newScanBuilder]]. */
+    changes: Option[(String, String)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -682,6 +697,8 @@ private class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     val spark = SparkSession.active
     if (!spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) return None
+    // a changes-window read aggregates the DELTA, never the snapshot
+    if (changes.isDefined) return None
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -726,7 +743,7 @@ private class GraftScanBuilder(
     * one-row [[GraftMetaAggScan]] instead. */
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftMetaAggScan(t, schema, values)
-    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger)
+    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger, changes)
   }
 }
 
@@ -786,7 +803,13 @@ private[sql] class GraftMetaAggReaderFactory
   * keeps the vectorized read and the pruner. */
 private[sql] class GraftBatchScan(
     t: GraftTable, required: StructType, pushed: Array[sources.Filter],
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    /** (fromId, toId) incremental window — the scan then plans ONLY the
+      * window's append delta ([[BranchCatalog.plannedChangedFiles]]):
+      * no MOR handling (pending tombstones refuse loudly inside the
+      * planner), no reported statistics (the delta's size is not the
+      * table's — absent stats beat wrong stats). */
+    changes: Option[(String, String)] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -831,6 +854,7 @@ private[sql] class GraftBatchScan(
   @volatile private var morEpochsCache:
       Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = null
   private def morEpochs: Option[Seq[(Seq[(String, Long)], Seq[graft.wap.MorDeleteGroupPlan])]] = {
+    if (changes.isDefined) return None // windows refuse MOR in their own planner
     var c = morEpochsCache
     if (c == null) {
       val cat = new BranchCatalog(spark, t.root)
@@ -848,10 +872,21 @@ private[sql] class GraftBatchScan(
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-  override def description(): String =
-    s"graft ${t.branch}.${t.tableName} @ ${t.snapshotId}"
+  override def description(): String = changes match {
+    case Some((from, to)) =>
+      s"graft ${t.branch}.${t.tableName} changes $from..$to"
+    case None => s"graft ${t.branch}.${t.tableName} @ ${t.snapshotId}"
+  }
 
   override def planInputPartitions(): Array[
+      org.apache.spark.sql.connector.read.InputPartition] = changes match {
+    case Some((from, to)) =>
+      GraftPartitions.binPack(spark, new BranchCatalog(spark, t.root)
+        .plannedChangedFiles(t.tableName, Some(from), to, cond))
+    case None => planSnapshotPartitions()
+  }
+
+  private def planSnapshotPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] = morEpochs match {
     case None =>
       val files = new BranchCatalog(spark, t.root)
@@ -902,12 +937,20 @@ private[sql] class GraftBatchScan(
   }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    GraftStats.of(spark, t)
+    if (changes.isEmpty) GraftStats.of(spark, t)
+    else new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(changes.isEmpty,
+      "graft.changes.from is a BATCH window option; readStream.table is " +
+        "incremental by construction (snapshot offsets) — drop the option")
     new GraftMicroBatchStream(spark, t.root, t.branch,
       t.tableName, t.tableSchema, required, maxFilesPerTrigger, pushed.toSeq)
+  }
 }
 
 /** Planner statistics of one pinned snapshot. */

@@ -2169,6 +2169,26 @@ class BranchCatalog(
     }
   }
 
+  /** The pruned (path, bytes) list of one incremental window, for the
+    * SQL connector's changes scan ([[graft.sql]] `graft.changes.from`
+    * read option): [[changedFilesBetween]]'s append delta, with the same
+    * partition-transform + footer-stats + bloom pruning the ordinary
+    * batch scan applies — a filtered changes read opens only the delta
+    * files the predicate admits. */
+  private[graft] def plannedChangedFiles(
+      table: String, fromId: Option[String], toId: String,
+      cond: Option[Column]): Seq[(String, Long)] = {
+    val files = changedFilesBetween(table, fromId, toId)
+    val snap = loadSnapshot(table, toId)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val pruned = cond match {
+      case Some(c) => pruneFiles(files, c, schema,
+        snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
+      case None => files
+    }
+    pruned.map(f => f.path -> f.bytes)
+  }
+
   def scanChangesBetween(table: String, fromId: String, toId: String): DataFrame = {
     val from = loadSnapshot(table, fromId)
     val to = loadSnapshot(table, toId)
