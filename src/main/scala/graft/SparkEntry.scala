@@ -66,6 +66,7 @@ object SparkEntry {
     "wap_bloom" -> (WapQueries.wapBloom _),
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
     "wap_sql_changes" -> (WapQueries.wapSqlChanges _),
+    "wap_spj" -> (WapQueries.wapSpj _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -215,6 +216,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
     "wap_bloom" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS files_before, true AS point_pruned, true AS in_pruned, CAST(4 AS BIGINT) AS manifests_indexed""",
+    "wap_spj" ->
+      """SELECT count(*) AS n_rows, CAST(sum(a.n_chars) AS BIGINT) AS sum_chars, count(DISTINCT b.lang) AS n_langs, true AS join_shuffle_free, true AS agg_exchange_free FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300) a JOIN (SELECT doc_id, lang FROM documents WHERE doc_id < 300) b ON a.doc_id = b.doc_id""",
     "wap_sql_changes" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS delta_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS delta_chars, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 160) AS window_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 160) AS window_chars, CAST(0 AS BIGINT) AS empty_rows, true AS window_pruned""",
     "wap_agg_pushdown" ->

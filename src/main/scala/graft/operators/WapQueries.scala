@@ -702,6 +702,65 @@ object WapQueries {
         lit(extRow == ghostRow).as("zero_data_io"))
   }
 
+  /** Storage-partitioned joins (W45): two tables bucket-partitioned on
+    * the join key read through per-bucket partitions + the catalog's
+    * `bucket` V2 function and JOIN WITH ZERO SHUFFLES (and a group-by on
+    * the key aggregates exchange-free) — plan-asserted, with the
+    * aggregate values of the shuffle-free join as the hashed result.
+    * Oracle: the same join in plain SQL (documents joined to itself on
+    * doc_id). */
+  def wapSpj(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val tmp = Files.createTempDirectory("graft-wap-spj").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val spec = graft.wap.PartitionSpec.parse("bucket(8,doc_id)")
+    def mk(table: String, df: DataFrame): Unit = {
+      cat.createTableIfNotExists(table, df.schema, spec = Some(spec))
+      cat.appendPartitioned(table, df.filter(col("doc_id") % 2 === 0), spec)
+      cat.appendPartitioned(table, df.filter(col("doc_id") % 2 =!= 0), spec)
+    }
+    mk("a", docs.select("doc_id", "n_chars"))
+    mk("b", docs.select("doc_id", "lang"))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    def shuffleFree(df: DataFrame): Boolean =
+      (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).collect { case s: ShuffleExchangeLike => s }.isEmpty
+
+    val saved = Seq("spark.graft.sql.lowering",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val join = spark.sql(
+        s"SELECT a.doc_id, a.n_chars, b.lang FROM $lake.main.a a " +
+          s"JOIN $lake.main.b b ON a.doc_id = b.doc_id")
+      val joinFree = shuffleFree(join)
+      val agg = spark.sql(
+        s"SELECT doc_id, sum(n_chars) AS s FROM $lake.main.a GROUP BY doc_id")
+      val aggFree = shuffleFree(agg) && agg.count() == docs.count()
+      join.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+        .select(col("n_rows"), col("sum_chars"), col("n_langs"),
+          lit(joinFree).as("join_shuffle_free"),
+          lit(aggFree).as("agg_exchange_free"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Incremental snapshot-window reads through the SQL connector (W46):
     * `spark.read.option("graft.changes.from", id)` serves the append
     * delta since a consumer's last snapshot — the SQL/DataFrame surface

@@ -46,6 +46,18 @@ object GraftStreamOffset {
   * added. Plain paths+lengths — executors never touch catalog metadata. */
 case class GraftFilesPartition(files: Seq[(String, Long)]) extends InputPartition
 
+/** A bucket-keyed read partition for storage-partitioned joins (W45):
+  * every file in it shares one bucket-transform value, exposed through
+  * [[partitionKey]] so Spark's KeyGroupedPartitioning can co-locate
+  * joins and aggregations on the bucket column without a shuffle. */
+case class GraftKeyedFilesPartition(files: Seq[(String, Long)], bucket: Int)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 /** One equality-delete group a MOR partition must anti-probe: key column
   * names plus the tombstone parquet files holding the deleted keys. `id`
   * keys the per-executor key-set cache AND the factory's delete read
@@ -304,18 +316,23 @@ private[sql] class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     batchFunc.isDefined
 
+  private def filesOf(partition: InputPartition): Seq[(String, Long)] =
+    partition match {
+      case GraftFilesPartition(fs) => fs
+      case GraftKeyedFilesPartition(fs, _) => fs
+      case other => sys.error(s"unexpected partition shape $other")
+    }
+
   override def createColumnarReader(partition: InputPartition): PartitionReader[
       org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val files = partition.asInstanceOf[GraftFilesPartition].files
     val f = batchFunc.get
-    GraftReaderFactory.reader(files.iterator.flatMap { case (path, len) =>
+    GraftReaderFactory.reader(filesOf(partition).iterator.flatMap { case (path, len) =>
       f(Bridge.partitionedFile(path, len))
     })
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[GraftFilesPartition].files
-    GraftReaderFactory.reader(files.iterator.flatMap { case (path, len) =>
+    GraftReaderFactory.reader(filesOf(partition).iterator.flatMap { case (path, len) =>
       Bridge.flattenBatches(readFunc(Bridge.partitionedFile(path, len)))
     })
   }

@@ -62,7 +62,7 @@ import graft.wap.BranchCatalog
   * the Scala API ([[graft.wap.BranchCatalog.mergeInto]] etc.).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -294,6 +294,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (!namespace.sameElements(GraftProcedures.namespace)) Array.empty
     else GraftProcedures.names.map(Identifier.of(GraftProcedures.namespace, _)).toArray
+
+  // ---- functions (the transform vocabulary, for storage-partitioned joins)
+
+  /** Spark resolves a scan's KeyGroupedPartitioning transforms against
+    * the owning catalog's functions (`loadFunction(Identifier(<empty>,
+    * "bucket"))` from V2ExpressionUtils) — without this, two co-bucketed
+    * graft tables could never storage-partition-join. The bound function
+    * computes exactly the writer's transform
+    * ([[graft.wap.BucketPartition.valueCol]]). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean =
     cat.dropTable(ident.name(), branchOf(ident.namespace()))
@@ -812,9 +829,56 @@ private[sql] class GraftBatchScan(
     changes: Option[(String, String)] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark = SparkSession.active
+
+  /** Storage-partitioned joins (W45): when the snapshot is
+    * bucket-partitioned, `spark.sql.sources.v2.bucketing.enabled` is on,
+    * and EVERY planned file carries its transform value, the scan plans
+    * ONE read partition per bucket and reports KeyGroupedPartitioning
+    * over `bucket(n, col)` (resolved through the catalog's
+    * [[GraftBucketUnbound]] function) — two graft tables co-bucketed on
+    * the join key then hash-join with NO shuffle on either side, and a
+    * group-by on the key aggregates exchange-free. The 100 TB shape this
+    * exists for: fact-fact joins where even one side's shuffle is the
+    * dominant cost. Anything short of full coverage — mixed plain
+    * appends, pending MOR tombstones, a changes window, bucketing
+    * disabled — reports UnknownPartitioning and keeps the ordinary
+    * bin-packed plan. Keyed scans opt out of runtime file pruning
+    * ([[filterAttributes]] empty) so the reported partition set stays
+    * exactly what Spark plans the join around. */
+  private lazy val keyedPlan: Option[(Int, String,
+      Array[org.apache.spark.sql.connector.read.InputPartition])] =
+    if (changes.isDefined ||
+        !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
+    else t.partitionSpecFmt.map(graft.wap.PartitionSpec.parse).collect {
+      case graft.wap.BucketPartition(n, c) => (n, c)
+    }.flatMap { case (n, colName) =>
+      val cat = new BranchCatalog(spark, t.root)
+      if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.nonEmpty) None
+      else {
+        val files = cat.plannedFilesWithPv(t.tableName, t.snapshotId, cond)
+        if (files.isEmpty || files.exists(_._3.isEmpty)) None
+        else Some((n, colName,
+          files.groupBy(_._3.get.toInt).toSeq.sortBy(_._1).map { case (k, fs) =>
+            GraftKeyedFilesPartition(fs.map(f => (f._1, f._2)), k)
+              : org.apache.spark.sql.connector.read.InputPartition
+          }.toArray))
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPlan match {
+      case Some((n, c, parts)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Join-key filters delivered at EXECUTION time (dynamic partition
     * pruning): Spark evaluates the build side of a selective join first,
@@ -836,8 +900,11 @@ private[sql] class GraftBatchScan(
     // PartitionPruning). The manifest pruner is conservative (a filter it
     // cannot evaluate prunes nothing), so declaring every output column
     // is sound — Spark's own benefit heuristic gates which joins
-    // actually plant a runtime filter.
-    required.fieldNames
+    // actually plant a runtime filter. A KEYED (storage-partitioned)
+    // scan declares none: its partition set was reported to the planner
+    // and must not shift under runtime re-pruning.
+    if (keyedPlan.isDefined) Array.empty
+    else required.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(predicates: Array[
@@ -883,7 +950,10 @@ private[sql] class GraftBatchScan(
     case Some((from, to)) =>
       GraftPartitions.binPack(spark, new BranchCatalog(spark, t.root)
         .plannedChangedFiles(t.tableName, Some(from), to, cond))
-    case None => planSnapshotPartitions()
+    case None => keyedPlan match {
+      case Some((_, _, parts)) => parts
+      case None => planSnapshotPartitions()
+    }
   }
 
   private def planSnapshotPartitions(): Array[
@@ -950,6 +1020,42 @@ private[sql] class GraftBatchScan(
         "incremental by construction (snapshot offsets) — drop the option")
     new GraftMicroBatchStream(spark, t.root, t.branch,
       t.tableName, t.tableSchema, required, maxFilesPerTrigger, pushed.toSeq)
+  }
+}
+
+/** The catalog-level `bucket(n, col)` V2 function: the SQL-facing
+  * identity of graft's hidden bucket transform
+  * (`pmod(xxhash64(col, seed=42), n)`), which storage-partitioned joins
+  * resolve to prove both sides cluster the same way. */
+private[sql] object GraftBucketUnbound
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(xxhash64(col, seed=42), n) — graft's hidden bucket transform"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col), got ${inputType.catalogString}")
+    GraftBucketBound(inputType.fields(1).dataType)
+  }
+}
+
+private[sql] case class GraftBucketBound(valueType: org.apache.spark.sql.types.DataType)
+  extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+  override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${valueType.catalogString})"
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v = input.get(1, valueType)
+    // xxhash64 of a null input is the seed itself — matching the column
+    // expression the writer evaluates
+    val h =
+      if (v == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, valueType, 42L)
+    (((h % n) + n) % n).toInt
   }
 }
 

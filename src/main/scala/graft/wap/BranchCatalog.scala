@@ -1344,7 +1344,15 @@ class BranchCatalog(
     distributedPrunedFiles(snap, filter, schema).map(_._1)
 
   private def distributedPrunedFiles(
-      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[(String, Long)] = {
+      snap: Snapshot, filter: Option[Column], schema: StructType): Seq[(String, Long)] =
+    distributedPrunedFilesPv(snap, filter, schema).map(f => (f._1, f._2))
+
+  /** As [[distributedPrunedFiles]], also carrying each file's hidden-
+    * partition transform value (None for unpartitioned files) — the
+    * storage-partitioned-join planner groups on it. */
+  private def distributedPrunedFilesPv(
+      snap: Snapshot, filter: Option[Column], schema: StructType)
+      : Seq[(String, Long, Option[String])] = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val spec = snap.partitionSpec.map(PartitionSpec.parse)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
@@ -1369,8 +1377,12 @@ class BranchCatalog(
           .getOrElse(entries)
       case None => manifestEntries(snap)
     }
-    kept.select(col("path"), col("bytes")).collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    kept.select(col("path"), col("bytes"),
+        org.apache.spark.sql.functions.try_element_at(
+          col("partition"), org.apache.spark.sql.functions.lit("pv")))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        Option(r.getString(2)))).toSeq
   }
 
   /** The pruned (path, bytes) list of ONE pinned snapshot, for connector
@@ -1381,20 +1393,29 @@ class BranchCatalog(
     * Refuses pending MOR tombstones — the connector falls back to the
     * full scan plan for those. */
   private[graft] def plannedFilesOfSnapshot(
-      table: String, snapshotId: String, cond: Option[Column]): Seq[(String, Long)] = {
+      table: String, snapshotId: String, cond: Option[Column]): Seq[(String, Long)] =
+    plannedFilesWithPv(table, snapshotId, cond).map(f => (f._1, f._2))
+
+  /** As [[plannedFilesOfSnapshot]] plus each file's hidden-partition
+    * transform value — the connector's storage-partitioned-join planner
+    * groups read partitions by it (W45). Same tiering: above the
+    * threshold the prune AND the pv projection run on executors. */
+  private[graft] def plannedFilesWithPv(
+      table: String, snapshotId: String, cond: Option[Column])
+      : Seq[(String, Long, Option[String])] = {
     val snap = loadSnapshot(table, snapshotId)
     require(snap.deleteManifests.isEmpty,
       s"snapshot $snapshotId of $table has pending MOR tombstones — plan via scanSnapshot")
     val schema = StructType.fromDDL(snap.schemaDdl)
     if (snap.manifests.map(_.fileCount).sum > distributedMetaThreshold)
-      distributedPrunedFiles(snap, cond, schema)
+      distributedPrunedFilesPv(snap, cond, schema)
     else {
       val files = cond match {
         case Some(c) => pruneFiles(filesOf(snap), c, schema,
           snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
         case None => filesOf(snap)
       }
-      files.map(f => f.path -> f.bytes)
+      files.map(f => (f.path, f.bytes, f.partition.get("pv")))
     }
   }
 
