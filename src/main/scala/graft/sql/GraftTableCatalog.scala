@@ -673,7 +673,8 @@ private class GraftScanBuilder(
       * [[GraftTable.newScanBuilder]]. */
     changes: Option[(String, String)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = t.schema()
   private var pushed: Array[sources.Filter] = Array.empty
@@ -687,6 +688,20 @@ private class GraftScanBuilder(
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** `SELECT ... FROM t LIMIT k` on an UNFILTERED snapshot plans only a
+    * file prefix covering k rows ([[BranchCatalog.limitedFiles]] —
+    * O(covering manifests) metadata instead of the whole table).
+    * PARTIALLY pushed: file granularity over-delivers, Spark's own Limit
+    * still trims. Filtered scans refuse (per-file row counts say nothing
+    * about matching rows). */
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.nonEmpty || changes.isDefined) return false
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** GLOBAL COUNT(*)/COUNT(col)/MIN/MAX answered from per-manifest
     * metadata — O(manifests), zero data IO ([[BranchCatalog
@@ -760,7 +775,7 @@ private class GraftScanBuilder(
     * one-row [[GraftMetaAggScan]] instead. */
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftMetaAggScan(t, schema, values)
-    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger, changes)
+    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger, changes, limit)
   }
 }
 
@@ -826,7 +841,10 @@ private[sql] class GraftBatchScan(
       * no MOR handling (pending tombstones refuse loudly inside the
       * planner), no reported statistics (the delta's size is not the
       * table's — absent stats beat wrong stats). */
-    changes: Option[(String, String)] = None)
+    changes: Option[(String, String)] = None,
+    /** Pushed LIMIT (unfiltered snapshot scans only): plan just a file
+      * prefix covering this many rows. */
+    limit: Option[Int] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -851,7 +869,8 @@ private[sql] class GraftBatchScan(
     * exactly what Spark plans the join around. */
   private lazy val keyedPlan: Option[(Int, String,
       Array[org.apache.spark.sql.connector.read.InputPartition])] =
-    if (changes.isDefined ||
+    if (changes.isDefined || limit.isDefined || // a limited prefix is not the keyed set
+
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
     else t.partitionSpecFmt.map(graft.wap.PartitionSpec.parse).collect {
       case graft.wap.BucketPartition(n, c) => (n, c)
@@ -952,7 +971,16 @@ private[sql] class GraftBatchScan(
         .plannedChangedFiles(t.tableName, Some(from), to, cond))
     case None => keyedPlan match {
       case Some((_, _, parts)) => parts
-      case None => planSnapshotPartitions()
+      case None => limit match {
+        // runtime filters narrow a limited scan too: once a DPP key set
+        // arrives the prefix guarantee is void — and pending MOR
+        // tombstones make row counts overcount — so both fall back to
+        // the full plan (Spark re-applies the limit above either way)
+        case Some(l) if runtime.isEmpty && morEpochs.isEmpty =>
+          GraftPartitions.binPack(spark,
+            new BranchCatalog(spark, t.root).limitedFiles(t.tableName, t.snapshotId, l))
+        case _ => planSnapshotPartitions()
+      }
     }
   }
 

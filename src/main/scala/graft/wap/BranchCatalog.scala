@@ -1419,6 +1419,36 @@ class BranchCatalog(
     }
   }
 
+  /** A file PREFIX guaranteed to hold at least `limit` rows (or every
+    * file, if the table is smaller) — the connector's limit pushdown
+    * (`SELECT * FROM t LIMIT k` on an unfiltered snapshot): manifests
+    * are taken in order until their ROW SUMS cover the limit, so only
+    * the covering prefix's manifests are even read — O(covering
+    * manifests) metadata, one or two files planned for a small limit on
+    * a 100 TB table. Refuses pending MOR tombstones (their row counts
+    * overcount, which could under-deliver). */
+  private[graft] def limitedFiles(
+      table: String, snapshotId: String, limit: Long): Seq[(String, Long)] = {
+    val snap = loadSnapshot(table, snapshotId)
+    require(snap.deleteManifests.isEmpty,
+      s"snapshot $snapshotId of $table has pending MOR tombstones — no limit pushdown")
+    val out = Seq.newBuilder[(String, Long)]
+    var remaining = limit
+    val it = snap.manifests.iterator
+    while (remaining > 0 && it.hasNext) {
+      val m = it.next()
+      if (m.fileCount > 0) {
+        val fit = readManifest(m.path).iterator
+        while (remaining > 0 && fit.hasNext) {
+          val f = fit.next()
+          out += (f.path -> f.bytes)
+          remaining -= f.rows
+        }
+      }
+    }
+    out.result()
+  }
+
   /** The MOR equivalent of [[plannedFilesOfSnapshot]], for the connector
     * batch scan of a snapshot WITH pending tombstones: per coverage
     * epoch, the (pruned, tiered) data file list plus its equality-delete
