@@ -722,7 +722,22 @@ private class GraftScanBuilder(
     aggAnswer.isDefined
   }
 
+  /** Memoized per Aggregation instance: Spark calls
+    * supportCompletePushDown then pushAggregation with the same object,
+    * and each answer costs a snapshot-document read. */
+  private var answerCache: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+
   private def answer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = answerCache match {
+    case Some((prev, r)) if prev eq agg => r
+    case _ =>
+      val r = answerUncached(agg)
+      answerCache = Some((agg, r))
+      r
+  }
+
+  private def answerUncached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
@@ -1133,12 +1148,26 @@ private[sql] object GraftStats {
         * Empty when neither exists — absent stats beat wrong stats. */
       override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {
         val ndv = cat.columnStatsOf(t.tableName, t.snapshotId).getOrElse(Map.empty)
+        // a null count is reported ONLY for columns every live manifest
+        // (or, on the per-file fallback, every live file) covers — a
+        // partial sum would be a confidently-wrong planner stat (e.g. a
+        // column added by evolution, absent from older manifests)
+        def covered[T](rows: Seq[(Long, Map[String, Long])]): Map[String, Long] = {
+          val live = rows.filter(_._1 > 0)
+          if (live.isEmpty) Map.empty
+          else {
+            val cols = live.map(_._2.keySet).reduce(_ & _)
+            live.flatMap(_._2.filter(kv => cols(kv._1)))
+              .groupMapReduce(_._1)(_._2)(_ + _)
+          }
+        }
         val nulls: Map[String, Long] =
           if (snap.deleteManifests.nonEmpty) Map.empty
-          // r10 refs carry per-manifest null sums: O(manifests), uncapped
-          else if (snap.manifests.forall(m => m.fileCount == 0 || m.nullCounts.nonEmpty))
-            snap.manifests.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
-          else files.flatMap(_.nullCounts).groupMapReduce(_._1)(_._2)(_ + _)
+          // r11 refs carry coverage-aware per-manifest null sums:
+          // O(manifests), uncapped (statsV >= 2 = intersection semantics)
+          else if (snap.manifests.filter(_.rows > 0).forall(_.statsV >= 2))
+            covered(snap.manifests.map(m => m.rows -> m.nullCounts))
+          else covered(files.map(f => f.rows -> f.nullCounts))
         val out = new util.HashMap[NamedReference, ColumnStatistics]()
         (ndv.keySet ++ nulls.keySet).foreach { c =>
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),

@@ -2198,8 +2198,12 @@ class BranchCatalog(
     * while the head snapshot carries MOR tombstones (a row-suppressing
     * delta cannot be expressed as added files). */
   def changedFilesBetween(
-      table: String, fromId: Option[String], toId: String): Seq[DataFileMeta] = {
-    val to = loadSnapshot(table, toId)
+      table: String, fromId: Option[String], toId: String): Seq[DataFileMeta] =
+    changedFilesOf(table, fromId, loadSnapshot(table, toId))
+
+  private def changedFilesOf(
+      table: String, fromId: Option[String], to: Snapshot): Seq[DataFileMeta] = {
+    val toId = to.id
     require(to.deleteManifests.isEmpty,
       s"snapshot $toId of $table has pending MOR tombstones and incremental deltas " +
         "are append-granular — materialize with compactDataFiles first")
@@ -2229,8 +2233,8 @@ class BranchCatalog(
   private[graft] def plannedChangedFiles(
       table: String, fromId: Option[String], toId: String,
       cond: Option[Column]): Seq[(String, Long)] = {
-    val files = changedFilesBetween(table, fromId, toId)
-    val snap = loadSnapshot(table, toId)
+    val snap = loadSnapshot(table, toId) // one read serves diff AND prune
+    val files = changedFilesOf(table, fromId, snap)
     val schema = StructType.fromDDL(snap.schemaDdl)
     val pruned = cond match {
       case Some(c) => pruneFiles(files, c, schema,

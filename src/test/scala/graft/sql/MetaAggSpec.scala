@@ -217,6 +217,28 @@ class MetaAggSpec extends SparkSpecBase {
       Tables.documents(spark, sfDir).filter(col("doc_id") < 200).count())
   }
 
+  test("planner null counts skip columns not covered by every manifest") {
+    val (_, root, cat) = register()
+    val d = docs(40).select("doc_id", "lang")
+    cat.createTableIfNotExists("t", d.schema)
+    cat.append("t", d) // M1: no `extra` column at all
+    cat.evolveSchema("t", org.apache.spark.sql.types.StructType(
+      d.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "extra", org.apache.spark.sql.types.LongType)))
+    cat.append("t", d.withColumn("extra",
+      when(col("doc_id") % 2 === 0, col("doc_id")))) // M2 covers `extra`
+    val id = cat.snapshotIdOf("t").get
+    val stats = GraftStats.of(spark, GraftTable(root, "main", "t", id,
+      cat.schemaOfSnapshot("t", id)))
+    val nulls = stats.columnStats()
+    val keys = nulls.keySet().toArray.map(_.toString).toSet
+    // doc_id/lang covered by both manifests; `extra` only by M2 — a
+    // partial sum would claim 20 nulls where the scan sees 60
+    assert(keys.exists(_.contains("doc_id")))
+    assert(!keys.exists(_.contains("extra")),
+      s"partially-covered column must not report a null count, got $keys")
+  }
+
   test("metaAggregate values match the scan across DML rewrites") {
     val (_, _, cat) = register()
     val d = docs(100)
