@@ -26,12 +26,14 @@ import graft.wap.BranchCatalog
   * NDV column stats (its `incremental` variant folds per-manifest HLL
   * sketches, scanning only manifests sketched for the first time);
   * `build_bloom_index` writes per-file bloom sidecars for equality/IN
-  * pruning on unclustered columns. All
-  * six procedures are CONTENT-PRESERVING — they commit new metadata but
-  * never change what a scan returns — so they run on any branch, main
-  * included: the write-audit-publish guard protects content, and
-  * maintenance is not a content write (same stance as Iceberg running
-  * procedures on main).
+  * pruning on unclustered columns. The six maintenance procedures are
+  * CONTENT-PRESERVING — they commit new metadata but never change what
+  * a scan returns — so they run on any branch, main included: the
+  * write-audit-publish guard protects content, and maintenance is not a
+  * content write (same stance as Iceberg running procedures on main).
+  * `publish` is the one content-CHANGING procedure and the SQL face of
+  * the reference's whole contract: it merges a branch into main ONLY
+  * after the branch delta passes its declared audit.
   */
 object GraftProcedures {
 
@@ -39,7 +41,8 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-      "analyze_table", "analyze_table_incremental", "build_bloom_index")
+      "analyze_table", "analyze_table_incremental", "build_bloom_index",
+      "publish")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -96,6 +99,41 @@ object GraftProcedures {
         param("column", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.buildBloomIndex(args.getString(0), args.getString(1), args.getString(2)); ()
+      }
+    case "publish" =>
+      // the ONE content-changing procedure, and it keeps the reference's
+      // contract: the branch's delta must PASS the declared audit before
+      // it merges into main — which closes the SQL-only WAP cycle:
+      //   CREATE NAMESPACE lake.wip;
+      //   INSERT INTO lake.wip.t SELECT ...;
+      //   CALL lake.system.publish('t', 'wip', 'not_null:text');
+      // A failed audit THROWS with the violation summary and leaves the
+      // branch for inspection (the CALL is the alert); an empty check
+      // list is refused — an unaudited merge is what write.main guards
+      // against. `full_table` re-audits the whole branch table instead
+      // of the fork delta; `drop_branch` defaults FALSE (the namespace
+      // may stage other tables).
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType),
+        param("checks", StringType),
+        param("full_table", org.apache.spark.sql.types.BooleanType, "false"),
+        param("drop_branch", org.apache.spark.sql.types.BooleanType, "false"))) { (cat, args) =>
+        val checks = GraftStreamingWrite.parseChecks(Some(args.getString(2)))
+        require(checks.nonEmpty,
+          "publish with no checks is an unaudited merge: declare at least one " +
+            "(e.g. 'not_null:<col>'), or use the Scala Wap API for custom suites")
+        val scope =
+          if (args.getBoolean(3)) graft.wap.AuditScope.FullTable
+          else graft.wap.AuditScope.Delta
+        val res = graft.wap.Wap.auditAndPublish(
+          cat, args.getString(0), args.getString(1), checks, Seq.empty, scope,
+          graft.wap.LogAlerter, dropBranchOnPublish = args.getBoolean(4))
+        if (!res.published) throw new IllegalStateException(
+          s"audit FAILED for ${args.getString(0)}@${args.getString(1)} — " +
+            "nothing published, branch left for inspection: " +
+            res.report.checks.filterNot(_.passed)
+              .map(c => s"${c.name} (${c.violations} violations)").mkString(", "))
       }
     case other =>
       throw new UnsupportedOperationException(

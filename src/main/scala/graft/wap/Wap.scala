@@ -230,7 +230,7 @@ object Wap {
     WapResult(quarantineBranch, report.passed, report)
   }
 
-  private def auditAndPublish(
+  private[graft] def auditAndPublish(
       catalog: BranchCatalog, table: String, branchName: String,
       checks: Seq[Expect], crossChecks: Seq[graft.quality.CrossCheck],
       auditScope: AuditScope, alerter: Alerter,

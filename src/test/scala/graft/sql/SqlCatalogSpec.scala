@@ -1098,4 +1098,41 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(filtered < all, "reader-level pushdown must skip row groups")
     assert(filtered >= 100, "skipping must never drop matching rows")
   }
+
+  test("CALL system.publish closes the SQL-only WAP cycle (audited merge)") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      .select("doc_id", "text", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 20))
+
+    // clean staged batch -> audited publish reaches main
+    spark.sql(s"CREATE NAMESPACE $lake.wip")
+    spark.sql(s"INSERT INTO $lake.wip.t SELECT doc_id, text, n_chars FROM " +
+      s"parquet.`$sfDir/documents.parquet` WHERE doc_id >= 20 AND doc_id < 40")
+    spark.sql(s"CALL $lake.system.publish('t', 'wip', 'not_null:text')")
+    assert(cat.scan("t").count() == 40)
+    // drop_branch=false by default: the namespace is still there
+    assert(cat.listBranches().contains("wip"))
+
+    // dirty staged batch -> the CALL throws, main untouched, branch kept
+    spark.sql(s"CREATE NAMESPACE $lake.dirty")
+    spark.sql(s"INSERT INTO $lake.dirty.t " +
+      s"SELECT doc_id + 100, CAST(NULL AS STRING), n_chars FROM " +
+      s"parquet.`$sfDir/documents.parquet` WHERE doc_id < 5")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $lake.system.publish('t', 'dirty', 'not_null:text')")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("audit FAILED"), msgs(e))
+    assert(cat.scan("t").count() == 40, "a failed audit must publish nothing")
+    assert(cat.scan("t", "dirty").count() == 45, "branch kept for inspection")
+
+    // an empty check list is an unaudited merge: refused
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $lake.system.publish('t', 'dirty', '')")
+    }
+    assert(msgs(e2).contains("no checks"), msgs(e2))
+  }
 }
