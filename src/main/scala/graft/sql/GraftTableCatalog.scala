@@ -674,7 +674,8 @@ private class GraftScanBuilder(
     changes: Option[(String, String)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = t.schema()
   private var pushed: Array[sources.Filter] = Array.empty
@@ -702,6 +703,42 @@ private class GraftScanBuilder(
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** `ORDER BY <sort columns> LIMIT k` on a SORT-COMPACTED snapshot
+    * ([[graft.wap.Snapshot.sortOrder]]): the files sit in global range
+    * order, so the scan plans only the covering prefix (ascending) or
+    * suffix (descending) — one file for a small k on a 100 TB table.
+    * Accepted only when the ORDER BY is a prefix of the committed sort
+    * order, every key shares one direction, and null ordering is the
+    * direction's default (ASC NULLS FIRST / DESC NULLS LAST — the
+    * layout's own placement; any other null ordering would rank rows the
+    * prefix excludes above rows it holds). PARTIALLY pushed: Spark's own
+    * TopK re-sorts and trims, so over-delivery at file granularity and
+    * boundary ties stay correct. */
+  private var topN: Option[(Int, Boolean)] = None // (k, descending)
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, NamedReference}
+    if (pushed.nonEmpty || changes.isDefined || orders.isEmpty) return false
+    val snap = new BranchCatalog(SparkSession.active, t.root)
+      .snapshotMeta(t.tableName, t.snapshotId)
+    if (snap.sortOrder.isEmpty || snap.deleteManifests.nonEmpty) return false
+    if (orders.length > snap.sortOrder.length) return false
+    val cols = orders.map(_.expression()).map {
+      case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames().head)
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) return false
+    if (!cols.flatten.sameElements(snap.sortOrder.take(orders.length))) return false
+    val desc = orders.head.direction() == SortDirection.DESCENDING
+    val directionsOk = orders.forall(o =>
+      (o.direction() == SortDirection.DESCENDING) == desc &&
+        o.nullOrdering() == (if (desc) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST))
+    if (!directionsOk) return false
+    topN = Some((l, desc))
+    true
+  }
 
   /** GLOBAL COUNT(*)/COUNT(col)/MIN/MAX answered from per-manifest
     * metadata — O(manifests), zero data IO ([[BranchCatalog
@@ -790,7 +827,8 @@ private class GraftScanBuilder(
     * one-row [[GraftMetaAggScan]] instead. */
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftMetaAggScan(t, schema, values)
-    case None => new GraftBatchScan(t, required, pushed, maxFilesPerTrigger, changes, limit)
+    case None =>
+      new GraftBatchScan(t, required, pushed, maxFilesPerTrigger, changes, limit, topN)
   }
 }
 
@@ -859,7 +897,10 @@ private[sql] class GraftBatchScan(
     changes: Option[(String, String)] = None,
     /** Pushed LIMIT (unfiltered snapshot scans only): plan just a file
       * prefix covering this many rows. */
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    /** Pushed top-k on a sort-ordered snapshot: (k, descending) — plan
+      * the covering prefix/suffix in the committed sort order. */
+    topN: Option[(Int, Boolean)] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -884,7 +925,7 @@ private[sql] class GraftBatchScan(
     * exactly what Spark plans the join around. */
   private lazy val keyedPlan: Option[(Int, String,
       Array[org.apache.spark.sql.connector.read.InputPartition])] =
-    if (changes.isDefined || limit.isDefined || // a limited prefix is not the keyed set
+    if (changes.isDefined || limit.isDefined || topN.isDefined || // a covering prefix is not the keyed set
 
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
     else t.partitionSpecFmt.map(graft.wap.PartitionSpec.parse).collect {
@@ -986,14 +1027,17 @@ private[sql] class GraftBatchScan(
         .plannedChangedFiles(t.tableName, Some(from), to, cond))
     case None => keyedPlan match {
       case Some((_, _, parts)) => parts
-      case None => limit match {
+      case None => (limit, topN) match {
         // runtime filters narrow a limited scan too: once a DPP key set
         // arrives the prefix guarantee is void — and pending MOR
         // tombstones make row counts overcount — so both fall back to
-        // the full plan (Spark re-applies the limit above either way)
-        case Some(l) if runtime.isEmpty && morEpochs.isEmpty =>
+        // the full plan (Spark re-applies the limit/TopK above either way)
+        case (Some(l), _) if runtime.isEmpty && morEpochs.isEmpty =>
           GraftPartitions.binPack(spark,
             new BranchCatalog(spark, t.root).limitedFiles(t.tableName, t.snapshotId, l))
+        case (_, Some((k, desc))) if runtime.isEmpty && morEpochs.isEmpty =>
+          GraftPartitions.binPack(spark,
+            new BranchCatalog(spark, t.root).topNFiles(t.tableName, t.snapshotId, k, desc))
         case _ => planSnapshotPartitions()
       }
     }

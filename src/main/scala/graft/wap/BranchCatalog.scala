@@ -102,7 +102,16 @@ case class Snapshot(
       * takes max over both parents + 1, so it stays monotone along every
       * ancestry). Tombstone coverage compares manifest sequences against
       * it — see [[ManifestRef]]. 0 in pre-r8 metadata. */
-    seq: Long = 0L)
+    seq: Long = 0L,
+    /** Columns this snapshot's files are GLOBALLY sorted on (range-
+      * disjoint files in manifest order, rows sorted within each) — set
+      * ONLY by the unpartitioned [[BranchCatalog.compactDataFilesSorted]]
+      * rewrite, whose repartitionByRange layout guarantees it. Every
+      * other commit constructs its snapshot without the field, so any
+      * later append/DML conservatively clears it. Consumers: the
+      * connector's ORDER BY ... LIMIT (top-k) pushdown plans only the
+      * covering file prefix/suffix. */
+    sortOrder: Seq[String] = Nil)
 
 /** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
   * snapshot metadata alone. */
@@ -1445,6 +1454,31 @@ class BranchCatalog(
           remaining -= f.rows
         }
       }
+    }
+    out.result()
+  }
+
+  /** The covering file prefix (ascending) or suffix (descending) of a
+    * SORT-ORDERED snapshot for top-k pushdown: files sit in global range
+    * order ([[Snapshot.sortOrder]] contract), so the k best-ranked rows
+    * live in the first/last files covering k rows — `ORDER BY key LIMIT
+    * k` on a sort-compacted 100 TB table plans one file. Callers verify
+    * the snapshot's sortOrder matches the query's before asking. */
+  private[graft] def topNFiles(
+      table: String, snapshotId: String, k: Long,
+      descending: Boolean): Seq[(String, Long)] = {
+    val snap = loadSnapshot(table, snapshotId)
+    require(snap.deleteManifests.isEmpty,
+      s"snapshot $snapshotId of $table has pending MOR tombstones — no top-k pushdown")
+    val ordered = snap.manifests.flatMap(m => readManifest(m.path))
+    val walk = if (descending) ordered.reverse else ordered
+    val out = Seq.newBuilder[(String, Long)]
+    var remaining = k
+    val it = walk.iterator
+    while (remaining > 0 && it.hasNext) {
+      val f = it.next()
+      out += (f.path -> f.bytes)
+      remaining -= f.rows
     }
     out.result()
   }
@@ -3130,10 +3164,13 @@ class BranchCatalog(
     val rewritten = spec match {
       case None =>
         // range layout survives writeDataFiles (no further shuffle):
-        // one tight-ranged file per range partition
+        // one tight-ranged file per range partition. Manifest entries
+        // sort by part-file NAME (zero-padded index = range-partition
+        // order; filesystem listing order is unspecified) so manifest
+        // order IS global range order — the sortOrder contract below.
         writeTableFiles(table,
           data.repartitionByRange(targetFiles, cols: _*).sortWithinPartitions(cols: _*),
-          None)
+          None).sortBy(f => new Path(f.path).getName)
       case s @ Some(_) =>
         writeTableFiles(table, data, s, sortCols = clusterBy)
     }
@@ -3143,7 +3180,11 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
-        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
+        // only the UNPARTITIONED rewrite's range layout guarantees the
+        // global file order sortOrder promises (the partitioned rewrite
+        // sorts within partition VALUES, whose files interleave ranges)
+        sortOrder = if (spec.isEmpty) clusterBy else Nil)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }

@@ -71,4 +71,41 @@ class LimitPushdownSpec extends SparkSpecBase {
       assert(rows.forall(_.getLong(0) >= 150))
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
+
+  test("ORDER BY LIMIT on a sort-compacted table plans the covering prefix/suffix") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 160)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("n_chars")).as("v"))
+    cat.createTableIfNotExists("t", docs.schema)
+    for (r <- 0 until 4) cat.append("t", docs.filter(col("doc_id") % 4 === r))
+    cat.compactDataFilesSorted("t", Seq("doc_id"), targetFiles = 8)
+    assert(cat.snapshotMeta("t", cat.snapshotIdOf("t").get).sortOrder == Seq("doc_id"))
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val asc = spark.sql(s"SELECT doc_id FROM $lake.main.t ORDER BY doc_id LIMIT 5")
+      assert(plannedFiles(asc) == 1, s"ascending top-k should plan 1 file, got ${plannedFiles(asc)}")
+      assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+
+      val desc = spark.sql(s"SELECT doc_id FROM $lake.main.t ORDER BY doc_id DESC LIMIT 5")
+      assert(plannedFiles(desc) == 1, "descending top-k should plan 1 file (the suffix)")
+      assert(desc.collect().map(_.getLong(0)).toSeq == (159L to 155L by -1L))
+
+      // ORDER BY a non-sort column, or non-default null ordering: full plan
+      val other = spark.sql(s"SELECT doc_id FROM $lake.main.t ORDER BY v LIMIT 5")
+      assert(plannedFiles(other) == 8)
+      val nl = spark.sql(
+        s"SELECT doc_id FROM $lake.main.t ORDER BY doc_id ASC NULLS LAST LIMIT 5")
+      assert(plannedFiles(nl) == 8)
+      assert(nl.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+
+      // a later append clears the sort order: full plan, exact results
+      cat.append("t", Tables.documents(spark, sfDir)
+        .filter(col("doc_id") >= 160 && col("doc_id") < 170)
+        .select(col("doc_id"), col("n_chars").as("v")))
+      val after = spark.sql(s"SELECT doc_id FROM $lake.main.t ORDER BY doc_id DESC LIMIT 3")
+      assert(plannedFiles(after) == 9)
+      assert(after.collect().map(_.getLong(0)).toSeq == Seq(169L, 168L, 167L))
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
 }
