@@ -97,6 +97,68 @@ object WapQueries {
         lit(res.rowsDeleted).as("rows_deleted"))
   }
 
+  /** TAGS end-to-end (Nessie/Iceberg immutable refs): tag `v1` freezes
+    * the first batch, the table then advances (append + delete) and is
+    * EXPIRED — the tag must still read its exact frozen content because
+    * expiry treats tag pins as live. Gates: tag reads at both points,
+    * the head after mutation, a write-to-tag refusal, and tag survival
+    * across expireSnapshots. Oracle: the frozen slices in plain SQL. */
+  def wapTags(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-tags").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.createTag("v1")
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    cat.createTag("v2")
+    cat.deleteWhere("documents", col("doc_id") < 40)
+    cat.expireSnapshots("documents")
+
+    val tagRefused =
+      try { cat.append("documents", docs.limit(1), "v1"); false }
+      catch { case e: Exception => e.getMessage.contains("no branch") }
+
+    cat.scanTag("documents", "v1").agg(
+      count(lit(1)).as("v1_rows"),
+      sum(col("n_chars")).cast("long").as("v1_chars"))
+      .crossJoin(cat.scanTag("documents", "v2").agg(count(lit(1)).as("v2_rows")))
+      .crossJoin(cat.scan("documents", "main").agg(count(lit(1)).as("head_rows")))
+      .select(col("v1_rows"), col("v1_chars"), col("v2_rows"), col("head_rows"),
+        lit(tagRefused).as("tag_write_refused"))
+  }
+
+  /** METADATA-ONLY delete end-to-end (the Iceberg metadata-delete shape):
+    * three single-file appends with disjoint id ranges, then a branch
+    * delete whose predicate fully covers the first file and half of the
+    * second — the first file must DROP from its manifest without being
+    * read (files_dropped = 1), only the boundary file pays a rewrite
+    * (files_rewritten = 1). Hash-equality proves both the surviving
+    * content and the tier split: a delete that silently rewrote
+    * everything (or dropped a file it could not prove) changes the gate
+    * columns. At 100 TB this is the difference between dropping a day
+    * partition as a manifest edit and rewriting a day of data. */
+  def wapMetaDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-mdel").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 80).repartition(1))
+    cat.append("documents", docs.filter(col("doc_id") >= 80 && col("doc_id") < 160).repartition(1))
+    cat.append("documents", docs.filter(col("doc_id") >= 160).repartition(1))
+    cat.createBranch("gdpr")
+    val res = cat.deleteWhere("documents", col("doc_id") < 120, "gdpr")
+    cat.merge("gdpr")
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      min(col("doc_id")).as("min_id"))
+      .select(col("n_rows"), col("sum_chars"), col("min_id"),
+        lit(res.rowsDeleted).as("rows_deleted"),
+        lit(res.filesDropped).as("files_dropped"),
+        lit(res.filesRewritten).as("files_rewritten"))
+  }
+
   /** Copy-on-write update end-to-end: bump n_chars for a stats-prunable
     * id range on a branch, publish via merge, report per-range sums.
     * Oracle: plain SQL applying the same SET arithmetic. */

@@ -167,12 +167,17 @@ object GraftDmlLowering {
     GraftMergeCommand(t, m.sourceTable, keys, matched ++ notMatched)
   }
 
-  private[sql] def requireDmlWritable(t: GraftTable, op: String): Unit =
+  private[sql] def requireDmlWritable(t: GraftTable, op: String): Unit = {
+    if (t.isTag)
+      throw new IllegalArgumentException(
+        s"SQL $op on ${t.tableName}@${t.branch} refused: ${t.branch} is a TAG — " +
+          "tags are immutable release points; run the DML on a branch and re-tag")
     if (t.branch == "main" && !t.mainWritesAllowed)
       throw new IllegalArgumentException(
         s"SQL $op on ${t.tableName}@main is disabled: main only changes through " +
           "write-audit-publish (run it on a branch namespace and publish, or " +
           "set spark.sql.catalog.<name>.write.main=true)")
+  }
 }
 
 /** Eager `UPDATE` over a catalog table: runs

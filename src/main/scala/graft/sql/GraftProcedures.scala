@@ -42,7 +42,7 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
-      "publish")
+      "publish", "create_tag", "drop_tag")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -134,6 +134,20 @@ object GraftProcedures {
             "nothing published, branch left for inspection: " +
             res.report.checks.filterNot(_.passed)
               .map(c => s"${c.name} (${c.violations} violations)").mkString(", "))
+      }
+    case "create_tag" =>
+      // freeze the branch's current table map as an IMMUTABLE named ref
+      // (metadata-only): readable as a namespace (`SELECT ... FROM
+      // <cat>.<tag>.t`) or by `VERSION AS OF '<tag>'`, pinned against
+      // snapshot expiry until dropped
+      procedure(root, name, Array(
+        param("tag", StringType),
+        param("from", StringType, "'main'"))) { (cat, args) =>
+        cat.createTag(args.getString(0), args.getString(1))
+      }
+    case "drop_tag" =>
+      procedure(root, name, Array(param("tag", StringType))) { (cat, args) =>
+        cat.dropTag(args.getString(0))
       }
     case other =>
       throw new UnsupportedOperationException(

@@ -45,17 +45,25 @@ object GraftRuntimePrune {
     spark.conf.set(s"spark.sql.catalog.$lake", classOf[GraftTableCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
 
-    // ---- e2e: SQL star join plants a runtime filter on the batch scan
+    // Both legs run with storage-partitioned-join bucketing DISABLED:
+    // this query tests the runtime-pruning path, which by design serves
+    // every scan that is NOT keyed (W45 keyed scans report their
+    // partition set to the join planner and must not shift under
+    // runtime re-pruning, so they opt out). Under Spark 4.x the
+    // bucketing conf defaults ON, which would make this fully-covered
+    // bucket table plan keyed and test nothing.
     val saved = Seq(
       "spark.graft.sql.lowering",
+      "spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.optimizer.dynamicPartitionPruning.useStats",
       "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
       .map(k => k -> spark.conf.getOption(k)).toMap
-    val (nRows, sumChars, dppPlanned) =
+    val (nRows, sumChars, dppPlanned, planBefore, planAfter, nKeys) =
       try {
         // connector path (no lowering to a V1 file relation) + a benefit
         // heuristic that does not depend on tiny-test-table stats
         spark.conf.set("spark.graft.sql.lowering", "false")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
         val q = spark.sql(
@@ -66,26 +74,26 @@ object GraftRuntimePrune {
              |ON f.doc_id = d.doc_id""".stripMargin)
         val row = q.collect().head
         val planted = q.queryExecution.executedPlan.toString.contains("dynamicpruning")
-        (row.getLong(0), row.getLong(1), planted)
+
+        // ---- scan-level: the exact call BatchScanExec makes at runtime
+        val snap = cat.snapshotIdOf("fact", "main").get
+        val table = GraftTable(tmp, "main", "fact", snap, fact.schema,
+          partitionSpecFmt = Some(spec.format))
+        val scan = new GraftScanBuilder(table).build().asInstanceOf[GraftBatchScan]
+        def nFiles(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Long =
+          ps.map { case GraftFilesPartition(fs) => fs.size.toLong case _ => 0L }.sum
+        val before = nFiles(scan.planInputPartitions())
+        val keys = Seq(3L, 19L, 35L, 51L)
+        scan.filter(Array(new Predicate("IN",
+          (Expressions.column("doc_id") +:
+            keys.map(k => Expressions.literal(k): org.apache.spark.sql.connector
+              .expressions.Expression)).toArray)))
+        val after = nFiles(scan.planInputPartitions())
+        (row.getLong(0), row.getLong(1), planted, before, after, keys.size)
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
-
-    // ---- scan-level: the exact call BatchScanExec makes at runtime
-    val snap = cat.snapshotIdOf("fact", "main").get
-    val table = GraftTable(tmp, "main", "fact", snap, fact.schema,
-      partitionSpecFmt = Some(spec.format))
-    val scan = new GraftScanBuilder(table).build().asInstanceOf[GraftBatchScan]
-    def nFiles(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Long =
-      ps.map { case GraftFilesPartition(fs) => fs.size.toLong case _ => 0L }.sum
-    val planBefore = nFiles(scan.planInputPartitions())
-    val keys = Seq(3L, 19L, 35L, 51L)
-    scan.filter(Array(new Predicate("IN",
-      (Expressions.column("doc_id") +:
-        keys.map(k => Expressions.literal(k): org.apache.spark.sql.connector
-          .expressions.Expression)).toArray)))
-    val planAfter = nFiles(scan.planInputPartitions())
 
     // the result below is fully materialized driver-side values, so the
     // per-run catalog confs and temp lake can go now (Bench runs this
@@ -106,7 +114,7 @@ object GraftRuntimePrune {
 
     import spark.implicits._
     Seq((nRows, sumChars, filesBefore,
-      planBefore == filesBefore && planAfter < planBefore && planAfter <= keys.size,
+      planBefore == filesBefore && planAfter < planBefore && planAfter <= nKeys,
       dppPlanned))
       .toDF("n_rows", "sum_chars", "files_before", "pruned", "dpp_planned")
   }

@@ -80,19 +80,35 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   private def spark: SparkSession = SparkSession.active
   private def cat: BranchCatalog = new BranchCatalog(spark, root)
 
+  /** The namespace as a BRANCH name. Every read path that supports tags
+    * resolves them before calling this, so a tag name arriving here is a
+    * mutation (CREATE/DROP/ALTER/RENAME/write) or branch-only op on a
+    * frozen ref — refuse it by name rather than let BranchCatalog throw
+    * a confusing "no branch". */
   private def branchOf(ns: Array[String]): String = ns match {
     case Array() => "main"
-    case Array(b) => b
+    case Array(b) =>
+      require(!cat.listTags().contains(b),
+        s"$b is a TAG namespace (immutable, read-only) — this operation needs a branch")
+      b
     case other => throw new IllegalArgumentException(
       s"graft namespaces are single-level branches, got ${other.mkString(".")}")
   }
 
-  // ---- namespaces = branches ---------------------------------------------
+  // ---- namespaces = branches (mutable) + tags (immutable) ----------------
 
   override def defaultNamespace(): Array[String] = Array("main")
 
+  /** True when the single-level namespace names a TAG, not a branch —
+    * reads resolve through the tag's pinned table map, writes refuse. */
+  private def tagOf(ns: Array[String]): Option[String] =
+    ns match {
+      case Array(t) if cat.listTags().contains(t) => Some(t)
+      case _ => None
+    }
+
   override def listNamespaces(): Array[Array[String]] =
-    cat.listBranches().map(Array(_)).toArray
+    (cat.listBranches() ++ cat.listTags()).sorted.map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -101,13 +117,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       catalogName +: namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && cat.listBranches().contains(namespace.head)
+    namespace.length == 1 &&
+      (cat.listBranches().contains(namespace.head) ||
+        cat.listTags().contains(namespace.head))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         catalogName +: namespace)
-    Map("branch" -> namespace.head).asJava
+    tagOf(namespace) match {
+      case Some(t) => Map("tag" -> t, "immutable" -> "true").asJava
+      case None => Map("branch" -> namespace.head).asJava
+    }
   }
 
   /** CREATE NAMESPACE = zero-copy branch from main. */
@@ -120,6 +141,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("graft branches carry no mutable metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    tagOf(namespace).foreach { t =>
+      // dropping a tag releases its expiry pin — an explicit, named act
+      throw new UnsupportedOperationException(
+        s"$t is a tag — drop it with CALL $catalogName.system.drop_tag('$t')")
+    }
     val b = branchOf(namespace)
     if (!cat.listBranches().contains(b)) return false
     require(cascade || cat.listTables(b).isEmpty,
@@ -131,24 +157,41 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   // ---- tables -------------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    cat.listTables(branchOf(namespace)).map(Identifier.of(namespace, _)).toArray
+    tagOf(namespace) match {
+      case Some(t) =>
+        cat.tagTables(t).keys.toSeq.sorted.map(Identifier.of(namespace, _)).toArray
+      case None =>
+        cat.listTables(branchOf(namespace)).map(Identifier.of(namespace, _)).toArray
+    }
 
   override def tableExists(ident: Identifier): Boolean =
-    cat.tableExists(ident.name(), branchOf(ident.namespace()))
+    tagOf(ident.namespace()) match {
+      case Some(t) => cat.tagTables(t).contains(ident.name())
+      case None => cat.tableExists(ident.name(), branchOf(ident.namespace()))
+    }
+
+  /** table -> pinned snapshot resolution for one namespace: a branch
+    * resolves its HEAD, a tag its frozen pointer. */
+  private def snapshotIn(ns: Array[String], table: String): Option[(String, String, Boolean)] =
+    tagOf(ns) match {
+      case Some(t) => cat.tagTables(t).get(table).map(id => (t, id, true))
+      case None =>
+        val b = branchOf(ns)
+        cat.snapshotIdOf(table, b).map(id => (b, id, false))
+    }
 
   override def loadTable(ident: Identifier): Table = {
-    val branch = branchOf(ident.namespace())
     GraftMetadataTable.kindOf(ident.name()) match {
       case Some((base, kind)) => // `t$snapshots` / `t$files` / `t$history`
-        val id = cat.snapshotIdOf(base, branch).getOrElse(
+        val (ref, id, _) = snapshotIn(ident.namespace(), base).getOrElse(
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            Array(catalogName, branch, ident.name())))
-        GraftMetadataTable(root, branch, base, kind, id)
+            Array(catalogName, ident.namespace().mkString("."), ident.name())))
+        GraftMetadataTable(root, ref, base, kind, id)
       case None =>
-        val id = cat.snapshotIdOf(ident.name(), branch).getOrElse(
+        val (ref, id, isTag) = snapshotIn(ident.namespace(), ident.name()).getOrElse(
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            Array(catalogName, branch, ident.name())))
-        table(ident, branch, id)
+            Array(catalogName, ident.namespace().mkString("."), ident.name())))
+        table(ident, ref, id, isTag)
     }
   }
 
@@ -158,10 +201,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         s"metadata table ${ident.name()} does not support time travel — " +
           "query the BASE table with VERSION/TIMESTAMP AS OF instead")
 
-  /** SQL `VERSION AS OF '<snapshot-id>'`. */
+  /** SQL `VERSION AS OF '<snapshot-id-or-tag>'`: a version string naming
+    * a TAG resolves to that tag's pinned snapshot of the table (Iceberg
+    * `VERSION AS OF 'tag'` semantics — time travel by release name);
+    * anything else is treated as a literal snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table = {
     refuseMetaTimeTravel(ident)
-    table(ident, branchOf(ident.namespace()), version)
+    if (cat.listTags().contains(version)) {
+      val id = cat.tagTables(version).getOrElse(ident.name(),
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Array(catalogName, version, ident.name())))
+      table(ident, version, id, isTag = true)
+    } else table(ident, branchOf(ident.namespace()), version)
   }
 
   /** SQL `TIMESTAMP AS OF ...` — Spark hands MICROseconds since epoch;
@@ -174,10 +225,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     table(ident, branch, id)
   }
 
-  private def table(ident: Identifier, branch: String, snapshotId: String): GraftTable = {
+  private def table(ident: Identifier, branch: String, snapshotId: String,
+      isTag: Boolean = false): GraftTable = {
     val snap = cat.snapshotMeta(ident.name(), snapshotId)
     GraftTable(root, branch, ident.name(), snapshotId,
-      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec)
+      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec, isTag)
   }
 
   /** SQL writes land on BRANCHES by default: `INSERT INTO <cat>.main.t`
@@ -398,7 +450,11 @@ case class GraftTable(
     /** Serialized hidden-partition spec of the pinned snapshot (e.g.
       * "bucket(8,doc_id)") — surfaces through [[partitioning]] and
       * routes SQL inserts through `appendPartitioned`. */
-    partitionSpecFmt: Option[String] = None)
+    partitionSpecFmt: Option[String] = None,
+    /** True when `branch` is actually an IMMUTABLE tag
+      * ([[graft.wap.BranchCatalog.createTag]]): reads are the ordinary
+      * pinned-snapshot plan, every write/DML/streaming path refuses. */
+    isTag: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$branch.$tableName"
@@ -441,11 +497,15 @@ case class GraftTable(
       from.map(f => (f, to.getOrElse(snapshotId))))
   }
 
-  private def requireWritable(op: String): Unit =
+  private def requireWritable(op: String): Unit = {
+    require(!isTag,
+      s"SQL $op on $tableName@$branch refused: $branch is a TAG — tags are " +
+        "immutable release points; write to a branch and re-tag instead")
     require(branch != "main" || mainWritesAllowed,
       s"SQL $op on $tableName@main is disabled: main only changes through " +
         "write-audit-publish (run it on a branch namespace and publish, or " +
         "set spark.sql.catalog.<name>.write.main=true)")
+  }
 
   /** `DELETE FROM` — lowered onto the copy-on-write
     * [[BranchCatalog.deleteWhere]] (stats-bounded file rewrite), under
@@ -927,7 +987,14 @@ private[sql] class GraftBatchScan(
       Array[org.apache.spark.sql.connector.read.InputPartition])] =
     if (changes.isDefined || limit.isDefined || topN.isDefined || // a covering prefix is not the keyed set
 
-        !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
+        // the conf's REGISTERED default (true on Spark 4.x), not a local
+        // "false" override: `get(key, "false")` ignores the registered
+        // default for unset keys, so a save/restore that materializes
+        // the default as an explicit value (conf.getOption resolves
+        // defaults) would silently FLIP this decision between otherwise
+        // identical sessions — the r11 wap_spj-then-wap_runtime_prune
+        // ordering bug. One consistent read: Spark's default governs.
+        !spark.conf.get("spark.sql.sources.v2.bucketing.enabled").toBoolean) None
     else t.partitionSpecFmt.map(graft.wap.PartitionSpec.parse).collect {
       case graft.wap.BucketPartition(n, c) => (n, c)
     }.flatMap { case (n, colName) =>
@@ -1102,6 +1169,9 @@ private[sql] class GraftBatchScan(
 
   /** `spark.readStream.table(...)` — see [[GraftMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!t.isTag,
+      s"readStream on ${t.tableName}@${t.branch} refused: ${t.branch} is a TAG " +
+        "(immutable — it never produces new commits); stream from a branch")
     require(changes.isEmpty,
       "graft.changes.from is a BATCH window option; readStream.table is " +
         "incremental by construction (snapshot offsets) — drop the option")

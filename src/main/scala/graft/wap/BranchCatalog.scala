@@ -131,10 +131,15 @@ case class BranchState(tables: Map[String, String], baseOfMain: Map[String, Stri
 case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
 
 /** What one deleteWhere commit did. Top-level (not nested in the catalog)
-  * so results compare equal across catalog instances. */
+  * so results compare equal across catalog instances. `filesDropped` is
+  * the METADATA-ONLY tier: files whose footer stats PROVED every row
+  * matched the predicate, removed from their manifests without ever being
+  * read (Iceberg's metadata delete — dropping a whole day's partition on
+  * a 100 TB table is O(manifests), zero data IO). */
 case class DeleteResult(
     snapshot: Snapshot, rowsDeleted: Long,
-    filesRewritten: Long, filesUntouched: Long)
+    filesRewritten: Long, filesUntouched: Long,
+    filesDropped: Long = 0L)
 
 /** What one updateWhere commit did (same top-level rationale). */
 case class UpdateResult(
@@ -217,7 +222,15 @@ case class Refs(version: Long, branches: Map[String, BranchState],
       * visible?" are one atomic fact — the exactly-once backbone of
       * [[graft.sql.GraftStreamingWrite]]. One ~50-byte entry per stream
       * query lifetime (epochs within a query overwrite via max). */
-    streamEpochs: Map[String, Long] = Map.empty)
+    streamEpochs: Map[String, Long] = Map.empty,
+    /** IMMUTABLE named refs (Nessie/Iceberg tags): tag -> (table ->
+      * snapshot id), frozen at [[BranchCatalog.createTag]] time. Unlike a
+      * branch a tag never advances — no append/DML/merge path accepts
+      * one — so it is a durable audit point ("the data release we
+      * trained v3 on") that [[BranchCatalog.expireSnapshots]] keeps
+      * readable forever at zero storage cost beyond the files it pins.
+      * Absent in pre-r11 refs JSON (json4s fills the default). */
+    tags: Map[String, Map[String, String]] = Map.empty)
 
 /** Git-like branch-versioned table catalog over parquet + JSON metadata —
   * the Spark-native re-expression of the reference's Nessie+PyIceberg
@@ -702,6 +715,8 @@ class BranchCatalog(
   def createBranch(branch: String, from: String = "main"): Unit =
     commitRefs { refs =>
       require(!refs.branches.contains(branch), s"branch $branch exists")
+      require(!refs.tags.contains(branch),
+        s"$branch is a tag — branch and tag names share one namespace")
       val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
       refs.copy(branches = refs.branches.updated(branch, BranchState(src.tables, src.tables)))
     }
@@ -711,6 +726,42 @@ class BranchCatalog(
     require(branch != "main", "refusing to drop main")
     commitRefs(refs => refs.copy(branches = refs.branches - branch))
   }
+
+  /** Create an IMMUTABLE tag pinning every table of `from` at its
+    * current snapshot (Nessie/Iceberg tag semantics): a zero-copy,
+    * metadata-only release point. Tags share the ref namespace with
+    * branches (a scan/SQL namespace must resolve unambiguously) and
+    * never advance — there is no write path that accepts one. */
+  def createTag(tag: String, from: String = "main"): Unit =
+    commitRefs { refs =>
+      require(!refs.tags.contains(tag), s"tag $tag exists")
+      require(!refs.branches.contains(tag),
+        s"$tag is a branch — branch and tag names share one namespace")
+      val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
+      refs.copy(tags = refs.tags.updated(tag, src.tables))
+    }
+
+  def dropTag(tag: String): Unit =
+    commitRefs { refs =>
+      require(refs.tags.contains(tag), s"no tag $tag")
+      refs.copy(tags = refs.tags - tag)
+    }
+
+  def listTags(): Seq[String] = currentRefs().tags.keys.toSeq.sorted
+
+  /** The tables a tag pins: table -> snapshot id. */
+  def tagTables(tag: String): Map[String, String] =
+    currentRefs().tags.getOrElse(tag, sys.error(s"no tag $tag"))
+
+  def snapshotIdAtTag(table: String, tag: String): Option[String] =
+    tagTables(tag).get(table)
+
+  /** Scan a table as pinned by a tag (time travel by release name). */
+  def scanTag(table: String, tag: String,
+      filter: Option[Column] = None): DataFrame =
+    scanSnapshot(table,
+      snapshotIdAtTag(table, tag).getOrElse(sys.error(s"tag $tag has no table $table")),
+      filter)
 
   /** reference app.py:178-199 append_rows_to_table_in_branch: write the
     * batch as new immutable files, commit ONE new manifest + a child
@@ -1666,6 +1717,94 @@ class BranchCatalog(
     }
   }
 
+  /** Attribute under an INTEGRAL-WIDENING cast chain only (byte -> short
+    * -> int -> long: injective and monotone, so a comparison decided on
+    * the widened value is decided identically on the stored value). Any
+    * other cast shape returns None — unlike [[stripCast]] (sound for the
+    * may-match direction, where a wrong strip merely keeps a file), the
+    * all-match proof must refuse it. */
+  private def widenedAttr(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case c: Cast =>
+      val rank = Map[DataType, Int](
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      val from = try rank.get(c.child.dataType) catch { case _: Exception => None }
+      (from, rank.get(c.dataType)) match {
+        case (Some(f0), Some(t0)) if f0 <= t0 => widenedAttr(c.child)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Dual of [[mayMatch]]: true ONLY when footer stats PROVE every row of
+    * the file satisfies `p` — the license for a metadata-only delete
+    * ([[deleteWhere]] drops the file from its manifest without reading
+    * it). Sound under stat truncation because bounds are conservative
+    * (lower <= all values <= upper): `upper <= lit` still proves
+    * "all <= lit" however inflated the stored upper is. Refusals, each a
+    * soundness requirement, never an optimization: float/double columns
+    * (footer bounds exclude NaN, which Spark orders above everything, so
+    * in-range bounds cannot prove NaN rows match), any cast that is not
+    * an integral widening, any column with nulls (a NULL comparison is
+    * not TRUE, so SQL DELETE keeps the row), mixed string/numeric type
+    * pairs, and any file missing a needed stat. A refused file simply
+    * falls to the copy-on-write rewrite tier — correctness never depends
+    * on this proof firing. */
+  private def allRowsMatch(f: DataFileMeta, p: Expression, schema: StructType): Boolean = {
+    if (f.rows == 0) return true
+    def dtOf(name: String): Option[DataType] = schema.fields.find(_.name == name).map(_.dataType)
+    def noNulls(name: String): Boolean = f.nullCounts.get(name).contains(0L)
+    val intTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def provablePair(colDt: DataType, litDt: DataType): Boolean =
+      (intTypes.contains(colDt) && intTypes.contains(litDt)) ||
+        (colDt == litDt && (colDt == StringType || colDt == DateType ||
+          colDt == TimestampType || colDt == TimestampNTZType))
+    def leafProved(e: Expression): Boolean = {
+      val cmp: Option[(String, String, Literal)] = e match {
+        case EqualTo(a, FoldedLit(l)) => widenedAttr(a).map((_, "=", l))
+        case EqualTo(FoldedLit(l), a) => widenedAttr(a).map((_, "=", l))
+        case GreaterThan(a, FoldedLit(l)) => widenedAttr(a).map((_, ">", l))
+        case GreaterThan(FoldedLit(l), a) => widenedAttr(a).map((_, "<", l))
+        case GreaterThanOrEqual(a, FoldedLit(l)) => widenedAttr(a).map((_, ">=", l))
+        case GreaterThanOrEqual(FoldedLit(l), a) => widenedAttr(a).map((_, "<=", l))
+        case LessThan(a, FoldedLit(l)) => widenedAttr(a).map((_, "<", l))
+        case LessThan(FoldedLit(l), a) => widenedAttr(a).map((_, ">", l))
+        case LessThanOrEqual(a, FoldedLit(l)) => widenedAttr(a).map((_, "<=", l))
+        case LessThanOrEqual(FoldedLit(l), a) => widenedAttr(a).map((_, ">=", l))
+        case _ => None
+      }
+      cmp.exists { case (name, op, l) =>
+        l.value != null && noNulls(name) && dtOf(name).exists { colDt =>
+          provablePair(colDt, l.dataType) && {
+            val lo = f.lower.get(name)
+            val hi = f.upper.get(name)
+            op match {
+              case "=" =>
+                lo.flatMap(cmpStat(_, l, l.dataType)).contains(0) &&
+                  hi.flatMap(cmpStat(_, l, l.dataType)).contains(0)
+              case ">" => lo.flatMap(cmpStat(_, l, l.dataType)).exists(_ > 0)
+              case ">=" => lo.flatMap(cmpStat(_, l, l.dataType)).exists(_ >= 0)
+              case "<" => hi.flatMap(cmpStat(_, l, l.dataType)).exists(_ < 0)
+              case "<=" => hi.flatMap(cmpStat(_, l, l.dataType)).exists(_ <= 0)
+              case _ => false
+            }
+          }
+        }
+      }
+    }
+    p match {
+      case Literal(true, BooleanType) => true // DELETE WHERE true = truncate
+      case And(l, r) => allRowsMatch(f, l, schema) && allRowsMatch(f, r, schema)
+      case Or(l, r) => allRowsMatch(f, l, schema) || allRowsMatch(f, r, schema)
+      case In(a, vs) if vs.forall(_.foldable) =>
+        vs.exists(v => allRowsMatch(f, EqualTo(a, v), schema))
+      case IsNull(a: AttributeReference) => f.nullCounts.get(a.name).contains(f.rows)
+      case IsNotNull(a: AttributeReference) => noNulls(a.name)
+      case leaf => leafProved(leaf)
+    }
+  }
+
   /** reference app.py:302 catalog.merge(branch, 'main'): TRUE 3-way merge
     * at MANIFEST granularity — relative to the branch's fork base, the
     * manifests the branch ADDED are appended onto the target's current
@@ -2492,7 +2631,16 @@ class BranchCatalog(
     * branch delete with [[merge]], which carries manifest removals.
     * Planning reads manifests driver-side (the affected set must reach
     * the driver to be rewritten anyway — the same shape as Iceberg's
-    * copy-on-write RewriteFiles planning). */
+    * copy-on-write RewriteFiles planning).
+    *
+    * TWO-TIER: before any rewrite, each affected file is tested against
+    * the [[allRowsMatch]] sufficiency proof — footer stats proving EVERY
+    * row matches drop the file from its manifest metadata-only, never
+    * read (Iceberg's metadata delete). `DELETE FROM t WHERE ts <
+    * '2024-01-02'` on a day-clustered 100 TB table is then O(manifests):
+    * whole days vanish as manifest edits, only the boundary files (and
+    * files the proof must refuse — nulls, floats, partial ranges) pay
+    * the copy-on-write read+rewrite. */
   def deleteWhere(table: String, cond: Column, branch: String = "main"): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
@@ -2500,34 +2648,48 @@ class BranchCatalog(
     val schema = StructType.fromDDL(cur.schemaDdl)
     val spec = cur.partitionSpec.map(PartitionSpec.parse)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
-    // per-manifest split so untouched manifests survive by reference
+    val resolved = resolvePredicate(cond, schema)
+    // per-manifest split so untouched manifests survive by reference;
+    // affected files split again into provably-all-match (metadata-only
+    // drop) vs maybe-match (copy-on-write rewrite)
     val perManifest = cur.manifests.map { m =>
       val files = readManifest(m.path)
       val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
-      val affectedPaths = affected.map(_.path).toSet
-      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      val (dropped, rewrite) = resolved match {
+        case Some(pred) => affected.partition(f => allRowsMatch(f, pred, schema))
+        case None => (Seq.empty[DataFileMeta], affected)
+      }
+      val touched = affected.map(_.path).toSet
+      (m, dropped, rewrite, files.filterNot(f => touched.contains(f.path)))
     }
-    val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+    val droppedFiles = perManifest.flatMap { case (_, d, _, _) => d }
+    val rewriteFiles = perManifest.flatMap { case (_, _, r, _) => r }
     val totalFiles = cur.manifests.map(_.fileCount).sum
-    if (affectedFiles.isEmpty)
+    if (droppedFiles.isEmpty && rewriteFiles.isEmpty)
       return DeleteResult(cur, 0L, 0L, totalFiles)
 
-    val survivors = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
-      .filter(not(coalesce(cond, lit(false))))
-    val rewritten = writeTableFiles(table, survivors, spec)
-    val (kept, empty) = rewritten.partition(_.rows > 0)
-    // 0-row part files are ours and uncommitted — drop them now, they
-    // would otherwise be invisible to orphan GC (never in any manifest)
-    empty.foreach(f => fs.delete(new Path(f.path), false))
+    val kept =
+      if (rewriteFiles.isEmpty) Seq.empty[DataFileMeta]
+      else {
+        val survivors = spark.read.schema(schema).parquet(rewriteFiles.map(_.path): _*)
+          .filter(not(coalesce(cond, lit(false))))
+        val rewritten = writeTableFiles(table, survivors, spec)
+        val (k, empty) = rewritten.partition(_.rows > 0)
+        // 0-row part files are ours and uncommitted — drop them now, they
+        // would otherwise be invisible to orphan GC (never in any manifest)
+        empty.foreach(f => fs.delete(new Path(f.path), false))
+        k
+      }
 
     val newSeq = cur.seq + 1
     val newManifests =
-      perManifest.flatMap { case (m, affected, untouched) =>
-        if (affected.isEmpty) Some(m)
+      perManifest.flatMap { case (m, dropped, rewrite, untouched) =>
+        if (dropped.isEmpty && rewrite.isEmpty) Some(m)
         else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
         else None
       } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept, schema).copy(seq = newSeq)) else Seq.empty)
-    val rowsDeleted = affectedFiles.map(_.rows).sum - kept.map(_.rows).sum
+    val rowsDeleted =
+      droppedFiles.map(_.rows).sum + rewriteFiles.map(_.rows).sum - kept.map(_.rows).sum
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -2542,7 +2704,9 @@ class BranchCatalog(
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     DeleteResult(committed, rowsDeleted,
-      affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+      rewriteFiles.size.toLong,
+      totalFiles - rewriteFiles.size - droppedFiles.size,
+      droppedFiles.size.toLong)
   }
 
   /** Row-level UPDATE, copy-on-write — the planning shape of
@@ -3260,10 +3424,11 @@ class BranchCatalog(
     val refs = currentRefs()
     // every branch head AND every branch's fork base stays live: merge()
     // and scanBranchDelta() on a branch forked before the expiry must
-    // still be able to load its baseOfMain snapshot
+    // still be able to load its baseOfMain snapshot. Tags pin their
+    // snapshots for as long as the tag exists — that is their purpose.
     val liveIds = refs.branches.values
       .flatMap(b => b.tables.get(table).toSeq ++ b.baseOfMain.get(table).toSeq)
-      .toSet ++ keepIds
+      .toSet ++ refs.tags.values.flatMap(_.get(table)) ++ keepIds
     val metaDir = new Path(rootPath, s"tables/$table/meta")
     if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
 

@@ -1135,4 +1135,55 @@ class SqlCatalogSpec extends SparkSpecBase {
     }
     assert(msgs(e2).contains("no checks"), msgs(e2))
   }
+
+  test("tags through SQL: read-only namespaces, VERSION AS OF by name, procedures") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars"))
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 40))
+    spark.sql(s"CALL $lake.system.create_tag('rel1')")
+    cat.append("t", docs.filter(col("doc_id") >= 40))
+
+    // a tag namespace reads the frozen state; the branch reads the head;
+    // VERSION AS OF resolves the tag by NAME on the branch namespace
+    assert(spark.sql(s"SELECT count(*) FROM $lake.rel1.t").head.getLong(0) == 40)
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t VERSION AS OF 'rel1'")
+      .head.getLong(0) == 40)
+    // SHOW NAMESPACES lists the tag; SHOW TABLES works inside it;
+    // metadata tables resolve through it
+    assert(spark.sql(s"SHOW NAMESPACES IN $lake").collect().map(_.getString(0)).contains("rel1"))
+    assert(spark.sql(s"SHOW TABLES IN $lake.rel1").collect().map(_.getString(1)).contains("t"))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.rel1.`t$$files`").head.getLong(0) >= 1)
+
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // every mutation path refuses the tag BY NAME
+    val ins = intercept[Exception](
+      spark.sql(s"INSERT INTO $lake.rel1.t VALUES (999, 1)"))
+    assert(msgs(ins).contains("TAG"), msgs(ins))
+    val upd = intercept[Exception](
+      spark.sql(s"UPDATE $lake.rel1.t SET n_chars = 0 WHERE doc_id = 1"))
+    assert(msgs(upd).contains("TAG"), msgs(upd))
+    val del = intercept[Exception](
+      spark.sql(s"DELETE FROM $lake.rel1.t WHERE doc_id = 1"))
+    assert(msgs(del).contains("TAG"), msgs(del))
+    val drop = intercept[Exception](spark.sql(s"DROP NAMESPACE $lake.rel1"))
+    assert(msgs(drop).contains("drop_tag"), msgs(drop))
+    val ddl = intercept[Exception](
+      spark.sql(s"CREATE TABLE $lake.rel1.t2 (a BIGINT)"))
+    assert(msgs(ddl).contains("TAG"), msgs(ddl))
+
+    // expiry never reclaims what a tag pins, even after branch rewrites
+    cat.deleteWhere("t", col("doc_id") < 20, "main")
+    cat.expireSnapshots("t")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.rel1.t").head.getLong(0) == 40)
+
+    // drop_tag releases the namespace
+    spark.sql(s"CALL $lake.system.drop_tag('rel1')")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $lake").collect()
+      .map(_.getString(0)).contains("rel1"))
+    intercept[Exception](spark.sql(s"SELECT count(*) FROM $lake.rel1.t").collect())
+  }
 }

@@ -958,6 +958,137 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
   }
 
+  test("tags: immutable refs pin snapshots against expiry; names share the branch namespace") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50))
+    cat.createTag("v1")
+    cat.append("t", docs.filter(col("doc_id") >= 50))
+    cat.createTag("v2")
+    cat.deleteWhere("t", col("doc_id") < 30)
+
+    assert(cat.listTags() == Seq("v1", "v2"))
+    assert(cat.scanTag("t", "v1").count() == 50)
+    assert(cat.scanTag("t", "v2").count() == 100)
+    assert(cat.scan("t").count() == 70)
+
+    // one ref namespace: a tag name cannot become a branch or vice versa
+    assert(intercept[IllegalArgumentException](cat.createBranch("v1"))
+      .getMessage.contains("tag"))
+    cat.createBranch("dev")
+    assert(intercept[IllegalArgumentException](cat.createTag("dev"))
+      .getMessage.contains("branch"))
+    assert(intercept[IllegalArgumentException](cat.createTag("v1"))
+      .getMessage.contains("exists"))
+
+    // expiry keeps everything a tag pins: both tag reads survive intact
+    cat.expireSnapshots("t")
+    assert(cat.scanTag("t", "v1").count() == 50)
+    assert(cat.scanTag("t", "v1").agg(max(col("doc_id"))).head.getLong(0) == 49L)
+    assert(cat.scanTag("t", "v2").count() == 100)
+
+    // dropping the tag releases the pin: the next expiry reclaims v1's
+    // snapshot (it is on no branch head, fork base, or remaining tag)
+    cat.dropTag("v1")
+    cat.expireSnapshots("t")
+    assert(cat.listTags() == Seq("v2"))
+    assert(intercept[RuntimeException](cat.scanTag("t", "v1")).getMessage.contains("no tag"))
+    assert(cat.scanTag("t", "v2").count() == 100, "remaining tag must stay readable")
+    assert(cat.scan("t").count() == 70)
+  }
+
+  test("metadata-only delete: fully-covered files drop without a rewrite; boundary files still rewrite") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+    cat.createTableIfNotExists("t", docs.schema)
+    // three single-file appends with disjoint id ranges -> footer stats
+    // prove range containment per file
+    cat.append("t", docs.filter(col("doc_id") < 50).repartition(1))
+    cat.append("t", docs.filter(col("doc_id") >= 50 && col("doc_id") < 100).repartition(1))
+    cat.append("t", docs.filter(col("doc_id") >= 100).repartition(1))
+    val preId = cat.snapshotIdOf("t").get
+
+    cat.createBranch("gdpr")
+    val res = cat.deleteWhere("t", col("doc_id") < 100, "gdpr")
+    assert(res.filesDropped == 2, s"both fully-covered files must drop metadata-only: $res")
+    assert(res.filesRewritten == 0, s"no file may be rewritten: $res")
+    assert(res.rowsDeleted == 100, s"$res")
+    // the delete wrote NO new manifests: rewrites stamp the new commit's
+    // seq, so every surviving manifest must predate it (carried by ref)
+    assert(res.snapshot.manifests.forall(_.seq < res.snapshot.seq),
+      "a pure metadata delete must not write new manifests")
+    // time travel unharmed (dropped files still on disk until expiry)
+    assert(cat.scanSnapshot("t", preId).count() == 150)
+    cat.merge("gdpr")
+    assert(cat.scan("t", "main").count() == 50)
+    assert(cat.scan("t", "main").agg(min(col("doc_id"))).head.getLong(0) == 100L)
+
+    // boundary delete: one file provably covered, one partial -> mixed tiers
+    val cat2 = freshCatalog()
+    cat2.createTableIfNotExists("t", docs.schema)
+    cat2.append("t", docs.filter(col("doc_id") < 50).repartition(1))
+    cat2.append("t", docs.filter(col("doc_id") >= 50 && col("doc_id") < 100).repartition(1))
+    cat2.append("t", docs.filter(col("doc_id") >= 100).repartition(1))
+    val res2 = cat2.deleteWhere("t", col("doc_id") < 75)
+    assert(res2.filesDropped == 1 && res2.filesRewritten == 1 && res2.rowsDeleted == 75, s"$res2")
+    assert(cat2.scan("t").count() == 75)
+    assert(cat2.scan("t").agg(min(col("doc_id"))).head.getLong(0) == 75L)
+  }
+
+  test("metadata-only delete soundness refusals: nulls, floats, IS NULL proof, string equality") {
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    // file A: ids 0-9, v all 'a', d small, s has ONE null
+    // file B: ids 10-19, v all 'b', d small, s non-null
+    val a = (0L until 10L).map(i => (i, "a", 1.5, if (i == 3) null else s"s$i")).toDF("id", "v", "d", "s")
+    val b = (10L until 20L).map(i => (i, "b", 2.5, s"s$i")).toDF("id", "v", "d", "s")
+    cat.createTableIfNotExists("t", a.schema)
+    cat.append("t", a.repartition(1))
+    cat.append("t", b.repartition(1))
+
+    // a column WITH nulls blocks the proof (NULL rows are KEPT by SQL
+    // DELETE, so "all rows match s <= 'z'" is false however wide the bounds)
+    val r1 = cat.deleteWhere("t", col("s") <= "zzz" && col("id") < 10)
+    assert(r1.filesDropped == 0 && r1.filesRewritten == 1, s"$r1")
+    assert(r1.rowsDeleted == 9, s"the null-s row must survive: $r1")
+    assert(cat.scan("t").filter(col("id") < 10).count() == 1)
+
+    // float/double bounds never prove all-match (NaN exclusion)
+    val r2 = cat.deleteWhere("t", col("d") < 1e9)
+    assert(r2.filesDropped == 0 && r2.filesRewritten >= 1, s"$r2")
+    assert(cat.scan("t").count() == 0)
+
+    // IS NULL proves all-match when nullCount == rows; string equality
+    // proves all-match when lower == upper == the literal
+    val cat2 = freshCatalog()
+    val allNull = (0L until 5L).map(i => (i, Option.empty[String])).toDF("id", "v")
+    val someV = (5L until 10L).map(i => (i, Option("x"))).toDF("id", "v")
+    cat2.createTableIfNotExists("t", allNull.schema)
+    cat2.append("t", allNull.repartition(1))
+    cat2.append("t", someV.repartition(1))
+    val r3 = cat2.deleteWhere("t", col("v").isNull)
+    assert(r3.filesDropped == 1 && r3.filesRewritten == 0 && r3.rowsDeleted == 5, s"$r3")
+    val r4 = cat2.deleteWhere("t", col("v") === "x")
+    assert(r4.filesDropped == 1 && r4.filesRewritten == 0 && r4.rowsDeleted == 5, s"$r4")
+    assert(cat2.scan("t").count() == 0)
+
+    // integral widening through an analyzer cast: int column vs long
+    // literal still proves; a truncate-style DELETE WHERE true drops
+    // every file metadata-only
+    val cat3 = freshCatalog()
+    val ints = (0 until 20).map(i => (i, i.toString)).toDF("k", "w")
+    cat3.createTableIfNotExists("t", ints.schema)
+    cat3.append("t", ints.filter(col("k") < 10).repartition(1))
+    cat3.append("t", ints.filter(col("k") >= 10).repartition(1))
+    val r5 = cat3.deleteWhere("t", col("k") < 10L)
+    assert(r5.filesDropped == 1 && r5.filesRewritten == 0, s"widening int->long must prove: $r5")
+    val r6 = cat3.deleteWhere("t", lit(true))
+    assert(r6.filesDropped == 1 && r6.filesRewritten == 0 && r6.rowsDeleted == 10, s"$r6")
+    assert(cat3.scan("t").count() == 0)
+  }
+
   test("deleteWhere: NULL predicate keeps the row; out-of-range delete is a no-op; delete-all empties the table") {
     val cat = freshCatalog()
     val spark0 = spark
