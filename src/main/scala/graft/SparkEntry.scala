@@ -49,6 +49,7 @@ object SparkEntry {
     "wap_delete" -> (WapQueries.wapDelete _),
     "wap_meta_delete" -> (WapQueries.wapMetaDelete _),
     "wap_tags" -> (WapQueries.wapTags _),
+    "wap_cherrypick" -> (WapQueries.wapCherrypick _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
@@ -192,6 +193,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS sum_chars, (SELECT min(doc_id) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS min_id, (SELECT count(*) FROM documents WHERE doc_id < 120) AS rows_deleted, CAST(1 AS BIGINT) AS files_dropped, CAST(1 AS BIGINT) AS files_rewritten""",
     "wap_tags" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS v1_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS v1_chars, (SELECT count(*) FROM documents WHERE doc_id < 200) AS v2_rows, (SELECT count(*) FROM documents WHERE doc_id >= 40 AND doc_id < 200) AS head_rows, true AS tag_write_refused""",
+    "wap_cherrypick" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 160) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 160) AS sum_chars, true AS clean_published, true AS idempotent, true AS dirty_blocked""",
     "wap_update" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + 1000) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_updated, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_untouched, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_updated""",
     "wap_upsert" ->

@@ -128,6 +128,46 @@ object WapQueries {
         lit(tagRefused).as("tag_write_refused"))
   }
 
+  /** Audited CHERRY-PICK end-to-end (Iceberg's native WAP publish
+    * primitive, W51): an append commit staged on a branch replays onto
+    * main through `cherrypickSnapshot` AFTER its delta passes the
+    * audit; a second replay is a no-op (idempotence gate); a dirty
+    * commit (planted nulls) fails its audit and publishes nothing. The
+    * hashed result carries main's final content plus the three gates. */
+  def wapCherrypick(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-cp").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.createBranch("stage")
+    val clean = cat.append("documents",
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 160), "stage")
+    val dirty = cat.append("documents",
+      docs.filter(col("doc_id") >= 160)
+        .withColumn("text", when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("text"))),
+      "stage")
+
+    val checks = Seq(graft.quality.NotNull("text"))
+    val cleanReport = graft.quality.Audit.run(
+      cat.scanChangesBetween("documents", clean.parentId.get, clean.id), checks)
+    val picked = if (cleanReport.passed) cat.cherrypickSnapshot("documents", clean.id) else null
+    val again = cat.cherrypickSnapshot("documents", clean.id)
+    val idempotent = again.id == picked.id
+
+    val dirtyReport = graft.quality.Audit.run(
+      cat.scanChangesBetween("documents", dirty.parentId.get, dirty.id), checks)
+    val dirtyBlocked = !dirtyReport.passed
+
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(cleanReport.passed).as("clean_published"),
+        lit(idempotent).as("idempotent"),
+        lit(dirtyBlocked).as("dirty_blocked"))
+  }
+
   /** METADATA-ONLY delete end-to-end (the Iceberg metadata-delete shape):
     * three single-file appends with disjoint id ranges, then a branch
     * delete whose predicate fully covers the first file and half of the

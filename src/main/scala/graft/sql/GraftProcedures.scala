@@ -42,7 +42,8 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
-      "publish", "create_tag", "drop_tag")
+      "publish", "create_tag", "drop_tag",
+      "rollback_table", "cherrypick_snapshot")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -148,6 +149,47 @@ object GraftProcedures {
     case "drop_tag" =>
       procedure(root, name, Array(param("tag", StringType))) { (cat, args) =>
         cat.dropTag(args.getString(0))
+      }
+    case "rollback_table" =>
+      // move a branch head back to an ANCESTOR snapshot (metadata-only;
+      // non-ancestors refuse — history is never grafted)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("snapshot_id", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.rollbackTo(args.getString(0), args.getString(1), args.getString(2))
+      }
+    case "cherrypick_snapshot" =>
+      // replay one append commit's manifest delta onto another branch
+      // (Iceberg's WAP publish primitive) — metadata-only, idempotent;
+      // rewrite/compaction snapshots refuse (those need merge()). A
+      // cherry-pick INTO MAIN is a publish, so it keeps the WAP
+      // contract: the delta must pass a declared audit first (same rule
+      // as CALL publish — an empty check list refuses).
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("snapshot_id", StringType),
+        param("into", StringType, "'main'"),
+        param("checks", StringType, "''"))) { (cat, args) =>
+        val (table, snapId, into) = (args.getString(0), args.getString(1), args.getString(2))
+        val checks = GraftStreamingWrite.parseChecks(Some(args.getString(3)))
+        if (into == "main") {
+          require(checks.nonEmpty,
+            "cherrypick_snapshot into main is a publish: declare audit checks " +
+              "(e.g. 'not_null:<col>'), or cherry-pick onto a branch and CALL publish")
+        }
+        if (checks.nonEmpty) {
+          val parent = cat.snapshotMeta(table, snapId).parentId.getOrElse(
+            sys.error(s"$snapId has no parent — cherry-pick replays a commit's delta"))
+          val report = graft.quality.Audit.run(
+            cat.scanChangesBetween(table, parent, snapId), checks)
+          if (!report.passed) throw new IllegalStateException(
+            s"audit FAILED for cherry-pick of $snapId — nothing published: " +
+              report.checks.filterNot(_.passed)
+                .map(c => s"${c.name} (${c.violations} violations)").mkString(", "))
+        }
+        cat.cherrypickSnapshot(table, snapId, into)
+        ()
       }
     case other =>
       throw new UnsupportedOperationException(

@@ -614,6 +614,34 @@ case class GraftMetadataTable(
           new java.util.ArrayList[Row](rows.asJava), schemaOf(kind))
       case "files" =>
         cat.manifestEntries(cat.snapshotMeta(baseTable, snapshotId))
+      case "partitions" =>
+        // per-partition-value rollup of the DISTRIBUTED manifest-entry
+        // read (Iceberg `$partitions`): executors parse manifests, one
+        // aggregate produces O(partitions) rows — per-file metadata of a
+        // 100 TB table never lands on the driver. Unpartitioned files
+        // roll up under a NULL partition value.
+        import org.apache.spark.sql.functions.{col, count, lit, sum, try_element_at}
+        val snapMeta = cat.snapshotMeta(baseTable, snapshotId)
+        cat.manifestEntries(snapMeta)
+          .select(try_element_at(col("partition"), lit("pv")).as("partition"),
+            col("rows"), col("bytes"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("rows")).as("n_rows"),
+            sum(col("bytes")).as("bytes"))
+          .withColumn("spec", lit(snapMeta.partitionSpec.orNull))
+          .select("partition", "n_files", "n_rows", "bytes", "spec")
+      case "refs" =>
+        // every branch and tag carrying this table (Iceberg `$refs`):
+        // O(refs) driver metadata, the catalog's whole ref surface in
+        // one queryable view
+        val rows =
+          cat.listBranches().flatMap(b =>
+            cat.snapshotIdOf(baseTable, b).map(id => Row(b, "branch", id))) ++
+          cat.listTags().flatMap(t =>
+            cat.tagTables(t).get(baseTable).map(id => Row(t, "tag", id)))
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), schemaOf(kind))
       case "history" =>
         val rows = cat.headHistory(baseTable, branch).map { case (v, head) =>
           Row(v, head.orNull, head.contains(snapshotId))
@@ -640,7 +668,7 @@ case class GraftMetadataTable(
 object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
-  private val kinds = Set("snapshots", "files", "history")
+  private val kinds = Set("snapshots", "files", "history", "partitions", "refs")
 
   /** `name$kind` -> (name, kind) when `kind` is a metadata table. */
   def kindOf(ident: String): Option[(String, String)] = ident.split('$') match {
@@ -659,6 +687,13 @@ object GraftMetadataTable {
     // between the scan declaration and the served rows would be a
     // runtime-only failure)
     case "files" => BranchCatalog.manifestEntrySchema
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType), StructField("n_files", LongType),
+      StructField("n_rows", LongType), StructField("bytes", LongType),
+      StructField("spec", StringType)))
+    case "refs" => StructType(Seq(
+      StructField("ref", StringType), StructField("kind", StringType),
+      StructField("snapshot_id", StringType)))
     case "history" => StructType(Seq(
       StructField("refs_version", LongType), StructField("snapshot_id", StringType),
       StructField("is_current", BooleanType)))

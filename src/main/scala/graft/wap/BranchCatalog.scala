@@ -2497,6 +2497,55 @@ class BranchCatalog(
     ()
   }
 
+  /** Cherry-pick ONE committed snapshot's delta onto another branch
+    * (Iceberg's `cherrypick_snapshot` — its native WAP publish
+    * primitive): the manifests `snapshotId` ADDED relative to its parent
+    * are appended onto `into`'s current head as a new commit. Restricted
+    * to APPEND deltas — a snapshot that also removed manifests (a DML
+    * rewrite, a compaction) or changed tombstones cannot be replayed
+    * onto a diverged head without the full 3-way [[merge]], so those
+    * refuse loudly. Idempotent: manifests the target already carries are
+    * skipped, and an empty remainder commits nothing. Schema and
+    * partition layout must match the target head. Metadata-only —
+    * O(delta manifests), no data moves. */
+  def cherrypickSnapshot(table: String, snapshotId: String,
+      into: String = "main"): Snapshot = {
+    val snap = loadSnapshot(table, snapshotId)
+    val parent = snap.parentId.map(loadSnapshot(table, _)).getOrElse(
+      sys.error(s"$snapshotId has no parent — cherry-pick replays a commit's delta"))
+    val parentPaths = parent.manifests.map(_.path).toSet
+    val snapPaths = snap.manifests.map(_.path).toSet
+    require(parentPaths.subsetOf(snapPaths),
+      s"$snapshotId removed manifests relative to its parent (DML rewrite or " +
+        "compaction) — only append commits cherry-pick; publish with merge()")
+    require(snap.deleteManifests.map(_.path) == parent.deleteManifests.map(_.path),
+      s"$snapshotId changed MOR tombstones — only append commits cherry-pick")
+    val added = snap.manifests.filterNot(m => parentPaths.contains(m.path))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(into, sys.error(s"no branch $into"))
+      val headId = b.tables.getOrElse(table, sys.error(s"no table $table on $into"))
+      val head = loadSnapshot(table, headId)
+      require(head.schemaDdl == snap.schemaDdl,
+        s"schema of $snapshotId diverged from $table@$into — evolve first")
+      require(head.partitionSpec == snap.partitionSpec,
+        s"partition layout of $snapshotId diverged from $table@$into")
+      val headPaths = head.manifests.map(_.path).toSet
+      val fresh = added.filterNot(m => headPaths.contains(m.path))
+      if (fresh.isEmpty) { committed = head; refs }
+      else {
+        val s = head.seq + 1
+        committed = Snapshot(newId(), Some(headId),
+          head.manifests ++ fresh.map(_.copy(seq = s)), head.schemaDdl,
+          System.currentTimeMillis(), head.partitionSpec, head.deleteManifests, s)
+        writeSnapshot(table, committed)
+        refs.copy(branches = refs.branches.updated(into,
+          b.copy(tables = b.tables.updated(table, committed.id))))
+      }
+    }
+    committed
+  }
+
   /** Checkpointed incremental consumption of a table (the batch mirror
     * of "streaming from a lake table"): processes the append delta since
     * the consumer's last recorded snapshot through `f`, then advances

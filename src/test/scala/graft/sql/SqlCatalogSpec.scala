@@ -1136,6 +1136,63 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(msgs(e2).contains("no checks"), msgs(e2))
   }
 
+  test("t$partitions rolls up per-partition stats; rollback + audited cherry-pick procedures") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("n_chars"))
+    val spec = graft.wap.PartitionSpec.parse("bucket(4,doc_id)")
+    cat.createTableIfNotExists("pt", docs.schema, spec = Some(spec))
+    cat.appendPartitioned("pt", docs, spec)
+
+    // $partitions: one row per bucket, distributed rollup, spec attached
+    val parts = spark.sql(
+      s"SELECT partition, n_files, n_rows, spec FROM $lake.main.`pt$$partitions`").collect()
+    assert(parts.length == 4, s"bucket(4) table must roll up to 4 partitions, got ${parts.length}")
+    assert(parts.map(_.getLong(2)).sum == 40)
+    assert(parts.forall(_.getString(3) == "bucket(4,doc_id)"))
+    // unpartitioned tables roll up under a NULL partition value
+    cat.createTableIfNotExists("flat", docs.schema)
+    cat.append("flat", docs)
+    val flat = spark.sql(
+      s"SELECT partition, n_rows FROM $lake.main.`flat$$partitions`").collect()
+    assert(flat.length == 1 && flat.head.isNullAt(0) && flat.head.getLong(1) == 40)
+
+    // cherry-pick: an append commit on a branch replays onto main ONLY
+    // through a passing audit (the WAP contract holds for this publish
+    // path too); idempotent on re-call
+    cat.createBranch("wip")
+    val snap = cat.append("flat", docs.withColumn("doc_id", col("doc_id") + 100), "wip")
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val unaudited = intercept[Exception](spark.sql(
+      s"CALL $lake.system.cherrypick_snapshot('flat', '${snap.id}')"))
+    assert(msgs(unaudited).contains("publish"), msgs(unaudited))
+    spark.sql(s"CALL $lake.system.cherrypick_snapshot('flat', '${snap.id}', 'main', 'not_null:doc_id')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.flat").head.getLong(0) == 80)
+    spark.sql(s"CALL $lake.system.cherrypick_snapshot('flat', '${snap.id}', 'main', 'not_null:doc_id')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.flat").head.getLong(0) == 80,
+      "cherry-pick must be idempotent")
+
+    // a failing audit publishes nothing
+    val dirty = cat.append("flat",
+      docs.withColumn("doc_id", when(col("doc_id") === 5, lit(null)).otherwise(col("doc_id") + 500)),
+      "wip")
+    val failed = intercept[Exception](spark.sql(
+      s"CALL $lake.system.cherrypick_snapshot('flat', '${dirty.id}', 'main', 'not_null:doc_id')"))
+    assert(msgs(failed).contains("audit FAILED"), msgs(failed))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.flat").head.getLong(0) == 80)
+
+    // rollback_table: main returns to the pre-cherry-pick ancestor;
+    // non-ancestors refuse
+    val firstId = cat.snapshotMeta("flat",
+      cat.snapshotIdOf("flat", "main").get).parentId.get
+    spark.sql(s"CALL $lake.system.rollback_table('flat', '$firstId')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.flat").head.getLong(0) == 40)
+    val bogus = intercept[Exception](spark.sql(
+      s"CALL $lake.system.rollback_table('flat', '${dirty.id}')"))
+    assert(msgs(bogus).contains("ancestor"), msgs(bogus))
+  }
+
   test("tags through SQL: read-only namespaces, VERSION AS OF by name, procedures") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
@@ -1156,6 +1213,10 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(spark.sql(s"SHOW NAMESPACES IN $lake").collect().map(_.getString(0)).contains("rel1"))
     assert(spark.sql(s"SHOW TABLES IN $lake.rel1").collect().map(_.getString(1)).contains("t"))
     assert(spark.sql(s"SELECT count(*) FROM $lake.rel1.`t$$files`").head.getLong(0) >= 1)
+    // $refs surfaces the whole ref surface: every branch AND tag
+    assert(spark.sql(s"SELECT ref, kind FROM $lake.main.`t$$refs`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("main", "branch"), ("rel1", "tag")))
 
     def msgs(e: Throwable): String =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")

@@ -958,6 +958,38 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
   }
 
+  test("cherrypickSnapshot: append deltas replay; rewrite/compaction commits refuse") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50))
+    cat.createBranch("wip")
+    val appendSnap = cat.append("t", docs.filter(col("doc_id") >= 50), "wip")
+
+    // main advances independently; the cherry-pick lands ON TOP of it
+    cat.append("t", docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000))
+    val picked = cat.cherrypickSnapshot("t", appendSnap.id)
+    assert(cat.scan("t", "main").count() == 150)
+    assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
+    // idempotent: replaying the same snapshot commits nothing new
+    assert(cat.cherrypickSnapshot("t", appendSnap.id).id == picked.id)
+    assert(cat.scan("t", "main").count() == 150)
+
+    // a delete rewrite removes manifests relative to its parent: refuse
+    val del = cat.deleteWhere("t", col("doc_id") < 10, "wip")
+    val e = intercept[IllegalArgumentException](
+      cat.cherrypickSnapshot("t", del.snapshot.id))
+    assert(e.getMessage.contains("removed manifests"), e.getMessage)
+
+    // a compaction rewrites layout, not content: refuse for the same reason
+    cat.createBranch("cmp")
+    val compacted = cat.compactDataFiles("t", "cmp", 1)
+    val e2 = intercept[IllegalArgumentException](
+      cat.cherrypickSnapshot("t", compacted.id))
+    assert(e2.getMessage.contains("removed manifests"), e2.getMessage)
+  }
+
   test("tags: immutable refs pin snapshots against expiry; names share the branch namespace") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
