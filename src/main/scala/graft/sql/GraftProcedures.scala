@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.wap.BranchCatalog
 
@@ -52,19 +52,40 @@ object GraftProcedures {
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "expire_snapshots" =>
-      procedure(root, name, Array(param("table", StringType))) { (cat, args) =>
-        cat.expireSnapshots(args.getString(0)); ()
+      // retain_last keeps that many newest ancestors of each branch head
+      // for time travel; older_than_ms (epoch millis; 0 = no age gate)
+      // exempts everything committed at or after it
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("retain_last", IntegerType, "1"),
+        param("older_than_ms", LongType, "0"))) { (cat, args) =>
+        val cut = args.getLong(2)
+        cat.expireSnapshots(args.getString(0), retainLast = args.getInt(1),
+          olderThanMillis = if (cut > 0) Some(cut) else None)
+        ()
       }
     case "rewrite_data_files" =>
+      // `where` scopes the rewrite to the files the predicate admits
+      // (stats/transform/bloom pruning) — compact yesterday's hot
+      // partition in O(affected files); empty = whole table
       procedure(root, name, Array(
         param("table", StringType),
         param("branch", StringType, "'main'"),
         param("target_files", IntegerType, "4"),
-        param("cluster_by", StringType, "''"))) { (cat, args) =>
+        param("cluster_by", StringType, "''"),
+        param("where", StringType, "''"))) { (cat, args) =>
         val (table, branch) = (args.getString(0), args.getString(1))
         val target = args.getInt(2)
         val cluster = args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (cluster.isEmpty) cat.compactDataFiles(table, branch, target)
+        val where = args.getString(4).trim
+        if (where.nonEmpty) {
+          require(cluster.isEmpty,
+            "cluster_by and where do not compose: a scoped rewrite keeps the " +
+              "untouched files' layout, so a global sort order cannot be claimed")
+          cat.compactDataFilesWhere(table,
+            org.apache.spark.sql.functions.expr(where), branch, target)
+        }
+        else if (cluster.isEmpty) cat.compactDataFiles(table, branch, target)
         else cat.compactDataFilesSorted(table, cluster, branch, target)
         ()
       }

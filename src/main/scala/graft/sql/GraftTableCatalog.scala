@@ -320,10 +320,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             "graft columns are top-level; nested ALTER COLUMN is not supported")
           StructType(schema.fields.map(f =>
             if (f.name == upd.fieldNames().head) f.copy(dataType = upd.newDataType()) else f))
+        case del: TableChange.DeleteColumn =>
+          // metadata-only drop; evolveSchema guards the partition source,
+          // pending MOR keys, and the re-add-by-name hazard
+          require(del.fieldNames().length == 1,
+            "graft columns are top-level; nested DROP COLUMN is not supported")
+          require(schema.fieldNames.contains(del.fieldNames().head),
+            s"no column ${del.fieldNames().head} to drop")
+          StructType(schema.fields.filterNot(_.name == del.fieldNames().head))
         case other =>
           throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change $other: graft schema evolution " +
-              "accepts ADD COLUMN (nullable) and type widenings only")
+              "accepts ADD COLUMN (nullable), DROP COLUMN, and type widenings only")
       }
     }
     cat.evolveSchema(name, evolved, branch)

@@ -2288,6 +2288,20 @@ class BranchCatalog(
     * (Iceberg semantics — the reference inherits this from PyIceberg's
     * schema evolution). Dropping or renaming columns, narrowing types and
     * adding non-nullable columns are rejected. */
+  /** Metadata-only schema evolution: add nullable columns, widen types,
+    * DROP columns. A drop never touches data — reads project the new
+    * schema and simply never request the column from old files. The
+    * hazard a drop creates is the RE-ADD: old files still carry the old
+    * values under that name, and a name-based read would resurrect them
+    * into the "new" column (the collision Iceberg prevents with field
+    * IDs). Guarded without IDs via commit sequences: re-adding a name is
+    * refused until EVERY current manifest postdates the snapshot that
+    * last carried it — i.e. until a rewrite (compaction/DML) has
+    * replaced every file written while the old column existed. Dropping
+    * the hidden-partition source column or a pending MOR tombstone key
+    * is refused (layout/merge semantics depend on them). Renames stay
+    * unsupported (a drop+add pair is exactly that, with the documented
+    * data loss). */
   def evolveSchema(table: String, newSchema: StructType, branch: String = "main"): Snapshot = {
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -2296,14 +2310,38 @@ class BranchCatalog(
       val cur = loadSnapshot(table, curId)
       val old = StructType.fromDDL(cur.schemaDdl)
       val newByName = newSchema.fields.map(f => f.name -> f).toMap
-      for (of <- old.fields) {
-        val nf = newByName.getOrElse(of.name, throw new IllegalArgumentException(
-          s"schema evolution may not drop or rename column ${of.name}"))
+      for (of <- old.fields; nf <- newByName.get(of.name))
         require(of.dataType == nf.dataType || widens(of.dataType, nf.dataType),
           s"illegal type change for ${of.name}: ${of.dataType.sql} -> ${nf.dataType.sql}")
+      val dropped = old.fields.map(_.name).filterNot(newByName.contains)
+      if (dropped.nonEmpty) {
+        cur.partitionSpec.map(PartitionSpec.parse).foreach(s =>
+          require(!dropped.contains(s.column),
+            s"cannot drop ${s.column}: it is the table's hidden-partition source " +
+              "(evolve the partition layout with rewritePartitioned first)"))
+        val morKeys = cur.deleteManifests.flatMap(_.keyCols).toSet
+        dropped.find(morKeys.contains).foreach(c => sys.error(
+          s"cannot drop $c: pending MOR tombstones anti-join on it — " +
+            "materialize them with compactDataFiles first"))
       }
-      for (nf <- newSchema.fields if !old.fieldNames.contains(nf.name))
-        require(nf.nullable, s"added column ${nf.name} must be nullable")
+      val added = newSchema.fields.filter(f => !old.fieldNames.contains(f.name))
+      if (added.nonEmpty) {
+        added.foreach(nf =>
+          require(nf.nullable, s"added column ${nf.name} must be nullable"))
+        // re-add guard: the latest ANCESTOR schema carrying each added
+        // name, by one chain walk (newest first)
+        val chain = Iterator.iterate(cur.parentId.flatMap(loadSnapshotOpt(table, _))) {
+          case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+          case None => None
+        }.takeWhile(_.isDefined).flatten.toSeq
+        for (nf <- added;
+             last <- chain.find(s =>
+               StructType.fromDDL(s.schemaDdl).fieldNames.contains(nf.name)))
+          require(cur.manifests.forall(_.seq > last.seq),
+            s"column ${nf.name} existed until snapshot ${last.id} (seq ${last.seq}); " +
+              "data files written before the drop still carry its old values under " +
+              "that name — rewrite them (compactDataFiles) before re-adding")
+      }
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1)
       writeSnapshot(table, committed)
@@ -3351,6 +3389,65 @@ class BranchCatalog(
     committed
   }
 
+  /** PREDICATE-SCOPED small-file compaction (Iceberg `rewrite_data_files`
+    * with a row filter): only files the predicate's stats/transform
+    * pruning ADMITS are rewritten into `targetFiles`; every other
+    * manifest carries over by reference. The 100 TB maintenance shape:
+    * yesterday's hot partition accumulated a thousand micro-batch files —
+    * compact THAT day in O(affected files), never the table. The
+    * predicate selects FILES, not rows (every row of an admitted file
+    * survives, byte-identical), so a coarse predicate just widens the
+    * rewrite set. Refuses pending MOR tombstones: a partial rewrite
+    * would materialize deletions for the rewritten subset only, while
+    * untouched files keep relying on tombstone coverage — two
+    * visibility regimes in one snapshot ([[compactDataFiles]], the
+    * whole-table form, materializes them consistently). */
+  def compactDataFilesWhere(
+      table: String, where: Column, branch: String = "main",
+      targetFiles: Int = 1): Snapshot = {
+    require(targetFiles >= 1, "targetFiles >= 1")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.isEmpty,
+      s"$table@$branch has pending MOR tombstones — run the whole-table " +
+        "compactDataFiles (which materializes them) before scoped compaction")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val bloomIdx = Some(new BloomProbe(cur.manifests))
+    val perManifest = cur.manifests.map { m =>
+      val files = readManifest(m.path)
+      val affected = pruneFiles(files, where, schema, spec, bloomIdx)
+      val affectedPaths = affected.map(_.path).toSet
+      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+    }
+    val affectedFiles = perManifest.flatMap { case (_, a, _) => a }
+    if (affectedFiles.size <= 1) return cur // nothing to fold
+
+    val rewritten = writeTableFiles(table,
+      spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+        .repartition(targetFiles), spec)
+    val newSeq = cur.seq + 1
+    val newManifests =
+      perManifest.flatMap { case (m, affected, untouched) =>
+        if (affected.isEmpty) Some(m)
+        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
+        else None
+      } :+ writeManifest(table, rewritten, schema).copy(seq = newSeq)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    carryBloomIndexes(table, cur, branch)
+    committed
+  }
+
   /** Sort-clustered small-file compaction (the Iceberg
     * `rewrite_data_files` "sort" strategy analogue): rewrite
     * table@branch's CURRENT data range-partitioned and sorted on
@@ -3469,15 +3566,34 @@ class BranchCatalog(
     * working — that is the point. Run from a maintenance context: expiry
     * racing a concurrent commit on the same table can delete a snapshot
     * committed between the read and the deletes. */
-  def expireSnapshots(table: String, keepIds: Set[String] = Set.empty): ExpireResult = {
+  /** Reclaim unreferenced snapshots, manifests and data files. Liveness:
+    * every branch head, every fork base, every tag pin, `keepIds`, plus
+    * two RETENTION knobs (Iceberg expire_snapshots semantics) —
+    * `retainLast` keeps that many newest ancestors of EACH branch head
+    * readable for time travel (1 = head only, the historical default),
+    * and `olderThanMillis` exempts every snapshot committed at or after
+    * the cutoff — "expire only history older than 7 days" as one call.
+    * Both default to the most aggressive (original) behavior. */
+  def expireSnapshots(table: String, keepIds: Set[String] = Set.empty,
+      retainLast: Int = 1, olderThanMillis: Option[Long] = None): ExpireResult = {
+    require(retainLast >= 1, "retainLast >= 1")
     val refs = currentRefs()
     // every branch head AND every branch's fork base stays live: merge()
     // and scanBranchDelta() on a branch forked before the expiry must
     // still be able to load its baseOfMain snapshot. Tags pin their
     // snapshots for as long as the tag exists — that is their purpose.
+    val headIds = refs.branches.values.flatMap(_.tables.get(table)).toSet
+    val retained: Set[String] =
+      if (retainLast <= 1) Set.empty
+      else headIds.flatMap { head =>
+        Iterator.iterate(loadSnapshotOpt(table, head)) {
+          case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+          case None => None
+        }.takeWhile(_.isDefined).flatten.take(retainLast).map(_.id).toSet
+      }
     val liveIds = refs.branches.values
       .flatMap(b => b.tables.get(table).toSeq ++ b.baseOfMain.get(table).toSeq)
-      .toSet ++ refs.tags.values.flatMap(_.get(table)) ++ keepIds
+      .toSet ++ refs.tags.values.flatMap(_.get(table)) ++ keepIds ++ retained
     val metaDir = new Path(rootPath, s"tables/$table/meta")
     if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
 
@@ -3486,11 +3602,20 @@ class BranchCatalog(
     def q(p: Path): String = fs.makeQualified(p).toString
     val snapFiles = fs.listStatus(metaDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("snap-"))
+    // age exemption: read each snapshot once; anything at or after the
+    // cutoff is live (and so are its tombstone anchors, via the fixpoint)
+    val fresh: Set[String] = olderThanMillis match {
+      case None => Set.empty
+      case Some(cut) => snapFiles.flatMap { p =>
+        val s = Serialization.read[Snapshot](readString(p))
+        if (s.committedAtMillis >= cut) Some(s.id) else None
+      }.toSet
+    }
     // live tombstones need their asOf ANCHOR snapshots to stay readable
     // (scan coverage would otherwise fall back to suppress-everything) —
     // expand the live set to a fixpoint over anchors (anchors are
     // ancestors, so this terminates within the chain length)
-    var live = liveIds
+    var live = liveIds ++ fresh
     var stable = false
     while (!stable) {
       val anchors = snapFiles

@@ -464,7 +464,7 @@ class SqlCatalogSpec extends SparkSpecBase {
     }
   }
 
-  test("ALTER TABLE: ADD COLUMN and type widening through SQL; drops refused") {
+  test("ALTER TABLE: ADD/DROP COLUMN and type widening through SQL; re-add guarded by seq") {
     val (lake, cat) = register()
     import spark.implicits._
     cat.createTableIfNotExists("t", Seq((1, "a")).toDF("id", "v").schema)
@@ -478,9 +478,26 @@ class SqlCatalogSpec extends SparkSpecBase {
     // old files read under the evolved schema (added col null, id widened)
     assert(spark.sql(s"SELECT sum(id) FROM $lake.main.t WHERE score IS NULL").head.getLong(0) == 3)
 
-    intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t DROP COLUMN v") }
+    // DROP COLUMN is metadata-only: reads stop requesting it, data
+    // untouched, time travel unaffected
+    val preDrop = cat.snapshotIdOf("t", "main").get
+    spark.sql(s"ALTER TABLE $lake.main.t DROP COLUMN v")
+    assert(cat.scan("t").columns.toSeq == Seq("id", "score"))
+    assert(spark.sql(s"SELECT sum(id) FROM $lake.main.t").head.getLong(0) == 3)
+    assert(cat.scanSnapshot("t", preDrop).columns.contains("v"),
+      "time travel keeps the pre-drop schema")
+    // re-adding the name refuses while pre-drop files remain (their old
+    // values would resurrect under a name-based read) …
+    val readd = intercept[Exception](spark.sql(s"ALTER TABLE $lake.main.t ADD COLUMN v STRING"))
+    assert(readd.getMessage.contains("rewrite"), readd.getMessage)
+    // … and is free again once every current file postdates the drop
+    cat.compactDataFiles("t")
+    spark.sql(s"ALTER TABLE $lake.main.t ADD COLUMN v STRING")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t WHERE v IS NULL").head.getLong(0) == 2,
+      "the re-added column starts empty — old values must NOT resurrect")
+
     intercept[Exception] { spark.sql(s"ALTER TABLE $lake.main.t ALTER COLUMN id TYPE INT") }
-    assert(cat.scan("t").columns.toSeq == Seq("id", "v", "score"))
+    assert(cat.scan("t").columns.toSeq == Seq("id", "score", "v"))
 
     // the CONNECTOR batch path must read evolved files identically: old
     // int32 parquet under the widened long schema, added column as null
@@ -679,11 +696,32 @@ class SqlCatalogSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.rewrite_data_files('t')")
     assert(cat.dataFiles("t").size == 4)
 
+    // scoped rewrite: only the files the predicate admits fold
+    for (r <- 0 until 3)
+      cat.append("t", docs.filter(col("doc_id") < 8 && col("doc_id") % 3 === r)
+        .withColumn("doc_id", col("doc_id") + 100).coalesce(1))
+    val filesBefore = cat.dataFiles("t").size
+    spark.sql(s"CALL $lake.system.rewrite_data_files('t', 'main', 1, '', 'doc_id >= 100')")
+    assert(cat.dataFiles("t").size < filesBefore,
+      "the three hot micro-files must fold into one")
+    assert(cat.scan("t").agg(sum("n_chars")).head.getLong(0) > before,
+      "content preserved incl. the appended rows")
+    val conflict = intercept[Exception](spark.sql(
+      s"CALL $lake.system.rewrite_data_files('t', 'main', 1, 'doc_id', 'doc_id < 8')"))
+    assert(conflict.getMessage.contains("compose") ||
+      Option(conflict.getCause).exists(_.getMessage.contains("compose")))
+
+    // retention-aware expire through SQL: retain_last keeps an ancestor
+    val head = cat.snapshotIdOf("t").get
+    val parent = cat.snapshotMeta("t", head).parentId.get
+    spark.sql(s"CALL $lake.system.expire_snapshots('t', 2)")
+    assert(cat.scanSnapshot("t", parent).count() >= 1, "retain_last=2 keeps the parent")
+
     // incremental analyze through SQL: sketches land, stats served
     spark.sql(s"CALL $lake.system.analyze_table_incremental('t')")
     val ndv = cat.columnStatsOf("t", cat.snapshotIdOf("t").get)
-    assert(ndv.exists(m => math.abs(m("doc_id") - 64L) <= 7),
-      s"incremental NDV must approximate the 64 distinct ids, got $ndv")
+    assert(ndv.exists(m => math.abs(m("doc_id") - 72L) <= 7),
+      s"incremental NDV must approximate the 72 distinct ids (64 + 8 shifted), got $ndv")
 
     // bloom index through SQL: the same sidecars buildBloomIndex writes,
     // consulted by equality pruning (value absent everywhere -> 0 files)

@@ -958,6 +958,77 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
   }
 
+  test("compactDataFilesWhere folds only the files the predicate admits") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("t", docs.schema)
+    // four micro-batch files in the hot range, one in the cold range
+    for (r <- 0 until 4)
+      cat.append("t", docs.filter(col("doc_id") >= r * 10 && col("doc_id") < r * 10 + 10).repartition(1))
+    cat.append("t", docs.filter(col("doc_id") >= 50).repartition(1))
+    assert(cat.dataFiles("t").size == 5)
+
+    val snap = cat.compactDataFilesWhere("t", col("doc_id") < 40, targetFiles = 1)
+    assert(cat.dataFiles("t").size == 2, "4 hot files fold to 1; the cold file is untouched")
+    // the cold manifest carried over BY REFERENCE (it keeps its old seq)
+    assert(snap.manifests.count(_.seq < snap.seq) == 1)
+    assert(cat.scan("t").count() == 90)
+    assert(cat.scan("t").filter(col("doc_id") < 40).count() == 40)
+
+    // a predicate admitting at most one file is a no-op commit
+    val again = cat.compactDataFilesWhere("t", col("doc_id") >= 50)
+    assert(again.id == snap.id, "nothing to fold -> no new snapshot")
+  }
+
+  test("expireSnapshots retention: retainLast keeps time travel; olderThan exempts fresh history") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    val ids = (0 until 4).map { r =>
+      cat.append("t", docs.filter(col("doc_id") >= r * 10 && col("doc_id") < r * 10 + 10)).id
+    }
+
+    // everything is fresh against a cutoff in the past: nothing expires
+    val none = cat.expireSnapshots("t", olderThanMillis = Some(0L))
+    assert(none.snapshotsDeleted == 0)
+
+    // retainLast=3 keeps the head plus two ancestors readable
+    cat.expireSnapshots("t", retainLast = 3)
+    assert(cat.scanSnapshot("t", ids(1)).count() == 20)
+    assert(cat.scanSnapshot("t", ids(2)).count() == 30)
+    assert(cat.scanSnapshot("t", ids(3)).count() == 40)
+    intercept[Exception](cat.scanSnapshot("t", ids(0)).count())
+
+    // default (head-only) reclaims the rest; the table stays intact
+    val rest = cat.expireSnapshots("t")
+    assert(rest.snapshotsDeleted == 2)
+    assert(cat.scan("t").count() == 40)
+  }
+
+  test("drop-column evolution guards: partition source and pending MOR keys refuse") {
+    val cat = freshCatalog()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0L until 20L).map(i => (i, s"v$i", i.toDouble)).toDF("id", "v", "d")
+    val spec = PartitionSpec.parse("bucket(4,id)")
+    cat.createTableIfNotExists("pt", df.schema, spec = Some(spec))
+    cat.appendPartitioned("pt", df, spec)
+    val noId = org.apache.spark.sql.types.StructType(df.schema.fields.filterNot(_.name == "id"))
+    val e = intercept[IllegalArgumentException](cat.evolveSchema("pt", noId))
+    assert(e.getMessage.contains("hidden-partition source"), e.getMessage)
+
+    cat.createTableIfNotExists("mt", df.schema)
+    cat.append("mt", df)
+    cat.deleteKeysMOR("mt", Seq(Tuple1(3L)).toDF("id"))
+    val e2 = intercept[RuntimeException](cat.evolveSchema("mt", noId))
+    assert(e2.getMessage.contains("tombstones"), e2.getMessage)
+    // dropping a NON-key column under pending tombstones is fine
+    val noV = org.apache.spark.sql.types.StructType(df.schema.fields.filterNot(_.name == "v"))
+    cat.evolveSchema("mt", noV)
+    assert(cat.scan("mt").columns.toSeq == Seq("id", "d"))
+    assert(cat.scan("mt").count() == 19, "the MOR delete still applies after the drop")
+  }
+
   test("cherrypickSnapshot: append deltas replay; rewrite/compaction commits refuse") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
@@ -1610,13 +1681,23 @@ class WapSpec extends SparkSpecBase {
     assert(hist.last._2 == evolved.toDDL)
 
     // illegal evolutions are rejected loudly
-    intercept[IllegalArgumentException](
-      cat.evolveSchema("t", StructType(evolved.fields.filterNot(_.name == "name"))))
     intercept[IllegalArgumentException](cat.evolveSchema("t", StructType(Seq(
       StructField("id", IntegerType), StructField("name", StringType),
       StructField("score", DoubleType))))) // narrowing id back
     intercept[IllegalArgumentException](cat.evolveSchema("t",
       evolved.add(StructField("strict", LongType, nullable = false))))
+
+    // DROP COLUMN is legal metadata-only evolution (r11); re-adding the
+    // name refuses while pre-drop files remain, and a rewrite frees it
+    cat.evolveSchema("t", StructType(evolved.fields.filterNot(_.name == "name")))
+    assert(cat.scan("t").columns.toSeq == Seq("id", "score"))
+    val readd = intercept[IllegalArgumentException](cat.evolveSchema("t", evolved))
+    assert(readd.getMessage.contains("rewrite"), readd.getMessage)
+    cat.compactDataFiles("t")
+    cat.evolveSchema("t", StructType(evolved.fields.filterNot(_.name == "name")).add(
+      StructField("name", StringType, nullable = true)))
+    assert(cat.scan("t").filter(col("name").isNotNull).count() == 0,
+      "re-added column must start empty — old values never resurrect")
   }
 
   test("conditional-put refs backend: full catalog life cycle and racing commits") {
