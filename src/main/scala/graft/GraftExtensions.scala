@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO on catalog tables lower onto the native
     // row-level ops (updateWhere / mergeInto) — see GraftDmlLowering
     ext.injectResolutionRule(new graft.sql.GraftDmlLowering(_))
+    // branch-versioned views: CREATE/DROP/SHOW VIEW on graft catalogs +
+    // view-reference expansion. Injected into the HINTS batch (which
+    // precedes Resolution): ResolveSessionCatalog refuses view DDL on
+    // non-session catalogs unconditionally in the same pass that
+    // resolves the identifier, so a resolution rule can never win that
+    // race — see GraftViewRules
+    ext.injectHintResolutionRule(new graft.sql.GraftViewRules(_))
   }
 }
 

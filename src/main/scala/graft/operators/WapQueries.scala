@@ -128,6 +128,48 @@ object WapQueries {
         lit(tagRefused).as("tag_write_refused"))
   }
 
+  /** BRANCH-VERSIONED VIEWS end-to-end (W52, the Nessie view surface):
+    * a view created on main through plain `spark.sql` re-analyzes per
+    * read (it tracks appended data), a branch EDIT of the same view
+    * leaves main's definition untouched, and `merge` publishes the
+    * branch's definition. The hashed result carries the view's row
+    * count at each stage plus the isolation gate. */
+  def wapViews(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-views").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_chars"))
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    spark.sql(s"CREATE VIEW $lake.main.hefty AS " +
+      s"SELECT doc_id, n_chars FROM $lake.main.documents WHERE n_chars > 0")
+    val atCreate = spark.sql(s"SELECT count(*) AS c FROM $lake.main.hefty").head.getLong(0)
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val afterAppend = spark.sql(s"SELECT count(*) AS c FROM $lake.main.hefty").head.getLong(0)
+
+    cat.createBranch("dev")
+    spark.sql(s"CREATE OR REPLACE VIEW $lake.dev.hefty AS " +
+      s"SELECT doc_id, n_chars FROM $lake.dev.documents WHERE doc_id >= 150")
+    val mainIsolated =
+      spark.sql(s"SELECT count(*) AS c FROM $lake.main.hefty").head.getLong(0) == afterAppend
+    cat.merge("dev")
+    val afterMerge = spark.sql(s"SELECT count(*) AS c FROM $lake.main.hefty").head.getLong(0)
+
+    // materialize before the per-run catalog confs are dropped (Bench
+    // runs this 3x per process; the conf map must not grow per run)
+    val sumChars = spark.sql(
+      s"SELECT CAST(sum(n_chars) AS BIGINT) AS c FROM $lake.main.hefty").head.getLong(0)
+    spark.conf.unset(s"spark.sql.catalog.$lake")
+    spark.conf.unset(s"spark.sql.catalog.$lake.root")
+    import spark.implicits._
+    Seq((atCreate, afterAppend, afterMerge, sumChars, mainIsolated))
+      .toDF("at_create", "after_append", "after_merge", "sum_chars", "main_isolated")
+  }
+
   /** Audited CHERRY-PICK end-to-end (Iceberg's native WAP publish
     * primitive, W51): an append commit staged on a branch replays onto
     * main through `cherrypickSnapshot` AFTER its delta passes the

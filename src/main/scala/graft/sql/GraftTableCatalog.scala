@@ -62,7 +62,8 @@ import graft.wap.BranchCatalog
   * the Scala API ([[graft.wap.BranchCatalog.mergeInto]] etc.).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -336,6 +337,84 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
     cat.evolveSchema(name, evolved, branch)
     loadTable(ident)
+  }
+
+  // ---- views = branch-versioned definitions (the Nessie view surface) ----
+
+  /** `CREATE VIEW <cat>.<branch>.v AS SELECT ...` — the definition is
+    * versioned IN THE BRANCH like a table pointer: branching copies it
+    * zero-copy, `merge` publishes it, and a view over branch tables
+    * re-analyzes at read time so it follows the branch's data. Tag
+    * namespaces carry no views (a tag pins table snapshots; a view is a
+    * definition that would re-resolve against live state, which is
+    * exactly what a tag must not do). */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (tagOf(ns).isDefined) Array.empty
+    else cat.listViews(branchOf(ns)).map(Identifier.of(ns, _)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (tagOf(ident.namespace()).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    cat.viewDef(ident.name(), branchOf(ident.namespace())) match {
+      case Some(d) => GraftView(ident.name(), d)
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val b = branchOf(info.ident.namespace())
+    if (cat.viewDef(info.ident.name(), b).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    cat.createView(info.ident.name(), defOf(info), b)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val b = branchOf(info.ident.namespace())
+    if (!orCreate && cat.viewDef(info.ident.name(), b).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    cat.createView(info.ident.name(), defOf(info), b, replace = true)
+    loadView(info.ident)
+  }
+
+  private def defOf(info: ViewInfo): graft.wap.ViewDef =
+    graft.wap.ViewDef(info.sql, info.currentCatalog,
+      Option(info.currentNamespace).map(_.toSeq).getOrElse(Nil),
+      info.schema.toDDL,
+      Option(info.queryColumnNames).map(_.toSeq).getOrElse(Nil),
+      Option(info.columnAliases).map(_.toSeq).getOrElse(Nil),
+      Option(info.columnComments).map(_.toSeq.map(c => if (c == null) "" else c)).getOrElse(Nil),
+      Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty))
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val b = branchOf(ident.namespace())
+    val d = cat.viewDef(ident.name(), b).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val next = changes.foldLeft(d) { (acc, ch) =>
+      ch match {
+        case set: ViewChange.SetProperty =>
+          acc.copy(properties = acc.properties.updated(set.property(), set.value()))
+        case rm: ViewChange.RemoveProperty =>
+          acc.copy(properties = acc.properties - rm.property())
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported ALTER VIEW change $other")
+      }
+    }
+    cat.createView(ident.name(), next, b, replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    tagOf(ident.namespace()).isEmpty &&
+      cat.dropView(ident.name(), branchOf(ident.namespace()))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().sameElements(newIdent.namespace()),
+      "RENAME VIEW cannot move a view across branches")
+    cat.renameView(oldIdent.name(), newIdent.name(), branchOf(oldIdent.namespace()))
   }
 
   // ---- maintenance procedures (`CALL <cat>.system.<proc>(...)`) ----------
@@ -706,6 +785,21 @@ object GraftMetadataTable {
       StructField("refs_version", LongType), StructField("snapshot_id", StringType),
       StructField("is_current", BooleanType)))
   }
+}
+
+/** V2 View backed by a branch-stored [[graft.wap.ViewDef]]: Spark
+  * re-parses `query` under the stored catalog/namespace context at read
+  * time, so the view tracks its branch's live tables. */
+case class GraftView(viewName: String, d: graft.wap.ViewDef) extends View {
+  override def name(): String = viewName
+  override def query(): String = d.sql
+  override def currentCatalog(): String = d.currentCatalog
+  override def currentNamespace(): Array[String] = d.currentNamespace.toArray
+  override def schema(): StructType = StructType.fromDDL(d.schemaDdl)
+  override def queryColumnNames(): Array[String] = d.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = d.columnAliases.toArray
+  override def columnComments(): Array[String] = d.columnComments.toArray
+  override def properties(): util.Map[String, String] = d.properties.asJava
 }
 
 /** The staged side of an atomic CTAS ([[GraftTableCatalog.stageCreate]]):

@@ -124,8 +124,26 @@ object MetaAgg {
   final case class MaxCol(column: String) extends MetaAgg
 }
 
-/** Catalog state on one branch: table name -> snapshot id. */
-case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String])
+/** A branch-versioned SQL view: the query TEXT plus the resolution
+  * context it was created under (current catalog/namespace — the view
+  * re-analyzes against the session at read time, so a view over a
+  * branch table follows that branch's data like any Nessie view). */
+case class ViewDef(
+    sql: String, currentCatalog: String, currentNamespace: Seq[String],
+    schemaDdl: String,
+    queryColumnNames: Seq[String] = Nil,
+    columnAliases: Seq[String] = Nil,
+    columnComments: Seq[String] = Nil,
+    properties: Map[String, String] = Map.empty)
+
+/** Catalog state on one branch: table name -> snapshot id, plus the
+  * branch's views (absent in pre-r11 refs JSON — json4s fills the
+  * default). Branching copies views zero-copy like tables; merge
+  * publishes the source branch's view definitions (last writer wins —
+  * views are definitions, not data, so there is no 3-way content to
+  * reconcile). */
+case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String],
+    views: Map[String, ViewDef] = Map.empty)
 
 /** What one expireSnapshots run reclaimed. */
 case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
@@ -634,6 +652,7 @@ class BranchCatalog(
     writeSnapshot(table, snap)
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(!b.views.contains(table), s"a view named $table exists on $branch")
       if (b.tables.contains(table)) refs
       else refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, snap.id))))
     }
@@ -718,7 +737,8 @@ class BranchCatalog(
       require(!refs.tags.contains(branch),
         s"$branch is a tag — branch and tag names share one namespace")
       val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
-      refs.copy(branches = refs.branches.updated(branch, BranchState(src.tables, src.tables)))
+      refs.copy(branches = refs.branches.updated(branch,
+        BranchState(src.tables, src.tables, src.views)))
     }
 
   /** reference app.py:303 drop_branch. */
@@ -762,6 +782,45 @@ class BranchCatalog(
     scanSnapshot(table,
       snapshotIdAtTag(table, tag).getOrElse(sys.error(s"tag $tag has no table $table")),
       filter)
+
+  // ---- branch-versioned views (Nessie versions view definitions) --------
+
+  def createView(name: String, view: ViewDef, branch: String = "main",
+      replace: Boolean = false): Unit =
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(!b.tables.contains(name), s"a table named $name exists on $branch")
+      require(replace || !b.views.contains(name), s"view $name exists on $branch")
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(views = b.views.updated(name, view))))
+    }
+
+  def dropView(name: String, branch: String = "main"): Boolean = {
+    var existed = false
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      existed = b.views.contains(name)
+      if (!existed) refs
+      else refs.copy(branches = refs.branches.updated(branch, b.copy(views = b.views - name)))
+    }
+    existed
+  }
+
+  def renameView(from: String, to: String, branch: String = "main"): Unit =
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val d = b.views.getOrElse(from, sys.error(s"no view $from on $branch"))
+      require(!b.views.contains(to) && !b.tables.contains(to),
+        s"$to already exists on $branch")
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(views = b.views - from + (to -> d))))
+    }
+
+  def listViews(branch: String = "main"): Seq[String] =
+    currentRefs().branches.get(branch).map(_.views.keys.toSeq.sorted).getOrElse(Seq.empty)
+
+  def viewDef(name: String, branch: String = "main"): Option[ViewDef] =
+    currentRefs().branches.get(branch).flatMap(_.views.get(name))
 
   /** reference app.py:178-199 append_rows_to_table_in_branch: write the
     * batch as new immutable files, commit ONE new manifest + a child
@@ -1880,8 +1939,11 @@ class BranchCatalog(
         }
       }
       withEpochStamp(refs.copy(branches = refs.branches
-        .updated(into, dst.copy(tables = dstTables))
-        .updated(branch, BranchState(srcTables, srcBase))), epochStamp)
+        // views publish with the merge: the branch's definitions land on
+        // the target (last-writer-wins — a view is a definition, not
+        // data; there is no manifest-granular content to 3-way)
+        .updated(into, dst.copy(tables = dstTables, views = dst.views ++ src.views))
+        .updated(branch, src.copy(tables = srcTables, baseOfMain = srcBase))), epochStamp)
     }
 
   /** One commit on a table's history. `rowsAdded` comes from the manifest

@@ -1231,6 +1231,50 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(msgs(bogus).contains("ancestor"), msgs(bogus))
   }
 
+  test("branch-versioned views: CREATE VIEW per branch, branch isolation, merge publishes") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars"))
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50))
+
+    // a view created on main re-analyzes per read: it follows the data
+    spark.sql(s"CREATE VIEW $lake.main.big AS " +
+      s"SELECT doc_id FROM $lake.main.t WHERE n_chars > 0")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.big").head.getLong(0) == 50)
+    cat.append("t", docs.filter(col("doc_id") >= 50))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.big").head.getLong(0) == 100,
+      "view must track its table's live data")
+    assert(spark.sql(s"SHOW VIEWS IN $lake.main").collect().map(_.getString(1)).contains("big"))
+
+    // branch isolation: a view EDITED on a branch leaves main's intact;
+    // merge publishes the branch's definition
+    spark.sql(s"CREATE NAMESPACE $lake.dev")
+    spark.sql(s"CREATE OR REPLACE VIEW $lake.dev.big AS " +
+      s"SELECT doc_id FROM $lake.dev.t WHERE doc_id >= 90")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.dev.big").head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.big").head.getLong(0) == 100,
+      "main's view must be untouched by the branch edit")
+    cat.merge("dev")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.big").head.getLong(0) == 10,
+      "merge publishes the branch's view definition")
+
+    // lifecycle: ALTER VIEW AS redefines, RENAME moves the name, DROP
+    // removes it; table-name collisions refuse
+    spark.sql(s"ALTER VIEW $lake.main.big AS " +
+      s"SELECT doc_id FROM $lake.main.t WHERE doc_id >= 95")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.big").head.getLong(0) == 5)
+    spark.sql(s"ALTER VIEW $lake.main.big RENAME TO recent")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.recent").head.getLong(0) == 5)
+    intercept[Exception](spark.sql(s"CREATE VIEW $lake.main.t AS SELECT 1 AS x"))
+    spark.sql(s"DROP VIEW $lake.main.recent")
+    intercept[Exception](spark.sql(s"SELECT count(*) FROM $lake.main.recent").collect())
+    // a bare name inside a view body resolves against the view's OWN
+    // branch (creation-context capture)
+    spark.sql(s"CREATE VIEW $lake.dev.bare AS SELECT doc_id FROM t WHERE doc_id < 5")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.dev.bare").head.getLong(0) == 5)
+  }
+
   test("tags through SQL: read-only namespaces, VERSION AS OF by name, procedures") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
