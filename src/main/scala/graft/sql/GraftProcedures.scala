@@ -43,7 +43,7 @@ object GraftProcedures {
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
-      "rollback_table", "cherrypick_snapshot")
+      "rollback_table", "cherrypick_snapshot", "remove_orphan_files")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -73,18 +73,24 @@ object GraftProcedures {
         param("branch", StringType, "'main'"),
         param("target_files", IntegerType, "4"),
         param("cluster_by", StringType, "''"),
-        param("where", StringType, "''"))) { (cat, args) =>
+        param("where", StringType, "''"),
+        param("zorder_by", StringType, "''"))) { (cat, args) =>
         val (table, branch) = (args.getString(0), args.getString(1))
         val target = args.getInt(2)
         val cluster = args.getString(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val where = args.getString(4).trim
+        val zorder = args.getString(5).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cluster.isEmpty || zorder.isEmpty,
+          "cluster_by (range sort) and zorder_by (Morton interleave) are " +
+            "alternative layouts — declare one")
         if (where.nonEmpty) {
-          require(cluster.isEmpty,
-            "cluster_by and where do not compose: a scoped rewrite keeps the " +
-              "untouched files' layout, so a global sort order cannot be claimed")
+          require(cluster.isEmpty && zorder.isEmpty,
+            "cluster_by/zorder_by and where do not compose: a scoped rewrite " +
+              "keeps the untouched files' layout, so a global order cannot be claimed")
           cat.compactDataFilesWhere(table,
             org.apache.spark.sql.functions.expr(where), branch, target)
         }
+        else if (zorder.nonEmpty) cat.compactDataFilesZOrder(table, zorder, branch, target)
         else if (cluster.isEmpty) cat.compactDataFiles(table, branch, target)
         else cat.compactDataFilesSorted(table, cluster, branch, target)
         ()
@@ -170,6 +176,18 @@ object GraftProcedures {
     case "drop_tag" =>
       procedure(root, name, Array(param("tag", StringType))) { (cat, args) =>
         cat.dropTag(args.getString(0))
+      }
+    case "remove_orphan_files" =>
+      // crashed-write residue: files under the table's data dir that NO
+      // snapshot references. older_than_ms is the safety fence against
+      // deleting a write in flight (0 = the 3-day default)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("older_than_ms", LongType, "0"))) { (cat, args) =>
+        val cut = args.getLong(1)
+        if (cut > 0) cat.removeOrphanFiles(args.getString(0), cut)
+        else cat.removeOrphanFiles(args.getString(0))
+        ()
       }
     case "rollback_table" =>
       // move a branch head back to an ANCESTOR snapshot (metadata-only;

@@ -148,6 +148,9 @@ case class BranchState(tables: Map[String, String], baseOfMain: Map[String, Stri
 /** What one expireSnapshots run reclaimed. */
 case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
 
+/** What one removeOrphanFiles run reclaimed. */
+case class OrphanResult(filesDeleted: Int, bytesDeleted: Long)
+
 /** What one deleteWhere commit did. Top-level (not nested in the catalog)
   * so results compare equal across catalog instances. `filesDropped` is
   * the METADATA-ONLY tier: files whose footer stats PROVED every row
@@ -832,7 +835,19 @@ class BranchCatalog(
       epochStamp: Option[(String, Long)] = None): Snapshot = {
     // validate/align BEFORE writing data: a mismatched batch must not
     // corrupt the table (the reference inherits this from PyIceberg)
-    val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
+    val head = snapshotIdOf(table, branch).map(loadSnapshot(table, _))
+    // a PARTITIONED table routes EVERY append through the partitioned
+    // writer — the streaming sink, Wap.run, and every other surface
+    // built on append write transform-valued (prunable) files without
+    // each caller knowing the layout. Before r11 only appendPartitioned
+    // callers did, so a stream into a day-partitioned table silently
+    // accumulated unprunable files until compaction.
+    head.flatMap(_.partitionSpec) match {
+      case Some(fmt) =>
+        return appendPartitioned(table, df, PartitionSpec.parse(fmt), branch, epochStamp)
+      case None => ()
+    }
+    val aligned = head match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
         alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
       case _ => df
@@ -1191,7 +1206,8 @@ class BranchCatalog(
   }
 
   private[wap] case class StagedTable(
-      schemaDdl: String, appends: Vector[ManifestRef], deletes: Vector[ManifestRef])
+      schemaDdl: String, appends: Vector[ManifestRef], deletes: Vector[ManifestRef],
+      partitionSpec: Option[String] = None)
 
   /** The staging handle [[transaction]] passes to its body. Staging
     * writes files and manifests eagerly; NOTHING is visible to any reader
@@ -1200,19 +1216,25 @@ class BranchCatalog(
     private val byTable =
       scala.collection.mutable.LinkedHashMap.empty[String, StagedTable]
 
-    private def schemaOf(table: String): StructType = {
+    private def headOf(table: String): Snapshot = {
       val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
-      StructType.fromDDL(loadSnapshot(table, id).schemaDdl)
+      loadSnapshot(table, id)
     }
     private def entry(table: String): StagedTable =
-      byTable.getOrElseUpdate(table,
-        StagedTable(schemaOf(table).toDDL, Vector.empty, Vector.empty))
+      byTable.getOrElseUpdate(table, {
+        val head = headOf(table)
+        StagedTable(head.schemaDdl, Vector.empty, Vector.empty, head.partitionSpec)
+      })
 
-    /** Stage an append (same alignment rules as [[BranchCatalog.append]]). */
+    /** Stage an append (same alignment + partition routing as
+      * [[BranchCatalog.append]] — a partitioned table's staged files
+      * carry transform values too). */
     def append(table: String, df: DataFrame): Unit = {
       val st = entry(table)
       val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
-      val manifest = writeManifest(table, writeDataFiles(table, aligned), aligned.schema)
+      val manifest = writeManifest(table,
+        writeTableFiles(table, aligned, st.partitionSpec.map(PartitionSpec.parse)),
+        aligned.schema)
       byTable(table) = st.copy(appends = st.appends :+ manifest)
     }
 
@@ -2738,7 +2760,8 @@ class BranchCatalog(
     * carry no transform value and are simply never partition-pruned. */
   def appendPartitioned(
       table: String, df: DataFrame, spec: PartitionSpec,
-      branch: String = "main"): Snapshot = {
+      branch: String = "main",
+      epochStamp: Option[(String, Long)] = None): Snapshot = {
     val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
         alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
@@ -2759,8 +2782,8 @@ class BranchCatalog(
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), Some(spec.format), parent.deleteManifests, s)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
-        b.copy(tables = b.tables.updated(table, committed.id))))
+      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
   }
@@ -3742,6 +3765,71 @@ class BranchCatalog(
     dropData.foreach(p => fs.delete(new Path(p), false))
 
     ExpireResult(dropSnaps.size, dropManifests.size, dropData.size)
+  }
+
+  /** Delete data files NO snapshot references (Iceberg
+    * remove_orphan_files): the residue of crashed writes — files staged
+    * under `tables/<t>/data/` whose commit never landed, which
+    * [[expireSnapshots]] can never reclaim because no manifest ever
+    * pointed at them. Referenced = every file of EVERY snapshot on disk
+    * (live or historical, data AND delete-key files) — expiry owns
+    * historical cleanup, this op only touches the never-committed.
+    * `olderThanMillis` is the safety fence (default: 3 days ago): a file
+    * younger than the cutoff is NEVER deleted, because it may belong to
+    * a write in flight between staging and its refs commit — the same
+    * race Iceberg's procedure defaults against. Above the distributed
+    * threshold the referenced-set diff runs as a Spark job (the driver
+    * holds only the delete list). */
+  def removeOrphanFiles(
+      table: String,
+      olderThanMillis: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000): OrphanResult = {
+    val dataDir = new Path(rootPath, s"tables/$table/data")
+    val metaDir = new Path(rootPath, s"tables/$table/meta")
+    if (!fs.exists(dataDir) || !fs.exists(metaDir)) return OrphanResult(0, 0L)
+
+    val manifestPaths = fs.listStatus(metaDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("snap-"))
+      .map(p => Serialization.read[Snapshot](readString(p)))
+      .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path))
+      .distinct
+    val totalRefs = manifestPaths.size
+
+    val listed: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+      def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) { if (!hidden(st.getPath.getName)) walk(st.getPath) }
+        else if (!hidden(st.getPath.getName)) out += st
+      }
+      walk(dataDir)
+      out.result()
+    }
+    val candidates = listed.filter(_.getModificationTime < olderThanMillis)
+    if (candidates.isEmpty) return OrphanResult(0, 0L)
+
+    // both sides compare by the SCHEME-LESS path component: stored
+    // manifest paths may lack the scheme/authority that listStatus
+    // results carry, and a qualification mismatch here would delete
+    // referenced files
+    def bare(p: String): String = new Path(p).toUri.getPath
+    val referencedBare: Set[String] =
+      if (totalRefs > distributedMetaThreshold / 8) {
+        // distributed diff: only candidate paths (already bounded) come
+        // back, the per-file reference set never lands on the driver
+        import org.apache.spark.sql.functions.{col, udf}
+        import spark.implicits._
+        val bareUdf = udf((p: String) => new Path(p).toUri.getPath)
+        val cand = candidates.map(st => bare(st.getPath.toString)).toDS().toDF("path")
+        cand.join(
+            manifestEntriesOf(manifestPaths).select(bareUdf(col("path")).as("path")).distinct(),
+            Seq("path"), "left_semi")
+          .collect().map(_.getString(0)).toSet
+      } else
+        manifestPaths.flatMap(p => readManifest(p).map(f => bare(f.path))).toSet
+
+    val orphans = candidates.filterNot(st => referencedBare.contains(bare(st.getPath.toString)))
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    OrphanResult(orphans.size, orphans.map(_.getLen).sum)
   }
 
   private def newId(): String = UUID.randomUUID().toString.take(16)

@@ -110,14 +110,31 @@ class SpjSpec extends SparkSpecBase {
       assert(shuffles(off.queryExecution.executedPlan).nonEmpty)
       assert(off.count() == d.count())
 
-      // a plain (unpartitioned) append poisons coverage: key grouping is
-      // impossible, the scan must fall back rather than misreport
+      // a PLAIN append now auto-routes through the committed spec
+      // (r11): the staged file carries its transform value, coverage
+      // stays full, and the join KEEPS its shuffle-free plan — the
+      // streaming-sink/Wap.run surfaces inherit pruning and SPJ without
+      // knowing the layout
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       cat.append("a", d.filter(col("doc_id") === 0).select("doc_id", "n_chars"))
-      val mixed = spark.sql(sql)
-      assert(shuffles(mixed.queryExecution.executedPlan).nonEmpty,
-        "mixed coverage must not report key grouping")
-      assert(mixed.count() == d.count() + 1) // doc 0 now twice in a
+      val routed = spark.sql(sql)
+      assert(shuffles(routed.queryExecution.executedPlan).isEmpty,
+        "auto-routed appends must preserve full coverage (and so SPJ)")
+      assert(routed.count() == d.count() + 1) // doc 0 now twice in a
+
+      // files WITHOUT transform values (foreign/legacy metadata) still
+      // fall back rather than misreport: a bucket-declared table over an
+      // unpartitioned snapshot reports UnknownPartitioning
+      cat.createTableIfNotExists("legacy", d.select("doc_id", "n_chars").schema)
+      cat.append("legacy", d.select("doc_id", "n_chars"))
+      val tbl = GraftTable(cat.root, "main", "legacy",
+        cat.snapshotIdOf("legacy", "main").get, d.select("doc_id", "n_chars").schema,
+        partitionSpecFmt = Some("bucket(8,doc_id)"))
+      val scan = new GraftScanBuilder(tbl).build()
+        .asInstanceOf[GraftBatchScan]
+      assert(scan.outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning],
+        "missing transform values must fall back, never misreport grouping")
     }
   }
 

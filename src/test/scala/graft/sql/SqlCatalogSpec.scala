@@ -717,6 +717,22 @@ class SqlCatalogSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.expire_snapshots('t', 2)")
     assert(cat.scanSnapshot("t", parent).count() >= 1, "retain_last=2 keeps the parent")
 
+    // z-order layout through the same procedure (alternative to cluster_by)
+    spark.sql(s"CALL $lake.system.rewrite_data_files('t', 'main', 2, '', '', 'doc_id,n_chars')")
+    val preCount = cat.scan("t").count()
+    assert(cat.dataFiles("t").size == 2)
+
+    // orphan sweep through SQL: plant residue, fence holds, cutoff reaps
+    val orphanDir = new java.io.File(cat.root, "tables/t/data/crashed")
+    orphanDir.mkdirs()
+    val o = new java.io.File(orphanDir, "part-dead.parquet")
+    java.nio.file.Files.write(o.toPath, Array[Byte](1, 2, 3))
+    spark.sql(s"CALL $lake.system.remove_orphan_files('t')")
+    assert(o.exists(), "the 3-day fence must keep fresh files")
+    spark.sql(s"CALL $lake.system.remove_orphan_files('t', ${System.currentTimeMillis() + 60000}L)")
+    assert(!o.exists())
+    assert(cat.scan("t").count() == preCount)
+
     // incremental analyze through SQL: sketches land, stats served
     spark.sql(s"CALL $lake.system.analyze_table_incremental('t')")
     val ndv = cat.columnStatsOf("t", cat.snapshotIdOf("t").get)

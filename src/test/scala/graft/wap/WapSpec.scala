@@ -958,6 +958,39 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
   }
 
+  test("removeOrphanFiles deletes crashed-write residue, never referenced or fresh files") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 20).repartition(1))
+    val preId = cat.snapshotIdOf("t").get
+    cat.deleteWhere("t", col("doc_id") < 5) // historical files stay referenced
+
+    // plant an orphan: a parquet file staged under the data dir that no
+    // manifest ever pointed at (a crashed write's residue)
+    val orphanDir = new java.io.File(cat.root, "tables/t/data/crashed-commit")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-00000-dead.parquet")
+    val stage = Files.createTempDirectory("orphan-stage").toString
+    docs.limit(3).coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+
+    // a fresh orphan survives the default 3-day fence …
+    val fenced = cat.removeOrphanFiles("t")
+    assert(fenced.filesDeleted == 0, s"$fenced")
+    assert(orphan.exists())
+    // … and dies past an explicit cutoff; referenced files are untouched
+    val res = cat.removeOrphanFiles("t", System.currentTimeMillis() + 60000)
+    assert(res.filesDeleted == 1 && res.bytesDeleted > 0, s"$res")
+    assert(!orphan.exists())
+    assert(cat.scan("t").count() == 15)
+    assert(cat.scanSnapshot("t", preId).count() == 20,
+      "historical snapshots' files are REFERENCED, not orphans")
+    // idempotent: a second sweep finds nothing
+    assert(cat.removeOrphanFiles("t", System.currentTimeMillis() + 60000).filesDeleted == 0)
+  }
+
   test("compactDataFilesWhere folds only the files the predicate admits") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
