@@ -43,7 +43,8 @@ object GraftProcedures {
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
-      "rollback_table", "cherrypick_snapshot", "remove_orphan_files")
+      "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
+      "export_snapshot")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -187,6 +188,20 @@ object GraftProcedures {
         val cut = args.getLong(1)
         if (cut > 0) cat.removeOrphanFiles(args.getString(0), cut)
         else cat.removeOrphanFiles(args.getString(0))
+        ()
+      }
+    case "export_snapshot" =>
+      // the reference's core premise through SQL alone: emit the
+      // engine-neutral export (manifest.json with per-file pruning
+      // stats, ready-to-run view.sql, files.parquet) a foreign engine
+      // reads from metadata — W37's surface, zero Scala
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("dest", StringType),
+        param("branch", StringType, "'main'"),
+        param("snapshot_id", StringType, "''"))) { (cat, args) =>
+        val snap = Option(args.getString(3)).map(_.trim).filter(_.nonEmpty)
+        cat.exportSnapshot(args.getString(0), args.getString(1), args.getString(2), snap)
         ()
       }
     case "rollback_table" =>

@@ -977,9 +977,10 @@ class BranchCatalog(
       } else {
         val files = filter match {
           case Some(cond) =>
-            pruneFiles(filesOf(snap), cond, schema,
+            val kept = manifestsFor(snap, filter, schema)
+            pruneFiles(filesOf(snap.copy(manifests = kept)), cond, schema,
               snap.partitionSpec.map(PartitionSpec.parse),
-              Some(new BloomProbe(snap.manifests)))
+              Some(new BloomProbe(kept)))
           case None => filesOf(snap)
         }
         files.map(_.path)
@@ -1269,8 +1270,10 @@ class BranchCatalog(
   def prunedDataFiles(table: String, cond: Column, branch: String = "main"): Seq[DataFileMeta] = {
     val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val snap = loadSnapshot(table, id)
-    pruneFiles(filesOf(snap), cond, StructType.fromDDL(snap.schemaDdl),
-      snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val kept = manifestsFor(snap, Some(cond), schema)
+    pruneFiles(filesOf(snap.copy(manifests = kept)), cond, schema,
+      snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(kept)))
   }
 
   // ---- file-level stats pruning -----------------------------------------
@@ -1460,6 +1463,36 @@ class BranchCatalog(
     }).getOrElse(org.apache.spark.sql.functions.lit(true))
   }
 
+  /** MANIFEST-LIST pruning (Iceberg's manifest-list tier, above file
+    * pruning): false ONLY when the manifest's own coverage-aware bounds
+    * (statsV >= 2: exact null-count sums, fold-exact min/max — see
+    * [[ManifestRef]]) prove NO file inside can match — the manifest is
+    * then never even READ, so a selective scan of a commit-clustered
+    * 100 TB table costs O(matching manifests) metadata, not
+    * O(manifests). Reuses the file-level [[admits]] through a proxy
+    * entry (manifest bounds have exactly file-bound semantics, minus
+    * partition values and bloom, which the file tier still applies to
+    * whatever survives). Pre-r11 manifests (statsV < 2) are always kept:
+    * their nullCounts may be partial unions, which a may-match IsNull
+    * check must not trust. */
+  private def manifestMayMatch(
+      m: ManifestRef, pred: Expression, schema: StructType): Boolean =
+    m.statsV < 2 || {
+      val proxy = DataFileMeta(m.path, m.rows, m.lower, m.upper, m.nullCounts)
+      conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
+        .forall(p => admits(proxy, p, None, schema, None))
+    }
+
+  /** The manifests of `snap` that may hold rows matching `cond` — the
+    * manifest-list prune every planning tier applies BEFORE reading
+    * manifest entries. */
+  private def manifestsFor(
+      snap: Snapshot, cond: Option[Column], schema: StructType): Seq[ManifestRef] =
+    cond.flatMap(resolvePredicate(_, schema)) match {
+      case Some(pred) => snap.manifests.filter(manifestMayMatch(_, pred, schema))
+      case None => snap.manifests
+    }
+
   /** Keep only files whose partition transform value and footer stats
     * cannot rule out `cond`. Unsupported predicate shapes / missing stats
     * keep the file (pruning is always sound, never required). The Column
@@ -1509,7 +1542,10 @@ class BranchCatalog(
           else Some(new DistBloom(bloomCols, spark.sparkContext.broadcast(
             new org.apache.spark.util.SerializableConfiguration(
               spark.sparkContext.hadoopConfiguration))))
-        val entries = manifestEntries(snap)
+        // manifest-list prune FIRST: executors then read only the
+        // admitted manifests' entries (O(matching manifests) tasks)
+        val entries = manifestEntries(snap.copy(
+            manifests = snap.manifests.filter(manifestMayMatch(_, pred, schema))))
           .withColumn("__manifest", input_file_name())
         conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
           .map(p => admitsCol(p, spec, schema, bloom))
@@ -1552,8 +1588,10 @@ class BranchCatalog(
       distributedPrunedFilesPv(snap, cond, schema)
     else {
       val files = cond match {
-        case Some(c) => pruneFiles(filesOf(snap), c, schema,
-          snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
+        case Some(c) =>
+          val kept = manifestsFor(snap, cond, schema)
+          pruneFiles(filesOf(snap.copy(manifests = kept)), c, schema,
+            snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(kept)))
         case None => filesOf(snap)
       }
       files.map(f => (f.path, f.bytes, f.partition.get("pv")))
@@ -1641,9 +1679,10 @@ class BranchCatalog(
           else {
             val fs = cond match {
               case Some(c) =>
-                pruneFiles(filesOf(sub), c, schema,
+                val kept = manifestsFor(sub, cond, schema)
+                pruneFiles(filesOf(sub.copy(manifests = kept)), c, schema,
                   snap.partitionSpec.map(PartitionSpec.parse),
-                  Some(new BloomProbe(sub.manifests)))
+                  Some(new BloomProbe(kept)))
               case None => filesOf(sub)
             }
             fs.map(f => f.path -> f.bytes)
@@ -2825,14 +2864,20 @@ class BranchCatalog(
     // affected files split again into provably-all-match (metadata-only
     // drop) vs maybe-match (copy-on-write rewrite)
     val perManifest = cur.manifests.map { m =>
-      val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
-      val (dropped, rewrite) = resolved match {
-        case Some(pred) => affected.partition(f => allRowsMatch(f, pred, schema))
-        case None => (Seq.empty[DataFileMeta], affected)
+      // manifest-list prune: an excluded manifest carries over by
+      // reference without ever being READ
+      if (resolved.exists(p => !manifestMayMatch(m, p, schema)))
+        (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+      else {
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
+        val (dropped, rewrite) = resolved match {
+          case Some(pred) => affected.partition(f => allRowsMatch(f, pred, schema))
+          case None => (Seq.empty[DataFileMeta], affected)
+        }
+        val touched = affected.map(_.path).toSet
+        (m, dropped, rewrite, files.filterNot(f => touched.contains(f.path)))
       }
-      val touched = affected.map(_.path).toSet
-      (m, dropped, rewrite, files.filterNot(f => touched.contains(f.path)))
     }
     val droppedFiles = perManifest.flatMap { case (_, d, _, _) => d }
     val rewriteFiles = perManifest.flatMap { case (_, _, r, _) => r }
@@ -2902,11 +2947,16 @@ class BranchCatalog(
       require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
     val spec = cur.partitionSpec.map(PartitionSpec.parse)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
+    val resolvedCond = resolvePredicate(cond, schema)
     val perManifest = cur.manifests.map { m =>
-      val files = readManifest(m.path)
-      val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
-      val affectedPaths = affected.map(_.path).toSet
-      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+        (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+      else {
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
+        val affectedPaths = affected.map(_.path).toSet
+        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      }
     }
     val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
     val totalFiles = cur.manifests.map(_.fileCount).sum
@@ -3023,11 +3073,16 @@ class BranchCatalog(
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
+      val resolvedCond = resolvePredicate(cond, schema)
       val perManifest = cur.manifests.map { m =>
-        val files = readManifest(m.path)
-        val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
-        val affectedPaths = affected.map(_.path).toSet
-        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+          (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+        else {
+          val files = readManifest(m.path)
+          val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
+          val affectedPaths = affected.map(_.path).toSet
+          (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+        }
       }
       val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
 
@@ -3114,11 +3169,16 @@ class BranchCatalog(
 
       val spec = cur.partitionSpec.map(PartitionSpec.parse)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
+      val resolvedCond = resolvePredicate(pruneCond, schema)
       val perManifest = cur.manifests.map { m =>
-        val files = readManifest(m.path)
-        val affected = pruneFiles(files, pruneCond, schema, spec, bloomIdx)
-        val affectedPaths = affected.map(_.path).toSet
-        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+          (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+        else {
+          val files = readManifest(m.path)
+          val affected = pruneFiles(files, pruneCond, schema, spec, bloomIdx)
+          val affectedPaths = affected.map(_.path).toSet
+          (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+        }
       }
       val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
 
@@ -3499,11 +3559,16 @@ class BranchCatalog(
     val schema = StructType.fromDDL(cur.schemaDdl)
     val spec = cur.partitionSpec.map(PartitionSpec.parse)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
+    val resolvedWhere = resolvePredicate(where, schema)
     val perManifest = cur.manifests.map { m =>
-      val files = readManifest(m.path)
-      val affected = pruneFiles(files, where, schema, spec, bloomIdx)
-      val affectedPaths = affected.map(_.path).toSet
-      (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      if (resolvedWhere.exists(p => !manifestMayMatch(m, p, schema)))
+        (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+      else {
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, where, schema, spec, bloomIdx)
+        val affectedPaths = affected.map(_.path).toSet
+        (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      }
     }
     val affectedFiles = perManifest.flatMap { case (_, a, _) => a }
     if (affectedFiles.size <= 1) return cur // nothing to fold

@@ -722,6 +722,13 @@ class SqlCatalogSpec extends SparkSpecBase {
     val preCount = cat.scan("t").count()
     assert(cat.dataFiles("t").size == 2)
 
+    // snapshot export through SQL: the engine-neutral artifacts land
+    val exportDest = java.nio.file.Files.createTempDirectory("sql-export").toString
+    spark.sql(s"CALL $lake.system.export_snapshot('t', '$exportDest')")
+    assert(new java.io.File(exportDest, "manifest.json").exists())
+    assert(new java.io.File(exportDest, "view.sql").exists())
+    assert(spark.read.parquet(s"$exportDest/files.parquet").count() >= 1)
+
     // orphan sweep through SQL: plant residue, fence holds, cutoff reaps
     val orphanDir = new java.io.File(cat.root, "tables/t/data/crashed")
     orphanDir.mkdirs()

@@ -958,6 +958,37 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t", "main").filter(col("doc_id") >= 50 && col("doc_id") < 100).count() == 50)
   }
 
+  test("manifest-list pruning: excluded manifests are never read (corrupt-manifest proof)") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50).repartition(1))
+    cat.append("t", docs.filter(col("doc_id") >= 50 && col("doc_id") < 100).repartition(1))
+    cat.append("t", docs.filter(col("doc_id") >= 100).repartition(1))
+
+    // corrupt the FIRST range's manifest on disk: any plan that still
+    // reads it will throw, so a passing selective scan PROVES the
+    // manifest-list tier skipped it from its own bounds
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    val low = snap.manifests.find(_.upper.get("doc_id").exists(_.toLong < 50)).get
+    assert(low.statsV >= 2, "coverage-aware manifest bounds are the r11 format")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      new java.net.URI(new org.apache.hadoop.fs.Path(low.path).toUri.toString) match {
+        case u if u.getScheme == null => java.nio.file.Paths.get(low.path).toUri
+        case u => u
+      }), "NOT JSON")
+
+    assert(cat.scan("t", filter = Some(col("doc_id") >= 100)).count() == 50)
+    assert(cat.prunedDataFiles("t", col("doc_id") >= 100).map(_.path).size == 1)
+    // DML planning skips it the same way: the excluded manifest carries
+    // over by reference without a read
+    val res = cat.deleteWhere("t", col("doc_id") >= 140)
+    assert(res.filesRewritten == 1 && res.filesUntouched == 2, s"$res")
+    assert(cat.scan("t", filter = Some(col("doc_id") >= 100)).count() == 40)
+    // the corruption is real: an unfiltered scan must fail loudly
+    intercept[Exception](cat.scan("t").count())
+  }
+
   test("removeOrphanFiles deletes crashed-write residue, never referenced or fresh files") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
@@ -1565,11 +1596,15 @@ class WapSpec extends SparkSpecBase {
     assert(cat.driverManifestReads.get() == 0L,
       s"distributed scan read ${cat.driverManifestReads.get()} manifests on the driver")
 
-    // parity: a driver-planned catalog over the SAME metadata agrees
+    // parity: a driver-planned catalog over the SAME metadata agrees —
+    // and the r11 manifest-list tier means even the DRIVER path reads
+    // only the ONE manifest whose bounds admit the predicate, not 1201
     val driverCat = new BranchCatalog(spark, cat.root)
     val driverOut = driverCat.scanSnapshot("t", snap.id, Some(col("doc_id") < 20))
     assert(driverOut.count() == 20)
-    assert(driverCat.driverManifestReads.get() == 1201L, "driver path reads every manifest")
+    assert(driverCat.driverManifestReads.get() == 1L,
+      s"manifest-list pruning must skip all 1200 excluded manifests, " +
+        s"read ${driverCat.driverManifestReads.get()}")
   }
 
   test("distributed expiry equals driver expiry on identical logical content") {
