@@ -44,7 +44,7 @@ object GraftProcedures {
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
-      "export_snapshot")
+      "export_snapshot", "rewrite_partitioned")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -188,6 +188,18 @@ object GraftProcedures {
         val cut = args.getLong(1)
         if (cut > 0) cat.removeOrphanFiles(args.getString(0), cut)
         else cat.removeOrphanFiles(args.getString(0))
+        ()
+      }
+    case "rewrite_partitioned" =>
+      // partition evolution by rewrite (W24 through SQL): relay the
+      // table's CURRENT content into a new hidden-partition layout —
+      // `days(ts)` -> `bucket(32, id)` as one content-preserving commit
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("spec", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.rewritePartitioned(args.getString(0),
+          graft.wap.PartitionSpec.parse(args.getString(1)), args.getString(2))
         ()
       }
     case "export_snapshot" =>

@@ -142,10 +142,23 @@ object GraftViewRules {
     expanding.set(expanding.get() + key)
     try {
       val qualified = contextualize(spark, d)
+      // TRANSITIVE expansion inside this guarded call: nested view
+      // references must expand here, while the in-flight set still holds
+      // the ancestors — the analyzer fixpoint re-entering the rule with
+      // a fresh scope per iteration could never see a cycle (it would
+      // spin to max-iterations instead of failing by name)
+      val deep = qualified.transformWithSubqueries {
+        case u @ UnresolvedRelation(p, _, false)
+            if p.length == 3 && rootOf(spark, p.head).isDefined =>
+          new BranchCatalog(spark, rootOf(spark, p.head).get).viewDef(p(2), p(1)) match {
+            case Some(dd) => expand(spark, p, dd)
+            case None => u
+          }
+      }
       val aliased =
         if (d.columnAliases.nonEmpty)
-          UnresolvedSubqueryColumnAliases(d.columnAliases, qualified)
-        else qualified
+          UnresolvedSubqueryColumnAliases(d.columnAliases, deep)
+        else deep
       SubqueryAlias(parts(2), aliased)
     } finally expanding.set(expanding.get() - key)
   }

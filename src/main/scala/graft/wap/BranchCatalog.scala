@@ -912,7 +912,11 @@ class BranchCatalog(
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"upsert key column $c is not a column of $table"))
     val aligned = alignToSchema(source, schema, table, branch)
-    val dataFiles = writeDataFiles(table, aligned)
+    // the new versions are table DATA: on a partitioned table they carry
+    // transform values like any append (key/tombstone files are not —
+    // they are metadata the scan anti-joins, never partition-pruned)
+    val dataFiles = writeTableFiles(table, aligned,
+      cur.partitionSpec.map(PartitionSpec.parse))
     val dataManifest = writeManifest(table, dataFiles, schema)
     val keyFiles = writeDataFiles(table,
       aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())

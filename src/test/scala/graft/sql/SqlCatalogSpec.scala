@@ -722,6 +722,13 @@ class SqlCatalogSpec extends SparkSpecBase {
     val preCount = cat.scan("t").count()
     assert(cat.dataFiles("t").size == 2)
 
+    // partition evolution through SQL: the layout changes, content and
+    // pruning follow
+    spark.sql(s"CALL $lake.system.rewrite_partitioned('t', 'bucket(4,doc_id)')")
+    val evolved = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(evolved.partitionSpec.contains("bucket(4,doc_id)"))
+    assert(cat.dataFiles("t").forall(_.partition.contains("pv")))
+
     // snapshot export through SQL: the engine-neutral artifacts land
     val exportDest = java.nio.file.Files.createTempDirectory("sql-export").toString
     spark.sql(s"CALL $lake.system.export_snapshot('t', '$exportDest')")
@@ -1296,6 +1303,16 @@ class SqlCatalogSpec extends SparkSpecBase {
     // branch (creation-context capture)
     spark.sql(s"CREATE VIEW $lake.dev.bare AS SELECT doc_id FROM t WHERE doc_id < 5")
     assert(spark.sql(s"SELECT count(*) FROM $lake.dev.bare").head.getLong(0) == 5)
+    // views over views expand transitively (incl. a bare inner reference)
+    spark.sql(s"CREATE VIEW $lake.dev.nested AS SELECT * FROM bare WHERE doc_id >= 2")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.dev.nested").head.getLong(0) == 3)
+    // a recursive definition fails loudly instead of looping the analyzer
+    cat.createView("self",
+      graft.wap.ViewDef(s"SELECT * FROM $lake.dev.self", lake, Seq("dev"), ""), "dev")
+    val rec = intercept[Exception](spark.sql(s"SELECT * FROM $lake.dev.self").collect())
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(rec).contains("recursive"), chain(rec))
   }
 
   test("tags through SQL: read-only namespaces, VERSION AS OF by name, procedures") {
