@@ -222,7 +222,9 @@ case class GraftShowViewsCommand(
     val names = new BranchCatalog(spark, root).listViews(branch)
     val filtered = pattern match {
       case Some(p) =>
-        val rx = p.replace("*", ".*").replace("%", ".*").r
+        // SHOW VIEWS LIKE patterns: '*'/'%' are wildcards, everything
+        // else is LITERAL (a dot in a pattern must not match any char)
+        val rx = p.split("[*%]", -1).map(java.util.regex.Pattern.quote).mkString(".*").r
         names.filter(n => rx.pattern.matcher(n).matches())
       case None => names
     }
