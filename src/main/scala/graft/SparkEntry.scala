@@ -51,6 +51,7 @@ object SparkEntry {
     "wap_tags" -> (WapQueries.wapTags _),
     "wap_cherrypick" -> (WapQueries.wapCherrypick _),
     "wap_views" -> (WapQueries.wapViews _),
+    "wap_manifest_prune" -> (WapQueries.wapManifestPrune _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
@@ -198,6 +199,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 160) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 160) AS sum_chars, true AS clean_published, true AS idempotent, true AS dirty_blocked""",
     "wap_views" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars > 0) AS at_create, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars > 0) AS after_append, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS after_merge, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS sum_chars, true AS main_isolated""",
+    "wap_manifest_prune" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS n_high, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS chars_high, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 140) AS n_high_after_delete, CAST(2 AS BIGINT) AS files_untouched, true AS corrupt_real""",
     "wap_update" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + 1000) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_updated, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_untouched, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_updated""",
     "wap_upsert" ->

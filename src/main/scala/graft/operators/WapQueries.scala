@@ -210,6 +210,40 @@ object WapQueries {
         lit(dirtyBlocked).as("dirty_blocked"))
   }
 
+  /** MANIFEST-LIST pruning end-to-end (W54): three range-disjoint
+    * commits, then the FIRST range's manifest is overwritten with
+    * garbage on disk — a selective scan and a bounded DELETE still
+    * succeed (reading the excluded manifest would throw), proving the
+    * manifest tier skipped it from its own bounds, while an unfiltered
+    * scan fails loudly (the corruption is real, gate three). Hashed:
+    * the surviving selective counts + the three proof booleans. */
+  def wapManifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-mlp").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 150)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 50).repartition(1))
+    cat.append("documents", docs.filter(col("doc_id") >= 50 && col("doc_id") < 100).repartition(1))
+    cat.append("documents", docs.filter(col("doc_id") >= 100).repartition(1))
+
+    val snap = cat.snapshotMeta("documents", cat.snapshotIdOf("documents").get)
+    val low = snap.manifests.find(_.upper.get("doc_id").exists(_.toLong < 50)).get
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(low.path).toUri.getPath), "NOT JSON")
+
+    val selective = cat.scan("documents", filter = Some(col("doc_id") >= 100))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("s")).head
+    val del = cat.deleteWhere("documents", col("doc_id") >= 140)
+    val afterDelete = cat.scan("documents", filter = Some(col("doc_id") >= 100)).count()
+    val corruptReal =
+      try { cat.scan("documents").count(); false } catch { case _: Exception => true }
+
+    import spark.implicits._
+    Seq((selective.getLong(0), selective.getLong(1), afterDelete,
+      del.filesUntouched, corruptReal))
+      .toDF("n_high", "chars_high", "n_high_after_delete", "files_untouched", "corrupt_real")
+  }
+
   /** METADATA-ONLY delete end-to-end (the Iceberg metadata-delete shape):
     * three single-file appends with disjoint id ranges, then a branch
     * delete whose predicate fully covers the first file and half of the
