@@ -1039,6 +1039,64 @@ object WapQueries {
         lit(epochs.values.max).as("last_epoch"))
   }
 
+  /** Audited streaming CDC end-to-end ([[graft.sql.GraftStreamingWrite]]
+    * upsert mode): epoch 0 loads doc_id < 100, epoch 1 RE-DELIVERS
+    * 50..99 with doubled n_chars plus fresh 100..149 — upserted by key
+    * through MOR tombstones (audit-then-apply, zero rewrites), epoch 2
+    * (planted nulls) quarantines while main's CDC state is untouched.
+    * Oracle: the final keyed state in plain SQL (new versions win for
+    * 50..149, originals for < 50). */
+  def wapStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wap-cdc").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    cat.createTableIfNotExists("state", docs.schema)
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    def drain(): Unit = {
+      val q = mem.toDF.toDF("doc_id", "text", "n_chars")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:text")
+        .option("graft.upsert.keys", "doc_id")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.state")
+      q.awaitTermination()
+    }
+    def rowsOf(df: DataFrame): Seq[(Long, String, Long)] =
+      df.select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toIndexedSeq
+
+    val filesBefore = { // epoch 0: initial load
+      mem.addData(rowsOf(docs.filter(col("doc_id") < 100)): _*); drain()
+      cat.dataFiles("state").size
+    }
+    // epoch 1: re-delivered 50..99 (doubled n_chars) + fresh 100..149
+    mem.addData(rowsOf(docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+      .withColumn("n_chars", col("n_chars") * 2)): _*)
+    drain()
+    val zeroRewrites = cat.dataFiles("state").size > filesBefore
+    // epoch 2: dirty batch quarantines, stream state unharmed
+    mem.addData((9999L, null, 1L)); drain()
+    val quarantined = cat.listBranches().exists(_.startsWith("stream-state-"))
+
+    cat.scan("state", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_keys"))
+      .select(col("n_rows"), col("sum_chars"), col("n_keys"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(quarantined).as("dirty_quarantined"))
+  }
+
   /** Per-column null counts + row count in one aggregation pass. */
   def dqNullCounts(spark: SparkSession, dir: String): DataFrame =
     Metrics.nullCounts(Tables.eventsWithTs(spark, dir).select("event_type", "value", "props"),

@@ -55,6 +55,16 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
   private val wapMode = options.getBoolean("graft.wap", false)
   private val checks: Seq[Expect] =
     GraftStreamingWrite.parseChecks(Option(options.get("graft.checks")))
+  /** `graft.upsert.keys=id[,col2]`: CDC mode — each micro-batch UPSERTS
+    * by key through merge-on-read tombstones ([[BranchCatalog
+    * .upsertKeysMOR]]: O(batch) per epoch at any table size, zero
+    * rewrites) instead of appending. With `graft.wap` the batch is
+    * audit-then-applied ([[Wap.runUpsertMOR]]): a failing batch
+    * quarantines on its epoch branch and the stream continues, exactly
+    * as for appends. Compact periodically to materialize tombstones. */
+  private val upsertKeys: Seq[String] =
+    Option(options.get("graft.upsert.keys")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   if (t.branch == "main" && !wapMode && !t.mainWritesAllowed)
     throw new IllegalArgumentException(
@@ -115,14 +125,21 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         // a crash between Wap's branch fork and the publishing (stamped)
         // merge leaves the branch behind; the replay must start clean
         if (cat.listBranches().contains(auditBranch)) cat.dropBranch(auditBranch)
-        val result = Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter,
-          epochStamp = Some((epochKey, epochId)))
+        val result =
+          if (upsertKeys.nonEmpty)
+            Wap.runUpsertMOR(cat, t.tableName, batch, upsertKeys, checks,
+              auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
+          else Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter,
+            epochStamp = Some((epochKey, epochId)))
         // failed audit: nothing published — record the epoch in its own
         // commit so the quarantined batch is not re-delivered forever
         if (!result.published) cat.stampStreamEpoch(epochKey, epochId)
       } else {
         cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)
-        cat.append(t.tableName, batch, t.branch, Some((epochKey, epochId)))
+        if (upsertKeys.nonEmpty)
+          cat.upsertKeysMOR(t.tableName, batch, upsertKeys, t.branch,
+            Some((epochKey, epochId)))
+        else cat.append(t.tableName, batch, t.branch, Some((epochKey, epochId)))
       }
     }
     cleanup(fs, files)

@@ -718,6 +718,17 @@ case class GraftMetadataTable(
             sum(col("bytes")).as("bytes"))
           .withColumn("spec", lit(snapMeta.partitionSpec.orNull))
           .select("partition", "n_files", "n_rows", "bytes", "spec")
+      case "manifests" =>
+        // one row per manifest REF of the pinned snapshot — the unit
+        // manifest-list pruning works on: its coverage-aware bounds are
+        // what a selective scan consults before reading entries
+        val snapMeta2 = cat.snapshotMeta(baseTable, snapshotId)
+        val rows = snapMeta2.manifests.map(m =>
+          Row(m.path, m.fileCount, m.rows, m.bytes, m.seq, m.statsV,
+            m.lower.keys.toSeq.sorted.mkString(","),
+            m.keyCols.mkString(",")))
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), schemaOf(kind))
       case "refs" =>
         // every branch and tag carrying this table (Iceberg `$refs`):
         // O(refs) driver metadata, the catalog's whole ref surface in
@@ -755,7 +766,8 @@ case class GraftMetadataTable(
 object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
-  private val kinds = Set("snapshots", "files", "history", "partitions", "refs")
+  private val kinds =
+    Set("snapshots", "files", "history", "partitions", "refs", "manifests")
 
   /** `name$kind` -> (name, kind) when `kind` is a metadata table. */
   def kindOf(ident: String): Option[(String, String)] = ident.split('$') match {
@@ -781,6 +793,12 @@ object GraftMetadataTable {
     case "refs" => StructType(Seq(
       StructField("ref", StringType), StructField("kind", StringType),
       StructField("snapshot_id", StringType)))
+    case "manifests" => StructType(Seq(
+      StructField("path", StringType), StructField("n_files", LongType),
+      StructField("n_rows", LongType), StructField("bytes", LongType),
+      StructField("seq", LongType), StructField("stats_v", IntegerType),
+      StructField("bounded_columns", StringType),
+      StructField("tombstone_keys", StringType)))
     case "history" => StructType(Seq(
       StructField("refs_version", LongType), StructField("snapshot_id", StringType),
       StructField("is_current", BooleanType)))

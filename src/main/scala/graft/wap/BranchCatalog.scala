@@ -903,7 +903,8 @@ class BranchCatalog(
     * tombstone generation count small. */
   def upsertKeysMOR(
       table: String, source: DataFrame, keyCols: Seq[String],
-      branch: String = "main"): Snapshot = {
+      branch: String = "main",
+      epochStamp: Option[(String, Long)] = None): Snapshot = {
     require(keyCols.nonEmpty, "upsertKeysMOR needs at least one key column")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
@@ -935,8 +936,8 @@ class BranchCatalog(
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
         cur.deleteManifests :+ delManifest.copy(seq = s), s)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
-        b.copy(tables = b.tables.updated(table, committed.id))))
+      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
   }

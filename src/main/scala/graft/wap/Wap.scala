@@ -216,12 +216,16 @@ object Wap {
       checks: Seq[Expect],
       quarantineBranch: String,
       alerter: Alerter = LogAlerter,
-      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty): WapResult = {
+      crossChecks: Seq[graft.quality.CrossCheck] = Seq.empty,
+      /** Recorded INSIDE the applying commit on pass — the streaming
+        * sink's exactly-once anchor for CDC mode (quarantine stamps
+        * separately, as for append mode). */
+      epochStamp: Option[(String, Long)] = None): WapResult = {
     catalog.createTableIfNotExists(table, batch.schema)
     val base = Audit.run(batch, checks)
     val report = base.copy(checks = base.checks ++ crossChecks.map(_.run(batch)))
     if (report.passed) {
-      catalog.upsertKeysMOR(table, batch, keys)
+      catalog.upsertKeysMOR(table, batch, keys, epochStamp = epochStamp)
     } else {
       catalog.createBranch(quarantineBranch, from = "main")
       catalog.append(table, batch, quarantineBranch)

@@ -652,6 +652,16 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(hist.count(_.getBoolean(2)) == 1 && hist.last.getBoolean(2),
       "exactly the newest head is current")
 
+    // t$manifests: the manifest-list tier's own view — one row per ref,
+    // with the coverage-aware bound columns pruning consults
+    val mans = spark.sql(
+      s"SELECT n_files, n_rows, seq, stats_v, bounded_columns FROM $lake.main.`t$$manifests` ORDER BY seq")
+      .collect()
+    assert(mans.length == 2)
+    assert(mans.forall(r => r.getLong(0) == 1 && r.getInt(3) >= 2))
+    assert(mans.map(_.getLong(1)).sum == 30)
+    assert(mans.forall(_.getString(4).contains("doc_id")))
+
     // unknown kinds and missing bases still error like missing tables
     intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`t$$bogus`") }
     intercept[Exception] { spark.sql(s"SELECT * FROM $lake.main.`nope$$files`") }
@@ -761,6 +771,57 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.scan("t", filter = Some(col("doc_id") === 7L)).count() == 1)
 
     intercept[Exception] { spark.sql(s"CALL $lake.system.no_such_proc('t')") }
+  }
+
+  test("writeStream.toTable CDC mode: graft.upsert.keys applies audited MOR upserts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t",
+      Seq((0L, "s", 0L)).toDF("id", "v", "n").schema)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    def drain(): Unit = {
+      val q = mem.toDF.toDF("id", "v", "n")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:v")
+        .option("graft.upsert.keys", "id")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$lake.main.t")
+      q.awaitTermination()
+    }
+
+    mem.addData((0L until 10L).map(i => (i, s"v$i", i)): _*)
+    drain()
+    assert(cat.scan("t").count() == 10)
+    val filesAfterLoad = cat.dataFiles("t").size
+
+    // epoch 2: re-delivered keys 5-9 with NEW values + fresh 10-14 —
+    // upserted by key, ZERO files rewritten (MOR tombstones)
+    mem.addData((5L until 15L).map(i => (i, s"w$i", i * 10)): _*)
+    drain()
+    assert(cat.scan("t").count() == 15, "replaced keys must not duplicate")
+    assert(cat.scan("t").filter(col("id") === 7L).select("v").head.getString(0) == "w7",
+      "the new version wins")
+    assert(cat.scan("t").filter(col("id") === 2L).select("v").head.getString(0) == "v2",
+      "untouched keys keep their rows")
+    assert(cat.dataFiles("t").size > filesAfterLoad,
+      "CDC applies as appends+tombstones — no rewrite shrank the file set")
+
+    // a dirty batch quarantines; main's CDC state is untouched
+    mem.addData((7L, null: String, 0L))
+    drain()
+    assert(cat.scan("t").filter(col("id") === 7L).select("v").head.getString(0) == "w7")
+    assert(cat.listBranches().exists(_.startsWith("stream-t-")), "quarantine branch kept")
+    // the epoch record advanced with the applying commits (exactly-once)
+    val key = cat.currentRefs().streamEpochs.keys.find(_.endsWith("main.t"))
+    assert(key.isDefined && cat.streamEpochOf(key.get).exists(_ >= 2L))
   }
 
   test("writeStream.toTable routes micro-batches through write-audit-publish") {
