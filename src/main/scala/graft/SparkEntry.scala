@@ -53,6 +53,7 @@ object SparkEntry {
     "wap_views" -> (WapQueries.wapViews _),
     "wap_manifest_prune" -> (WapQueries.wapManifestPrune _),
     "wap_stream_cdc" -> (WapQueries.wapStreamCdc _),
+    "wap_orphans" -> (WapQueries.wapOrphans _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
     "wap_partitioned" -> (WapQueries.wapPartitioned _),
@@ -204,6 +205,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS n_high, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS chars_high, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 140) AS n_high_after_delete, CAST(2 AS BIGINT) AS files_untouched, true AS corrupt_real""",
     "wap_stream_cdc" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 150) AS n_rows, (SELECT CAST(sum(CASE WHEN doc_id >= 50 THEN n_chars * 2 ELSE n_chars END) AS BIGINT) FROM documents WHERE doc_id < 150) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 150) AS n_keys, true AS zero_rewrites, true AS dirty_quarantined""",
+    "wap_orphans" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100) AS tt_rows, CAST(0 AS BIGINT) AS fence_kept, CAST(1 AS BIGINT) AS reaped, CAST(0 AS BIGINT) AS idempotent_zero""",
     "wap_update" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + 1000) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_updated, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS sum_untouched, (SELECT count(*) FROM documents WHERE doc_id < 50) AS rows_updated""",
     "wap_upsert" ->

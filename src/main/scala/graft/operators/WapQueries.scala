@@ -1097,6 +1097,43 @@ object WapQueries {
         lit(quarantined).as("dirty_quarantined"))
   }
 
+  /** Orphan-file removal end-to-end (W53): two committed batches plus a
+    * PLANTED never-committed parquet under the table's data dir (a
+    * crashed write's residue). The default 3-day fence keeps the fresh
+    * orphan (gate one); an explicit future cutoff reaps exactly it
+    * (gate two) while committed content — current AND time-travel —
+    * survives byte-identically (the hashed aggregates). */
+  def wapOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-orphan").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    val preId = cat.snapshotIdOf("documents").get
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+
+    val orphanDir = new java.io.File(tmp, "tables/documents/data/crashed-commit")
+    orphanDir.mkdirs()
+    val stage = Files.createTempDirectory("orphan-stage").toString
+    docs.limit(5).coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    val orphan = new java.io.File(orphanDir, "part-00000-dead.parquet")
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+
+    val fenced = cat.removeOrphanFiles("documents") // default 3-day fence
+    val reaped = cat.removeOrphanFiles("documents", System.currentTimeMillis() + 60000)
+    val again = cat.removeOrphanFiles("documents", System.currentTimeMillis() + 60000)
+
+    cat.scan("documents", "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .crossJoin(cat.scanSnapshot("documents", preId).agg(count(lit(1)).as("tt_rows")))
+      .select(col("n_rows"), col("sum_chars"), col("tt_rows"),
+        lit(fenced.filesDeleted.toLong).as("fence_kept"),
+        lit(reaped.filesDeleted.toLong).as("reaped"),
+        lit(again.filesDeleted.toLong).as("idempotent_zero"))
+  }
+
   /** Per-column null counts + row count in one aggregation pass. */
   def dqNullCounts(spark: SparkSession, dir: String): DataFrame =
     Metrics.nullCounts(Tables.eventsWithTs(spark, dir).select("event_type", "value", "props"),
