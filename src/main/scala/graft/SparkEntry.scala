@@ -61,6 +61,8 @@ object SparkEntry {
     "wap_incremental" -> (WapQueries.wapIncremental _),
     "wap_zorder" -> (WapQueries.wapZorder _),
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
+    "wap_pos_delete" -> (WapQueries.wapPosDelete _),
+    "wap_mview" -> (WapQueries.wapMview _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
@@ -217,6 +219,10 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS pruned_before, CAST(4 AS BIGINT) AS n_files_after, CAST(1 AS BIGINT) AS pruned_after""",
     "wap_mor_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
+    "wap_mview" ->
+      """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS full_after_delete""",
+    "wap_pos_delete" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars % 7 = 0) AS rows_pos_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS rows_meta_deleted, true AS zero_rewrites, true AS meta_dropped, true AS reappend_visible, true AS materialized_clean""",
     "wap_mor_upsert" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, true AS zero_data_rewrites""",
     "wap_zorder" ->

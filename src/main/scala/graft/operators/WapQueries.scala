@@ -425,6 +425,53 @@ object WapQueries {
         lit(clean).as("materialized_clean"))
   }
 
+  /** Position-delete sidecars end-to-end (W55 — Iceberg v2 position
+    * deletes / Delta deletion vectors): an ARBITRARY-predicate
+    * merge-on-read delete (`n_chars % 7 = 0` — not expressible as a key
+    * list without reading the data first) lands as tiny (file, row-index)
+    * sidecars with ZERO data files rewritten; a second, range-aligned
+    * delete exercises the metadata tier (provably-all-matching files drop
+    * as manifest edits, never read); re-appended rows are visible again
+    * (sequence semantics); compaction materializes the sidecars and the
+    * content is unchanged. Gates: zero rewrites, >=1 metadata-dropped
+    * file, exact per-tier deleted-row counts, re-append visibility,
+    * clean materialization. */
+  def wapPosDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-posdel").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    // boundary-row delete -> pure sidecars (no file has ALL rows matching)
+    val res1 = cat.deleteWherePositional("documents",
+      col("n_chars") % 7 === 0 && col("doc_id") < 100)
+    // range-aligned delete -> the second append's files drop metadata-only
+    val res2 = cat.deleteWherePositional("documents", col("doc_id") >= 100)
+    val zeroRewrites = res1.filesRewritten == 0 && res2.filesRewritten == 0 &&
+      cat.dataFiles("documents").map(_.path).toSet.subsetOf(filesBefore)
+    val metaDropped = res1.filesDropped == 0 && res2.filesDropped >= 1
+    // sequence semantics: the deleted rows, re-appended, are visible again
+    cat.append("documents",
+      docs.filter(col("n_chars") % 7 === 0 && col("doc_id") < 100))
+    val expectFinal = docs.filter(col("doc_id") < 100).count()
+    val reappendVisible = cat.scan("documents").count() == expectFinal
+    val compacted = cat.compactDataFiles("documents", targetFiles = 2)
+    val clean = compacted.deleteManifests.isEmpty &&
+      cat.scan("documents").count() == expectFinal
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(res1.rowsDeleted).as("rows_pos_deleted"),
+        lit(res2.rowsDeleted).as("rows_meta_deleted"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(metaDropped).as("meta_dropped"),
+        lit(reappendVisible).as("reappend_visible"),
+        lit(clean).as("materialized_clean"))
+  }
+
   /** Merge-on-read UPSERT end-to-end (W31): the CDC shape — same source
     * and expected content as the copy-on-write [[wapUpsert]] (the two
     * oracles share their arithmetic), but applied as one
@@ -749,6 +796,56 @@ object WapQueries {
         lit(paths.length.toLong).as("n_files"),
         col("tail_rows"), col("tail_chars"),
         lit(admitted.length.toLong).as("n_admitted"))
+  }
+
+  /** Materialized views end-to-end (W56): a GROUP-BY view and a
+    * select/filter view over the lake table, created through the SQL
+    * procedure surface; an append refreshes the first by FOLDING the
+    * delta aggregate (`incremental_agg`) and the second by APPENDING the
+    * delta rows (`incremental` — zero view files rewritten, gated); a
+    * copy-on-write DELETE then breaks the append-only window and both
+    * views recompute (`full`). Final view contents are DuckDB-oracled
+    * against the source slices; the chosen refresh modes are the gates. */
+  def wapMview(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-mview").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    import graft.sql.GraftMaterializedViews
+    spark.sql(s"CALL $lake.system.create_mview('mv_agg', " +
+      s"'SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars, " +
+      s"min(doc_id) AS lo, max(doc_id) AS hi FROM $lake.main.documents GROUP BY lang')")
+    spark.sql(s"CALL $lake.system.create_mview('mv_sel', " +
+      s"'SELECT doc_id, n_chars FROM $lake.main.documents WHERE n_chars % 3 = 0')")
+    val freshNoop = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "fresh"
+
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val selFilesBefore = cat.dataFiles("mv_sel").map(_.path).toSet
+    val aggInc = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "incremental_agg"
+    val selInc = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "incremental"
+    val zeroRewrite = selFilesBefore.subsetOf(cat.dataFiles("mv_sel").map(_.path).toSet)
+
+    // a CoW delete breaks the append-only window -> full recompute
+    cat.deleteWhere("documents", col("doc_id") >= 150)
+    val fullAgg = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "full"
+    val fullSel = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "full"
+
+    val agg = spark.sql(s"SELECT count(*) AS agg_langs, sum(n_docs) AS agg_docs, " +
+      s"CAST(sum(chars) AS BIGINT) AS agg_chars FROM $lake.main.mv_agg")
+    val sel = spark.sql(s"SELECT count(*) AS sel_rows, " +
+      s"CAST(sum(n_chars) AS BIGINT) AS sel_chars FROM $lake.main.mv_sel")
+    agg.crossJoin(sel).select(
+      col("agg_langs"), col("agg_docs"), col("agg_chars"),
+      col("sel_rows"), col("sel_chars"),
+      lit(freshNoop).as("fresh_noop"),
+      lit(aggInc).as("agg_incremental"),
+      lit(selInc && zeroRewrite).as("sel_incremental"),
+      lit(fullAgg && fullSel).as("full_after_delete"))
   }
 
   /** The DataSource V2 SQL surface end-to-end ([[graft.sql.GraftTableCatalog]]

@@ -63,7 +63,11 @@ case class GraftKeyedFilesPartition(files: Seq[(String, Long)], bucket: Int)
   * keys the per-executor key-set cache AND the factory's delete read
   * funcs. */
 case class GraftDeleteGroupSpec(
-    id: String, keyCols: Seq[String], files: Seq[(String, Long)]) extends Serializable
+    id: String, keyCols: Seq[String], files: Seq[(String, Long)],
+    /** Position-delete sidecar group: `files` hold `(__graft_path,
+      * __graft_pos)` pairs and the reader suppresses rows by physical
+      * (file, row-index) instead of key anti-probing. */
+    positional: Boolean = false) extends Serializable
 
 /** A batch-scan partition of a MOR coverage epoch: data files plus the
   * delete groups covering exactly THIS epoch (sequence semantics — a key
@@ -363,8 +367,18 @@ private[sql] class GraftMorReaderFactory(
     plainReadFunc: PartitionedFile => Iterator[InternalRow],
     readAll: StructType, required: StructType,
     /** per [[GraftDeleteGroupSpec.id]]: reads THE KEY COLUMNS (in
-      * keyCols order) from that group's tombstone files. */
-    delReadFuncs: Map[String, PartitionedFile => Iterator[InternalRow]])
+      * keyCols order) from that group's tombstone files. For a
+      * POSITIONAL group that is `(__graft_path, __graft_pos)` — the
+      * sidecar's own schema. */
+    delReadFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
+    /** reads `readAll` with NO reader-level filters: a file covered by
+      * position deletes must deliver EVERY row so the sequential row
+      * counter equals the recorded `_metadata.row_index` (row-group/
+      * page skipping would shift it). Spark re-applies all filters
+      * above the scan, so this is a per-file efficiency trade, not a
+      * correctness one — and compaction materializes the sidecars,
+      * restoring reader pushdown. */
+    morReadFuncUnfiltered: PartitionedFile => Iterator[InternalRow])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -377,13 +391,18 @@ private[sql] class GraftMorReaderFactory(
         Bridge.flattenBatches(plainReadFunc(Bridge.partitionedFile(p, l)))
       })
 
+    val (posGroups, eqGroups) = groups.partition(_.positional)
     val probes: Seq[(Array[Int], Array[org.apache.spark.sql.types.DataType], Set[Seq[Any]])] =
-      groups.map { g =>
+      eqGroups.map { g =>
         val ords = g.keyCols.map(c => readAll.fieldIndex(c)).toArray
         val types = ords.map(readAll(_).dataType)
         val keySet = GraftDeleteSets.get(g, delReadFuncs(g.id), types)
         (ords, types, keySet)
       }
+    // one per positional group: normalized data-file path -> deleted
+    // row indexes (built once per executor, shared across tasks)
+    val posMaps: Seq[Map[String, java.util.HashSet[java.lang.Long]]] =
+      posGroups.map(g => GraftDeleteSets.positions(g, delReadFuncs(g.id)))
     val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
       required.fieldNames.map { c =>
         val i = readAll.fieldIndex(c)
@@ -391,10 +410,25 @@ private[sql] class GraftMorReaderFactory(
           i, readAll(i).dataType, nullable = true)
       }.toIndexedSeq)
     val rows = files.iterator.flatMap { case (p, l) =>
-      Bridge.flattenBatches(morReadFunc(Bridge.partitionedFile(p, l)))
-    }.filter { row =>
-      probes.forall { case (ords, types, keys) =>
-        !keys.contains(GraftDeleteSets.keyOf(row, ords, types))
+      val dels = posMaps.flatMap(_.get(GraftDeleteSets.normPath(p)))
+      if (dels.isEmpty) {
+        // no positions recorded against THIS file: the filtered reader
+        // (row-group skipping intact) + key probes suffice
+        Bridge.flattenBatches(morReadFunc(Bridge.partitionedFile(p, l))).filter { row =>
+          probes.forall { case (ords, types, keys) =>
+            !keys.contains(GraftDeleteSets.keyOf(row, ords, types))
+          }
+        }
+      } else {
+        var idx = -1L
+        Bridge.flattenBatches(morReadFuncUnfiltered(Bridge.partitionedFile(p, l)))
+          .filter { row =>
+            idx += 1
+            !dels.exists(_.contains(idx)) &&
+              probes.forall { case (ords, types, keys) =>
+                !keys.contains(GraftDeleteSets.keyOf(row, ords, types))
+              }
+          }
       }
     }.map(project)
     GraftReaderFactory.reader(rows)
@@ -408,6 +442,33 @@ private[sql] class GraftMorReaderFactory(
   * starts empty. */
 private[sql] object GraftDeleteSets {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Set[Seq[Any]]]()
+  private val posCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, java.util.HashSet[java.lang.Long]]]()
+
+  /** Scheme-insensitive path identity: manifests record "file:/x" style
+    * qualified paths while Spark's `_metadata.file_path` renders
+    * "file:///x" — both normalize to the bare URI path, which is unique
+    * within one table's filesystem. */
+  def normPath(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Position-delete sidecar build: normalized data-file path -> deleted
+    * row indexes, once per executor per group (same lifecycle as the
+    * key-set cache — groups die at compaction). `readFunc` reads the
+    * sidecar schema in keyCols order: (__graft_path, __graft_pos). */
+  def positions(g: GraftDeleteGroupSpec,
+      readFunc: PartitionedFile => Iterator[InternalRow])
+      : Map[String, java.util.HashSet[java.lang.Long]] =
+    posCache.computeIfAbsent(g.id, _ => {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, java.util.HashSet[java.lang.Long]]
+      g.files.foreach { case (p, l) =>
+        Bridge.flattenBatches(readFunc(Bridge.partitionedFile(p, l))).foreach { row =>
+          m.getOrElseUpdate(normPath(row.getUTF8String(0).toString),
+            new java.util.HashSet[java.lang.Long]).add(row.getLong(1))
+        }
+      }
+      m.toMap
+    })
 
   def get(g: GraftDeleteGroupSpec,
       readFunc: PartitionedFile => Iterator[InternalRow],

@@ -44,7 +44,8 @@ object GraftProcedures {
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
-      "export_snapshot", "rewrite_partitioned")
+      "export_snapshot", "rewrite_partitioned",
+      "create_mview", "refresh_mview", "drop_mview")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -256,6 +257,31 @@ object GraftProcedures {
         }
         cat.cherrypickSnapshot(table, snapId, into)
         ()
+      }
+    case "create_mview" =>
+      // materialized view = a plain branch table + its definition and
+      // source-snapshot watermarks in table properties; refresh_mview
+      // advances it, incrementally when the plan shape allows (W56)
+      procedure(root, name, Array(
+        param("name", StringType),
+        param("query", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        GraftMaterializedViews.create(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2))
+      }
+    case "refresh_mview" =>
+      procedure(root, name, Array(
+        param("name", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        GraftMaterializedViews.refresh(SparkSession.active, cat,
+          args.getString(0), args.getString(1))
+        ()
+      }
+    case "drop_mview" =>
+      procedure(root, name, Array(
+        param("name", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        GraftMaterializedViews.drop(cat, args.getString(0), args.getString(1))
       }
     case other =>
       throw new UnsupportedOperationException(

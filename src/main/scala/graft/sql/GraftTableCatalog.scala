@@ -230,7 +230,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       isTag: Boolean = false): GraftTable = {
     val snap = cat.snapshotMeta(ident.name(), snapshotId)
     GraftTable(root, branch, ident.name(), snapshotId,
-      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec, isTag)
+      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec, isTag,
+      storedProps = if (isTag) Map.empty
+        else cat.tableProperties(ident.name(), branch))
   }
 
   /** SQL writes land on BRANCHES by default: `INSERT INTO <cat>.main.t`
@@ -308,7 +310,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val id = cat.snapshotIdOf(name, branch).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName, branch, name)))
-    val evolved = changes.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
+    // `SET/UNSET TBLPROPERTIES` — branch-versioned metadata, one refs
+    // commit, no snapshot. Validated here so a typo'd delete mode fails
+    // at ALTER time, not at the first DELETE.
+    val propChanges: Map[String, String] = changes.collect {
+      case set: TableChange.SetProperty =>
+        if (set.property() == "write.delete.mode")
+          require(Set("copy-on-write", "merge-on-read").contains(set.value()),
+            s"write.delete.mode must be copy-on-write or merge-on-read, got ${set.value()}")
+        set.property() -> set.value()
+      case rm: TableChange.RemoveProperty => rm.property() -> "" // empty = unset
+    }.toMap
+    if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
+    val schemaChanges = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+    val evolved = schemaChanges.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
       change match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
@@ -335,7 +351,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               "accepts ADD COLUMN (nullable), DROP COLUMN, and type widenings only")
       }
     }
-    cat.evolveSchema(name, evolved, branch)
+    if (schemaChanges.nonEmpty) cat.evolveSchema(name, evolved, branch)
     loadTable(ident)
   }
 
@@ -541,7 +557,11 @@ case class GraftTable(
     /** True when `branch` is actually an IMMUTABLE tag
       * ([[graft.wap.BranchCatalog.createTag]]): reads are the ordinary
       * pinned-snapshot plan, every write/DML/streaming path refuses. */
-    isTag: Boolean = false)
+    isTag: Boolean = false,
+    /** Branch-versioned table properties ([[graft.wap.BranchCatalog
+      * .tableProperties]]) — `write.delete.mode=merge-on-read` routes
+      * SQL DELETE through position sidecars instead of copy-on-write. */
+    storedProps: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$branch.$tableName"
@@ -555,7 +575,8 @@ case class GraftTable(
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
-    Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
+    (storedProps ++
+      Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId)).asJava
 
   /** The catalog's native scan of this pinned snapshot: tiered manifest
     * planning + footer-stats pruning on `filter`, MOR tombstone
@@ -594,12 +615,16 @@ case class GraftTable(
         "set spark.sql.catalog.<name>.write.main=true)")
   }
 
-  /** `DELETE FROM` — lowered onto the copy-on-write
-    * [[BranchCatalog.deleteWhere]] (stats-bounded file rewrite), under
-    * the same branch guard as inserts. The predicate must convert in
-    * FULL ([[GraftScanBuilder.toColumnExact]] — a weakened predicate
-    * would over-delete); unsupported shapes are refused at analysis time
-    * via [[canDeleteWhere]]. */
+  /** `DELETE FROM` — lowered onto [[BranchCatalog.deleteWhere]]
+    * (copy-on-write: stats-bounded file rewrite) by default, or onto
+    * [[BranchCatalog.deleteWherePositional]] (merge-on-read position
+    * sidecars — no data file rewritten) when the table carries
+    * `write.delete.mode=merge-on-read` (set via `ALTER TABLE ... SET
+    * TBLPROPERTIES`, the Iceberg property of the same name). Either
+    * way under the same branch guard as inserts, and the predicate must
+    * convert in FULL ([[GraftScanBuilder.toColumnExact]] — a weakened
+    * predicate would over-delete); unsupported shapes are refused at
+    * analysis time via [[canDeleteWhere]]. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     filters.forall(f => GraftScanBuilder.toColumnExact(f).isDefined)
 
@@ -611,7 +636,10 @@ case class GraftTable(
           "use the Scala API (BranchCatalog.deleteWhere) for arbitrary conditions")))
     val cond = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t (no WHERE)
-    new BranchCatalog(SparkSession.active, root).deleteWhere(tableName, cond, branch)
+    val cat = new BranchCatalog(SparkSession.active, root)
+    if (storedProps.get("write.delete.mode").contains("merge-on-read"))
+      cat.deleteWherePositional(tableName, cond, branch)
+    else cat.deleteWhere(tableName, cond, branch)
     ()
   }
 
@@ -1119,7 +1147,8 @@ private[sql] class GraftBatchScan(
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private def spark = SparkSession.active
 
@@ -1177,6 +1206,35 @@ private[sql] class GraftBatchScan(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
+  /** Per-partition ordering (W57): a KEYED scan of a snapshot the
+    * partitioned sorted compaction stamped ([[graft.wap.Snapshot
+    * .sortWithinPartitions]] — one file per bucket, rows sorted within
+    * it) reports ascending order on the sort columns. Combined with
+    * [[outputPartitioning]], two co-bucketed sort-compacted tables
+    * SORT-MERGE JOIN with no exchange AND no sort on either side — the
+    * pipeline-complete fact-fact join at 100 TB. Valid only when every
+    * planned bucket holds at most one file (the stamp's construction;
+    * re-checked here so a foreign manifest edit can never smuggle an
+    * unordered multi-file bucket through) and only for sort columns the
+    * scan actually outputs; everything else reports no ordering, and
+    * Spark inserts its own sorts as before. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyedPlan match {
+      case Some((_, _, parts)) =>
+        val cols = new BranchCatalog(spark, t.root)
+          .snapshotMeta(t.tableName, t.snapshotId).sortWithinPartitions
+        val oneFilePerBucket = parts.forall {
+          case GraftKeyedFilesPartition(fs, _) => fs.lengthCompare(1) <= 0
+          case _ => false
+        }
+        if (cols.isEmpty || !oneFilePerBucket ||
+            !cols.forall(required.fieldNames.contains)) Array.empty
+        else cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case None => Array.empty
+    }
+
   /** Join-key filters delivered at EXECUTION time (dynamic partition
     * pruning): Spark evaluates the build side of a selective join first,
     * hands the observed key set here as an IN predicate, and this scan
@@ -1232,7 +1290,7 @@ private[sql] class GraftBatchScan(
   private def specOf(g: graft.wap.MorDeleteGroupPlan): GraftDeleteGroupSpec =
     GraftDeleteGroupSpec(
       g.keyCols.mkString(",") + "|" + g.files.map(_._1).mkString("|"),
-      g.keyCols, g.files)
+      g.keyCols, g.files, positional = g.positional)
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -1297,7 +1355,11 @@ private[sql] class GraftBatchScan(
         bridge.parquetBatchReadFunc(spark, t.tableSchema, required, readerFilters))
       case Some(epochs) =>
         val groups = epochs.flatMap(_._2).map(g => specOf(g).id -> g).toMap
-        val extraKeys = groups.values.flatMap(_.keyCols).toSeq.distinct
+        // positional groups key on physical (path, row-index) lineage —
+        // their sidecar columns are NOT table columns and never widen
+        // the data read
+        val extraKeys = groups.values.filterNot(_.positional)
+          .flatMap(_.keyCols).toSeq.distinct
           .filterNot(required.fieldNames.contains)
         val readAll = StructType(required.fields ++ extraKeys.map(c => t.tableSchema(c)))
         val delFuncs = groups.map { case (id, g) =>
@@ -1311,7 +1373,8 @@ private[sql] class GraftBatchScan(
         new GraftMorReaderFactory(
           bridge.parquetReadFunc(spark, t.tableSchema, readAll, readerFilters),
           bridge.parquetReadFunc(spark, t.tableSchema, required, readerFilters),
-          readAll, required, delFuncs)
+          readAll, required, delFuncs,
+          bridge.parquetReadFunc(spark, t.tableSchema, readAll, Nil))
     }
   }
 

@@ -76,7 +76,16 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
       * value), 2 = coverage-aware nullCounts + lower/upper as above.
       * Exact-value consumers ([[BranchCatalog.metaAggregate]]) require
       * >= 2. Survives `.copy(seq = ...)` restamping by construction. */
-    statsV: Int = 0)
+    statsV: Int = 0,
+    /** True on POSITION-delete manifests ([[BranchCatalog
+      * .deleteWherePositional]] — Iceberg v2 position deletes / Delta
+      * deletion vectors, re-expressed as parquet sidecars): the
+      * manifest's files hold `(__graft_path STRING, __graft_pos BIGINT)`
+      * rows naming exact (data file, row index) pairs to suppress,
+      * instead of equality-key rows. `keyCols` then records the two
+      * sidecar column names (never table columns). False/absent on
+      * data manifests and equality tombstones (json4s default). */
+    posDelete: Boolean = false)
 
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
@@ -111,7 +120,17 @@ case class Snapshot(
       * later append/DML conservatively clears it. Consumers: the
       * connector's ORDER BY ... LIMIT (top-k) pushdown plans only the
       * covering file prefix/suffix. */
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    /** Columns every PARTITION VALUE's single data file is sorted on —
+      * set ONLY by the partitioned [[BranchCatalog.compactDataFilesSorted]]
+      * rewrite (one sorted file per transform value by construction);
+      * like [[sortOrder]], any later commit conservatively clears it.
+      * Consumer: the connector's keyed (storage-partitioned) scan
+      * reports per-partition ordering ([[graft.sql.GraftBatchScan]]
+      * `outputOrdering`), so co-bucketed sort-compacted tables
+      * sort-merge join with neither a shuffle NOR a sort on either
+      * side — the fully pipelined 100 TB fact-fact join. */
+    sortWithinPartitions: Seq[String] = Nil)
 
 /** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
   * snapshot metadata alone. */
@@ -143,7 +162,13 @@ case class ViewDef(
   * views are definitions, not data, so there is no 3-way content to
   * reconcile). */
 case class BranchState(tables: Map[String, String], baseOfMain: Map[String, String],
-    views: Map[String, ViewDef] = Map.empty)
+    views: Map[String, ViewDef] = Map.empty,
+    /** Per-table properties (`write.delete.mode`, user annotations) —
+      * branch-versioned like the table pointers: branching copies them
+      * zero-copy, merge publishes the source branch's maps (last writer
+      * wins — properties are definitions, not data). Absent in pre-r12
+      * refs JSON (json4s fills the default). */
+    tableProps: Map[String, Map[String, String]] = Map.empty)
 
 /** What one expireSnapshots run reclaimed. */
 case class ExpireResult(snapshotsDeleted: Int, manifestsDeleted: Int, dataFilesDeleted: Int)
@@ -230,7 +255,12 @@ object MergeClause {
   * column names, the tombstone parquet files, and the delete files'
   * schema DDL (the key schema itself for modern tombstones). */
 case class MorDeleteGroupPlan(
-    keyCols: Seq[String], files: Seq[(String, Long)], fileSchemaDdl: String)
+    keyCols: Seq[String], files: Seq[(String, Long)], fileSchemaDdl: String,
+    /** True for position-delete sidecar groups ([[BranchCatalog
+      * .deleteWherePositional]]): `files` hold (path, row-index) pairs
+      * and the reader suppresses by physical position instead of
+      * anti-probing key values. */
+    positional: Boolean = false)
 
 /** The root refs document, versioned. Version N+1 is committed with an
   * atomic create-if-absent, giving optimistic concurrency (reference
@@ -741,8 +771,30 @@ class BranchCatalog(
         s"$branch is a tag — branch and tag names share one namespace")
       val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
       refs.copy(branches = refs.branches.updated(branch,
-        BranchState(src.tables, src.tables, src.views)))
+        BranchState(src.tables, src.tables, src.views, src.tableProps)))
     }
+
+  /** Set (merge in) per-table properties, branch-versioned. A null/empty
+    * VALUE removes the key (`ALTER TABLE ... UNSET TBLPROPERTIES`
+    * semantics ride the same call). One refs commit, metadata-only. */
+  def setTableProperties(
+      table: String, props: Map[String, String], branch: String = "main"): Unit =
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.contains(table), s"no table $table on $branch")
+      val cur = b.tableProps.getOrElse(table, Map.empty)
+      val (unset, set) = props.partition { case (_, v) => v == null || v.isEmpty }
+      val next = (cur -- unset.keys) ++ set
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tableProps =
+          if (next.isEmpty) b.tableProps - table
+          else b.tableProps.updated(table, next))))
+    }
+
+  /** The table's current properties on `branch` (empty map if none). */
+  def tableProperties(table: String, branch: String = "main"): Map[String, String] =
+    currentRefs().branches.get(branch)
+      .flatMap(_.tableProps.get(table)).getOrElse(Map.empty)
 
   /** reference app.py:303 drop_branch. */
   def dropBranch(branch: String): Unit = {
@@ -972,8 +1024,13 @@ class BranchCatalog(
     else scanWithDeletes(table, snap, filter)
   }
 
-  /** The tombstone-free scan path (see [[scanSnapshot]] for the tiering). */
-  private def scanPlain(snap: Snapshot, filter: Option[Column]): DataFrame = {
+  /** The tombstone-free scan path (see [[scanSnapshot]] for the tiering).
+    * `withLineage` attaches each row's physical position
+    * (`_metadata.file_path` / `_metadata.row_index` as the
+    * [[BranchCatalog.PosPathCol]]/[[BranchCatalog.PosIdxCol]] columns) —
+    * the probe side of position-delete application. */
+  private def scanPlain(
+      snap: Snapshot, filter: Option[Column], withLineage: Boolean = false): DataFrame = {
     val schema = StructType.fromDDL(snap.schemaDdl)
     val totalFiles = snap.manifests.map(_.fileCount).sum
     val paths: Seq[String] =
@@ -990,10 +1047,22 @@ class BranchCatalog(
         }
         files.map(_.path)
       }
+    val lineageSchema =
+      if (!withLineage) schema
+      else StructType(schema.fields ++ BranchCatalog.posDeleteSchema.fields)
     val df =
       if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
+      else {
+        val raw = spark.read.schema(schema).parquet(paths: _*)
+        if (!withLineage) raw
+        else raw.select(org.apache.spark.sql.functions.col("*"),
+          org.apache.spark.sql.functions.col("_metadata.file_path")
+            .as(BranchCatalog.PosPathCol),
+          org.apache.spark.sql.functions.col("_metadata.row_index")
+            .as(BranchCatalog.PosIdxCol))
+      }
     filter.fold(df)(df.filter)
   }
 
@@ -1041,13 +1110,15 @@ class BranchCatalog(
       }
     val schema = StructType.fromDDL(snap.schemaDdl)
     val parts = epochs.map { case (ms, dels) =>
-      val base = scanPlain(snap.copy(manifests = ms, deleteManifests = Nil), filter)
+      val (posDels, eqDels) = dels.partition(_.posDelete)
+      val base = scanPlain(snap.copy(manifests = ms, deleteManifests = Nil),
+        filter, withLineage = posDels.nonEmpty)
       // one anti-join per key schema; legacy tombstones (no recorded
       // keyCols) each form their own group, keyed by manifest path
-      val delGroups = dels
+      val delGroups = eqDels
         .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(",") else d.path)
         .toSeq.sortBy(_._1)
-      delGroups.zipWithIndex.foldLeft(base) { case (acc, ((_, group), i)) =>
+      val afterEq = delGroups.zipWithIndex.foldLeft(base) { case (acc, ((_, group), i)) =>
         val delFiles = group.flatMap(m => readManifest(m.path))
         val alias = s"__graft_del_$i"
         val raw = spark.read.parquet(delFiles.map(_.path): _*)
@@ -1059,6 +1130,18 @@ class BranchCatalog(
         val cond = keyed.columns.map(c =>
           acc(c) <=> org.apache.spark.sql.functions.col(s"$alias.$c")).reduce(_ && _)
         acc.join(del, cond, "left_anti")
+      }
+      // position sidecars: one anti-join on the row's physical lineage
+      // (the sidecar df is tiny — Spark broadcasts it), then the helper
+      // columns drop so every epoch part unions on the plain schema
+      if (posDels.isEmpty) afterEq
+      else {
+        val posFiles = posDels.flatMap(m => readManifest(m.path))
+        val pd = spark.read.schema(BranchCatalog.posDeleteSchema)
+          .parquet(posFiles.map(_.path): _*)
+        afterEq.join(pd,
+            Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
+          .drop(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol)
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse(
@@ -1693,7 +1776,8 @@ class BranchCatalog(
             fs.map(f => f.path -> f.bytes)
           }
         val groups = snap.deleteManifests.filter(d => sig.contains(d.path))
-          .groupBy(d => if (d.keyCols.nonEmpty) d.keyCols.mkString(",") else d.path)
+          .groupBy(d => (if (d.posDelete) "pos|" else "eq|") +
+            (if (d.keyCols.nonEmpty) d.keyCols.mkString(",") else d.path))
           .toSeq.sortBy(_._1)
           .map { case (_, group) =>
             val delFiles = group.flatMap(m => readManifest(m.path)).map(f => f.path -> f.bytes)
@@ -1705,7 +1789,8 @@ class BranchCatalog(
               case Nil => fileSchema.fieldNames.toSeq
               case cols => cols
             }
-            MorDeleteGroupPlan(keyCols, delFiles, fileSchema.toDDL)
+            MorDeleteGroupPlan(keyCols, delFiles, fileSchema.toDDL,
+              positional = group.head.posDelete)
           }
         (dataFiles, groups)
       }
@@ -2008,7 +2093,9 @@ class BranchCatalog(
         // views publish with the merge: the branch's definitions land on
         // the target (last-writer-wins — a view is a definition, not
         // data; there is no manifest-granular content to 3-way)
-        .updated(into, dst.copy(tables = dstTables, views = dst.views ++ src.views))
+        .updated(into, dst.copy(tables = dstTables, views = dst.views ++ src.views,
+          // table properties publish like views: definitions, not data
+          tableProps = dst.tableProps ++ src.tableProps))
         .updated(branch, src.copy(tables = srcTables, baseOfMain = srcBase))), epochStamp)
     }
 
@@ -2931,6 +3018,123 @@ class BranchCatalog(
       droppedFiles.size.toLong)
   }
 
+  /** Row-level DELETE, merge-on-read by POSITION (Iceberg v2 position
+    * deletes / Delta deletion vectors, as parquet sidecars): instead of
+    * rewriting partially-affected files ([[deleteWhere]]'s copy-on-write
+    * tier), their matching rows' exact `(data file, row index)` pairs are
+    * recorded in tiny sidecar files and every scan suppresses those
+    * positions until compaction materializes them. The write cost of an
+    * arbitrary-predicate delete on a 100 TB table drops from
+    * O(matching-file bytes rewritten) to O(matching rows READ once +
+    * sidecar bytes) — the shape GDPR-style point deletes need.
+    *
+    * Shares [[deleteWhere]]'s two metadata tiers: manifest-list pruning
+    * bounds planning to manifests whose bounds admit the predicate, and
+    * the [[allRowsMatch]] sufficiency proof drops provably-all-matching
+    * files metadata-only (never read). Only boundary files pay the
+    * position scan. Positions are computed with Spark's own
+    * `_metadata.file_path`/`_metadata.row_index` lineage (row-group
+    * skipping inside the reader keeps indexes exact), and a stacked
+    * positional delete anti-joins the pending sidecars so re-marked
+    * positions are never double-counted. Carried manifests keep their
+    * ORIGINAL sequence so pending sidecars still cover the surviving
+    * files; the new sidecar manifest gets the commit's sequence, so rows
+    * appended AFTER it are never suppressed (same Iceberg sequence
+    * semantics as [[deleteKeysMOR]]). Pending EQUALITY tombstones refuse
+    * (one delete representation at a time — materialize first); CoW DML
+    * and merge refuse while any tombstones are pending, unchanged. */
+  def deleteWherePositional(
+      table: String, cond: Column, branch: String = "main"): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit}
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.forall(_.posDelete),
+      s"$table@$branch has pending EQUALITY tombstones — materialize with " +
+        "compactDataFiles before position deletes (one delete representation at a time)")
+    requireTombstoneHeadroom(table, branch, cur, "deleteWherePositional")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val bloomIdx = Some(new BloomProbe(cur.manifests))
+    val resolved = resolvePredicate(cond, schema)
+    // same two-tier planning as deleteWhere: manifest-list prune, then
+    // provably-all-match files drop metadata-only; the remainder get
+    // position sidecars instead of a rewrite
+    val perManifest = cur.manifests.map { m =>
+      if (resolved.exists(p => !manifestMayMatch(m, p, schema)))
+        (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
+      else {
+        val files = readManifest(m.path)
+        val affected = pruneFiles(files, cond, schema, spec, bloomIdx)
+        val (dropped, marked) = resolved match {
+          case Some(pred) => affected.partition(f => allRowsMatch(f, pred, schema))
+          case None => (Seq.empty[DataFileMeta], affected)
+        }
+        (m, dropped, marked)
+      }
+    }
+    val droppedFiles = perManifest.flatMap { case (_, d, _) => d }
+    val markFiles = perManifest.flatMap { case (_, _, mk) => mk }
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    if (droppedFiles.isEmpty && markFiles.isEmpty)
+      return DeleteResult(cur, 0L, 0L, totalFiles)
+
+    val posFilesWritten: Seq[DataFileMeta] =
+      if (markFiles.isEmpty) Nil
+      else {
+        val marked = spark.read.schema(schema).parquet(markFiles.map(_.path): _*)
+          .filter(coalesce(cond, lit(false)))
+          .select(
+            fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
+            fcol("_metadata.row_index").as(BranchCatalog.PosIdxCol))
+        val priorFiles = cur.deleteManifests.flatMap(d => readManifest(d.path))
+        val fresh =
+          if (priorFiles.isEmpty) marked
+          else marked.join(
+            spark.read.schema(BranchCatalog.posDeleteSchema)
+              .parquet(priorFiles.map(_.path): _*),
+            Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
+        val written = writeDataFiles(table, fresh)
+        val (live, empty) = written.partition(_.rows > 0)
+        empty.foreach(f => fs.delete(new Path(f.path), false))
+        live
+      }
+    val newSeq = cur.seq + 1
+    val newManifests = perManifest.flatMap { case (m, dropped, _) =>
+      if (dropped.isEmpty) Some(m)
+      else {
+        val droppedPaths = dropped.map(_.path).toSet
+        val kept = readManifest(m.path).filterNot(f => droppedPaths.contains(f.path))
+        // ORIGINAL sequence: pending sidecars committed earlier must
+        // still cover the surviving files (m.seq < d.seq)
+        if (kept.nonEmpty) Some(writeManifest(table, kept, schema).copy(seq = m.seq))
+        else None
+      }
+    }
+    val posManifest =
+      if (posFilesWritten.isEmpty) None
+      else Some(writeManifest(table, posFilesWritten, BranchCatalog.posDeleteSchema)
+        .copy(asOf = Some(curId), seq = newSeq,
+          keyCols = Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+          posDelete = true))
+    if (droppedFiles.isEmpty && posManifest.isEmpty)
+      return DeleteResult(cur, 0L, 0L, totalFiles) // every mark already pending
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during positional delete")
+      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec,
+        deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    DeleteResult(committed,
+      droppedFiles.map(_.rows).sum + posFilesWritten.map(_.rows).sum,
+      0L, totalFiles - droppedFiles.size, droppedFiles.size.toLong)
+  }
+
   /** Row-level UPDATE, copy-on-write — the planning shape of
     * [[deleteWhere]] (stats-prune to files that MAY hold matching rows,
     * rewrite only those, untouched manifests carry over by reference),
@@ -3647,9 +3851,11 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
         // only the UNPARTITIONED rewrite's range layout guarantees the
-        // global file order sortOrder promises (the partitioned rewrite
-        // sorts within partition VALUES, whose files interleave ranges)
-        sortOrder = if (spec.isEmpty) clusterBy else Nil)
+        // global file order sortOrder promises; the partitioned rewrite
+        // sorts within partition VALUES (one file per value), which is
+        // exactly the per-partition contract sortWithinPartitions records
+        sortOrder = if (spec.isEmpty) clusterBy else Nil,
+        sortWithinPartitions = if (spec.isDefined) clusterBy else Nil)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -3906,6 +4112,19 @@ class BranchCatalog(
 }
 
 object BranchCatalog {
+  /** Position-delete sidecar columns ([[BranchCatalog
+    * .deleteWherePositional]]): the data file's `_metadata.file_path`
+    * string and the row's `_metadata.row_index` within it. Double
+    * underscore keeps them out of any user schema (CREATE TABLE refuses
+    * nothing, but table columns resolve by name and these never
+    * collide with SQL-visible ones in practice; the positional scan
+    * attaches and drops them internally). */
+  val PosPathCol = "__graft_path"
+  val PosIdxCol = "__graft_pos"
+  /** Schema of one position-delete sidecar file. */
+  val posDeleteSchema: StructType = StructType(Seq(
+    StructField(PosPathCol, StringType), StructField(PosIdxCol, LongType)))
+
   /** Schema of one manifest entry as serialized in the per-manifest JSON
     * (one compact JSON array per manifest file). The single source of
     * truth for every surface that serves manifest entries — the

@@ -1,0 +1,146 @@
+package graft.wap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** W55 — position-delete sidecars ([[BranchCatalog.deleteWherePositional]]):
+  * merge-on-read DELETE by (file, row-index), the Iceberg v2 position
+  * delete / Delta deletion-vector shape. An arbitrary-predicate delete
+  * rewrites NO data files: provably-all-matching files drop metadata-only,
+  * boundary files get tiny sidecars every scan suppresses until compaction
+  * materializes them. */
+class PosDeleteSpec extends SparkSpecBase {
+
+  private var n = 0
+  private def freshCat(): BranchCatalog = {
+    n += 1
+    new BranchCatalog(spark, Files.createTempDirectory(s"posdel$n").toString)
+  }
+
+  private def docs(lo: Long, hi: Long): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "lang", "n_chars")
+
+  private def dataPaths(cat: BranchCatalog, t: String): Set[String] = {
+    val id = cat.snapshotIdOf(t).get
+    cat.filesOf(cat.snapshotMeta(t, id)).map(_.path).toSet
+  }
+
+  test("positional delete suppresses matching rows without rewriting any data file") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.append("t", docs(100, 200))
+    val before = dataPaths(cat, "t")
+    val expectKept = docs(0, 200).filter(col("n_chars") % 7 =!= 0)
+
+    val r = cat.deleteWherePositional("t", col("n_chars") % 7 === 0)
+    assert(r.filesRewritten == 0L)
+    val expected = docs(0, 200).filter(col("n_chars") % 7 === 0).count()
+    assert(r.rowsDeleted == expected)
+    // every surviving data file is an ORIGINAL file — nothing rewritten
+    assert(dataPaths(cat, "t").subsetOf(before))
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap.deleteManifests.size == 1 && snap.deleteManifests.head.posDelete)
+
+    val got = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = expectKept.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("metadata tier drops provably-all-matching files without reading them") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))   // whole file: doc_id in [0,100)
+    cat.append("t", docs(100, 200))
+    // doc_id < 100 provably covers the first append's file(s) entirely
+    val r = cat.deleteWherePositional("t", col("doc_id") < 100)
+    assert(r.filesDropped >= 1L)
+    assert(r.filesRewritten == 0L)
+    assert(r.rowsDeleted == docs(0, 100).count())
+    // no boundary rows -> no sidecar needed at all
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap.deleteManifests.isEmpty)
+    assert(cat.scan("t").count() == docs(100, 200).count())
+  }
+
+  test("sequence semantics: rows re-appended after the delete stay visible") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.deleteWherePositional("t", col("doc_id") % 10 === 3)
+    val readd = docs(0, 100).filter(col("doc_id") % 10 === 3)
+    cat.append("t", readd)
+    val cnt = cat.scan("t").filter(col("doc_id") % 10 === 3).count()
+    assert(cnt == readd.count()) // exactly the re-appended copies
+  }
+
+  test("stacked positional deletes count only fresh positions") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 150))
+    val r1 = cat.deleteWherePositional("t", col("doc_id") < 40)
+    // overlapping predicate: [0,60) — only [40,60) is new
+    val r2 = cat.deleteWherePositional("t", col("doc_id") < 60)
+    assert(r1.rowsDeleted == docs(0, 40).count())
+    assert(r2.rowsDeleted == docs(40, 60).count())
+    assert(cat.scan("t").count() == docs(60, 150).count())
+    // a fully-covered re-delete is a no-op commit
+    val r3 = cat.deleteWherePositional("t", col("doc_id") < 50)
+    assert(r3.rowsDeleted == 0L)
+  }
+
+  test("compaction materializes sidecars; scan identical before and after") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.append("t", docs(100, 200))
+    cat.deleteWherePositional("t", col("n_chars") % 5 === 1)
+    val beforeRows = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    cat.compactDataFiles("t")
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap.deleteManifests.isEmpty)
+    val afterRows = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
+
+  test("one representation at a time: equality tombstones block positional and vice versa") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.deleteKeysMOR("t", docs(0, 5).select("doc_id"))
+    val e1 = intercept[IllegalArgumentException](
+      cat.deleteWherePositional("t", col("doc_id") === 50))
+    assert(e1.getMessage.contains("EQUALITY tombstones"))
+    cat.compactDataFiles("t")
+    cat.deleteWherePositional("t", col("doc_id") === 50)
+    // CoW DML refuses while sidecars pend (existing tombstone guard)
+    val e2 = intercept[Exception](cat.deleteWhere("t", col("doc_id") === 60))
+    assert(e2.getMessage.contains("pending MOR tombstones"))
+  }
+
+  test("time travel reads the pre-delete snapshot") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    val s1 = cat.append("t", docs(0, 100))
+    cat.deleteWherePositional("t", col("doc_id") >= 50 && col("doc_id") < 100)
+    assert(cat.scanSnapshot("t", s1.id).count() == docs(0, 100).count())
+    assert(cat.scan("t").count() == docs(0, 50).count())
+  }
+
+  test("positional delete composes with a pushed filter on the scan") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 200))
+    cat.deleteWherePositional("t", col("doc_id") % 3 === 0)
+    val got = cat.scan("t", filter = Some(col("n_chars") > 400)).count()
+    val want = docs(0, 200)
+      .filter(col("doc_id") % 3 =!= 0 && col("n_chars") > 400).count()
+    assert(got == want)
+  }
+}
