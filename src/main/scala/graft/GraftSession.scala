@@ -52,6 +52,10 @@ object GraftSession {
     // the events schema is stable for the whole session). Tables.eventsWithTs
     // derives a micro-truncated timestamp column from it.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // resolve parquet columns by FIELD ID whenever the requested schema
+    // carries ids (W58 renames) — a no-op for id-less schemas/files
+    .config("spark.sql.parquet.fieldId.read.enabled", "true")
+    .config("spark.sql.parquet.fieldId.write.enabled", "true")
     .config("spark.ui.enabled", "false")
 }
 

@@ -74,6 +74,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root=<lake root path>"))
     mainWritesAllowed = options.getBoolean("write.main", false)
+    // vanilla sessions (no graft extensions): renamed tables need the
+    // reader's field-id matching on — set it when the catalog binds
+    SparkSession.active.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   }
 
   override def name(): String = catalogName
@@ -230,7 +233,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       isTag: Boolean = false): GraftTable = {
     val snap = cat.snapshotMeta(ident.name(), snapshotId)
     GraftTable(root, branch, ident.name(), snapshotId,
-      StructType.fromDDL(snap.schemaDdl), mainWritesAllowed, snap.partitionSpec, isTag,
+      // field ids ride the relation schema into every connector read,
+      // so renamed columns resolve by id in pre-rename files (W58)
+      BranchCatalog.idSchema(StructType.fromDDL(snap.schemaDdl), snap.evo.fieldIds),
+      mainWritesAllowed, snap.partitionSpec, isTag,
       storedProps = if (isTag) Map.empty
         else cat.tableProperties(ident.name(), branch))
   }

@@ -87,6 +87,44 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
       * data manifests and equality tombstones (json4s default). */
     posDelete: Boolean = false)
 
+/** Column-identity state of one snapshot (W58 — rename support without
+  * rewriting data): every column of a post-r12 table carries a STABLE
+  * parquet field id, written into each data file's footer and attached
+  * to every read schema, so Spark's reader resolves columns BY ID — a
+  * rename is then one metadata commit (same id, new name) and files
+  * written under the old name keep serving the column (the Iceberg
+  * field-id mechanism, through Spark's native
+  * `spark.sql.parquet.fieldId.*` support). */
+case class SchemaEvo(
+    /** Current column name -> field id. Empty for pre-r12 tables (their
+      * files carry no ids, and an id-ed read schema would NULL them —
+      * rename refuses instead). */
+    fieldIds: Map[String, Int] = Map.empty,
+    /** High-water mark of ids ever assigned on this lineage: a re-added
+      * column NEVER reuses a dropped column's id (an old file's dropped
+      * data must not resurrect under the new column). */
+    fieldIdSeq: Int = 0,
+    /** True once a rename happened while files written under the old
+      * name may still be referenced; cleared only by full-rewrite
+      * commits (every file then carries current names). Foreign-engine
+      * export refuses while set (external readers match by NAME). */
+    renamedFiles: Boolean = false) {
+  def addColumn(name: String): SchemaEvo =
+    if (fieldIds.isEmpty) this // pre-field-id table stays id-less
+    else copy(fieldIds = fieldIds.updated(name, fieldIdSeq + 1), fieldIdSeq = fieldIdSeq + 1)
+  def dropColumn(name: String): SchemaEvo = copy(fieldIds = fieldIds - name)
+  def rename(from: String, to: String): SchemaEvo =
+    copy(fieldIds = fieldIds - from + (to -> fieldIds(from)), renamedFiles = true)
+  def afterFullRewrite: SchemaEvo = copy(renamedFiles = false)
+}
+
+object SchemaEvo {
+  /** Fresh table: ids 1..n in schema order. */
+  def forSchema(schema: StructType): SchemaEvo =
+    SchemaEvo(schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap,
+      schema.fields.length)
+}
+
 /** An immutable table version: the list of manifests (not files) plus the
   * schema DDL. Snapshots never share mutable state — a branch is just a
   * pointer, so branching is zero-copy (reference: Nessie's git-like
@@ -130,7 +168,11 @@ case class Snapshot(
       * `outputOrdering`), so co-bucketed sort-compacted tables
       * sort-merge join with neither a shuffle NOR a sort on either
       * side — the fully pipelined 100 TB fact-fact join. */
-    sortWithinPartitions: Seq[String] = Nil)
+    sortWithinPartitions: Seq[String] = Nil,
+    /** Column-identity state ([[SchemaEvo]]) — carried through EVERY
+      * commit like the schema DDL (default = pre-r12 id-less table;
+      * json4s fills it for old metadata). */
+    evo: SchemaEvo = SchemaEvo())
 
 /** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
   * snapshot metadata alone. */
@@ -540,10 +582,11 @@ class BranchCatalog(
   /** Write a DataFrame batch as immutable parquet files; return their
     * metadata — row counts AND per-column min/max/null stats, all read
     * from footers, never by rescanning data. */
-  private def writeDataFiles(table: String, df: DataFrame): Seq[DataFileMeta] = {
+  private def writeDataFiles(table: String, df: DataFrame,
+      ids: Map[String, Int]): Seq[DataFileMeta] = {
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
-    df.write.parquet(dir.toString)
+    withFieldIds(df, ids).write.parquet(dir.toString)
     fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".parquet"))
       .map(footerMeta)
@@ -555,7 +598,8 @@ class BranchCatalog(
     * metadata records its transform value alongside the footer stats. */
   private def writePartitionedDataFiles(
       table: String, df: DataFrame, spec: PartitionSpec,
-      sortCols: Seq[String] = Nil): Seq[DataFileMeta] = {
+      sortCols: Seq[String] = Nil,
+      ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
@@ -569,7 +613,7 @@ class BranchCatalog(
     val pathSafe = org.apache.spark.sql.graft.Bridge.column(
       PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
         spec.valueCol(colType))))
-    val grouped = df.withColumn("__pv", pathSafe).repartition(col("__pv"))
+    val grouped = withFieldIds(df, ids).withColumn("__pv", pathSafe).repartition(col("__pv"))
     // sorted-compaction path: order rows INSIDE each partition-value
     // group so parquet row-group/page stats tighten on the sort keys
     // (file-level min/max can't shrink — each value is one file here)
@@ -604,10 +648,32 @@ class BranchCatalog(
     * would silently degrade partition pruning on the touched files). */
   private def writeTableFiles(
       table: String, df: DataFrame, spec: Option[PartitionSpec],
-      sortCols: Seq[String] = Nil): Seq[DataFileMeta] =
+      sortCols: Seq[String] = Nil,
+      ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] =
     spec match {
-      case Some(s) => writePartitionedDataFiles(table, df, s, sortCols)
-      case None => writeDataFiles(table, df)
+      case Some(s) => writePartitionedDataFiles(table, df, s, sortCols, ids)
+      case None => writeDataFiles(table, df, ids)
+    }
+
+  /** Stamp each column the table tracks with its parquet field id (W58):
+    * the writer then records `PARQUET:field_id` in every footer, which
+    * is what lets renamed columns keep resolving in old files. A no-op
+    * for id-less (pre-r12) tables and for columns outside the mapping
+    * (tombstone keys, sidecar lineage columns — read by name). Applied
+    * at the write boundary because upstream ALIASES (updateWhere's SET
+    * projection, alignToSchema casts) silently drop field metadata. */
+  private def withFieldIds(df: DataFrame, ids: Map[String, Int]): DataFrame =
+    if (ids.isEmpty || !df.schema.fieldNames.exists(ids.contains)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        ids.get(f.name) match {
+          case Some(id) => col(f.name).as(f.name,
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(BranchCatalog.FieldIdKey, id.toLong).build())
+          case None => col(f.name)
+        }
+      }: _*)
     }
 
   private def footerMeta(st: org.apache.hadoop.fs.FileStatus): DataFileMeta = {
@@ -681,7 +747,8 @@ class BranchCatalog(
       spec: Option[PartitionSpec] = None): Boolean = {
     if (tableExists(table, branch)) return false
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
-      System.currentTimeMillis(), spec.map(_.format))
+      System.currentTimeMillis(), spec.map(_.format),
+      evo = SchemaEvo.forSchema(schema))
     writeSnapshot(table, snap)
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -904,7 +971,8 @@ class BranchCatalog(
         alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
       case _ => df
     }
-    val newFiles = writeDataFiles(table, aligned)
+    val newFiles = writeDataFiles(table, aligned,
+      head.map(_.evo.fieldIds).getOrElse(Map.empty))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -914,7 +982,8 @@ class BranchCatalog(
       val s = parent.seq + 1
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s)
+        System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s,
+        evo = parent.evo)
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -969,10 +1038,11 @@ class BranchCatalog(
     // transform values like any append (key/tombstone files are not —
     // they are metadata the scan anti-joins, never partition-pruned)
     val dataFiles = writeTableFiles(table, aligned,
-      cur.partitionSpec.map(PartitionSpec.parse))
+      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds)
     val dataManifest = writeManifest(table, dataFiles, schema)
     val keyFiles = writeDataFiles(table,
-      aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
+      aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
+      Map.empty)
     // the tombstone's sequence equals the commit's, so it covers every
     // manifest with a LOWER sequence — all prior data, never the new
     // batch committed alongside it
@@ -986,7 +1056,7 @@ class BranchCatalog(
       val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest.copy(seq = s),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest.copy(seq = s), s)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo)
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -1055,7 +1125,9 @@ class BranchCatalog(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
       else {
-        val raw = spark.read.schema(schema).parquet(paths: _*)
+        val raw = spark.read
+          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .parquet(paths: _*)
         if (!withLineage) raw
         else raw.select(org.apache.spark.sql.functions.col("*"),
           org.apache.spark.sql.functions.col("_metadata.file_path")
@@ -1180,7 +1252,7 @@ class BranchCatalog(
     val tableCols = StructType.fromDDL(cur.schemaDdl).fieldNames.toSet
     keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
       s"delete key column $c is not a column of $table"))
-    val delFiles = writeDataFiles(table, keys.distinct())
+    val delFiles = writeDataFiles(table, keys.distinct(), Map.empty)
     val tschema = StructType.fromDDL(cur.schemaDdl)
     // the commit sequence pins the covered manifest set: the delete
     // applies to data committed BEFORE it, never to later appends
@@ -1194,7 +1266,7 @@ class BranchCatalog(
       val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest.copy(seq = s), s)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1215,7 +1287,8 @@ class BranchCatalog(
       if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl), table, branch)
       else df
     val manifest = writeManifest(table, writeTableFiles(table, aligned,
-      cur.partitionSpec.map(PartitionSpec.parse)), aligned.schema)
+      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds),
+      aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1224,7 +1297,8 @@ class BranchCatalog(
       val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = s)),
         if (cur.schemaDdl.nonEmpty) cur.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), cur.partitionSpec, Nil, s)
+        System.currentTimeMillis(), cur.partitionSpec, Nil, s,
+        evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1284,7 +1358,8 @@ class BranchCatalog(
         val snap = Snapshot(newId(), Some(parentId),
           parent.manifests ++ st.appends.map(_.copy(seq = s)),
           parent.schemaDdl, System.currentTimeMillis(), parent.partitionSpec,
-          parent.deleteManifests ++ st.deletes.map(_.copy(seq = s)), s)
+          parent.deleteManifests ++ st.deletes.map(_.copy(seq = s)), s,
+          evo = parent.evo)
         writeSnapshot(table, snap)
         tables = tables.updated(table, snap.id)
         out += table -> snap
@@ -1296,7 +1371,8 @@ class BranchCatalog(
 
   private[wap] case class StagedTable(
       schemaDdl: String, appends: Vector[ManifestRef], deletes: Vector[ManifestRef],
-      partitionSpec: Option[String] = None)
+      partitionSpec: Option[String] = None,
+      fieldIds: Map[String, Int] = Map.empty)
 
   /** The staging handle [[transaction]] passes to its body. Staging
     * writes files and manifests eagerly; NOTHING is visible to any reader
@@ -1312,7 +1388,8 @@ class BranchCatalog(
     private def entry(table: String): StagedTable =
       byTable.getOrElseUpdate(table, {
         val head = headOf(table)
-        StagedTable(head.schemaDdl, Vector.empty, Vector.empty, head.partitionSpec)
+        StagedTable(head.schemaDdl, Vector.empty, Vector.empty, head.partitionSpec,
+          head.evo.fieldIds)
       })
 
     /** Stage an append (same alignment + partition routing as
@@ -1322,7 +1399,8 @@ class BranchCatalog(
       val st = entry(table)
       val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
       val manifest = writeManifest(table,
-        writeTableFiles(table, aligned, st.partitionSpec.map(PartitionSpec.parse)),
+        writeTableFiles(table, aligned, st.partitionSpec.map(PartitionSpec.parse),
+          ids = st.fieldIds),
         aligned.schema)
       byTable(table) = st.copy(appends = st.appends :+ manifest)
     }
@@ -1336,7 +1414,8 @@ class BranchCatalog(
       val cols = StructType.fromDDL(st.schemaDdl).fieldNames.toSet
       keys.schema.fieldNames.foreach(c => require(cols.contains(c),
         s"delete key column $c is not a column of $table"))
-      val manifest = writeManifest(table, writeDataFiles(table, keys.distinct()),
+      val manifest = writeManifest(table,
+        writeDataFiles(table, keys.distinct(), Map.empty),
         StructType.fromDDL(st.schemaDdl)).copy(keyCols = keys.schema.fieldNames.toSeq)
       byTable(table) = st.copy(deletes = st.deletes :+ manifest)
     }
@@ -2078,7 +2157,17 @@ class BranchCatalog(
               // max over both ancestries + 1 keeps the sequence monotone
               // on the merged lineage, so a tombstone committed later on
               // `into` covers every manifest the merge carried over
-              seq = math.max(dstSnapOpt.map(_.seq).getOrElse(0L), srcSnap.seq) + 1)
+              seq = math.max(dstSnapOpt.map(_.seq).getOrElse(0L), srcSnap.seq) + 1,
+              // evo follows the schema's source (dst wins, like schemaDdl);
+              // id high-water and rename residue are conservative maxima
+              // over BOTH ancestries (the merged manifests carry files
+              // from both)
+              evo = {
+                val base = dstSnapOpt.map(_.evo).getOrElse(srcSnap.evo)
+                base.copy(
+                  fieldIdSeq = math.max(base.fieldIdSeq, srcSnap.evo.fieldIdSeq),
+                  renamedFiles = base.renamedFiles || srcSnap.evo.renamedFiles)
+              })
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
             srcTables = srcTables.updated(table, merged.id)
@@ -2230,7 +2319,9 @@ class BranchCatalog(
         val utcString = org.apache.spark.sql.graft.Bridge.column(
           Cast(org.apache.spark.sql.graft.Bridge.expression(col(column)),
             StringType, Some("UTC")))
-        val partials = spark.read.schema(schema).parquet(files.map(_.path): _*)
+        val partials = spark.read
+          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .parquet(files.map(_.path): _*)
           .select(input_file_name().as("f"), utcString.as("v"))
           .as[(String, String)]
           .mapPartitions { it =>
@@ -2344,7 +2435,9 @@ class BranchCatalog(
       } else {
         computed += 1
         val files = readManifest(m.path)
-        val df = spark.read.schema(schema).parquet(files.map(_.path): _*)
+        val df = spark.read
+          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .parquet(files.map(_.path): _*)
         val row = df.agg(
           hll_sketch_agg(col(cols.head).cast("string")).as(cols.head),
           cols.tail.map(c => hll_sketch_agg(col(c).cast("string")).as(c)): _*).head
@@ -2558,7 +2651,67 @@ class BranchCatalog(
               "that name — rewrite them (compactDataFiles) before re-adding")
       }
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
-        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1)
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
+        evo = evolvedEvo(cur.evo, StructType.fromDDL(cur.schemaDdl), newSchema))
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** Field-id bookkeeping for a by-name add/drop/widen evolution: dropped
+    * columns retire their ids (never reused — [[SchemaEvo.fieldIdSeq]]),
+    * added columns mint fresh ones, widenings keep theirs. */
+  private def evolvedEvo(
+      evo: SchemaEvo, old: StructType, next: StructType): SchemaEvo = {
+    val oldNames = old.fieldNames.toSet
+    val nextNames = next.fieldNames.toSet
+    val afterDrop = oldNames.diff(nextNames).toSeq.sorted.foldLeft(evo)(_ dropColumn _)
+    next.fieldNames.filterNot(oldNames.contains).foldLeft(afterDrop)(_ addColumn _)
+  }
+
+  /** RENAME COLUMN as one metadata commit (W58 — no data rewritten): the
+    * column keeps its FIELD ID, the schema gets the new name, and every
+    * scan resolves old files by id (graft writes `PARQUET:field_id` into
+    * each footer and attaches the ids to each read schema — Spark's own
+    * `spark.sql.parquet.fieldId.read` matching; the Iceberg rename
+    * mechanism). Refused on pre-field-id tables (their files carry no
+    * ids; an id-ed read would NULL every column — recreate the table to
+    * enable renames), on the hidden-partition source column, and while
+    * pending MOR tombstones key on the column. Footer/manifest stats and
+    * bloom sidecars of pre-rename files are keyed by the OLD name, so
+    * pruning on the new name skips them (conservative, never wrong)
+    * until a compaction rewrites; foreign-engine export also refuses
+    * until then (external readers match by name). */
+  def renameColumn(
+      table: String, from: String, to: String, branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      require(schema.fieldNames.contains(from), s"no column $from in $table")
+      require(!schema.fieldNames.contains(to), s"column $to already exists in $table")
+      require(cur.evo.fieldIds.contains(from),
+        s"$table predates field-id support — its files carry no column ids, so a " +
+          "rename cannot resolve old files; recreate the table (CTAS + backfill) " +
+          "to enable renames")
+      cur.partitionSpec.map(PartitionSpec.parse).foreach(sp => require(sp.column != from,
+        s"cannot rename $from: it is the table's hidden-partition source " +
+          "(evolve the layout with rewritePartitioned first)"))
+      require(!cur.deleteManifests.exists(_.keyCols.contains(from)),
+        s"pending MOR tombstones anti-join on $from — materialize with " +
+          "compactDataFiles first")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
+        // the data is unchanged, so sort contracts survive under the new name
+        sortOrder = cur.sortOrder.map(c => if (c == from) to else c),
+        sortWithinPartitions = cur.sortWithinPartitions.map(c => if (c == from) to else c),
+        evo = cur.evo.rename(from, to))
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -2600,7 +2753,7 @@ class BranchCatalog(
     val files = delta.flatMap(m => readManifest(m.path))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    else spark.read.schema(BranchCatalog.idSchema(schema, head.evo.fieldIds)).parquet(files.map(_.path): _*)
   }
 
   /** Incremental read between two snapshots (the Iceberg
@@ -2683,7 +2836,7 @@ class BranchCatalog(
       .filterNot(f => fromFiles.contains(f.path))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    else spark.read.schema(BranchCatalog.idSchema(schema, to.evo.fieldIds)).parquet(files.map(_.path): _*)
   }
 
   /** Time travel by TIMESTAMP (Iceberg `TIMESTAMP AS OF`): scan the last
@@ -2790,7 +2943,8 @@ class BranchCatalog(
         val s = head.seq + 1
         committed = Snapshot(newId(), Some(headId),
           head.manifests ++ fresh.map(_.copy(seq = s)), head.schemaDdl,
-          System.currentTimeMillis(), head.partitionSpec, head.deleteManifests, s)
+          System.currentTimeMillis(), head.partitionSpec, head.deleteManifests, s,
+          evo = head.evo)
         writeSnapshot(table, committed)
         refs.copy(branches = refs.branches.updated(into,
           b.copy(tables = b.tables.updated(table, committed.id))))
@@ -2893,12 +3047,14 @@ class BranchCatalog(
       table: String, df: DataFrame, spec: PartitionSpec,
       branch: String = "main",
       epochStamp: Option[(String, Long)] = None): Snapshot = {
-    val aligned = snapshotIdOf(table, branch).map(loadSnapshot(table, _)) match {
+    val head = snapshotIdOf(table, branch).map(loadSnapshot(table, _))
+    val aligned = head match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
         alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
       case _ => df
     }
-    val newFiles = writePartitionedDataFiles(table, aligned, spec)
+    val newFiles = writePartitionedDataFiles(table, aligned, spec,
+      ids = head.map(_.evo.fieldIds).getOrElse(Map.empty))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -2911,7 +3067,8 @@ class BranchCatalog(
       val s = parent.seq + 1
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests, s)
+        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests, s,
+        evo = parent.evo)
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -2980,9 +3137,9 @@ class BranchCatalog(
     val kept =
       if (rewriteFiles.isEmpty) Seq.empty[DataFileMeta]
       else {
-        val survivors = spark.read.schema(schema).parquet(rewriteFiles.map(_.path): _*)
+        val survivors = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(rewriteFiles.map(_.path): _*)
           .filter(not(coalesce(cond, lit(false))))
-        val rewritten = writeTableFiles(table, survivors, spec)
+        val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
         val (k, empty) = rewritten.partition(_.rows > 0)
         // 0-row part files are ours and uncommitted — drop them now, they
         // would otherwise be invisible to orphan GC (never in any manifest)
@@ -3007,7 +3164,7 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3081,7 +3238,7 @@ class BranchCatalog(
     val posFilesWritten: Seq[DataFileMeta] =
       if (markFiles.isEmpty) Nil
       else {
-        val marked = spark.read.schema(schema).parquet(markFiles.map(_.path): _*)
+        val marked = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(markFiles.map(_.path): _*)
           .filter(coalesce(cond, lit(false)))
           .select(
             fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
@@ -3093,7 +3250,7 @@ class BranchCatalog(
             spark.read.schema(BranchCatalog.posDeleteSchema)
               .parquet(priorFiles.map(_.path): _*),
             Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
-        val written = writeDataFiles(table, fresh)
+        val written = writeDataFiles(table, fresh, Map.empty)
         val (live, empty) = written.partition(_.rows > 0)
         empty.foreach(f => fs.delete(new Path(f.path), false))
         live
@@ -3125,7 +3282,8 @@ class BranchCatalog(
         s"concurrent commit on $table@$branch during positional delete")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
-        deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq)
+        deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq,
+        evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3172,7 +3330,7 @@ class BranchCatalog(
     if (affectedFiles.isEmpty)
       return UpdateResult(cur, 0L, 0L, totalFiles)
 
-    val scan = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+    val scan = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
     val hit = coalesce(cond, lit(false))
     val rowsUpdated = scan.filter(hit).count()
     val updated = scan.select(schema.fields.map { f =>
@@ -3181,7 +3339,7 @@ class BranchCatalog(
         case None => fcol(f.name)
       }
     }.toIndexedSeq: _*)
-    val rewritten = writeTableFiles(table, updated, spec)
+    val rewritten = writeTableFiles(table, updated, spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
@@ -3197,7 +3355,7 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3299,14 +3457,14 @@ class BranchCatalog(
       val (survivors, rowsReplaced, rowsInserted) =
         if (affectedFiles.isEmpty) (aligned, 0L, aligned.count())
         else {
-          val scan = spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+          val scan = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
           val kept = scan.join(srcKeys, keys, "left_anti")
           val replaced = affectedFiles.map(_.rows).sum - kept.count()
           val inserted = aligned
             .join(scan.select(keys.map(fcol): _*).distinct(), keys, "left_anti").count()
           (kept.unionByName(aligned), replaced, inserted)
         }
-      val rewritten = writeTableFiles(table, survivors, spec)
+      val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
       val newSeq = cur.seq + 1
       val newManifests =
         perManifest.flatMap { case (m, affected, untouched) =>
@@ -3322,7 +3480,7 @@ class BranchCatalog(
         require(cur.deleteManifests.isEmpty,
           s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
         committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-          System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+          System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
         writeSnapshot(table, committed)
         refs.copy(branches = refs.branches.updated(branch,
           b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3394,7 +3552,7 @@ class BranchCatalog(
       val targetScan =
         if (affectedFiles.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
+        else spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
       val joined = targetScan
         .withColumn("__t_hit", lit(true)).alias("t")
         .join(aligned.withColumn("__s_hit", lit(true)).alias("s"),
@@ -3442,7 +3600,7 @@ class BranchCatalog(
             }
             updated.as(f.name)
           }.toIndexedSeq: _*)
-        val rewritten = writeTableFiles(table, survivors, spec)
+        val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
         val newSeq = cur.seq + 1
         val newManifests =
           perManifest.flatMap { case (m, affected, untouched) =>
@@ -3459,7 +3617,7 @@ class BranchCatalog(
           require(cur.deleteManifests.isEmpty,
             s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
           committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-            System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+            System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
           writeSnapshot(table, committed)
           refs.copy(branches = refs.branches.updated(branch,
             b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3480,7 +3638,8 @@ class BranchCatalog(
       table: String, spec: PartitionSpec, branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), spec)
+    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), spec,
+      ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -3488,7 +3647,8 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during partition rewrite")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
-        cur.schemaDdl, System.currentTimeMillis(), Some(spec.format), seq = cur.seq + 1)
+        cur.schemaDdl, System.currentTimeMillis(), Some(spec.format), seq = cur.seq + 1,
+        evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3558,6 +3718,10 @@ class BranchCatalog(
     require(snap.deleteManifests.isEmpty,
       s"snapshot $id of $table has pending MOR tombstones and an export is a " +
         "plain file list — materialize with compactDataFiles first")
+    require(!snap.evo.renamedFiles,
+      s"snapshot $id of $table has renamed columns whose pre-rename files still " +
+        "carry the old name — a FOREIGN engine matches columns by name, so export " +
+        "after a full rewrite (compactDataFiles) materializes current names")
     val files = filesOf(snap).sortBy(_.path)
     require(files.nonEmpty,
       s"snapshot $id of $table has no data files — an empty export would emit " +
@@ -3708,7 +3872,8 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), folded, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1)
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
+        evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -3728,14 +3893,15 @@ class BranchCatalog(
     val cur = loadSnapshot(table, curId)
     val rewritten = writeTableFiles(table,
       scanSnapshot(table, curId).repartition(targetFiles),
-      cur.partitionSpec.map(PartitionSpec.parse))
+      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
-        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
+        evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -3783,8 +3949,9 @@ class BranchCatalog(
     if (affectedFiles.size <= 1) return cur // nothing to fold
 
     val rewritten = writeTableFiles(table,
-      spark.read.schema(schema).parquet(affectedFiles.map(_.path): _*)
-        .repartition(targetFiles), spec)
+      spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+        .parquet(affectedFiles.map(_.path): _*)
+        .repartition(targetFiles), spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
     val newManifests =
       perManifest.flatMap { case (m, affected, untouched) =>
@@ -3798,7 +3965,7 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3839,9 +4006,9 @@ class BranchCatalog(
         // order IS global range order — the sortOrder contract below.
         writeTableFiles(table,
           data.repartitionByRange(targetFiles, cols: _*).sortWithinPartitions(cols: _*),
-          None).sortBy(f => new Path(f.path).getName)
+          None, ids = cur.evo.fieldIds).sortBy(f => new Path(f.path).getName)
       case s @ Some(_) =>
-        writeTableFiles(table, data, s, sortCols = clusterBy)
+        writeTableFiles(table, data, s, sortCols = clusterBy, ids = cur.evo.fieldIds)
     }
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
@@ -3855,7 +4022,8 @@ class BranchCatalog(
         // sorts within partition VALUES (one file per value), which is
         // exactly the per-partition contract sortWithinPartitions records
         sortOrder = if (spec.isEmpty) clusterBy else Nil,
-        sortWithinPartitions = if (spec.isDefined) clusterBy else Nil)
+        sortWithinPartitions = if (spec.isDefined) clusterBy else Nil,
+        evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -3906,14 +4074,15 @@ class BranchCatalog(
       .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
       .drop("__z") // projection: range layout + intra-partition order survive
-    val rewritten = writeTableFiles(table, arranged, None)
+    val rewritten = writeTableFiles(table, arranged, None, ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
-        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1)
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
+        evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -4112,6 +4281,24 @@ class BranchCatalog(
 }
 
 object BranchCatalog {
+  /** StructField metadata key Spark's parquet writer/reader use for
+    * field ids (`ParquetUtils.FIELD_ID_METADATA_KEY`). */
+  val FieldIdKey = "parquet.field.id"
+
+  /** The schema with each tracked column's field id attached — what
+    * every read of an id-ed table's DATA files must request, so the
+    * reader resolves columns by id (renames) instead of name. Identity
+    * for id-less tables. */
+  def idSchema(schema: StructType, ids: Map[String, Int]): StructType =
+    if (ids.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      ids.get(f.name) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+        case None => f
+      }
+    })
+
   /** Position-delete sidecar columns ([[BranchCatalog
     * .deleteWherePositional]]): the data file's `_metadata.file_path`
     * string and the row's `_metadata.row_index` within it. Double
