@@ -114,8 +114,7 @@ object GraftMaterializedViews {
   def drop(cat: BranchCatalog, name: String, branch: String): Unit = {
     require(cat.tableProperties(name, branch).contains(SqlKey),
       s"$name on $branch is not a materialized view — refusing to drop a plain table")
-    cat.setTableProperties(name, Map(SqlKey -> "", SourcesKey -> ""), branch)
-    cat.dropTable(name, branch)
+    cat.dropTable(name, branch) // drops the props in the same refs commit
     ()
   }
 
@@ -164,6 +163,7 @@ object GraftMaterializedViews {
   private def aggMerges(agg: Aggregate): Option[(Seq[String], Seq[(String, String)])] = {
     if (!selectOnly(agg.child)) return None
     val groupSet = agg.groupingExpressions.map(_.canonicalized).toSet
+    val matchedKeys = scala.collection.mutable.Set.empty[org.apache.spark.sql.catalyst.expressions.Expression]
     val groups = Seq.newBuilder[String]
     val merges = Seq.newBuilder[(String, String)]
     val ok = agg.aggregateExpressions.forall {
@@ -177,13 +177,17 @@ object GraftMaterializedViews {
           case _ => false // avg/collect/percentile…: not foldable from outputs
         }
       case ne: NamedExpression if groupSet.contains(ne.canonicalized) =>
-        groups += ne.name; true
+        matchedKeys += ne.canonicalized; groups += ne.name; true
       case Alias(c, n) if groupSet.contains(c.canonicalized) =>
-        groups += n; true
+        matchedKeys += c.canonicalized; groups += n; true
       case _ => false // sum(x)+1 and friends: the fold key is not a column
     }
+    val g = groups.result()
     val m = merges.result()
-    if (ok && m.nonEmpty) Some((groups.result(), m)) else None
+    // Every grouping expression must be projected: re-aggregating the
+    // delta∪view union on a PARTIAL key set (e.g. `SELECT count(*) FROM t
+    // GROUP BY lang`) would silently collapse distinct groups into one row.
+    if (ok && m.nonEmpty && matchedKeys.size == groupSet.size) Some((g, m)) else None
   }
 
   private def windowed(plan: LogicalPlan, table: String,

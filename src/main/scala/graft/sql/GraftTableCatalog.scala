@@ -327,7 +327,6 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         set.property() -> set.value()
       case rm: TableChange.RemoveProperty => rm.property() -> "" // empty = unset
     }.toMap
-    if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
     val schemaChanges = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     val evolved = schemaChanges.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
@@ -357,7 +356,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               "accepts ADD COLUMN (nullable), DROP COLUMN, and type widenings only")
       }
     }
+    // Schema changes commit FIRST: a mixed ALTER whose schema part fails
+    // (validated in the fold above and in evolveSchema's guards) must not
+    // leave the property change durably applied.
     if (schemaChanges.nonEmpty) cat.evolveSchema(name, evolved, branch)
+    if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
     loadTable(ident)
   }
 

@@ -810,7 +810,10 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       existed = b.tables.contains(table)
       if (!existed) refs
-      else refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables - table)))
+      // tableProps go in the SAME commit: a table recreated under this name
+      // must not inherit e.g. write.delete.mode or a stale mview definition.
+      else refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables - table, tableProps = b.tableProps - table)))
     }
     existed
   }
@@ -824,8 +827,12 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val id = b.tables.getOrElse(from, sys.error(s"no table $from on $branch"))
       require(!b.tables.contains(to), s"table $to already exists on $branch")
+      val props = b.tableProps.get(from) // properties follow the table
       refs.copy(branches = refs.branches.updated(branch,
-        b.copy(tables = b.tables - from + (to -> id))))
+        b.copy(
+          tables = b.tables - from + (to -> id),
+          tableProps = props.fold(b.tableProps - from)(p =>
+            (b.tableProps - from).updated(to, p)))))
     }
 
   /** reference app.py:160-176 create_branch_from_main: zero-copy — copies
@@ -3288,8 +3295,28 @@ class BranchCatalog(
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
+    // rowsDeleted must not re-count rows a PRIOR pending sidecar already
+    // suppressed in the metadata-dropped files (stacked positional deletes
+    // where the second predicate widens to a whole file)
+    val alreadySuppressedInDropped: Long =
+      if (droppedFiles.isEmpty || cur.deleteManifests.isEmpty) 0L
+      else {
+        val priorFiles = cur.deleteManifests.flatMap(d => readManifest(d.path))
+        if (priorFiles.isEmpty) 0L
+        else {
+          val droppedNorm = droppedFiles.map(f => new Path(f.path).toUri.getPath).toSet
+          // per-path counts: bounded by the table's file count, same order
+          // as the manifest lists the driver already holds
+          spark.read.schema(BranchCatalog.posDeleteSchema)
+            .parquet(priorFiles.map(_.path): _*)
+            .groupBy(fcol(BranchCatalog.PosPathCol)).count().collect()
+            .filter(r => droppedNorm.contains(new Path(r.getString(0)).toUri.getPath))
+            .map(_.getLong(1)).sum
+        }
+      }
     DeleteResult(committed,
-      droppedFiles.map(_.rows).sum + posFilesWritten.map(_.rows).sum,
+      droppedFiles.map(_.rows).sum - alreadySuppressedInDropped +
+        posFilesWritten.map(_.rows).sum,
       0L, totalFiles - droppedFiles.size, droppedFiles.size.toLong)
   }
 

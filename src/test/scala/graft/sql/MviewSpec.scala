@@ -107,6 +107,26 @@ class MviewSpec extends SparkSpecBase {
       sortedRows(spark.sql(qa)))
   }
 
+  test("GROUP BY with an unprojected key never folds (would collapse groups)") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    // grouping key `lang` is NOT in the output: incremental_agg would
+    // re-aggregate the delta∪view union keyless and collapse every group
+    val q = s"SELECT count(*) AS n FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+    // partial key projection (one of two keys) must fall back too
+    val q2 = s"SELECT lang, count(*) AS n FROM $lake.main.src " +
+      s"GROUP BY lang, n_chars % 2"
+    GraftMaterializedViews.create(spark, cat, "mv2", q2, "main")
+    cat.append("src", docs(100, 160))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv2", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv2")) ==
+      sortedRows(spark.sql(q2)))
+  }
+
   test("join views track both sources and recompute fully") {
     val (lake, cat) = register()
     mk(lake, cat)

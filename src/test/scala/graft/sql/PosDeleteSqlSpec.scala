@@ -42,6 +42,36 @@ class PosDeleteSqlSpec extends SparkSpecBase {
     assert(err.getMessage.contains("write.delete.mode"))
   }
 
+  test("properties die with the table and follow a rename; mixed ALTER is atomic") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.setTableProperties("t", Map("write.delete.mode" -> "merge-on-read"))
+    // drop + recreate under the same name: the new table must NOT inherit
+    // the old table's delete mode (or a stale mview definition)
+    cat.dropTable("t")
+    cat.createTableIfNotExists("t", docs.schema)
+    assert(cat.tableProperties("t").isEmpty,
+      "recreated table inherited the dropped table's properties")
+    // rename moves the props entry with the table
+    cat.setTableProperties("t", Map("team" -> "pipeline-b"))
+    cat.renameTable("t", "t2")
+    assert(cat.tableProperties("t2") == Map("team" -> "pipeline-b"))
+    assert(cat.tableProperties("t").isEmpty)
+    // one alterTable call mixing a property with an invalid schema change
+    // (possible through the DSv2 catalog API) fails WITHOUT leaving the
+    // property durably applied
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val tc = spark.sessionState.catalogManager.catalog(lake).asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("main"), "t2")
+    intercept[Exception](tc.alterTable(ident,
+      TableChange.setProperty("x", "1"),
+      TableChange.updateColumnType(Array("n_chars"),
+        org.apache.spark.sql.types.StringType))) // narrowing: refused
+    assert(!cat.tableProperties("t2").contains("x"),
+      s"failed mixed ALTER left the property applied: ${cat.tableProperties("t2")}")
+  }
+
   test("DELETE FROM under merge-on-read mode writes sidecars; connector scan applies them") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")

@@ -95,6 +95,20 @@ class PosDeleteSpec extends SparkSpecBase {
     assert(r3.rowsDeleted == 0L)
   }
 
+  test("metadata drop after a sidecar counts only rows not already suppressed") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100)) // one append -> file(s) covering [0,100)
+    val r1 = cat.deleteWherePositional("t", col("doc_id") < 30) // sidecar
+    assert(r1.rowsDeleted == docs(0, 30).count())
+    // widening predicate now covers the whole file -> metadata drop; the
+    // 30 rows the pending sidecar already suppressed must not re-count
+    val r2 = cat.deleteWherePositional("t", col("doc_id") < 100)
+    assert(r2.filesDropped >= 1L)
+    assert(r2.rowsDeleted == docs(30, 100).count())
+    assert(cat.scan("t").count() == 0L)
+  }
+
   test("compaction materializes sidecars; scan identical before and after") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
