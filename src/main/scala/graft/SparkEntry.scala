@@ -63,6 +63,7 @@ object SparkEntry {
     "wap_mor_delete" -> (WapQueries.wapMorDelete _),
     "wap_pos_delete" -> (WapQueries.wapPosDelete _),
     "wap_mview" -> (WapQueries.wapMview _),
+    "wap_rename" -> (WapQueries.wapRename _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
@@ -221,6 +222,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
     "wap_mview" ->
       """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS full_after_delete""",
+    "wap_rename" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT CAST(min(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS min_chars, true AS metadata_only, true AS time_travel_old_schema, true AS filter_exact""",
     "wap_pos_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars % 7 = 0) AS rows_pos_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS rows_meta_deleted, true AS zero_rewrites, true AS meta_dropped, true AS reappend_visible, true AS materialized_clean""",
     "wap_mor_upsert" ->

@@ -1248,6 +1248,52 @@ object WapQueries {
     Audit.reportDF(spark, report)
   }
 
+  /** W59 — column RENAME via parquet field ids end-to-end: append under
+    * the old name, rename as ONE metadata commit (Scala op), append under
+    * the new name, rename a second column through SQL `ALTER TABLE ...
+    * RENAME COLUMN`, then aggregate ACROSS both file generations through
+    * the connector — pre-rename files resolve by field id, so the values
+    * must equal a by-name read of the source slice. Gates: no data file
+    * rewritten by either rename, time travel still serves the pre-rename
+    * schema, filters on renamed columns stay exact across generations.
+    * Oracle: the same aggregates over the source parquet (names are the
+    * oracle's own — the rename is invisible to values). */
+  def wapRename(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-rename").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    val s1 = cat.append("documents", docs.filter(col("doc_id") < 100))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+
+    cat.renameColumn("documents", "n_chars", "chars")
+    val metadataOnly = cat.dataFiles("documents").map(_.path).toSet == filesBefore
+    cat.append("documents",
+      docs.filter(col("doc_id") >= 100).withColumnRenamed("n_chars", "chars"))
+
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+    spark.sql(s"ALTER TABLE $lake.main.documents RENAME COLUMN lang TO language")
+
+    // time travel: the pre-rename snapshot still serves the OLD names
+    val oldSchema = cat.schemaOfSnapshot("documents", s1.id).fieldNames.toSeq
+    val timeTravelOk = oldSchema == Seq("doc_id", "lang", "n_chars")
+    // a filter on the renamed column crosses both file generations
+    val filteredOk = cat.scan("documents", filter = Some(col("chars") > 400)).count() ==
+      docs.filter(col("n_chars") > 400).count()
+
+    spark.sql(s"SELECT count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars, " +
+      s"count(DISTINCT language) AS n_langs, " +
+      s"CAST(min(chars) AS BIGINT) AS min_chars " +
+      s"FROM $lake.main.documents")
+      .select(col("n_rows"), col("sum_chars"), col("n_langs"), col("min_chars"),
+        lit(metadataOnly).as("metadata_only"),
+        lit(timeTravelOk).as("time_travel_old_schema"),
+        lit(filteredOk).as("filter_exact"))
+  }
+
   /** Referential integrity: event user_ids against the (25-key) nation
     * table — intentionally orphan-rich so the check exercises both
     * branches (SQL oracle: anti-join counts). */

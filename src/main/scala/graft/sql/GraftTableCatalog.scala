@@ -327,8 +327,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         set.property() -> set.value()
       case rm: TableChange.RemoveProperty => rm.property() -> "" // empty = unset
     }.toMap
+    // `ALTER TABLE ... RENAME COLUMN` — one metadata commit through
+    // renameColumn (the column keeps its field id; old files resolve by
+    // id — W58). Rename is its own commit path, so it may not mix with
+    // add/drop/widen in one ALTER (SQL never produces such a mix).
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1,
+        "graft columns are top-level; nested RENAME COLUMN is not supported")
+    }
     val schemaChanges = changes.filterNot(c =>
-      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.RenameColumn])
+    require(renames.isEmpty || schemaChanges.isEmpty,
+      "RENAME COLUMN cannot be combined with other schema changes in one ALTER")
     val evolved = schemaChanges.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
       change match {
         case add: TableChange.AddColumn =>
@@ -360,6 +373,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // (validated in the fold above and in evolveSchema's guards) must not
     // leave the property change durably applied.
     if (schemaChanges.nonEmpty) cat.evolveSchema(name, evolved, branch)
+    renames.foreach(r => cat.renameColumn(name, r.fieldNames().head, r.newName(), branch))
     if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
     loadTable(ident)
   }

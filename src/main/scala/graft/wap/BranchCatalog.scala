@@ -2151,13 +2151,30 @@ class BranchCatalog(
               s"merge conflict on $table: branch $branch rewrote " +
                 s"${conflicting.size} manifest(s) that $into has since rewritten " +
                 s"itself — rebase the branch (re-fork from $into and replay)")
+          // 3-way SCHEMA merge: a branch that evolved the schema (add/
+          // drop/widen/RENAME) publishes it, provided the destination's
+          // schema is unchanged since the fork; both sides evolving to
+          // different schemas is a conflict (rebase and replay). The
+          // winner's schema reads the loser's files soundly: by-id
+          // matching serves renamed columns, added columns read NULL
+          // from older files, drops project away.
+          val baseDdl = baseSnapId.flatMap(loadSnapshotOpt(table, _)).map(_.schemaDdl)
+          val srcSchemaChanged = baseDdl.exists(_ != srcSnap.schemaDdl)
+          val dstSchemaChanged = dstSnapOpt.exists(d => baseDdl.exists(_ != d.schemaDdl))
+          if (srcSchemaChanged && dstSchemaChanged &&
+              dstSnapOpt.exists(_.schemaDdl != srcSnap.schemaDdl))
+            throw new IllegalStateException(
+              s"merge conflict on $table: the schema evolved on both $branch and " +
+                s"$into since the fork — rebase the branch (re-fork and replay)")
+          val schemaWinner =
+            if (srcSchemaChanged || dstSnapOpt.isEmpty) srcSnap else dstSnapOpt.get
           val dropsFromDst = dstManifests.exists(m => removed.contains(m.path))
-          if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty) {
+          if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty || srcSchemaChanged) {
             val merged = Snapshot(
               newId(),
               dstSnapOpt.map(_.id),
               dstManifests.filterNot(m => removed.contains(m.path)) ++ added,
-              dstSnapOpt.map(_.schemaDdl).getOrElse(loadSnapshot(table, srcSnapId).schemaDdl),
+              schemaWinner.schemaDdl,
               System.currentTimeMillis(),
               dstSnapOpt.flatMap(_.partitionSpec)
                 .orElse(loadSnapshot(table, srcSnapId).partitionSpec),
@@ -2165,15 +2182,22 @@ class BranchCatalog(
               // on the merged lineage, so a tombstone committed later on
               // `into` covers every manifest the merge carried over
               seq = math.max(dstSnapOpt.map(_.seq).getOrElse(0L), srcSnap.seq) + 1,
-              // evo follows the schema's source (dst wins, like schemaDdl);
-              // id high-water and rename residue are conservative maxima
-              // over BOTH ancestries (the merged manifests carry files
-              // from both)
+              // evo follows the schema winner; id high-water and rename
+              // residue are conservative maxima over BOTH ancestries (the
+              // merged manifests carry files from both)
               evo = {
-                val base = dstSnapOpt.map(_.evo).getOrElse(srcSnap.evo)
-                base.copy(
-                  fieldIdSeq = math.max(base.fieldIdSeq, srcSnap.evo.fieldIdSeq),
-                  renamedFiles = base.renamedFiles || srcSnap.evo.renamedFiles)
+                val other = if (schemaWinner eq srcSnap)
+                  dstSnapOpt.map(_.evo).getOrElse(srcSnap.evo) else srcSnap.evo
+                // src evolved the schema while dst holds manifests src's
+                // lineage never saw: those files may carry retired names,
+                // so rename residue is assumed (cleared by the next full
+                // rewrite; only pessimizes foreign-engine export)
+                val dstForeign = srcSchemaChanged &&
+                  dstManifests.exists(m => !srcPaths.contains(m.path))
+                schemaWinner.evo.copy(
+                  fieldIdSeq = math.max(schemaWinner.evo.fieldIdSeq, other.fieldIdSeq),
+                  renamedFiles = schemaWinner.evo.renamedFiles ||
+                    other.renamedFiles || dstForeign)
               })
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
@@ -2711,6 +2735,23 @@ class BranchCatalog(
       require(!cur.deleteManifests.exists(_.keyCols.contains(from)),
         s"pending MOR tombstones anti-join on $from — materialize with " +
           "compactDataFiles first")
+      // name-reuse guard (symmetric with evolveSchema's re-add guard):
+      // if `to` ever existed on this lineage, files written before its
+      // drop/rename still carry footer stats and bloom entries KEYED BY
+      // that name — a predicate on the renamed column would consult the
+      // retired column's stats and could prune files wrongly. Refuse
+      // until a rewrite stamps current names everywhere.
+      val chain = Iterator.iterate(cur.parentId.flatMap(loadSnapshotOpt(table, _))) {
+        case Some(s) => s.parentId.flatMap(loadSnapshotOpt(table, _))
+        case None => None
+      }.takeWhile(_.isDefined).flatten.toSeq
+      chain.find(s => StructType.fromDDL(s.schemaDdl).fieldNames.contains(to))
+        .foreach { last =>
+          require(cur.manifests.forall(_.seq > last.seq),
+            s"column $to existed until snapshot ${last.id} (seq ${last.seq}); files " +
+              "written before then still carry stats under that name — rewrite them " +
+              "(compactDataFiles) before renaming onto it")
+        }
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,

@@ -509,6 +509,33 @@ class SqlCatalogSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 
+  test("ALTER TABLE RENAME COLUMN through SQL: by-id reads, old name gone") {
+    val (lake, cat) = register()
+    import spark.implicits._
+    cat.createTableIfNotExists("t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val filesBefore = cat.dataFiles("t").map(_.path).toSet
+
+    spark.sql(s"ALTER TABLE $lake.main.t RENAME COLUMN v TO label")
+    assert(cat.dataFiles("t").map(_.path).toSet == filesBefore,
+      "SQL RENAME COLUMN must be metadata-only")
+    // pre-rename files serve the column by field id under the new name
+    assert(spark.sql(s"SELECT label FROM $lake.main.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // the old name no longer resolves
+    intercept[Exception](spark.sql(s"SELECT v FROM $lake.main.t").collect())
+    // appends under the new name mix with pre-rename files
+    cat.append("t", Seq((3L, "c")).toDF("id", "label"))
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t WHERE label >= 'a'")
+      .head.getLong(0) == 3)
+    // connector batch path (no lowering) reads identically
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      assert(spark.sql(s"SELECT label FROM $lake.main.t WHERE id = 1")
+        .head.getString(0) == "a")
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
   test("readStream.table streams the lake: initial load, per-commit deltas, WAP isolation") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir)
