@@ -221,7 +221,7 @@ object SparkEntry {
     "wap_mor_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
     "wap_mview" ->
-      """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS full_after_delete""",
+      """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS avg_fold_ok, true AS full_after_delete""",
     "wap_rename" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT CAST(min(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS min_chars, true AS metadata_only, true AS time_travel_old_schema, true AS filter_exact""",
     "wap_pos_delete" ->

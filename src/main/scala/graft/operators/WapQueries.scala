@@ -820,6 +820,8 @@ object WapQueries {
     spark.sql(s"CALL $lake.system.create_mview('mv_agg', " +
       s"'SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars, " +
       s"min(doc_id) AS lo, max(doc_id) AS hi FROM $lake.main.documents GROUP BY lang')")
+    spark.sql(s"CALL $lake.system.create_mview('mv_avg', " +
+      s"'SELECT lang, avg(n_chars) AS mean FROM $lake.main.documents GROUP BY lang')")
     spark.sql(s"CALL $lake.system.create_mview('mv_sel', " +
       s"'SELECT doc_id, n_chars FROM $lake.main.documents WHERE n_chars % 3 = 0')")
     val freshNoop = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "fresh"
@@ -829,6 +831,16 @@ object WapQueries {
     val aggInc = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "incremental_agg"
     val selInc = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "incremental"
     val zeroRewrite = selFilesBefore.subsetOf(cat.dataFiles("mv_sel").map(_.path).toSet)
+    // AVG folds through its (sum, count) companions; the folded means
+    // must equal a full recompute (exact: long sums). Boolean gate —
+    // raw double averages never enter the hash oracle.
+    val avgInc = GraftMaterializedViews.refresh(spark, cat, "mv_avg", "main") == "incremental_agg"
+    val avgFoldOk = avgInc && spark.sql(
+      s"""SELECT count(*) FROM $lake.main.mv_avg v
+         |JOIN (SELECT lang, avg(n_chars) AS mean FROM $lake.main.documents
+         |      GROUP BY lang) f ON v.lang = f.lang
+         |WHERE abs(v.mean - f.mean) > 1e-9
+         |""".stripMargin).head.getLong(0) == 0L
 
     // a CoW delete breaks the append-only window -> full recompute
     cat.deleteWhere("documents", col("doc_id") >= 150)
@@ -845,6 +857,7 @@ object WapQueries {
       lit(freshNoop).as("fresh_noop"),
       lit(aggInc).as("agg_incremental"),
       lit(selInc && zeroRewrite).as("sel_incremental"),
+      lit(avgFoldOk).as("avg_fold_ok"),
       lit(fullAgg && fullSel).as("full_after_delete"))
   }
 

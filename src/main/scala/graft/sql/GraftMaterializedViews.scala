@@ -3,11 +3,12 @@ package graft.sql
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Count, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.functions.{col, greatest, lit, max => fmax, min => fmin, sqrt, sum => fsum, when}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,11 +39,17 @@ import graft.wap.BranchCatalog
   *    applies) and the delta rows APPEND to the view. O(delta), the shape
   *    a 100 TB nightly pipeline needs.
   *  - `incremental_agg`: a single `GROUP BY` over such a source whose
-  *    aggregates are all re-aggregatable (SUM/COUNT/MIN/MAX, no
+  *    aggregates are all re-aggregatable (SUM/COUNT/MIN/MAX/AVG, no
   *    DISTINCT/FILTER): the delta is aggregated through the same windowed
   *    plan, unioned with the view's CURRENT (small) content and folded —
-  *    COUNT and SUM by summing, MIN/MAX by min/max — then the view is
-  *    overwritten. O(delta + |view|), never O(source).
+  *    COUNT and SUM by summing, MIN/MAX by min/max, AVG as the ratio of
+  *    its (sum, count) decomposition, STDDEV/VARIANCE from their
+  *    (sum, count, m2) decomposition via the parallel-variance identity —
+  *    `create` materializes the decompositions as trailing
+  *    `__<col>_sum`/`__<col>_cnt`/`__<col>_m2` companion columns of the
+  *    view table ([[decomposeStats]]; visible to readers, recorded under
+  *    [[CompanionsKey]]) — then the view is overwritten.
+  *    O(delta + |view|), never O(source).
   *  - `full`: everything else (joins, non-distributive aggregates,
   *    windows with deletes/compactions in them, expired watermarks) —
   *    recompute and overwrite. Correct by construction; the fallback is
@@ -59,22 +66,32 @@ object GraftMaterializedViews {
 
   val SqlKey = "graft.mview.sql"
   val SourcesKey = "graft.mview.sources"
+  /** `statCol=kind:companion:...;...` — records which extra columns of
+    * the materialized table decompose an AVG/STDDEV/VARIANCE output (see
+    * [[decomposeStats]]); informational (refresh re-derives the
+    * decomposition from the analyzed plan, which is deterministic). */
+  val CompanionsKey = "graft.mview.companions"
 
   /** Create `name` on `branch`: materialize the query and record the
     * definition + source watermarks in the table's properties. */
   def create(spark: SparkSession, cat: BranchCatalog, name: String,
       query: String, branch: String): Unit = {
     require(!cat.tableExists(name, branch), s"table $name exists on $branch")
-    val df = spark.sql(query)
-    val sources = sourceTables(df.queryExecution.analyzed, cat.root, branch)
+    val analyzed = spark.sql(query).queryExecution.analyzed
+    val sources = sourceTables(analyzed, cat.root, branch)
     require(sources.nonEmpty,
       s"materialized view $name reads no table of this catalog on branch $branch — " +
         "nothing to track staleness against")
+    val (plan, companions) = decomposeStats(analyzed)
+    val df = Bridge.dataFrame(spark, plan)
     cat.createTableIfNotExists(name, df.schema, branch)
     cat.append(name, df, branch)
     cat.setTableProperties(name, Map(
       SqlKey -> query,
-      SourcesKey -> sources.map { case (t, id) => s"$t=$id" }.mkString(";")), branch)
+      SourcesKey -> sources.map { case (t, id) => s"$t=$id" }.mkString(";")) ++
+      (if (companions.isEmpty) Map.empty[String, String]
+       else Map(CompanionsKey -> companions.toSeq.sortBy(_._1)
+         .map { case (c, d) => s"$c=${d.encoded}" }.mkString(";"))), branch)
   }
 
   /** Refresh `name`; returns the mode actually run: `fresh`,
@@ -88,15 +105,28 @@ object GraftMaterializedViews {
       .filter(_.nonEmpty).map { kv =>
         val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
       }.toMap
-    val analyzed = spark.sql(query).queryExecution.analyzed
-    val pinned = sourceTables(analyzed, cat.root, branch).toMap
+    val analyzed0 = spark.sql(query).queryExecution.analyzed
+    val pinned = sourceTables(analyzed0, cat.root, branch).toMap
     if (pinned == recorded) return "fresh"
+
+    // re-derive the stat decomposition (deterministic from the plan); a
+    // view materialized BEFORE decomposition existed lacks the companion
+    // columns — keep its plan undecomposed so full recompute matches its
+    // stored schema (its AVG/STDDEVs simply never fold)
+    val (dec, comps) = decomposeStats(analyzed0)
+    val storedCols = cat.schemaOfSnapshot(name,
+      cat.snapshotIdOf(name, branch).getOrElse(sys.error(s"no table $name on $branch")))
+      .fieldNames.toSet
+    val (analyzed, companions) =
+      if (comps.nonEmpty && comps.values.forall(_.cols.forall(storedCols.contains)))
+        (dec, comps)
+      else (analyzed0, Map.empty[String, Decomp])
 
     val stale = pinned.filter { case (t, id) => !recorded.get(t).contains(id) }
     val mode =
       if (stale.size == 1 && recorded.contains(stale.head._1) &&
           appendOnlyWindow(cat, stale.head._1, recorded(stale.head._1), stale.head._2))
-        tryIncremental(spark, cat, name, branch, analyzed,
+        tryIncremental(spark, cat, name, branch, analyzed, companions,
           stale.head._1, recorded(stale.head._1))
       else None
     mode.getOrElse {
@@ -159,14 +189,105 @@ object GraftMaterializedViews {
     case _ => false
   }
 
+  /** How one non-re-aggregatable stat output folds from companion
+    * columns the view table additionally materializes. */
+  sealed trait Decomp { def cols: Seq[String]; def encoded: String }
+  /** AVG = sum/cnt. */
+  case class AvgDecomp(sum: String, cnt: String) extends Decomp {
+    def cols = Seq(sum, cnt); def encoded = s"avg:$sum:$cnt"
+  }
+  /** stddev/variance from (sum, cnt, m2) via the parallel-variance
+    * identity: m2_total = Σ(m2_i + sum_i²/cnt_i) − sum²/cnt.
+    * `kind` ∈ var_pop | var_samp | std_pop | std_samp. */
+  case class MomentDecomp(sum: String, cnt: String, m2: String,
+      kind: String) extends Decomp {
+    def cols = Seq(sum, cnt, m2); def encoded = s"$kind:$sum:$cnt:$m2"
+  }
+
+  /** Rewrite the analyzed plan of a foldable top-level GROUP BY so every
+    * AVG / STDDEV / VARIANCE output ALSO materializes its exact partial
+    * state as trailing `__<name>_sum` / `__<name>_cnt` (+ `__<name>_m2`
+    * for moments) companion columns — what an incremental refresh needs
+    * to fold these stats without re-reading the source (two groups'
+    * averages or variances cannot merge without their weights).
+    * Returns the plan unchanged when there is nothing to decompose (no
+    * foldable top-level aggregate; DISTINCT/FILTER/decimal forms — those
+    * fall back to full recompute), plus statCol -> its [[Decomp]]. */
+  private def decomposeStats(plan: LogicalPlan): (LogicalPlan, Map[String, Decomp]) = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case other => other
+    }
+    strip(plan) match {
+      case agg: Aggregate if selectOnly(agg.child) =>
+        def numeric(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+          !e.dataType.isInstanceOf[DecimalType] &&
+            e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val stats = agg.aggregateExpressions.flatMap {
+          case a @ Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case av: Average if numeric(av.child) => Some((a, av.child, "avg"))
+              case m: CentralMomentAgg if numeric(m.child) =>
+                val kind = m match {
+                  case _: VariancePop => "var_pop"
+                  case _: VarianceSamp => "var_samp"
+                  case _: StddevPop => "std_pop"
+                  case _: StddevSamp => "std_samp"
+                  case _ => "" // skewness/kurtosis: third/fourth moments, not folded
+                }
+                if (kind.isEmpty) None else Some((a, m.child, kind))
+              case _ => None
+            }
+          case _ => None
+        }
+        val existing = agg.aggregateExpressions.map(_.name).toSet
+        def companionNames(name: String, kind: String): Seq[String] =
+          Seq(s"__${name}_sum", s"__${name}_cnt") ++
+            (if (kind == "avg") Nil else Seq(s"__${name}_m2"))
+        if (stats.isEmpty || stats.exists { case (a, _, kind) => // name collision
+            companionNames(a.name, kind).exists(existing.contains) })
+          (plan, Map.empty)
+        else {
+          val extra = stats.flatMap { case (a, child, kind) =>
+            Seq(
+              Alias(Sum(child).toAggregateExpression(), s"__${a.name}_sum")(),
+              Alias(Count(child).toAggregateExpression(), s"__${a.name}_cnt")()) ++
+              (if (kind == "avg") Nil
+               // m2 = var_pop * count — recovers Welford's running m2
+               else Seq(Alias(Multiply(
+                 VariancePop(child).toAggregateExpression(),
+                 org.apache.spark.sql.catalyst.expressions.Cast(
+                   Count(child).toAggregateExpression(),
+                   org.apache.spark.sql.types.DoubleType)),
+                 s"__${a.name}_m2")()))
+          }
+          (agg.copy(aggregateExpressions = agg.aggregateExpressions ++ extra),
+            stats.map { case (a, _, kind) =>
+              a.name -> (if (kind == "avg")
+                AvgDecomp(s"__${a.name}_sum", s"__${a.name}_cnt"): Decomp
+              else MomentDecomp(s"__${a.name}_sum", s"__${a.name}_cnt",
+                s"__${a.name}_m2", kind))
+            }.toMap)
+        }
+      case _ => (plan, Map.empty)
+    }
+  }
+
   /** One fold instruction per re-aggregatable output column. */
-  private def aggMerges(agg: Aggregate): Option[(Seq[String], Seq[(String, String)])] = {
+  private def aggMerges(agg: Aggregate,
+      companions: Map[String, Decomp]): Option[(Seq[String], Seq[(String, String)])] = {
     if (!selectOnly(agg.child)) return None
     val groupSet = agg.groupingExpressions.map(_.canonicalized).toSet
     val matchedKeys = scala.collection.mutable.Set.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+    // the m2 companion is an Alias over Multiply(var_pop, count) — not a
+    // bare AggregateExpression, so recognize it by name
+    val m2Cols = companions.values.collect { case m: MomentDecomp => m.m2 }.toSet
     val groups = Seq.newBuilder[String]
     val merges = Seq.newBuilder[(String, String)]
     val ok = agg.aggregateExpressions.forall {
+      case a: Alias if m2Cols.contains(a.name) =>
+        merges += (a.name -> "m2"); true
       case a @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -174,7 +295,13 @@ object GraftMaterializedViews {
           case _: Count => merges += (a.name -> "sum"); true
           case _: Min => merges += (a.name -> "min"); true
           case _: Max => merges += (a.name -> "max"); true
-          case _ => false // avg/collect/percentile…: not foldable from outputs
+          case _: Average if companions.contains(a.name) =>
+            // foldable via its decomposed companions: recomputed as their
+            // ratio after the fold (the "stat" merge is a placeholder)
+            merges += (a.name -> "stat"); true
+          case _: CentralMomentAgg if companions.contains(a.name) =>
+            merges += (a.name -> "stat"); true
+          case _ => false // plain avg/collect/percentile…: not foldable from outputs
         }
       case ne: NamedExpression if groupSet.contains(ne.canonicalized) =>
         matchedKeys += ne.canonicalized; groups += ne.name; true
@@ -204,6 +331,7 @@ object GraftMaterializedViews {
   /** The two incremental modes; None = not classifiable, run full. */
   private def tryIncremental(spark: SparkSession, cat: BranchCatalog,
       name: String, branch: String, analyzed: LogicalPlan,
+      companions: Map[String, Decomp],
       table: String, fromId: String): Option[String] = {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case s: SubqueryAlias => strip(s.child)
@@ -215,22 +343,61 @@ object GraftMaterializedViews {
         cat.append(name, delta, branch)
         Some("incremental")
       case agg: Aggregate =>
-        aggMerges(agg).map { case (groupCols, merges) =>
+        aggMerges(agg, companions).map { case (groupCols, merges) =>
           val deltaAgg = Bridge.dataFrame(spark, windowed(agg, table, fromId))
           val mvSchema = deltaAgg.schema // same plan shape as the stored view
           val combined = cat.scan(name, branch).unionByName(deltaAgg)
+          val m2Parents: Map[String, MomentDecomp] = companions.values
+            .collect { case m: MomentDecomp => m.m2 -> m }.toMap
           val folds = merges.map {
             case (c, "sum") => fsum(col(c)).as(c)
             case (c, "min") => fmin(col(c)).as(c)
+            // m2 partial per parallel-variance: Σ(m2_i + sum_i²/cnt_i);
+            // the −sum²/cnt correction lands in the projection below
+            // (all-null partials contribute NULL → skipped by the sum)
+            case (c, "m2") =>
+              val d = m2Parents(c)
+              fsum(col(c) + col(d.sum).cast("double") * col(d.sum).cast("double") /
+                col(d.cnt).cast("double")).as(c)
+            // "stat" (AVG/STDDEV/VARIANCE): placeholder through the fold,
+            // recomputed below from the folded companions
             case (c, _) => fmax(col(c)).as(c)
           }
           val reagg =
             if (groupCols.isEmpty) combined.agg(folds.head, folds.tail: _*)
             else combined.groupBy(groupCols.map(col): _*).agg(folds.head, folds.tail: _*)
           // fold widening (sum over sum) casts back to the view's types,
-          // in the view's column order
-          val aligned = reagg.select(mvSchema.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+          // in the view's column order. Stat outputs recompute from their
+          // folded companions — AVG as sum/cnt (exact where the sums are
+          // exact), moments from the corrected m2 (clamped at 0 against
+          // rounding) with Spark's own NULL semantics (samp: cnt<2, pop:
+          // cnt=0 — all-null groups answer NULL, like the stats
+          // themselves). The m2 companion column itself stores the
+          // CORRECTED total, so the next fold starts from true state.
+          def dbl(c: String) = col(c).cast("double")
+          def m2Final(d: MomentDecomp) = greatest(
+            col(d.m2) - dbl(d.sum) * dbl(d.sum) / dbl(d.cnt), lit(0.0))
+          val aligned = reagg.select(mvSchema.fields.toSeq.map { f =>
+            (companions.get(f.name), m2Parents.get(f.name)) match {
+              case (Some(AvgDecomp(s, k)), _) =>
+                when(col(k).isNull || col(k) === 0, lit(null))
+                  .otherwise(col(s).cast("double") / col(k).cast("double"))
+                  .cast(f.dataType).as(f.name)
+              case (Some(d: MomentDecomp), _) =>
+                val n = dbl(d.cnt)
+                val base = d.kind match {
+                  case "var_pop" => when(n < 1, lit(null)).otherwise(m2Final(d) / n)
+                  case "var_samp" => when(n < 2, lit(null)).otherwise(m2Final(d) / (n - 1))
+                  case "std_pop" => when(n < 1, lit(null)).otherwise(sqrt(m2Final(d) / n))
+                  case _ => when(n < 2, lit(null)).otherwise(sqrt(m2Final(d) / (n - 1)))
+                }
+                base.cast(f.dataType).as(f.name)
+              case (_, Some(d)) => // the m2 companion: store corrected total
+                when(dbl(d.cnt) < 1, lit(null)).otherwise(m2Final(d))
+                  .cast(f.dataType).as(f.name)
+              case _ => col(f.name).cast(f.dataType).as(f.name)
+            }
+          }: _*)
           cat.overwrite(name, aligned, branch)
           "incremental_agg"
         }

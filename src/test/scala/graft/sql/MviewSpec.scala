@@ -98,13 +98,71 @@ class MviewSpec extends SparkSpecBase {
     assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
       sortedRows(spark.sql(q)))
 
-    // avg is not foldable from outputs -> full even on an append window
-    val qa = s"SELECT lang, avg(n_chars) AS a FROM $lake.main.src GROUP BY lang"
+    // avg(DISTINCT) has no sound decomposition -> full even on append
+    val qa = s"SELECT lang, avg(DISTINCT n_chars) AS a FROM $lake.main.src GROUP BY lang"
     GraftMaterializedViews.create(spark, cat, "mva", qa, "main")
     cat.append("src", docs(100, 130))
     assert(GraftMaterializedViews.refresh(spark, cat, "mva", "main") == "full")
     assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mva")) ==
       sortedRows(spark.sql(qa)))
+  }
+
+  test("AVG folds incrementally via its (sum, count) companion columns") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    val q = s"SELECT lang, avg(n_chars) AS mean, count(*) AS n " +
+      s"FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+    // the materialized table carries the companions, visible and recorded
+    val cols = cat.schemaOfSnapshot("mv", cat.snapshotIdOf("mv").get).fieldNames.toSeq
+    assert(cols == Seq("lang", "mean", "n", "__mean_sum", "__mean_cnt"))
+    assert(cat.tableProperties("mv")(GraftMaterializedViews.CompanionsKey) ==
+      "mean=avg:__mean_sum:__mean_cnt")
+
+    cat.append("src", docs(100, 200))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_agg")
+    // values equal a full recompute (long sums are exact, so the ratio is
+    // bit-identical to Spark's own AVG here)
+    assert(sortedRows(spark.sql(
+      s"SELECT lang, mean, n FROM $lake.main.mv")) == sortedRows(spark.sql(q)))
+    // and the folded companions stay consistent with their own ratio
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.mv " +
+      "WHERE abs(mean - __mean_sum / __mean_cnt) > 1e-9").head.getLong(0) == 0L)
+
+    // a second append folds again from the folded state
+    cat.append("src", docs(200, 260))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_agg")
+    assert(sortedRows(spark.sql(
+      s"SELECT lang, mean, n FROM $lake.main.mv")) == sortedRows(spark.sql(q)))
+  }
+
+  test("STDDEV and VARIANCE fold via the parallel-variance identity") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    val q = s"SELECT lang, stddev(n_chars) AS sd, var_samp(n_chars) AS vs, " +
+      s"stddev_pop(n_chars) AS sp, var_pop(n_chars) AS vp, avg(n_chars) AS mean " +
+      s"FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+    cat.append("src", docs(100, 200))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_agg")
+    // folded moments equal a full recompute to fp tolerance (the fold
+    // merges exact partial m2s; Welford's order differs only in rounding)
+    val full = spark.sql(q).collect().map(r => r.getString(0) -> r).toMap
+    val view = spark.sql(s"SELECT lang, sd, vs, sp, vp, mean FROM $lake.main.mv")
+      .collect()
+    assert(view.length == full.size)
+    for (r <- view; f = full(r.getString(0)); i <- 1 to 5)
+      assert(math.abs(r.getDouble(i) - f.getDouble(i)) <=
+        1e-9 * math.max(1.0, math.abs(f.getDouble(i))),
+        s"column $i of group ${r.getString(0)}: ${r.getDouble(i)} vs ${f.getDouble(i)}")
+    // fold again from folded state
+    cat.append("src", docs(200, 240))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_agg")
+    val full2 = spark.sql(q).collect().map(r => r.getString(0) -> r).toMap
+    for (r <- spark.sql(s"SELECT lang, sd, vs, sp, vp, mean FROM $lake.main.mv").collect();
+         f = full2(r.getString(0)); i <- 1 to 5)
+      assert(math.abs(r.getDouble(i) - f.getDouble(i)) <=
+        1e-9 * math.max(1.0, math.abs(f.getDouble(i))))
   }
 
   test("GROUP BY with an unprojected key never folds (would collapse groups)") {
