@@ -390,6 +390,83 @@ object Similarity {
     def unpersist(): Unit = { cPq.unpersist(); () }
   }
 
+  /** Nearest coarse centroid per corpus row — (neighbor_id, cent_id) via
+    * the bounded partial top-1 (no N x K shuffle). `c` is the normalized
+    * (neighbor_id, __cv) frame. Shared by the one-shot build and the
+    * persisted index's delta encoder ([[VectorIndex]]). */
+  private[operators] def assignToCents(c: DataFrame, cents: DataFrame): DataFrame = {
+    val scores = c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+    topKPerQuery(scores, 1)
+      .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+  }
+
+  /** The residual (or plain) encode input for a corpus row joined with
+    * its centroid. Residual encoding is the canonical IVFADC layout:
+    * codes quantize r = v - c(v), whose spread is a cell diameter
+    * instead of the whole space — the same codebook bits buy a finer
+    * grid. */
+  private[operators] def encodeInput(residual: Boolean) =
+    if (residual)
+      zip_with(col("__cv"), col("cent_vec"), (a, b) => (a - b).cast("float"))
+    else col("__cv")
+
+  /** Encode `c` (neighbor_id, __cv) against FIXED centroids and a
+    * TRAINED codec — one map-side pass producing the persisted code rows
+    * (neighbor_id, cent_id, __code, __rn). This is the whole per-row
+    * cost of an incremental index refresh: appended vectors run through
+    * here, nothing else is touched. */
+  private[operators] def encodeAgainst(
+      c: DataFrame, cents: DataFrame, codec: graft.functions.PqCodec,
+      residual: Boolean): DataFrame = {
+    import graft.functions.PqFunctions
+    val withCent = c.join(assignToCents(c, cents), "neighbor_id")
+      .join(broadcast(cents), "cent_id")
+    withCent
+      .withColumn("__code", PqFunctions.pqEncode(encodeInput(residual), codec))
+      .withColumn("__rn",
+        if (residual) PqFunctions.pqResidualNorm(col("__code"), col("cent_vec"), codec)
+        else PqFunctions.pqReconNorm(col("__code"), codec))
+      .select(col("neighbor_id"), col("cent_id"), col("__code"), col("__rn"))
+  }
+
+  /** Train the coarse centroids (deterministic seeded pick + optional
+    * Lloyd steps) and the PQ codec (bounded driver-side sample) for a
+    * corpus. Shared by [[prepareIvfPq]] and [[VectorIndex.build]]. */
+  private[operators] def trainIvfPq(
+      c: DataFrame, centroids: Int, seed: Long, m: Int, ksub: Int,
+      trainSample: Int, trainIters: Int, residual: Boolean,
+      refineSteps: Int): (DataFrame, graft.functions.PqCodec) = {
+    import graft.functions.PqCodec
+    var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(centroids)
+      .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+    // optional Lloyd steps (same recipe as ivfTopK): tighter coarse cells
+    // mean smaller residuals, which the PQ codebooks then quantize better
+    for (_ <- 0 until refineSteps) {
+      cents = assignToCents(c, cents)
+        .join(c, "neighbor_id")
+        .groupBy(col("cent_id"))
+        .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cent_id"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+    }
+    // bounded driver pull: trainSample encode inputs in deterministic
+    // hash order (~0.5 MB at the defaults, independent of corpus size);
+    // null vectors carry no codebook signal and would NPE the trainer
+    val sample: Array[Array[Float]] = c
+      .filter(col("__cv").isNotNull)
+      .join(assignToCents(c, cents), "neighbor_id")
+      .join(broadcast(cents), "cent_id")
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
+      .limit(trainSample)
+      .select(encodeInput(residual).as("__ti"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    (cents, PqCodec.train(sample, m, ksub, trainIters))
+  }
+
   /** Build the IVF-PQ index for a corpus (see [[ivfTopKPQ]] for the
     * scheme). `storage = None` skips persistence for one-shot use. */
   def prepareIvfPq(
@@ -399,61 +476,12 @@ object Similarity {
       residual: Boolean = true, refineSteps: Int = 0,
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): IvfPqIndex = {
-    import graft.functions.{PqCodec, PqFunctions}
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
-
-    def assign(cents: DataFrame): DataFrame = {
-      val scores = c.crossJoin(broadcast(cents))
-        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
-          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
-      topKPerQuery(scores, 1)
-        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
-    }
-    var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
-      .limit(centroids)
-      .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
-    // optional Lloyd steps (same recipe as ivfTopK): tighter coarse cells
-    // mean smaller residuals, which the PQ codebooks then quantize better
-    for (_ <- 0 until refineSteps) {
-      cents = assign(cents)
-        .join(c, "neighbor_id")
-        .groupBy(col("cent_id"))
-        .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
-        .select(col("cent_id"),
-          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
-    }
-    val assigned = assign(cents)
-
-    // corpus rows with their coarse centroid: residual encoding (the
-    // canonical IVFADC layout) quantizes r = v - c(v), whose spread is a
-    // cell diameter instead of the whole space — the same codebook bits
-    // buy a finer grid. Non-residual mode keeps the plain layout.
-    val withCent = c.join(assigned, "neighbor_id").join(broadcast(cents), "cent_id")
-    val encodeIn =
-      if (residual)
-        zip_with(col("__cv"), col("cent_vec"), (a, b) => (a - b).cast("float"))
-      else col("__cv")
-
-    // bounded driver pull: trainSample encode inputs in deterministic
-    // hash order (~0.5 MB at the defaults, independent of corpus size);
-    // null vectors carry no codebook signal and would NPE the trainer
-    val sample: Array[Array[Float]] = withCent
-      .filter(col("__cv").isNotNull)
-      .orderBy(xxhash64(col("neighbor_id"), lit(seed + 7)), col("neighbor_id"))
-      .limit(trainSample)
-      .select(encodeIn.as("__ti"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    val codec = PqCodec.train(sample, m, ksub, trainIters)
-
+    val (cents, codec) = trainIvfPq(c, centroids, seed, m, ksub,
+      trainSample, trainIters, residual, refineSteps)
     // m-byte codes + reconstruction norm (|cent + r_hat| in residual
     // mode), derived map-side in one index-build pass over the corpus
-    val cPq = withCent
-      .withColumn("__code", PqFunctions.pqEncode(encodeIn, codec))
-      .withColumn("__rn",
-        if (residual) PqFunctions.pqResidualNorm(col("__code"), col("cent_vec"), codec)
-        else PqFunctions.pqReconNorm(col("__code"), codec))
-      .select(col("neighbor_id"), col("cent_id"), col("__code"), col("__rn"))
+    val cPq = encodeAgainst(c, cents, codec, residual)
     val stored = storage.map(cPq.persist).getOrElse(cPq)
     IvfPqIndex(cents, stored, c, codec, residual)
   }

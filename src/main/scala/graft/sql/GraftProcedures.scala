@@ -45,7 +45,8 @@ object GraftProcedures {
       "publish", "create_tag", "drop_tag",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "rewrite_partitioned",
-      "create_mview", "refresh_mview", "drop_mview")
+      "create_mview", "refresh_mview", "drop_mview",
+      "build_vector_index", "refresh_vector_index", "drop_vector_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -282,6 +283,42 @@ object GraftProcedures {
         param("name", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         GraftMaterializedViews.drop(cat, args.getString(0), args.getString(1))
+      }
+    case "build_vector_index" =>
+      // persisted IVF-PQ index over an embedding column: three lake
+      // tables + watermark properties (graft.operators.VectorIndex);
+      // refresh_vector_index advances it, encoding only appended
+      // vectors on append-only windows
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("id_col", StringType),
+        param("vec_col", StringType),
+        param("branch", StringType, "'main'"),
+        param("centroids", IntegerType, "64"),
+        param("m", IntegerType, "8"),
+        param("ksub", IntegerType, "16"))) { (cat, args) =>
+        graft.operators.VectorIndex.build(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2),
+          graft.operators.VectorIndex.Params(
+            centroids = args.getInt(4), m = args.getInt(5), ksub = args.getInt(6)),
+          args.getString(3))
+      }
+    case "refresh_vector_index" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("vec_col", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.VectorIndex.refresh(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2))
+        ()
+      }
+    case "drop_vector_index" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("vec_col", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.VectorIndex.drop(cat, args.getString(0), args.getString(1),
+          args.getString(2))
       }
     case other =>
       throw new UnsupportedOperationException(

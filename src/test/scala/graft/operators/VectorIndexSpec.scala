@@ -1,0 +1,136 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+import graft.wap.BranchCatalog
+
+/** The persisted IVF-PQ lake index ([[VectorIndex]]): build writes the
+  * centroids / codes / codebook tables + watermark properties, refresh
+  * encodes ONLY appended vectors on append-only windows, and a fresh
+  * catalog handle (the next session) serves queries from the stored
+  * artifact with results identical to an in-session build. */
+class VectorIndexSpec extends SparkSpecBase {
+
+  private var n = 0
+  private def freshRoot(): String = {
+    n += 1
+    Files.createTempDirectory(s"vecidx$n").toString
+  }
+
+  private val P = VectorIndex.Params(centroids = 16, ksub = 16,
+    trainSample = 256, trainIters = 4, refineSteps = 1)
+
+  private def emb(lo: Long, hi: Long): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select("vec_id", "embedding")
+
+  private def mkLake(root: String, lo: Long, hi: Long): BranchCatalog = {
+    val cat = new BranchCatalog(spark, root)
+    cat.createTableIfNotExists("emb", emb(0, 1).schema)
+    cat.append("emb", emb(lo, hi))
+    cat
+  }
+
+  private def topk(idx: Similarity.IvfPqIndex, queries: DataFrame): Seq[(Long, Long, Int)] =
+    Similarity.ivfTopKPQ(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8, candidateFactor = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("build persists; load answers identically to an in-session build") {
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 400)
+    VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
+    val queries = emb(0, 10)
+
+    val inSession = Similarity.prepareIvfPq(cat.scan("emb"), "vec_id", "embedding",
+      centroids = P.centroids, seed = P.seed, m = P.m, ksub = P.ksub,
+      trainSample = P.trainSample, trainIters = P.trainIters,
+      residual = P.residual, refineSteps = P.refineSteps, storage = None)
+    val persisted = VectorIndex.load(spark, cat, "emb", "embedding")
+    assert(topk(persisted, queries) == topk(inSession, queries),
+      "the persisted index must answer exactly like the build it stored")
+  }
+
+  test("refresh after append encodes ONLY the delta; fresh is a no-op") {
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 300)
+    VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
+    val codesT = VectorIndex.codesTable("emb", "embedding")
+    val codesBefore = cat.dataFiles(codesT).map(_.path).toSet
+    def codeRow(r: org.apache.spark.sql.Row): (Long, Seq[Byte], Any) =
+      (r.getLong(1), r.getAs[Array[Byte]](2).toSeq, r.get(3))
+    val oldCodes = cat.scan(codesT).collect()
+      .map(r => r.getLong(0) -> codeRow(r)).toMap
+
+    cat.append("emb", emb(300, 400))
+    assert(VectorIndex.refresh(spark, cat, "emb", "embedding") == "incremental")
+    // the original code files were not rewritten — only delta rows landed
+    assert(codesBefore.subsetOf(cat.dataFiles(codesT).map(_.path).toSet),
+      "incremental refresh must not rewrite existing code files")
+    val after = cat.scan(codesT).collect().map(r => r.getLong(0) -> codeRow(r)).toMap
+    assert(after.size == oldCodes.size + emb(300, 400).count())
+    // pre-existing codes byte-identical (same centroids, same codec)
+    oldCodes.foreach { case (id, row) => assert(after(id) == row) }
+    assert(VectorIndex.refresh(spark, cat, "emb", "embedding") == "fresh")
+    // queries see the appended vectors
+    val got = topk(VectorIndex.load(spark, cat, "emb", "embedding"), emb(0, 5))
+    assert(got.nonEmpty)
+  }
+
+  test("a delete breaks the append-only window: refresh rebuilds fully") {
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 300)
+    VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
+    cat.deleteWhere("emb", col("vec_id") >= 250)
+    assert(VectorIndex.refresh(spark, cat, "emb", "embedding") == "full")
+    val codesT = VectorIndex.codesTable("emb", "embedding")
+    assert(cat.scan(codesT).count() == cat.scan("emb").count())
+    // deleted ids are gone from the rebuilt index
+    assert(cat.scan(codesT).filter(col("neighbor_id") >= 250).count() == 0L)
+  }
+
+  test("a fresh catalog handle serves queries from the stored artifact; recall holds") {
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 400)
+    VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
+    val queries = emb(0, 20)
+
+    // new BranchCatalog over the same root = the next session's view
+    val cat2 = new BranchCatalog(spark, root)
+    val idx = VectorIndex.load(spark, cat2, "emb", "embedding")
+    val approx = topk(idx, queries)
+    val brute = Similarity.bruteForceTopK(cat2.scan("emb"), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = approx.count { case (q, nb, _) => brute.contains((q, nb)) }
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.6, s"persisted-index recall $recall below floor")
+  }
+
+  test("SQL procedures: build / refresh / drop round-trip") {
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 300)
+    val lake = "vecidx_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+
+    spark.sql(s"CALL $lake.system.build_vector_index('emb', 'vec_id', 'embedding', " +
+      "'main', 16, 8, 16)")
+    assert(cat.tableExists(VectorIndex.codesTable("emb", "embedding")))
+    cat.append("emb", emb(300, 350))
+    spark.sql(s"CALL $lake.system.refresh_vector_index('emb', 'embedding')")
+    assert(cat.scan(VectorIndex.codesTable("emb", "embedding")).count() ==
+      cat.scan("emb").count())
+    spark.sql(s"CALL $lake.system.drop_vector_index('emb', 'embedding')")
+    assert(!cat.tableExists(VectorIndex.codesTable("emb", "embedding")))
+    assert(!cat.tableProperties("emb").keys.exists(_.startsWith("graft.vecidx.")))
+  }
+}
