@@ -589,6 +589,14 @@ case class GraftTable(
 
   override def name(): String = s"$branch.$tableName"
   override def schema(): StructType = tableSchema
+
+  /** The pinned snapshot's metadata document, loaded ONCE per table
+    * handle: the planning hooks (pushTopN, keyedPlan, outputOrdering,
+    * metadata aggregates) each consult it, and a snapshot is immutable
+    * under its id, so re-reading it per planning call is repeated driver
+    * work for the same bytes. */
+  @transient lazy val snapMeta: graft.wap.Snapshot =
+    new BranchCatalog(SparkSession.active, root).snapshotMeta(tableName, snapshotId)
   override def partitioning(): Array[Transform] =
     GraftTableCatalog.transformsOfSpec(partitionSpecFmt)
   override def capabilities(): util.Set[TableCapability] =
@@ -987,8 +995,7 @@ private class GraftScanBuilder(
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, NamedReference}
     if (pushed.nonEmpty || changes.isDefined || orders.isEmpty) return false
-    val snap = new BranchCatalog(SparkSession.active, t.root)
-      .snapshotMeta(t.tableName, t.snapshotId)
+    val snap = t.snapMeta
     if (snap.sortOrder.isEmpty || snap.deleteManifests.nonEmpty) return false
     if (orders.length > snap.sortOrder.length) return false
     val cols = orders.map(_.expression()).map {
@@ -1206,7 +1213,7 @@ private[sql] class GraftBatchScan(
       case graft.wap.BucketPartition(n, c) => (n, c)
     }.flatMap { case (n, colName) =>
       val cat = new BranchCatalog(spark, t.root)
-      if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.nonEmpty) None
+      if (t.snapMeta.deleteManifests.nonEmpty) None
       else {
         val files = cat.plannedFilesWithPv(t.tableName, t.snapshotId, cond)
         if (files.isEmpty || files.exists(_._3.isEmpty)) None
@@ -1244,8 +1251,7 @@ private[sql] class GraftBatchScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     keyedPlan match {
       case Some((_, _, parts)) =>
-        val cols = new BranchCatalog(spark, t.root)
-          .snapshotMeta(t.tableName, t.snapshotId).sortWithinPartitions
+        val cols = t.snapMeta.sortWithinPartitions
         val oneFilePerBucket = parts.forall {
           case GraftKeyedFilesPartition(fs, _) => fs.lengthCompare(1) <= 0
           case _ => false
@@ -1303,7 +1309,7 @@ private[sql] class GraftBatchScan(
     var c = morEpochsCache
     if (c == null) {
       val cat = new BranchCatalog(spark, t.root)
-      c = if (cat.snapshotMeta(t.tableName, t.snapshotId).deleteManifests.isEmpty) None
+      c = if (t.snapMeta.deleteManifests.isEmpty) None
       else Some(cat.plannedMorEpochs(t.tableName, t.snapshotId, cond))
       morEpochsCache = c
     }
@@ -1474,7 +1480,7 @@ private[sql] object GraftStats {
   def of(spark: SparkSession, t: GraftTable): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val cat = new BranchCatalog(spark, t.root)
-      private val snap = cat.snapshotMeta(t.tableName, t.snapshotId)
+      private val snap = t.snapMeta
       /** One manifest read shared by sizeInBytes AND columnStats — the
         * planner may call both per query, and each filesOf is a full
         * driver read of every manifest JSON. */
