@@ -64,6 +64,7 @@ object SparkEntry {
     "wap_pos_delete" -> (WapQueries.wapPosDelete _),
     "wap_mview" -> (WapQueries.wapMview _),
     "wap_rename" -> (WapQueries.wapRename _),
+    "wap_multipart" -> (WapQueries.wapMultipart _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
@@ -222,6 +223,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
     "wap_mview" ->
       """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS avg_fold_ok, true AS full_after_delete""",
+    "wap_multipart" ->
+      """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT CAST(min(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS min_chars, true AS metadata_only, true AS time_travel_old_schema, true AS filter_exact""",
     "wap_pos_delete" ->

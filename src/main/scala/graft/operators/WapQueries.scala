@@ -1307,6 +1307,50 @@ object WapQueries {
         lit(filteredOk).as("filter_exact"))
   }
 
+  /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
+    * events table laid out `day(ts);bucket(4,user_id)` (the canonical
+    * Iceberg fact-table layout), appends auto-routed into the nested
+    * layout, then three reads: a day-range + key conjunction, a
+    * key-only read, and the full count — with plan-derived gates that
+    * the DAY predicate pruned files, the BUCKET predicate pruned files,
+    * their conjunction pruned at least as hard as either alone, and
+    * every file carries BOTH partition values. Oracle: the same
+    * aggregates in DuckDB (the threshold is min(ts)+2 days, computable
+    * on both sides). */
+  def wapMultipart(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-multipart").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val ev = Tables.eventsWithTs(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    cat.createTableIfNotExists("events", ev.schema, "main",
+      Seq(graft.wap.DayPartition("ts"), graft.wap.BucketPartition(4, "user_id")))
+    cat.append("events", ev)
+
+    val thr = ev.select((min(col("ts")) + expr("INTERVAL 2 DAYS")).as("t"))
+      .head.getTimestamp(0)
+    val dayCond = col("ts") < lit(thr)
+    val keyCond = col("user_id") === 3L
+    val headId = cat.snapshotIdOf("events").get
+    val total = cat.dataFiles("events").size
+    def planned(c: org.apache.spark.sql.Column): Int =
+      cat.plannedFilesOfSnapshot("events", headId, Some(c)).size
+    val dayFiles = planned(dayCond)
+    val keyFiles = planned(keyCond)
+    val bothFiles = planned(dayCond && keyCond)
+    val layoutOk = cat.dataFiles("events").forall(f =>
+      f.partition.contains("pv") && f.partition.contains("pv1"))
+
+    cat.scan("events", filter = Some(dayCond && keyCond)).agg(
+      count(lit(1)).as("q_rows"),
+      coalesce(sum(col("event_id")), lit(0L)).cast("long").as("q_sum"))
+      .crossJoin(cat.scan("events").agg(count(lit(1)).as("n_rows")))
+      .select(col("n_rows"), col("q_rows"), col("q_sum"),
+        lit(dayFiles < total).as("day_pruned"),
+        lit(keyFiles < total).as("bucket_pruned"),
+        lit(bothFiles <= math.min(dayFiles, keyFiles)).as("conjunction_pruned"),
+        lit(layoutOk).as("layout_ok"))
+  }
+
   /** Referential integrity: event user_ids against the (25-key) nation
     * table — intentionally orphan-rich so the check exercises both
     * branches (SQL oracle: anti-join counts). */

@@ -201,7 +201,7 @@ object GraftProcedures {
         param("spec", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.rewritePartitioned(args.getString(0),
-          graft.wap.PartitionSpec.parse(args.getString(1)), args.getString(2))
+          graft.wap.PartitionSpec.parseMulti(args.getString(1)), args.getString(2))
         ()
       }
     case "export_snapshot" =>

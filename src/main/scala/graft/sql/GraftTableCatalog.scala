@@ -294,7 +294,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
     GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed,
-      spec.map(_.format))
+      if (spec.isEmpty) None else Some(graft.wap.PartitionSpec.formatMulti(spec)))
   }
 
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
@@ -511,13 +511,15 @@ object GraftTableCatalog {
     * alternative named — never silently dropped (a user who declared a
     * layout must not end up with an unpartitioned table). */
   private[sql] def specOfTransforms(
-      partitions: Array[Transform], schema: StructType): Option[PartitionSpec] = {
-    if (partitions.isEmpty) return None
-    require(partitions.length == 1,
-      s"graft hidden partitioning takes ONE transform, got ${partitions.length} " +
-        s"(${partitions.mkString(", ")}); for multi-column layout use " +
-        "appendClustered(cols...) from the Scala API")
-    val t = partitions.head
+      partitions: Array[Transform], schema: StructType): Seq[PartitionSpec] = {
+    val specs = partitions.toSeq.map(specOfTransform(_, schema))
+    require(specs.map(_.column).distinct.size == specs.size,
+      s"each partition transform needs its own source column, got " +
+        partitions.mkString(", "))
+    specs
+  }
+
+  private def specOfTransform(t: Transform, schema: StructType): PartitionSpec = {
     val args = t.arguments().toSeq
     val refs = args.collect {
       case n: NamedReference =>
@@ -551,13 +553,13 @@ object GraftTableCatalog {
     require(schema.fieldNames.contains(spec.column),
       s"partition column ${spec.column} is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})")
-    Some(spec)
+    spec
   }
 
   /** The committed spec rendered back as a connector transform, so
     * `DESCRIBE TABLE` / `Table.partitioning()` show the declared layout. */
   private[sql] def transformsOfSpec(fmt: Option[String]): Array[Transform] =
-    fmt.map(PartitionSpec.parse).map {
+    fmt.toSeq.flatMap(PartitionSpec.parseMulti).map {
       case DayPartition(c) => Expressions.days(c)
       case MonthPartition(c) => Expressions.months(c)
       case HourPartition(c) => Expressions.hours(c)
@@ -703,7 +705,7 @@ case class GraftTable(
               if (overwrite) cat.overwrite(tableName, data, branch)
               else headSpec match {
                 case Some(fmt) => cat.appendPartitioned(tableName, data,
-                  graft.wap.PartitionSpec.parse(fmt), branch)
+                  graft.wap.PartitionSpec.parseMulti(fmt), branch)
                 case None => cat.append(tableName, data, branch)
               }
               ()
@@ -766,10 +768,19 @@ case class GraftMetadataTable(
         // aggregate produces O(partitions) rows — per-file metadata of a
         // 100 TB table never lands on the driver. Unpartitioned files
         // roll up under a NULL partition value.
-        import org.apache.spark.sql.functions.{col, count, lit, sum, try_element_at}
+        import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, sum, try_element_at}
         val snapMeta = cat.snapshotMeta(baseTable, snapshotId)
+        // multi-transform layouts report the FULL value tuple, outermost
+        // first, "/"-joined (a per-level null renders as "null")
+        val nSpecs = snapMeta.partitionSpec
+          .map(f => graft.wap.PartitionSpec.parseMulti(f).size).getOrElse(0)
+        val pvExpr =
+          if (nSpecs <= 1) try_element_at(col("partition"), lit("pv"))
+          else concat_ws("/", (0 until nSpecs).map(i => coalesce(
+            try_element_at(col("partition"),
+              lit(graft.wap.PartitionSpec.pvKey(i))), lit("null"))): _*)
         cat.manifestEntries(snapMeta)
-          .select(try_element_at(col("partition"), lit("pv")).as("partition"),
+          .select(pvExpr.as("partition"),
             col("rows"), col("bytes"))
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("n_files"),
@@ -916,13 +927,13 @@ case class GraftStagedTable(
                   "through write-audit-publish (run it on a branch namespace and " +
                   "publish, or set spark.sql.catalog.<name>.write.main=true)")
               val cat = new BranchCatalog(data.sparkSession, root)
-              val spec = partitionSpecFmt.map(graft.wap.PartitionSpec.parse)
-              created = cat.createTableIfNotExists(tableName, tableSchema, branch, spec)
+              val specs = partitionSpecFmt.toSeq.flatMap(graft.wap.PartitionSpec.parseMulti)
+              created = cat.createTableIfNotExists(tableName, tableSchema, branch, specs)
               if (!created) throw new org.apache.spark.sql.catalyst.analysis
                 .TableAlreadyExistsException(Array(branch, tableName))
-              spec match {
-                case Some(s) => cat.appendPartitioned(tableName, data, s, branch)
-                case None => cat.append(tableName, data, branch)
+              specs match {
+                case Seq() => cat.append(tableName, data, branch)
+                case ps => cat.appendPartitioned(tableName, data, ps, branch)
               }
               ()
             }
@@ -1209,21 +1220,27 @@ private[sql] class GraftBatchScan(
         // identical sessions — the r11 wap_spj-then-wap_runtime_prune
         // ordering bug. One consistent read: Spark's default governs.
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled").toBoolean) None
-    else t.partitionSpecFmt.map(graft.wap.PartitionSpec.parse).collect {
-      case graft.wap.BucketPartition(n, c) => (n, c)
-    }.flatMap { case (n, colName) =>
-      val cat = new BranchCatalog(spark, t.root)
-      if (t.snapMeta.deleteManifests.nonEmpty) None
-      else {
-        val files = cat.plannedFilesWithPv(t.tableName, t.snapshotId, cond)
-        if (files.isEmpty || files.exists(_._3.isEmpty)) None
-        else Some((n, colName,
-          files.groupBy(_._3.get.toInt).toSeq.sortBy(_._1).map { case (k, fs) =>
-            GraftKeyedFilesPartition(fs.map(f => (f._1, f._2)), k)
-              : org.apache.spark.sql.connector.read.InputPartition
-          }.toArray))
+    else t.partitionSpecFmt.toSeq.flatMap(graft.wap.PartitionSpec.parseMulti)
+      .zipWithIndex.collectFirst {
+        // a multi-transform layout joins on its (first) BUCKET transform:
+        // files group by that transform's positional pv key; the other
+        // transforms only subdivide each bucket's file set, which the
+        // grouping merges back together
+        case (graft.wap.BucketPartition(n, c), i) =>
+          (n, c, graft.wap.PartitionSpec.pvKey(i))
+      }.flatMap { case (n, colName, pvKey) =>
+        val cat = new BranchCatalog(spark, t.root)
+        if (t.snapMeta.deleteManifests.nonEmpty) None
+        else {
+          val files = cat.plannedFilesWithPv(t.tableName, t.snapshotId, cond, pvKey)
+          if (files.isEmpty || files.exists(_._3.isEmpty)) None
+          else Some((n, colName,
+            files.groupBy(_._3.get.toInt).toSeq.sortBy(_._1).map { case (k, fs) =>
+              GraftKeyedFilesPartition(fs.map(f => (f._1, f._2)), k)
+                : org.apache.spark.sql.connector.read.InputPartition
+            }.toArray))
+        }
       }
-    }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =

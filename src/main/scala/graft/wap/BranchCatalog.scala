@@ -593,67 +593,82 @@ class BranchCatalog(
   }
 
   /** Hidden-partitioned write: ONE job writes the batch hash-grouped into
-    * `__pv=<value>` subdirectories (the transform column exists only in
-    * the directory name, never in the data files), then each file's
-    * metadata records its transform value alongside the footer stats. */
+    * nested `__pv<i>=<value>` subdirectories, one level per transform
+    * (the transform columns exist only in the directory names, never in
+    * the data files), then each file's metadata records its transform
+    * values alongside the footer stats (keys [[PartitionSpec.pvKey]]:
+    * "pv" for the first transform — byte-compatible with every
+    * single-transform table ever written — then "pv1", "pv2", …). */
   private def writePartitionedDataFiles(
-      table: String, df: DataFrame, spec: PartitionSpec,
+      table: String, df: DataFrame, specs: Seq[PartitionSpec],
       sortCols: Seq[String] = Nil,
       ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
+    require(specs.nonEmpty, "partitioned write needs at least one transform")
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
-    val colType = df.schema.fields.find(_.name == spec.column).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"partition column '${spec.column}' not in batch schema"))
-    // %XX-escape '%' and non-ASCII bytes BEFORE partitionBy so the
+    val pvCols = specs.indices.map(i => s"__pv$i")
+    // %XX-escape '%' and non-ASCII bytes BEFORE partitionBy so each
     // physical directory name is pure ASCII on any filesystem locale
     // (an ASCII-locale JVM throws InvalidPathException on literal
-    // non-ASCII dir names); manifest metadata keeps the true string
-    val pathSafe = org.apache.spark.sql.graft.Bridge.column(
-      PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
-        spec.valueCol(colType))))
-    val grouped = withFieldIds(df, ids).withColumn("__pv", pathSafe).repartition(col("__pv"))
+    // non-ASCII dir names); manifest metadata keeps the true strings
+    val withPv = specs.zipWithIndex.foldLeft(withFieldIds(df, ids)) {
+      case (acc, (spec, i)) =>
+        val colType = df.schema.fields.find(_.name == spec.column).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column '${spec.column}' not in batch schema"))
+        acc.withColumn(s"__pv$i", org.apache.spark.sql.graft.Bridge.column(
+          PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
+            spec.valueCol(colType)))))
+    }
+    val grouped = withPv.repartition(pvCols.map(col): _*)
     // sorted-compaction path: order rows INSIDE each partition-value
     // group so parquet row-group/page stats tighten on the sort keys
-    // (file-level min/max can't shrink — each value is one file here)
+    // (file-level min/max can't shrink — each value group is one file)
     val arranged =
       if (sortCols.isEmpty) grouped
-      else grouped.sortWithinPartitions((col("__pv") +: sortCols.map(col)): _*)
-    arranged.write.partitionBy("__pv").parquet(dir.toString)
-    fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pv="))
-      .flatMap { pd =>
-        val raw = pd.getPath.getName.stripPrefix("__pv=")
-        // Spark escapes partition directory names Hive-style (%XX for
-        // special chars, '+' left alone) — URLDecoder would turn a
-        // literal '+' in a truncate() value into a space and record the
-        // wrong partition value (silently mis-pruned scans)
-        val pv = PathSafeEscape.unescape(
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(raw))
-        // a null transform value gets no partition metadata: it can never
-        // be proven out of range, so pruning keeps the file (sound)
-        val part =
-          if (raw == "__HIVE_DEFAULT_PARTITION__") Map.empty[String, String]
-          else Map("pv" -> pv)
-        fs.listStatus(pd.getPath).toSeq
+      else grouped.sortWithinPartitions((pvCols ++ sortCols).map(col): _*)
+    arranged.write.partitionBy(pvCols: _*).parquet(dir.toString)
+    // recursive descent: level i contributes pvKey(i) -> unescaped value
+    // (Spark escapes dir names Hive-style — %XX for special chars, '+'
+    // left alone; URLDecoder would corrupt literal '+'); a null transform
+    // value (__HIVE_DEFAULT_PARTITION__) records no metadata at its
+    // level — it can never be proven out of range, so pruning keeps the
+    // file (sound)
+    def walk(p: Path, level: Int, acc: Map[String, String]): Seq[DataFileMeta] =
+      if (level == specs.length)
+        fs.listStatus(p).toSeq
           .filter(st => st.getPath.getName.endsWith(".parquet"))
-          .map(st => footerMeta(st).copy(partition = part))
-      }
+          .map(st => footerMeta(st).copy(partition = acc))
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"__pv$level="))
+        .flatMap { pd =>
+          val raw = pd.getPath.getName.stripPrefix(s"__pv$level=")
+          val next =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") acc
+            else acc + (PartitionSpec.pvKey(level) -> PathSafeEscape.unescape(
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(raw)))
+          walk(pd.getPath, level + 1, next)
+        }
+    walk(dir, 0, Map.empty)
   }
 
   /** Spec-aware rewrite: partitioned tables keep their hidden layout
     * through DML rewrites and compaction (otherwise every delete/update
     * would silently degrade partition pruning on the touched files). */
+  /** The snapshot's partition transforms, outermost first (empty for
+    * unpartitioned tables). Multi-transform layouts serialize as
+    * `;`-joined formats — [[PartitionSpec.parseMulti]]. */
+  private[graft] def specsOf(fmt: Option[String]): Seq[PartitionSpec] =
+    fmt.toSeq.flatMap(PartitionSpec.parseMulti)
+
   private def writeTableFiles(
-      table: String, df: DataFrame, spec: Option[PartitionSpec],
+      table: String, df: DataFrame, specs: Seq[PartitionSpec],
       sortCols: Seq[String] = Nil,
       ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] =
-    spec match {
-      case Some(s) => writePartitionedDataFiles(table, df, s, sortCols, ids)
-      case None => writeDataFiles(table, df, ids)
-    }
+    if (specs.nonEmpty) writePartitionedDataFiles(table, df, specs, sortCols, ids)
+    else writeDataFiles(table, df, ids)
 
   /** Stamp each column the table tracks with its parquet field id (W58):
     * the writer then records `PARQUET:field_id` in every footer, which
@@ -742,12 +757,22 @@ class BranchCatalog(
 
   /** reference app.py:125-149 create_table_if_not_exists. Returns true if
     * the table was created. */
+  def createTableIfNotExists(table: String, schema: StructType, branch: String,
+      specs: Seq[PartitionSpec]): Boolean = {
+    if (tableExists(table, branch)) return false
+    createTable(table, schema, branch,
+      if (specs.isEmpty) None else Some(PartitionSpec.formatMulti(specs)))
+  }
   def createTableIfNotExists(
       table: String, schema: StructType, branch: String = "main",
       spec: Option[PartitionSpec] = None): Boolean = {
     if (tableExists(table, branch)) return false
+    createTable(table, schema, branch, spec.map(_.format))
+  }
+  private def createTable(table: String, schema: StructType, branch: String,
+      fmt: Option[String]): Boolean = {
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
-      System.currentTimeMillis(), spec.map(_.format),
+      System.currentTimeMillis(), fmt,
       evo = SchemaEvo.forSchema(schema))
     writeSnapshot(table, snap)
     commitRefs { refs =>
@@ -970,7 +995,7 @@ class BranchCatalog(
     // accumulated unprunable files until compaction.
     head.flatMap(_.partitionSpec) match {
       case Some(fmt) =>
-        return appendPartitioned(table, df, PartitionSpec.parse(fmt), branch, epochStamp)
+        return appendPartitioned(table, df, PartitionSpec.parseMulti(fmt), branch, epochStamp)
       case None => ()
     }
     val aligned = head match {
@@ -1045,7 +1070,7 @@ class BranchCatalog(
     // transform values like any append (key/tombstone files are not —
     // they are metadata the scan anti-joins, never partition-pruned)
     val dataFiles = writeTableFiles(table, aligned,
-      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds)
+      specsOf(cur.partitionSpec), ids = cur.evo.fieldIds)
     val dataManifest = writeManifest(table, dataFiles, schema)
     val keyFiles = writeDataFiles(table,
       aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
@@ -1118,7 +1143,7 @@ class BranchCatalog(
           case Some(cond) =>
             val kept = manifestsFor(snap, filter, schema)
             pruneFiles(filesOf(snap.copy(manifests = kept)), cond, schema,
-              snap.partitionSpec.map(PartitionSpec.parse),
+              specsOf(snap.partitionSpec),
               Some(new BloomProbe(kept)))
           case None => filesOf(snap)
         }
@@ -1294,7 +1319,7 @@ class BranchCatalog(
       if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl), table, branch)
       else df
     val manifest = writeManifest(table, writeTableFiles(table, aligned,
-      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds),
+      specsOf(cur.partitionSpec), ids = cur.evo.fieldIds),
       aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -1406,7 +1431,7 @@ class BranchCatalog(
       val st = entry(table)
       val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
       val manifest = writeManifest(table,
-        writeTableFiles(table, aligned, st.partitionSpec.map(PartitionSpec.parse),
+        writeTableFiles(table, aligned, specsOf(st.partitionSpec),
           ids = st.fieldIds),
         aligned.schema)
       byTable(table) = st.copy(appends = st.appends :+ manifest)
@@ -1447,7 +1472,7 @@ class BranchCatalog(
     val schema = StructType.fromDDL(snap.schemaDdl)
     val kept = manifestsFor(snap, Some(cond), schema)
     pruneFiles(filesOf(snap.copy(manifests = kept)), cond, schema,
-      snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(kept)))
+      specsOf(snap.partitionSpec), Some(new BloomProbe(kept)))
   }
 
   // ---- file-level stats pruning -----------------------------------------
@@ -1476,14 +1501,14 @@ class BranchCatalog(
     * NOTHING — in particular a runtime join-key IN-set on a
     * bucket-partitioned table, the 100 TB star-join shape. */
   private def admits(
-      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec],
+      f: DataFileMeta, p: Expression, specs: Seq[PartitionSpec],
       schema: StructType, bloom: Option[BloomProbe] = None): Boolean = p match {
-    case And(l, r) => admits(f, l, spec, schema, bloom) && admits(f, r, spec, schema, bloom)
-    case Or(l, r) => admits(f, l, spec, schema, bloom) || admits(f, r, spec, schema, bloom)
+    case And(l, r) => admits(f, l, specs, schema, bloom) && admits(f, r, specs, schema, bloom)
+    case Or(l, r) => admits(f, l, specs, schema, bloom) || admits(f, r, specs, schema, bloom)
     case In(a, vs) if vs.forall(_.foldable) =>
-      vs.exists(v => admits(f, EqualTo(a, v), spec, schema, bloom))
+      vs.exists(v => admits(f, EqualTo(a, v), specs, schema, bloom))
     case leaf =>
-      partitionMayMatch(f, leaf, spec, schema) && mayMatch(f, leaf, schema) &&
+      partitionMayMatch(f, leaf, specs, schema) && mayMatch(f, leaf, schema) &&
         bloom.forall(b => comparisonOf(leaf) match {
           case Some((attr, "=", l)) => b.mightContain(f, attr, l)
           case _ => true
@@ -1495,17 +1520,17 @@ class BranchCatalog(
     * with bloom sidecars — entries must then have a `__manifest` column
     * (`input_file_name()` of the manifest read). */
   private def admitsCol(
-      p: Expression, spec: Option[PartitionSpec], schema: StructType,
+      p: Expression, specs: Seq[PartitionSpec], schema: StructType,
       bloom: Option[DistBloom] = None): Column = p match {
-    case And(l, r) => admitsCol(l, spec, schema, bloom) && admitsCol(r, spec, schema, bloom)
-    case Or(l, r) => admitsCol(l, spec, schema, bloom) || admitsCol(r, spec, schema, bloom)
+    case And(l, r) => admitsCol(l, specs, schema, bloom) && admitsCol(r, specs, schema, bloom)
+    case Or(l, r) => admitsCol(l, specs, schema, bloom) || admitsCol(r, specs, schema, bloom)
     case In(a, vs) if vs.forall(_.foldable) =>
       // empty IN is FALSE (matches the driver tier's exists-over-Nil)
-      vs.map(v => admitsCol(EqualTo(a, v), spec, schema, bloom))
+      vs.map(v => admitsCol(EqualTo(a, v), specs, schema, bloom))
         .reduceOption(_ || _)
         .getOrElse(org.apache.spark.sql.functions.lit(false))
     case leaf =>
-      val base = partitionMayMatchCol(leaf, spec, schema) && mayMatchCol(leaf)
+      val base = partitionMayMatchCol(leaf, specs, schema) && mayMatchCol(leaf)
       (for {
         ctx <- bloom
         cmp <- comparisonOf(leaf) if cmp._2 == "=" && ctx.cols(cmp._1)
@@ -1597,44 +1622,46 @@ class BranchCatalog(
     * range. Transform values compare as strings by construction (ISO
     * dates order lexicographically; buckets compare for equality only). */
   private def partitionMayMatch(
-      f: DataFileMeta, p: Expression, spec: Option[PartitionSpec],
+      f: DataFileMeta, p: Expression, specs: Seq[PartitionSpec],
       schema: StructType): Boolean =
-    (for {
-      s <- spec
-      pv <- f.partition.get("pv")
-      (attr, op, l) <- comparisonOf(p) if attr == s.column
-      colType <- schema.fields.find(_.name == s.column).map(_.dataType)
-      (alignOp, v) <- s.align(op, l, colType)
-    } yield alignOp match {
-      // ranges compare in UTF-8 byte order (utf8Cmp), matching the
-      // distributed path's Spark-native string ordering — Java UTF-16
-      // ordering diverges on BMP chars >= U+E000 vs supplementary chars,
-      // and a divergent driver prune would be unsound
-      case "=" => pv == v
-      case ">=" => utf8Cmp(pv, v) >= 0
-      case _ => utf8Cmp(pv, v) <= 0
-    }).getOrElse(true)
+    specs.zipWithIndex.forall { case (s, i) =>
+      (for {
+        pv <- f.partition.get(PartitionSpec.pvKey(i))
+        (attr, op, l) <- comparisonOf(p) if attr == s.column
+        colType <- schema.fields.find(_.name == s.column).map(_.dataType)
+        (alignOp, v) <- s.align(op, l, colType)
+      } yield alignOp match {
+        // ranges compare in UTF-8 byte order (utf8Cmp), matching the
+        // distributed path's Spark-native string ordering — Java UTF-16
+        // ordering diverges on BMP chars >= U+E000 vs supplementary chars,
+        // and a divergent driver prune would be unsound
+        case "=" => pv == v
+        case ">=" => utf8Cmp(pv, v) >= 0
+        case _ => utf8Cmp(pv, v) <= 0
+      }).getOrElse(true)
+    }
 
   /** Partition-transform pruning as a Column over manifest entries (the
     * distributed planning path); entries without partition metadata
     * evaluate null and are kept. */
   private def partitionMayMatchCol(
-      p: Expression, spec: Option[PartitionSpec], schema: StructType): Column = {
+      p: Expression, specs: Seq[PartitionSpec], schema: StructType): Column = {
     import org.apache.spark.sql.functions._
-    (for {
-      s <- spec
-      (attr, op, l) <- comparisonOf(p) if attr == s.column
-      colType <- schema.fields.find(_.name == s.column).map(_.dataType)
-      (alignOp, v) <- s.align(op, l, colType)
-    } yield {
-      val pv = try_element_at(col("partition"), lit("pv"))
-      val cmp = alignOp match {
-        case "=" => pv === lit(v)
-        case ">=" => pv >= lit(v)
-        case _ => pv <= lit(v)
+    specs.zipWithIndex.flatMap { case (s, i) =>
+      for {
+        (attr, op, l) <- comparisonOf(p) if attr == s.column
+        colType <- schema.fields.find(_.name == s.column).map(_.dataType)
+        (alignOp, v) <- s.align(op, l, colType)
+      } yield {
+        val pv = try_element_at(col("partition"), lit(PartitionSpec.pvKey(i)))
+        val cmp = alignOp match {
+          case "=" => pv === lit(v)
+          case ">=" => pv >= lit(v)
+          case _ => pv <= lit(v)
+        }
+        coalesce(cmp, lit(true))
       }
-      coalesce(cmp, lit(true))
-    }).getOrElse(org.apache.spark.sql.functions.lit(true))
+    }.reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
   }
 
   /** MANIFEST-LIST pruning (Iceberg's manifest-list tier, above file
@@ -1654,7 +1681,7 @@ class BranchCatalog(
     m.statsV < 2 || {
       val proxy = DataFileMeta(m.path, m.rows, m.lower, m.upper, m.nullCounts)
       conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
-        .forall(p => admits(proxy, p, None, schema, None))
+        .forall(p => admits(proxy, p, Nil, schema, None))
     }
 
   /** The manifests of `snap` that may hold rows matching `cond` — the
@@ -1675,13 +1702,13 @@ class BranchCatalog(
     * the proper type coercion). */
   private def pruneFiles(
       files: Seq[DataFileMeta], cond: Column, schema: StructType,
-      spec: Option[PartitionSpec] = None,
+      specs: Seq[PartitionSpec] = Nil,
       bloom: Option[BloomProbe] = None): Seq[DataFileMeta] = {
     resolvePredicate(cond, schema) match {
       case None => files
       case Some(pred) =>
         val preds = conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
-        files.filter { f => preds.forall(p => admits(f, p, spec, schema, bloom)) }
+        files.filter { f => preds.forall(p => admits(f, p, specs, schema, bloom)) }
     }
   }
 
@@ -1699,10 +1726,11 @@ class BranchCatalog(
     * partition transform value (None for unpartitioned files) — the
     * storage-partitioned-join planner groups on it. */
   private def distributedPrunedFilesPv(
-      snap: Snapshot, filter: Option[Column], schema: StructType)
+      snap: Snapshot, filter: Option[Column], schema: StructType,
+      pvKey: String = "pv")
       : Seq[(String, Long, Option[String])] = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val spec = snap.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(snap.partitionSpec)
     val kept = filter.flatMap(resolvePredicate(_, schema)) match {
       case Some(pred) =>
         // bloom context only when some equality-probed column actually
@@ -1730,7 +1758,7 @@ class BranchCatalog(
     }
     kept.select(col("path"), col("bytes"),
         org.apache.spark.sql.functions.try_element_at(
-          col("partition"), org.apache.spark.sql.functions.lit("pv")))
+          col("partition"), org.apache.spark.sql.functions.lit(pvKey)))
       .collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1),
         Option(r.getString(2)))).toSeq
@@ -1752,23 +1780,24 @@ class BranchCatalog(
     * groups read partitions by it (W45). Same tiering: above the
     * threshold the prune AND the pv projection run on executors. */
   private[graft] def plannedFilesWithPv(
-      table: String, snapshotId: String, cond: Option[Column])
+      table: String, snapshotId: String, cond: Option[Column],
+      pvKey: String = "pv")
       : Seq[(String, Long, Option[String])] = {
     val snap = loadSnapshot(table, snapshotId)
     require(snap.deleteManifests.isEmpty,
       s"snapshot $snapshotId of $table has pending MOR tombstones — plan via scanSnapshot")
     val schema = StructType.fromDDL(snap.schemaDdl)
     if (snap.manifests.map(_.fileCount).sum > distributedMetaThreshold)
-      distributedPrunedFilesPv(snap, cond, schema)
+      distributedPrunedFilesPv(snap, cond, schema, pvKey)
     else {
       val files = cond match {
         case Some(c) =>
           val kept = manifestsFor(snap, cond, schema)
           pruneFiles(filesOf(snap.copy(manifests = kept)), c, schema,
-            snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(kept)))
+            specsOf(snap.partitionSpec), Some(new BloomProbe(kept)))
         case None => filesOf(snap)
       }
-      files.map(f => (f.path, f.bytes, f.partition.get("pv")))
+      files.map(f => (f.path, f.bytes, f.partition.get(pvKey)))
     }
   }
 
@@ -1855,7 +1884,7 @@ class BranchCatalog(
               case Some(c) =>
                 val kept = manifestsFor(sub, cond, schema)
                 pruneFiles(filesOf(sub.copy(manifests = kept)), c, schema,
-                  snap.partitionSpec.map(PartitionSpec.parse),
+                  specsOf(snap.partitionSpec),
                   Some(new BloomProbe(kept)))
               case None => filesOf(sub)
             }
@@ -2654,7 +2683,7 @@ class BranchCatalog(
           s"illegal type change for ${of.name}: ${of.dataType.sql} -> ${nf.dataType.sql}")
       val dropped = old.fields.map(_.name).filterNot(newByName.contains)
       if (dropped.nonEmpty) {
-        cur.partitionSpec.map(PartitionSpec.parse).foreach(s =>
+        specsOf(cur.partitionSpec).foreach(s =>
           require(!dropped.contains(s.column),
             s"cannot drop ${s.column}: it is the table's hidden-partition source " +
               "(evolve the partition layout with rewritePartitioned first)"))
@@ -2729,7 +2758,7 @@ class BranchCatalog(
         s"$table predates field-id support — its files carry no column ids, so a " +
           "rename cannot resolve old files; recreate the table (CTAS + backfill) " +
           "to enable renames")
-      cur.partitionSpec.map(PartitionSpec.parse).foreach(sp => require(sp.column != from,
+      specsOf(cur.partitionSpec).foreach(sp => require(sp.column != from,
         s"cannot rename $from: it is the table's hidden-partition source " +
           "(evolve the layout with rewritePartitioned first)"))
       require(!cur.deleteManifests.exists(_.keyCols.contains(from)),
@@ -2865,7 +2894,7 @@ class BranchCatalog(
     val schema = StructType.fromDDL(snap.schemaDdl)
     val pruned = cond match {
       case Some(c) => pruneFiles(files, c, schema,
-        snap.partitionSpec.map(PartitionSpec.parse), Some(new BloomProbe(snap.manifests)))
+        specsOf(snap.partitionSpec), Some(new BloomProbe(snap.manifests)))
       case None => files
     }
     pruned.map(f => f.path -> f.bytes)
@@ -3091,8 +3120,17 @@ class BranchCatalog(
     * query the source column, partitioning is a layout concern). Mixing
     * appendPartitioned with plain appends is legal: unpartitioned files
     * carry no transform value and are simply never partition-pruned. */
+  def appendPartitioned(table: String, df: DataFrame, spec: PartitionSpec): Snapshot =
+    appendPartitioned(table, df, Seq(spec))
+  def appendPartitioned(table: String, df: DataFrame, spec: PartitionSpec,
+      branch: String): Snapshot =
+    appendPartitioned(table, df, Seq(spec), branch)
+  def appendPartitioned(table: String, df: DataFrame, spec: PartitionSpec,
+      branch: String, epochStamp: Option[(String, Long)]): Snapshot =
+    appendPartitioned(table, df, Seq(spec), branch, epochStamp)
+
   def appendPartitioned(
-      table: String, df: DataFrame, spec: PartitionSpec,
+      table: String, df: DataFrame, specs: Seq[PartitionSpec],
       branch: String = "main",
       epochStamp: Option[(String, Long)] = None): Snapshot = {
     val head = snapshotIdOf(table, branch).map(loadSnapshot(table, _))
@@ -3101,7 +3139,7 @@ class BranchCatalog(
         alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
       case _ => df
     }
-    val newFiles = writePartitionedDataFiles(table, aligned, spec,
+    val newFiles = writePartitionedDataFiles(table, aligned, specs,
       ids = head.map(_.evo.fieldIds).getOrElse(Map.empty))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
@@ -3109,14 +3147,14 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val parent = loadSnapshot(table, parentId)
-      require(parent.partitionSpec.forall(_ == spec.format),
-        s"table $table is partitioned by ${parent.partitionSpec.get}, not ${spec.format}; " +
-          "partition evolution requires a rewrite")
+      require(parent.partitionSpec.forall(_ == PartitionSpec.formatMulti(specs)),
+        s"table $table is partitioned by ${parent.partitionSpec.get}, not " +
+          s"${PartitionSpec.formatMulti(specs)}; partition evolution requires a rewrite")
       val s = parent.seq + 1
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), Some(spec.format), parent.deleteManifests, s,
-        evo = parent.evo)
+        System.currentTimeMillis(), Some(PartitionSpec.formatMulti(specs)),
+        parent.deleteManifests, s, evo = parent.evo)
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -3154,7 +3192,7 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val schema = StructType.fromDDL(cur.schemaDdl)
-    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(cur.partitionSpec)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolved = resolvePredicate(cond, schema)
     // per-manifest split so untouched manifests survive by reference;
@@ -3258,7 +3296,7 @@ class BranchCatalog(
         "compactDataFiles before position deletes (one delete representation at a time)")
     requireTombstoneHeadroom(table, branch, cur, "deleteWherePositional")
     val schema = StructType.fromDDL(cur.schemaDdl)
-    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(cur.partitionSpec)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolved = resolvePredicate(cond, schema)
     // same two-tier planning as deleteWhere: manifest-list prune, then
@@ -3380,7 +3418,7 @@ class BranchCatalog(
     val schema = StructType.fromDDL(cur.schemaDdl)
     for (c <- set.keys)
       require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
-    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(cur.partitionSpec)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolvedCond = resolvePredicate(cond, schema)
     val perManifest = cur.manifests.map { m =>
@@ -3506,7 +3544,7 @@ class BranchCatalog(
       // all-null key contributes no bound (that key prunes nothing)
       val cond = sourceKeyPruneCond(aligned, keys)
 
-      val spec = cur.partitionSpec.map(PartitionSpec.parse)
+      val spec = specsOf(cur.partitionSpec)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
       val resolvedCond = resolvePredicate(cond, schema)
       val perManifest = cur.manifests.map { m =>
@@ -3602,7 +3640,7 @@ class BranchCatalog(
       // key IN-list engaging bucket/bloom pruning)
       val pruneCond = sourceKeyPruneCond(aligned, keys)
 
-      val spec = cur.partitionSpec.map(PartitionSpec.parse)
+      val spec = specsOf(cur.partitionSpec)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
       val resolvedCond = resolvePredicate(pruneCond, schema)
       val perManifest = cur.manifests.map { m =>
@@ -3702,11 +3740,15 @@ class BranchCatalog(
     * retrofitted without rewriting files). One partitioned write job +
     * one metadata commit; older snapshots keep the old layout until
     * expiry. */
+  def rewritePartitioned(table: String, spec: PartitionSpec): Snapshot =
+    rewritePartitioned(table, Seq(spec))
+  def rewritePartitioned(table: String, spec: PartitionSpec, branch: String): Snapshot =
+    rewritePartitioned(table, Seq(spec), branch)
   def rewritePartitioned(
-      table: String, spec: PartitionSpec, branch: String = "main"): Snapshot = {
+      table: String, specs: Seq[PartitionSpec], branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), spec,
+    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), specs,
       ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
@@ -3715,7 +3757,8 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during partition rewrite")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
-        cur.schemaDdl, System.currentTimeMillis(), Some(spec.format), seq = cur.seq + 1,
+        cur.schemaDdl, System.currentTimeMillis(),
+        Some(PartitionSpec.formatMulti(specs)), seq = cur.seq + 1,
         evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
@@ -3961,7 +4004,7 @@ class BranchCatalog(
     val cur = loadSnapshot(table, curId)
     val rewritten = writeTableFiles(table,
       scanSnapshot(table, curId).repartition(targetFiles),
-      cur.partitionSpec.map(PartitionSpec.parse), ids = cur.evo.fieldIds)
+      specsOf(cur.partitionSpec), ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -4000,7 +4043,7 @@ class BranchCatalog(
       s"$table@$branch has pending MOR tombstones — run the whole-table " +
         "compactDataFiles (which materializes them) before scoped compaction")
     val schema = StructType.fromDDL(cur.schemaDdl)
-    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(cur.partitionSpec)
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolvedWhere = resolvePredicate(where, schema)
     val perManifest = cur.manifests.map { m =>
@@ -4064,9 +4107,9 @@ class BranchCatalog(
     val cur = loadSnapshot(table, curId)
     val data = scanSnapshot(table, curId)
     val cols = clusterBy.map(data.col)
-    val spec = cur.partitionSpec.map(PartitionSpec.parse)
+    val spec = specsOf(cur.partitionSpec)
     val rewritten = spec match {
-      case None =>
+      case Nil =>
         // range layout survives writeDataFiles (no further shuffle):
         // one tight-ranged file per range partition. Manifest entries
         // sort by part-file NAME (zero-padded index = range-partition
@@ -4074,9 +4117,9 @@ class BranchCatalog(
         // order IS global range order — the sortOrder contract below.
         writeTableFiles(table,
           data.repartitionByRange(targetFiles, cols: _*).sortWithinPartitions(cols: _*),
-          None, ids = cur.evo.fieldIds).sortBy(f => new Path(f.path).getName)
-      case s @ Some(_) =>
-        writeTableFiles(table, data, s, sortCols = clusterBy, ids = cur.evo.fieldIds)
+          Nil, ids = cur.evo.fieldIds).sortBy(f => new Path(f.path).getName)
+      case ps =>
+        writeTableFiles(table, data, ps, sortCols = clusterBy, ids = cur.evo.fieldIds)
     }
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
@@ -4090,7 +4133,7 @@ class BranchCatalog(
         // sorts within partition VALUES (one file per value), which is
         // exactly the per-partition contract sortWithinPartitions records
         sortOrder = if (spec.isEmpty) clusterBy else Nil,
-        sortWithinPartitions = if (spec.isDefined) clusterBy else Nil,
+        sortWithinPartitions = if (spec.nonEmpty) clusterBy else Nil,
         evo = cur.evo.afterFullRewrite)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
@@ -4142,7 +4185,7 @@ class BranchCatalog(
       .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
       .drop("__z") // projection: range layout + intra-partition order survive
-    val rewritten = writeTableFiles(table, arranged, None, ids = cur.evo.fieldIds)
+    val rewritten = writeTableFiles(table, arranged, Nil, ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>

@@ -195,6 +195,20 @@ object PartitionSpec {
     case Truncate(w, c) => TruncatePartition(w.toInt, c)
     case other => throw new IllegalArgumentException(s"unknown partition spec: $other")
   }
+
+  /** A MULTI-transform layout serializes as `;`-joined single formats
+    * ("day(ts);bucket(8,user_id)") — order matters: it is the physical
+    * directory nesting and the positional [[pvKey]] assignment. */
+  def parseMulti(s: String): Seq[PartitionSpec] =
+    s.split(";").toSeq.filter(_.nonEmpty).map(parse)
+
+  def formatMulti(specs: Seq[PartitionSpec]): String =
+    specs.map(_.format).mkString(";")
+
+  /** Manifest partition-map key of transform `i` in a layout: the first
+    * transform keeps the historical bare "pv" (single-transform tables
+    * and their files stay byte-compatible), later ones are positional. */
+  def pvKey(i: Int): String = if (i == 0) "pv" else s"pv$i"
 }
 
 /** Locale-portable %XX layer for `__pv=` partition directory names.

@@ -1142,12 +1142,14 @@ class SqlCatalogSpec extends SparkSpecBase {
     assert(cat.snapshotMeta("evts", cat.snapshotIdOf("evts", "wip").get)
       .partitionSpec.contains("day(ts)"))
 
-    // unsupported shapes are refused at CREATE, never silently dropped
-    val twoTransforms = intercept[Exception] {
+    // multi-transform layouts are first-class since r13
+    // (MultiPartitionSpec); two transforms over ONE column still refuse
+    // (a file would carry two conflicting values for the same source)
+    val dupColumn = intercept[Exception] {
       spark.sql(s"CREATE TABLE $lake.wip.bad1 (a BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts), bucket(4, a))")
+        "PARTITIONED BY (days(ts), months(ts))")
     }
-    assert(twoTransforms.getMessage.contains("ONE transform"))
+    assert(dupColumn.getMessage.contains("own source column"))
     val identity = intercept[Exception] {
       spark.sql(s"CREATE TABLE $lake.wip.bad2 (a BIGINT, s STRING) PARTITIONED BY (s)")
     }

@@ -1,0 +1,144 @@
+package graft.wap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** W21 extended — MULTI-transform hidden partitioning (the common
+  * Iceberg layout `PARTITIONED BY (days(ts), bucket(n, id))`): a table
+  * carries an ORDERED list of transforms, files land in nested
+  * `__pv<i>=` directories with one manifest partition value per level,
+  * and every predicate aligns against EVERY transform it constrains —
+  * a day filter AND a key filter each cut the file set independently. */
+class MultiPartitionSpec extends SparkSpecBase {
+
+  private var n = 0
+  private def freshCat(): BranchCatalog = {
+    n += 1
+    new BranchCatalog(spark, Files.createTempDirectory(s"multipart$n").toString)
+  }
+
+  private def events(): DataFrame =
+    Tables.eventsWithTs(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  private val specs = Seq(DayPartition("ts"), BucketPartition(4, "user_id"))
+
+  private def mk(cat: BranchCatalog): DataFrame = {
+    val ev = events()
+    cat.createTableIfNotExists("ev", ev.schema, "main", specs)
+    cat.append("ev", ev) // auto-routes through the partitioned writer
+    ev
+  }
+
+  test("files carry one partition value per transform; scan is complete") {
+    val cat = freshCat()
+    val ev = mk(cat)
+    assert(cat.scan("ev").count() == ev.count())
+    val files = cat.dataFiles("ev")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(f.partition.contains("pv"), s"missing day value: ${f.partition}")
+      assert(f.partition.contains("pv1"), s"missing bucket value: ${f.partition}")
+      assert(f.partition("pv").matches("""\d{4}-\d{2}-\d{2}"""))
+    }
+    // more day-bucket combinations than either dimension alone
+    assert(files.map(_.partition("pv")).distinct.size > 1)
+    assert(files.map(_.partition("pv1")).distinct.size > 1)
+  }
+
+  test("each transform prunes independently; conjunctions compose") {
+    val cat = freshCat()
+    val ev = mk(cat)
+    val total = cat.dataFiles("ev").size
+    val someDay = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .groupBy("d").count().orderBy(desc("count")).head.getString(0)
+    val dayCond = col("ts") >= lit(s"$someDay 00:00:00").cast("timestamp") &&
+      col("ts") < lit(s"$someDay 23:59:59").cast("timestamp")
+    val keyCond = col("user_id") === 3L
+
+    def prunedCount(cond: org.apache.spark.sql.Column): Int =
+      cat.plannedFilesOfSnapshot("ev", cat.snapshotIdOf("ev").get, Some(cond)).size
+    val dayFiles = prunedCount(dayCond)
+    val keyFiles = prunedCount(keyCond)
+    val bothFiles = prunedCount(dayCond && keyCond)
+    assert(dayFiles < total, s"day filter must prune ($dayFiles/$total)")
+    assert(keyFiles < total, s"bucket filter must prune ($keyFiles/$total)")
+    assert(bothFiles <= math.min(dayFiles, keyFiles),
+      s"conjunction must prune at least as hard ($bothFiles vs $dayFiles/$keyFiles)")
+
+    // and the pruned scans stay exact
+    assert(cat.scan("ev", filter = Some(dayCond && keyCond)).count() ==
+      ev.filter(dayCond && keyCond).count())
+    assert(cat.scan("ev", filter = Some(keyCond)).count() ==
+      ev.filter(keyCond).count())
+  }
+
+  test("DML preserves the multi-transform layout") {
+    val cat = freshCat()
+    val ev = mk(cat)
+    val r = cat.deleteWhere("ev", col("event_type") === "click")
+    assert(r.rowsDeleted == ev.filter(col("event_type") === "click").count())
+    cat.dataFiles("ev").foreach(f =>
+      assert(f.partition.contains("pv") && f.partition.contains("pv1"),
+        s"rewrite dropped partition metadata: ${f.partition}"))
+    assert(cat.scan("ev").count() == ev.filter(col("event_type") =!= "click").count())
+  }
+
+  test("partition evolution rewrites between single and multi layouts") {
+    val cat = freshCat()
+    val ev = mk(cat)
+    cat.rewritePartitioned("ev", Seq(BucketPartition(2, "event_id")))
+    assert(cat.scan("ev").count() == ev.count())
+    cat.dataFiles("ev").foreach(f =>
+      assert(f.partition.contains("pv") && !f.partition.contains("pv1")))
+    cat.rewritePartitioned("ev",
+      Seq(MonthPartition("ts"), TruncatePartition(2, "event_type")))
+    assert(cat.scan("ev").count() == ev.count())
+    cat.dataFiles("ev").foreach(f =>
+      assert(f.partition.get("pv").exists(_.matches("""\d{4}-\d{2}""")) &&
+        f.partition.contains("pv1")))
+  }
+
+  test("SQL: CREATE PARTITIONED BY two transforms, insert, prune, $partitions") {
+    val root = Files.createTempDirectory("multipart-sql").toString
+    val cat = new BranchCatalog(spark, root)
+    val lake = "mp_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+    spark.conf.set(s"spark.sql.catalog.$lake.write.main", "true")
+
+    spark.sql(s"CREATE TABLE $lake.main.ev (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, value DOUBLE) PARTITIONED BY (days(ts), bucket(4, user_id))")
+    val snap = cat.snapshotMeta("ev", cat.snapshotIdOf("ev").get)
+    assert(snap.partitionSpec.contains("day(ts);bucket(4,user_id)"))
+
+    events().select("event_id", "ts", "user_id", "value")
+      .createOrReplaceTempView("mp_src")
+    spark.sql(s"INSERT INTO $lake.main.ev SELECT * FROM mp_src")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.ev").head.getLong(0) ==
+      events().count())
+    // both transforms visible through the connector
+    assert(spark.table(s"$lake.main.ev").queryExecution.analyzed.toString != null)
+    val parts = spark.sql(s"SELECT partition FROM $lake.main.`ev$$partitions`")
+      .collect().map(_.getString(0))
+    assert(parts.nonEmpty && parts.forall(_.matches("""\d{4}-\d{2}-\d{2}/\d""")),
+      s"expected day/bucket tuples, got ${parts.take(3).mkString(", ")}")
+    // a filtered SQL read is exact across the pruned layout
+    val got = spark.sql(
+      s"SELECT count(*) FROM $lake.main.ev WHERE user_id = 3").head.getLong(0)
+    assert(got == events().filter(col("user_id") === 3L).count())
+  }
+
+  test("appends must match the declared multi layout") {
+    val cat = freshCat()
+    mk(cat)
+    // appendPartitioned with a DIFFERENT layout refuses
+    val e = intercept[IllegalArgumentException](
+      cat.appendPartitioned("ev", events(), Seq(DayPartition("ts"))))
+    assert(e.getMessage.contains("partition evolution requires a rewrite"))
+  }
+}
