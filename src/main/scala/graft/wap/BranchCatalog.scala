@@ -77,6 +77,17 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
       * Exact-value consumers ([[BranchCatalog.metaAggregate]]) require
       * >= 2. Survives `.copy(seq = ...)` restamping by construction. */
     statsV: Int = 0,
+    /** Partition-value summaries (r13 — the Iceberg manifest-list
+      * partition-summary tier): min/max transform value per pv key over
+      * the manifest's files, coverage-aware (a key appears only when
+      * EVERY live file carries it, so the bounds are exact). Ordered
+      * transforms (day/month/hour/truncate — lexicographic order IS
+      * domain order) prune whole manifests on aligned predicates before
+      * any entry is read; bucket values are unordered, so their bounds
+      * are recorded but never range-pruned on. Empty for pre-r13
+      * manifests (json4s default — always kept, sound). */
+    pvLower: Map[String, String] = Map.empty,
+    pvUpper: Map[String, String] = Map.empty,
     /** True on POSITION-delete manifests ([[BranchCatalog
       * .deleteWherePositional]] — Iceberg v2 position deletes / Delta
       * deletion vectors, re-expressed as parquet sidecars): the
@@ -533,12 +544,26 @@ class BranchCatalog(
           }
         }
       }.toMap
+    // partition-value bounds: coverage-aware like the column folds (a
+    // file at a NULL transform level lacks the key, which correctly
+    // withholds the bound); lexicographic fold — exact for the ordered
+    // transforms that prune on these, harmless for bucket
+    val pvKeys =
+      if (live.isEmpty) Set.empty[String]
+      else live.map(_.partition.keySet).reduce(_ & _)
+    def pvFold(takeMin: Boolean): Map[String, String] =
+      pvKeys.iterator.map { k =>
+        k -> live.map(_.partition(k)).reduce((a, b) =>
+          if ((utf8Cmp(a, b) <= 0) == takeMin) a else b)
+      }.toMap
     ManifestRef(p.toString, files.length.toLong, files.map(_.rows).sum,
       bytes = files.map(_.bytes).sum,
       nullCounts = files.flatMap(_.nullCounts.filter(kv => nullCols(kv._1)))
         .groupMapReduce(_._1)(_._2)(_ + _),
       lower = fold(_.lower, takeMin = true),
       upper = fold(_.upper, takeMin = false),
+      pvLower = pvFold(takeMin = true),
+      pvUpper = pvFold(takeMin = false),
       statsV = 2)
   }
 
@@ -1672,16 +1697,46 @@ class BranchCatalog(
     * 100 TB table costs O(matching manifests) metadata, not
     * O(manifests). Reuses the file-level [[admits]] through a proxy
     * entry (manifest bounds have exactly file-bound semantics, minus
-    * partition values and bloom, which the file tier still applies to
-    * whatever survives). Pre-r11 manifests (statsV < 2) are always kept:
-    * their nullCounts may be partial unions, which a may-match IsNull
-    * check must not trust. */
+    * bloom, which the file tier still applies to whatever survives) PLUS
+    * the r13 partition-summary check: ORDERED transforms (day/month/
+    * hour/truncate) compare aligned predicates against the manifest's
+    * [[ManifestRef.pvLower]]/[[ManifestRef.pvUpper]] bounds, so a
+    * day-partitioned table's time-range scan skips whole commits'
+    * manifests by transform value alone. Pre-r11 manifests (statsV < 2)
+    * are always kept: their nullCounts may be partial unions, which a
+    * may-match IsNull check must not trust. */
   private def manifestMayMatch(
-      m: ManifestRef, pred: Expression, schema: StructType): Boolean =
+      m: ManifestRef, pred: Expression, schema: StructType,
+      specs: Seq[PartitionSpec] = Nil): Boolean =
     m.statsV < 2 || {
       val proxy = DataFileMeta(m.path, m.rows, m.lower, m.upper, m.nullCounts)
       conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
-        .forall(p => admits(proxy, p, Nil, schema, None))
+        .forall(p => admits(proxy, p, Nil, schema, None) &&
+          manifestPvMayMatch(m, p, specs, schema))
+    }
+
+  /** The partition-summary tier of [[manifestMayMatch]]: false when an
+    * ordered transform's aligned bound range excludes the conjunct.
+    * Bucket transforms never range-prune here (their value strings are
+    * unordered — "10" < "2" lexicographically); non-comparison shapes
+    * and manifests without summaries keep (sound). */
+  private[wap] def manifestPvMayMatch(
+      m: ManifestRef, p: Expression, specs: Seq[PartitionSpec],
+      schema: StructType): Boolean =
+    specs.zipWithIndex.forall {
+      case (_: BucketPartition, _) => true
+      case (s, i) =>
+        (for {
+          loV <- m.pvLower.get(PartitionSpec.pvKey(i))
+          hiV <- m.pvUpper.get(PartitionSpec.pvKey(i))
+          (attr, op, l) <- comparisonOf(p) if attr == s.column
+          colType <- schema.fields.find(_.name == s.column).map(_.dataType)
+          (alignOp, v) <- s.align(op, l, colType)
+        } yield alignOp match {
+          case "=" => utf8Cmp(loV, v) <= 0 && utf8Cmp(hiV, v) >= 0
+          case ">=" => utf8Cmp(hiV, v) >= 0
+          case _ => utf8Cmp(loV, v) <= 0
+        }).getOrElse(true)
     }
 
   /** The manifests of `snap` that may hold rows matching `cond` — the
@@ -1690,7 +1745,8 @@ class BranchCatalog(
   private def manifestsFor(
       snap: Snapshot, cond: Option[Column], schema: StructType): Seq[ManifestRef] =
     cond.flatMap(resolvePredicate(_, schema)) match {
-      case Some(pred) => snap.manifests.filter(manifestMayMatch(_, pred, schema))
+      case Some(pred) => snap.manifests.filter(
+        manifestMayMatch(_, pred, schema, specsOf(snap.partitionSpec)))
       case None => snap.manifests
     }
 
@@ -1747,7 +1803,8 @@ class BranchCatalog(
         // manifest-list prune FIRST: executors then read only the
         // admitted manifests' entries (O(matching manifests) tasks)
         val entries = manifestEntries(snap.copy(
-            manifests = snap.manifests.filter(manifestMayMatch(_, pred, schema))))
+            manifests = snap.manifests.filter(
+              manifestMayMatch(_, pred, schema, specsOf(snap.partitionSpec)))))
           .withColumn("__manifest", input_file_name())
         conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
           .map(p => admitsCol(p, spec, schema, bloom))
@@ -1913,7 +1970,7 @@ class BranchCatalog(
 
   /** Resolve a user predicate against the table schema (Spark 4 Columns
     * are lazy ColumnNode graphs; analysis also applies type coercion). */
-  private def resolvePredicate(cond: Column, schema: StructType): Option[Expression] = {
+  private[wap] def resolvePredicate(cond: Column, schema: StructType): Option[Expression] = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     empty.filter(cond).queryExecution.analyzed
@@ -3201,7 +3258,7 @@ class BranchCatalog(
     val perManifest = cur.manifests.map { m =>
       // manifest-list prune: an excluded manifest carries over by
       // reference without ever being READ
-      if (resolved.exists(p => !manifestMayMatch(m, p, schema)))
+      if (resolved.exists(p => !manifestMayMatch(m, p, schema, spec)))
         (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
       else {
         val files = readManifest(m.path)
@@ -3303,7 +3360,7 @@ class BranchCatalog(
     // provably-all-match files drop metadata-only; the remainder get
     // position sidecars instead of a rewrite
     val perManifest = cur.manifests.map { m =>
-      if (resolved.exists(p => !manifestMayMatch(m, p, schema)))
+      if (resolved.exists(p => !manifestMayMatch(m, p, schema, spec)))
         (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
       else {
         val files = readManifest(m.path)
@@ -3422,7 +3479,7 @@ class BranchCatalog(
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolvedCond = resolvePredicate(cond, schema)
     val perManifest = cur.manifests.map { m =>
-      if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+      if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec)))
         (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
       else {
         val files = readManifest(m.path)
@@ -3548,7 +3605,7 @@ class BranchCatalog(
       val bloomIdx = Some(new BloomProbe(cur.manifests))
       val resolvedCond = resolvePredicate(cond, schema)
       val perManifest = cur.manifests.map { m =>
-        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec)))
           (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
         else {
           val files = readManifest(m.path)
@@ -3644,7 +3701,7 @@ class BranchCatalog(
       val bloomIdx = Some(new BloomProbe(cur.manifests))
       val resolvedCond = resolvePredicate(pruneCond, schema)
       val perManifest = cur.manifests.map { m =>
-        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema)))
+        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec)))
           (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
         else {
           val files = readManifest(m.path)
@@ -4047,7 +4104,7 @@ class BranchCatalog(
     val bloomIdx = Some(new BloomProbe(cur.manifests))
     val resolvedWhere = resolvePredicate(where, schema)
     val perManifest = cur.manifests.map { m =>
-      if (resolvedWhere.exists(p => !manifestMayMatch(m, p, schema)))
+      if (resolvedWhere.exists(p => !manifestMayMatch(m, p, schema, spec)))
         (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
       else {
         val files = readManifest(m.path)

@@ -133,6 +133,46 @@ class MultiPartitionSpec extends SparkSpecBase {
     assert(got == events().filter(col("user_id") === 3L).count())
   }
 
+  test("manifests record partition-value summaries; ordered transforms prune on them") {
+    val cat = freshCat()
+    val ev = events()
+    cat.createTableIfNotExists("ev", ev.schema, "main", specs)
+    // day-aligned commits: each manifest covers one day's rows
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).take(2)
+    assert(days.length == 2, "need two distinct days in the testdata")
+    def ofDay(d: String) = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === d)
+    cat.append("ev", ofDay(days(0)))
+    cat.append("ev", ofDay(days(1)))
+    val snap = cat.snapshotMeta("ev", cat.snapshotIdOf("ev").get)
+    // the summaries are exact per-manifest day bounds
+    assert(snap.manifests.map(m => (m.pvLower("pv"), m.pvUpper("pv"))).sorted ==
+      Seq((days(0), days(0)), (days(1), days(1))))
+    // and carry the bucket key too (recorded, never range-pruned)
+    assert(snap.manifests.forall(m => m.pvLower.contains("pv1")))
+
+    // the pv tier ALONE excludes the day-1 manifest for a day-2 scan —
+    // exercised directly so the proof does not lean on column stats
+    val schema = ev.schema
+    val pred = cat.resolvePredicate(
+      col("ts") >= lit(s"${days(1)} 00:00:00").cast("timestamp"), schema).get
+    val Seq(m1, m2) = snap.manifests.sortBy(_.pvLower("pv"))
+    // strip the COLUMN stats so only the partition summary can answer
+    def pvOnly(m: ManifestRef) = m.copy(lower = Map.empty, upper = Map.empty,
+      nullCounts = Map.empty)
+    assert(!cat.manifestPvMayMatch(pvOnly(m1), pred, specs, schema),
+      "day-1 manifest must be excluded by its partition summary alone")
+    assert(cat.manifestPvMayMatch(pvOnly(m2), pred, specs, schema))
+    // bucket transforms never range-prune on summaries
+    val keyPred = cat.resolvePredicate(col("user_id") === 3L, schema).get
+    assert(cat.manifestPvMayMatch(pvOnly(m1), keyPred, specs, schema))
+    // end-to-end: the day-2 scan stays exact (the table holds only the
+    // two appended days)
+    assert(cat.scan("ev",
+      filter = Some(col("ts") >= lit(s"${days(1)} 00:00:00").cast("timestamp"))).count() ==
+      ofDay(days(1)).count())
+  }
+
   test("appends must match the declared multi layout") {
     val cat = freshCat()
     mk(cat)
