@@ -502,7 +502,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftTableCatalog {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference}
-  import graft.wap.{BucketPartition, DayPartition, HourPartition, MonthPartition, PartitionSpec, TruncatePartition}
+  import graft.wap.{BucketPartition, DayPartition, HourPartition, MonthPartition, PartitionSpec, TruncatePartition, IdentityPartition}
 
   /** SQL `PARTITIONED BY` transforms -> graft's hidden
     * [[graft.wap.PartitionSpec]]. graft specs are single-transform
@@ -544,15 +544,21 @@ object GraftTableCatalog {
       case "hour" | "hours" => s"hour($col1)"
       case "bucket" => val (n, c) = numAndCol; s"bucket($n,$c)"
       case "truncate" => val (w, c) = numAndCol; s"truncate($w,$c)"
+      case "identity" => s"identity($col1)"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform $other(${args.map(_.describe()).mkString(", ")}): " +
-          "graft supports days/months/hours(ts), bucket(n, col), truncate(w, col); " +
-          "for identity layout use bucket or the Scala appendClustered")
+          "graft supports identity(col), days/months/hours(ts), bucket(n, col), " +
+          "truncate(w, col)")
     }
     val spec = PartitionSpec.parse(fmt)
     require(schema.fieldNames.contains(spec.column),
       s"partition column ${spec.column} is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})")
+    spec match {
+      case IdentityPartition(c) => // timestamp identity refuses at CREATE
+        spec.valueCol(schema(c).dataType)
+      case _ => ()
+    }
     spec
   }
 
@@ -566,6 +572,7 @@ object GraftTableCatalog {
       case BucketPartition(n, c) => Expressions.bucket(n, c)
       case TruncatePartition(w, c) =>
         Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      case IdentityPartition(c) => Expressions.identity(c)
     }.toArray
 }
 

@@ -137,6 +137,54 @@ case class TruncatePartition(width: Int, column: String) extends PartitionSpec {
     }
 }
 
+/** identity(col): the source value itself as the partition value (the
+  * classic Hive layout, first-class in Iceberg) — right for LOW-
+  * cardinality columns (a status, a language, a tenant). Equality
+  * predicates prune for every supported type (the literal renders
+  * through the same Catalyst cast-to-string the write used); RANGE
+  * predicates additionally prune for string and date sources, whose
+  * rendered form orders like the domain — numeric ranges do NOT
+  * ("10" < "2" lexicographically), so they conservatively keep.
+  * Timestamp sources refuse at construction: their string rendering is
+  * session-timezone-dependent (use day/month/hour instead). */
+case class IdentityPartition(column: String) extends PartitionSpec {
+  def valueCol(colType: DataType): Column = {
+    require(colType != TimestampType && colType != TimestampNTZType,
+      s"identity($column) on a timestamp column is session-timezone-" +
+        "dependent — partition by day/month/hour instead")
+    col(column).cast("string")
+  }
+  def format: String = s"identity($column)"
+  private def render(l: Literal, colType: DataType): Option[String] =
+    try {
+      val v = Cast(l, StringType, Some("UTC"), EvalMode.TRY).eval(EmptyRow)
+      Option(v).map(_.toString)
+    } catch { case _: Exception => None }
+  def align(op: String, lit: Literal, colType: DataType): Option[(String, String)] =
+    colType match {
+      case TimestampType | TimestampNTZType => None
+      case StringType | DateType => // rendered order = domain order
+        render(lit, colType).map { v =>
+          op match {
+            case "=" => ("=", v)
+            case ">" | ">=" => (">=", v)
+            case _ => ("<=", v)
+          }
+        }
+      case _ if op == "=" =>
+        // numeric/bool: equality only, and only when the literal is in
+        // the column's own type (a widened literal renders differently:
+        // int 57 -> "57" but double 57.0 -> "57.0")
+        if (lit.dataType == colType) render(lit, colType).map(("=", _))
+        else try {
+          val coerced = Cast(lit, colType, Some("UTC"), EvalMode.TRY).eval(EmptyRow)
+          if (coerced == null) None
+          else render(Literal(coerced, colType), colType).map(("=", _))
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+}
+
 /** bucket(n, col): xxhash64 of the source value mod n — spreads any
   * high-cardinality key over n stable buckets; point predicates prune to
   * one bucket. */
@@ -187,7 +235,9 @@ object PartitionSpec {
   private val Hour = """hour\(([^)]+)\)""".r
   private val Bucket = """bucket\((\d+),([^)]+)\)""".r
   private val Truncate = """truncate\((\d+),([^)]+)\)""".r
+  private val Identity = """identity\(([^)]+)\)""".r
   def parse(s: String): PartitionSpec = s match {
+    case Identity(c) => IdentityPartition(c)
     case Day(c) => DayPartition(c)
     case Month(c) => MonthPartition(c)
     case Hour(c) => HourPartition(c)

@@ -1150,10 +1150,15 @@ class SqlCatalogSpec extends SparkSpecBase {
         "PARTITIONED BY (days(ts), months(ts))")
     }
     assert(dupColumn.getMessage.contains("own source column"))
-    val identity = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $lake.wip.bad2 (a BIGINT, s STRING) PARTITIONED BY (s)")
+    // identity layout is first-class since r13 (string/numeric sources);
+    // a TIMESTAMP identity still refuses (session-tz-dependent value)
+    spark.sql(s"CREATE TABLE $lake.wip.idok (a BIGINT, s STRING) PARTITIONED BY (s)")
+    assert(cat.snapshotMeta("idok", cat.snapshotIdOf("idok", "wip").get)
+      .partitionSpec.contains("identity(s)"))
+    val identityTs = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $lake.wip.bad2 (a BIGINT, ts2 TIMESTAMP) PARTITIONED BY (ts2)")
     }
-    assert(identity.getMessage.contains("unsupported partition transform"))
+    assert(identityTs.getMessage.contains("day/month/hour"))
     // Spark's own analysis catches the unknown column first; graft's
     // schema check (specOfTransforms) is the backstop for API callers
     val badCol = intercept[Exception] {

@@ -173,6 +173,50 @@ class MultiPartitionSpec extends SparkSpecBase {
       ofDay(days(1)).count())
   }
 
+  test("identity transform: value-per-partition, equality + string ranges prune") {
+    val cat = freshCat()
+    val ev = events()
+    cat.createTableIfNotExists("ev", ev.schema, "main",
+      Seq(IdentityPartition("event_type"), BucketPartition(2, "user_id")))
+    cat.append("ev", ev)
+    val total = cat.dataFiles("ev").size
+    val headId = cat.snapshotIdOf("ev").get
+    def planned(c: org.apache.spark.sql.Column): Int =
+      cat.plannedFilesOfSnapshot("ev", headId, Some(c)).size
+    // the partition VALUE is the column value itself
+    assert(cat.dataFiles("ev").forall(f =>
+      ev.select("event_type").distinct().collect().map(_.getString(0))
+        .contains(f.partition("pv"))))
+    // equality prunes to one value's files; results exact
+    val eq = col("event_type") === "click"
+    assert(planned(eq) < total)
+    assert(cat.scan("ev", filter = Some(eq)).count() == ev.filter(eq).count())
+    // string ranges prune too (rendered order = domain order)
+    val rng = col("event_type") >= "purchase"
+    assert(planned(rng) < total)
+    assert(cat.scan("ev", filter = Some(rng)).count() == ev.filter(rng).count())
+
+    // numeric identity: equality prunes even with a WIDER literal type,
+    // ranges conservatively keep
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("u", ev.schema, "main",
+      Seq(IdentityPartition("user_id")))
+    cat2.append("u", ev)
+    val head2 = cat2.snapshotIdOf("u").get
+    val tot2 = cat2.dataFiles("u").size
+    val keyEq = col("user_id") === 3 // int literal against a bigint column
+    assert(cat2.plannedFilesOfSnapshot("u", head2, Some(keyEq)).size < tot2)
+    assert(cat2.scan("u", filter = Some(keyEq)).count() == ev.filter(keyEq).count())
+    assert(cat2.scan("u", filter = Some(col("user_id") > 7)).count() ==
+      ev.filter(col("user_id") > 7).count())
+
+    // timestamp identity refuses loudly at the first write
+    cat2.createTableIfNotExists("bad", ev.schema, "main",
+      Seq(IdentityPartition("ts")))
+    val e = intercept[IllegalArgumentException](cat2.append("bad", ev))
+    assert(e.getMessage.contains("day/month/hour"))
+  }
+
   test("appends must match the declared multi layout") {
     val cat = freshCat()
     mk(cat)
