@@ -65,6 +65,7 @@ object SparkEntry {
     "wap_mview" -> (WapQueries.wapMview _),
     "wap_rename" -> (WapQueries.wapRename _),
     "wap_multipart" -> (WapQueries.wapMultipart _),
+    "wap_changelog" -> (WapQueries.wapChangelog _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
@@ -223,6 +224,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
     "wap_mview" ->
       """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS avg_fold_ok, true AS full_after_delete""",
+    "wap_changelog" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS n_inserts, (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS insert_ids, (SELECT count(*) FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0) AS n_deletes, (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0) AS delete_ids""",
     "wap_multipart" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->

@@ -1307,6 +1307,40 @@ object WapQueries {
         lit(filteredOk).as("filter_exact"))
   }
 
+  /** NET row-level changelog ([[BranchCatalog.scanChangelog]] — the
+    * Iceberg create_changelog_view analogue): append 100 docs, run a
+    * CoW delete (rewrites boundary files, carrying survivors into NEW
+    * files) plus a fresh append, then read the changelog of the whole
+    * window. The carried survivors MUST cancel out of the file-level
+    * diff: inserts are exactly the fresh append, deletes exactly the
+    * CoW-deleted rows. Oracle: the same id sums/counts from the source
+    * slices in DuckDB. */
+  def wapChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-changelog").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    val s1 = cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.deleteWhere("documents", col("doc_id") % 5 === 0) // CoW rewrite
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val head = cat.snapshotIdOf("documents").get
+
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+    spark.sql(s"CALL $lake.system.create_changelog_view('doc_changes', " +
+      s"'documents', '${s1.id}', '$head')")
+
+    spark.sql(
+      """SELECT
+        |  CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+        |  CAST(sum(CASE WHEN _change_type = 'insert' THEN doc_id ELSE 0 END) AS BIGINT) AS insert_ids,
+        |  CAST(sum(CASE WHEN _change_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |  CAST(sum(CASE WHEN _change_type = 'delete' THEN doc_id ELSE 0 END) AS BIGINT) AS delete_ids
+        |FROM doc_changes""".stripMargin)
+  }
+
   /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
     * events table laid out `day(ts);bucket(4,user_id)` (the canonical
     * Iceberg fact-table layout), appends auto-routed into the nested

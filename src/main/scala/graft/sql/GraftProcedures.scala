@@ -46,7 +46,8 @@ object GraftProcedures {
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "rewrite_partitioned",
       "create_mview", "refresh_mview", "drop_mview",
-      "build_vector_index", "refresh_vector_index", "drop_vector_index")
+      "build_vector_index", "refresh_vector_index", "drop_vector_index",
+      "create_changelog_view")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -319,6 +320,23 @@ object GraftProcedures {
         param("branch", StringType, "'main'"))) { (cat, args) =>
         graft.operators.VectorIndex.drop(cat, args.getString(0), args.getString(1),
           args.getString(2))
+      }
+    case "create_changelog_view" =>
+      // the Iceberg create_changelog_view analogue: registers a session
+      // TEMP VIEW over BranchCatalog.scanChangelog's net row-level diff
+      // (_change_type insert/delete) of the snapshot window
+      procedure(root, name, Array(
+        param("view", StringType),
+        param("table", StringType),
+        param("from_snapshot", StringType),
+        param("to_snapshot", StringType, "''"))) { (cat, args) =>
+        val toId = args.getString(3) match {
+          case "" => cat.snapshotIdOf(args.getString(1)).getOrElse(
+            sys.error(s"no table ${args.getString(1)} on main"))
+          case id => id
+        }
+        cat.scanChangelog(args.getString(1), args.getString(2), toId)
+          .createOrReplaceTempView(args.getString(0))
       }
     case other =>
       throw new UnsupportedOperationException(

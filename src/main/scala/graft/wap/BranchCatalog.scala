@@ -2937,6 +2937,63 @@ class BranchCatalog(
     }
   }
 
+  /** NET row-level CHANGELOG of a snapshot window (the Iceberg
+    * `create_changelog_view` analogue in its net-changes form): every
+    * row of the table at `toId` that was NOT present at `fromId` comes
+    * back with `_change_type = 'insert'`, every row present at `fromId`
+    * but gone at `toId` with `'delete'` — the feed a downstream
+    * incremental consumer needs when the window contains DELETES, which
+    * the append-granular [[scanChangesBetween]] refuses.
+    *
+    * Computed as a symmetric FILE-level diff: only files referenced by
+    * exactly one endpoint are read (untouched files never open — a
+    * selective delete's changelog costs O(rewritten files)), then one
+    * full-row hash aggregation nets multiplicities, so a CoW rewrite's
+    * carried survivors cancel and duplicate rows diff by COUNT (a row
+    * appearing twice before and once after yields one delete). Both
+    * files sides read under the TO snapshot's schema — field ids
+    * resolve renamed columns in pre-rename files; for pre-field-id
+    * tables the window must not change the schema. Both endpoints must
+    * be tombstone-free (materialize MOR state first). */
+  def scanChangelog(table: String, fromId: String, toId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{abs => fabs, col, explode, lit, sequence, sum => fsum, when}
+    val from = loadSnapshot(table, fromId)
+    val to = loadSnapshot(table, toId)
+    require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
+      s"changelog endpoints of $table must be tombstone-free — materialize with " +
+        "compactDataFiles first")
+    require(to.evo.fieldIds.nonEmpty || from.schemaDdl == to.schemaDdl,
+      s"changelog window of $table changes the schema and the table predates " +
+        "field ids — rows cannot be compared across the change")
+    val schema = StructType.fromDDL(to.schemaDdl)
+    val fromFiles = filesOf(from)
+    val toFiles = filesOf(to)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val toPaths = toFiles.map(_.path).toSet
+    val removed = fromFiles.filterNot(f => toPaths.contains(f.path))
+    val added = toFiles.filterNot(f => fromPaths.contains(f.path))
+    val cols = schema.fieldNames.toSeq
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType, nullable = false))
+    def side(fs: Seq[DataFileMeta], w: Int): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("__w", org.apache.spark.sql.types.IntegerType)))
+      else spark.read.schema(BranchCatalog.idSchema(schema, to.evo.fieldIds))
+        .parquet(fs.map(_.path): _*)
+        .select(cols.map(col) :+ lit(w).as("__w"): _*)
+    val diff = side(removed, -1).unionByName(side(added, 1))
+      .groupBy(cols.map(col): _*).agg(fsum(col("__w")).as("__d"))
+      .filter(col("__d") =!= 0)
+    diff
+      .select(cols.map(col) :+
+        when(col("__d") > 0, lit("insert")).otherwise(lit("delete")).as("_change_type") :+
+        fabs(col("__d")).cast("int").as("__n"): _*)
+      .withColumn("__i", explode(sequence(lit(1), col("__n"))))
+      .select(outSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** The pruned (path, bytes) list of one incremental window, for the
     * SQL connector's changes scan ([[graft.sql]] `graft.changes.from`
     * read option): [[changedFilesBetween]]'s append delta, with the same
