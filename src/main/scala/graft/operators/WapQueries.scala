@@ -842,10 +842,25 @@ object WapQueries {
          |WHERE abs(v.mean - f.mean) > 1e-9
          |""".stripMargin).head.getLong(0) == 0L
 
-    // a CoW delete breaks the append-only window -> full recompute
+    // a CoW delete breaks the append-only window -> full recompute for
+    // MIN/MAX and select-only views ...
+    spark.sql(s"CALL $lake.system.create_mview('mv_dml', " +
+      s"'SELECT lang, count(*) AS n, sum(n_chars) AS chars " +
+      s"FROM $lake.main.documents GROUP BY lang')")
     cat.deleteWhere("documents", col("doc_id") >= 150)
     val fullAgg = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "full"
     val fullSel = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "full"
+    // ... while a SUM/COUNT view folds the deletions through the net
+    // changelog (r13), exactly matching a full recompute
+    val dmlInc = GraftMaterializedViews.refresh(spark, cat, "mv_dml", "main") ==
+      "incremental_agg_dml"
+    val dmlFoldOk = dmlInc && spark.sql(
+      s"""SELECT count(*) FROM $lake.main.mv_dml v
+         |FULL OUTER JOIN (SELECT lang, count(*) AS n, sum(n_chars) AS chars
+         |                 FROM $lake.main.documents GROUP BY lang) f
+         |ON v.lang = f.lang
+         |WHERE v.n IS DISTINCT FROM f.n OR v.chars IS DISTINCT FROM f.chars
+         |""".stripMargin).head.getLong(0) == 0L
 
     val agg = spark.sql(s"SELECT count(*) AS agg_langs, sum(n_docs) AS agg_docs, " +
       s"CAST(sum(chars) AS BIGINT) AS agg_chars FROM $lake.main.mv_agg")
@@ -858,6 +873,7 @@ object WapQueries {
       lit(aggInc).as("agg_incremental"),
       lit(selInc && zeroRewrite).as("sel_incremental"),
       lit(avgFoldOk).as("avg_fold_ok"),
+      lit(dmlFoldOk).as("dml_fold_ok"),
       lit(fullAgg && fullSel).as("full_after_delete"))
   }
 

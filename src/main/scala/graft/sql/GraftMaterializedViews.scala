@@ -124,11 +124,19 @@ object GraftMaterializedViews {
 
     val stale = pinned.filter { case (t, id) => !recorded.get(t).contains(id) }
     val mode =
-      if (stale.size == 1 && recorded.contains(stale.head._1) &&
-          appendOnlyWindow(cat, stale.head._1, recorded(stale.head._1), stale.head._2))
-        tryIncremental(spark, cat, name, branch, analyzed, companions,
-          stale.head._1, recorded(stale.head._1))
-      else None
+      if (stale.size == 1 && recorded.contains(stale.head._1)) {
+        val (table, toId) = stale.head
+        val fromId = recorded(table)
+        if (appendOnlyWindow(cat, table, fromId, toId))
+          tryIncremental(spark, cat, name, branch, analyzed, companions,
+            table, fromId)
+        else
+          // the window REWROTE files (deletes/updates/compaction): a
+          // SUM/COUNT/AVG aggregate still folds incrementally through
+          // the net changelog — inserts add, deletes subtract
+          tryChangelogFold(spark, cat, name, branch, analyzed, companions,
+            table, fromId, toId)
+      } else None
     mode.getOrElse {
       cat.overwrite(name, Bridge.dataFrame(spark, analyzed), branch)
       "full"
@@ -274,9 +282,12 @@ object GraftMaterializedViews {
     }
   }
 
-  /** One fold instruction per re-aggregatable output column. */
+  /** One fold instruction per re-aggregatable output column, plus the
+    * name of a `count(*)` output if the view has one (the zero-group
+    * detector the changelog fold needs). */
   private def aggMerges(agg: Aggregate,
-      companions: Map[String, Decomp]): Option[(Seq[String], Seq[(String, String)])] = {
+      companions: Map[String, Decomp])
+      : Option[(Seq[String], Seq[(String, String)], Option[String])] = {
     if (!selectOnly(agg.child)) return None
     val groupSet = agg.groupingExpressions.map(_.canonicalized).toSet
     val matchedKeys = scala.collection.mutable.Set.empty[org.apache.spark.sql.catalyst.expressions.Expression]
@@ -285,6 +296,7 @@ object GraftMaterializedViews {
     val m2Cols = companions.values.collect { case m: MomentDecomp => m.m2 }.toSet
     val groups = Seq.newBuilder[String]
     val merges = Seq.newBuilder[(String, String)]
+    var countStar: Option[String] = None
     val ok = agg.aggregateExpressions.forall {
       case a: Alias if m2Cols.contains(a.name) =>
         merges += (a.name -> "m2"); true
@@ -292,7 +304,14 @@ object GraftMaterializedViews {
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case _: Sum => merges += (a.name -> "sum"); true
-          case _: Count => merges += (a.name -> "sum"); true
+          case cnt: Count =>
+            merges += (a.name -> "sum")
+            // count over a non-null constant counts every row = count(*)
+            val isStar = cnt.children.forall(e => e.foldable &&
+              (try e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow) != null
+               catch { case _: Exception => false }))
+            if (isStar && countStar.isEmpty) countStar = Some(a.name)
+            true
           case _: Min => merges += (a.name -> "min"); true
           case _: Max => merges += (a.name -> "max"); true
           case _: Average if companions.contains(a.name) =>
@@ -314,7 +333,8 @@ object GraftMaterializedViews {
     // Every grouping expression must be projected: re-aggregating the
     // delta∪view union on a PARTIAL key set (e.g. `SELECT count(*) FROM t
     // GROUP BY lang`) would silently collapse distinct groups into one row.
-    if (ok && m.nonEmpty && matchedKeys.size == groupSet.size) Some((g, m)) else None
+    if (ok && m.nonEmpty && matchedKeys.size == groupSet.size)
+      Some((g, m, countStar)) else None
   }
 
   private def windowed(plan: LogicalPlan, table: String,
@@ -343,65 +363,151 @@ object GraftMaterializedViews {
         cat.append(name, delta, branch)
         Some("incremental")
       case agg: Aggregate =>
-        aggMerges(agg, companions).map { case (groupCols, merges) =>
+        aggMerges(agg, companions).map { case (groupCols, merges, _) =>
           val deltaAgg = Bridge.dataFrame(spark, windowed(agg, table, fromId))
-          val mvSchema = deltaAgg.schema // same plan shape as the stored view
           val combined = cat.scan(name, branch).unionByName(deltaAgg)
-          val m2Parents: Map[String, MomentDecomp] = companions.values
-            .collect { case m: MomentDecomp => m.m2 -> m }.toMap
-          val folds = merges.map {
-            case (c, "sum") => fsum(col(c)).as(c)
-            case (c, "min") => fmin(col(c)).as(c)
-            // m2 partial per parallel-variance: Σ(m2_i + sum_i²/cnt_i);
-            // the −sum²/cnt correction lands in the projection below
-            // (all-null partials contribute NULL → skipped by the sum)
-            case (c, "m2") =>
-              val d = m2Parents(c)
-              fsum(col(c) + col(d.sum).cast("double") * col(d.sum).cast("double") /
-                col(d.cnt).cast("double")).as(c)
-            // "stat" (AVG/STDDEV/VARIANCE): placeholder through the fold,
-            // recomputed below from the folded companions
-            case (c, _) => fmax(col(c)).as(c)
-          }
-          val reagg =
-            if (groupCols.isEmpty) combined.agg(folds.head, folds.tail: _*)
-            else combined.groupBy(groupCols.map(col): _*).agg(folds.head, folds.tail: _*)
-          // fold widening (sum over sum) casts back to the view's types,
-          // in the view's column order. Stat outputs recompute from their
-          // folded companions — AVG as sum/cnt (exact where the sums are
-          // exact), moments from the corrected m2 (clamped at 0 against
-          // rounding) with Spark's own NULL semantics (samp: cnt<2, pop:
-          // cnt=0 — all-null groups answer NULL, like the stats
-          // themselves). The m2 companion column itself stores the
-          // CORRECTED total, so the next fold starts from true state.
-          def dbl(c: String) = col(c).cast("double")
-          def m2Final(d: MomentDecomp) = greatest(
-            col(d.m2) - dbl(d.sum) * dbl(d.sum) / dbl(d.cnt), lit(0.0))
-          val aligned = reagg.select(mvSchema.fields.toSeq.map { f =>
-            (companions.get(f.name), m2Parents.get(f.name)) match {
-              case (Some(AvgDecomp(s, k)), _) =>
-                when(col(k).isNull || col(k) === 0, lit(null))
-                  .otherwise(col(s).cast("double") / col(k).cast("double"))
-                  .cast(f.dataType).as(f.name)
-              case (Some(d: MomentDecomp), _) =>
-                val n = dbl(d.cnt)
-                val base = d.kind match {
-                  case "var_pop" => when(n < 1, lit(null)).otherwise(m2Final(d) / n)
-                  case "var_samp" => when(n < 2, lit(null)).otherwise(m2Final(d) / (n - 1))
-                  case "std_pop" => when(n < 1, lit(null)).otherwise(sqrt(m2Final(d) / n))
-                  case _ => when(n < 2, lit(null)).otherwise(sqrt(m2Final(d) / (n - 1)))
-                }
-                base.cast(f.dataType).as(f.name)
-              case (_, Some(d)) => // the m2 companion: store corrected total
-                when(dbl(d.cnt) < 1, lit(null)).otherwise(m2Final(d))
-                  .cast(f.dataType).as(f.name)
-              case _ => col(f.name).cast(f.dataType).as(f.name)
-            }
-          }: _*)
-          cat.overwrite(name, aligned, branch)
+          foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
+            companions, deltaAgg.schema, emptyGroupFilter = None)
           "incremental_agg"
         }
       case _ => None
     }
+  }
+
+  /** Aggregate fold through a DELETE-containing window
+    * ([[BranchCatalog.scanChangelog]]): the net changelog's INSERT rows
+    * aggregate through the view's own plan, its DELETE rows likewise,
+    * and the view folds view + insAgg − delAgg. Sound only when every
+    * aggregate is SIGNABLE — SUM/COUNT, and AVG through its sum/cnt
+    * companions: subtracting a departed row is exact arithmetic there.
+    * MIN/MAX and the moments are not (deleting the minimum needs a
+    * rescan) and fall back to full, as does a view without a `count(*)`
+    * output: groups whose rows all departed must VANISH like a full
+    * recompute would drop them, and count(*) is the only sound
+    * zero-group detector (count(col)=0 also holds for live all-null
+    * groups). O(changed files + |view|), never O(source). */
+  private def tryChangelogFold(spark: SparkSession, cat: BranchCatalog,
+      name: String, branch: String, analyzed: LogicalPlan,
+      companions: Map[String, Decomp],
+      table: String, fromId: String, toId: String): Option[String] = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case other => other
+    }
+    strip(analyzed) match {
+      case agg: Aggregate =>
+        aggMerges(agg, companions).flatMap { case (groupCols, merges, countStar) =>
+          val signable = merges.forall { case (c, k) =>
+            k == "sum" || (k == "stat" && companions.get(c).exists(_.isInstanceOf[AvgDecomp]))
+          }
+          val rel = agg.collectFirst {
+            case r: DataSourceV2Relation if tableOf(r).exists(_.tableName == table) => r
+          }
+          if (!signable || countStar.isEmpty || rel.isEmpty) None
+          else {
+            val cl =
+              try cat.scanChangelog(table, fromId, toId)
+              catch { case _: Exception => return None } // tombstones/expiry: full
+            def aggOver(rows: DataFrame): DataFrame =
+              Bridge.dataFrame(spark, substituted(agg, rel.get, rows))
+            val ins = aggOver(cl.filter(col("_change_type") === "insert")
+              .drop("_change_type"))
+            val delRaw = aggOver(cl.filter(col("_change_type") === "delete")
+              .drop("_change_type"))
+            val mvSchema = ins.schema
+            // departed rows SUBTRACT: negate every summed column (counts
+            // and companion sums included); stat placeholders recompute
+            // from companions after the fold anyway
+            val sumCols = merges.collect { case (c, "sum") => c }.toSet
+            val del = delRaw.select(mvSchema.fields.toSeq.map { f =>
+              (if (sumCols(f.name)) (-col(f.name)).cast(f.dataType) else col(f.name))
+                .as(f.name)
+            }: _*)
+            val combined = cat.scan(name, branch).unionByName(ins).unionByName(del)
+            foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
+              companions, mvSchema,
+              emptyGroupFilter = Some(col(countStar.get) > 0))
+            Some("incremental_agg_dml")
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Substitute the plan's source relation with an arbitrary frame whose
+    * columns match by name (exprIds re-anchored onto the relation's, so
+    * everything above the swap resolves unchanged). */
+  private def substituted(plan: LogicalPlan, rel: DataSourceV2Relation,
+      rows: DataFrame): LogicalPlan = {
+    val src = rows.queryExecution.analyzed
+    val byName = src.output.map(a => a.name -> a).toMap
+    val proj = Project(rel.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId)), src)
+    plan transform { case r: DataSourceV2Relation if r eq rel => proj }
+  }
+
+  /** The shared fold: re-aggregate the view∪delta union on the group
+    * keys, recompute stat outputs from their folded companions, align
+    * to the view's schema, and overwrite. `emptyGroupFilter` drops
+    * groups the changelog fold emptied. */
+  private def foldAndOverwrite(cat: BranchCatalog, name: String,
+      branch: String, combined: DataFrame, groupCols: Seq[String],
+      merges: Seq[(String, String)], companions: Map[String, Decomp],
+      mvSchema: org.apache.spark.sql.types.StructType,
+      emptyGroupFilter: Option[org.apache.spark.sql.Column]): Unit = {
+    val m2Parents: Map[String, MomentDecomp] = companions.values
+      .collect { case m: MomentDecomp => m.m2 -> m }.toMap
+    val folds = merges.map {
+      case (c, "sum") => fsum(col(c)).as(c)
+      case (c, "min") => fmin(col(c)).as(c)
+      // m2 partial per parallel-variance: Σ(m2_i + sum_i²/cnt_i);
+      // the −sum²/cnt correction lands in the projection below
+      // (all-null partials contribute NULL → skipped by the sum)
+      case (c, "m2") =>
+        val d = m2Parents(c)
+        fsum(col(c) + col(d.sum).cast("double") * col(d.sum).cast("double") /
+          col(d.cnt).cast("double")).as(c)
+      // "stat" (AVG/STDDEV/VARIANCE): placeholder through the fold,
+      // recomputed below from the folded companions
+      case (c, _) => fmax(col(c)).as(c)
+    }
+    val reagg =
+      if (groupCols.isEmpty) combined.agg(folds.head, folds.tail: _*)
+      else combined.groupBy(groupCols.map(col): _*).agg(folds.head, folds.tail: _*)
+    // fold widening (sum over sum) casts back to the view's types,
+    // in the view's column order. Stat outputs recompute from their
+    // folded companions — AVG as sum/cnt (exact where the sums are
+    // exact), moments from the corrected m2 (clamped at 0 against
+    // rounding) with Spark's own NULL semantics (samp: cnt<2, pop:
+    // cnt=0 — all-null groups answer NULL, like the stats
+    // themselves). The m2 companion column itself stores the
+    // CORRECTED total, so the next fold starts from true state.
+    def dbl(c: String) = col(c).cast("double")
+    def m2Final(d: MomentDecomp) = greatest(
+      col(d.m2) - dbl(d.sum) * dbl(d.sum) / dbl(d.cnt), lit(0.0))
+    val kept = emptyGroupFilter.fold(reagg)(reagg.filter)
+    val aligned = kept.select(mvSchema.fields.toSeq.map { f =>
+      (companions.get(f.name), m2Parents.get(f.name)) match {
+        case (Some(AvgDecomp(s, k)), _) =>
+          when(col(k).isNull || col(k) === 0, lit(null))
+            .otherwise(col(s).cast("double") / col(k).cast("double"))
+            .cast(f.dataType).as(f.name)
+        case (Some(d: MomentDecomp), _) =>
+          val n = dbl(d.cnt)
+          val base = d.kind match {
+            case "var_pop" => when(n < 1, lit(null)).otherwise(m2Final(d) / n)
+            case "var_samp" => when(n < 2, lit(null)).otherwise(m2Final(d) / (n - 1))
+            case "std_pop" => when(n < 1, lit(null)).otherwise(sqrt(m2Final(d) / n))
+            case _ => when(n < 2, lit(null)).otherwise(sqrt(m2Final(d) / (n - 1)))
+          }
+          base.cast(f.dataType).as(f.name)
+        case (_, Some(d)) => // the m2 companion: store corrected total
+          when(dbl(d.cnt) < 1, lit(null)).otherwise(m2Final(d))
+            .cast(f.dataType).as(f.name)
+        case _ => col(f.name).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    cat.overwrite(name, aligned, branch)
+    ()
   }
 }

@@ -165,6 +165,56 @@ class MviewSpec extends SparkSpecBase {
         1e-9 * math.max(1.0, math.abs(f.getDouble(i))))
   }
 
+  test("SUM/COUNT/AVG views fold through DELETE windows via the changelog") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    val q = s"SELECT lang, count(*) AS n, sum(n_chars) AS chars, " +
+      s"avg(n_chars) AS mean FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+
+    // CoW delete breaks the append-only window; the signable aggregates
+    // fold through the net changelog instead of recomputing
+    cat.deleteWhere("src", col("doc_id") % 3 === 0)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT lang, n, chars, mean FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // a mixed window (delete + append) folds too
+    cat.deleteWhere("src", col("n_chars") < 250)
+    cat.append("src", docs(100, 160))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT lang, n, chars, mean FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // a group whose rows ALL depart vanishes, like a full recompute
+    val victim = spark.sql(s"SELECT lang, n FROM $lake.main.mv ORDER BY n, lang")
+      .head.getString(0)
+    cat.deleteWhere("src", col("lang") === victim)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.mv WHERE lang = '$victim'")
+      .head.getLong(0) == 0L, s"emptied group $victim must vanish from the view")
+    assert(sortedRows(spark.sql(s"SELECT lang, n, chars, mean FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // MIN/MAX views cannot sign deletions -> still full on delete windows
+    val qm = s"SELECT lang, count(*) AS n, max(doc_id) AS hi " +
+      s"FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mvm", qm, "main")
+    cat.deleteWhere("src", col("doc_id") % 7 === 1)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvm", "main") == "full")
+    // ... and a signable view WITHOUT count(*) cannot detect emptied
+    // groups -> full as well
+    val qs = s"SELECT lang, sum(n_chars) AS chars FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mvs", qs, "main")
+    cat.deleteWhere("src", col("doc_id") % 5 === 2)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvs", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvs")) ==
+      sortedRows(spark.sql(qs)))
+  }
+
   test("GROUP BY with an unprojected key never folds (would collapse groups)") {
     val (lake, cat) = register()
     mk(lake, cat)
