@@ -50,8 +50,14 @@ import graft.wap.BranchCatalog
   *    view table ([[decomposeStats]]; visible to readers, recorded under
   *    [[CompanionsKey]]) — then the view is overwritten.
   *    O(delta + |view|), never O(source).
+  *  - `incremental_agg_dml` (r13): the window REWROTE files (deletes/
+  *    updates/compactions) but every aggregate is SIGNABLE (SUM/COUNT,
+  *    AVG via companions) and the view projects `count(*)`: the net
+  *    changelog's inserts add and its deletes subtract through the same
+  *    fold, emptied groups vanish via the count(*) filter —
+  *    O(changed files + |view|) ([[tryChangelogFold]]).
   *  - `full`: everything else (joins, non-distributive aggregates,
-  *    windows with deletes/compactions in them, expired watermarks) —
+  *    MIN/MAX or moment views over delete windows, expired watermarks) —
   *    recompute and overwrite. Correct by construction; the fallback is
   *    automatic, never an error.
   *
@@ -95,7 +101,8 @@ object GraftMaterializedViews {
   }
 
   /** Refresh `name`; returns the mode actually run: `fresh`,
-    * `incremental`, `incremental_agg`, or `full`. */
+    * `incremental`, `incremental_agg`, `incremental_agg_dml`, or
+    * `full`. */
   def refresh(spark: SparkSession, cat: BranchCatalog, name: String,
       branch: String): String = {
     val props = cat.tableProperties(name, branch)

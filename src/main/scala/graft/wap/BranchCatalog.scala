@@ -630,6 +630,8 @@ class BranchCatalog(
       ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
     require(specs.nonEmpty, "partitioned write needs at least one transform")
+    require(specs.indices.forall(i => !df.schema.fieldNames.contains(s"__pv$i")),
+      "batch columns may not collide with the __pv<i> partition-value names")
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/$table/data/$commitId")
     val pvCols = specs.indices.map(i => s"__pv$i")
