@@ -1357,6 +1357,85 @@ object WapQueries {
         |FROM doc_changes""".stripMargin)
   }
 
+  /** W63 — the STREAMING CDC feed end-to-end (`t$changes`,
+    * [[graft.sql.GraftCdcMicroBatchStream]]): a memory-sink stream with
+    * `graft.changes.initial=snapshot` backfills the anchor (doc_id <
+    * 100), then observes — per commit, exactly-once — an append, a CoW
+    * delete (transaction-form pairs: the rewritten file's 100 deletes +
+    * 70 survivor re-inserts), a sidecar positional delete (exactly 10
+    * rows, no pairs), a second append, a metadata-tier positional drop
+    * (10 whole-file rows), a MATERIALIZING compaction (changelog-
+    * silent), and a final append. Oracle: every feed aggregate as range
+    * arithmetic over `documents`, plus the net-reconstruction gate (the
+    * signed fold of the feed rebuilds the live table exactly). */
+  def wapCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-cdcfeed").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100).coalesce(1))
+
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val qname = "cdcfeed_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    val q = spark.readStream
+      .option("graft.changes.initial", "snapshot")
+      .table(s"$lake.main.`documents$$changes`")
+      .writeStream.format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable() // backfill, anchored at the pre-commit head
+      cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150).coalesce(1))
+      cat.deleteWhere("documents", col("doc_id") < 30) // CoW: pairs
+      cat.deleteWherePositional("documents",
+        col("doc_id") >= 100 && col("doc_id") < 110) // sidecar tier
+      cat.append("documents", docs.filter(col("doc_id") >= 150 && col("doc_id") < 160).coalesce(1))
+      cat.deleteWherePositional("documents",
+        col("doc_id") >= 150 && col("doc_id") < 160) // metadata tier
+      cat.compactDataFiles("documents") // materializes; changelog-silent
+      cat.append("documents", docs.filter(col("doc_id") >= 160).coalesce(1))
+      q.processAllAvailable()
+
+      val feed = spark.table(qname).select("doc_id", "n_chars",
+        "_change_type", "_commit_snapshot_id") // memory sink: re-reads are free
+      // the signed fold of the feed must rebuild the live table exactly
+      val net = feed.groupBy("doc_id").agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("m"))
+      val live = cat.scan("documents")
+      val netOk =
+        net.filter(col("m") === 1).count() == live.count() &&
+        net.filter(col("m") =!= 1 && col("m") =!= 0).count() == 0 &&
+        net.filter(col("m") === 1).join(live, "doc_id", "left_anti").count() == 0
+
+      // materialized BEFORE the memory sink is dropped (the returned
+      // frame must stay valid after the stream's temp view is gone)
+      val agg = feed.agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(0))
+          .cast("long").as("n_inserts"),
+        sum(when(col("_change_type") === "insert", col("n_chars")).otherwise(0))
+          .cast("long").as("chars_inserted"),
+        sum(when(col("_change_type") === "delete", 1).otherwise(0))
+          .cast("long").as("n_deletes"),
+        sum(when(col("_change_type") === "delete", col("n_chars")).otherwise(0))
+          .cast("long").as("chars_deleted"),
+        countDistinct(col("_commit_snapshot_id")).as("n_commits")).head
+      live.groupBy().agg(count(lit(1)).as("live_rows")).select(
+        lit(agg.getLong(0)).as("n_inserts"),
+        lit(agg.getLong(1)).as("chars_inserted"),
+        lit(agg.getLong(2)).as("n_deletes"),
+        lit(agg.getLong(3)).as("chars_deleted"),
+        lit(agg.getLong(4)).as("n_commits"),
+        col("live_rows"),
+        lit(netOk).as("net_ok"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
   /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
     * events table laid out `day(ts);bucket(4,user_id)` (the canonical
     * Iceberg fact-table layout), appends auto-routed into the nested

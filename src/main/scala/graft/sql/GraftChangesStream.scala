@@ -1,0 +1,328 @@
+package graft.sql
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.wap.{BranchCatalog, ManifestRef, Snapshot, SnapshotOp}
+
+/** W63 — CHANGE DATA CAPTURE reads: `t$changes` (the Delta CDF /
+  * Iceberg changelog-table analogue, suffix-addressed like the W39
+  * metadata tables). Schema = the base table's columns plus
+  * `_change_type` (insert/delete), `_commit_seq`, `_commit_snapshot_id`.
+  *
+  * BATCH — the net row-level changelog of an explicit snapshot window
+  * ([[BranchCatalog.scanChangelog]], W62):
+  * {{{
+  *   spark.read.option("graft.changes.from", id1)
+  *     .option("graft.changes.to", id2)          // default: pinned head
+  *     .table("lake.main.`docs$changes`")
+  * }}}
+  *
+  * STREAMING — a continuous CDC feed, per COMMIT, exactly-once:
+  * {{{
+  *   spark.readStream
+  *     .option("graft.changes.initial", "snapshot") // optional backfill
+  *     .option("maxFilesPerTrigger", 64)            // admission control
+  *     .table("lake.main.`docs$changes`")
+  * }}}
+  * See [[GraftCdcMicroBatchStream]] for the per-commit semantics. */
+case class GraftChangesTable(
+    root: String, branch: String, baseTable: String, snapshotId: String,
+    /** Field-id-attached base schema (renamed columns resolve by id in
+      * pre-rename files, like every other read path). */
+    baseSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"$branch.$baseTable$$changes"
+  override def schema(): StructType = GraftChangesTable.withVirtual(baseSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+
+        /** Batch: the NET changelog of the requested window, tagged with
+          * the window END as its commit (the net form has no per-commit
+          * attribution — rows are endpoint-to-endpoint differences). */
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            ctx: SQLContext): T = {
+          val from = Option(options.get("graft.changes.from")).getOrElse(
+            throw new IllegalArgumentException(
+              s"a batch read of $baseTable$$changes needs a window: set " +
+                "graft.changes.from (+ optional graft.changes.to) — for a " +
+                "continuous feed use readStream"))
+          val to = Option(options.get("graft.changes.to")).getOrElse(snapshotId)
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = readSchema()
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val spark = ctx.sparkSession
+              val cat = new BranchCatalog(spark, root)
+              import org.apache.spark.sql.functions.{col, lit}
+              cat.scanChangelog(baseTable, from, to)
+                .withColumn("_commit_seq", lit(cat.seqOfSnapshot(baseTable, to)))
+                .withColumn("_commit_snapshot_id", lit(to))
+                .select(readSchema().fieldNames.map(col).toSeq: _*)
+                .rdd
+            }
+          }.asInstanceOf[T]
+        }
+
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val spark = SparkSession.active
+          val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+          val initial = Option(options.get("graft.changes.initial")) match {
+            case None | Some("none") => false
+            case Some("snapshot") => true
+            case Some(other) => throw new IllegalArgumentException(
+              s"graft.changes.initial must be 'snapshot' or 'none', got '$other'")
+          }
+          new GraftCdcMicroBatchStream(spark, root, branch, baseTable,
+            baseSchema, maxFiles, initial)
+        }
+      }
+    }
+}
+
+object GraftChangesTable {
+  val ChangeTypeCol = "_change_type"
+  val CommitSeqCol = "_commit_seq"
+  val CommitIdCol = "_commit_snapshot_id"
+
+  def withVirtual(base: StructType): StructType = StructType(base.fields ++ Seq(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(CommitSeqCol, LongType, nullable = false),
+    StructField(CommitIdCol, StringType, nullable = false)))
+}
+
+/** One CDC micro-batch partition: a size-packed group of data files whose
+  * every row is one change of `changeType` at the named commit.
+  * `priorPos` (delete partitions only) carries the PARENT snapshot's
+  * pending position-delete sidecar groups: rows those sidecars suppressed
+  * were already emitted as deletes at their OWN commit, so a later
+  * rewrite/drop of the file must not re-emit them. */
+case class GraftCdcFilesPartition(
+    files: Seq[(String, Long)], changeType: String,
+    commitSeq: Long, commitId: String,
+    priorPos: Seq[GraftDeleteGroupSpec] = Nil) extends InputPartition
+
+/** The rows a position-delete commit deleted: `sidecars` are the commit's
+  * NEW sidecar parquet files (`__graft_path`, `__graft_pos`); the reader
+  * resolves each marked data file ON THE EXECUTOR and emits exactly the
+  * marked rows as deletes — the driver never reads sidecar contents, so
+  * a 10M-row positional delete plans in O(sidecar files). */
+case class GraftCdcSidecarPartition(
+    sidecars: Seq[(String, Long)],
+    commitSeq: Long, commitId: String) extends InputPartition
+
+/** Streaming CDC source over a catalog table (the Delta CDF
+  * `readChangeFeed` analogue): each micro-batch covers whole commits of
+  * one branch (same snapshot-anchored offsets, admission control, and
+  * ancestry checks as [[GraftMicroBatchStream]]) and emits ROW-LEVEL
+  * changes, classified per commit by the r13 snapshot operation tag:
+  *
+  *  - CONTENT-NEUTRAL commits ([[SnapshotOp.contentNeutral]]: data/
+  *    manifest compaction, z-order, partition rewrite, schema-only) are
+  *    SKIPPED — a 100 TB compaction is changelog-silent instead of a
+  *    full-table delete+insert storm.
+  *  - Appends emit their added files as `insert` rows.
+  *  - Copy-on-write DML emits removed files as `delete` and added files
+  *    as `insert` — the per-commit TRANSACTION form: a rewritten file's
+  *    carried survivors appear as a delete+insert PAIR (multiset-exact;
+  *    apply deletes before inserts, or feed a signed fold where pairs
+  *    cancel arithmetically). Rows already suppressed by the parent's
+  *    pending position sidecars are excluded from the delete side (they
+  *    were emitted at their own commit).
+  *  - Position-delete commits (`write.delete.mode=merge-on-read`) emit
+  *    EXACTLY the deleted rows: metadata-dropped files whole, boundary
+  *    rows via their sidecars — zero false pairs, O(changed files).
+  *  - EQUALITY-tombstone commits refuse loudly: enumerating their
+  *    deleted rows costs O(covered files); route CDC-readable deletes
+  *    through position sidecars or copy-on-write.
+  *  - Pre-r13 commits (no op tag) are conservatively treated as
+  *    content-changing.
+  *
+  * `graft.changes.initial=snapshot` backfills the stream-start snapshot
+  * as chunked `insert` batches (the inherited initial-load machinery)
+  * before the per-commit feed; the default starts at the current head.
+  * Offsets are committed snapshots, so WAP isolation and exactly-once
+  * replay carry over unchanged from the plain streaming source. */
+class GraftCdcMicroBatchStream(
+    spark: SparkSession, root: String, branch: String, tableName: String,
+    baseSchema: StructType, maxFilesPerTrigger: Option[Int],
+    initialSnapshot: Boolean)
+  extends GraftMicroBatchStream(spark, root, branch, tableName,
+    baseSchema, baseSchema, maxFilesPerTrigger, Nil) {
+
+  override def initialOffset(): Offset =
+    if (initialSnapshot) GraftStreamOffset.start else resolveHead()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (s == e) return Array.empty
+    if (s.seq < 0 || e.idx >= 0 || (s.idx >= 0 && s.snapshotId == e.snapshotId)) {
+      // initial-load slice of the anchor snapshot, delivered as inserts
+      val all = initialFiles(e.snapshotId) // refuses tombstoned anchors
+      val from = if (s.seq < 0 || s.idx < 0) 0 else s.idx.toInt
+      val until = if (e.idx < 0) all.length else e.idx.toInt
+      val anchorSeq = cat.seqOfSnapshot(tableName, e.snapshotId)
+      GraftPartitions.packs(spark, all.slice(from, until))
+        .map(fs => GraftCdcFilesPartition(fs, "insert", anchorSeq, e.snapshotId)
+          : InputPartition).toArray
+    } else {
+      requireInAncestry(s, e)
+      // the commits of (s, e], oldest first — changes are planned and
+      // attributed PER COMMIT (an intermediate file added then removed
+      // within the window still emits its insert and its delete)
+      val chain = Iterator.iterate(cat.snapshotMetaOpt(tableName, e.snapshotId)) {
+        case Some(snap) => snap.parentId.flatMap(cat.snapshotMetaOpt(tableName, _))
+        case None => None
+      }.takeWhile(_.isDefined).flatten
+        .takeWhile(_.id != s.snapshotId).toVector.reverse
+      var parent = cat.snapshotMetaOpt(tableName, s.snapshotId).getOrElse(sys.error(
+        s"CDC start snapshot ${s.snapshotId} of $tableName has been expired — " +
+          "restart the stream from a fresh checkpoint"))
+      val out = Vector.newBuilder[InputPartition]
+      for (commit <- chain) {
+        out ++= commitPartitions(parent, commit)
+        parent = commit
+      }
+      out.result().toArray
+    }
+  }
+
+  /** The partitions of ONE commit's changes — see the class doc for the
+    * per-operation classification. Metadata cost is O(manifests touched
+    * by the commit): untouched manifests are never read. */
+  private def commitPartitions(p: Snapshot, c: Snapshot): Seq[InputPartition] = {
+    if (SnapshotOp.contentNeutral(c.op)) return Nil
+    val pDel = p.deleteManifests
+    val newDel = c.deleteManifests.filterNot(m => pDel.exists(_.path == m.path))
+    require(newDel.forall(_.posDelete),
+      s"commit ${c.id} (op=${c.op}) of $tableName adds EQUALITY tombstones, whose " +
+        "deleted rows cost O(covered files) to enumerate — CDC-readable tables " +
+        "should delete through position sidecars (ALTER TABLE ... SET " +
+        "TBLPROPERTIES('write.delete.mode'='merge-on-read')) or copy-on-write")
+    val remM = p.manifests.filterNot(m => c.manifests.exists(_.path == m.path))
+    val addM = c.manifests.filterNot(m => p.manifests.exists(_.path == m.path))
+    val remFiles = remM.flatMap(m => cat.readManifest(m.path))
+    val addFiles = addM.flatMap(m => cat.readManifest(m.path))
+    val remPaths = remFiles.map(_.path).toSet
+    val addPaths = addFiles.map(_.path).toSet
+    val deleted = remFiles.filterNot(f => addPaths.contains(f.path))
+    val inserted = addFiles.filterNot(f => remPaths.contains(f.path))
+    val priors =
+      if (deleted.isEmpty) Nil
+      else {
+        require(pDel.forall(_.posDelete),
+          s"commit ${c.id} of $tableName removes files while EQUALITY tombstones " +
+            "were pending — their suppressed rows cannot be excluded from the " +
+            "delete feed; materialize with compactDataFiles first")
+        pDel.filter(_.posDelete).map(toGroup)
+      }
+    val delParts = GraftPartitions.packs(spark, deleted.map(f => f.path -> f.bytes))
+      .map(fs => GraftCdcFilesPartition(fs, "delete", c.seq, c.id, priors))
+    val insParts = GraftPartitions.packs(spark, inserted.map(f => f.path -> f.bytes))
+      .map(fs => GraftCdcFilesPartition(fs, "insert", c.seq, c.id))
+    // each NEW sidecar file plans as its own partition: the driver knows
+    // only the sidecar list; marked data files resolve on the executor
+    val sidecarParts = newDel.flatMap(m => cat.readManifest(m.path))
+      .map(f => GraftCdcSidecarPartition(Seq(f.path -> f.bytes), c.seq, c.id))
+    delParts ++ insParts ++ sidecarParts
+  }
+
+  private def toGroup(m: ManifestRef): GraftDeleteGroupSpec =
+    GraftDeleteGroupSpec(m.path, m.keyCols,
+      cat.readManifest(m.path).map(f => f.path -> f.bytes), positional = true)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sidecarSchema = StructType(Seq(
+      StructField(BranchCatalog.PosPathCol, StringType),
+      StructField(BranchCatalog.PosIdxCol, LongType)))
+    new GraftCdcReaderFactory(
+      Bridge.parquetReadFunc(spark, baseSchema, baseSchema, Nil),
+      Bridge.parquetReadFunc(spark, sidecarSchema, sidecarSchema, Nil),
+      baseSchema, Bridge.serializableHadoopConf(spark))
+  }
+
+  override def toString: String = s"GraftCdcMicroBatchStream($branch.$tableName @ $root)"
+}
+
+/** Reads CDC partitions: plain parquet rows of each file, projected to
+  * (base columns, constant `_change_type` / `_commit_seq` /
+  * `_commit_snapshot_id`). Delete partitions suppress rows the parent's
+  * pending sidecars had already deleted (sequential row-index counting —
+  * the reader runs unfiltered, so indexes line up with the recorded
+  * `_metadata.row_index` values); sidecar partitions emit exactly the
+  * marked rows of each referenced data file. */
+private[sql] class GraftCdcReaderFactory(
+    dataReadFunc: PartitionedFile => Iterator[InternalRow],
+    delReadFunc: PartitionedFile => Iterator[InternalRow],
+    baseSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  private def projection(changeType: String, seq: Long, id: String): UnsafeProjection =
+    UnsafeProjection.create(
+      baseSchema.fields.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+      }.toIndexedSeq ++ Seq(
+        Literal(UTF8String.fromString(changeType), StringType),
+        Literal(seq, LongType),
+        Literal(UTF8String.fromString(id), StringType)))
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GraftCdcFilesPartition(files, ct, seq, id, priors) =>
+        val priorMaps = priors.map(g => GraftDeleteSets.positions(g, delReadFunc))
+        val proj = projection(ct, seq, id)
+        GraftReaderFactory.reader(files.iterator.flatMap { case (p, l) =>
+          val suppressed = priorMaps.flatMap(_.get(GraftDeleteSets.normPath(p)))
+          val rows = Bridge.flattenBatches(dataReadFunc(Bridge.partitionedFile(p, l)))
+          if (suppressed.isEmpty) rows
+          else {
+            var idx = -1L
+            rows.filter { _ => idx += 1; !suppressed.exists(_.contains(idx)) }
+          }
+        }.map(proj))
+      case GraftCdcSidecarPartition(sidecars, seq, id) =>
+        // original recorded path -> marked row indexes (the original
+        // string opens the file; normalization is only for identity)
+        val marked = new java.util.LinkedHashMap[String, java.util.HashSet[java.lang.Long]]()
+        sidecars.foreach { case (p, l) =>
+          Bridge.flattenBatches(delReadFunc(Bridge.partitionedFile(p, l))).foreach { row =>
+            val orig = row.getUTF8String(0).toString
+            var set = marked.get(orig)
+            if (set == null) { set = new java.util.HashSet[java.lang.Long](); marked.put(orig, set) }
+            set.add(row.getLong(1))
+          }
+        }
+        val proj = projection("delete", seq, id)
+        GraftReaderFactory.reader(marked.entrySet().iterator().asScala.flatMap { e =>
+          val path = new org.apache.hadoop.fs.Path(e.getKey)
+          val len = path.getFileSystem(conf.value).getFileStatus(path).getLen
+          var idx = -1L
+          Bridge.flattenBatches(dataReadFunc(Bridge.partitionedFile(e.getKey, len)))
+            .filter { _ => idx += 1; e.getValue.contains(idx) }
+        }.map(proj))
+      case other => sys.error(s"unexpected CDC partition shape $other")
+    }
+}

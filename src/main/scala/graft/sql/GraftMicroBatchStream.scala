@@ -118,24 +118,24 @@ class GraftMicroBatchStream(
     pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private def cat = new BranchCatalog(spark, root)
+  protected def cat = new BranchCatalog(spark, root)
 
   /** Head pinned by Trigger.AvailableNow, else resolved per trigger. */
-  @volatile private var availableNowHead: Option[GraftStreamOffset] = None
+  @volatile protected var availableNowHead: Option[GraftStreamOffset] = None
 
   /** The initial-load anchor's path-sorted file list, resolved once per
     * stream lifetime (manifests are immutable, so this never goes
     * stale). */
-  private val anchorFiles =
+  protected val anchorFiles =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[(String, Long)]]
 
-  private def resolveHead(): GraftStreamOffset = {
+  protected def resolveHead(): GraftStreamOffset = {
     val id = cat.snapshotIdOf(tableName, branch)
       .getOrElse(sys.error(s"no table $tableName on $branch"))
     GraftStreamOffset(id, cat.seqOfSnapshot(tableName, id))
   }
 
-  private def initialFiles(snapshotId: String): IndexedSeq[(String, Long)] =
+  protected def initialFiles(snapshotId: String): IndexedSeq[(String, Long)] =
     anchorFiles.getOrElseUpdate(snapshotId,
       cat.changedFilesBetween(tableName, None, snapshotId)
         .map(f => f.path -> f.bytes).sortBy(_._1).toIndexedSeq)
@@ -153,7 +153,7 @@ class GraftMicroBatchStream(
 
   override def reportLatestOffset(): Offset = resolveHead()
 
-  private def fileBudget(limit: ReadLimit): Option[Int] = limit match {
+  protected def fileBudget(limit: ReadLimit): Option[Int] = limit match {
     case f: ReadMaxFiles => Some(f.maxFiles())
     case _: ReadAllAvailable => None
     case c: CompositeReadLimit =>
@@ -215,7 +215,7 @@ class GraftMicroBatchStream(
     * regressed — window, so fail LOUDLY instead. The walk is bounded by
     * the monotone snapshot sequence (ancestors older than the offset
     * cannot contain it). */
-  private def requireInAncestry(s: GraftStreamOffset, head: GraftStreamOffset): Unit = {
+  protected def requireInAncestry(s: GraftStreamOffset, head: GraftStreamOffset): Unit = {
     val found = Iterator.iterate(cat.snapshotMetaOpt(tableName, head.snapshotId)) {
       case Some(snap) => snap.parentId.flatMap(cat.snapshotMetaOpt(tableName, _))
       case None => None
@@ -279,12 +279,17 @@ private[sql] object GraftPartitions {
     * FILE would launch millions of tiny tasks on a 100 TB table. Order
     * is preserved. A recorded size of 0 (pre-r8 metadata) falls back to
     * one getFileStatus call. */
-  def binPack(spark: SparkSession, files: Seq[(String, Long)]): Array[InputPartition] = {
+  def binPack(spark: SparkSession, files: Seq[(String, Long)]): Array[InputPartition] =
+    packs(spark, files).map(GraftFilesPartition(_): InputPartition).toArray
+
+  /** The raw size-packed file groups, for callers wrapping them in a
+    * different partition shape (the CDC stream's typed partitions). */
+  def packs(spark: SparkSession, files: Seq[(String, Long)]): Seq[Seq[(String, Long)]] = {
     val conf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf
     val maxBytes = conf.filesMaxPartitionBytes
     val openCost = conf.filesOpenCostInBytes
-    val bins = Vector.newBuilder[InputPartition]
+    val bins = Vector.newBuilder[Seq[(String, Long)]]
     var bin = Vector.newBuilder[(String, Long)]
     var binBytes = 0L
     var binEmpty = true
@@ -292,13 +297,13 @@ private[sql] object GraftPartitions {
       val len = if (bytes > 0) bytes else fileLength(spark, path)
       val cost = len + openCost
       if (!binEmpty && binBytes + cost > maxBytes) {
-        bins += GraftFilesPartition(bin.result())
+        bins += bin.result()
         bin = Vector.newBuilder[(String, Long)]; binBytes = 0L; binEmpty = true
       }
       bin += (path -> len); binBytes += cost; binEmpty = false
     }
-    if (!binEmpty) bins += GraftFilesPartition(bin.result())
-    bins.result().toArray
+    if (!binEmpty) bins += bin.result()
+    bins.result()
   }
 
   private def fileLength(spark: SparkSession, path: String): Long = {

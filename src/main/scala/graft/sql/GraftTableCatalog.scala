@@ -186,6 +186,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     GraftMetadataTable.kindOf(ident.name()) match {
+      case Some((base, "changes")) => // `t$changes` — the CDC table (W63)
+        val (ref, id, _) = snapshotIn(ident.namespace(), base).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Array(catalogName, ident.namespace().mkString("."), ident.name())))
+        val snap = cat.snapshotMeta(base, id)
+        GraftChangesTable(root, ref, base, id,
+          BranchCatalog.idSchema(StructType.fromDDL(snap.schemaDdl), snap.evo.fieldIds))
       case Some((base, kind)) => // `t$snapshots` / `t$files` / `t$history`
         val (ref, id, _) = snapshotIn(ident.namespace(), base).getOrElse(
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -762,7 +769,7 @@ case class GraftMetadataTable(
           case None => None
         }.takeWhile(_.isDefined).flatten.toSeq.reverse // oldest first
         val rows = chain.map(s => Row(s.id, s.parentId.orNull, s.seq,
-          s.committedAtMillis, s.manifests.size.toLong,
+          s.committedAtMillis, s.op, s.manifests.size.toLong,
           s.manifests.map(_.fileCount).sum, s.manifests.map(_.rows).sum,
           s.deleteManifests.size.toLong))
         spark.createDataFrame(
@@ -844,7 +851,8 @@ object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
   private val kinds =
-    Set("snapshots", "files", "history", "partitions", "refs", "manifests")
+    Set("snapshots", "files", "history", "partitions", "refs", "manifests",
+      "changes") // resolved to GraftChangesTable, not a metadata table
 
   /** `name$kind` -> (name, kind) when `kind` is a metadata table. */
   def kindOf(ident: String): Option[(String, String)] = ident.split('$') match {
@@ -856,6 +864,7 @@ object GraftMetadataTable {
     case "snapshots" => StructType(Seq(
       StructField("snapshot_id", StringType), StructField("parent_id", StringType),
       StructField("seq", LongType), StructField("committed_at", LongType),
+      StructField("operation", StringType),
       StructField("n_manifests", LongType), StructField("n_files", LongType),
       StructField("n_rows", LongType), StructField("n_delete_manifests", LongType)))
     // the one shared definition: a manifest-entry field added in a

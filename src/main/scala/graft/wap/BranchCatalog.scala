@@ -183,7 +183,28 @@ case class Snapshot(
     /** Column-identity state ([[SchemaEvo]]) — carried through EVERY
       * commit like the schema DDL (default = pre-r12 id-less table;
       * json4s fills it for old metadata). */
-    evo: SchemaEvo = SchemaEvo())
+    evo: SchemaEvo = SchemaEvo(),
+    /** What KIND of commit produced this snapshot (the Iceberg snapshot
+      * `operation` field, r13): `append`, `overwrite`, `delete`,
+      * `delete-pos`, `delete-mor`, `update`, `upsert`, `upsert-mor`,
+      * `merge`, `publish`, `cherrypick`, `create`, `schema`, or one of
+      * the CONTENT-NEUTRAL rewrites `compact`, `compact-manifests`,
+      * `compact-sorted`, `compact-zorder`, `rewrite-partition`. The CDC
+      * stream ([[graft.sql.GraftCdcMicroBatchStream]]) keys on the
+      * neutral set to skip logically-silent rewrites; `""` (pre-r13
+      * metadata — json4s default) is conservatively treated as
+      * content-changing. Surfaces as `$snapshots.operation`. */
+    op: String = "")
+
+object SnapshotOp {
+  /** Commits whose LOGICAL table content (the scan output) is provably
+    * identical to their parent's: data/manifest re-layout, tombstone
+    * materialization (the deletes were logical at their OWN commit), and
+    * metadata-only schema changes. A CDC reader skips them. */
+  val contentNeutral: Set[String] = Set(
+    "create", "schema", "compact", "compact-manifests",
+    "compact-sorted", "compact-zorder", "rewrite-partition")
+}
 
 /** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
   * snapshot metadata alone. */
@@ -567,7 +588,7 @@ class BranchCatalog(
       statsV = 2)
   }
 
-  private def readManifest(path: String): Seq[DataFileMeta] = {
+  private[graft] def readManifest(path: String): Seq[DataFileMeta] = {
     driverManifestReads.incrementAndGet()
     Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
   }
@@ -800,7 +821,7 @@ class BranchCatalog(
       fmt: Option[String]): Boolean = {
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
       System.currentTimeMillis(), fmt,
-      evo = SchemaEvo.forSchema(schema))
+      evo = SchemaEvo.forSchema(schema), op = "create")
     writeSnapshot(table, snap)
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1042,7 +1063,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s,
-        evo = parent.evo)
+        evo = parent.evo, op = "append")
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -1115,7 +1136,8 @@ class BranchCatalog(
       val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest.copy(seq = s),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo,
+        op = "upsert-mor")
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -1325,7 +1347,8 @@ class BranchCatalog(
       val s = cur.seq + 1
       committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
-        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo)
+        cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo,
+        op = "delete-mor")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1357,7 +1380,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = s)),
         if (cur.schemaDdl.nonEmpty) cur.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, Nil, s,
-        evo = cur.evo.afterFullRewrite)
+        evo = cur.evo.afterFullRewrite, op = "overwrite")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1418,7 +1441,8 @@ class BranchCatalog(
           parent.manifests ++ st.appends.map(_.copy(seq = s)),
           parent.schemaDdl, System.currentTimeMillis(), parent.partitionSpec,
           parent.deleteManifests ++ st.deletes.map(_.copy(seq = s)), s,
-          evo = parent.evo)
+          evo = parent.evo,
+          op = if (st.deletes.isEmpty) "append" else "delete-mor")
         writeSnapshot(table, snap)
         tables = tables.updated(table, snap.id)
         out += table -> snap
@@ -2286,7 +2310,8 @@ class BranchCatalog(
                   fieldIdSeq = math.max(schemaWinner.evo.fieldIdSeq, other.fieldIdSeq),
                   renamedFiles = schemaWinner.evo.renamedFiles ||
                     other.renamedFiles || dstForeign)
-              })
+              },
+              op = "publish")
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
             srcTables = srcTables.updated(table, merged.id)
@@ -2771,7 +2796,8 @@ class BranchCatalog(
       }
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
-        evo = evolvedEvo(cur.evo, StructType.fromDDL(cur.schemaDdl), newSchema))
+        evo = evolvedEvo(cur.evo, StructType.fromDDL(cur.schemaDdl), newSchema),
+        op = "schema")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -2847,7 +2873,7 @@ class BranchCatalog(
         // the data is unchanged, so sort contracts survive under the new name
         sortOrder = cur.sortOrder.map(c => if (c == from) to else c),
         sortWithinPartitions = cur.sortWithinPartitions.map(c => if (c == from) to else c),
-        evo = cur.evo.rename(from, to))
+        evo = cur.evo.rename(from, to), op = "schema")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3137,7 +3163,7 @@ class BranchCatalog(
         committed = Snapshot(newId(), Some(headId),
           head.manifests ++ fresh.map(_.copy(seq = s)), head.schemaDdl,
           System.currentTimeMillis(), head.partitionSpec, head.deleteManifests, s,
-          evo = head.evo)
+          evo = head.evo, op = "cherrypick")
         writeSnapshot(table, committed)
         refs.copy(branches = refs.branches.updated(into,
           b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3270,7 +3296,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), Some(PartitionSpec.formatMulti(specs)),
-        parent.deleteManifests, s, evo = parent.evo)
+        parent.deleteManifests, s, evo = parent.evo, op = "append")
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
@@ -3366,7 +3392,8 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+        op = "delete")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3485,7 +3512,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
         deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq,
-        evo = cur.evo)
+        evo = cur.evo, op = "delete-pos")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3577,7 +3604,8 @@ class BranchCatalog(
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+        op = "update")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3702,7 +3730,8 @@ class BranchCatalog(
         require(cur.deleteManifests.isEmpty,
           s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
         committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-          System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
+          System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+          op = "upsert")
         writeSnapshot(table, committed)
         refs.copy(branches = refs.branches.updated(branch,
           b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3839,7 +3868,8 @@ class BranchCatalog(
           require(cur.deleteManifests.isEmpty,
             s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
           committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-            System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
+            System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+            op = "merge")
           writeSnapshot(table, committed)
           refs.copy(branches = refs.branches.updated(branch,
             b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3875,7 +3905,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
         cur.schemaDdl, System.currentTimeMillis(),
         Some(PartitionSpec.formatMulti(specs)), seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite)
+        evo = cur.evo.afterFullRewrite, op = "rewrite-partition")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -4100,7 +4130,7 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), folded, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
-        evo = cur.evo)
+        evo = cur.evo, op = "compact-manifests")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -4128,7 +4158,7 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite)
+        evo = cur.evo.afterFullRewrite, op = "compact")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -4192,7 +4222,8 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
-        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo)
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+        op = "compact")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -4250,7 +4281,7 @@ class BranchCatalog(
         // exactly the per-partition contract sortWithinPartitions records
         sortOrder = if (spec.isEmpty) clusterBy else Nil,
         sortWithinPartitions = if (spec.nonEmpty) clusterBy else Nil,
-        evo = cur.evo.afterFullRewrite)
+        evo = cur.evo.afterFullRewrite, op = "compact-sorted")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -4309,7 +4340,7 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite)
+        evo = cur.evo.afterFullRewrite, op = "compact-zorder")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }

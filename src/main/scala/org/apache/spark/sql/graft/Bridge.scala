@@ -160,6 +160,16 @@ object Bridge {
         .get(key)
     }.toOption.flatten
 
+  /** The session's Hadoop conf, serializable for shipping inside DSv2
+    * reader factories whose executors must stat files themselves (the
+    * CDC sidecar reader resolves marked data-file lengths on the
+    * executor — the driver never reads sidecar contents). */
+  def serializableHadoopConf(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConfWithOptions(Map.empty))
+
   def partitionedFile(
       path: String, length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(

@@ -659,8 +659,10 @@ class SqlCatalogSpec extends SparkSpecBase {
 
     val snaps = spark.sql(s"SELECT * FROM $lake.main.`t$$snapshots` ORDER BY seq").collect()
     assert(snaps.length == 3, "create + two appends")
-    assert(snaps.last.getLong(6) == 30, "head snapshot reports cumulative rows")
+    assert(snaps.last.getLong(7) == 30, "head snapshot reports cumulative rows")
     assert(snaps.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L), "monotone sequence")
+    // r13: every commit carries its operation tag
+    assert(snaps.map(_.getString(4)).toSeq == Seq("create", "append", "append"))
     // lineage: each row's parent is the previous row's id
     assert(snaps.sliding(2).forall(p => p(1).getString(1) == p(0).getString(0)))
 
