@@ -1436,6 +1436,78 @@ object WapQueries {
     }
   }
 
+  /** W64 — lake-to-lake CDC REPLICATION end-to-end: `readStream` the
+    * source's `documents$changes` feed, `writeStream` it into the
+    * replica's `documents$changes` with `graft.cdc.keys` + a WAP audit —
+    * each epoch audit-then-applies atomically ([[graft.wap.Wap
+    * .runApplyCdc]] → applyCdcMOR: every touched key tombstoned, per-key
+    * latest inserts appended, ONE commit, zero rewrites). The source
+    * runs the same DML mix as `wap_cdc_feed` (append, CoW pairs,
+    * sidecar + metadata-tier positional deletes, materializing
+    * compaction, append); the replica must converge to the source's
+    * exact content, and a replayed drain must change nothing. Oracle:
+    * the surviving ranges' aggregates + equality/replay/MOR gates. */
+  def wapCdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val srcTmp = Files.createTempDirectory("graft-cdc-src").toString
+    val dstTmp = Files.createTempDirectory("graft-cdc-dst").toString
+    val scat = new BranchCatalog(spark, srcTmp)
+    val dcat = new BranchCatalog(spark, dstTmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    scat.createTableIfNotExists("documents", docs.schema)
+    scat.append("documents", docs.filter(col("doc_id") < 100).coalesce(1))
+
+    def reg(prefix: String, root: String): String = {
+      val name = prefix + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", root)
+      name
+    }
+    val src = reg("cdcsrc_", srcTmp)
+    val dst = reg("cdcdst_", dstTmp)
+    val ckpt = Files.createTempDirectory("graft-cdc-repl-ckpt").toString
+    def drainAll(): Unit = {
+      val q = spark.readStream
+        .option("graft.changes.initial", "snapshot")
+        .table(s"$src.main.`documents$$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("graft.cdc.keys", "doc_id")
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:lang")
+        .toTable(s"$dst.main.`documents$$changes`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainAll() // backfill epoch: auto-creates + audits + applies [0,100)
+    scat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150).coalesce(1))
+    scat.deleteWhere("documents", col("doc_id") < 30)
+    scat.deleteWherePositional("documents",
+      col("doc_id") >= 100 && col("doc_id") < 110)
+    scat.append("documents", docs.filter(col("doc_id") >= 150 && col("doc_id") < 160).coalesce(1))
+    scat.deleteWherePositional("documents",
+      col("doc_id") >= 150 && col("doc_id") < 160)
+    scat.compactDataFiles("documents")
+    scat.append("documents", docs.filter(col("doc_id") >= 160).coalesce(1))
+    drainAll()
+    val headAfter = dcat.snapshotIdOf("documents").get
+    drainAll() // replay with nothing new: exactly-once, no new commits
+    val replayIdempotent = dcat.snapshotIdOf("documents").get == headAfter
+    val morApplied = dcat.snapshotMeta("documents", headAfter).deleteManifests.nonEmpty
+
+    val replica = dcat.scan("documents")
+    val sameAsSource = replica.select("doc_id", "n_chars")
+      .exceptAll(scat.scan("documents").select("doc_id", "n_chars")).isEmpty &&
+      scat.scan("documents").select("doc_id", "n_chars")
+        .exceptAll(replica.select("doc_id", "n_chars")).isEmpty
+    replica.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("doc_id")).as("n_keys"))
+      .select(col("n_rows"), col("sum_chars"), col("n_keys"),
+        lit(sameAsSource).as("same_as_source"),
+        lit(replayIdempotent).as("replay_idempotent"),
+        lit(morApplied).as("mor_applied"))
+  }
+
   /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
     * events table laid out `day(ts);bucket(4,user_id)` (the canonical
     * Iceberg fact-table layout), appends auto-routed into the nested

@@ -39,19 +39,74 @@ import graft.wap.{BranchCatalog, ManifestRef, Snapshot, SnapshotOp}
   *     .option("maxFilesPerTrigger", 64)            // admission control
   *     .table("lake.main.`docs$changes`")
   * }}}
-  * See [[GraftCdcMicroBatchStream]] for the per-commit semantics. */
-case class GraftChangesTable(
-    root: String, branch: String, baseTable: String, snapshotId: String,
-    /** Field-id-attached base schema (renamed columns resolve by id in
-      * pre-rename files, like every other read path). */
-    baseSchema: StructType) extends Table with SupportsRead {
+  * See [[GraftCdcMicroBatchStream]] for the per-commit semantics.
+  *
+  * WRITES — the table is also the APPLY surface (W64): writing a change
+  * feed into `t$changes` with `graft.cdc.keys` applies it atomically per
+  * batch/epoch through [[graft.wap.BranchCatalog.applyCdcMOR]] — so
+  * lake-to-lake replication is one line of plumbing:
+  * {{{
+  *   spark.readStream.table("src.main.`docs$changes`")
+  *     .writeStream.option("graft.cdc.keys", "doc_id")
+  *     .option("checkpointLocation", …)
+  *     .toTable("dst.main.`docs$changes`")           // exactly-once
+  * }}}
+  * The usual write guards hold: main refuses raw applies unless the
+  * catalog opts in (`write.main=true`) — `graft.wap` + `graft.checks`
+  * audit-then-apply instead ([[graft.wap.Wap.runApplyCdc]]). */
+case class GraftChangesTable(base: GraftTable) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def root: String = base.root
+  private def branch: String = base.branch
+  private def baseTable: String = base.tableName
+  private def snapshotId: String = base.snapshotId
+  private def baseSchema: StructType = base.tableSchema
 
   override def name(): String = s"$branch.$baseTable$$changes"
   override def schema(): StructType = GraftChangesTable.withVirtual(baseSchema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!base.isTag, s"$name is pinned to a tag — CDC applies need a branch")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          private def keysOf: Seq[String] =
+            Option(info.options().get("graft.cdc.keys")).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty) match {
+              case Nil => throw new IllegalArgumentException(
+                s"writing $name applies a CDC feed by key — set " +
+                  ".option(\"graft.cdc.keys\", \"<col>[,<col>…]\")")
+              case ks => ks
+            }
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                require(branch != "main" || base.mainWritesAllowed,
+                  s"raw CDC applies to $baseTable@main are disabled: main only " +
+                    "changes through write-audit-publish — apply on a branch and " +
+                    "publish, stream with graft.wap, or opt in with write.main=true")
+                new BranchCatalog(data.sparkSession, root)
+                  .applyCdcMOR(baseTable, data, keysOf, branch)
+                ()
+              }
+            }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            keysOf // validate up front; GraftStreamingWrite re-reads the option
+            new GraftStreamingWrite(base, info)
+          }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -105,6 +160,7 @@ object GraftChangesTable {
   val ChangeTypeCol = "_change_type"
   val CommitSeqCol = "_commit_seq"
   val CommitIdCol = "_commit_snapshot_id"
+  val VirtualCols: Set[String] = Set(ChangeTypeCol, CommitSeqCol, CommitIdCol)
 
   def withVirtual(base: StructType): StructType = StructType(base.fields ++ Seq(
     StructField(ChangeTypeCol, StringType, nullable = false),

@@ -65,6 +65,23 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
   private val upsertKeys: Seq[String] =
     Option(options.get("graft.upsert.keys")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  /** `graft.cdc.keys=id[,col2]`: CDC APPLY mode — the stream's rows are
+    * a CHANGE FEED (base columns + `_change_type`, the W63 `t$changes`
+    * shape) and each micro-batch applies atomically through
+    * [[BranchCatalog.applyCdcMOR]] (deletes tombstone by key, inserts
+    * append, one commit). This is the write side of lake-to-lake
+    * replication: `readStream` a source's `t$changes`, `writeStream`
+    * into the replica's `t$changes`. With `graft.wap` the insert rows
+    * are audit-then-applied ([[Wap.runApplyCdc]]); a refused batch
+    * quarantines whole — deletes included — in
+    * `<table>__cdc_quarantine` on the epoch branch. */
+  private val cdcKeys: Seq[String] =
+    Option(options.get("graft.cdc.keys")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  if (cdcKeys.nonEmpty && upsertKeys.nonEmpty)
+    throw new IllegalArgumentException(
+      "graft.cdc.keys and graft.upsert.keys are mutually exclusive: a CDC " +
+        "feed already distinguishes inserts from deletes")
 
   if (t.branch == "main" && !wapMode && !t.mainWritesAllowed)
     throw new IllegalArgumentException(
@@ -126,7 +143,10 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         // merge leaves the branch behind; the replay must start clean
         if (cat.listBranches().contains(auditBranch)) cat.dropBranch(auditBranch)
         val result =
-          if (upsertKeys.nonEmpty)
+          if (cdcKeys.nonEmpty)
+            Wap.runApplyCdc(cat, t.tableName, batch, cdcKeys, checks,
+              auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
+          else if (upsertKeys.nonEmpty)
             Wap.runUpsertMOR(cat, t.tableName, batch, upsertKeys, checks,
               auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
           else Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter,
@@ -134,6 +154,10 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         // failed audit: nothing published — record the epoch in its own
         // commit so the quarantined batch is not re-delivered forever
         if (!result.published) cat.stampStreamEpoch(epochKey, epochId)
+      } else if (cdcKeys.nonEmpty) {
+        cat.applyCdcMOR(t.tableName, batch, cdcKeys, t.branch,
+          Some((epochKey, epochId)))
+        ()
       } else {
         cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)
         if (upsertKeys.nonEmpty)

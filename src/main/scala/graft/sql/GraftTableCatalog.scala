@@ -186,13 +186,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     GraftMetadataTable.kindOf(ident.name()) match {
-      case Some((base, "changes")) => // `t$changes` — the CDC table (W63)
-        val (ref, id, _) = snapshotIn(ident.namespace(), base).getOrElse(
+      case Some((base, "changes")) => // `t$changes` — the CDC table (W63/W64)
+        val (ref, id, isTag) = snapshotIn(ident.namespace(), base).getOrElse(
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Array(catalogName, ident.namespace().mkString("."), ident.name())))
-        val snap = cat.snapshotMeta(base, id)
-        GraftChangesTable(root, ref, base, id,
-          BranchCatalog.idSchema(StructType.fromDDL(snap.schemaDdl), snap.evo.fieldIds))
+        GraftChangesTable(table(Identifier.of(ident.namespace(), base), ref, id, isTag))
       case Some((base, kind)) => // `t$snapshots` / `t$files` / `t$history`
         val (ref, id, _) = snapshotIn(ident.namespace(), base).getOrElse(
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -266,6 +264,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(
       ident: Identifier, columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    GraftMetadataTable.kindOf(ident.name()) match {
+      case Some((base, "changes")) =>
+        // a streaming CDC replication auto-creates its missing target:
+        // creating `t$changes` creates the BASE table with the feed's
+        // base schema (the virtual change columns are the feed's, not
+        // the table's)
+        val baseSchema = StructType(plainSchemaOf(columns).fields
+          .filterNot(f => GraftChangesTable.VirtualCols.contains(f.name)))
+        cat.createTableIfNotExists(base, baseSchema, branchOf(ident.namespace()))
+        return loadTable(ident)
+      case Some((_, kind)) => throw new UnsupportedOperationException(
+        s"cannot CREATE the metadata table ${ident.name()} — `$$$kind` views " +
+          "derive from the base table")
+      case None => ()
+    }
     val schema = plainSchemaOf(columns)
     val spec = GraftTableCatalog.specOfTransforms(partitions, schema)
     val branch = branchOf(ident.namespace())

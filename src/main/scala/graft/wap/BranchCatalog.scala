@@ -669,13 +669,20 @@ class BranchCatalog(
           PathSafeEscapeExpr(org.apache.spark.sql.graft.Bridge.expression(
             spec.valueCol(colType)))))
     }
-    val grouped = withPv.repartition(pvCols.map(col): _*)
-    // sorted-compaction path: order rows INSIDE each partition-value
-    // group so parquet row-group/page stats tighten on the sort keys
-    // (file-level min/max can't shrink — each value group is one file)
+    // plain appends REBALANCE on the partition values: AQE coalesces
+    // many tiny value groups into one task AND SPLITS a skewed value
+    // (a hot day at 100 TB) across several tasks/files — multiple files
+    // per value are fine, each carries its pv in the manifest. The
+    // sorted-compaction path keeps the hard repartition: its ONE-file-
+    // per-value layout is the contract [[Snapshot.sortWithinPartitions]]
+    // (and the W57 exchange-free SMJ ordering report) depends on.
     val arranged =
-      if (sortCols.isEmpty) grouped
-      else grouped.sortWithinPartitions((pvCols ++ sortCols).map(col): _*)
+      if (sortCols.isEmpty) withPv.hint("rebalance", pvCols.map(col): _*)
+      else withPv.repartition(pvCols.map(col): _*)
+        // order rows INSIDE each partition-value group so parquet
+        // row-group/page stats tighten on the sort keys (file-level
+        // min/max can't shrink — each value group is one file)
+        .sortWithinPartitions((pvCols ++ sortCols).map(col): _*)
     arranged.write.partitionBy(pvCols: _*).parquet(dir.toString)
     // recursive descent: level i contributes pvKey(i) -> unescaped value
     // (Spark escapes dir names Hive-style — %XX for special chars, '+'
@@ -1138,6 +1145,95 @@ class BranchCatalog(
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
         cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo,
         op = "upsert-mor")
+      writeSnapshot(table, committed)
+      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
+    }
+    committed
+  }
+
+  /** APPLY one CDC batch — rows carrying `_change_type` insert/delete
+    * (the W63 `t$changes` feed's shape) — in ONE atomic merge-on-read
+    * commit: every touched key becomes an equality tombstone covering all
+    * PRIOR data, and the per-key LATEST insert rows append as new data
+    * files in the same snapshot (the tombstone's sequence covers only
+    * lower sequences — [[upsertKeysMOR]]'s anchor trick, so the batch's
+    * own inserts stay visible). Zero rewrites,
+    * O(batch) at any table size: the lake-to-lake REPLICATION consumer.
+    * KEYED semantics — the table's rows are unique per `keyCols` (the
+    * standard CDC replication contract); feeds over multiset tables
+    * need the net changelog applied by full rows instead.
+    * Auto-creates a missing target with the batch's base schema. */
+  def applyCdcMOR(
+      table: String, changes: DataFrame, keyCols: Seq[String],
+      branch: String = "main",
+      epochStamp: Option[(String, Long)] = None): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit, row_number, when}
+    require(keyCols.nonEmpty, "applyCdcMOR needs at least one key column")
+    require(changes.schema.fieldNames.contains("_change_type"),
+      "a CDC batch carries _change_type (insert/delete) — got columns " +
+        changes.schema.fieldNames.mkString(", "))
+    val virtuals = Seq("_change_type", "_commit_seq", "_commit_snapshot_id")
+      .filter(changes.schema.fieldNames.contains)
+    // a batch spanning several source commits collapses per key to the
+    // LAST change by _commit_seq — a key inserted then deleted within
+    // the batch nets to absent. At EQUAL seq (one commit's transaction
+    // form, e.g. a CoW rewrite's delete+insert carryover pair) the
+    // INSERT wins: that is the commit's net. Without a _commit_seq
+    // column the whole batch is one transaction under the same rule.
+    val seqCol =
+      if (changes.schema.fieldNames.contains("_commit_seq")) col("_commit_seq")
+      else lit(0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCol.desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val inserts = latest.filter(col("_change_type") === "insert").drop(virtuals: _*)
+    createTableIfNotExists(table, inserts.schema, branch)
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"CDC key column $c is not a column of $table"))
+    // EVERY touched key is tombstoned (it covers PRIOR data only), so a
+    // cross-commit update pair replaces its old version cleanly
+    val delKeys = changes.select(keyCols.map(col): _*).distinct()
+    // rows > 0: an empty side would otherwise stage a schema-only part
+    // file and commit a vacuous manifest
+    val dataFiles = writeTableFiles(table, alignToSchema(inserts, schema, table, branch),
+      specsOf(cur.partitionSpec), ids = cur.evo.fieldIds).filter(_.rows > 0)
+    val keyFiles = writeDataFiles(table, delKeys, Map.empty).filter(_.rows > 0)
+    if (dataFiles.isEmpty && keyFiles.isEmpty) {
+      // empty batch: nothing to commit, but the delivery record must
+      // still land for exactly-once replay
+      epochStamp.foreach { case (k, e) => stampStreamEpoch(k, e) }
+      return cur
+    }
+    if (keyFiles.nonEmpty) requireTombstoneHeadroom(table, branch, cur, "applyCdcMOR")
+    val dataManifest =
+      if (dataFiles.isEmpty) None else Some(writeManifest(table, dataFiles, schema))
+    val delManifest =
+      if (keyFiles.isEmpty) None
+      else Some(writeManifest(table, keyFiles, schema)
+        .copy(asOf = Some(curId), keyCols = keyCols))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during CDC apply")
+      val s = cur.seq + 1
+      committed = Snapshot(newId(), Some(curId),
+        cur.manifests ++ dataManifest.map(_.copy(seq = s)).toSeq,
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
+        cur.deleteManifests ++ delManifest.map(_.copy(seq = s)).toSeq, s,
+        evo = cur.evo,
+        op = (dataManifest, delManifest) match {
+          case (Some(_), Some(_)) => "upsert-mor"
+          case (Some(_), None) => "append"
+          case _ => "delete-mor"
+        })
       writeSnapshot(table, committed)
       withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)

@@ -234,6 +234,39 @@ object Wap {
     WapResult(quarantineBranch, report.passed, report)
   }
 
+  /** Audited CDC APPLY ([[BranchCatalog.applyCdcMOR]]): the audit runs
+    * on the batch's INSERT rows — the only new content entering the
+    * table; deletes carry keys, not values. On pass the whole batch
+    * (deletes + inserts) applies in one MOR commit with the epoch
+    * recorded inside it; on fail NOTHING applies — the full change
+    * batch (with its `_change_type` column) quarantines in
+    * `<table>__cdc_quarantine` on the epoch branch, so the operator can
+    * inspect exactly what was refused, deletes included. */
+  def runApplyCdc(
+      catalog: BranchCatalog,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      checks: Seq[Expect],
+      quarantineBranch: String,
+      alerter: Alerter = LogAlerter,
+      epochStamp: Option[(String, Long)] = None): WapResult = {
+    import org.apache.spark.sql.functions.col
+    val inserts = batch.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_seq", "_commit_snapshot_id")
+    val report = Audit.run(inserts, checks)
+    if (report.passed) {
+      catalog.applyCdcMOR(table, batch, keys, epochStamp = epochStamp)
+    } else {
+      catalog.createBranch(quarantineBranch, from = "main")
+      catalog.createTableIfNotExists(s"${table}__cdc_quarantine", batch.schema,
+        quarantineBranch)
+      catalog.append(s"${table}__cdc_quarantine", batch, quarantineBranch)
+      alerter.alert(table, quarantineBranch, report)
+    }
+    WapResult(quarantineBranch, report.passed, report)
+  }
+
   private[graft] def auditAndPublish(
       catalog: BranchCatalog, table: String, branchName: String,
       checks: Seq[Expect], crossChecks: Seq[graft.quality.CrossCheck],

@@ -209,6 +209,112 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("lake-to-lake replication: t$changes feeds t$changes, exactly-once") {
+    val (src, scat) = register()
+    val (dst, dcat) = register()
+    spark.conf.set(s"spark.sql.catalog.$dst.write.main", "true")
+    scat.createTableIfNotExists("docs", slice(0, 1).schema)
+    scat.append("docs", slice(0, 20))
+    val ckpt = Files.createTempDirectory("cdc-repl-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("graft.changes.initial", "snapshot")
+        .table(s"$src.main.`docs$$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("graft.cdc.keys", "doc_id")
+        .toTable(s"$dst.main.`docs$$changes`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def same(): Unit = {
+      val a = scat.scan("docs").select("doc_id", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = dcat.scan("docs").select("doc_id", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"replica diverged: src=${a.size} dst=${b.size}")
+    }
+    drain() // backfill epoch auto-creates the replica
+    same()
+    // a full DML mix replicates: append, CoW rewrite pairs, exact sidecar
+    scat.append("docs", slice(20, 40))
+    scat.deleteWhere("docs", col("doc_id") < 5)
+    scat.deleteWherePositional("docs", col("doc_id") === 25)
+    drain()
+    same()
+    // replay with nothing new: exactly-once, no duplicate applies
+    drain()
+    same()
+    assert(dcat.scan("docs").count() == 34)
+  }
+
+  test("audited CDC apply: a refused batch quarantines WHOLE, replica untouched") {
+    val (src, scat) = register()
+    val (dst, dcat) = register()
+    scat.createTableIfNotExists("docs", slice(0, 1).schema)
+    scat.append("docs", slice(0, 10))
+    val ckpt = Files.createTempDirectory("cdc-audit-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("graft.changes.initial", "snapshot")
+        .table(s"$src.main.`docs$$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("graft.cdc.keys", "doc_id")
+        .option("graft.wap", "true")
+        .option("graft.checks", "not_null:text")
+        .toTable(s"$dst.main.`docs$$changes`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(dcat.scan("docs").count() == 10, "clean backfill publishes")
+    // plant a dirty commit: null text fails the replica's audit
+    import spark.implicits._
+    scat.append("docs", Seq((999L, null.asInstanceOf[String], 1L))
+      .toDF("doc_id", "text", "n_chars"))
+    drain()
+    assert(dcat.scan("docs").count() == 10, "refused batch applies nothing")
+    val qb = dcat.listBranches().filter(_.startsWith("stream-docs-"))
+    assert(qb.size == 1)
+    val quarantined = dcat.scan("docs__cdc_quarantine", qb.head)
+    assert(quarantined.count() == 1 &&
+      quarantined.select("_change_type").head.getString(0) == "insert",
+      "the full change batch is inspectable, _change_type included")
+    // the stream continues past the quarantined epoch
+    scat.append("docs", slice(10, 15))
+    drain()
+    assert(dcat.scan("docs").count() == 15)
+  }
+
+  test("batch CDC apply via writeTo; raw main applies refuse without opt-in") {
+    import spark.implicits._
+    val (dst, dcat) = register()
+    dcat.createBranch("repl")
+    dcat.createTableIfNotExists("docs", slice(0, 1).schema, "repl")
+    dcat.createTableIfNotExists("docs", slice(0, 1).schema, "main")
+    // ordered feed: inserts at seq 1, then a LATER delete of key 3 and a
+    // late insert — the per-key latest change must win
+    val changes = (
+      (0L until 10L).map(i => (i, s"t$i", i * 10, "insert", 1L, "c1")) ++
+      Seq((3L, "t3", 30L, "delete", 2L, "c2"), (11L, "t11", 110L, "insert", 2L, "c2"))
+    ).toDF("doc_id", "text", "n_chars", "_change_type", "_commit_seq",
+      "_commit_snapshot_id")
+    changes.writeTo(s"$dst.repl.`docs$$changes`")
+      .option("graft.cdc.keys", "doc_id").append()
+    val got = dcat.scan("docs", "repl").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 10L).filterNot(_ == 3L) :+ 11L).sorted)
+
+    val err = intercept[Exception] {
+      changes.writeTo(s"$dst.main.`docs$$changes`")
+        .option("graft.cdc.keys", "doc_id").append()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getCause).map(c => t.getMessage + msg(c)).getOrElse(t.getMessage)
+    assert(msg(err).contains("write-audit-publish"))
+    val err2 = intercept[Exception] {
+      changes.writeTo(s"$dst.repl.`docs$$changes`").append()
+    }
+    assert(msg(err2).contains("graft.cdc.keys"))
+  }
+
   test("batch $changes read: the net window with commit columns; windowless reads refuse") {
     val (lake, cat) = register()
     cat.createTableIfNotExists("t", slice(0, 1).schema)

@@ -217,6 +217,34 @@ class MultiPartitionSpec extends SparkSpecBase {
     assert(e.getMessage.contains("day/month/hour"))
   }
 
+  test("rebalanced appends split a skewed partition value across files") {
+    // the r13 write path REBALANCES on partition values: with a tiny
+    // advisory size, AQE must split the hot value into several files
+    // (each still routed to its __pv directory and manifest-stamped),
+    // while pruning and scan completeness are untouched
+    val cat = freshCat()
+    import spark.implicits._
+    val skewed = ((0L until 5000L).map(i => (i, "hot")) ++
+      (0L until 20L).map(i => (i + 10000L, "cold")))
+      .toDF("id", "kind")
+    cat.createTableIfNotExists("sk", skewed.schema, "main",
+      Seq(IdentityPartition("kind")))
+    val advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = spark.conf.get(advisory, null)
+    spark.conf.set(advisory, "8KB")
+    try cat.append("sk", skewed)
+    finally if (before == null) spark.conf.unset(advisory)
+    else spark.conf.set(advisory, before)
+    val files = cat.dataFiles("sk")
+    val hot = files.filter(_.partition.get("pv").contains("hot"))
+    assert(hot.size > 1, s"hot value should split, got ${hot.size} file(s)")
+    assert(files.forall(f => f.partition.get("pv").exists(Set("hot", "cold"))))
+    assert(cat.scan("sk").count() == 5020)
+    assert(cat.scan("sk", filter = Some(col("kind") === "cold")).count() == 20)
+    assert(cat.prunedDataFiles("sk", col("kind") === "cold").size <
+      files.size, "identity pruning still cuts the file set")
+  }
+
   test("appends must match the declared multi layout") {
     val cat = freshCat()
     mk(cat)
