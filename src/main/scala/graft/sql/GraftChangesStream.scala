@@ -109,9 +109,16 @@ case class GraftChangesTable(base: GraftTable) extends Table
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning reaches the per-file parquet readers: a feed
+      // consumer projecting (key, _change_type) reads two columns of
+      // each changed file, not the whole row (filters are NOT pushed —
+      // the suppression paths count row indexes and must see every row)
+      private var required: StructType = schema()
+      override def pruneColumns(r: StructType): Unit = required = r
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema()
+        override def readSchema(): StructType = required
 
         /** Batch: the NET changelog of the requested window, tagged with
           * the window END as its commit (the net form has no per-commit
@@ -150,7 +157,7 @@ case class GraftChangesTable(base: GraftTable) extends Table
               s"graft.changes.initial must be 'snapshot' or 'none', got '$other'")
           }
           new GraftCdcMicroBatchStream(spark, root, branch, baseTable,
-            baseSchema, maxFiles, initial)
+            baseSchema, required, maxFiles, initial)
         }
       }
     }
@@ -222,7 +229,12 @@ case class GraftCdcSidecarPartition(
   * replay carry over unchanged from the plain streaming source. */
 class GraftCdcMicroBatchStream(
     spark: SparkSession, root: String, branch: String, tableName: String,
-    baseSchema: StructType, maxFilesPerTrigger: Option[Int],
+    baseSchema: StructType,
+    /** The PRUNED output schema (base columns ∩ projection, plus the
+      * projected virtual columns, in output order) — per-file reads open
+      * only the base columns it names. */
+    requiredOut: StructType,
+    maxFilesPerTrigger: Option[Int],
     initialSnapshot: Boolean)
   extends GraftMicroBatchStream(spark, root, branch, tableName,
     baseSchema, baseSchema, maxFilesPerTrigger, Nil) {
@@ -313,37 +325,50 @@ class GraftCdcMicroBatchStream(
     val sidecarSchema = StructType(Seq(
       StructField(BranchCatalog.PosPathCol, StringType),
       StructField(BranchCatalog.PosIdxCol, LongType)))
+    val prunedData = StructType(requiredOut.fields.filterNot(f =>
+      GraftChangesTable.VirtualCols.contains(f.name)))
     new GraftCdcReaderFactory(
-      Bridge.parquetReadFunc(spark, baseSchema, baseSchema, Nil),
+      Bridge.parquetReadFunc(spark, baseSchema, prunedData, Nil),
       Bridge.parquetReadFunc(spark, sidecarSchema, sidecarSchema, Nil),
-      baseSchema, Bridge.serializableHadoopConf(spark))
+      prunedData, requiredOut, Bridge.serializableHadoopConf(spark))
   }
 
   override def toString: String = s"GraftCdcMicroBatchStream($branch.$tableName @ $root)"
 }
 
-/** Reads CDC partitions: plain parquet rows of each file, projected to
-  * (base columns, constant `_change_type` / `_commit_seq` /
-  * `_commit_snapshot_id`). Delete partitions suppress rows the parent's
-  * pending sidecars had already deleted (sequential row-index counting —
-  * the reader runs unfiltered, so indexes line up with the recorded
+/** Reads CDC partitions: the PRUNED base columns of each file, projected
+  * to the required output order with the projected virtual columns
+  * (`_change_type` / `_commit_seq` / `_commit_snapshot_id`) as
+  * constants. Delete partitions suppress rows the parent's pending
+  * sidecars had already deleted (sequential row-index counting — the
+  * reader runs unfiltered, so indexes line up with the recorded
   * `_metadata.row_index` values); sidecar partitions emit exactly the
   * marked rows of each referenced data file. */
 private[sql] class GraftCdcReaderFactory(
     dataReadFunc: PartitionedFile => Iterator[InternalRow],
     delReadFunc: PartitionedFile => Iterator[InternalRow],
-    baseSchema: StructType,
+    /** What `dataReadFunc` yields: the required BASE columns. */
+    prunedData: StructType,
+    /** The output schema: `prunedData`'s columns plus whichever virtual
+      * columns the query projected, in output order. */
+    requiredOut: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   private def projection(changeType: String, seq: Long, id: String): UnsafeProjection =
     UnsafeProjection.create(
-      baseSchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
-      }.toIndexedSeq ++ Seq(
-        Literal(UTF8String.fromString(changeType), StringType),
-        Literal(seq, LongType),
-        Literal(UTF8String.fromString(id), StringType)))
+      requiredOut.fields.map { f =>
+        (f.name match {
+          case GraftChangesTable.ChangeTypeCol =>
+            Literal(UTF8String.fromString(changeType), StringType)
+          case GraftChangesTable.CommitSeqCol => Literal(seq, LongType)
+          case GraftChangesTable.CommitIdCol =>
+            Literal(UTF8String.fromString(id), StringType)
+          case name =>
+            BoundReference(prunedData.fieldIndex(name),
+              prunedData(name).dataType, nullable = true)
+        }): org.apache.spark.sql.catalyst.expressions.Expression
+      }.toIndexedSeq)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {

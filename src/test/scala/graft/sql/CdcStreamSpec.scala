@@ -209,6 +209,36 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("column-pruned feeds read only the projected base columns") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t", slice(0, 1).schema)
+    cat.append("t", slice(0, 10))
+    val q = spark.readStream.table(s"$lake.main.`t$$changes`")
+      .select("doc_id", "_change_type") // text/n_chars never read
+      .writeStream.format("memory").queryName(s"cdc$n").start()
+    try {
+      q.processAllAvailable()
+      cat.append("t", slice(10, 20))
+      cat.deleteWherePositional("t", col("doc_id") === 12)
+      q.processAllAvailable()
+      val rows = sink(s"cdc$n")
+      assert(rows.columns.toSeq == Seq("doc_id", "_change_type"))
+      assert(rows.filter(col("_change_type") === "insert").count() == 10)
+      assert(rows.filter(col("_change_type") === "delete")
+        .select("doc_id").head.getLong(0) == 12L)
+    } finally q.stop()
+    // virtual-only projection: a feed row count reads zero base columns
+    val q2 = spark.readStream.table(s"$lake.main.`t$$changes`")
+      .select("_commit_seq")
+      .writeStream.format("memory").queryName(s"cdcv$n").start()
+    try {
+      q2.processAllAvailable()
+      cat.append("t", slice(20, 25))
+      q2.processAllAvailable()
+      assert(sink(s"cdcv$n").count() == 5)
+    } finally q2.stop()
+  }
+
   test("lake-to-lake replication: t$changes feeds t$changes, exactly-once") {
     val (src, scat) = register()
     val (dst, dcat) = register()
