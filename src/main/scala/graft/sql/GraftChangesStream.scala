@@ -156,8 +156,15 @@ case class GraftChangesTable(base: GraftTable) extends Table
             case Some(other) => throw new IllegalArgumentException(
               s"graft.changes.initial must be 'snapshot' or 'none', got '$other'")
           }
+          // the Delta `startingVersion` analogue: feed changes SINCE a
+          // known historical snapshot (a consumer bootstrapped from a
+          // snapshot export resumes its feed exactly there)
+          val startAt = Option(options.get("graft.changes.startSnapshot"))
+          require(startAt.isEmpty || !initial,
+            "graft.changes.startSnapshot replays commits SINCE a snapshot; " +
+              "graft.changes.initial=snapshot backfills one — pick one start")
           new GraftCdcMicroBatchStream(spark, root, branch, baseTable,
-            baseSchema, required, maxFiles, initial)
+            baseSchema, required, maxFiles, initial, startAt)
         }
       }
     }
@@ -235,12 +242,23 @@ class GraftCdcMicroBatchStream(
       * only the base columns it names. */
     requiredOut: StructType,
     maxFilesPerTrigger: Option[Int],
-    initialSnapshot: Boolean)
+    initialSnapshot: Boolean,
+    /** Feed changes SINCE this committed snapshot (exclusive) instead of
+      * starting at the current head — must still be in the branch's
+      * ancestry (the usual loud failure otherwise). */
+    startSnapshot: Option[String] = None)
   extends GraftMicroBatchStream(spark, root, branch, tableName,
     baseSchema, baseSchema, maxFilesPerTrigger, Nil) {
 
   override def initialOffset(): Offset =
-    if (initialSnapshot) GraftStreamOffset.start else resolveHead()
+    startSnapshot match {
+      case Some(id) =>
+        val s = GraftStreamOffset(id, cat.seqOfSnapshot(tableName, id))
+        requireInAncestry(s, resolveHead())
+        s
+      case None =>
+        if (initialSnapshot) GraftStreamOffset.start else resolveHead()
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset]

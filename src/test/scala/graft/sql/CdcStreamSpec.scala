@@ -239,6 +239,38 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("startSnapshot bootstraps the feed from a historical snapshot") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t", slice(0, 1).schema)
+    cat.append("t", slice(0, 10))
+    val mark = cat.snapshotIdOf("t").get // e.g. recorded by a snapshot export
+    cat.append("t", slice(10, 20))
+    cat.deleteWherePositional("t", col("doc_id") === 1)
+    val q = spark.readStream
+      .option("graft.changes.startSnapshot", mark)
+      .table(s"$lake.main.`t$$changes`")
+      .writeStream.format("memory").queryName(s"cdc$n").start()
+    try {
+      q.processAllAvailable()
+      val rows = sink(s"cdc$n")
+      // exactly the post-mark commits: 10 inserts + 1 exact delete
+      assert(rows.count() == 11)
+      assert(rows.filter(col("_change_type") === "delete")
+        .select("doc_id").head.getLong(0) == 1L)
+      assert(rows.filter(col("doc_id") < 10 && col("_change_type") === "insert")
+        .count() == 0, "pre-mark content never replays")
+    } finally q.stop()
+    // a start snapshot outside the ancestry (or with both starts) refuses
+    intercept[Exception] {
+      spark.readStream
+        .option("graft.changes.startSnapshot", mark)
+        .option("graft.changes.initial", "snapshot")
+        .table(s"$lake.main.`t$$changes`")
+        .writeStream.format("memory").queryName(s"cdcx$n").start()
+        .processAllAvailable()
+    }
+  }
+
   test("lake-to-lake replication: t$changes feeds t$changes, exactly-once") {
     val (src, scat) = register()
     val (dst, dcat) = register()
