@@ -68,6 +68,7 @@ object SparkEntry {
     "wap_changelog" -> (WapQueries.wapChangelog _),
     "wap_cdc_feed" -> (WapQueries.wapCdcFeed _),
     "wap_cdc_replicate" -> (WapQueries.wapCdcReplicate _),
+    "wap_maintain" -> (WapQueries.wapMaintain _),
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
@@ -232,6 +233,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) + (SELECT count(*) FROM documents WHERE doc_id >= 30 AND doc_id < 100) AS n_inserts, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 30 AND doc_id < 100) AS chars_inserted, (SELECT count(*) FROM documents WHERE doc_id < 100) + (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 110) + (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 160) AS n_deletes, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 110) + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 150 AND doc_id < 160) AS chars_deleted, CAST(7 AS BIGINT) AS n_commits, (SELECT count(*) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS live_rows, true AS net_ok""",
     "wap_cdc_replicate" ->
       """SELECT (SELECT count(*) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_keys, true AS same_as_source, true AS replay_idempotent, true AS mor_applied""",
+    "wap_maintain" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS n_langs, true AS materialized, true AS bin_packed, true AS expired, true AS healthy_after""",
     "wap_multipart" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->

@@ -1508,6 +1508,51 @@ object WapQueries {
         lit(morApplied).as("mor_applied"))
   }
 
+  /** W65 — policy-driven MAINTENANCE end-to-end ([[graft.wap
+    * .BranchCatalog.maintain]]): the table carries its `graft.maintain.*`
+    * policy in TBLPROPERTIES; each `maintain()` call runs exactly what
+    * the state warrants — two pending MOR tombstone generations trigger
+    * materialization, three tiny commits trigger the BIN_PACK
+    * small-file fold, the zero-retention expiry policy trims history —
+    * and a final call on the healthy table does NOTHING. Oracle: the
+    * surviving content as range arithmetic plus the action gates. */
+  def wapMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wap-maintain").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100).coalesce(1))
+    cat.setTableProperties("documents", Map(
+      "graft.maintain.tombstones.max" -> "2",
+      "graft.maintain.small-files.min" -> "3"))
+
+    cat.deleteKeysMOR("documents", Seq(0L).toDF("doc_id"))
+    cat.deleteKeysMOR("documents", Seq(1L).toDF("doc_id"))
+    val acts1 = cat.maintain("documents")
+    for (r <- 0 until 3)
+      cat.append("documents",
+        docs.filter(col("doc_id") >= 100 + r * 5 && col("doc_id") < 105 + r * 5).coalesce(1))
+    val acts2 = cat.maintain("documents")
+    cat.setTableProperties("documents", Map(
+      "graft.maintain.expire.keep-ms" -> "0",
+      "graft.maintain.expire.retain-last" -> "1"))
+    val acts3 = cat.maintain("documents")
+    val healthy = cat.maintain("documents").isEmpty
+    val oneFile = cat.dataFiles("documents").size == 1
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+      .select(col("n_rows"), col("sum_chars"), col("n_langs"),
+        lit(acts1.map(_._1).contains("materialize")).as("materialized"),
+        lit(acts2.map(_._1) == Seq("compact-small-files")).as("bin_packed"),
+        lit(acts3.map(_._1).contains("expire-snapshots")).as("expired"),
+        lit(healthy && oneFile).as("healthy_after"))
+  }
+
   /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
     * events table laid out `day(ts);bucket(4,user_id)` (the canonical
     * Iceberg fact-table layout), appends auto-routed into the nested

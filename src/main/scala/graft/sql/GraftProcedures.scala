@@ -41,6 +41,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
+      "rewrite_small_files", "maintain", "maintain_all",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
@@ -66,6 +67,33 @@ object GraftProcedures {
         val cut = args.getLong(2)
         cat.expireSnapshots(args.getString(0), retainLast = args.getInt(1),
           olderThanMillis = if (cut > 0) Some(cut) else None)
+        ()
+      }
+    case "rewrite_small_files" =>
+      // the BIN_PACK strategy: fold ONLY under-target files, leaving
+      // well-sized files untouched — O(small files), never O(table)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"),
+        param("target_bytes", LongType, (128L * 1024 * 1024).toString),
+        param("min_input_files", IntegerType, "2"))) { (cat, args) =>
+        cat.compactSmallFiles(args.getString(0), args.getString(1),
+          args.getLong(2), args.getInt(3))
+        ()
+      }
+    case "maintain" =>
+      // policy-driven maintenance: run exactly what the table's
+      // graft.maintain.* properties and current state warrant
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.maintain(args.getString(0), args.getString(1))
+        ()
+      }
+    case "maintain_all" =>
+      procedure(root, name, Array(
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.maintainAll(args.getString(0))
         ()
       }
     case "rewrite_data_files" =>

@@ -4341,6 +4341,150 @@ class BranchCatalog(
     * sort WITHIN each partition value (file-level ranges there are the
     * partition's by construction; the sort tightens parquet
     * row-group/page stats for readers). */
+  /** Size-tiered SMALL-FILE compaction (the Iceberg `rewrite_data_files`
+    * BIN_PACK strategy): rewrite ONLY the files under `targetBytes` into
+    * ~targetBytes outputs, leaving well-sized files untouched — the
+    * 100 TB `OPTIMIZE` that a stream of small commits needs, at
+    * O(small files) cost instead of the whole-table rewrite
+    * [[compactDataFiles]] pays. Manifest surgery mirrors the scoped
+    * rewrite: untouched manifests survive as-is; a manifest losing only
+    * some files is rewritten around its survivors. None = nothing to do
+    * (fewer than `minInputFiles` small files). Content-neutral
+    * (`op = "compact"` — CDC-silent); refuses pending tombstones like
+    * every scoped rewrite (whole-table compaction materializes them). */
+  def compactSmallFiles(
+      table: String, branch: String = "main",
+      targetBytes: Long = 128L * 1024 * 1024,
+      minInputFiles: Int = 2): Option[Snapshot] = {
+    require(targetBytes > 0 && minInputFiles >= 2,
+      "targetBytes > 0 and minInputFiles >= 2")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.isEmpty,
+      s"$table@$branch has pending MOR tombstones — run the whole-table " +
+        "compactDataFiles (which materializes them) before small-file compaction")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val spec = specsOf(cur.partitionSpec)
+    def sizeOf(f: DataFileMeta): Long =
+      if (f.bytes > 0) f.bytes // pre-r8 metadata: one status call
+      else fs.getFileStatus(new Path(f.path)).getLen
+    val perManifest = cur.manifests.map { m =>
+      val files = readManifest(m.path)
+      val (small, big) = files.partition(f => sizeOf(f) < targetBytes)
+      (m, small, big)
+    }
+    val smallFiles = perManifest.flatMap { case (_, s, _) => s }
+    if (smallFiles.size < minInputFiles) return None
+    val outFiles = math.max(1,
+      math.ceil(smallFiles.map(sizeOf).sum.toDouble / targetBytes).toInt)
+    // no gain: the packed outputs stay under target by construction, so
+    // folding N smalls into N outputs would loop forever — idempotence
+    // means "stop when the fold no longer reduces the file count"
+    if (smallFiles.size <= outFiles) return None
+    val rewritten = writeTableFiles(table,
+      spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+        .parquet(smallFiles.map(_.path): _*)
+        .repartition(outFiles), spec, ids = cur.evo.fieldIds)
+    val newSeq = cur.seq + 1
+    val newManifests =
+      perManifest.flatMap { case (m, small, big) =>
+        if (small.isEmpty) Some(m)
+        else if (big.nonEmpty) Some(writeManifest(table, big, schema).copy(seq = newSeq))
+        else None
+      } :+ writeManifest(table, rewritten, schema).copy(seq = newSeq)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during compaction")
+      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
+        op = "compact")
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    carryBloomIndexes(table, cur, branch)
+    Some(committed)
+  }
+
+  /** POLICY-DRIVEN table maintenance (the "auto OPTIMIZE" loop as one
+    * idempotent call): read the table's `graft.maintain.*` properties
+    * (branch-versioned TBLPROPERTIES, W58) and run exactly the actions
+    * the table's state warrants, worst problem first:
+    *
+    *  1. `graft.maintain.tombstones.max` (default 8): pending MOR
+    *     tombstone generations at/above the bound → whole-table
+    *     [[compactDataFiles]] (materializes them — the one rewrite MOR
+    *     cannot avoid).
+    *  2. `graft.maintain.small-files.target-bytes` (default 128 MiB) +
+    *     `graft.maintain.small-files.min` (default 16): that many
+    *     under-target files → [[compactSmallFiles]] (O(small files)).
+    *  3. `graft.maintain.manifests.max` (default 32): manifest refs
+    *     at/above the bound → [[compactManifests]] (metadata only).
+    *  4. `graft.maintain.expire.keep-ms` (opt-in): expire snapshots
+    *     older than now − keep-ms, retaining
+    *     `graft.maintain.expire.retain-last` (default 2) per head.
+    *  5. `graft.maintain.orphans.older-than-ms` (opt-in): reap
+    *     never-committed residue older than now − the fence.
+    *
+    * Returns the (action, detail) log — empty = the table was healthy.
+    * Every action is an ordinary commit (visible in `$snapshots` with
+    * its operation tag), so a scheduler can run this blindly per table:
+    * `CALL <cat>.system.maintain('t')`. */
+  def maintain(table: String, branch: String = "main"): Seq[(String, String)] = {
+    val props = tableProperties(table, branch)
+    def intProp(k: String, d: Int): Int = props.get(k).map(_.trim.toInt).getOrElse(d)
+    def longProp(k: String): Option[Long] = props.get(k).map(_.trim.toLong)
+    val out = Seq.newBuilder[(String, String)]
+
+    val head0 = loadSnapshot(table, snapshotIdOf(table, branch)
+      .getOrElse(sys.error(s"no table $table on $branch")))
+    val tombMax = intProp("graft.maintain.tombstones.max", 8)
+    if (head0.deleteManifests.size >= tombMax) {
+      compactDataFiles(table, branch)
+      out += "materialize" ->
+        s"${head0.deleteManifests.size} pending tombstone generations (bound $tombMax)"
+    }
+
+    val target = longProp("graft.maintain.small-files.target-bytes")
+      .getOrElse(128L * 1024 * 1024)
+    val minSmall = intProp("graft.maintain.small-files.min", 16)
+    compactSmallFiles(table, branch, target, math.max(2, minSmall)).foreach { _ =>
+      out += "compact-small-files" -> s"folded under-${target}B files"
+    }
+
+    val manMax = intProp("graft.maintain.manifests.max", 32)
+    val head1 = loadSnapshot(table, snapshotIdOf(table, branch).get)
+    if (head1.manifests.size >= manMax) {
+      compactManifests(table, branch)
+      out += "compact-manifests" -> s"${head1.manifests.size} refs (bound $manMax)"
+    }
+
+    longProp("graft.maintain.expire.keep-ms").foreach { keep =>
+      val r = expireSnapshots(table,
+        retainLast = intProp("graft.maintain.expire.retain-last", 2),
+        olderThanMillis = Some(System.currentTimeMillis() - keep))
+      if (r.snapshotsDeleted > 0)
+        out += "expire-snapshots" ->
+          s"${r.snapshotsDeleted} snapshots, ${r.dataFilesDeleted} data files"
+    }
+    longProp("graft.maintain.orphans.older-than-ms").foreach { fence =>
+      val r = removeOrphanFiles(table, System.currentTimeMillis() - fence)
+      if (r.filesDeleted > 0)
+        out += "remove-orphans" -> s"${r.filesDeleted} files, ${r.bytesDeleted} bytes"
+    }
+    out.result()
+  }
+
+  /** [[maintain]] over every table of the branch — the whole-catalog
+    * scheduler entry point (`CALL <cat>.system.maintain_all()`): returns
+    * (table, action, detail) rows; tables without policies and healthy
+    * tables contribute nothing. */
+  def maintainAll(branch: String = "main"): Seq[(String, String, String)] =
+    listTables(branch).flatMap(t =>
+      maintain(t, branch).map { case (a, d) => (t, a, d) })
+
   def compactDataFilesSorted(
       table: String, clusterBy: Seq[String], branch: String = "main",
       targetFiles: Int = 8): Snapshot = {

@@ -239,6 +239,29 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("a column rename mid-stream is silent; later commits resolve by field id") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t", slice(0, 1).schema)
+    cat.append("t", slice(0, 10))
+    val q = startStream(lake, "t", s"cdc$n")
+    try {
+      q.processAllAvailable()
+      // the schema commit itself is content-neutral; the stream's pinned
+      // schema keeps the OLD name, and post-rename files serve it BY ID
+      cat.renameColumn("t", "n_chars", "length")
+      cat.append("t", slice(10, 20)
+        .withColumnRenamed("n_chars", "length"))
+      q.processAllAvailable()
+      val rows = sink(s"cdc$n")
+      assert(rows.count() == 10)
+      assert(rows.columns.contains("n_chars"), "pinned stream schema")
+      val got = rows.select("doc_id", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val exp = slice(10, 20).collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(got == exp, "post-rename files serve the renamed column by id")
+    } finally q.stop()
+  }
+
   test("startSnapshot bootstraps the feed from a historical snapshot") {
     val (lake, cat) = register()
     cat.createTableIfNotExists("t", slice(0, 1).schema)

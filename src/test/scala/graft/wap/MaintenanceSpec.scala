@@ -1,0 +1,144 @@
+package graft.wap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** W65 — size-tiered small-file compaction (the Iceberg BIN_PACK
+  * strategy) and the policy-driven `maintain` loop. */
+class MaintenanceSpec extends SparkSpecBase {
+
+  private var n = 0
+  private def freshCat(): BranchCatalog = {
+    n += 1
+    new BranchCatalog(spark, Files.createTempDirectory(s"maint$n").toString)
+  }
+
+  private def docs(lo: Long, hi: Long) =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "n_chars")
+
+  test("compactSmallFiles folds only under-target files; big files survive untouched") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 200).coalesce(1)) // the one BIG file
+    for (r <- 0 until 4) // four tiny commits
+      cat.append("t", docs(200 + r * 5, 205 + r * 5).coalesce(1))
+    val before = cat.dataFiles("t")
+    assert(before.size == 5)
+    val bigPath = before.maxBy(_.bytes).path
+    val threshold = before.map(_.bytes).max // big file is AT, not under
+
+    val smallSum = before.filter(_.path != bigPath).map(_.bytes).sum
+    val expectedOuts = math.max(1, math.ceil(smallSum.toDouble / threshold).toInt)
+    val snap = cat.compactSmallFiles("t", targetBytes = threshold)
+    assert(snap.isDefined && snap.get.op == "compact")
+    val after = cat.dataFiles("t")
+    assert(after.size == 1 + expectedOuts,
+      s"4 small files pack into $expectedOuts, got ${after.size - 1}")
+    assert(after.exists(_.path == bigPath), "the big file is carried, not rewritten")
+    // content identical
+    assert(cat.scan("t").agg(sum(col("n_chars"))).head.getLong(0) ==
+      docs(0, 220).agg(sum(col("n_chars"))).head.getLong(0))
+    assert(cat.scan("t").count() == 220)
+    // convergent: each pass strictly reduces the file count (two
+    // half-size outputs may pack once more), then a fixpoint
+    val second = cat.compactSmallFiles("t", targetBytes = threshold)
+    second.foreach(_ => assert(cat.dataFiles("t").size == 2))
+    assert(cat.compactSmallFiles("t", targetBytes = threshold).isEmpty)
+    assert(cat.scan("t").count() == 220)
+  }
+
+  test("compactSmallFiles preserves hidden partition layouts") {
+    val cat = freshCat()
+    val d = docs(0, 64).withColumn("b", col("doc_id") % 2)
+    cat.createTableIfNotExists("t", d.schema, "main", Seq(IdentityPartition("b")))
+    for (r <- 0 until 3)
+      cat.append("t", d.filter(col("doc_id") >= r * 20 && col("doc_id") < r * 20 + 20))
+    val snap = cat.compactSmallFiles("t", targetBytes = Long.MaxValue / 2)
+    assert(snap.isDefined)
+    val files = cat.dataFiles("t")
+    assert(files.forall(_.partition.contains("pv")), "pv values survive the fold")
+    assert(cat.scan("t", filter = Some(col("b") === 0L)).count() ==
+      d.filter(col("doc_id") < 60 && col("doc_id") % 2 === 0).count())
+  }
+
+  test("maintain: healthy table -> no actions; each policy fires on its trigger") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100).coalesce(1))
+    assert(cat.maintain("t").isEmpty, "a healthy table needs nothing")
+
+    // tombstone policy: bound 2, two MOR deletes -> materialize
+    import spark.implicits._
+    cat.setTableProperties("t", Map(
+      "graft.maintain.tombstones.max" -> "2",
+      "graft.maintain.small-files.min" -> "3"))
+    cat.deleteKeysMOR("t", Seq(1L).toDF("doc_id"))
+    cat.deleteKeysMOR("t", Seq(2L).toDF("doc_id"))
+    val acts1 = cat.maintain("t")
+    assert(acts1.map(_._1).contains("materialize"), s"got $acts1")
+    assert(cat.snapshotMeta("t", cat.snapshotIdOf("t").get).deleteManifests.isEmpty)
+    assert(cat.scan("t").count() == 98)
+
+    // small-file policy: min 3 tiny commits -> BIN_PACK fires
+    for (r <- 0 until 3)
+      cat.append("t", docs(100 + r * 5, 105 + r * 5).coalesce(1))
+    val acts2 = cat.maintain("t")
+    assert(acts2.map(_._1) == Seq("compact-small-files"), s"got $acts2")
+    assert(cat.scan("t").count() == 113)
+
+    // manifest policy fires on ref count (small-file policy parked so
+    // the fold does not collapse the refs first)
+    cat.setTableProperties("t", Map("graft.maintain.manifests.max" -> "3",
+      "graft.maintain.small-files.min" -> "99"))
+    for (r <- 0 until 3) cat.append("t", docs(120 + r, 121 + r).coalesce(1))
+    val acts3 = cat.maintain("t")
+    assert(acts3.map(_._1).contains("compact-manifests"), s"got $acts3")
+
+    // expiry policy: keep 0 ms -> history trims to retain-last
+    cat.setTableProperties("t", Map(
+      "graft.maintain.expire.keep-ms" -> "0",
+      "graft.maintain.expire.retain-last" -> "1"))
+    val acts4 = cat.maintain("t")
+    assert(acts4.map(_._1).contains("expire-snapshots"), s"got $acts4")
+    assert(cat.maintain("t").isEmpty, "maintenance is idempotent")
+    assert(cat.scan("t").count() == 116)
+  }
+
+  test("maintainAll sweeps the branch; un-policied healthy tables contribute nothing") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("a", docs(0, 1).schema)
+    cat.append("a", docs(0, 50).coalesce(1))
+    cat.createTableIfNotExists("b", docs(0, 1).schema)
+    cat.setTableProperties("b", Map("graft.maintain.small-files.min" -> "2"))
+    for (r <- 0 until 2) cat.append("b", docs(r * 5, r * 5 + 5).coalesce(1))
+    val acts = cat.maintainAll()
+    assert(acts.map(t => (t._1, t._2)) == Seq("b" -> "compact-small-files"), s"got $acts")
+    assert(cat.scan("b").count() == 10 && cat.scan("a").count() == 50)
+  }
+
+  test("SQL: CALL maintain and rewrite_small_files") {
+    val root = Files.createTempDirectory("maint-sql").toString
+    val cat = new BranchCatalog(spark, root)
+    val lake = "mt_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    for (r <- 0 until 4) cat.append("t", docs(r * 10, r * 10 + 10).coalesce(1))
+    assert(cat.dataFiles("t").size == 4)
+    spark.sql(s"CALL $lake.system.rewrite_small_files('t', 'main', ${Long.MaxValue / 2}, 2)")
+    assert(cat.dataFiles("t").size == 1)
+
+    spark.sql(s"ALTER TABLE $lake.main.t SET TBLPROPERTIES(" +
+      "'graft.maintain.small-files.min'='2')")
+    for (r <- 0 until 2) cat.append("t", docs(50 + r * 5, 55 + r * 5).coalesce(1))
+    spark.sql(s"CALL $lake.system.maintain('t')")
+    assert(cat.dataFiles("t").size == 1,
+      "policy folded everything under the default 128 MiB target")
+    assert(cat.scan("t").count() == 50)
+  }
+}
