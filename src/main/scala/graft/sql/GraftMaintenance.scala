@@ -1,0 +1,47 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+import graft.wap.BranchCatalog
+
+/** W65's orchestration tier: [[BranchCatalog.maintain]]'s STRUCTURAL
+  * actions (materialize / BIN_PACK / manifest fold / expiry / orphans)
+  * plus opt-in DERIVED-ARTIFACT freshness — the two artifacts whose
+  * refresh classifiers already make a no-op free:
+  *
+  *  - `graft.maintain.refresh-mview=true` on a materialized view: run
+  *    [[GraftMaterializedViews.refresh]] (mode `fresh` = zero work, and
+  *    the incremental modes are O(delta)).
+  *  - `graft.maintain.refresh-vector-index=<vecCol>[,<col>…]` on an
+  *    indexed source table: advance each column's persisted IVF-PQ
+  *    index ([[graft.operators.VectorIndex.refresh]] — append-only
+  *    windows encode only the delta).
+  *
+  * This sits ABOVE the catalog (it re-executes view queries and encode
+  * jobs), which is why it lives with the SQL orchestration and is what
+  * `CALL <cat>.system.maintain[_all]` runs. */
+object GraftMaintenance {
+
+  def run(spark: SparkSession, cat: BranchCatalog, table: String,
+      branch: String = "main"): Seq[(String, String)] = {
+    val acts = Seq.newBuilder[(String, String)]
+    acts ++= cat.maintain(table, branch)
+    val props = cat.tableProperties(table, branch)
+    if (props.get("graft.maintain.refresh-mview").contains("true") &&
+        props.contains(GraftMaterializedViews.SqlKey)) {
+      val mode = GraftMaterializedViews.refresh(spark, cat, table, branch)
+      if (mode != "fresh") acts += "refresh-mview" -> mode
+    }
+    props.get("graft.maintain.refresh-vector-index").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).foreach { vc =>
+        val mode = graft.operators.VectorIndex.refresh(spark, cat, table, vc, branch)
+        if (mode != "fresh") acts += "refresh-vector-index" -> s"$vc: $mode"
+      }
+    acts.result()
+  }
+
+  def runAll(spark: SparkSession, cat: BranchCatalog,
+      branch: String = "main"): Seq[(String, String, String)] =
+    cat.listTables(branch).flatMap(t =>
+      run(spark, cat, t, branch).map { case (a, d) => (t, a, d) })
+}

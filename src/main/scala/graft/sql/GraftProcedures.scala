@@ -87,13 +87,14 @@ object GraftProcedures {
       procedure(root, name, Array(
         param("table", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
-        cat.maintain(args.getString(0), args.getString(1))
+        GraftMaintenance.run(SparkSession.active, cat,
+          args.getString(0), args.getString(1))
         ()
       }
     case "maintain_all" =>
       procedure(root, name, Array(
         param("branch", StringType, "'main'"))) { (cat, args) =>
-        cat.maintainAll(args.getString(0))
+        GraftMaintenance.runAll(SparkSession.active, cat, args.getString(0))
         ()
       }
     case "rewrite_data_files" =>

@@ -121,6 +121,26 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(cat.scan("b").count() == 10 && cat.scan("a").count() == 50)
   }
 
+  test("maintain refreshes opted-in derived artifacts (mview freshness sweep)") {
+    val root = Files.createTempDirectory("maint-mv").toString
+    val cat = new BranchCatalog(spark, root)
+    val lake = "mv_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+    cat.createTableIfNotExists("src", docs(0, 1).schema)
+    cat.append("src", docs(0, 50))
+    graft.sql.GraftMaterializedViews.create(spark, cat, "v",
+      s"SELECT count(*) AS n FROM $lake.main.src", "main")
+    cat.setTableProperties("v", Map("graft.maintain.refresh-mview" -> "true"))
+
+    assert(graft.sql.GraftMaintenance.run(spark, cat, "v").isEmpty,
+      "a fresh view needs nothing")
+    cat.append("src", docs(50, 80))
+    val acts = graft.sql.GraftMaintenance.runAll(spark, cat)
+    assert(acts.exists(a => a._1 == "v" && a._2 == "refresh-mview"), s"got $acts")
+    assert(cat.scan("v").head.getLong(0) == 80L)
+  }
+
   test("SQL: CALL maintain and rewrite_small_files") {
     val root = Files.createTempDirectory("maint-sql").toString
     val cat = new BranchCatalog(spark, root)
