@@ -1198,8 +1198,12 @@ class BranchCatalog(
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"CDC key column $c is not a column of $table"))
     // EVERY touched key is tombstoned (it covers PRIOR data only), so a
-    // cross-commit update pair replaces its old version cleanly
-    val delKeys = changes.select(keyCols.map(col): _*).distinct()
+    // cross-commit update pair replaces its old version cleanly — except
+    // into an EMPTY table (the replication backfill epoch), where there
+    // is no prior data to cover and the tombstone would be pure overhead
+    val delKeys =
+      if (cur.manifests.isEmpty) changes.select(keyCols.map(col): _*).limit(0)
+      else changes.select(keyCols.map(col): _*).distinct()
     // rows > 0: an empty side would otherwise stage a schema-only part
     // file and commit a vacuous manifest
     val dataFiles = writeTableFiles(table, alignToSchema(inserts, schema, table, branch),

@@ -319,6 +319,9 @@ class CdcStreamSpec extends SparkSpecBase {
     }
     drain() // backfill epoch auto-creates the replica
     same()
+    assert(dcat.snapshotMeta("docs", dcat.snapshotIdOf("docs").get)
+      .deleteManifests.isEmpty,
+      "a backfill into an empty table needs no tombstone generation")
     // a full DML mix replicates: append, CoW rewrite pairs, exact sidecar
     scat.append("docs", slice(20, 40))
     scat.deleteWhere("docs", col("doc_id") < 5)
