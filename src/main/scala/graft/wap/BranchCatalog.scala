@@ -4454,9 +4454,13 @@ class BranchCatalog(
     val target = longProp("graft.maintain.small-files.target-bytes")
       .getOrElse(128L * 1024 * 1024)
     val minSmall = intProp("graft.maintain.small-files.min", 16)
-    compactSmallFiles(table, branch, target, math.max(2, minSmall)).foreach { _ =>
-      out += "compact-small-files" -> s"folded under-${target}B files"
-    }
+    // tombstones BELOW the materialization bound park the BIN_PACK pass
+    // (a scoped rewrite refuses pending tombstones); the next breach of
+    // the tombstone bound materializes and unblocks it
+    if (loadSnapshot(table, snapshotIdOf(table, branch).get).deleteManifests.isEmpty)
+      compactSmallFiles(table, branch, target, math.max(2, minSmall)).foreach { _ =>
+        out += "compact-small-files" -> s"folded under-${target}B files"
+      }
 
     val manMax = intProp("graft.maintain.manifests.max", 32)
     val head1 = loadSnapshot(table, snapshotIdOf(table, branch).get)

@@ -109,6 +109,23 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 116)
   }
 
+  test("pending tombstones below the bound park BIN_PACK instead of crashing it") {
+    val cat = freshCat()
+    import spark.implicits._
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    for (r <- 0 until 3) cat.append("t", docs(r * 10, r * 10 + 10).coalesce(1))
+    cat.setTableProperties("t", Map("graft.maintain.small-files.min" -> "2"))
+    cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id")) // 1 generation, bound 8
+    assert(cat.maintain("t").isEmpty,
+      "neither policy fires: tombstones under bound, BIN_PACK parked")
+    assert(cat.scan("t").count() == 29)
+    // once the tombstone bound breaches, materialize unblocks BIN_PACK
+    cat.setTableProperties("t", Map("graft.maintain.tombstones.max" -> "1"))
+    val acts = cat.maintain("t")
+    assert(acts.map(_._1) == Seq("materialize"), s"got $acts")
+    assert(cat.maintain("t").isEmpty, "materialization left one file")
+  }
+
   test("maintainAll sweeps the branch; un-policied healthy tables contribute nothing") {
     val cat = freshCat()
     cat.createTableIfNotExists("a", docs(0, 1).schema)
