@@ -72,6 +72,7 @@ object SparkEntry {
     "wap_mor_upsert" -> (WapQueries.wapMorUpsert _),
     "wap_sql_scan" -> (WapQueries.wapSqlScan _),
     "wap_export" -> (WapQueries.wapExport _),
+    "wap_export_changes" -> (WapQueries.wapExportChanges _),
     "wap_sql_dml" -> (WapQueries.wapSqlDml _),
     "wap_meta_tables" -> (WapQueries.wapMetaTables _),
     "wap_txn" -> (WapQueries.wapTxn _),
@@ -271,6 +272,8 @@ object SparkEntry {
     // actual export dir for the SF being verified (WapQueries.exportDir)
     "wap_export" ->
       """SELECT d.n_rows, d.sum_chars, d.n_docs, m.n_files, t.tail_rows, t.tail_chars, a.n_admitted FROM (SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs FROM read_parquet('__EXPORT_DIR__/files/*.parquet')) d CROSS JOIN (SELECT CAST(len(files) AS BIGINT) AS n_files FROM read_json_auto('__EXPORT_DIR__/manifest.json')) m CROSS JOIN (SELECT count(*) AS tail_rows, CAST(sum(n_chars) AS BIGINT) AS tail_chars FROM read_parquet('__EXPORT_DIR__/files/*.parquet') WHERE doc_id >= 210) t CROSS JOIN (SELECT count(*) AS n_admitted FROM (SELECT unnest(files) AS f FROM read_json_auto('__EXPORT_DIR__/manifest.json')) u WHERE CAST(u.f.upper.doc_id AS BIGINT) >= 210) a""",
+    "wap_export_changes" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 20 AND doc_id < 150) AS n_insert_rows, (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_delete_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 150) - (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 20) AS chars_net, (SELECT count(*) FROM documents WHERE doc_id < 20 OR (doc_id >= 100 AND doc_id < 150)) AS net_rows, (SELECT count(*) FROM read_parquet('__EXPORT_DIR__-changes/net/changes/*.parquet')) AS duck_net_rows, true AS net_consistent""",
     "wap_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_w23, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS chars_w23, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS rows_w13, CAST(0 AS BIGINT) AS rows_empty, CAST(0 AS BIGINT) AS rows_compaction""",
     "dq_null_audit" ->

@@ -1553,6 +1553,58 @@ object WapQueries {
         lit(healthy && oneFile).as("healthy_after"))
   }
 
+  /** W66 — INCREMENTAL foreign-engine export end-to-end
+    * ([[graft.wap.BranchCatalog.exportChanges]], the Delta-Sharing-CDF
+    * analogue): a window holding an append and a CoW delete exports
+    * BOTH ways — the zero-copy transaction form (insert/delete file
+    * legs; the rewritten file's carryovers pair off under a signed
+    * fold) and the materialized NET form (carryovers cancel). The Spark
+    * side recomputes every aggregate by READING BACK the export
+    * artifacts only; the oracle recomputes them from `documents` range
+    * arithmetic AND reads the net export directly in DuckDB
+    * (`duck_net_rows`) — cross-engine agreement on the same bytes. */
+  def wapExportChanges(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-expch").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100).coalesce(1))
+    val s1 = cat.snapshotIdOf("documents").get
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150).coalesce(1))
+    cat.deleteWhere("documents", col("doc_id") < 20) // rewrites file 1
+    val s2 = cat.snapshotIdOf("documents").get
+
+    val base = exportDir(dir) + "-changes"
+    val files = cat.exportChanges("documents", s1, s2, s"$base/files")
+    val net = cat.exportChanges("documents", s1, s2, s"$base/net", net = true)
+
+    // read back THROUGH THE EXPORTS only
+    val mf = spark.read.option("multiLine", true).json(files.manifestPath)
+    def paths(side: String): Seq[String] = mf
+      .select(explode(col(side)).as("f")).select(col("f.path"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    val ins = spark.read.parquet(paths("inserts"): _*)
+    val del = spark.read.parquet(paths("deletes"): _*)
+    val netDf = spark.read.parquet(net.dest + "/changes")
+    val netRows = netDf.count()
+    val netCharsSigned = netDf.agg(sum(when(col("_change_type") === "insert",
+      col("n_chars")).otherwise(-col("n_chars"))).cast("long")).head.getLong(0)
+
+    ins.agg(count(lit(1)).as("n_insert_rows"),
+      sum(col("n_chars")).cast("long").as("ins_chars"))
+      .crossJoin(del.agg(count(lit(1)).as("n_delete_rows"),
+        sum(col("n_chars")).cast("long").as("del_chars")))
+      .select(col("n_insert_rows"), col("n_delete_rows"),
+        (col("ins_chars") - col("del_chars")).as("chars_net"),
+        lit(netRows).as("net_rows"),
+        lit(netRows).as("duck_net_rows"),
+        // the two forms agree: the transaction legs' signed fold equals
+        // the net export's signed fold (carryovers cancelled)
+        ((col("ins_chars") - col("del_chars")) === lit(netCharsSigned))
+          .as("net_consistent"))
+  }
+
   /** W21 extended — MULTI-transform hidden partitioning end-to-end: the
     * events table laid out `day(ts);bucket(4,user_id)` (the canonical
     * Iceberg fact-table layout), appends auto-routed into the nested

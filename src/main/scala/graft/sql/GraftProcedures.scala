@@ -45,7 +45,7 @@ object GraftProcedures {
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
       "publish", "create_tag", "drop_tag",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
-      "export_snapshot", "rewrite_partitioned",
+      "export_snapshot", "export_changes", "rewrite_partitioned",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "create_changelog_view")
@@ -246,6 +246,24 @@ object GraftProcedures {
         param("snapshot_id", StringType, "''"))) { (cat, args) =>
         val snap = Option(args.getString(3)).map(_.trim).filter(_.nonEmpty)
         cat.exportSnapshot(args.getString(0), args.getString(1), args.getString(2), snap)
+        ()
+      }
+    case "export_changes" =>
+      // W66 — the incremental companion: export a snapshot WINDOW's
+      // changes (transaction-form zero-copy file legs, or net=true to
+      // materialize the W62 net changelog) for a consumer catching up
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("from_snapshot", StringType),
+        param("dest", StringType),
+        param("to_snapshot", StringType, "''"),
+        param("branch", StringType, "'main'"),
+        param("net", org.apache.spark.sql.types.BooleanType, "false"))) { (cat, args) =>
+        val to = Option(args.getString(3)).map(_.trim).filter(_.nonEmpty)
+          .getOrElse(cat.snapshotIdOf(args.getString(0), args.getString(4))
+            .getOrElse(sys.error(s"no table ${args.getString(0)}")))
+        cat.exportChanges(args.getString(0), args.getString(1), to,
+          args.getString(2), args.getBoolean(5))
         ()
       }
     case "rollback_table" =>

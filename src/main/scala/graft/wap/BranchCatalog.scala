@@ -298,6 +298,23 @@ case class ExportedSnapshot(
 private[wap] case class ExportManifest(
     table: String, snapshotId: String, seq: Long, committedAtMillis: Long,
     schemaDdl: String, partitionSpec: Option[String], files: Seq[ExportFileEntry])
+
+/** One engine-neutral INCREMENTAL export ([[BranchCatalog.exportChanges]]):
+  * a snapshot window's changes for a foreign consumer. */
+case class ExportedChanges(
+    dest: String, manifestPath: String, viewPath: String,
+    fromId: String, toId: String,
+    insertFiles: Long, deleteFiles: Long,
+    insertRows: Long, deleteRows: Long, materialized: Boolean)
+
+/** `manifest-changes.json`: the window identity plus the insert/delete
+  * file entries (transaction form) or the materialized net-changelog
+  * location — same engine-neutral conventions as [[ExportManifest]]. */
+private[wap] case class ExportChangesManifest(
+    table: String, fromId: String, toId: String, fromSeq: Long, toSeq: Long,
+    schemaDdl: String, materialized: Boolean,
+    inserts: Seq[ExportFileEntry], deletes: Seq[ExportFileEntry],
+    changesParquet: Option[String])
 private[wap] case class ExportFileEntry(
     path: String, rows: Long, bytes: Long,
     lower: Map[String, String] = Map.empty,
@@ -4155,6 +4172,114 @@ class BranchCatalog(
       }
     ExportedSnapshot(dest, manifestPath, viewPath, filesDir, filesParquet, id,
       entries.length.toLong, entries.map(_.rows).sum)
+  }
+
+  /** INCREMENTAL foreign-engine export (W66 — the Delta-Sharing-CDF
+    * analogue of [[exportSnapshot]]): export a snapshot WINDOW's changes
+    * so an external consumer holding `fromId`'s content can catch up to
+    * `toId` without re-reading the table.
+    *
+    *  - Default (transaction form, ZERO-COPY): `manifest-changes.json`
+    *    lists the window's insert-side and delete-side data files
+    *    (symmetric endpoint diff — untouched files never appear), and
+    *    `view.sql` serves `<t>_changes_export` as a UNION of the two
+    *    read_parquet legs with a literal `_change_type`. A CoW
+    *    rewrite's carried survivors appear as a delete+insert pair —
+    *    multiset-exact for a consumer applying deletes before inserts
+    *    (or any signed fold). Local-FS paths also get `inserts/` and
+    *    `deletes/` symlink farms for glob-style readers.
+    *  - `net = true`: MATERIALIZE the W62 net changelog as parquet
+    *    under `<dest>/changes/` (rows carry `_change_type`) — pays one
+    *    write of O(net rows), serves consumers that cannot net.
+    *
+    * Guards mirror [[exportSnapshot]]: both endpoints tombstone-free, no
+    * rename residue and no schema change across the window (a foreign
+    * engine matches columns by NAME). */
+  def exportChanges(table: String, fromId: String, toId: String, dest: String,
+      net: Boolean = false): ExportedChanges = {
+    val from = loadSnapshot(table, fromId)
+    val to = loadSnapshot(table, toId)
+    require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
+      s"changes export of $table needs tombstone-free endpoints — materialize " +
+        "with compactDataFiles first")
+    require(from.schemaDdl == to.schemaDdl && !to.evo.renamedFiles,
+      s"changes window of $table crosses a schema change or rename residue — a " +
+        "FOREIGN engine matches columns by name; export after a full rewrite")
+    val fromFiles = filesOf(from)
+    val toFiles = filesOf(to)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val toPaths = toFiles.map(_.path).toSet
+    val deletes = fromFiles.filterNot(f => toPaths.contains(f.path)).sortBy(_.path)
+    val inserts = toFiles.filterNot(f => fromPaths.contains(f.path)).sortBy(_.path)
+    require(deletes.nonEmpty || inserts.nonEmpty,
+      s"window $fromId -> $toId of $table changed no files — nothing to export")
+    def plain(p: String): String = {
+      val uri = new Path(p).toUri
+      if (uri.getScheme == null || uri.getScheme == "file") uri.getPath else p
+    }
+    val destPath = new Path(dest)
+    val dfs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(destPath)) {
+      val nonEmpty = dfs.listStatus(destPath).nonEmpty
+      require(!nonEmpty || dfs.exists(new Path(destPath, "manifest-changes.json")),
+        s"export dest $dest exists, is non-empty and is not a prior changes " +
+          "export — refusing to overwrite; pick an empty dest")
+      dfs.delete(destPath, true)
+    }
+    dfs.mkdirs(destPath)
+    def emit(name: String, content: String): String = {
+      val p = new Path(destPath, name)
+      val out = dfs.create(p, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      p.toString
+    }
+    def entriesOf(fs: Seq[DataFileMeta]): Seq[ExportFileEntry] =
+      fs.map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes,
+        f.lower, f.upper, f.nullCounts, f.partition))
+    def linkFarm(kind: String, entries: Seq[ExportFileEntry]): Unit =
+      if (entries.nonEmpty &&
+          "file" == dfs.makeQualified(destPath).toUri.getScheme &&
+          entries.forall(e => new Path(e.path).toUri.getScheme == null ||
+            "file" == new Path(e.path).toUri.getScheme)) {
+        val d = java.nio.file.Paths.get(
+          dfs.makeQualified(new Path(destPath, kind)).toUri.getPath)
+        java.nio.file.Files.createDirectories(d)
+        entries.zipWithIndex.foreach { case (e, i) =>
+          java.nio.file.Files.createSymbolicLink(d.resolve(f"$i%05d.parquet"),
+            java.nio.file.Paths.get(new Path(e.path).toUri.getPath))
+        }
+      }
+    def leg(ct: String, entries: Seq[ExportFileEntry]): String =
+      s"SELECT *, '$ct' AS _change_type FROM read_parquet([\n  " +
+        entries.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ") + "\n])"
+
+    val (insE, delE) = (entriesOf(inserts), entriesOf(deletes))
+    val (viewSql, changesParquet, insRows, delRows) =
+      if (net) {
+        val cl = scanChangelog(table, fromId, toId)
+        val dir = new Path(destPath, "changes").toString
+        cl.write.mode("overwrite").parquet(dir)
+        val counts = spark.read.parquet(dir).groupBy("_change_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (s"CREATE OR REPLACE VIEW ${table}_changes_export AS SELECT * FROM " +
+          s"read_parquet('${plain(dir).replace("'", "''")}/*.parquet');\n",
+          Some(plain(dir)),
+          counts.getOrElse("insert", 0L), counts.getOrElse("delete", 0L))
+      } else {
+        linkFarm("inserts", insE)
+        linkFarm("deletes", delE)
+        val legs = Seq(("insert", insE), ("delete", delE))
+          .filter(_._2.nonEmpty).map { case (ct, es) => leg(ct, es) }
+        (s"CREATE OR REPLACE VIEW ${table}_changes_export AS\n" +
+          legs.mkString("\nUNION ALL\n") + ";\n",
+          None, insE.map(_.rows).sum, delE.map(_.rows).sum)
+      }
+    val manifestPath = emit("manifest-changes.json",
+      Serialization.write(ExportChangesManifest(table, fromId, toId,
+        from.seq, to.seq, to.schemaDdl, net, insE, delE, changesParquet)))
+    val viewPath = emit("view.sql", viewSql)
+    ExportedChanges(dest, manifestPath, viewPath, fromId, toId,
+      insE.length.toLong, delE.length.toLong, insRows, delRows, net)
   }
 
   /** Columns with a bloom sidecar on ANY of `manifestPaths` (from the

@@ -258,4 +258,79 @@ class ExportSpec extends SparkSpecBase {
     val expected = cat.scan("t").agg(count(lit(1)), sum("n_chars")).head
     assert(got == Seq(expected.getLong(0).toString, expected.getLong(1).toString))
   }
+
+  test("exportChanges: zero-copy transaction form whose signed fold is the window's net") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+      .select("doc_id", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100).coalesce(1))
+    val s1 = cat.snapshotIdOf("t").get
+    cat.append("t", docs.filter(col("doc_id") >= 100).coalesce(1))
+    cat.deleteWhere("t", col("doc_id") < 20) // rewrites file 1
+    val s2 = cat.snapshotIdOf("t").get
+
+    val exp = cat.exportChanges("t", s1, s2, exportTo())
+    assert(!exp.materialized)
+    assert(exp.deleteRows == 100, "the rewritten file's full rows are the delete leg")
+    assert(exp.insertRows == 130, "survivors + the new commit are the insert leg")
+    // symlink farms mirror the legs
+    val ins = Files.list(Paths.get(new org.apache.hadoop.fs.Path(
+      exp.dest, "inserts").toUri.getPath)).toArray
+    val dels = Files.list(Paths.get(new org.apache.hadoop.fs.Path(
+      exp.dest, "deletes").toUri.getPath)).toArray
+    assert(ins.nonEmpty && dels.length == 1)
+    if (duckdbAvailable) {
+      // DuckDB executes the view; the signed fold reconstructs the net
+      val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+        "SELECT CAST(sum(CASE WHEN _change_type = 'insert' THEN n_chars " +
+          "ELSE -n_chars END) AS BIGINT), count(*) FROM t_changes_export")
+      val netChars = docs.filter(col("doc_id") >= 100).agg(sum("n_chars")).head.getLong(0) -
+        docs.filter(col("doc_id") < 20).agg(sum("n_chars")).head.getLong(0)
+      assert(got == Seq(netChars.toString, "230"))
+    }
+    // append-only window: single-leg view, no delete farm
+    cat.append("t", docs.filter(col("doc_id") < 10).coalesce(1))
+    val exp2 = cat.exportChanges("t", s2, cat.snapshotIdOf("t").get, exportTo())
+    assert(exp2.deleteFiles == 0 && exp2.insertRows == 10)
+    if (duckdbAvailable) {
+      val got2 = duckdb(new org.apache.hadoop.fs.Path(exp2.viewPath).toUri.getPath,
+        "SELECT count(*), min(_change_type) FROM t_changes_export")
+      assert(got2 == Seq("10", "insert"))
+    }
+  }
+
+  test("exportChanges net=true materializes exactly the net rows; guards refuse") {
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+      .select("doc_id", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100).coalesce(1))
+    val s1 = cat.snapshotIdOf("t").get
+    cat.append("t", docs.filter(col("doc_id") >= 100).coalesce(1))
+    cat.deleteWhere("t", col("doc_id") < 20)
+    val s2 = cat.snapshotIdOf("t").get
+
+    val exp = cat.exportChanges("t", s1, s2, exportTo(), net = true)
+    assert(exp.materialized)
+    assert(exp.insertRows == 20 && exp.deleteRows == 20,
+      "net form: carried survivors cancel")
+    if (duckdbAvailable) {
+      val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+        "SELECT count(*), CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 " +
+          "ELSE -1 END) AS BIGINT) FROM t_changes_export")
+      assert(got == Seq("40", "0"), "20 inserts net against 20 deletes")
+    }
+    // guards: pending sidecars refuse; empty windows refuse
+    cat.deleteWherePositional("t", col("doc_id") === 50)
+    val s3 = cat.snapshotIdOf("t").get
+    val e1 = intercept[IllegalArgumentException] {
+      cat.exportChanges("t", s2, s3, exportTo())
+    }
+    assert(e1.getMessage.contains("tombstone-free"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.exportChanges("t", s1, s1, exportTo())
+    }
+    assert(e2.getMessage.contains("changed no files"))
+  }
 }
