@@ -156,13 +156,20 @@ case class GraftChangesTable(base: GraftTable) extends Table
             case Some(other) => throw new IllegalArgumentException(
               s"graft.changes.initial must be 'snapshot' or 'none', got '$other'")
           }
-          // the Delta `startingVersion` analogue: feed changes SINCE a
-          // known historical snapshot (a consumer bootstrapped from a
-          // snapshot export resumes its feed exactly there)
-          val startAt = Option(options.get("graft.changes.startSnapshot"))
+          // the Delta `startingVersion` / `startingTimestamp` analogues:
+          // feed changes SINCE a known historical snapshot (a consumer
+          // bootstrapped from a snapshot export resumes exactly there),
+          // or since the last snapshot at/before an epoch-millis instant
+          val byId = Option(options.get("graft.changes.startSnapshot"))
+          val byTs = Option(options.get("graft.changes.startTimestamp")).map(_.toLong)
+          require(byId.isEmpty || byTs.isEmpty,
+            "graft.changes.startSnapshot and graft.changes.startTimestamp are " +
+              "alternative starts — pick one")
+          val startAt = byId.orElse(byTs.map(ms =>
+            new BranchCatalog(spark, root).snapshotIdAsOf(baseTable, ms, branch)))
           require(startAt.isEmpty || !initial,
-            "graft.changes.startSnapshot replays commits SINCE a snapshot; " +
-              "graft.changes.initial=snapshot backfills one — pick one start")
+            "graft.changes.startSnapshot/startTimestamp replay commits SINCE a " +
+              "snapshot; graft.changes.initial=snapshot backfills one — pick one start")
           new GraftCdcMicroBatchStream(spark, root, branch, baseTable,
             baseSchema, required, maxFiles, initial, startAt)
         }

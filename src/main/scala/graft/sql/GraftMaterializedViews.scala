@@ -155,6 +155,39 @@ object GraftMaterializedViews {
     }
   }
 
+  /** CONTINUOUS maintenance (W56 × W63): a streaming query that runs
+    * [[refresh]] whenever the view's FIRST source table commits, using
+    * the CDC stream purely as the commit SIGNAL — the projection keeps
+    * only `_commit_seq`, so each trigger reads ZERO base columns of the
+    * changed files (the W63 pruned reader), and the refresh itself runs
+    * the cheapest sound mode as always. Replayed triggers are free
+    * (`fresh` short-circuits), so no exactly-once plumbing is needed;
+    * multi-source views re-pin EVERY stale source on each trigger.
+    * Content-neutral source commits (compactions) wake the query with
+    * an empty batch that still refreshes — also `fresh`-cheap. Stop the
+    * returned query to end maintenance. */
+  def maintainContinuously(spark: SparkSession, cat: BranchCatalog,
+      name: String, branch: String, catalogName: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val props = cat.tableProperties(name, branch)
+    require(props.contains(SqlKey), s"$name on $branch is not a materialized view")
+    val source = props.getOrElse(SourcesKey, "").split(";").filter(_.nonEmpty)
+      .map(kv => kv.take(kv.indexOf('='))).headOption
+      .getOrElse(sys.error(s"view $name records no source tables"))
+    refresh(spark, cat, name, branch) // catch up on pre-stream commits
+    spark.readStream
+      .table(s"$catalogName.$branch.`$source$$changes`")
+      .select(GraftChangesTable.CommitSeqCol)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        refresh(spark, cat, name, branch)
+        ()
+      }
+      .start()
+  }
+
   /** Drop the view's table and definition. */
   def drop(cat: BranchCatalog, name: String, branch: String): Unit = {
     require(cat.tableProperties(name, branch).contains(SqlKey),

@@ -262,6 +262,34 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("startTimestamp resolves to the last snapshot at or before the instant") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t", slice(0, 1).schema)
+    cat.append("t", slice(0, 10))
+    Thread.sleep(5)
+    val mark = System.currentTimeMillis()
+    Thread.sleep(5)
+    cat.append("t", slice(10, 20))
+    val q = spark.readStream
+      .option("graft.changes.startTimestamp", mark.toString)
+      .table(s"$lake.main.`t$$changes`")
+      .writeStream.format("memory").queryName(s"cdct$n").start()
+    try {
+      q.processAllAvailable()
+      val rows = sink(s"cdct$n")
+      assert(rows.count() == 10, "only the post-mark commit feeds")
+      assert(rows.agg(min(col("doc_id"))).head.getLong(0) == 10L)
+    } finally q.stop()
+    intercept[Exception] {
+      spark.readStream
+        .option("graft.changes.startTimestamp", mark.toString)
+        .option("graft.changes.startSnapshot", "abc")
+        .table(s"$lake.main.`t$$changes`")
+        .writeStream.format("memory").queryName(s"cdctx$n").start()
+        .processAllAvailable()
+    }
+  }
+
   test("startSnapshot bootstraps the feed from a historical snapshot") {
     val (lake, cat) = register()
     cat.createTableIfNotExists("t", slice(0, 1).schema)

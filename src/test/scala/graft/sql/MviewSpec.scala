@@ -264,6 +264,37 @@ class MviewSpec extends SparkSpecBase {
     assert(err.getMessage.contains("not a materialized view"))
   }
 
+  test("maintainContinuously advances the view on every source commit") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("src", docs(0, 1).schema)
+    cat.append("src", docs(0, 40))
+    GraftMaterializedViews.create(spark, cat, "live",
+      s"SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+        s"FROM $lake.main.src GROUP BY lang", "main")
+    cat.append("src", docs(40, 60)) // lands BEFORE maintenance starts
+    val ckpt = Files.createTempDirectory("mview-live").toString
+    val q = GraftMaterializedViews.maintainContinuously(
+      spark, cat, "live", "main", lake, ckpt)
+    try {
+      q.processAllAvailable()
+      def expected(hi: Long) = sortedRows(docs(0, hi)
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars")))
+      assert(sortedRows(cat.scan("live").select("lang", "n", "chars")) ==
+        expected(60), "the startup catch-up covered the pre-stream commit")
+      cat.append("src", docs(60, 90))
+      q.processAllAvailable()
+      assert(sortedRows(cat.scan("live").select("lang", "n", "chars")) ==
+        expected(90), "an append commit triggers an incremental refresh")
+      cat.deleteWhere("src", col("doc_id") < 10)
+      q.processAllAvailable()
+      assert(sortedRows(cat.scan("live").select("lang", "n", "chars")) ==
+        sortedRows(docs(10, 90).groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))),
+        "a delete commit triggers a sound (fold or full) refresh")
+    } finally q.stop()
+  }
+
   test("create refuses sources it cannot track (foreign files)") {
     val (lake, cat) = register()
     mk(lake, cat)
