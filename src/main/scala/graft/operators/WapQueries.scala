@@ -589,6 +589,53 @@ object WapQueries {
         lit(res.rowsInserted).as("rows_inserted"))
   }
 
+  /** WHEN NOT MATCHED BY SOURCE end-to-end
+    * ([[graft.wap.BranchCatalog.mergeInto]] by-source clauses, SQL:2023 /
+    * Delta-Iceberg by-source semantics + graft's two-tier planning).
+    * Merge 1 exercises every clause family at once — matched evens
+    * update, bounded inserts, by-source UPDATE below 40, by-source
+    * DELETE above 160 — and its conditional by-source tier must CARRY
+    * the middle-band files by reference (join-free rewrites only where a
+    * condition may hold). Merge 2 is the sync-to-source fast path: an
+    * unconditional by-source DELETE whose no-overlap files drop
+    * METADATA-ONLY, never read. Oracle: the same clause arithmetic in
+    * plain SQL over the source slices. */
+  def wapMergeSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MergeClause._
+    val tmp = Files.createTempDirectory("graft-wap-mbs").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val all = Tables.documents(spark, dir)
+    val docs = all.filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.appendClustered("documents", docs, Seq("doc_id"), files = 8)
+
+    val src1 = all.filter(
+      (col("doc_id") >= 80 && col("doc_id") < 120) ||
+        (col("doc_id") >= 200 && col("doc_id") < 220))
+    val r1 = cat.mergeInto("documents", src1, Seq("doc_id"), Seq(
+      MatchedUpdate(Some(col("s.doc_id") % 2 === 0),
+        Map("n_chars" -> (col("t.n_chars") + lit(1000L)))),
+      NotMatchedInsert(Some(col("s.doc_id") < 210)),
+      NotMatchedBySourceUpdate(Some(col("t.doc_id") < 40),
+        Map("lang" -> lit("stale"))),
+      NotMatchedBySourceDelete(Some(col("t.doc_id") >= 160))))
+
+    val r2 = cat.mergeInto("documents", all.filter(col("doc_id") < 100),
+      Seq("doc_id"), Seq(NotMatchedBySourceDelete(None)))
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(cat.scan("documents").filter(col("lang") === "stale").count()).as("n_stale"),
+        lit(r1.rowsUpdated).as("rows_updated_1"),
+        lit(r1.rowsDeleted).as("rows_deleted_1"),
+        lit(r1.rowsInserted).as("rows_inserted_1"),
+        lit(r2.rowsDeleted).as("rows_deleted_2"),
+        lit(r1.filesUntouched > 0).as("conditional_tier_carried"),
+        lit(r2.filesDropped > 0).as("drop_tier_metadata_only"))
+  }
+
   /** Multi-table ATOMIC publish ([[graft.wap.BranchCatalog.transaction]] —
     * the Nessie-style transactional commit the reference's catalog gives
     * it for free): one transaction appends a fact batch AND its derived

@@ -92,10 +92,6 @@ object GraftDmlLowering {
   }
 
   private def lowerMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "WHEN NOT MATCHED BY SOURCE is not supported on catalog tables — " +
-          "run a DELETE/UPDATE with an anti-join condition instead")
     if (m.withSchemaEvolution)
       throw new UnsupportedOperationException(
         "MERGE WITH SCHEMA EVOLUTION is not supported — ALTER TABLE first")
@@ -164,7 +160,28 @@ object GraftDmlLowering {
         MergeClause.NotMatchedInsert(cond.map(aliased(_, "MERGE INSERT condition")))
       case other => throw new UnsupportedOperationException(s"unsupported MERGE action $other")
     }
-    GraftMergeCommand(t, m.sourceTable, keys, matched ++ notMatched)
+    val bySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        // by-source clauses see only the target row; the analyzer already
+        // rejects source references, this guards the invariant locally
+        (cond.toSeq ++ assigns.map(_.value)).foreach { e =>
+          require(e.references.subsetOf(tOut),
+            s"NOT MATCHED BY SOURCE expression ${e.sql} references non-target columns")
+        }
+        val real = assigns.filterNot(a => a.value.semanticEquals(a.key))
+        val use = if (real.nonEmpty) real else assigns
+        MergeClause.NotMatchedBySourceUpdate(
+          cond.map(aliased(_, "MERGE BY SOURCE UPDATE condition")),
+          use.map(a => assignName(a) ->
+            aliased(a.value, s"MERGE BY SOURCE SET ${assignName(a)}")).toMap)
+      case DeleteAction(cond) =>
+        cond.foreach(e => require(e.references.subsetOf(tOut),
+          s"NOT MATCHED BY SOURCE condition ${e.sql} references non-target columns"))
+        MergeClause.NotMatchedBySourceDelete(
+          cond.map(aliased(_, "MERGE BY SOURCE DELETE condition")))
+      case other => throw new UnsupportedOperationException(s"unsupported MERGE action $other")
+    }
+    GraftMergeCommand(t, m.sourceTable, keys, matched ++ notMatched ++ bySource)
   }
 
   private[sql] def requireDmlWritable(t: GraftTable, op: String): Unit = {

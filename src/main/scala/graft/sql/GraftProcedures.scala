@@ -43,7 +43,7 @@ object GraftProcedures {
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "rewrite_small_files", "maintain", "maintain_all",
       "analyze_table", "analyze_table_incremental", "build_bloom_index",
-      "publish", "create_tag", "drop_tag",
+      "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
       "create_mview", "refresh_mview", "drop_mview",
@@ -209,6 +209,21 @@ object GraftProcedures {
     case "drop_tag" =>
       procedure(root, name, Array(param("tag", StringType))) { (cat, args) =>
         cat.dropTag(args.getString(0))
+      }
+    case "clone_table" =>
+      // zero-copy SHALLOW CLONE (one refs commit, no file IO): dst points
+      // at src's current (or as_of) snapshot and shares its directory;
+      // lineages diverge freely and GC is sharer-aware (BranchCatalog
+      // .cloneTable)
+      procedure(root, name, Array(
+        param("src", StringType),
+        param("dst", StringType),
+        param("branch", StringType, "'main'"),
+        param("as_of", StringType, "''"))) { (cat, args) =>
+        val asOf = args.getString(3)
+        cat.cloneTable(args.getString(0), args.getString(1), args.getString(2),
+          if (asOf.isEmpty) None else Some(asOf))
+        ()
       }
     case "remove_orphan_files" =>
       // crashed-write residue: files under the table's data dir that NO

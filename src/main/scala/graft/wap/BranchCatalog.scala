@@ -271,10 +271,14 @@ case class UpsertResult(
     snapshot: Snapshot, rowsReplaced: Long, rowsInserted: Long,
     filesRewritten: Long, filesUntouched: Long)
 
-/** What one conditional MERGE commit did (same top-level rationale). */
+/** What one conditional MERGE commit did (same top-level rationale).
+  * `filesDropped` counts files removed METADATA-ONLY by an unconditional
+  * leading `WHEN NOT MATCHED BY SOURCE THEN DELETE` (their rows are in
+  * `rowsDeleted`, but no byte of them was read). */
 case class MergeIntoResult(
     snapshot: Snapshot, rowsUpdated: Long, rowsDeleted: Long,
-    rowsInserted: Long, filesRewritten: Long, filesUntouched: Long)
+    rowsInserted: Long, filesRewritten: Long, filesUntouched: Long,
+    filesDropped: Long = 0L)
 
 /** One engine-neutral snapshot export ([[BranchCatalog.exportSnapshot]]):
   * where the artifacts landed and what they cover. `filesDir` is None
@@ -339,6 +343,16 @@ object MergeClause {
   /** WHEN NOT MATCHED [AND cond] THEN INSERT (the source row, aligned to
     * the table schema). At most one per merge. */
   case class NotMatchedInsert(cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... — fires on
+    * TARGET rows no source row pairs with (SQL:2023 / Iceberg/Delta
+    * by-source semantics). Conditions and SET expressions may reference
+    * only `t.` columns (there is no source row). */
+  case class NotMatchedBySourceUpdate(cond: Option[Column], set: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. When this is the
+    * FIRST by-source clause and unconditional, files provably holding no
+    * source key drop METADATA-ONLY (never read) — the "sync target to
+    * source" fast path. */
+  case class NotMatchedBySourceDelete(cond: Option[Column] = None) extends MergeClause
 }
 
 /** One equality-delete group of one MOR coverage epoch, as the connector
@@ -372,7 +386,17 @@ case class Refs(version: Long, branches: Map[String, BranchState],
       * trained v3 on") that [[BranchCatalog.expireSnapshots]] keeps
       * readable forever at zero storage cost beyond the files it pins.
       * Absent in pre-r11 refs JSON (json4s fills the default). */
-    tags: Map[String, Map[String, String]] = Map.empty)
+    tags: Map[String, Map[String, String]] = Map.empty,
+    /** Table name -> PHYSICAL directory key, recorded by
+      * [[BranchCatalog.renameTable]]. A table keeps its CREATE-time
+      * directory for life: snapshots, manifests and data files embed
+      * absolute paths, so a rename is one pointer swap here and every
+      * path construction resolves through this map (identity when
+      * absent). Global, not per-branch — the directory namespace is
+      * shared by all branches (two branches holding the same table name
+      * already share one directory today). Absent in pre-r13 refs JSON
+      * (json4s fills the default). */
+    tableDirs: Map[String, String] = Map.empty)
 
 /** Git-like branch-versioned table catalog over parquet + JSON metadata —
   * the Spark-native re-expression of the reference's Nessie+PyIceberg
@@ -529,8 +553,18 @@ class BranchCatalog(
 
   // ---- snapshots + manifests --------------------------------------------
 
+  /** Resolves a table NAME to its physical directory key (see
+    * [[Refs.tableDirs]]) — identity for never-renamed tables. Cached per
+    * instance: the alias for a name changes only through rename / drop /
+    * recreate cycles, which also invalidate this cache; instances in
+    * other JVMs racing such a cycle re-resolve on their next refs read
+    * (the standard table-metadata-cache contract). */
+  private val dirAlias = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def physDir(table: String): String =
+    dirAlias.getOrElseUpdate(table, currentRefs().tableDirs.getOrElse(table, table))
+
   private def snapPath(table: String, id: String) =
-    new Path(rootPath, s"tables/$table/meta/snap-$id.json")
+    new Path(rootPath, s"tables/${physDir(table)}/meta/snap-$id.json")
 
   private def loadSnapshot(table: String, id: String): Snapshot =
     Serialization.read[Snapshot](readString(snapPath(table, id)))
@@ -541,7 +575,7 @@ class BranchCatalog(
     if (fs.exists(snapPath(table, id))) Some(loadSnapshot(table, id)) else None
 
   private[wap] def writeSnapshot(table: String, s: Snapshot): Unit = {
-    fs.mkdirs(new Path(rootPath, s"tables/$table/meta"))
+    fs.mkdirs(new Path(rootPath, s"tables/${physDir(table)}/meta"))
     require(writeString(snapPath(table, s.id), Serialization.write(s), overwriteExisting = false),
       s"snapshot ${s.id} already exists for $table")
   }
@@ -552,7 +586,7 @@ class BranchCatalog(
     * table schema too; their key columns resolve by name). */
   private[wap] def writeManifest(
       table: String, files: Seq[DataFileMeta], schema: StructType): ManifestRef = {
-    val p = new Path(rootPath, s"tables/$table/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
+    val p = new Path(rootPath, s"tables/${physDir(table)}/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
       s"manifest ${p.getName} already exists for $table")
@@ -648,7 +682,7 @@ class BranchCatalog(
   private def writeDataFiles(table: String, df: DataFrame,
       ids: Map[String, Int]): Seq[DataFileMeta] = {
     val commitId = UUID.randomUUID().toString
-    val dir = new Path(rootPath, s"tables/$table/data/$commitId")
+    val dir = new Path(rootPath, s"tables/${physDir(table)}/data/$commitId")
     withFieldIds(df, ids).write.parquet(dir.toString)
     fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".parquet"))
@@ -671,7 +705,7 @@ class BranchCatalog(
     require(specs.indices.forall(i => !df.schema.fieldNames.contains(s"__pv$i")),
       "batch columns may not collide with the __pv<i> partition-value names")
     val commitId = UUID.randomUUID().toString
-    val dir = new Path(rootPath, s"tables/$table/data/$commitId")
+    val dir = new Path(rootPath, s"tables/${physDir(table)}/data/$commitId")
     val pvCols = specs.indices.map(i => s"__pv$i")
     // %XX-escape '%' and non-ASCII bytes BEFORE partitionBy so each
     // physical directory name is pure ASCII on any filesystem locale
@@ -843,6 +877,16 @@ class BranchCatalog(
   }
   private def createTable(table: String, schema: StructType, branch: String,
       fmt: Option[String]): Boolean = {
+    // re-resolve the dir alias: a drop+recreate cycle retires any alias,
+    // and a stale cache entry here would write into the retiree's dir
+    dirAlias.remove(table)
+    // if a RENAMED or CLONED lineage's physical dir still carries this
+    // NAME (its pointer moved away but its files stay put), a new table
+    // under the name gets a FRESH directory — moving in with a foreign
+    // lineage would let that lineage's expiry reclaim this table's files
+    val claimed = currentRefs().tableDirs.values.exists(_ == table)
+    val dir = if (claimed) s"$table-${newId()}" else table
+    if (dir != table) dirAlias.put(table, dir)
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
       System.currentTimeMillis(), fmt,
       evo = SchemaEvo.forSchema(schema), op = "create")
@@ -850,9 +894,16 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(!b.views.contains(table), s"a view named $table exists on $branch")
+      require(dir != table || !refs.tableDirs.values.exists(_ == table),
+        s"a concurrent rename/clone claimed $table as a directory key — retry the create")
       if (b.tables.contains(table)) refs
-      else refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, snap.id))))
+      else refs.copy(
+        branches = refs.branches.updated(branch,
+          b.copy(tables = b.tables.updated(table, snap.id))),
+        tableDirs =
+          if (dir != table) refs.tableDirs.updated(table, dir) else refs.tableDirs)
     }
+    dirAlias.remove(table)
     true
   }
 
@@ -909,28 +960,56 @@ class BranchCatalog(
       if (!existed) refs
       // tableProps go in the SAME commit: a table recreated under this name
       // must not inherit e.g. write.delete.mode or a stale mview definition.
-      else refs.copy(branches = refs.branches.updated(branch,
-        b.copy(tables = b.tables - table, tableProps = b.tableProps - table)))
+      // The dir alias dies with the LAST reference to the name — a table
+      // recreated under it gets a fresh directory, not the retiree's.
+      else {
+        val stillUsed =
+          refs.branches.exists { case (bn, st) => bn != branch && st.tables.contains(table) } ||
+            refs.tags.values.exists(_.contains(table))
+        refs.copy(
+          branches = refs.branches.updated(branch,
+            b.copy(tables = b.tables - table, tableProps = b.tableProps - table)),
+          tableDirs = if (stillUsed) refs.tableDirs else refs.tableDirs - table)
+      }
     }
+    dirAlias.remove(table)
     existed
   }
 
-  /** Rename a table on one branch: one pointer swap in the refs commit —
-    * snapshot/manifest files are content-addressed under the OLD name's
-    * directory and remain valid, so rename is O(1) regardless of table
-    * size. */
-  def renameTable(from: String, to: String, branch: String = "main"): Unit =
+  /** Rename a table on one branch: one pointer swap in the refs commit.
+    * The PHYSICAL directory never moves — snapshots and manifests embed
+    * absolute paths — so the new name records a [[Refs.tableDirs]] alias
+    * to the CREATE-time directory and every read/write/expiry path
+    * resolves through it ([[physDir]]). O(1) regardless of table size,
+    * and the renamed lineage stays fully readable, expirable and
+    * orphan-reapable under the new name. */
+  def renameTable(from: String, to: String, branch: String = "main"): Unit = {
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val id = b.tables.getOrElse(from, sys.error(s"no table $from on $branch"))
       require(!b.tables.contains(to), s"table $to already exists on $branch")
+      require(!refs.branches.exists { case (_, st) => st.tables.contains(to) } &&
+        !refs.tags.values.exists(_.contains(to)),
+        s"table $to exists on another branch or tag — its directory key " +
+          "is taken; pick an unused name")
       val props = b.tableProps.get(from) // properties follow the table
-      refs.copy(branches = refs.branches.updated(branch,
-        b.copy(
-          tables = b.tables - from + (to -> id),
-          tableProps = props.fold(b.tableProps - from)(p =>
-            (b.tableProps - from).updated(to, p)))))
+      val dir = refs.tableDirs.getOrElse(from, from)
+      // the old name's alias stays while any other branch or tag still
+      // carries the table under it (they share the directory)
+      val fromStillUsed =
+        refs.branches.exists { case (bn, st) => bn != branch && st.tables.contains(from) } ||
+          refs.tags.values.exists(_.contains(from))
+      val dirs0 = if (dir == to) refs.tableDirs else refs.tableDirs.updated(to, dir)
+      refs.copy(
+        branches = refs.branches.updated(branch,
+          b.copy(
+            tables = b.tables - from + (to -> id),
+            tableProps = props.fold(b.tableProps - from)(p =>
+              (b.tableProps - from).updated(to, p)))),
+        tableDirs = if (fromStillUsed) dirs0 else dirs0 - from)
     }
+    dirAlias.remove(from); dirAlias.remove(to); ()
+  }
 
   /** reference app.py:160-176 create_branch_from_main: zero-copy — copies
     * only the table->snapshot pointer map and records the fork base for
@@ -967,10 +1046,62 @@ class BranchCatalog(
     currentRefs().branches.get(branch)
       .flatMap(_.tableProps.get(table)).getOrElse(Map.empty)
 
-  /** reference app.py:303 drop_branch. */
+  /** reference app.py:303 drop_branch. Dir aliases of names only this
+    * branch carried are swept in the same commit — a later CREATE under
+    * such a name must get a fresh directory, not the retiree's. */
   def dropBranch(branch: String): Unit = {
     require(branch != "main", "refusing to drop main")
-    commitRefs(refs => refs.copy(branches = refs.branches - branch))
+    commitRefs { refs =>
+      val next = refs.branches - branch
+      val used = next.values.flatMap(_.tables.keys).toSet ++
+        refs.tags.values.flatMap(_.keys)
+      refs.copy(branches = next,
+        tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
+    }
+    dirAlias.clear()
+  }
+
+  /** Zero-copy table CLONE (the Delta `SHALLOW CLONE` / Iceberg
+    * snapshot-ref analogue, taken further by the shared-directory
+    * substrate): `dst` points at `src`'s current (or `asOf`) snapshot
+    * and ALIASES src's physical directory ([[Refs.tableDirs]]) — ONE
+    * refs commit, ZERO file writes or copies, at any table size. From
+    * then on the lineages diverge freely: dst's commits land in the
+    * shared directory under fresh snapshot/manifest/file ids, reads
+    * resolve per name, and time travel on dst reaches the full
+    * pre-clone history (the parent chain is shared). GC is clone-safe
+    * by construction: [[expireSnapshots]] and [[removeOrphanFiles]]
+    * operate on the shared DIRECTORY with liveness drawn from EVERY
+    * sharing name, so neither side can reclaim files the other still
+    * references, and dropping a clone simply retires its pointer
+    * (abandoned divergent commits become expirable history).
+    * Properties copy (Delta clone semantics) except `graft.vecidx.*`:
+    * the persisted vector-index artifact tables are named after the
+    * source and must be rebuilt on the clone. */
+  def cloneTable(src: String, dst: String, branch: String = "main",
+      asOf: Option[String] = None): Snapshot = {
+    val srcId = asOf.getOrElse(snapshotIdOf(src, branch)
+      .getOrElse(sys.error(s"no table $src on $branch")))
+    val snap = loadSnapshotOpt(src, srcId)
+      .getOrElse(sys.error(s"no snapshot $srcId for $src"))
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.contains(src), s"no table $src on $branch")
+      require(!refs.branches.exists { case (_, st) => st.tables.contains(dst) } &&
+        !refs.tags.values.exists(_.contains(dst)) && !b.views.contains(dst),
+        s"table or view $dst already exists")
+      val props = b.tableProps.getOrElse(src, Map.empty)
+        .filterNot { case (k, _) => k.startsWith("graft.vecidx.") }
+      refs.copy(
+        branches = refs.branches.updated(branch, b.copy(
+          tables = b.tables.updated(dst, srcId),
+          tableProps =
+            if (props.isEmpty) b.tableProps
+            else b.tableProps.updated(dst, props))),
+        tableDirs = refs.tableDirs.updated(dst, refs.tableDirs.getOrElse(src, src)))
+    }
+    dirAlias.remove(dst)
+    snap
   }
 
   /** Create an IMMUTABLE tag pinning every table of `from` at its
@@ -987,11 +1118,18 @@ class BranchCatalog(
       refs.copy(tags = refs.tags.updated(tag, src.tables))
     }
 
-  def dropTag(tag: String): Unit =
+  def dropTag(tag: String): Unit = {
     commitRefs { refs =>
       require(refs.tags.contains(tag), s"no tag $tag")
-      refs.copy(tags = refs.tags - tag)
+      val nextTags = refs.tags - tag
+      // same dir-alias sweep as dropBranch: aliases die with the last ref
+      val used = refs.branches.values.flatMap(_.tables.keys).toSet ++
+        nextTags.values.flatMap(_.keys)
+      refs.copy(tags = nextTags,
+        tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
     }
+    dirAlias.clear()
+  }
 
   def listTags(): Seq[String] = currentRefs().tags.keys.toSeq.sorted
 
@@ -2480,7 +2618,7 @@ class BranchCatalog(
   }
 
   private def colStatsPath(table: String, snapshotId: String) =
-    new Path(rootPath, s"tables/$table/meta/colstats-$snapshotId.json")
+    new Path(rootPath, s"tables/${physDir(table)}/meta/colstats-$snapshotId.json")
 
   /** ANALYZE: per-column approximate NDV of the branch head, stored as a
     * stats sidecar keyed by snapshot id (the Iceberg ANALYZE / puffin
@@ -2514,7 +2652,7 @@ class BranchCatalog(
 
   private def sketchPath(table: String, manifestPath: String) = {
     val name = new Path(manifestPath).getName.stripSuffix(".json")
-    new Path(rootPath, s"tables/$table/meta/sketch-$name.json")
+    new Path(rootPath, s"tables/${physDir(table)}/meta/sketch-$name.json")
   }
 
   /** Sidecar of the per-FILE bloom filters of `column` for one manifest —
@@ -3324,7 +3462,7 @@ class BranchCatalog(
       s"consumeIncremental refused: $table@$branch has pending MOR tombstones and " +
         "snapshot deltas are append-granular (deletions/replacements would be missed " +
         "or re-reported) — materialize with compactDataFiles first")
-    val ckptPath = new Path(rootPath, s"tables/$table/consumers/$consumer")
+    val ckptPath = new Path(rootPath, s"tables/${physDir(table)}/consumers/$consumer")
     val last: Option[String] =
       if (!fs.exists(ckptPath)) None
       else {
@@ -3338,7 +3476,7 @@ class BranchCatalog(
       case None => scanSnapshot(table, headId)
     }
     f(delta)
-    val tmp = new Path(rootPath, s"tables/$table/consumers/.$consumer.${UUID.randomUUID()}")
+    val tmp = new Path(rootPath, s"tables/${physDir(table)}/consumers/.$consumer.${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(headId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -3754,6 +3892,25 @@ class BranchCatalog(
     * a target row only matches a source row on EQUAL non-null keys, so
     * every affected row's key is in the list (null-keyed source rows
     * match nothing). */
+  /** Re-binds a `t.`-aliased by-source clause Column to bare columns so
+    * the join-free merge tier can evaluate it straight over a file scan
+    * (no `t`/`s` aliases exist there — every row IS the target row).
+    * `s.` references are impossible in a NOT MATCHED BY SOURCE clause
+    * (there is no source row) and refuse loudly. */
+  private def stripTargetAlias(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graft.Bridge.catalystExpression(c)
+    org.apache.spark.sql.graft.Bridge.column(e.transform {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("s") =>
+        sys.error(s"NOT MATCHED BY SOURCE clause references source column " +
+          s"${ua.name} — no source row exists for a by-source action")
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("t") =>
+        UnresolvedAttribute(ua.nameParts.tail)
+    })
+  }
+
   private def sourceKeyPruneCond(aligned: DataFrame, keys: Seq[String]): Column = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col => fcol, lit, max => fmax, min => fmin}
     val single = keys.size == 1
@@ -3892,30 +4049,115 @@ class BranchCatalog(
       require(schema.fieldNames.contains(k), s"key column $k is not in ${schema.toDDL}")
     for (MergeClause.MatchedUpdate(_, set) <- clauses; c <- set.keys)
       require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    for (MergeClause.NotMatchedBySourceUpdate(_, set) <- clauses; c <- set.keys)
+      require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val bySource: Seq[(MergeClause, Int)] = clauses.zipWithIndex.collect {
+      case (c: MergeClause.NotMatchedBySourceUpdate, i) => (c: MergeClause, i)
+      case (c: MergeClause.NotMatchedBySourceDelete, i) => (c: MergeClause, i)
+    }
     val totalFiles = cur.manifests.map(_.fileCount).sum
     val aligned = alignToSchema(source, schema, table, branch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (aligned.isEmpty) return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
-
-      // same sound source-key prune as upsert (ranges + small-source
-      // key IN-list engaging bucket/bloom pruning)
-      val pruneCond = sourceKeyPruneCond(aligned, keys)
+      // an EMPTY source still fires by-source clauses on every target row
+      // (SQL semantics — the degenerate "sync to empty" case)
+      val srcEmpty = aligned.isEmpty
+      if (srcEmpty && bySource.isEmpty)
+        return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
 
       val spec = specsOf(cur.partitionSpec)
       val bloomIdx = Some(new BloomProbe(cur.manifests))
-      val resolvedCond = resolvePredicate(pruneCond, schema)
-      val perManifest = cur.manifests.map { m =>
-        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec)))
-          (m, Seq.empty[DataFileMeta], Seq.empty[DataFileMeta])
-        else {
-          val files = readManifest(m.path)
-          val affected = pruneFiles(files, pruneCond, schema, spec, bloomIdx)
-          val affectedPaths = affected.map(_.path).toSet
-          (m, affected, files.filterNot(f => affectedPaths.contains(f.path)))
+      // same sound source-key prune as upsert (ranges + small-source
+      // key IN-list engaging bucket/bloom pruning). Soundness is what the
+      // by-source tiers below lean on: a file the prune EXCLUDES provably
+      // holds no source key, so every one of its rows is NOT MATCHED BY
+      // SOURCE. The remainder is None for manifests never read (fully
+      // skipped) and Some(files minus affected) for read ones.
+      val pruneCond = if (srcEmpty) null else sourceKeyPruneCond(aligned, keys)
+      val resolvedCond = if (srcEmpty) None else resolvePredicate(pruneCond, schema)
+      val perManifest: Seq[(ManifestRef, Seq[DataFileMeta], Option[Seq[DataFileMeta]])] =
+        cur.manifests.map { m =>
+          if (srcEmpty || resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec)))
+            (m, Seq.empty[DataFileMeta], None)
+          else {
+            val files = readManifest(m.path)
+            val affected = pruneFiles(files, pruneCond, schema, spec, bloomIdx)
+            if (affected.isEmpty) (m, affected, None)
+            else {
+              val affectedPaths = affected.map(_.path).toSet
+              (m, affected, Some(files.filterNot(f => affectedPaths.contains(f.path))))
+            }
+          }
         }
-      }
       val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
+
+      // ---- NOT MATCHED BY SOURCE planning over the no-possible-match
+      // files (everything outside `affected`). Tier 1: a leading
+      // unconditional by-source DELETE drops them ALL metadata-only —
+      // whole skipped manifests fold by their ref counts, never read.
+      // Tier 2 (conditional clauses): the disjunction of by-source
+      // conditions prunes; only files some condition MAY hold in are
+      // rewritten (join-free — no source row exists for these), the rest
+      // carry over by reference.
+      val dropAllNonMatched = bySource.headOption.exists {
+        case (MergeClause.NotMatchedBySourceDelete(None), _) => true
+        case _ => false
+      }
+      def bsCond(c: MergeClause): Option[Column] = c match {
+        case MergeClause.NotMatchedBySourceUpdate(cond, _) => cond
+        case MergeClause.NotMatchedBySourceDelete(cond) => cond
+        case _ => None
+      }
+      val bsAnyCond: Option[Column] =
+        if (bySource.isEmpty || dropAllNonMatched) None
+        else Some(bySource.map { case (c, _) =>
+          bsCond(c).map(stripTargetAlias).getOrElse(lit(true))
+        }.reduce(_ || _))
+      val bsResolved = bsAnyCond.flatMap(c => resolvePredicate(c, schema))
+
+      var droppedRows = 0L
+      var droppedCount = 0L
+      val bsFilesB = Seq.newBuilder[DataFileMeta]
+      // per-manifest keep decision (the rewritten-survivors manifest is
+      // appended after the write below)
+      val manifestKeeps: Seq[ManifestRef] = perManifest.flatMap {
+        case (m, affected, remainderOpt) =>
+          if (bySource.isEmpty) {
+            if (affected.isEmpty) Some(m)
+            else remainderOpt.filter(_.nonEmpty)
+              .map(r => writeManifest(table, r, schema).copy(seq = cur.seq + 1))
+          } else if (dropAllNonMatched) {
+            remainderOpt match {
+              case None if affected.isEmpty =>
+                droppedRows += m.rows; droppedCount += m.fileCount; None
+              case None => None // affected covers the whole manifest
+              case Some(r) =>
+                droppedRows += r.map(_.rows).sum; droppedCount += r.size; None
+            }
+          } else {
+            def split(files: Seq[DataFileMeta], keepWholeIfClean: Boolean): Option[ManifestRef] = {
+              val bs = pruneFiles(files, bsAnyCond.get, schema, spec, bloomIdx)
+              bsFilesB ++= bs
+              val bsPaths = bs.map(_.path).toSet
+              val carried = files.filterNot(f => bsPaths.contains(f.path))
+              if (bs.isEmpty && keepWholeIfClean) Some(m)
+              else if (carried.nonEmpty)
+                Some(writeManifest(table, carried, schema).copy(seq = cur.seq + 1))
+              else None
+            }
+            remainderOpt match {
+              case Some(r) => split(r, keepWholeIfClean = false)
+              case None =>
+                // affected is empty here (a manifest with matches always
+                // records its remainder); the manifest was never read for
+                // the match tier, so the by-source conditions get their
+                // own manifest-level prune before any entry is read
+                if (bsResolved.exists(p => !manifestMayMatch(m, p, schema, spec))) Some(m)
+                else split(readManifest(m.path), keepWholeIfClean = true)
+            }
+          }
+      }
+      val bsFiles = bsFilesB.result()
 
       val targetScan =
         if (affectedFiles.isEmpty)
@@ -3932,7 +4174,11 @@ class BranchCatalog(
       val targetOnly = fcol("t.__t_hit").isNotNull && fcol("s.__s_hit").isNull
       val sourceOnly = fcol("t.__t_hit").isNull && fcol("s.__s_hit").isNotNull
 
-      // one action label per row: first-match-wins over the clause list
+      // one action label per row: first-match-wins over the clause list.
+      // A row is exactly one of matched / target-only / source-only, so
+      // the three clause families never compete across lists (SQL MERGE
+      // evaluates them independently); by-source labels (v=update,
+      // e=delete) guard on targetOnly.
       val fires = clauses.zipWithIndex.map {
         case (MergeClause.MatchedUpdate(c, _), i) =>
           (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"u$i")
@@ -3940,6 +4186,10 @@ class BranchCatalog(
           (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"d$i")
         case (MergeClause.NotMatchedInsert(c), i) =>
           (sourceOnly && coalesce(c.getOrElse(lit(true)), lit(false)), s"i$i")
+        case (MergeClause.NotMatchedBySourceUpdate(c, _), i) =>
+          (targetOnly && coalesce(c.getOrElse(lit(true)), lit(false)), s"v$i")
+        case (MergeClause.NotMatchedBySourceDelete(c), i) =>
+          (targetOnly && coalesce(c.getOrElse(lit(true)), lit(false)), s"e$i")
       }
       val action = fires.foldRight(
         when(targetOnly || matched, "t").otherwise("x")) { case ((cond, label), rest) =>
@@ -3951,32 +4201,78 @@ class BranchCatalog(
         val isU = fcol("__action").startsWith("u")
         val isD = fcol("__action").startsWith("d")
         val isI = fcol("__action").startsWith("i")
+        val isV = fcol("__action").startsWith("v")
+        val isE = fcol("__action").startsWith("e")
         val countsRow = actioned.agg(
-          fsum(when(isU, 1L).otherwise(0L)).as("u"),
-          fsum(when(isD, 1L).otherwise(0L)).as("d"),
+          fsum(when(isU || isV, 1L).otherwise(0L)).as("u"),
+          fsum(when(isD || isE, 1L).otherwise(0L)).as("d"),
           fsum(when(isI, 1L).otherwise(0L)).as("i")).head
         def cnt(i: Int): Long = if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i)
         val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
 
-        val survivors = actioned.filter(!isD && fcol("__action") =!= "x")
+        val survivors = actioned.filter(!isD && !isE && fcol("__action") =!= "x")
           .select(schema.fields.map { f =>
             val updated = clauses.zipWithIndex.foldLeft(
               when(isI, fcol(s"s.${f.name}")).otherwise(fcol(s"t.${f.name}"))) {
               case (acc, (MergeClause.MatchedUpdate(_, set), i)) if set.contains(f.name) =>
                 when(fcol("__action") === s"u$i", set(f.name).cast(f.dataType)).otherwise(acc)
+              case (acc, (MergeClause.NotMatchedBySourceUpdate(_, set), i)) if set.contains(f.name) =>
+                when(fcol("__action") === s"v$i", set(f.name).cast(f.dataType)).otherwise(acc)
               case (acc, _) => acc
             }
             updated.as(f.name)
           }.toIndexedSeq: _*)
         val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
+
+        // join-free by-source tier: these files provably hold no source
+        // key, so every row is NOT MATCHED BY SOURCE — first-match-wins
+        // over the by-source clauses straight on the file scan
+        val (bsRewritten, nBsUpd, nBsDel) =
+          if (bsFiles.isEmpty) (Seq.empty[DataFileMeta], 0L, 0L)
+          else {
+            val scan = spark.read
+              .schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+              .parquet(bsFiles.map(_.path): _*)
+            val bsFires = bySource.map {
+              case (MergeClause.NotMatchedBySourceUpdate(c, _), i) =>
+                (coalesce(c.map(stripTargetAlias).getOrElse(lit(true)), lit(false)), s"v$i")
+              case (MergeClause.NotMatchedBySourceDelete(c), i) =>
+                (coalesce(c.map(stripTargetAlias).getOrElse(lit(true)), lit(false)), s"e$i")
+              case (c, _) => sys.error(s"non-by-source clause $c in by-source tier")
+            }
+            val bsAction = bsFires.foldRight(lit("t")) { case ((cond, label), rest) =>
+              when(cond, label).otherwise(rest)
+            }
+            val bsActioned = scan.withColumn("__action", bsAction)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val bsIsV = fcol("__action").startsWith("v")
+              val bsIsE = fcol("__action").startsWith("e")
+              val bsCounts = bsActioned.agg(
+                fsum(when(bsIsV, 1L).otherwise(0L)).as("v"),
+                fsum(when(bsIsE, 1L).otherwise(0L)).as("e")).head
+              def bsCnt(i: Int): Long = if (bsCounts.isNullAt(i)) 0L else bsCounts.getLong(i)
+              val bsSurvivors = bsActioned.filter(!bsIsE)
+                .select(schema.fields.map { f =>
+                  val updated = bySource.foldLeft(fcol(f.name)) {
+                    case (acc, (MergeClause.NotMatchedBySourceUpdate(_, set), i)) if set.contains(f.name) =>
+                      when(fcol("__action") === s"v$i",
+                        stripTargetAlias(set(f.name)).cast(f.dataType)).otherwise(acc)
+                    case (acc, _) => acc
+                  }
+                  updated.as(f.name)
+                }.toIndexedSeq: _*)
+              (writeTableFiles(table, bsSurvivors, spec, ids = cur.evo.fieldIds),
+                bsCnt(0), bsCnt(1))
+            } finally { bsActioned.unpersist(); () }
+          }
+
         val newSeq = cur.seq + 1
-        val newManifests =
-          perManifest.flatMap { case (m, affected, untouched) =>
-            if (affected.isEmpty) Some(m)
-            else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
-            else None
-          } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq))
-                else Seq.empty)
+        val allRewritten = rewritten ++ bsRewritten
+        val newManifests = manifestKeeps ++
+          (if (allRewritten.nonEmpty)
+             Seq(writeManifest(table, allRewritten, schema).copy(seq = newSeq))
+           else Seq.empty)
         var committed: Snapshot = null
         commitRefs { refs =>
           val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -3991,8 +4287,10 @@ class BranchCatalog(
           refs.copy(branches = refs.branches.updated(branch,
             b.copy(tables = b.tables.updated(table, committed.id))))
         }
-        MergeIntoResult(committed, nUpd, nDel, nIns,
-          affectedFiles.size.toLong, totalFiles - affectedFiles.size)
+        MergeIntoResult(committed, nUpd + nBsUpd, nDel + nBsDel + droppedRows, nIns,
+          affectedFiles.size.toLong + bsFiles.size,
+          totalFiles - affectedFiles.size - bsFiles.size - droppedCount,
+          droppedCount)
       } finally { actioned.unpersist(); () }
     } finally { aligned.unpersist(); () }
   }
@@ -4739,11 +5037,23 @@ class BranchCatalog(
       retainLast: Int = 1, olderThanMillis: Option[Long] = None): ExpireResult = {
     require(retainLast >= 1, "retainLast >= 1")
     val refs = currentRefs()
+    // the expiry unit is the PHYSICAL DIRECTORY, not the name: renames
+    // ([[renameTable]]) and zero-copy clones ([[cloneTable]]) alias other
+    // names onto this table's directory, and every sharer's snapshots
+    // live in the one meta dir this method lists — so liveness must
+    // account for every sharing NAME or a sharer's history would be
+    // reclaimed out from under it.
+    val dir = physDir(table)
+    val names: Set[String] =
+      (refs.branches.values.flatMap(_.tables.keys) ++
+        refs.tags.values.flatMap(_.keys)).toSet
+        .filter(n => refs.tableDirs.getOrElse(n, n) == dir) + table
     // every branch head AND every branch's fork base stays live: merge()
     // and scanBranchDelta() on a branch forked before the expiry must
     // still be able to load its baseOfMain snapshot. Tags pin their
     // snapshots for as long as the tag exists — that is their purpose.
-    val headIds = refs.branches.values.flatMap(_.tables.get(table)).toSet
+    val headIds = refs.branches.values
+      .flatMap(b => names.flatMap(b.tables.get)).toSet
     val retained: Set[String] =
       if (retainLast <= 1) Set.empty
       else headIds.flatMap { head =>
@@ -4753,9 +5063,11 @@ class BranchCatalog(
         }.takeWhile(_.isDefined).flatten.take(retainLast).map(_.id).toSet
       }
     val liveIds = refs.branches.values
-      .flatMap(b => b.tables.get(table).toSeq ++ b.baseOfMain.get(table).toSeq)
-      .toSet ++ refs.tags.values.flatMap(_.get(table)) ++ keepIds ++ retained
-    val metaDir = new Path(rootPath, s"tables/$table/meta")
+      .flatMap(b => names.toSeq.flatMap(n =>
+        b.tables.get(n).toSeq ++ b.baseOfMain.get(n).toSeq))
+      .toSet ++ refs.tags.values.flatMap(t => names.flatMap(t.get)) ++
+      keepIds ++ retained
+    val metaDir = new Path(rootPath, s"tables/${physDir(table)}/meta")
     if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
 
     // compare everything fully-qualified: stored metadata paths may lack
@@ -4859,8 +5171,8 @@ class BranchCatalog(
   def removeOrphanFiles(
       table: String,
       olderThanMillis: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000): OrphanResult = {
-    val dataDir = new Path(rootPath, s"tables/$table/data")
-    val metaDir = new Path(rootPath, s"tables/$table/meta")
+    val dataDir = new Path(rootPath, s"tables/${physDir(table)}/data")
+    val metaDir = new Path(rootPath, s"tables/${physDir(table)}/meta")
     if (!fs.exists(dataDir) || !fs.exists(metaDir)) return OrphanResult(0, 0L)
 
     val manifestPaths = fs.listStatus(metaDir).toSeq.map(_.getPath)

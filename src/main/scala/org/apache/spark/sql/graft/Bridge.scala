@@ -16,6 +16,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager Column -> REAL catalyst tree. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper whose children are `ColumnNode`s, so
+    * catalyst `transform`s see a single opaque leaf; this converts the
+    * node tree first (the same converter Dataset resolution uses) so the
+    * caller can rewrite attributes before analysis. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** V2 runtime-filter `Predicate` -> V1 `sources.Filter`, values
     * converted to external Scala types (`PredicateUtils` is
     * `private[sql]`). `BatchScanExec` delivers DPP runtime filters to

@@ -1,0 +1,164 @@
+package graft.wap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** WHEN NOT MATCHED BY SOURCE on [[BranchCatalog.mergeInto]] (SQL:2023 /
+  * Iceberg/Delta by-source merge semantics): by-source clauses fire on
+  * TARGET rows no source row pairs with. Planning is two-tier on top of
+  * the sound source-key prune — files provably holding no source key are
+  * dropped METADATA-ONLY under a leading unconditional by-source DELETE
+  * (the "sync target to source" fast path), or pruned by the by-source
+  * conditions and rewritten JOIN-FREE otherwise; only match-candidate
+  * files pay the full-outer join. */
+class MergeBySourceSpec extends SparkSpecBase {
+  import MergeClause._
+
+  private var n = 0
+  private def freshCat(): BranchCatalog = {
+    n += 1
+    new BranchCatalog(spark, Files.createTempDirectory(s"mergebs$n").toString)
+  }
+
+  private def docs(lo: Long, hi: Long): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "lang", "n_chars")
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def dataPaths(cat: BranchCatalog, t: String): Set[String] = {
+    val id = cat.snapshotIdOf(t).get
+    cat.filesOf(cat.snapshotMeta(t, id)).map(_.path).toSet
+  }
+
+  test("unconditional by-source DELETE syncs target to source; no-overlap files drop metadata-only") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.appendClustered("t", docs(0, 200), Seq("doc_id"), files = 8)
+    val before = dataPaths(cat, "t")
+
+    val source = docs(80, 120)
+    val r = cat.mergeInto("t", source, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("n_chars" -> (col("t.n_chars") + lit(1000L)))),
+      NotMatchedBySourceDelete(None)))
+
+    assert(r.rowsUpdated == 40L)
+    assert(r.rowsDeleted == 160L)
+    assert(r.rowsInserted == 0L)
+    // clustered files wholly outside [80,120) were dropped unread
+    assert(r.filesDropped >= 5L, s"expected metadata-only drops, got ${r.filesDropped}")
+    assert(r.filesRewritten <= before.size - r.filesDropped)
+
+    assert(ids(cat.scan("t")) == (80L until 120L))
+    val sumChars = cat.scan("t").agg(sum("n_chars")).head.getLong(0)
+    val wantChars = docs(80, 120).agg(sum("n_chars")).head.getLong(0) + 40L * 1000L
+    assert(sumChars == wantChars)
+  }
+
+  test("conditional by-source clauses rewrite join-free only the files the conditions may touch") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.appendClustered("t", docs(0, 200), Seq("doc_id"), files = 8)
+    val before = dataPaths(cat, "t")
+    val totalFiles = before.size
+
+    // source overlaps only the low ids; the by-source condition only the
+    // high ids — the middle band's files must carry over by reference
+    val r = cat.mergeInto("t", docs(0, 25), Seq("doc_id"), Seq(
+      NotMatchedBySourceUpdate(Some(col("t.doc_id") >= 150),
+        Map("lang" -> lit("stale")))))
+
+    assert(r.filesDropped == 0L)
+    assert(r.rowsUpdated == 50L)
+    assert(r.rowsDeleted == 0L)
+    assert(r.filesUntouched > 0L, "middle-band files must carry over unrewritten")
+    assert(r.filesRewritten < totalFiles)
+    // the carried files are ORIGINAL files, still in place
+    assert(dataPaths(cat, "t").intersect(before).size.toLong == r.filesUntouched)
+
+    assert(cat.scan("t").filter(col("lang") === "stale").count() == 50L)
+    assert(ids(cat.scan("t")) == (0L until 200L)) // nothing deleted or inserted
+    // untouched band byte-identical
+    val mid = cat.scan("t").filter(col("doc_id") >= 25 && col("doc_id") < 150)
+    val midWant = docs(25, 150)
+    assert(mid.exceptAll(midWant).isEmpty && midWant.exceptAll(mid).isEmpty)
+  }
+
+  test("an EMPTY source still fires by-source clauses on every target row") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+
+    val r = cat.mergeInto("t", docs(0, 100).limit(0), Seq("doc_id"), Seq(
+      NotMatchedBySourceDelete(Some(col("t.doc_id") % 2 === 0))))
+    val evens = docs(0, 100).filter(col("doc_id") % 2 === 0).count()
+    assert(r.rowsDeleted == evens)
+    assert(ids(cat.scan("t")) == (0L until 100L).filter(_ % 2 == 1))
+  }
+
+  test("first-match-wins across by-source clauses (update shields later delete)") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+
+    // non-matched rows: multiples of 3 get flagged, the rest delete
+    val r = cat.mergeInto("t", docs(0, 40), Seq("doc_id"), Seq(
+      NotMatchedBySourceUpdate(Some(col("t.doc_id") % 3 === 0),
+        Map("lang" -> lit("kept"))),
+      NotMatchedBySourceDelete(None)))
+
+    val nonMatched = (40L until 100L)
+    val flagged = nonMatched.count(_ % 3 == 0)
+    assert(r.rowsUpdated == flagged.toLong)
+    assert(r.rowsDeleted == (nonMatched.size - flagged).toLong)
+    assert(ids(cat.scan("t")) ==
+      ((0L until 40L) ++ nonMatched.filter(_ % 3 == 0)).sorted)
+    assert(cat.scan("t").filter(col("lang") === "kept").count() == flagged.toLong)
+  }
+
+  test("by-source clauses referencing source columns refuse") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 50))
+    val err = intercept[RuntimeException] {
+      cat.mergeInto("t", docs(0, 10), Seq("doc_id"), Seq(
+        NotMatchedBySourceDelete(Some(col("s.doc_id") > 0))))
+    }
+    assert(err.getMessage.contains("source column"))
+  }
+
+  test("SQL MERGE INTO lowers WHEN NOT MATCHED BY SOURCE clauses") {
+    n += 1
+    val name = s"mergebslake$n"
+    val root = Files.createTempDirectory("mergebs-sql").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    val cat = new BranchCatalog(spark, root)
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.appendClustered("t", docs(0, 200), Seq("doc_id"), files = 8)
+    cat.createBranch("b")
+    docs(80, 120).createOrReplaceTempView("mergebs_src")
+
+    spark.sql(
+      s"""MERGE INTO $name.b.t t USING mergebs_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 7
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 40 THEN UPDATE SET lang = 'old'
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 160 THEN DELETE
+         |""".stripMargin)
+
+    val got = cat.scan("t", branch = "b")
+    assert(ids(got) == (0L until 160L))
+    assert(got.filter(col("lang") === "old").count() == 40L)
+    val inBand = got.filter(col("doc_id") >= 80 && col("doc_id") < 120)
+    val wantChars = docs(80, 120).agg(sum("n_chars")).head.getLong(0) + 40L * 7L
+    assert(inBand.agg(sum("n_chars")).head.getLong(0) == wantChars)
+    // main untouched (branch DML)
+    assert(cat.scan("t").count() == 200L)
+  }
+}
