@@ -79,6 +79,7 @@ object SparkEntry {
     "wap_stream_sink" -> (WapQueries.wapStreamSink _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "wap_merge_source" -> (WapQueries.wapMergeSource _),
+    "wap_constraints" -> (WapQueries.wapConstraints _),
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
     "wap_bloom" -> (WapQueries.wapBloom _),
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
@@ -249,6 +250,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
     "wap_merge_conditional" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0) AS rows_updated, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0) AS rows_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted""",
+    "wap_constraints" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id < 50 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, true AS rejected_append, true AS rejected_update, true AS rejected_merge, true AS set_time_validated""",
     "wap_merge_source" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 80 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 40) AS n_stale, (SELECT count(*) FROM documents WHERE doc_id >= 80 AND doc_id < 120 AND doc_id % 2 = 0) + (SELECT count(*) FROM documents WHERE doc_id < 40) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id >= 160 AND doc_id < 200) AS rows_deleted_1, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted_1, (SELECT count(*) FROM documents WHERE (doc_id >= 100 AND doc_id < 160) OR (doc_id >= 200 AND doc_id < 210)) AS rows_deleted_2, true AS conditional_tier_carried, true AS drop_tier_metadata_only""",
     "wap_txn" ->

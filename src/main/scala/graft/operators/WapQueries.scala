@@ -636,6 +636,65 @@ object WapQueries {
         lit(r2.filesDropped > 0).as("drop_tier_metadata_only"))
   }
 
+  /** Table CHECK constraints end-to-end (`graft.constraint.*`
+    * TBLPROPERTIES — the Delta table-constraint analogue): set two
+    * constraints, then prove every write path enforces them BEFORE
+    * committing — a violating append, a violating UPDATE outcome and a
+    * violating MERGE insert each fail and leave the table byte-unchanged,
+    * while clean writes (including NULL constraint results — SQL CHECK
+    * passes UNKNOWN) land normally; a malformed constraint refuses at
+    * SET time. Oracle: the surviving (clean) mutations in plain SQL plus
+    * constant-true rejection gates. */
+  def wapConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MergeClause._
+    val tmp = Files.createTempDirectory("graft-wap-constr").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.setTableProperties("documents", Map(
+      "graft.constraint.chars_pos" -> "n_chars >= 0",
+      "graft.constraint.lang_filled" -> "lang IS NOT NULL"))
+
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    val rejectedAppend = try {
+      cat.append("documents", docs.filter(col("doc_id") >= 100)
+        .withColumn("n_chars", -col("n_chars") - 1))
+      false
+    } catch { case _: Exception => cat.scan("documents").count() == 100L }
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+
+    cat.updateWhere("documents", col("doc_id") < 50,
+      Map("n_chars" -> (col("n_chars") + lit(1000L))))
+    val rejectedUpdate = try {
+      cat.updateWhere("documents", col("doc_id") === 60,
+        Map("n_chars" -> lit(-1L)))
+      false
+    } catch { case _: Exception => true }
+
+    val rejectedMerge = try {
+      cat.mergeInto("documents",
+        docs.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 1000)
+          .withColumn("n_chars", lit(-2L)),
+        Seq("doc_id"), Seq(NotMatchedInsert(None)))
+      false
+    } catch { case _: Exception => true }
+
+    val setTimeValidated = try {
+      cat.setTableProperties("documents",
+        Map("graft.constraint.ghost" -> "no_such_col > 0")); false
+    } catch { case _: IllegalArgumentException => true }
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(rejectedAppend).as("rejected_append"),
+        lit(rejectedUpdate).as("rejected_update"),
+        lit(rejectedMerge).as("rejected_merge"),
+        lit(setTimeValidated).as("set_time_validated"))
+  }
+
   /** Multi-table ATOMIC publish ([[graft.wap.BranchCatalog.transaction]] —
     * the Nessie-style transactional commit the reference's catalog gives
     * it for free): one transaction appends a fact batch AND its derived

@@ -1028,7 +1028,28 @@ class BranchCatalog(
     * VALUE removes the key (`ALTER TABLE ... UNSET TBLPROPERTIES`
     * semantics ride the same call). One refs commit, metadata-only. */
   def setTableProperties(
-      table: String, props: Map[String, String], branch: String = "main"): Unit =
+      table: String, props: Map[String, String], branch: String = "main"): Unit = {
+    // CHECK constraints validate at SET time — parse + bind column refs
+    // against the current schema (a typo'd constraint that failed every
+    // subsequent write instead would be operator-hostile)
+    val newChecks = props.filter { case (k, v) =>
+      k.startsWith(BranchCatalog.ConstraintPrefix) && v != null && v.nonEmpty }
+    if (newChecks.nonEmpty) {
+      val schema = StructType.fromDDL(loadSnapshot(table,
+        snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))).schemaDdl)
+      for ((k, v) <- newChecks) {
+        require(k.length > BranchCatalog.ConstraintPrefix.length,
+          "a CHECK constraint needs a name: graft.constraint.<name>")
+        val parsed =
+          try spark.sessionState.sqlParser.parseExpression(v)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"CHECK constraint $k does not parse: ${e.getMessage}") }
+        parsed.collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.nameParts.head
+        }.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"CHECK constraint $k references unknown column $c (table has ${schema.fieldNames.mkString(", ")})"))
+      }
+    }
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.contains(table), s"no table $table on $branch")
@@ -1040,6 +1061,8 @@ class BranchCatalog(
           if (next.isEmpty) b.tableProps - table
           else b.tableProps.updated(table, next))))
     }
+    ()
+  }
 
   /** The table's current properties on `branch` (empty map if none). */
   def tableProperties(table: String, branch: String = "main"): Map[String, String] =
@@ -2963,8 +2986,40 @@ class BranchCatalog(
     * added by [[evolveSchema]], so pre-evolution writers keep working).
     * Extra columns and non-widening type changes stay hard errors,
     * raised BEFORE any data is written. */
+  /** CHECK constraints (`graft.constraint.<name>` TBLPROPERTIES — the
+    * Delta table-constraint analogue): no row WRITTEN by an insert or
+    * update path may evaluate a constraint to FALSE (NULL passes, SQL
+    * CHECK semantics). The guard is one codegen'd filter predicate fused
+    * into the write's own pass — zero extra jobs — whose false branch
+    * raises with the constraint name and the offending row as JSON, so
+    * the write job fails BEFORE any metadata commits. `subject` gates
+    * the check to the rows a rewrite actually changed: a CoW rewrite's
+    * carried-through rows are not re-validated, so pre-constraint
+    * history stays deletable/compactable. */
+  private def constraintGuard(df: DataFrame, table: String, branch: String,
+      subject: Option[Column] = None): DataFrame = {
+    val checks = tableProperties(table, branch).toSeq.collect {
+      case (k, v) if k.startsWith(BranchCatalog.ConstraintPrefix) =>
+        k.stripPrefix(BranchCatalog.ConstraintPrefix) -> v
+    }.sortBy(_._1)
+    if (checks.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, raise_error, struct, to_json, when, col => fcol}
+      val rowJson = to_json(struct(df.columns.map(fcol).toIndexedSeq: _*))
+      checks.foldLeft(df) { case (d, (cname, sql)) =>
+        val pass = coalesce(expr(sql).cast("boolean"), lit(true))
+        val gated = subject.map(s => !coalesce(s, lit(false)) || pass).getOrElse(pass)
+        d.filter(when(gated, lit(true)).otherwise(
+          raise_error(concat(
+            lit(s"CHECK constraint $cname ($sql) violated by row: "),
+            rowJson)).cast("boolean")))
+      }
+    }
+  }
+
   private def alignToSchema(
-      df: DataFrame, expected: StructType, table: String, branch: String): DataFrame = {
+      df: DataFrame, expected: StructType, table: String, branch: String,
+      check: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val incoming = df.schema
     def mismatch(): Nothing = throw new IllegalArgumentException(
@@ -2984,7 +3039,12 @@ class BranchCatalog(
           lit(null).cast(f.dataType).as(f.name)
       }
     }
-    df.select(cols.toIndexedSeq: _*)
+    val aligned = df.select(cols.toIndexedSeq: _*)
+    // every alignToSchema caller writes EVERY aligned row (append,
+    // overwrite, upsert, MOR upsert, CDC apply, txn append) — except
+    // mergeInto, whose source rows may only pair for matching; it opts
+    // out and guards its written survivors itself
+    if (check) constraintGuard(aligned, table, branch) else aligned
   }
 
   /** Evolve table@branch's schema: ADD nullable columns and WIDEN numeric
@@ -3837,12 +3897,16 @@ class BranchCatalog(
     val scan = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
     val hit = coalesce(cond, lit(false))
     val rowsUpdated = scan.filter(hit).count()
-    val updated = scan.select(schema.fields.map { f =>
+    val updated0 = scan.select((schema.fields.map { f =>
       set.get(f.name) match {
         case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(fcol(f.name)).as(f.name)
         case None => fcol(f.name)
       }
-    }.toIndexedSeq: _*)
+    } :+ hit.as("__hit")).toIndexedSeq: _*)
+    // constraints check only the rows this UPDATE changed (post-SET
+    // values); carried-through rows are exempt
+    val updated = constraintGuard(updated0, table, branch,
+      Some(fcol("__hit"))).drop("__hit")
     val rewritten = writeTableFiles(table, updated, spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
     val newManifests =
@@ -4056,7 +4120,10 @@ class BranchCatalog(
       case (c: MergeClause.NotMatchedBySourceDelete, i) => (c: MergeClause, i)
     }
     val totalFiles = cur.manifests.map(_.fileCount).sum
-    val aligned = alignToSchema(source, schema, table, branch)
+    // check=false: a merge source row may only pair for matching and
+    // never be written whole — constraints apply to the WRITTEN outcomes
+    // (insert/update-labeled survivors) below
+    val aligned = alignToSchema(source, schema, table, branch, check = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // an EMPTY source still fires by-source clauses on every target row
@@ -4210,8 +4277,8 @@ class BranchCatalog(
         def cnt(i: Int): Long = if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i)
         val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
 
-        val survivors = actioned.filter(!isD && !isE && fcol("__action") =!= "x")
-          .select(schema.fields.map { f =>
+        val survivors0 = actioned.filter(!isD && !isE && fcol("__action") =!= "x")
+          .select((schema.fields.map { f =>
             val updated = clauses.zipWithIndex.foldLeft(
               when(isI, fcol(s"s.${f.name}")).otherwise(fcol(s"t.${f.name}"))) {
               case (acc, (MergeClause.MatchedUpdate(_, set), i)) if set.contains(f.name) =>
@@ -4221,7 +4288,11 @@ class BranchCatalog(
               case (acc, _) => acc
             }
             updated.as(f.name)
-          }.toIndexedSeq: _*)
+          } :+ fcol("__action")).toIndexedSeq: _*)
+        // constraints check only the rows this merge WROTE differently
+        // (insert/update outcomes) — carried-through rows are exempt
+        val survivors = constraintGuard(survivors0, table, branch,
+          Some(isU || isV || isI)).drop("__action")
         val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
 
         // join-free by-source tier: these files provably hold no source
@@ -4252,8 +4323,8 @@ class BranchCatalog(
                 fsum(when(bsIsV, 1L).otherwise(0L)).as("v"),
                 fsum(when(bsIsE, 1L).otherwise(0L)).as("e")).head
               def bsCnt(i: Int): Long = if (bsCounts.isNullAt(i)) 0L else bsCounts.getLong(i)
-              val bsSurvivors = bsActioned.filter(!bsIsE)
-                .select(schema.fields.map { f =>
+              val bsSurvivors0 = bsActioned.filter(!bsIsE)
+                .select((schema.fields.map { f =>
                   val updated = bySource.foldLeft(fcol(f.name)) {
                     case (acc, (MergeClause.NotMatchedBySourceUpdate(_, set), i)) if set.contains(f.name) =>
                       when(fcol("__action") === s"v$i",
@@ -4261,7 +4332,9 @@ class BranchCatalog(
                     case (acc, _) => acc
                   }
                   updated.as(f.name)
-                }.toIndexedSeq: _*)
+                } :+ fcol("__action")).toIndexedSeq: _*)
+              val bsSurvivors = constraintGuard(bsSurvivors0, table, branch,
+                Some(bsIsV)).drop("__action")
               (writeTableFiles(table, bsSurvivors, spec, ids = cur.evo.fieldIds),
                 bsCnt(0), bsCnt(1))
             } finally { bsActioned.unpersist(); () }
@@ -5251,6 +5324,10 @@ object BranchCatalog {
     * attaches and drops them internally). */
   val PosPathCol = "__graft_path"
   val PosIdxCol = "__graft_pos"
+
+  /** TBLPROPERTIES key prefix for CHECK constraints: `graft.constraint.
+    * <name> = <boolean SQL expression>` (see `constraintGuard`). */
+  val ConstraintPrefix = "graft.constraint."
   /** Schema of one position-delete sidecar file. */
   val posDeleteSchema: StructType = StructType(Seq(
     StructField(PosPathCol, StringType), StructField(PosIdxCol, LongType)))
