@@ -80,6 +80,7 @@ object SparkEntry {
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "wap_merge_source" -> (WapQueries.wapMergeSource _),
     "wap_constraints" -> (WapQueries.wapConstraints _),
+    "wap_defaults" -> (WapQueries.wapDefaults _),
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
     "wap_bloom" -> (WapQueries.wapBloom _),
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "text_check_decontaminate" -> (CheckQueries.textCheckDecontaminate _),
     "emb_check_pca" -> (CheckQueries.embCheckPca _),
     "dedup_check_pairs" -> (CheckQueries.dedupCheckPairs _),
+    "dedup_index_check" -> (CheckQueries.dedupIndexCheck _),
     "dedup_check_cluster" -> (CheckQueries.dedupCheckCluster _)
   )
 
@@ -250,6 +252,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 130) AS n_rows_id_slice, CAST(16 AS BIGINT) AS n_files, true AS prunes_id, true AS prunes_chars, true AS pruned_scan_sound""",
     "wap_merge_conditional" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 210 AND NOT (doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 = 0) AS rows_updated, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 2 <> 0 AND doc_id % 3 = 0) AS rows_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted""",
+    "wap_defaults" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 250) AS n_rows, (SELECT CAST(sum(CASE WHEN doc_id < 150 THEN 7 WHEN doc_id < 200 THEN (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END) ELSE 9 END) AS BIGINT) FROM documents WHERE doc_id < 250) AS sum_score, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 10 = 0) AS null_scores, (SELECT count(*) FROM documents WHERE doc_id < 100) AS pre_add_served, true AS meta_agg_bails, true AS export_refused, true AS export_after_rewrite""",
     "wap_constraints" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id < 50 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, true AS rejected_append, true AS rejected_update, true AS rejected_merge, true AS set_time_validated""",
     "wap_merge_source" ->
@@ -350,6 +354,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, CAST(5 AS BIGINT) AS seeds_flagged, true AS exact_dups_flagged_ok FROM documents""",
     "dedup_check_cluster" ->
       """SELECT count(*) AS n_docs, true AS fixpoint_ok, true AS labels_minimal_ok, true AS survivors_ok FROM documents""",
+    "dedup_index_check" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 400) AS n_indexed, (SELECT count(*) FROM documents WHERE doc_id >= 400 AND doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_batch, ((SELECT count(*) FROM documents WHERE doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20)) * 16 AS band_rows, true AS pairs_match_batch, true AS planted_recovered, true AS incremental_mode, true AS fresh_noop""",
     "dedup_check_pairs" ->
       """SELECT family, (SELECT count(*) FROM documents WHERE doc_id < 500) AS n_items, true AS precision_ok, true AS recall_ok FROM (VALUES ('containment09'), ('jaccard05'), ('jaccard08'), ('simhash3')) AS f(family) UNION ALL SELECT 'embedding95' AS family, (SELECT count(*) + (SELECT count(*) FROM embeddings WHERE vec_id < 50) FROM embeddings) AS n_items, true AS precision_ok, true AS recall_ok"""
   )

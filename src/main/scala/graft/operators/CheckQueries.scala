@@ -367,4 +367,61 @@ object CheckQueries {
         nDocsSub, recallFloor = 1.0)
     ).reduce(_.unionByName(_))
   }
+
+  /** The persisted dedup index (W72) checked for EXACT agreement with
+    * the batch operator: index-served pairs of a new batch against a
+    * 400-doc indexed corpus must equal [[Dedup.minhashPairs]] on the
+    * union corpus restricted to batch-touching pairs (one shared banding
+    * definition makes this equality exact, not statistical), planted
+    * exact copies must all pair with their sources, refresh must run
+    * `incremental` (delta-only signing — band-row count proves the
+    * whole corpus is covered), and a second refresh must be a `fresh`
+    * no-op. All counts DuckDB-recomputable from doc_id ranges. */
+  def dedupIndexCheck(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+    val cat = new graft.wap.BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    cat.createTableIfNotExists("documents", corpus.schema)
+    cat.append("documents", corpus)
+    val params = DedupIndex.Params()
+    DedupIndex.build(spark, cat, "documents", "doc_id", "text", params)
+
+    val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+    val served = DedupIndex.pairsAgainst(spark, cat, "documents", "text", batch)
+      .select(col("id_a"), col("id_b"))
+
+    val batchIds = batch.select(col("doc_id"))
+    val reference = Dedup.minhashPairs(corpus.unionByName(batch), "doc_id", "text",
+      threshold = params.threshold)
+      .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .unionByName(
+        Dedup.minhashPairs(corpus.unionByName(batch), "doc_id", "text",
+          threshold = params.threshold)
+          .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+
+    val pairsMatch =
+      served.exceptAll(reference).isEmpty && reference.exceptAll(served).isEmpty
+    val plantedRecovered = served
+      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 5000L)
+      .count() == 20L
+
+    cat.append("documents", batch)
+    val sinceMatch = DedupIndex
+      .pairsSinceWatermark(spark, cat, "documents", "text")
+      .select(col("id_a"), col("id_b")).exceptAll(served).isEmpty
+    val incrementalMode =
+      DedupIndex.refresh(spark, cat, "documents", "text") == "incremental"
+    val freshNoop = DedupIndex.refresh(spark, cat, "documents", "text") == "fresh"
+    val bandRows = cat.scan(DedupIndex.bandsTable("documents", "text")).count()
+
+    import spark.implicits._
+    Seq((corpus.count(), batch.count(), bandRows,
+      pairsMatch && sinceMatch, plantedRecovered, incrementalMode, freshNoop))
+      .toDF("n_indexed", "n_batch", "band_rows", "pairs_match_batch",
+        "planted_recovered", "incremental_mode", "fresh_noop")
+  }
 }

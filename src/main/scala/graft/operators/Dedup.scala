@@ -43,7 +43,7 @@ object Dedup {
   /** shingle HASHES, not strings: one native pass per row (the string
     * shingle arrays exist nowhere), and the exact verify measures
     * intersect long arrays instead of string arrays. */
-  private def shingleProjection(
+  private[operators] def shingleProjection(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).as("__id"), shingleHashes(col(textCol), shingleN).as("__sh"))
@@ -61,7 +61,7 @@ object Dedup {
     * can silently degrade to a within-bucket CROSS join, the exact
     * scale-killer LSH blocking exists to avoid. DedupSpec asserts the
     * resolved condition keeps distinct exprIds on the two sides. */
-  private def bucketPairs(
+  private[operators] def bucketPairs(
       banded: DataFrame, k1: String, k2: String,
       payload: Seq[String] = Nil): DataFrame = {
     def side(tag: String, idName: String) =
@@ -109,11 +109,7 @@ object Dedup {
       sh: DataFrame, numHashes: Int, bands: Int,
       measure: (Column, Column) => Column, outName: String,
       threshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val banded = sh.select(col("__id"),
-      posexplode(array((0 until bands).map(b =>
-        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
+    val banded = bandedOf(sh, numHashes, bands)
     bucketPairs(banded, "__band", "__bkey")
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -122,7 +118,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col(outName), 4).as(outName))
   }
 
-  private def jaccardOf(a: Column, b: Column): Column =
+  /** The LSH banding every shingle-based variant AND the persisted dedup
+    * index use — one definition, so index-served candidates are
+    * bit-identical to the batch operator's: band b hashes signature
+    * positions [b*rows, (b+1)*rows) with the band number as salt. */
+  private[operators] def bandedOf(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sh.select(col("__id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("__sig"), b * rows + 1, rows), lit(b))): _*)).as(Seq("__band", "__bkey")))
+  }
+
+  private[operators] def jaccardOf(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
   private def containmentOf(a: Column, b: Column): Column =

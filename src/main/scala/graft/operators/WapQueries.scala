@@ -1774,4 +1774,64 @@ object WapQueries {
       o.filter(col("o_orderkey") % 2 === 1),
       "o_totalprice", buckets = 10)
   }
+
+  /** Column DEFAULT values (W71 — Iceberg v3 initial/write defaults):
+    * rows written BEFORE `ADD COLUMN score DEFAULT 7` serve 7 (per FILE,
+    * via Spark's native EXISTS_DEFAULT resolution — an explicit post-add
+    * NULL stays NULL), writers omitting the column fill the write
+    * default, and `SET DEFAULT 9` moves FUTURE writes only. Gates:
+    * metadata-only aggregates refuse the defaulted column (footer stats
+    * don't know the served 7), foreign-engine export refuses while
+    * default-backed pre-add files remain (a foreign reader would fill
+    * NULL), and a full rewrite materializes the default and lifts the
+    * refusal. Oracle: the same arithmetic in plain SQL over documents. */
+  def wapDefaults(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MetaAgg
+    val tmp = Files.createTempDirectory("graft-wap-defaults").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100)) // pre-add files
+
+    val withScore = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    cat.evolveSchema("documents", withScore, defaults = Map("score" -> "7"))
+
+    // omitted column -> write default 7
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    // explicit values, every 10th an explicit NULL (must STAY null)
+    cat.append("documents", docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+      .withColumn("score", when(col("doc_id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("n_chars"))))
+    // write default moves to 9 for future writes; pre-add rows keep 7
+    cat.setColumnDefault("documents", "score", Some("9"))
+    cat.append("documents", docs.filter(col("doc_id") >= 200))
+
+    val head = cat.snapshotIdOf("documents").get
+    val metaAggBails =
+      cat.metaAggregate("documents", head, Seq(MetaAgg.MinCol("score"))).isEmpty &&
+        cat.metaAggregate("documents", head, Seq(MetaAgg.CountStar)).nonEmpty
+    val exportRefused = try {
+      cat.exportSnapshot("documents", tmp + "/export-refused"); false
+    } catch { case e: Exception => e.getMessage.contains("DEFAULT") }
+    cat.compactDataFiles("documents") // materializes the served defaults
+    val exportAfterRewrite = try {
+      cat.exportSnapshot("documents", tmp + "/export-ok"); true
+    } catch { case _: Exception => false }
+
+    val s = cat.scan("documents")
+    s.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("score")).cast("long").as("sum_score"),
+      sum(when(col("score").isNull, 1L).otherwise(0L)).as("null_scores"),
+      sum(when(col("doc_id") < 100 && col("score") === 7L, 1L).otherwise(0L))
+        .as("pre_add_served"))
+      .select(col("n_rows"), col("sum_score"), col("null_scores"),
+        col("pre_add_served"),
+        lit(metaAggBails).as("meta_agg_bails"),
+        lit(exportRefused).as("export_refused"),
+        lit(exportAfterRewrite).as("export_after_rewrite"))
+  }
 }

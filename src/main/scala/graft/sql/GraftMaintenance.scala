@@ -16,6 +16,10 @@ import graft.wap.BranchCatalog
   *    indexed source table: advance each column's persisted IVF-PQ
   *    index ([[graft.operators.VectorIndex.refresh]] — append-only
   *    windows encode only the delta).
+  *  - `graft.maintain.refresh-dedup-index=<textCol>[,<col>…]`: advance
+  *    each column's persisted MinHash dedup index
+  *    ([[graft.operators.DedupIndex.refresh]] — append-only windows
+  *    sign only the delta).
   *
   * This sits ABOVE the catalog (it re-executes view queries and encode
   * jobs), which is why it lives with the SQL orchestration and is what
@@ -36,6 +40,11 @@ object GraftMaintenance {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).foreach { vc =>
         val mode = graft.operators.VectorIndex.refresh(spark, cat, table, vc, branch)
         if (mode != "fresh") acts += "refresh-vector-index" -> s"$vc: $mode"
+      }
+    props.get("graft.maintain.refresh-dedup-index").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).foreach { tc =>
+        val mode = graft.operators.DedupIndex.refresh(spark, cat, table, tc, branch)
+        if (mode != "fresh") acts += "refresh-dedup-index" -> s"$tc: $mode"
       }
     acts.result()
   }

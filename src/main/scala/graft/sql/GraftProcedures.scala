@@ -48,6 +48,7 @@ object GraftProcedures {
       "export_snapshot", "export_changes", "rewrite_partitioned",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
+      "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
       "create_changelog_view")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -381,6 +382,43 @@ object GraftProcedures {
         param("vec_col", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         graft.operators.VectorIndex.drop(cat, args.getString(0), args.getString(1),
+          args.getString(2))
+      }
+    case "build_dedup_index" =>
+      // persisted MinHash-LSH dedup index over a text column: banded
+      // signatures as a lake table + watermark properties
+      // (graft.operators.DedupIndex); refresh_dedup_index signs only
+      // appended docs on append-only windows
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("id_col", StringType),
+        param("text_col", StringType),
+        param("branch", StringType, "'main'"),
+        param("num_hashes", IntegerType, "128"),
+        param("bands", IntegerType, "16"),
+        param("threshold", StringType, "'0.8'"))) { (cat, args) =>
+        graft.operators.DedupIndex.build(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2),
+          graft.operators.DedupIndex.Params(
+            numHashes = args.getInt(4), bands = args.getInt(5),
+            threshold = args.getString(6).toDouble),
+          args.getString(3))
+      }
+    case "refresh_dedup_index" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("text_col", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.DedupIndex.refresh(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2))
+        ()
+      }
+    case "drop_dedup_index" =>
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("text_col", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.DedupIndex.drop(cat, args.getString(0), args.getString(1),
           args.getString(2))
       }
     case "create_changelog_view" =>

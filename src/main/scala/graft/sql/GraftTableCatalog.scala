@@ -68,6 +68,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var root: String = _
 
+  /** Lets Spark's DDL analyzer hand `DEFAULT` clauses through (CREATE
+    * TABLE / ADD COLUMN / ALTER COLUMN SET DEFAULT) instead of refusing
+    * them up front — graft stores them per-snapshot (W71). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
@@ -240,7 +249,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(root, branch, ident.name(), snapshotId,
       // field ids ride the relation schema into every connector read,
       // so renamed columns resolve by id in pre-rename files (W58)
-      BranchCatalog.idSchema(StructType.fromDDL(snap.schemaDdl), snap.evo.fieldIds),
+      BranchCatalog.readSchema(StructType.fromDDL(snap.schemaDdl), snap.evo),
       mainWritesAllowed, snap.partitionSpec, isTag,
       storedProps = if (isTag) Map.empty
         else cat.tableProperties(ident.name(), branch))
@@ -270,7 +279,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         // creating `t$changes` creates the BASE table with the feed's
         // base schema (the virtual change columns are the feed's, not
         // the table's)
-        val baseSchema = StructType(plainSchemaOf(columns).fields
+        val baseSchema = StructType(plainSchemaOf(columns)._1.fields
           .filterNot(f => GraftChangesTable.VirtualCols.contains(f.name)))
         cat.createTableIfNotExists(base, baseSchema, branchOf(ident.namespace()))
         return loadTable(ident)
@@ -279,21 +288,33 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           "derive from the base table")
       case None => ()
     }
-    val schema = plainSchemaOf(columns)
+    val (schema, defaults) = plainSchemaOf(columns)
     val spec = GraftTableCatalog.specOfTransforms(partitions, schema)
     val branch = branchOf(ident.namespace())
-    if (!cat.createTableIfNotExists(ident.name(), schema, branch, spec))
+    if (!cat.createTableIfNotExists(ident.name(), schema, branch, spec, defaults))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
     loadTable(ident)
   }
 
+  /** Plain schema + CREATE-time column WRITE defaults (W71). Generated
+    * columns stay unsupported. */
   private def plainSchemaOf(
-      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
-    require(columns.forall(c => c.defaultValue() == null && c.generationExpression() == null),
-      "graft CREATE TABLE supports plain columns (no defaults / generated columns)")
-    StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : (StructType, Map[String, String]) = {
+    require(columns.forall(_.generationExpression() == null),
+      "graft CREATE TABLE supports plain columns (no generated columns)")
+    val defaults = columns.flatMap { c =>
+      Option(c.defaultValue()).map { dv =>
+        val sql = dv.getSql
+        require(sql != null && sql.nonEmpty,
+          s"DEFAULT for ${c.name()} carries no SQL text")
+        c.name() -> sql
+      }
+    }.toMap
+    (StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
+      defaults)
   }
 
   /** CTAS lands here (Spark stages CREATE TABLE AS SELECT on any
@@ -307,7 +328,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * residue. */
   override def stageCreate(
       ident: Identifier, info: TableInfo): StagedTable = {
-    val schema = plainSchemaOf(info.columns())
+    val (schema, ctasDefaults) = plainSchemaOf(info.columns())
+    require(ctasDefaults.isEmpty,
+      "staged CREATE (CTAS) cannot declare column defaults — create the table " +
+        "first, then INSERT")
     val spec = GraftTableCatalog.specOfTransforms(info.partitions(), schema)
     val branch = branchOf(ident.namespace())
     if (cat.tableExists(ident.name(), branch))
@@ -356,12 +380,32 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       require(r.fieldNames().length == 1,
         "graft columns are top-level; nested RENAME COLUMN is not supported")
     }
+    // `ALTER COLUMN ... SET/DROP DEFAULT` — write-default only (the
+    // initial default is pinned at ADD COLUMN; Iceberg v3 semantics)
+    val defaultChanges = changes.collect {
+      case d: TableChange.UpdateColumnDefaultValue =>
+        require(d.fieldNames().length == 1,
+          "graft columns are top-level; nested ALTER COLUMN is not supported")
+        val sql = Option(d.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(d.newDefaultValue())).map(_.trim).filter(_.nonEmpty)
+        d.fieldNames().head -> sql
+    }
     val schemaChanges = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        c.isInstanceOf[TableChange.RenameColumn])
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     require(renames.isEmpty || schemaChanges.isEmpty,
       "RENAME COLUMN cannot be combined with other schema changes in one ALTER")
+    // defaults riding ADD COLUMN become the column's INITIAL + write
+    // default (old files serve it instead of NULL — W71)
+    val addDefaults = schemaChanges.collect {
+      case add: TableChange.AddColumn if add.defaultValue() != null =>
+        val sql = add.defaultValue().getSql
+        require(sql != null && sql.nonEmpty,
+          s"DEFAULT for ${add.fieldNames().mkString(".")} carries no SQL text")
+        add.fieldNames().head -> sql
+    }.toMap
     val evolved = schemaChanges.foldLeft(cat.schemaOfSnapshot(name, id)) { (schema, change) =>
       change match {
         case add: TableChange.AddColumn =>
@@ -392,8 +436,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // Schema changes commit FIRST: a mixed ALTER whose schema part fails
     // (validated in the fold above and in evolveSchema's guards) must not
     // leave the property change durably applied.
-    if (schemaChanges.nonEmpty) cat.evolveSchema(name, evolved, branch)
+    if (schemaChanges.nonEmpty) cat.evolveSchema(name, evolved, branch, addDefaults)
     renames.foreach(r => cat.renameColumn(name, r.fieldNames().head, r.newName(), branch))
+    defaultChanges.foreach { case (c, sql) => cat.setColumnDefault(name, c, sql, branch) }
     if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
     loadTable(ident)
   }

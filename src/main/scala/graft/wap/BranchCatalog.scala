@@ -119,15 +119,57 @@ case class SchemaEvo(
       * name may still be referenced; cleared only by full-rewrite
       * commits (every file then carries current names). Foreign-engine
       * export refuses while set (external readers match by NAME). */
-    renamedFiles: Boolean = false) {
+    renamedFiles: Boolean = false,
+    /** INITIAL defaults (Iceberg v3 `initial-default`, r13): the value a
+      * read serves for this column from files written BEFORE the column
+      * was added — instead of NULL. Set ONLY by `ADD COLUMN ... DEFAULT`
+      * and immutable afterwards (changing it would rewrite history).
+      * Applied per FILE through Spark's native `EXISTS_DEFAULT`
+      * StructField metadata: a file physically lacking the column fills
+      * the default; a post-add file that wrote an explicit NULL stays
+      * NULL. [[ColDefault.addSeq]] records the add commit's sequence, so
+      * consumers that need physical truth (foreign-engine export) can
+      * tell precisely whether default-backed files remain. */
+    initDefaults: Map[String, ColDefault] = Map.empty,
+    /** WRITE defaults (SQL `DEFAULT` / Iceberg v3 `write-default`): the
+      * value filled in when a WRITER omits the column — at `ADD COLUMN
+      * ... DEFAULT` it starts equal to the initial default, and `ALTER
+      * COLUMN ... SET/DROP DEFAULT` changes it for FUTURE writes only
+      * (already-written rows are untouched; the initial default never
+      * moves). Canonical SQL literal text, ridden into SQL INSERTs as
+      * `CURRENT_DEFAULT` column metadata and into the Scala write paths
+      * by `alignToSchema`. */
+    writeDefaults: Map[String, String] = Map.empty) {
   def addColumn(name: String): SchemaEvo =
     if (fieldIds.isEmpty) this // pre-field-id table stays id-less
     else copy(fieldIds = fieldIds.updated(name, fieldIdSeq + 1), fieldIdSeq = fieldIdSeq + 1)
-  def dropColumn(name: String): SchemaEvo = copy(fieldIds = fieldIds - name)
+  def dropColumn(name: String): SchemaEvo =
+    copy(fieldIds = fieldIds - name, initDefaults = initDefaults - name,
+      writeDefaults = writeDefaults - name)
   def rename(from: String, to: String): SchemaEvo =
-    copy(fieldIds = fieldIds - from + (to -> fieldIds(from)), renamedFiles = true)
+    copy(fieldIds = fieldIds - from + (to -> fieldIds(from)), renamedFiles = true,
+      initDefaults = initDefaults.get(from)
+        .map(d => initDefaults - from + (to -> d)).getOrElse(initDefaults),
+      writeDefaults = writeDefaults.get(from)
+        .map(d => writeDefaults - from + (to -> d)).getOrElse(writeDefaults))
   def afterFullRewrite: SchemaEvo = copy(renamedFiles = false)
+  /** ADD COLUMN with a default: both tiers start at the same literal. */
+  def withAddDefault(name: String, sql: String, addSeq: Long): SchemaEvo =
+    copy(initDefaults = initDefaults.updated(name, ColDefault(sql, addSeq)),
+      writeDefaults = writeDefaults.updated(name, sql))
+  /** SET/DROP DEFAULT: write tier only — the initial default is pinned. */
+  def withWriteDefault(name: String, sql: Option[String]): SchemaEvo =
+    copy(writeDefaults = sql match {
+      case Some(s) => writeDefaults.updated(name, s)
+      case None => writeDefaults - name
+    })
 }
+
+/** One column's initial default: the canonical SQL literal plus the
+  * commit sequence of the ADD — every manifest with `seq < addSeq` holds
+  * files written before the column existed (sequence-carried through
+  * rewrites), which is exactly the set the default backs. */
+case class ColDefault(sql: String, addSeq: Long)
 
 object SchemaEvo {
   /** Fresh table: ids 1..n in schema order. */
@@ -864,10 +906,18 @@ class BranchCatalog(
   /** reference app.py:125-149 create_table_if_not_exists. Returns true if
     * the table was created. */
   def createTableIfNotExists(table: String, schema: StructType, branch: String,
-      specs: Seq[PartitionSpec]): Boolean = {
+      specs: Seq[PartitionSpec]): Boolean =
+    createTableIfNotExists(table, schema, branch, specs, Map.empty[String, String])
+  def createTableIfNotExists(table: String, schema: StructType, branch: String,
+      specs: Seq[PartitionSpec],
+      /** CREATE-time column defaults (W71) — WRITE defaults only: every
+        * file of a fresh table is written with all columns present, so
+        * there is nothing for an initial (exists) default to back. */
+      writeDefaults: Map[String, String]): Boolean = {
     if (tableExists(table, branch)) return false
     createTable(table, schema, branch,
-      if (specs.isEmpty) None else Some(PartitionSpec.formatMulti(specs)))
+      if (specs.isEmpty) None else Some(PartitionSpec.formatMulti(specs)),
+      writeDefaults)
   }
   def createTableIfNotExists(
       table: String, schema: StructType, branch: String = "main",
@@ -876,7 +926,8 @@ class BranchCatalog(
     createTable(table, schema, branch, spec.map(_.format))
   }
   private def createTable(table: String, schema: StructType, branch: String,
-      fmt: Option[String]): Boolean = {
+      fmt: Option[String],
+      writeDefaults: Map[String, String] = Map.empty): Boolean = {
     // re-resolve the dir alias: a drop+recreate cycle retires any alias,
     // and a stale cache entry here would write into the retiree's dir
     dirAlias.remove(table)
@@ -887,9 +938,15 @@ class BranchCatalog(
     val claimed = currentRefs().tableDirs.values.exists(_ == table)
     val dir = if (claimed) s"$table-${newId()}" else table
     if (dir != table) dirAlias.put(table, dir)
+    val canonDefaults = writeDefaults.map { case (c, sql) =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"DEFAULT on unknown column $c of $table"))
+      c -> canonicalDefault(c, f.dataType, sql)
+    }
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
       System.currentTimeMillis(), fmt,
-      evo = SchemaEvo.forSchema(schema), op = "create")
+      evo = SchemaEvo.forSchema(schema).copy(writeDefaults = canonDefaults),
+      op = "create")
     writeSnapshot(table, snap)
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -1233,7 +1290,8 @@ class BranchCatalog(
     }
     val aligned = head match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
-        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
+        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch,
+          writeDefaults = snap.evo.writeDefaults)
       case _ => df
     }
     val newFiles = writeDataFiles(table, aligned,
@@ -1298,7 +1356,8 @@ class BranchCatalog(
     val schema = StructType.fromDDL(cur.schemaDdl)
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"upsert key column $c is not a column of $table"))
-    val aligned = alignToSchema(source, schema, table, branch)
+    val aligned = alignToSchema(source, schema, table, branch,
+      writeDefaults = cur.evo.writeDefaults)
     // the new versions are table DATA: on a partitioned table they carry
     // transform values like any append (key/tombstone files are not —
     // they are metadata the scan anti-joins, never partition-pruned)
@@ -1384,7 +1443,8 @@ class BranchCatalog(
       else changes.select(keyCols.map(col): _*).distinct()
     // rows > 0: an empty side would otherwise stage a schema-only part
     // file and commit a vacuous manifest
-    val dataFiles = writeTableFiles(table, alignToSchema(inserts, schema, table, branch),
+    val dataFiles = writeTableFiles(table, alignToSchema(inserts, schema,
+      table, branch, writeDefaults = cur.evo.writeDefaults),
       specsOf(cur.partitionSpec), ids = cur.evo.fieldIds).filter(_.rows > 0)
     val keyFiles = writeDataFiles(table, delKeys, Map.empty).filter(_.rows > 0)
     if (dataFiles.isEmpty && keyFiles.isEmpty) {
@@ -1485,7 +1545,7 @@ class BranchCatalog(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
       else {
         val raw = spark.read
-          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .schema(BranchCatalog.readSchema(schema, snap.evo))
           .parquet(paths: _*)
         if (!withLineage) raw
         else raw.select(org.apache.spark.sql.functions.col("*"),
@@ -1644,7 +1704,8 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val aligned =
-      if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl), table, branch)
+      if (cur.schemaDdl.nonEmpty) alignToSchema(df, StructType.fromDDL(cur.schemaDdl),
+        table, branch, writeDefaults = cur.evo.writeDefaults)
       else df
     val manifest = writeManifest(table, writeTableFiles(table, aligned,
       specsOf(cur.partitionSpec), ids = cur.evo.fieldIds),
@@ -1733,7 +1794,8 @@ class BranchCatalog(
   private[wap] case class StagedTable(
       schemaDdl: String, appends: Vector[ManifestRef], deletes: Vector[ManifestRef],
       partitionSpec: Option[String] = None,
-      fieldIds: Map[String, Int] = Map.empty)
+      fieldIds: Map[String, Int] = Map.empty,
+      writeDefaults: Map[String, String] = Map.empty)
 
   /** The staging handle [[transaction]] passes to its body. Staging
     * writes files and manifests eagerly; NOTHING is visible to any reader
@@ -1750,7 +1812,7 @@ class BranchCatalog(
       byTable.getOrElseUpdate(table, {
         val head = headOf(table)
         StagedTable(head.schemaDdl, Vector.empty, Vector.empty, head.partitionSpec,
-          head.evo.fieldIds)
+          head.evo.fieldIds, head.evo.writeDefaults)
       })
 
     /** Stage an append (same alignment + partition routing as
@@ -1758,7 +1820,8 @@ class BranchCatalog(
       * carry transform values too). */
     def append(table: String, df: DataFrame): Unit = {
       val st = entry(table)
-      val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch)
+      val aligned = alignToSchema(df, StructType.fromDDL(st.schemaDdl), table, branch,
+        writeDefaults = st.writeDefaults)
       val manifest = writeManifest(table,
         writeTableFiles(table, aligned, specsOf(st.partitionSpec),
           ids = st.fieldIds),
@@ -2742,7 +2805,7 @@ class BranchCatalog(
           Cast(org.apache.spark.sql.graft.Bridge.expression(col(column)),
             StringType, Some("UTC")))
         val partials = spark.read
-          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .schema(BranchCatalog.readSchema(schema, snap.evo))
           .parquet(files.map(_.path): _*)
           .select(input_file_name().as("f"), utcString.as("v"))
           .as[(String, String)]
@@ -2858,7 +2921,7 @@ class BranchCatalog(
         computed += 1
         val files = readManifest(m.path)
         val df = spark.read
-          .schema(BranchCatalog.idSchema(schema, snap.evo.fieldIds))
+          .schema(BranchCatalog.readSchema(schema, snap.evo))
           .parquet(files.map(_.path): _*)
         val row = df.agg(
           hll_sketch_agg(col(cols.head).cast("string")).as(cols.head),
@@ -3019,8 +3082,14 @@ class BranchCatalog(
 
   private def alignToSchema(
       df: DataFrame, expected: StructType, table: String, branch: String,
-      check: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      check: Boolean = true,
+      /** Columns the batch may omit fill their WRITE default instead of
+        * NULL (W71) — callers pass the pinned snapshot's
+        * `evo.writeDefaults`, except mergeInto (its "aligned source" is
+        * a join input, not written rows; a default there would leak into
+        * match conditions and update assignments). */
+      writeDefaults: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val incoming = df.schema
     def mismatch(): Nothing = throw new IllegalArgumentException(
       s"schema mismatch appending to $table@$branch: table has " +
@@ -3032,11 +3101,14 @@ class BranchCatalog(
         case Some(bf) if bf.dataType == f.dataType => col(f.name)
         case Some(bf) if widens(bf.dataType, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
         case Some(_) => mismatch()
-        case None =>
-          if (!f.nullable) throw new IllegalArgumentException(
-            s"schema mismatch appending to $table@$branch: batch lacks " +
-              s"non-nullable column ${f.name}")
-          lit(null).cast(f.dataType).as(f.name)
+        case None => writeDefaults.get(f.name) match {
+          case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
+          case None =>
+            if (!f.nullable) throw new IllegalArgumentException(
+              s"schema mismatch appending to $table@$branch: batch lacks " +
+                s"non-nullable column ${f.name}")
+            lit(null).cast(f.dataType).as(f.name)
+        }
       }
     }
     val aligned = df.select(cols.toIndexedSeq: _*)
@@ -3069,7 +3141,8 @@ class BranchCatalog(
     * is refused (layout/merge semantics depend on them). Renames stay
     * unsupported (a drop+add pair is exactly that, with the documented
     * data loss). */
-  def evolveSchema(table: String, newSchema: StructType, branch: String = "main"): Snapshot = {
+  def evolveSchema(table: String, newSchema: StructType, branch: String = "main",
+      defaults: Map[String, String] = Map.empty): Snapshot = {
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -3092,6 +3165,11 @@ class BranchCatalog(
             "materialize them with compactDataFiles first"))
       }
       val added = newSchema.fields.filter(f => !old.fieldNames.contains(f.name))
+      require(defaults.keySet.subsetOf(added.map(_.name).toSet),
+        s"defaults may only accompany ADDED columns; " +
+          s"${defaults.keySet.diff(added.map(_.name).toSet).mkString(", ")} " +
+          "is not being added (use setColumnDefault to change an existing " +
+          "column's write default)")
       if (added.nonEmpty) {
         added.foreach(nf =>
           require(nf.nullable, s"added column ${nf.name} must be nullable"))
@@ -3109,9 +3187,19 @@ class BranchCatalog(
               "data files written before the drop still carry its old values under " +
               "that name — rewrite them (compactDataFiles) before re-adding")
       }
+      // defaults on added columns (W71): canonicalize each literal NOW
+      // (parse + constant-fold + cast via Spark's own default-column
+      // analyzer), so a bad default fails the ALTER, never a later read
+      val canon = defaults.map { case (c, sql) =>
+        c -> canonicalDefault(c, newSchema(c).dataType, sql)
+      }
+      val evolved = canon.foldLeft(
+        evolvedEvo(cur.evo, StructType.fromDDL(cur.schemaDdl), newSchema)) {
+        case (e, (c, sql)) => e.withAddDefault(c, sql, cur.seq + 1)
+      }
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
-        evo = evolvedEvo(cur.evo, StructType.fromDDL(cur.schemaDdl), newSchema),
+        evo = evolved,
         op = "schema")
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
@@ -3129,6 +3217,52 @@ class BranchCatalog(
     val nextNames = next.fieldNames.toSet
     val afterDrop = oldNames.diff(nextNames).toSeq.sorted.foldLeft(evo)(_ dropColumn _)
     next.fieldNames.filterNot(oldNames.contains).foldLeft(afterDrop)(_ addColumn _)
+  }
+
+  /** Validate + canonicalize a column default (W71): Spark's own
+    * default-column analyzer parses the SQL, refuses non-constant or
+    * unresolvable expressions (`current_timestamp()` and friends are
+    * rejected — a default that drifts per write is not a default), folds
+    * it, and checks the cast to the column type; the stored form is the
+    * folded LITERAL's SQL text (`'en'`, `TIMESTAMP '...'`), which both
+    * Spark's reader-side `EXISTS_DEFAULT` resolution and any later
+    * engine parse unambiguously. */
+  private def canonicalDefault(col: String, dt: DataType, sql: String): String = {
+    val analyzed = try org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .analyze(col, dt, sql, "ALTER TABLE ADD COLUMN")
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"illegal default for $col (${dt.sql}): $sql — ${e.getMessage}", e)
+    }
+    require(analyzed.foldable, s"default for $col must be a constant: $sql")
+    org.apache.spark.sql.catalyst.expressions.Literal(analyzed.eval(null), dt).sql
+  }
+
+  /** Change (or with None, drop) a column's WRITE default — the value
+    * future writers omitting the column get. One metadata commit. The
+    * INITIAL default is deliberately untouched: it describes what
+    * already-written pre-add files mean, and moving it would rewrite
+    * history (Iceberg v3 semantics — `write-default` is mutable,
+    * `initial-default` is set once at ADD COLUMN). */
+  def setColumnDefault(table: String, col: String, default: Option[String],
+      branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val field = schema.fields.find(_.name == col).getOrElse(
+        sys.error(s"no column $col in $table"))
+      val canon = default.map(canonicalDefault(col, field.dataType, _))
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests,
+        cur.seq + 1, evo = cur.evo.withWriteDefault(col, canon), op = "schema")
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
   }
 
   /** RENAME COLUMN as one metadata commit (W58 — no data rewritten): the
@@ -3230,7 +3364,7 @@ class BranchCatalog(
     val files = delta.flatMap(m => readManifest(m.path))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(BranchCatalog.idSchema(schema, head.evo.fieldIds)).parquet(files.map(_.path): _*)
+    else spark.read.schema(BranchCatalog.readSchema(schema, head.evo)).parquet(files.map(_.path): _*)
   }
 
   /** Incremental read between two snapshots (the Iceberg
@@ -3323,7 +3457,7 @@ class BranchCatalog(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(schema.fields :+
             org.apache.spark.sql.types.StructField("__w", org.apache.spark.sql.types.IntegerType)))
-      else spark.read.schema(BranchCatalog.idSchema(schema, to.evo.fieldIds))
+      else spark.read.schema(BranchCatalog.readSchema(schema, to.evo))
         .parquet(fs.map(_.path): _*)
         .select(cols.map(col) :+ lit(w).as("__w"): _*)
     val diff = side(removed, -1).unionByName(side(added, 1))
@@ -3370,7 +3504,7 @@ class BranchCatalog(
       .filterNot(f => fromFiles.contains(f.path))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(BranchCatalog.idSchema(schema, to.evo.fieldIds)).parquet(files.map(_.path): _*)
+    else spark.read.schema(BranchCatalog.readSchema(schema, to.evo)).parquet(files.map(_.path): _*)
   }
 
   /** Time travel by TIMESTAMP (Iceberg `TIMESTAMP AS OF`): scan the last
@@ -3593,7 +3727,8 @@ class BranchCatalog(
     val head = snapshotIdOf(table, branch).map(loadSnapshot(table, _))
     val aligned = head match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
-        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch)
+        alignToSchema(df, StructType.fromDDL(snap.schemaDdl), table, branch,
+          writeDefaults = snap.evo.writeDefaults)
       case _ => df
     }
     val newFiles = writePartitionedDataFiles(table, aligned, specs,
@@ -3680,7 +3815,7 @@ class BranchCatalog(
     val kept =
       if (rewriteFiles.isEmpty) Seq.empty[DataFileMeta]
       else {
-        val survivors = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(rewriteFiles.map(_.path): _*)
+        val survivors = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(rewriteFiles.map(_.path): _*)
           .filter(not(coalesce(cond, lit(false))))
         val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
         val (k, empty) = rewritten.partition(_.rows > 0)
@@ -3782,7 +3917,7 @@ class BranchCatalog(
     val posFilesWritten: Seq[DataFileMeta] =
       if (markFiles.isEmpty) Nil
       else {
-        val marked = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(markFiles.map(_.path): _*)
+        val marked = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(markFiles.map(_.path): _*)
           .filter(coalesce(cond, lit(false)))
           .select(
             fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
@@ -3894,7 +4029,7 @@ class BranchCatalog(
     if (affectedFiles.isEmpty)
       return UpdateResult(cur, 0L, 0L, totalFiles)
 
-    val scan = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
+    val scan = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
     val hit = coalesce(cond, lit(false))
     val rowsUpdated = scan.filter(hit).count()
     val updated0 = scan.select((schema.fields.map { f =>
@@ -4016,7 +4151,8 @@ class BranchCatalog(
     for (k <- keys)
       require(schema.fieldNames.contains(k), s"key column $k is not in ${schema.toDDL}")
     val totalFiles = cur.manifests.map(_.fileCount).sum
-    val aligned = alignToSchema(source, schema, table, branch)
+    val aligned = alignToSchema(source, schema, table, branch,
+      writeDefaults = cur.evo.writeDefaults)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (aligned.isEmpty) return UpsertResult(cur, 0L, 0L, 0L, totalFiles)
@@ -4045,7 +4181,7 @@ class BranchCatalog(
       val (survivors, rowsReplaced, rowsInserted) =
         if (affectedFiles.isEmpty) (aligned, 0L, aligned.count())
         else {
-          val scan = spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
+          val scan = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
           val kept = scan.join(srcKeys, keys, "left_anti")
           val replaced = affectedFiles.map(_.rows).sum - kept.count()
           val inserted = aligned
@@ -4229,7 +4365,7 @@ class BranchCatalog(
       val targetScan =
         if (affectedFiles.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds)).parquet(affectedFiles.map(_.path): _*)
+        else spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
       val joined = targetScan
         .withColumn("__t_hit", lit(true)).alias("t")
         .join(aligned.withColumn("__s_hit", lit(true)).alias("s"),
@@ -4302,7 +4438,7 @@ class BranchCatalog(
           if (bsFiles.isEmpty) (Seq.empty[DataFileMeta], 0L, 0L)
           else {
             val scan = spark.read
-              .schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+              .schema(BranchCatalog.readSchema(schema, cur.evo))
               .parquet(bsFiles.map(_.path): _*)
             val bsFires = bySource.map {
               case (MergeClause.NotMatchedBySourceUpdate(c, _), i) =>
@@ -4467,6 +4603,18 @@ class BranchCatalog(
       s"snapshot $id of $table has renamed columns whose pre-rename files still " +
         "carry the old name — a FOREIGN engine matches columns by name, so export " +
         "after a full rewrite (compactDataFiles) materializes current names")
+    // W71: a foreign engine fills file-missing columns with NULL, not the
+    // declared initial default — precise check via the add sequence (files
+    // carried through rewrites keep their original manifest seq)
+    locally {
+      val backed = snap.evo.initDefaults.filter {
+        case (_, d) => snap.manifests.exists(_.seq < d.addSeq)
+      }
+      require(backed.isEmpty,
+        s"snapshot $id of $table still references files written before column(s) " +
+          s"${backed.keys.mkString(", ")} existed; their declared DEFAULT would read " +
+          "as NULL in a foreign engine — rewrite (compactDataFiles) first")
+    }
     val files = filesOf(snap).sortBy(_.path)
     require(files.nonEmpty,
       s"snapshot $id of $table has no data files — an empty export would emit " +
@@ -4576,6 +4724,15 @@ class BranchCatalog(
     require(from.schemaDdl == to.schemaDdl && !to.evo.renamedFiles,
       s"changes window of $table crosses a schema change or rename residue — a " +
         "FOREIGN engine matches columns by name; export after a full rewrite")
+    locally { // W71: same default-residue rule as exportSnapshot
+      val backed = to.evo.initDefaults.filter {
+        case (_, d) => to.manifests.exists(_.seq < d.addSeq)
+      }
+      require(backed.isEmpty,
+        s"changes export of $table refused: files written before column(s) " +
+          s"${backed.keys.mkString(", ")} existed would serve NULL instead of their " +
+          "DEFAULT in a foreign engine — rewrite (compactDataFiles) first")
+    }
     val fromFiles = filesOf(from)
     val toFiles = filesOf(to)
     val fromPaths = fromFiles.map(_.path).toSet
@@ -4802,7 +4959,7 @@ class BranchCatalog(
     if (affectedFiles.size <= 1) return cur // nothing to fold
 
     val rewritten = writeTableFiles(table,
-      spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+      spark.read.schema(BranchCatalog.readSchema(schema, cur.evo))
         .parquet(affectedFiles.map(_.path): _*)
         .repartition(targetFiles), spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
@@ -4882,7 +5039,7 @@ class BranchCatalog(
     // means "stop when the fold no longer reduces the file count"
     if (smallFiles.size <= outFiles) return None
     val rewritten = writeTableFiles(table,
-      spark.read.schema(BranchCatalog.idSchema(schema, cur.evo.fieldIds))
+      spark.read.schema(BranchCatalog.readSchema(schema, cur.evo))
         .parquet(smallFiles.map(_.path): _*)
         .repartition(outFiles), spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
@@ -5313,6 +5470,35 @@ object BranchCatalog {
           .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
         case None => f
       }
+    })
+
+  /** StructField metadata keys Spark's analyzer and parquet readers use
+    * for column defaults (`ResolveDefaultColumns`): `EXISTS_DEFAULT` is
+    * filled by the reader for columns a FILE physically lacks (per file —
+    * an explicit NULL in a post-add file stays NULL); `CURRENT_DEFAULT`
+    * is what SQL INSERTs fill for omitted columns. */
+  val ExistsDefaultKey: String =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+  val CurrentDefaultKey: String =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+
+  /** The schema every read of the table's DATA files must request:
+    * [[idSchema]]'s field ids (renames resolve by id) PLUS the default-
+    * value metadata — `EXISTS_DEFAULT` from the initial defaults, so
+    * pre-add files serve the declared default instead of NULL, and
+    * `CURRENT_DEFAULT` from the write defaults, so SQL INSERT through
+    * the connector fills omitted columns. Identity when the evolution
+    * state carries neither. */
+  def readSchema(schema: StructType, evo: SchemaEvo): StructType =
+    if (evo.fieldIds.isEmpty && evo.initDefaults.isEmpty && evo.writeDefaults.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      evo.fieldIds.get(f.name).foreach(id => mb.putLong(FieldIdKey, id.toLong))
+      evo.initDefaults.get(f.name).foreach(d => mb.putString(ExistsDefaultKey, d.sql))
+      evo.writeDefaults.get(f.name).foreach(s => mb.putString(CurrentDefaultKey, s))
+      f.copy(metadata = mb.build())
     })
 
   /** Position-delete sidecar columns ([[BranchCatalog
