@@ -81,6 +81,8 @@ object SparkEntry {
     "wap_merge_source" -> (WapQueries.wapMergeSource _),
     "wap_constraints" -> (WapQueries.wapConstraints _),
     "wap_defaults" -> (WapQueries.wapDefaults _),
+    "wap_row_lineage" -> (WapQueries.wapRowLineage _),
+    "wap_pos_update" -> (WapQueries.wapPosUpdate _),
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
     "wap_bloom" -> (WapQueries.wapBloom _),
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
@@ -231,7 +233,7 @@ object SparkEntry {
     "wap_mor_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200 AND (doc_id % 7 <> 0 OR doc_id = 7)) AS sum_chars, true AS zero_data_rewrites, true AS reappend_visible, true AS materialized_clean""",
     "wap_mview" ->
-      """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS avg_fold_ok, true AS dml_fold_ok, true AS full_after_delete""",
+      """SELECT (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 150) AS agg_langs, (SELECT count(*) FROM documents WHERE doc_id < 150) AS agg_docs, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150) AS agg_chars, (SELECT count(*) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 150 AND n_chars % 3 = 0) AS sel_chars, true AS fresh_noop, true AS agg_incremental, true AS sel_incremental, true AS join_incremental, true AS avg_fold_ok, true AS dml_fold_ok, true AS full_after_delete""",
     "wap_changelog" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS n_inserts, (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS insert_ids, (SELECT count(*) FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0) AS n_deletes, (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0) AS delete_ids""",
     "wap_cdc_feed" ->
@@ -256,6 +258,10 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 250) AS n_rows, (SELECT CAST(sum(CASE WHEN doc_id < 150 THEN 7 WHEN doc_id < 200 THEN (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END) ELSE 9 END) AS BIGINT) FROM documents WHERE doc_id < 250) AS sum_score, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200 AND doc_id % 10 = 0) AS null_scores, (SELECT count(*) FROM documents WHERE doc_id < 100) AS pre_add_served, true AS meta_agg_bails, true AS export_refused, true AS export_after_rewrite""",
     "wap_constraints" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id < 50 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, true AS rejected_append, true AS rejected_update, true AS rejected_merge, true AS set_time_validated""",
+    "wap_row_lineage" ->
+      """SELECT (SELECT count(*) FROM documents WHERE (doc_id < 200 AND n_chars % 7 <> 0) OR (doc_id >= 200 AND doc_id < 250)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE (doc_id < 200 AND n_chars % 7 <> 0) OR (doc_id >= 200 AND doc_id < 250)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 20 AND n_chars % 7 <> 0) AS n_renamed_lang, true AS ids_stable, true AS seq_tracks_updates, true AS publish_carries_ids, true AS ids_unique""",
+    "wap_pos_update" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN n_chars % 7 = 0 THEN 10000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_xx, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars % 7 = 0) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id < 20) AS rows_updated_2, true AS zero_rewrites, true AS materialized_clean""",
     "wap_merge_source" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 80 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 40) AS n_stale, (SELECT count(*) FROM documents WHERE doc_id >= 80 AND doc_id < 120 AND doc_id % 2 = 0) + (SELECT count(*) FROM documents WHERE doc_id < 40) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id >= 160 AND doc_id < 200) AS rows_deleted_1, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted_1, (SELECT count(*) FROM documents WHERE (doc_id >= 100 AND doc_id < 160) OR (doc_id >= 200 AND doc_id < 210)) AS rows_deleted_2, true AS conditional_tier_carried, true AS drop_tier_metadata_only""",
     "wap_txn" ->

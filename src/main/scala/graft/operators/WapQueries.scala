@@ -932,11 +932,33 @@ object WapQueries {
       s"'SELECT doc_id, n_chars FROM $lake.main.documents WHERE n_chars % 3 = 0')")
     val freshNoop = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "fresh"
 
+    // a dim + an inner-join view: refreshed by the IVM delta join (r13)
+    // when only the fact side moves — Δdocs ⋈ dim appended, dim pinned
+    cat.createTableIfNotExists("dims", docs.select("lang").distinct().schema)
+    cat.append("dims", docs.select("lang").distinct())
+    spark.sql(s"CALL $lake.system.create_mview('mv_join', " +
+      s"'SELECT s.doc_id, s.n_chars, d.lang FROM $lake.main.documents s " +
+      s"JOIN $lake.main.dims d ON s.lang = d.lang WHERE s.n_chars % 2 = 0')")
+
     cat.append("documents", docs.filter(col("doc_id") >= 100))
     val selFilesBefore = cat.dataFiles("mv_sel").map(_.path).toSet
+    val joinFilesBefore = cat.dataFiles("mv_join").map(_.path).toSet
     val aggInc = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "incremental_agg"
     val selInc = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "incremental"
     val zeroRewrite = selFilesBefore.subsetOf(cat.dataFiles("mv_sel").map(_.path).toSet)
+    val joinInc = GraftMaterializedViews.refresh(spark, cat, "mv_join", "main") ==
+      "incremental_join"
+    val joinZeroRewrite = joinFilesBefore.subsetOf(cat.dataFiles("mv_join").map(_.path).toSet)
+    val joinFoldOk = joinInc && joinZeroRewrite && spark.sql(
+      s"""SELECT count(*) FROM
+         |(SELECT * FROM $lake.main.mv_join
+         | EXCEPT ALL
+         | SELECT s.doc_id, s.n_chars, d.lang FROM $lake.main.documents s
+         | JOIN $lake.main.dims d ON s.lang = d.lang WHERE s.n_chars % 2 = 0)
+         |""".stripMargin).head.getLong(0) == 0L &&
+      spark.sql(s"SELECT count(*) FROM $lake.main.mv_join").head.getLong(0) ==
+        spark.sql(s"SELECT count(*) FROM $lake.main.documents s JOIN $lake.main.dims d " +
+          "ON s.lang = d.lang WHERE s.n_chars % 2 = 0").head.getLong(0)
     // AVG folds through its (sum, count) companions; the folded means
     // must equal a full recompute (exact: long sums). Boolean gate —
     // raw double averages never enter the hash oracle.
@@ -978,6 +1000,7 @@ object WapQueries {
       lit(freshNoop).as("fresh_noop"),
       lit(aggInc).as("agg_incremental"),
       lit(selInc && zeroRewrite).as("sel_incremental"),
+      lit(joinFoldOk).as("join_incremental"),
       lit(avgFoldOk).as("avg_fold_ok"),
       lit(dmlFoldOk).as("dml_fold_ok"),
       lit(fullAgg && fullSel).as("full_after_delete"))
@@ -1833,5 +1856,98 @@ object WapQueries {
         lit(metaAggBails).as("meta_agg_bails"),
         lit(exportRefused).as("export_refused"),
         lit(exportAfterRewrite).as("export_after_rewrite"))
+  }
+
+  /** Positional UPDATE end-to-end (W74 — the Iceberg deletion-vector
+    * UPDATE shape): arbitrary-predicate updates land as position
+    * sidecars + appended new versions, ZERO files rewritten; stacked
+    * updates hit only current versions; compaction materializes. Fixed
+    * 200-doc slice. Oracle: the documents with both updates applied. */
+  def wapPosUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-posupd").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    val r1 = cat.updateWherePositional("documents",
+      col("n_chars") % 7 === 0, Map("n_chars" -> (col("n_chars") + lit(10000L))))
+    // second update hits CURRENT versions only (incl. r1's new versions)
+    val r2 = cat.updateWherePositional("documents",
+      col("doc_id") < 20, Map("lang" -> lit("xx")))
+    val zeroRewrites = r1.filesRewritten == 0 && r2.filesRewritten == 0 &&
+      filesBefore.subsetOf(cat.dataFiles("documents").map(_.path).toSet)
+    val compacted = cat.compactDataFiles("documents", targetFiles = 2)
+    val clean = compacted.deleteManifests.isEmpty
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      sum(when(col("lang") === "xx", 1L).otherwise(0L)).as("n_xx"))
+      .select(col("n_rows"), col("sum_chars"), col("n_xx"),
+        lit(r1.rowsUpdated).as("rows_updated_1"),
+        lit(r2.rowsUpdated).as("rows_updated_2"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(clean).as("materialized_clean"))
+  }
+
+  /** Row lineage end-to-end (W73 — Iceberg v3 row tracking): stable
+    * `_row_id` / `_last_updated_seq` through CoW DELETE, compaction,
+    * CoW UPDATE, and a branch append published with [[BranchCatalog
+    * .merge]] — ids assigned from the GLOBAL per-table counter survive
+    * publication verbatim. Fixed 250-doc slice: SF-flat by construction.
+    * Oracle: survivors of `doc_id < 200 AND n_chars % 7 <> 0` plus the
+    * branch's `[200, 250)` rows; every lineage invariant folds to a
+    * boolean the oracle pins true. */
+  def wapRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-rowlin").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    cat.enableRowLineage("documents")
+    val before = cat.scanLineage("documents")
+      .select(col("doc_id"), col("_row_id").as("id0"), col("_last_updated_seq").as("seq0"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    cat.deleteWhere("documents", col("n_chars") % 7 === 0)     // CoW: survivors carry ids
+    cat.compactDataFiles("documents", targetFiles = 2)          // rewrite: ids materialized
+    val upd = cat.updateWhere("documents", col("doc_id") < 20,
+      Map("lang" -> lit("xx")))                                 // ids keep, hit rows' seq bumps
+
+    // WAP leg: branch append + publish — ids assigned on the branch are
+    // FINAL (global counter), so publication must not move them
+    cat.createBranch("audit")
+    cat.append("documents", docs.filter(col("doc_id") >= 200), branch = "audit")
+    val branchIds = cat.scanLineage("documents", "audit")
+      .filter(col("doc_id") >= 200)
+      .select(col("doc_id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cat.merge("audit")
+
+    val fin = cat.scanLineage("documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_row_id"), col("_last_updated_seq"))
+      .collect()
+    val byDoc = fin.map(r => r.getLong(0) -> r).toMap
+    val mainRows = fin.filter(_.getLong(0) < 200L)
+    val idsStable = mainRows.forall(r => before(r.getLong(0))._1 == r.getLong(3))
+    val seqTracks = mainRows.forall { r =>
+      val seq = r.getLong(4)
+      if (r.getLong(0) < 20L) seq == upd.snapshot.seq else seq == before(r.getLong(0))._2
+    }
+    val publishCarries = branchIds.forall { case (d, id) => byDoc(d).getLong(3) == id }
+    val idsUnique = fin.map(_.getLong(3)).distinct.length == fin.length
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      sum(when(col("lang") === "xx", 1L).otherwise(0L)).as("n_renamed_lang"))
+      .select(col("n_rows"), col("sum_chars"), col("n_renamed_lang"),
+        lit(idsStable).as("ids_stable"),
+        lit(seqTracks).as("seq_tracks_updates"),
+        lit(publishCarries).as("publish_carries_ids"),
+        lit(idsUnique).as("ids_unique"))
   }
 }

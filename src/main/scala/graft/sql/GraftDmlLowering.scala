@@ -199,8 +199,12 @@ object GraftDmlLowering {
 
 /** Eager `UPDATE` over a catalog table: runs
   * [[BranchCatalog.updateWhere]] (stats-bounded copy-on-write rewrite)
-  * under the branch guard. Conditions/SET values are opaque Columns
-  * (already name-bound) so analysis checks do not walk them. */
+  * by default, or [[BranchCatalog.updateWherePositional]] (merge-on-read
+  * position sidecars + appended new versions, zero files rewritten) when
+  * the table carries `write.update.mode=merge-on-read` — the Iceberg
+  * property of the same name, mirroring SQL DELETE's routing. Both under
+  * the branch guard. Conditions/SET values are opaque Columns (already
+  * name-bound) so analysis checks do not walk them. */
 case class GraftUpdateCommand(
     graftTable: GraftTable, set: Map[String, Column],
     condition: Option[Column]) extends LeafRunnableCommand {
@@ -208,9 +212,11 @@ case class GraftUpdateCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDmlLowering.requireDmlWritable(graftTable, "UPDATE")
     val cat = new BranchCatalog(spark, graftTable.root)
-    cat.updateWhere(graftTable.tableName,
-      condition.getOrElse(org.apache.spark.sql.functions.lit(true)),
-      set, graftTable.branch)
+    val cond = condition.getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (graftTable.storedProps.get("write.update.mode").contains("merge-on-read"))
+      cat.updateWherePositional(graftTable.tableName, cond, set, graftTable.branch)
+    else
+      cat.updateWhere(graftTable.tableName, cond, set, graftTable.branch)
     Seq.empty
   }
 }

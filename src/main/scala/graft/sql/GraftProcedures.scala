@@ -49,7 +49,7 @@ object GraftProcedures {
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
-      "create_changelog_view")
+      "create_changelog_view", "enable_row_lineage")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -321,6 +321,17 @@ object GraftProcedures {
                 .map(c => s"${c.name} (${c.violations} violations)").mkString(", "))
         }
         cat.cherrypickSnapshot(table, snapId, into)
+        ()
+      }
+    case "enable_row_lineage" =>
+      // W73: one O(manifests) metadata commit; every later commit
+      // allocates `_row_id` ranges from the global refs counter. Read
+      // the lineage with `t$lineage` (extension sessions) or the Scala
+      // scanLineage. Idempotent.
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.enableRowLineage(args.getString(0), args.getString(1))
         ()
       }
     case "create_mview" =>

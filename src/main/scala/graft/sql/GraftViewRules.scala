@@ -75,6 +75,23 @@ class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => r
       }
 
+    // `<cat>.<branch|tag>.t$lineage` (W73): substitute the ROW-LINEAGE
+    // scan plan — the table's columns plus `_row_id`/`_last_updated_seq`,
+    // decoded as one broadcast join of the O(files) lineage map onto the
+    // parquet scan, so Spark's own pushdown/codegen applies end to end
+    // (the same plan the Scala scanLineage builds; no per-row V1 shim).
+    case UnresolvedRelation(parts, _, false)
+        if parts.length == 3 && parts(2).endsWith("$lineage") &&
+          rootOf(spark, parts.head).isDefined =>
+      val root = rootOf(spark, parts.head).get
+      val table = parts(2).stripSuffix("$lineage")
+      val cat = new BranchCatalog(spark, root)
+      val snapId = cat.snapshotIdOf(table, parts(1))
+        .orElse(cat.snapshotIdAtTag(table, parts(1)))
+        .getOrElse(sys.error(s"no table $table on branch or tag ${parts(1)}"))
+      SubqueryAlias(parts(2),
+        cat.scanLineageSnapshot(table, snapId).queryExecution.analyzed)
+
     case u @ UnresolvedRelation(parts, _, false)
         if parts.length == 3 && rootOf(spark, parts.head).isDefined =>
       val root = rootOf(spark, parts.head).get

@@ -28,7 +28,15 @@ case class DataFileMeta(
     /** File size in bytes (from the write-time FileStatus — no extra IO);
       * 0 in pre-r8 metadata. Streaming reads and byte-aware planning use
       * it; a 0 falls back to a getFileStatus call. */
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    /** Row-lineage entry OFFSET within the manifest (W73): the running
+      * sum of earlier entries' row counts, written by [[BranchCatalog
+      * .writeManifest]] so a file's id base = `ManifestRef.firstRowId` +
+      * this. Manifest FOLDING rewrites entries with their ABSOLUTE base
+      * here (the folded ref's firstRowId is then 0), so folding never
+      * moves a row's id. -1 = pre-lineage manifest entry (enableRowLineage
+      * rewrites them). */
+    firstRowId: Long = -1L)
 
 /** One immutable manifest file: the unit of commit. An append writes
   * exactly one manifest (listing only ITS files), so commit metadata cost
@@ -96,7 +104,23 @@ case class ManifestRef(path: String, fileCount: Long, rows: Long,
       * instead of equality-key rows. `keyCols` then records the two
       * sidecar column names (never table columns). False/absent on
       * data manifests and equality tombstones (json4s default). */
-    posDelete: Boolean = false)
+    posDelete: Boolean = false,
+    /** ROW-LINEAGE base (W73 — Iceberg v3 row tracking): the first row
+      * id of this manifest's id range. A file's base = `firstRowId` +
+      * the file's entry offset ([[DataFileMeta.firstRowId]]); a row's
+      * stable `_row_id` = file base + its position in the file, unless
+      * the file MATERIALIZED a physical `__graft_row_id` (rewrite
+      * outputs carry their rows' original ids; NULL entries there fall
+      * back to base + position, which is how inserted rows in a mixed
+      * rewrite get fresh ids — the Iceberg v3 null-means-assign rule).
+      * Assigned at COMMIT time from the parent snapshot's
+      * [[Snapshot.lin]] high-water mark (retry-safe: the refs-commit
+      * closure restamps on a lost race); -1 = assigned before lineage
+      * was enabled (unreadable as lineage — `enableRowLineage` rewrites
+      * such manifests). Ranges may contain gaps (a carried row still
+      * consumes base + position); ids are unique and stable, never
+      * dense. */
+    firstRowId: Long = -1L)
 
 /** Column-identity state of one snapshot (W58 — rename support without
   * rewriting data): every column of a post-r12 table carries a STABLE
@@ -236,7 +260,11 @@ case class Snapshot(
       * neutral set to skip logically-silent rewrites; `""` (pre-r13
       * metadata — json4s default) is conservatively treated as
       * content-changing. Surfaces as `$snapshots.operation`. */
-    op: String = "")
+    op: String = "",
+    /** Row-lineage state (W73): disabled by default; [[BranchCatalog
+      * .enableRowLineage]] turns it on and every later commit advances
+      * the high-water mark. Carried by every commit constructor. */
+    lin: RowLin = RowLin())
 
 object SnapshotOp {
   /** Commits whose LOGICAL table content (the scan output) is provably
@@ -250,6 +278,12 @@ object SnapshotOp {
 
 /** One global aggregate [[BranchCatalog.metaAggregate]] can answer from
   * snapshot metadata alone. */
+/** Row-lineage state of a snapshot (W73 — Iceberg v3 row tracking):
+  * `next` is the catalog-assigned first-row-id high-water mark on this
+  * table lineage; every commit that adds data manifests advances it by
+  * their TOTAL row count (gaps allowed, ids never reused). */
+case class RowLin(enabled: Boolean = false, next: Long = 0L)
+
 sealed trait MetaAgg
 object MetaAgg {
   case object CountStar extends MetaAgg
@@ -438,7 +472,17 @@ case class Refs(version: Long, branches: Map[String, BranchState],
       * shared by all branches (two branches holding the same table name
       * already share one directory today). Absent in pre-r13 refs JSON
       * (json4s fills the default). */
-    tableDirs: Map[String, String] = Map.empty)
+    tableDirs: Map[String, String] = Map.empty,
+    /** GLOBAL per-table row-id high-water marks (W73 — the analog of
+      * Iceberg v3's table-metadata `next-row-id`), keyed by PHYSICAL
+      * directory so every branch of a table allocates from ONE counter
+      * inside the same refs swap that publishes the commit. That is what
+      * makes row ids unique across branches: a branch append and a main
+      * append racing since the fork get disjoint ranges, so [[BranchCatalog
+      * .merge]] publishes manifests VERBATIM — ids assigned on a branch
+      * survive publication unchanged (the WAP contract extended to row
+      * identity). One ~30-byte entry per lineage-enabled table. */
+    rowIds: Map[String, Long] = Map.empty)
 
 /** Git-like branch-versioned table catalog over parquet + JSON metadata —
   * the Spark-native re-expression of the reference's Nessie+PyIceberg
@@ -627,7 +671,18 @@ class BranchCatalog(
     * — pass the files' TABLE schema (delete-key manifests pass the full
     * table schema too; their key columns resolve by name). */
   private[wap] def writeManifest(
-      table: String, files: Seq[DataFileMeta], schema: StructType): ManifestRef = {
+      table: String, files0: Seq[DataFileMeta], schema: StructType,
+      /** W73: true = the entries already carry their (absolute) row-id
+        * bases — keep them (manifest folding / carried subsets). */
+      preserveRowIds: Boolean = false): ManifestRef = {
+    // W73: every entry records its row-id OFFSET within the manifest
+    // (running row sum in entry order); the commit stamps the manifest's
+    // absolute base, so file id ranges are base + offset. Written
+    // unconditionally (cheap) — meaningful once lineage is enabled.
+    val files =
+      if (preserveRowIds) files0
+      else files0.zip(files0.scanLeft(0L)(_ + _.rows))
+        .map { case (f, off) => f.copy(firstRowId = off) }
     val p = new Path(rootPath, s"tables/${physDir(table)}/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
@@ -1026,7 +1081,13 @@ class BranchCatalog(
         refs.copy(
           branches = refs.branches.updated(branch,
             b.copy(tables = b.tables - table, tableProps = b.tableProps - table)),
-          tableDirs = if (stillUsed) refs.tableDirs else refs.tableDirs - table)
+          tableDirs = if (stillUsed) refs.tableDirs else refs.tableDirs - table,
+          // the row-id counter is keyed by PHYSICAL dir and dies with it:
+          // a recreate under this name gets a fresh directory, hence a
+          // fresh id space (while any other branch still holds the table,
+          // its counter — and id uniqueness — survives)
+          rowIds = if (stillUsed) refs.rowIds
+            else refs.rowIds - refs.tableDirs.getOrElse(table, table))
       }
     }
     dirAlias.remove(table)
@@ -1303,12 +1364,13 @@ class BranchCatalog(
       val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val parent = loadSnapshot(table, parentId)
       val s = parent.seq + 1
-      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, parent, s, Seq(manifest))
+      committed = Snapshot(newId(), Some(parentId), parent.manifests ++ stamped,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), parent.partitionSpec, parent.deleteManifests, s,
-        evo = parent.evo, op = "append")
+        evo = parent.evo, op = "append", lin = lin2)
       writeSnapshot(table, committed)
-      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+      withEpochStamp(refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
@@ -1353,6 +1415,7 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     requireTombstoneHeadroom(table, branch, cur, "upsertKeysMOR")
+    requireNoLineage(table, branch, cur, "upsertKeysMOR")
     val schema = StructType.fromDDL(cur.schemaDdl)
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"upsert key column $c is not a column of $table"))
@@ -1378,12 +1441,13 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during MOR upsert")
       val s = cur.seq + 1
-      committed = Snapshot(newId(), Some(curId), cur.manifests :+ dataManifest.copy(seq = s),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, Seq(dataManifest))
+      committed = Snapshot(newId(), Some(curId), cur.manifests ++ stamped,
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
         cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo,
-        op = "upsert-mor")
+        op = "upsert-mor", lin = lin2)
       writeSnapshot(table, committed)
-      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+      withEpochStamp(refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
@@ -1453,7 +1517,10 @@ class BranchCatalog(
       epochStamp.foreach { case (k, e) => stampStreamEpoch(k, e) }
       return cur
     }
-    if (keyFiles.nonEmpty) requireTombstoneHeadroom(table, branch, cur, "applyCdcMOR")
+    if (keyFiles.nonEmpty) {
+      requireTombstoneHeadroom(table, branch, cur, "applyCdcMOR")
+      requireNoLineage(table, branch, cur, "applyCdcMOR")
+    }
     val dataManifest =
       if (dataFiles.isEmpty) None else Some(writeManifest(table, dataFiles, schema))
     val delManifest =
@@ -1466,18 +1533,19 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during CDC apply")
       val s = cur.seq + 1
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, dataManifest.toSeq)
       committed = Snapshot(newId(), Some(curId),
-        cur.manifests ++ dataManifest.map(_.copy(seq = s)).toSeq,
+        cur.manifests ++ stamped,
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
         cur.deleteManifests ++ delManifest.map(_.copy(seq = s)).toSeq, s,
-        evo = cur.evo,
+        evo = cur.evo, lin = lin2,
         op = (dataManifest, delManifest) match {
           case (Some(_), Some(_)) => "upsert-mor"
           case (Some(_), None) => "append"
           case _ => "delete-mor"
         })
       writeSnapshot(table, committed)
-      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+      withEpochStamp(refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
@@ -1556,6 +1624,295 @@ class BranchCatalog(
       }
     filter.fold(df)(df.filter)
   }
+
+  // ---- row lineage (W73 — Iceberg v3 row tracking) ----------------------
+
+  /** Stamp a commit's NEW data manifests with the commit sequence AND,
+    * once lineage is enabled, consecutive row-id bases from the parent's
+    * high-water mark. Ranges advance by each manifest's TOTAL row count
+    * (gaps allowed — a rewrite-carried row still consumes its slot), so
+    * ids are unique and stable, never dense. Call INSIDE the refs-commit
+    * closure (or with the head pinned by a concurrent-commit guard) —
+    * a lost optimistic race restamps against the fresh parent. */
+  /** Allocate row-id ranges for `ms` from the table's GLOBAL counter in
+    * `refs` ([[Refs.rowIds]] — Iceberg v3 `next-row-id`). Runs INSIDE the
+    * refs-commit closure, so a lost race re-allocates from the winner's
+    * high-water mark: ranges are unique across every branch and every
+    * racing committer. `parent.lin.next` seeds the counter max-wise
+    * (metadata written before the counter moved global). Returns the refs
+    * with the advanced counter — the caller must commit THAT refs. */
+  private def stampLineage(refs: Refs, table: String, parent: Snapshot, s: Long,
+      ms: Seq[ManifestRef]): (Refs, Seq[ManifestRef], RowLin) =
+    if (!parent.lin.enabled) (refs, ms.map(_.copy(seq = s)), parent.lin)
+    else {
+      val key = physDir(table)
+      var next = math.max(refs.rowIds.getOrElse(key, 0L), parent.lin.next)
+      val stamped = ms.map { m =>
+        val r = m.copy(seq = s, firstRowId = next); next += m.rows; r
+      }
+      (refs.copy(rowIds = refs.rowIds.updated(key, next)), stamped,
+        RowLin(enabled = true, next = next))
+    }
+
+  /** Normalize a path for joining manifest metadata against Spark's
+    * `_metadata.file_path` (which always carries a scheme). */
+  private def barePath(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/{1,2}", "/")
+
+  /** The per-file lineage map of a snapshot: (file path, id base, commit
+    * seq) — O(files) metadata rows, broadcast onto scans. Base =
+    * manifest base + the entry's offset ([[DataFileMeta.firstRowId]]);
+    * folded manifests store absolute offsets over base 0, so folding
+    * never moves an id. */
+  private def lineageFileMap(snap: Snapshot): DataFrame = {
+    val rows = snap.manifests.flatMap { m =>
+      require(m.firstRowId >= 0L,
+        s"manifest ${m.path} predates row lineage — run enableRowLineage first")
+      readManifest(m.path).map { f =>
+        require(f.firstRowId >= 0L,
+          s"file ${f.path} has no lineage offset — run enableRowLineage first")
+        (f.path, m.firstRowId + f.firstRowId, m.seq)
+      }
+    }
+    import spark.implicits._
+    spark.createDataFrame(rows).toDF("__lin_path", "__lin_base", "__lin_seq")
+      .select(barePath(org.apache.spark.sql.functions.col("__lin_path")).as("__lin_path"),
+        org.apache.spark.sql.functions.col("__lin_base"),
+        org.apache.spark.sql.functions.col("__lin_seq"))
+  }
+
+  /** Scan one snapshot with its ROW LINEAGE: every user column plus
+    * `_row_id` (stable row identity — survives compaction, sorting,
+    * z-ordering and copy-on-write DML carries) and `_last_updated_seq`
+    * (the commit sequence that last inserted/updated the row). Decode is
+    * per file: physical [[BranchCatalog.RowIdCol]]/[[BranchCatalog
+    * .LastSeqCol]] columns win (rewrite outputs); NULL falls back to the
+    * file's assigned base + `_metadata.row_index` / the manifest's seq —
+    * one broadcast join against the O(files) lineage map, zero extra
+    * data reads. Refuses pending tombstones (anti-joined rows have no
+    * well-defined positions for sidecar stacking) — materialize first. */
+  def scanLineage(table: String, branch: String = "main"): DataFrame = {
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    scanLineageSnapshot(table, id)
+  }
+
+  def scanLineageSnapshot(table: String, snapshotId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val snap = loadSnapshot(table, snapshotId)
+    require(snap.lin.enabled,
+      s"$table has no row lineage — run enableRowLineage first")
+    // POSITION sidecars coexist with lineage (a suppressed position is
+    // still a position — the Iceberg v3 deletion-vector + row-lineage
+    // pairing); equality tombstones cannot (their write paths refuse on
+    // lineage tables — this is the pre-enablement backstop)
+    require(snap.deleteManifests.forall(_.posDelete),
+      s"$table has pending equality tombstones — lineage scans need " +
+        "materialized rows (compactDataFiles first)")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val paths = filesOf(snap.copy(deleteManifests = Nil)).map(_.path)
+    val readSchema = StructType(
+      BranchCatalog.readSchema(schema, snap.evo).fields ++ Seq(
+        org.apache.spark.sql.types.StructField(BranchCatalog.RowIdCol, LongType),
+        org.apache.spark.sql.types.StructField(BranchCatalog.LastSeqCol, LongType)))
+    if (paths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_row_id", LongType),
+          org.apache.spark.sql.types.StructField("_last_updated_seq", LongType))))
+    val raw = spark.read.schema(readSchema).parquet(paths: _*)
+      .select(col("*"),
+        barePath(col("_metadata.file_path")).as("__lin_path"),
+        col("_metadata.row_index").as("__lin_idx"))
+    val posDels = snap.deleteManifests.filter(_.posDelete)
+    val suppressed =
+      if (posDels.isEmpty) raw
+      else {
+        val sidecars = posDels.flatMap(m => readManifest(m.path))
+        val pd = spark.read.schema(BranchCatalog.posDeleteSchema)
+          .parquet(sidecars.map(_.path): _*)
+          .select(barePath(col(BranchCatalog.PosPathCol)).as("__lin_path"),
+            col(BranchCatalog.PosIdxCol).as("__lin_idx"))
+        raw.join(pd, Seq("__lin_path", "__lin_idx"), "left_anti")
+      }
+    suppressed.join(broadcast(lineageFileMap(snap)), Seq("__lin_path"))
+      .select(
+        schema.fieldNames.map(col).toIndexedSeq ++ Seq(
+          coalesce(col(BranchCatalog.RowIdCol),
+            col("__lin_base") + col("__lin_idx")).as("_row_id"),
+          coalesce(col(BranchCatalog.LastSeqCol), col("__lin_seq"))
+            .as("_last_updated_seq")): _*)
+  }
+
+  /** Turn row lineage ON for a table: one metadata commit that rewrites
+    * each existing manifest FILE with per-entry offsets (pre-lineage
+    * metadata lacks them) and assigns every manifest its id base — no
+    * data file is read or written, O(manifests) metadata IO. Every later
+    * commit assigns ranges automatically; copy-on-write rewrites then
+    * MATERIALIZE carried rows' ids into their outputs. Idempotent. */
+  def enableRowLineage(table: String, branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      if (cur.lin.enabled) { committed = cur; refs }
+      else {
+        require(cur.deleteManifests.isEmpty,
+          s"$table@$branch has pending tombstones — materialize with " +
+            "compactDataFiles before enabling row lineage")
+        var next = 0L
+        val stamped = cur.manifests.map { m =>
+          val ref = ensureManifestOffsets(table, m).copy(firstRowId = next)
+          next += m.rows
+          ref
+        }
+        committed = Snapshot(newId(), Some(curId), stamped, cur.schemaDdl,
+          System.currentTimeMillis(), cur.partitionSpec, Nil, cur.seq + 1,
+          sortOrder = cur.sortOrder, sortWithinPartitions = cur.sortWithinPartitions,
+          evo = cur.evo, op = "schema", lin = RowLin(enabled = true, next = next))
+        writeSnapshot(table, committed)
+        // seed the GLOBAL counter ([[Refs.rowIds]]) in the same swap:
+        // every branch allocates above this table's historical rows.
+        // max-fold — another branch may have enabled/allocated already
+        val key = physDir(table)
+        refs.copy(
+          rowIds = refs.rowIds.updated(key,
+            math.max(refs.rowIds.getOrElse(key, 0L), next)),
+          branches = refs.branches.updated(branch,
+            b.copy(tables = b.tables.updated(table, committed.id))))
+      }
+    }
+    committed
+  }
+
+  /** The manifest with per-entry row-id OFFSETS guaranteed: identity when
+    * the entries already carry them (everything written since W73),
+    * otherwise the manifest FILE is rewritten with the offsets filled —
+    * same entries, new uuid path. The ref's BASE is left untouched;
+    * callers assign it. O(1 manifest read [+ write]), no data IO. */
+  private def ensureManifestOffsets(table: String, m: ManifestRef): ManifestRef = {
+    val entries = readManifest(m.path)
+    if (entries.forall(_.firstRowId >= 0L)) m
+    else {
+      val withOff = entries.zip(entries.scanLeft(0L)(_ + _.rows))
+        .map { case (f, off) => f.copy(firstRowId = off) }
+      val p = new Path(rootPath,
+        s"tables/${physDir(table)}/meta/manifest-${UUID.randomUUID().toString.take(16)}.json")
+      require(writeString(p, Serialization.write(withOff), overwriteExisting = false),
+        s"manifest ${p.getName} already exists for $table")
+      m.copy(path = p.toString)
+    }
+  }
+
+  /** Attach MATERIALIZED lineage columns to a rewrite's input rows: the
+    * decoded `__graft_row_id` for every row (so the rewrite output
+    * carries it physically) and `__graft_last_seq` as the decoded OLD
+    * value (the caller nulls it for rows the commit changes — NULL
+    * inherits the new manifest's seq at read). No-op frame when lineage
+    * is off. `df` must be the PLAIN read of exactly `files` (row order
+    * preserved — `_metadata` resolves per file). */
+  private def withMaterializedLineage(
+      df: DataFrame, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    if (!snap.lin.enabled) df
+    else {
+      // input files from an earlier rewrite may already carry physical
+      // lineage columns (read them via [[lineageReadSchema]]); they win
+      val hasPhys = df.columns.contains(BranchCatalog.RowIdCol)
+      val cols = df.columns.toSeq
+        .filterNot(c => c == BranchCatalog.RowIdCol || c == BranchCatalog.LastSeqCol)
+      def withPhys(virt: Column, phys: String): Column =
+        if (hasPhys) coalesce(col(phys), virt) else virt
+      df.select(col("*"),
+        barePath(col("_metadata.file_path")).as("__lin_path"),
+        col("_metadata.row_index").as("__lin_idx"))
+        .join(broadcast(lineageFileMap(snap)), Seq("__lin_path"))
+        .select(cols.map(col) ++ Seq(
+          withPhys(col("__lin_base") + col("__lin_idx"), BranchCatalog.RowIdCol)
+            .as(BranchCatalog.RowIdCol),
+          withPhys(col("__lin_seq"), BranchCatalog.LastSeqCol)
+            .as(BranchCatalog.LastSeqCol)): _*)
+    }
+  }
+
+  /** The read schema a REWRITE input scan must request once lineage is
+    * on: the usual [[BranchCatalog.readSchema]] plus the physical
+    * lineage columns (NULL for files that never materialized them). */
+  private def lineageReadSchema(schema: StructType, snap: Snapshot): StructType = {
+    val base = BranchCatalog.readSchema(schema, snap.evo)
+    if (!snap.lin.enabled) base
+    else StructType(base.fields ++ Seq(
+      StructField(BranchCatalog.RowIdCol, LongType),
+      StructField(BranchCatalog.LastSeqCol, LongType)))
+  }
+
+  /** The input rows of a WHOLE-TABLE rewrite when lineage is on: every
+    * row with its lineage MATERIALIZED as physical columns and pending
+    * POSITION deletes applied (compaction is how sidecars materialize;
+    * equality tombstones cannot exist on lineage tables — their write
+    * paths refuse). Falls back to the ordinary snapshot scan while
+    * lineage is off. */
+  private def rewriteScan(table: String, snapshotId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cur = loadSnapshot(table, snapshotId)
+    if (!cur.lin.enabled) scanSnapshot(table, snapshotId)
+    else {
+      require(cur.deleteManifests.forall(_.posDelete),
+        s"$table has pending equality tombstones with row lineage on — unreachable")
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val paths = filesOf(cur.copy(deleteManifests = Nil)).map(_.path)
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          lineageReadSchema(schema, cur))
+      else {
+        val raw = spark.read.schema(lineageReadSchema(schema, cur))
+          .parquet(paths: _*)
+          .select(col("*"),
+            col("_metadata.file_path").as(BranchCatalog.PosPathCol),
+            col("_metadata.row_index").as(BranchCatalog.PosIdxCol))
+        // decode off the captured lineage columns (a second projection
+        // could no longer resolve the hidden _metadata struct)
+        val dec = raw
+          .join(broadcast(lineageFileMap(cur)),
+            barePath(col(BranchCatalog.PosPathCol)) === col("__lin_path"))
+          .select(schema.fieldNames.map(col).toIndexedSeq ++ Seq(
+            org.apache.spark.sql.functions.coalesce(col(BranchCatalog.RowIdCol),
+              col("__lin_base") + col(BranchCatalog.PosIdxCol))
+              .as(BranchCatalog.RowIdCol),
+            org.apache.spark.sql.functions.coalesce(col(BranchCatalog.LastSeqCol),
+              col("__lin_seq")).as(BranchCatalog.LastSeqCol),
+            col(BranchCatalog.PosPathCol), col(BranchCatalog.PosIdxCol)): _*)
+        val posDels = cur.deleteManifests.filter(_.posDelete)
+        val suppressed =
+          if (posDels.isEmpty) dec
+          else {
+            val sidecars = posDels.flatMap(m => readManifest(m.path))
+            val pd = spark.read.schema(BranchCatalog.posDeleteSchema)
+              .parquet(sidecars.map(_.path): _*).alias("__pd")
+            dec.alias("__dt").join(pd,
+              col(s"__dt.${BranchCatalog.PosPathCol}") === col(s"__pd.${BranchCatalog.PosPathCol}") &&
+                col(s"__dt.${BranchCatalog.PosIdxCol}") === col(s"__pd.${BranchCatalog.PosIdxCol}"),
+              "left_anti")
+          }
+        suppressed.drop(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol)
+      }
+    }
+  }
+
+  /** Re-manifest a SUBSET of one manifest's files without moving their
+    * row ids (W73): entries are rewritten with their ABSOLUTE bases and
+    * the new ref's base is 0, so carried rows decode unchanged whatever
+    * subset survives. Plain re-manifest while lineage is off. */
+  private def writeCarriedManifest(table: String, src: ManifestRef,
+      subset: Seq[DataFileMeta], schema: StructType,
+      linEnabled: Boolean): ManifestRef =
+    if (!linEnabled) writeManifest(table, subset, schema)
+    else {
+      require(src.firstRowId >= 0L,
+        s"manifest ${src.path} predates row lineage — run enableRowLineage first")
+      val abs = subset.map(f => f.copy(firstRowId = src.firstRowId + f.firstRowId))
+      writeManifest(table, abs, schema, preserveRowIds = true).copy(firstRowId = 0L)
+    }
 
   /** Does tombstone `d` cover data manifest `m` in `snap`? Sequence
     * comparison when the tombstone carries one (`m.seq < d.seq` — Iceberg
@@ -1648,6 +2005,20 @@ class BranchCatalog(
         "to every scan; materialize them with compactDataFiles (or the sorted/z-order " +
         "variants) first")
 
+  /** EQUALITY-tombstone writes refuse on row-lineage tables (W73): an
+    * equality tombstone suppresses rows by anti-join, so a suppressed
+    * row has no well-defined position for id decode and compaction could
+    * not materialize it back. POSITION deletes ([[deleteWherePositional]])
+    * and copy-on-write DML are the lineage-capable mutation paths — the
+    * same narrowing Iceberg v3 makes (deletion vectors + row lineage;
+    * equality deletes deprecated). */
+  private def requireNoLineage(
+      table: String, branch: String, cur: Snapshot, op: String): Unit =
+    require(!cur.lin.enabled,
+      s"$op refused: $table@$branch has row lineage enabled — equality-tombstone " +
+        "MOR writes cannot carry row ids; use deleteWherePositional / copy-on-write " +
+        "DML instead")
+
   /** Merge-on-read DELETE by key (Iceberg v2 equality-delete analogue —
     * the write-cheap half of the DML pair; [[deleteWhere]] is the
     * read-cheap copy-on-write half): commits KEY TOMBSTONES — parquet
@@ -1668,6 +2039,7 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     requireTombstoneHeadroom(table, branch, cur, "deleteKeysMOR")
+    requireNoLineage(table, branch, cur, "deleteKeysMOR")
     val tableCols = StructType.fromDDL(cur.schemaDdl).fieldNames.toSet
     keys.schema.fieldNames.foreach(c => require(tableCols.contains(c),
       s"delete key column $c is not a column of $table"))
@@ -1686,7 +2058,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
         cur.deleteManifests :+ delManifest.copy(seq = s), s, evo = cur.evo,
-        op = "delete-mor")
+        op = "delete-mor", lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -1716,12 +2088,13 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during overwrite")
       val s = cur.seq + 1
-      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = s)),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
         if (cur.schemaDdl.nonEmpty) cur.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, Nil, s,
-        evo = cur.evo.afterFullRewrite, op = "overwrite")
+        evo = cur.evo.afterFullRewrite, op = "overwrite", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     committed
@@ -1762,6 +2135,7 @@ class BranchCatalog(
       out = Map.empty // retry-safe: rebuilt against the fresh refs
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       var tables = b.tables
+      var refsAcc = refs
       for ((table, st) <- staged) {
         val parentId = tables.getOrElse(table, sys.error(s"no table $table on $branch"))
         val parent = loadSnapshot(table, parentId)
@@ -1775,18 +2149,21 @@ class BranchCatalog(
             s"${parent.deleteManifests.size + st.deletes.size} pending MOR tombstone " +
             s"generations (bound $maxPendingTombstones) — materialize with " +
             "compactDataFiles first")
+        if (st.deletes.nonEmpty) requireNoLineage(table, branch, parent, "transactional deleteKeys")
         val s = parent.seq + 1
+        val (refs2, stamped, lin2) = stampLineage(refsAcc, table, parent, s, st.appends)
+        refsAcc = refs2
         val snap = Snapshot(newId(), Some(parentId),
-          parent.manifests ++ st.appends.map(_.copy(seq = s)),
+          parent.manifests ++ stamped,
           parent.schemaDdl, System.currentTimeMillis(), parent.partitionSpec,
           parent.deleteManifests ++ st.deletes.map(_.copy(seq = s)), s,
-          evo = parent.evo,
+          evo = parent.evo, lin = lin2,
           op = if (st.deletes.isEmpty) "append" else "delete-mor")
         writeSnapshot(table, snap)
         tables = tables.updated(table, snap.id)
         out += table -> snap
       }
-      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = tables)))
+      refsAcc.copy(branches = refs.branches.updated(branch, b.copy(tables = tables)))
     }
     out
   }
@@ -2573,6 +2950,7 @@ class BranchCatalog(
       var dstTables = dst.tables
       var srcTables = src.tables
       var srcBase = src.baseOfMain
+      var rowIdsAcc = refs.rowIds
       for ((table, srcSnapId) <- src.tables) {
         val baseSnapId = src.baseOfMain.get(table)
         if (!baseSnapId.contains(srcSnapId)) {
@@ -2622,11 +3000,49 @@ class BranchCatalog(
           val schemaWinner =
             if (srcSchemaChanged || dstSnapOpt.isEmpty) srcSnap else dstSnapOpt.get
           val dropsFromDst = dstManifests.exists(m => removed.contains(m.path))
-          if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty || srcSchemaChanged) {
+          // W73: lineage publishes like schema — enabling on a branch
+          // lands on the target. Manifests committed while THEIR side had
+          // lineage carry their id bases VERBATIM (the global [[Refs
+          // .rowIds]] counter made every branch's ranges disjoint, so a
+          // branch's ids survive publication — the WAP row-identity
+          // contract); only manifests from a pre-lineage side stamp fresh
+          // bases here, from the same global counter.
+          val linEnabled = srcSnap.lin.enabled || dstSnapOpt.exists(_.lin.enabled)
+          val mergedManifests0 =
+            dstManifests.filterNot(m => removed.contains(m.path)) ++ added
+          val (mergedManifests, mergedLin) =
+            if (!linEnabled) (mergedManifests0, RowLin())
+            else {
+              // a branch-side enableRowLineage stamps bases on EXISTING
+              // manifest refs without changing their paths — the path
+              // dedup above then keeps the dst ref (base -1). Publish the
+              // branch's stamped base for shared paths before falling
+              // back to fresh allocation.
+              val srcBases = srcManifests
+                .filter(_.firstRowId >= 0L).map(m => m.path -> m.firstRowId).toMap
+              val key = physDir(table)
+              var next = Seq(rowIdsAcc.getOrElse(key, 0L), srcSnap.lin.next,
+                dstSnapOpt.map(_.lin.next).getOrElse(0L)).max
+              val stamped = mergedManifests0.map { m =>
+                if (m.firstRowId >= 0L) m
+                else srcBases.get(m.path) match {
+                  case Some(base) =>
+                    ensureManifestOffsets(table, m).copy(firstRowId = base)
+                  case None =>
+                    val r = ensureManifestOffsets(table, m).copy(firstRowId = next)
+                    next += m.rows; r
+                }
+              }
+              rowIdsAcc = rowIdsAcc.updated(key, next)
+              (stamped, RowLin(enabled = true, next = next))
+            }
+          val srcLinTurnedOn = srcSnap.lin.enabled && !dstSnapOpt.exists(_.lin.enabled)
+          if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty ||
+              srcSchemaChanged || srcLinTurnedOn) {
             val merged = Snapshot(
               newId(),
               dstSnapOpt.map(_.id),
-              dstManifests.filterNot(m => removed.contains(m.path)) ++ added,
+              mergedManifests,
               schemaWinner.schemaDdl,
               System.currentTimeMillis(),
               dstSnapOpt.flatMap(_.partitionSpec)
@@ -2652,7 +3068,7 @@ class BranchCatalog(
                   renamedFiles = schemaWinner.evo.renamedFiles ||
                     other.renamedFiles || dstForeign)
               },
-              op = "publish")
+              op = "publish", lin = mergedLin)
             writeSnapshot(table, merged)
             dstTables = dstTables.updated(table, merged.id)
             srcTables = srcTables.updated(table, merged.id)
@@ -2663,7 +3079,7 @@ class BranchCatalog(
           }
         }
       }
-      withEpochStamp(refs.copy(branches = refs.branches
+      withEpochStamp(refs.copy(rowIds = rowIdsAcc, branches = refs.branches
         // views publish with the merge: the branch's definitions land on
         // the target (last-writer-wins — a view is a definition, not
         // data; there is no manifest-granular content to 3-way)
@@ -3200,7 +3616,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), cur.manifests, newSchema.toDDL,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
         evo = evolved,
-        op = "schema")
+        op = "schema", lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3257,7 +3673,8 @@ class BranchCatalog(
       val canon = default.map(canonicalDefault(col, field.dataType, _))
       committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests,
-        cur.seq + 1, evo = cur.evo.withWriteDefault(col, canon), op = "schema")
+        cur.seq + 1, evo = cur.evo.withWriteDefault(col, canon), op = "schema",
+        lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3322,7 +3739,7 @@ class BranchCatalog(
         // the data is unchanged, so sort contracts survive under the new name
         sortOrder = cur.sortOrder.map(c => if (c == from) to else c),
         sortWithinPartitions = cur.sortWithinPartitions.map(c => if (c == from) to else c),
-        evo = cur.evo.rename(from, to), op = "schema")
+        evo = cur.evo.rename(from, to), op = "schema", lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3609,12 +4026,20 @@ class BranchCatalog(
       if (fresh.isEmpty) { committed = head; refs }
       else {
         val s = head.seq + 1
+        // cherry-picked manifests keep their bases VERBATIM (the global
+        // counter already reserved those ranges at the original commit,
+        // so no target-side allocation can collide) — consistent with
+        // files whose ids were physically materialized by a source-side
+        // rewrite. Only bases never assigned (source committed before
+        // lineage was on) allocate fresh.
+        val (withBase, unstamped) = fresh.partition(_.firstRowId >= 0L)
+        val (refs2, stamped, lin2) = stampLineage(refs, table, head, s, unstamped)
         committed = Snapshot(newId(), Some(headId),
-          head.manifests ++ fresh.map(_.copy(seq = s)), head.schemaDdl,
+          head.manifests ++ withBase.map(_.copy(seq = s)) ++ stamped, head.schemaDdl,
           System.currentTimeMillis(), head.partitionSpec, head.deleteManifests, s,
-          evo = head.evo, op = "cherrypick")
+          evo = head.evo, op = "cherrypick", lin = lin2)
         writeSnapshot(table, committed)
-        refs.copy(branches = refs.branches.updated(into,
+        refs2.copy(branches = refs.branches.updated(into,
           b.copy(tables = b.tables.updated(table, committed.id))))
       }
     }
@@ -3743,12 +4168,13 @@ class BranchCatalog(
         s"table $table is partitioned by ${parent.partitionSpec.get}, not " +
           s"${PartitionSpec.formatMulti(specs)}; partition evolution requires a rewrite")
       val s = parent.seq + 1
-      committed = Snapshot(newId(), Some(parentId), parent.manifests :+ manifest.copy(seq = s),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, parent, s, Seq(manifest))
+      committed = Snapshot(newId(), Some(parentId), parent.manifests ++ stamped,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
         System.currentTimeMillis(), Some(PartitionSpec.formatMulti(specs)),
-        parent.deleteManifests, s, evo = parent.evo, op = "append")
+        parent.deleteManifests, s, evo = parent.evo, op = "append", lin = lin2)
       writeSnapshot(table, committed)
-      withEpochStamp(refs.copy(branches = refs.branches.updated(branch,
+      withEpochStamp(refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
@@ -3815,7 +4241,13 @@ class BranchCatalog(
     val kept =
       if (rewriteFiles.isEmpty) Seq.empty[DataFileMeta]
       else {
-        val survivors = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(rewriteFiles.map(_.path): _*)
+        // W73: survivors carry their row ids into the rewrite output
+        // (delete never updates a surviving row, so last_seq carries too)
+        val raw = spark.read.schema(lineageReadSchema(schema, cur))
+          .parquet(rewriteFiles.map(_.path): _*)
+        val survivors = withMaterializedLineage(raw,
+          cur.copy(manifests = perManifest.collect {
+            case (m, _, r, _) if r.nonEmpty => m }))
           .filter(not(coalesce(cond, lit(false))))
         val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
         val (k, empty) = rewritten.partition(_.rows > 0)
@@ -3826,12 +4258,19 @@ class BranchCatalog(
       }
 
     val newSeq = cur.seq + 1
-    val newManifests =
+    val carried =
       perManifest.flatMap { case (m, dropped, rewrite, untouched) =>
         if (dropped.isEmpty && rewrite.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
+        else if (untouched.nonEmpty) Some(writeCarriedManifest(table, m, untouched,
+          schema, cur.lin.enabled).copy(seq = newSeq))
         else None
-      } ++ (if (kept.nonEmpty) Seq(writeManifest(table, kept, schema).copy(seq = newSeq)) else Seq.empty)
+      }
+    // survivors' ids are MATERIALIZED in the rewrite output, so the fresh
+    // base allocated inside the commit covers only physically-NULL rows
+    // (none here — delete never inserts); allocation still goes through
+    // the global counter for uniformity with inserting rewrites
+    val freshManifest =
+      if (kept.nonEmpty) Seq(writeManifest(table, kept, schema)) else Seq.empty
     val rowsDeleted =
       droppedFiles.map(_.rows).sum + rewriteFiles.map(_.rows).sum - kept.map(_.rows).sum
     var committed: Snapshot = null
@@ -3841,11 +4280,12 @@ class BranchCatalog(
         s"concurrent commit on $table@$branch during delete")
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
-      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+      val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+      committed = Snapshot(newId(), Some(curId), carried ++ stampedFresh, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-        op = "delete")
+        op = "delete", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     DeleteResult(committed, rowsDeleted,
@@ -3942,7 +4382,8 @@ class BranchCatalog(
         val kept = readManifest(m.path).filterNot(f => droppedPaths.contains(f.path))
         // ORIGINAL sequence: pending sidecars committed earlier must
         // still cover the surviving files (m.seq < d.seq)
-        if (kept.nonEmpty) Some(writeManifest(table, kept, schema).copy(seq = m.seq))
+        if (kept.nonEmpty) Some(writeCarriedManifest(table, m, kept, schema,
+          cur.lin.enabled).copy(seq = m.seq))
         else None
       }
     }
@@ -3962,7 +4403,7 @@ class BranchCatalog(
       committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec,
         deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq,
-        evo = cur.evo, op = "delete-pos")
+        evo = cur.evo, op = "delete-pos", lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
@@ -3990,6 +4431,122 @@ class BranchCatalog(
       droppedFiles.map(_.rows).sum - alreadySuppressedInDropped +
         posFilesWritten.map(_.rows).sum,
       0L, totalFiles - droppedFiles.size, droppedFiles.size.toLong)
+  }
+
+  /** Row-level UPDATE, merge-on-read by POSITION (the Iceberg
+    * deletion-vector UPDATE shape): matching rows' `(file, row index)`
+    * pairs land in a position sidecar (suppressing the OLD versions) and
+    * their UPDATED versions append as new data files — ONE commit, ZERO
+    * existing files rewritten. The write cost of an arbitrary-predicate
+    * update on a 100 TB table drops from O(matching-file bytes
+    * rewritten) to O(matching rows read + new versions written) — the
+    * GDPR-correction / late-fact-fixup shape. Planning shares
+    * [[deleteWhere]]'s pruning tiers (manifest-list prune, file stats,
+    * bloom probes); only files that MAY match are read. The sidecar's
+    * sequence covers prior data only, so the batch's own new versions
+    * stay visible ([[deleteKeysMOR]]'s anchor trick). Row lineage (W73)
+    * carries: new versions MATERIALIZE their rows' original `_row_id`
+    * (an update never moves a row's identity) and take the commit's
+    * `_last_updated_seq`. Stacked positional deletes/updates anti-join
+    * prior sidecars, so an already-suppressed version is never
+    * re-updated or double-counted. Compaction materializes everything.
+    * Pending EQUALITY tombstones refuse (one representation at a time). */
+  def updateWherePositional(
+      table: String, cond: Column, set: Map[String, Column],
+      branch: String = "main"): UpdateResult = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, lit, col => fcol}
+    require(set.nonEmpty, "updateWherePositional needs at least one SET column")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.forall(_.posDelete),
+      s"$table@$branch has pending EQUALITY tombstones — materialize with " +
+        "compactDataFiles before positional updates (one delete representation at a time)")
+    requireTombstoneHeadroom(table, branch, cur, "updateWherePositional")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    for (c <- set.keys)
+      require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val spec = specsOf(cur.partitionSpec)
+    val bloomIdx = Some(new BloomProbe(cur.manifests))
+    val resolved = resolvePredicate(cond, schema)
+    val markFiles = cur.manifests.flatMap { m =>
+      if (resolved.exists(p => !manifestMayMatch(m, p, schema, spec))) Nil
+      else pruneFiles(readManifest(m.path), cond, schema, spec, bloomIdx)
+    }
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    if (markFiles.isEmpty) return UpdateResult(cur, 0L, 0L, totalFiles)
+
+    // ONE read of the marked files: matched rows with their exact
+    // positions, minus positions a prior pending sidecar already
+    // suppressed (those versions are not current — their replacements,
+    // if any, sit in later files this scan also covers)
+    val marked = spark.read.schema(lineageReadSchema(schema, cur))
+      .parquet(markFiles.map(_.path): _*)
+      .select(fcol("*"),
+        fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
+        fcol("_metadata.row_index").as(BranchCatalog.PosIdxCol))
+      .filter(coalesce(cond, lit(false)))
+    val priorFiles = cur.deleteManifests.flatMap(d => readManifest(d.path))
+    val fresh =
+      if (priorFiles.isEmpty) marked
+      else marked.join(
+        spark.read.schema(BranchCatalog.posDeleteSchema)
+          .parquet(priorFiles.map(_.path): _*),
+        Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
+
+    val posFilesWritten = {
+      val written = writeDataFiles(table,
+        fresh.select(fcol(BranchCatalog.PosPathCol), fcol(BranchCatalog.PosIdxCol)),
+        Map.empty)
+      val (live, empty) = written.partition(_.rows > 0)
+      empty.foreach(f => fs.delete(new Path(f.path), false))
+      live
+    }
+    if (posFilesWritten.isEmpty) return UpdateResult(cur, 0L, 0L, totalFiles)
+
+    // the updated VERSIONS: SET applied, original row ids materialized
+    // (UPDATE preserves identity), last-seq left NULL — it inherits the
+    // new manifest's sequence at decode
+    val linCols =
+      if (!cur.lin.enabled) Seq.empty[Column]
+      else Seq(
+        coalesce(fcol(BranchCatalog.RowIdCol),
+          fcol("__lin_base") + fcol(BranchCatalog.PosIdxCol)).as(BranchCatalog.RowIdCol),
+        lit(null).cast("long").as(BranchCatalog.LastSeqCol))
+    val decoded =
+      if (!cur.lin.enabled) fresh
+      else fresh.join(broadcast(lineageFileMap(cur)),
+        barePath(fcol(BranchCatalog.PosPathCol)) === fcol("__lin_path"))
+    val updated0 = decoded.select((schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(expr) => expr.cast(f.dataType).as(f.name)
+        case None => fcol(f.name)
+      }
+    }.toSeq ++ linCols): _*)
+    val updated = constraintGuard(updated0, table, branch, None)
+    val dataFiles = writeTableFiles(table, updated, spec, ids = cur.evo.fieldIds)
+      .filter(_.rows > 0)
+    val dataManifest = writeManifest(table, dataFiles, schema)
+    val rowsUpdated = posFilesWritten.map(_.rows).sum
+    val posManifest = writeManifest(table, posFilesWritten, BranchCatalog.posDeleteSchema)
+      .copy(asOf = Some(curId),
+        keyCols = Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+        posDelete = true)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during positional update")
+      val s = cur.seq + 1
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, Seq(dataManifest))
+      committed = Snapshot(newId(), Some(curId), cur.manifests ++ stamped,
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
+        deleteManifests = cur.deleteManifests :+ posManifest.copy(seq = s), seq = s,
+        evo = cur.evo, op = "update-pos", lin = lin2)
+      writeSnapshot(table, committed)
+      refs2.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    UpdateResult(committed, rowsUpdated, 0L, totalFiles)
   }
 
   /** Row-level UPDATE, copy-on-write — the planning shape of
@@ -4029,27 +4586,42 @@ class BranchCatalog(
     if (affectedFiles.isEmpty)
       return UpdateResult(cur, 0L, 0L, totalFiles)
 
-    val scan = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
+    val scanRaw = spark.read.schema(lineageReadSchema(schema, cur))
+      .parquet(affectedFiles.map(_.path): _*)
+    // W73: carried rows keep (row id, last seq); UPDATED rows keep their
+    // id but get last_seq = NULL — the null inherits the NEW manifest's
+    // sequence at read (the Iceberg v3 null-means-this-commit rule)
+    val scan = withMaterializedLineage(scanRaw,
+      cur.copy(manifests = perManifest.collect {
+        case (m, a, _) if a.nonEmpty => m }))
     val hit = coalesce(cond, lit(false))
     val rowsUpdated = scan.filter(hit).count()
+    val linCols: Seq[Column] =
+      if (!cur.lin.enabled) Nil
+      else Seq(fcol(BranchCatalog.RowIdCol),
+        when(hit, lit(null).cast("long"))
+          .otherwise(fcol(BranchCatalog.LastSeqCol)).as(BranchCatalog.LastSeqCol))
     val updated0 = scan.select((schema.fields.map { f =>
       set.get(f.name) match {
         case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(fcol(f.name)).as(f.name)
         case None => fcol(f.name)
       }
-    } :+ hit.as("__hit")).toIndexedSeq: _*)
+    } ++ linCols :+ hit.as("__hit")).toIndexedSeq: _*)
     // constraints check only the rows this UPDATE changed (post-SET
     // values); carried-through rows are exempt
     val updated = constraintGuard(updated0, table, branch,
       Some(fcol("__hit"))).drop("__hit")
     val rewritten = writeTableFiles(table, updated, spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
-    val newManifests =
+    val carried =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
+        else if (untouched.nonEmpty) Some(writeCarriedManifest(table, m, untouched,
+          schema, cur.lin.enabled).copy(seq = newSeq))
         else None
-      } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq)) else Seq.empty)
+      }
+    val freshManifest =
+      if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema)) else Seq.empty
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -4057,11 +4629,12 @@ class BranchCatalog(
         s"concurrent commit on $table@$branch during update")
       require(cur.deleteManifests.isEmpty,
         s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
-      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+      val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+      committed = Snapshot(newId(), Some(curId), carried ++ stampedFresh, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-        op = "update")
+        op = "update", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     UpdateResult(committed, rowsUpdated,
@@ -4178,24 +4751,40 @@ class BranchCatalog(
       val affectedFiles = perManifest.flatMap { case (_, affected, _) => affected }
 
       val srcKeys = aligned.select(keys.map(fcol): _*).distinct()
+      val alignedNullLin =
+        if (!cur.lin.enabled) aligned
+        else aligned
+          .withColumn(BranchCatalog.RowIdCol, lit(null).cast("long"))
+          .withColumn(BranchCatalog.LastSeqCol, lit(null).cast("long"))
       val (survivors, rowsReplaced, rowsInserted) =
-        if (affectedFiles.isEmpty) (aligned, 0L, aligned.count())
+        if (affectedFiles.isEmpty) (alignedNullLin, 0L, aligned.count())
         else {
-          val scan = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
+          // W73: kept (unclaimed) rows carry their lineage; replaced and
+          // inserted rows are SOURCE rows — fresh ids (the Iceberg v3
+          // MAY-reassign path for keyed replacement: the pairing is by
+          // key, not row identity)
+          val scanRaw = spark.read.schema(lineageReadSchema(schema, cur))
+            .parquet(affectedFiles.map(_.path): _*)
+          val scan = withMaterializedLineage(scanRaw,
+            cur.copy(manifests = perManifest.collect {
+              case (m, a, _) if a.nonEmpty => m }))
           val kept = scan.join(srcKeys, keys, "left_anti")
           val replaced = affectedFiles.map(_.rows).sum - kept.count()
           val inserted = aligned
             .join(scan.select(keys.map(fcol): _*).distinct(), keys, "left_anti").count()
-          (kept.unionByName(aligned), replaced, inserted)
+          (kept.unionByName(alignedNullLin), replaced, inserted)
         }
       val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
       val newSeq = cur.seq + 1
-      val newManifests =
+      val carried =
         perManifest.flatMap { case (m, affected, untouched) =>
           if (affected.isEmpty) Some(m)
-          else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
+          else if (untouched.nonEmpty) Some(writeCarriedManifest(table, m, untouched,
+            schema, cur.lin.enabled).copy(seq = newSeq))
           else None
-        } ++ (if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema).copy(seq = newSeq)) else Seq.empty)
+        }
+      val freshManifest =
+        if (rewritten.nonEmpty) Seq(writeManifest(table, rewritten, schema)) else Seq.empty
       var committed: Snapshot = null
       commitRefs { refs =>
         val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -4203,11 +4792,12 @@ class BranchCatalog(
           s"concurrent commit on $table@$branch during upsert")
         require(cur.deleteManifests.isEmpty,
           s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
-        committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+        val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+        committed = Snapshot(newId(), Some(curId), carried ++ stampedFresh, cur.schemaDdl,
           System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-          op = "upsert")
+          op = "upsert", lin = lin2)
         writeSnapshot(table, committed)
-        refs.copy(branches = refs.branches.updated(branch,
+        refs2.copy(branches = refs.branches.updated(branch,
           b.copy(tables = b.tables.updated(table, committed.id))))
       }
       UpsertResult(committed, rowsReplaced, rowsInserted,
@@ -4328,7 +4918,8 @@ class BranchCatalog(
           if (bySource.isEmpty) {
             if (affected.isEmpty) Some(m)
             else remainderOpt.filter(_.nonEmpty)
-              .map(r => writeManifest(table, r, schema).copy(seq = cur.seq + 1))
+              .map(r => writeCarriedManifest(table, m, r, schema, cur.lin.enabled)
+                .copy(seq = cur.seq + 1))
           } else if (dropAllNonMatched) {
             remainderOpt match {
               case None if affected.isEmpty =>
@@ -4345,7 +4936,8 @@ class BranchCatalog(
               val carried = files.filterNot(f => bsPaths.contains(f.path))
               if (bs.isEmpty && keepWholeIfClean) Some(m)
               else if (carried.nonEmpty)
-                Some(writeManifest(table, carried, schema).copy(seq = cur.seq + 1))
+                Some(writeCarriedManifest(table, m, carried, schema, cur.lin.enabled)
+                  .copy(seq = cur.seq + 1))
               else None
             }
             remainderOpt match {
@@ -4364,8 +4956,13 @@ class BranchCatalog(
 
       val targetScan =
         if (affectedFiles.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(BranchCatalog.readSchema(schema, cur.evo)).parquet(affectedFiles.map(_.path): _*)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            lineageReadSchema(schema, cur))
+        else withMaterializedLineage(
+          spark.read.schema(lineageReadSchema(schema, cur))
+            .parquet(affectedFiles.map(_.path): _*),
+          cur.copy(manifests = perManifest.collect {
+            case (m, a, _) if a.nonEmpty => m }))
       val joined = targetScan
         .withColumn("__t_hit", lit(true)).alias("t")
         .join(aligned.withColumn("__s_hit", lit(true)).alias("s"),
@@ -4413,6 +5010,16 @@ class BranchCatalog(
         def cnt(i: Int): Long = if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i)
         val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
 
+        // W73: carried rows keep (id, seq); matched/by-source UPDATES
+        // keep the id with seq nulled (inherits this commit's sequence);
+        // INSERTS null both (fresh id from the new file's base)
+        val mergeLinCols: Seq[Column] =
+          if (!cur.lin.enabled) Nil
+          else Seq(
+            when(isI, lit(null).cast("long"))
+              .otherwise(fcol(s"t.${BranchCatalog.RowIdCol}")).as(BranchCatalog.RowIdCol),
+            when(isI || isU || isV, lit(null).cast("long"))
+              .otherwise(fcol(s"t.${BranchCatalog.LastSeqCol}")).as(BranchCatalog.LastSeqCol))
         val survivors0 = actioned.filter(!isD && !isE && fcol("__action") =!= "x")
           .select((schema.fields.map { f =>
             val updated = clauses.zipWithIndex.foldLeft(
@@ -4424,7 +5031,7 @@ class BranchCatalog(
               case (acc, _) => acc
             }
             updated.as(f.name)
-          } :+ fcol("__action")).toIndexedSeq: _*)
+          } ++ mergeLinCols :+ fcol("__action")).toIndexedSeq: _*)
         // constraints check only the rows this merge WROTE differently
         // (insert/update outcomes) — carried-through rows are exempt
         val survivors = constraintGuard(survivors0, table, branch,
@@ -4437,9 +5044,11 @@ class BranchCatalog(
         val (bsRewritten, nBsUpd, nBsDel) =
           if (bsFiles.isEmpty) (Seq.empty[DataFileMeta], 0L, 0L)
           else {
-            val scan = spark.read
-              .schema(BranchCatalog.readSchema(schema, cur.evo))
-              .parquet(bsFiles.map(_.path): _*)
+            val scan = withMaterializedLineage(
+              spark.read
+                .schema(lineageReadSchema(schema, cur))
+                .parquet(bsFiles.map(_.path): _*),
+              cur)
             val bsFires = bySource.map {
               case (MergeClause.NotMatchedBySourceUpdate(c, _), i) =>
                 (coalesce(c.map(stripTargetAlias).getOrElse(lit(true)), lit(false)), s"v$i")
@@ -4459,6 +5068,11 @@ class BranchCatalog(
                 fsum(when(bsIsV, 1L).otherwise(0L)).as("v"),
                 fsum(when(bsIsE, 1L).otherwise(0L)).as("e")).head
               def bsCnt(i: Int): Long = if (bsCounts.isNullAt(i)) 0L else bsCounts.getLong(i)
+              val bsLinCols: Seq[Column] =
+                if (!cur.lin.enabled) Nil
+                else Seq(fcol(BranchCatalog.RowIdCol),
+                  when(bsIsV, lit(null).cast("long"))
+                    .otherwise(fcol(BranchCatalog.LastSeqCol)).as(BranchCatalog.LastSeqCol))
               val bsSurvivors0 = bsActioned.filter(!bsIsE)
                 .select((schema.fields.map { f =>
                   val updated = bySource.foldLeft(fcol(f.name)) {
@@ -4468,7 +5082,7 @@ class BranchCatalog(
                     case (acc, _) => acc
                   }
                   updated.as(f.name)
-                } :+ fcol("__action")).toIndexedSeq: _*)
+                } ++ bsLinCols :+ fcol("__action")).toIndexedSeq: _*)
               val bsSurvivors = constraintGuard(bsSurvivors0, table, branch,
                 Some(bsIsV)).drop("__action")
               (writeTableFiles(table, bsSurvivors, spec, ids = cur.evo.fieldIds),
@@ -4478,10 +5092,9 @@ class BranchCatalog(
 
         val newSeq = cur.seq + 1
         val allRewritten = rewritten ++ bsRewritten
-        val newManifests = manifestKeeps ++
-          (if (allRewritten.nonEmpty)
-             Seq(writeManifest(table, allRewritten, schema).copy(seq = newSeq))
-           else Seq.empty)
+        val freshManifest =
+          if (allRewritten.nonEmpty) Seq(writeManifest(table, allRewritten, schema))
+          else Seq.empty
         var committed: Snapshot = null
         commitRefs { refs =>
           val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
@@ -4489,11 +5102,13 @@ class BranchCatalog(
             s"concurrent commit on $table@$branch during merge")
           require(cur.deleteManifests.isEmpty,
             s"$table@$branch has pending MOR tombstones — materialize with compactDataFiles before copy-on-write DML")
-          committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+          val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+          committed = Snapshot(newId(), Some(curId), manifestKeeps ++ stampedFresh,
+            cur.schemaDdl,
             System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-            op = "merge")
+            op = "merge", lin = lin2)
           writeSnapshot(table, committed)
-          refs.copy(branches = refs.branches.updated(branch,
+          refs2.copy(branches = refs.branches.updated(branch,
             b.copy(tables = b.tables.updated(table, committed.id))))
         }
         MergeIntoResult(committed, nUpd + nBsUpd, nDel + nBsDel + droppedRows, nIns,
@@ -4518,7 +5133,7 @@ class BranchCatalog(
       table: String, specs: Seq[PartitionSpec], branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val rewritten = writePartitionedDataFiles(table, scanSnapshot(table, curId), specs,
+    val rewritten = writePartitionedDataFiles(table, rewriteScan(table, curId), specs,
       ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
@@ -4526,12 +5141,13 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during partition rewrite")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, cur.seq + 1, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
         cur.schemaDdl, System.currentTimeMillis(),
         Some(PartitionSpec.formatMulti(specs)), seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite, op = "rewrite-partition")
+        evo = cur.evo.afterFullRewrite, op = "rewrite-partition", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     committed
@@ -4872,9 +5488,23 @@ class BranchCatalog(
       .groupBy(m => cur.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
       .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
       .map { case (_, ms) =>
-        (writeManifest(table, ms.flatMap(m => readManifest(m.path)),
-            StructType.fromDDL(cur.schemaDdl))
-          .copy(seq = ms.map(_.seq).max), ms)
+        val folded =
+          if (!cur.lin.enabled)
+            writeManifest(table, ms.flatMap(m => readManifest(m.path)),
+              StructType.fromDDL(cur.schemaDdl))
+          else {
+            // W73: folded entries carry their ABSOLUTE bases (ref base 0)
+            // so folding never moves a row id
+            val abs = ms.flatMap { m =>
+              require(m.firstRowId >= 0L,
+                s"manifest ${m.path} predates row lineage — run enableRowLineage first")
+              readManifest(m.path).map(f =>
+                f.copy(firstRowId = m.firstRowId + f.firstRowId))
+            }
+            writeManifest(table, abs, StructType.fromDDL(cur.schemaDdl),
+              preserveRowIds = true).copy(firstRowId = 0L)
+          }
+        (folded.copy(seq = ms.map(_.seq).max), ms)
       }
     val folded = foldedWithSrc.map(_._1)
     var committed: Snapshot = null
@@ -4883,7 +5513,7 @@ class BranchCatalog(
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
       committed = Snapshot(newId(), Some(curId), folded, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, cur.deleteManifests, cur.seq + 1,
-        evo = cur.evo, op = "compact-manifests")
+        evo = cur.evo, op = "compact-manifests", lin = cur.lin)
       writeSnapshot(table, committed)
       refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
@@ -4902,18 +5532,19 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val rewritten = writeTableFiles(table,
-      scanSnapshot(table, curId).repartition(targetFiles),
+      rewriteScan(table, curId).repartition(targetFiles),
       specsOf(cur.partitionSpec), ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, cur.seq + 1, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite, op = "compact")
+        evo = cur.evo.afterFullRewrite, op = "compact", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+      refs2.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
     carryBloomIndexes(table, cur, branch)
     committed
@@ -4958,27 +5589,32 @@ class BranchCatalog(
     val affectedFiles = perManifest.flatMap { case (_, a, _) => a }
     if (affectedFiles.size <= 1) return cur // nothing to fold
 
+    val compactInput = withMaterializedLineage(
+      spark.read.schema(lineageReadSchema(schema, cur))
+        .parquet(affectedFiles.map(_.path): _*),
+      cur.copy(manifests = perManifest.collect { case (m, a, _) if a.nonEmpty => m }))
     val rewritten = writeTableFiles(table,
-      spark.read.schema(BranchCatalog.readSchema(schema, cur.evo))
-        .parquet(affectedFiles.map(_.path): _*)
-        .repartition(targetFiles), spec, ids = cur.evo.fieldIds)
+      compactInput.repartition(targetFiles), spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
-    val newManifests =
+    val carried =
       perManifest.flatMap { case (m, affected, untouched) =>
         if (affected.isEmpty) Some(m)
-        else if (untouched.nonEmpty) Some(writeManifest(table, untouched, schema).copy(seq = newSeq))
+        else if (untouched.nonEmpty) Some(writeCarriedManifest(table, m, untouched,
+          schema, cur.lin.enabled).copy(seq = newSeq))
         else None
-      } :+ writeManifest(table, rewritten, schema).copy(seq = newSeq)
+      }
+    val freshManifest = Seq(writeManifest(table, rewritten, schema))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+      val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+      committed = Snapshot(newId(), Some(curId), carried ++ stampedFresh, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-        op = "compact")
+        op = "compact", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     carryBloomIndexes(table, cur, branch)
@@ -5038,27 +5674,32 @@ class BranchCatalog(
     // folding N smalls into N outputs would loop forever — idempotence
     // means "stop when the fold no longer reduces the file count"
     if (smallFiles.size <= outFiles) return None
+    val packInput = withMaterializedLineage(
+      spark.read.schema(lineageReadSchema(schema, cur))
+        .parquet(smallFiles.map(_.path): _*),
+      cur.copy(manifests = perManifest.collect { case (m, sm, _) if sm.nonEmpty => m }))
     val rewritten = writeTableFiles(table,
-      spark.read.schema(BranchCatalog.readSchema(schema, cur.evo))
-        .parquet(smallFiles.map(_.path): _*)
-        .repartition(outFiles), spec, ids = cur.evo.fieldIds)
+      packInput.repartition(outFiles), spec, ids = cur.evo.fieldIds)
     val newSeq = cur.seq + 1
-    val newManifests =
+    val carried =
       perManifest.flatMap { case (m, small, big) =>
         if (small.isEmpty) Some(m)
-        else if (big.nonEmpty) Some(writeManifest(table, big, schema).copy(seq = newSeq))
+        else if (big.nonEmpty) Some(writeCarriedManifest(table, m, big, schema,
+          cur.lin.enabled).copy(seq = newSeq))
         else None
-      } :+ writeManifest(table, rewritten, schema).copy(seq = newSeq)
+      }
+    val freshManifest = Seq(writeManifest(table, rewritten, schema))
     var committed: Snapshot = null
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId),
         s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), newManifests, cur.schemaDdl,
+      val (refs2, stampedFresh, lin2) = stampLineage(refs, table, cur, newSeq, freshManifest)
+      committed = Snapshot(newId(), Some(curId), carried ++ stampedFresh, cur.schemaDdl,
         System.currentTimeMillis(), cur.partitionSpec, seq = newSeq, evo = cur.evo,
-        op = "compact")
+        op = "compact", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch,
+      refs2.copy(branches = refs.branches.updated(branch,
         b.copy(tables = b.tables.updated(table, committed.id))))
     }
     carryBloomIndexes(table, cur, branch)
@@ -5153,7 +5794,7 @@ class BranchCatalog(
     require(targetFiles >= 1, "targetFiles >= 1")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val data = scanSnapshot(table, curId)
+    val data = rewriteScan(table, curId)
     val cols = clusterBy.map(data.col)
     val spec = specsOf(cur.partitionSpec)
     val rewritten = spec match {
@@ -5174,7 +5815,8 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, cur.seq + 1, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
         // only the UNPARTITIONED rewrite's range layout guarantees the
         // global file order sortOrder promises; the partitioned rewrite
@@ -5182,9 +5824,9 @@ class BranchCatalog(
         // exactly the per-partition contract sortWithinPartitions records
         sortOrder = if (spec.isEmpty) clusterBy else Nil,
         sortWithinPartitions = if (spec.nonEmpty) clusterBy else Nil,
-        evo = cur.evo.afterFullRewrite, op = "compact-sorted")
+        evo = cur.evo.afterFullRewrite, op = "compact-sorted", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+      refs2.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
     carryBloomIndexes(table, cur, branch)
     committed
@@ -5215,7 +5857,7 @@ class BranchCatalog(
     require(cur.partitionSpec.isEmpty,
       "z-order rewrite supports unpartitioned tables (combine the partition " +
         "transform with compactDataFilesSorted instead)")
-    val data = scanSnapshot(table, curId)
+    val data = rewriteScan(table, curId)
     zorderBy.foreach { c =>
       val dt = data.schema.fields.find(_.name == c)
         .getOrElse(sys.error(s"no column $c in $table")).dataType
@@ -5239,11 +5881,12 @@ class BranchCatalog(
     commitRefs { refs =>
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       require(b.tables.get(table).contains(curId), s"concurrent commit on $table@$branch during compaction")
-      committed = Snapshot(newId(), Some(curId), Seq(manifest.copy(seq = cur.seq + 1)),
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, cur.seq + 1, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
         cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec, seq = cur.seq + 1,
-        evo = cur.evo.afterFullRewrite, op = "compact-zorder")
+        evo = cur.evo.afterFullRewrite, op = "compact-zorder", lin = lin2)
       writeSnapshot(table, committed)
-      refs.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
+      refs2.copy(branches = refs.branches.updated(branch, b.copy(tables = b.tables.updated(table, committed.id))))
     }
     carryBloomIndexes(table, cur, branch)
     committed
@@ -5510,6 +6153,20 @@ object BranchCatalog {
     * attaches and drops them internally). */
   val PosPathCol = "__graft_path"
   val PosIdxCol = "__graft_pos"
+
+  /** Row-lineage columns (W73 — Iceberg v3 row tracking). In rewrite
+    * OUTPUT files they are physical: `__graft_row_id` carries each
+    * carried row's original stable id (NULL = a row INSERTED by the
+    * rewrite — its id derives from the file's assigned base + position,
+    * the Iceberg v3 null-means-assign rule), `__graft_last_seq` the
+    * commit sequence that last changed the row (NULL = changed by THE
+    * commit that wrote the file — it inherits the manifest's seq at
+    * read). Plain append files carry neither; their rows decode entirely
+    * from (manifest base + entry offset + row position, manifest seq).
+    * Never part of any table schema; [[BranchCatalog.scanLineage]]
+    * surfaces them as `_row_id` / `_last_updated_seq`. */
+  val RowIdCol = "__graft_row_id"
+  val LastSeqCol = "__graft_last_seq"
 
   /** TBLPROPERTIES key prefix for CHECK constraints: `graft.constraint.
     * <name> = <boolean SQL expression>` (see `constraintGuard`). */

@@ -117,6 +117,45 @@ class PosDeleteSqlSpec extends SparkSpecBase {
     assert(snap2.deleteManifests.isEmpty, "CoW DELETE must not leave sidecars")
   }
 
+  test("UPDATE under merge-on-read mode appends versions + sidecars; CoW stays default") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 80))
+    spark.sql(s"ALTER TABLE $lake.main.t SET TBLPROPERTIES('write.update.mode'='merge-on-read')")
+    val before = cat.filesOf(cat.snapshotMeta("t", cat.snapshotIdOf("t").get))
+      .map(_.path).toSet
+
+    spark.sql(s"UPDATE $lake.main.t SET n_chars = n_chars + 1000 WHERE doc_id < 10")
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap.deleteManifests.nonEmpty && snap.deleteManifests.forall(_.posDelete),
+      "merge-on-read UPDATE must land as position sidecars + appended versions")
+    assert(before.subsetOf(cat.filesOf(snap).map(_.path).toSet),
+      "positional UPDATE must append, never rewrite")
+
+    val expect = docs.filter(col("doc_id") < 80)
+      .withColumn("n_chars",
+        when(col("doc_id") < 10, col("n_chars") + 1000).otherwise(col("n_chars")))
+    val got = spark.sql(s"SELECT doc_id, n_chars FROM $lake.main.t ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = expect.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want)
+
+    // a typo'd update mode is refused at ALTER time
+    val err = intercept[Exception](spark.sql(
+      s"ALTER TABLE $lake.main.t SET TBLPROPERTIES('write.update.mode'='sideways')"))
+    assert(err.getMessage.contains("write.update.mode"))
+
+    // default mode (no property) stays copy-on-write
+    val (lake2, cat2) = register()
+    cat2.createTableIfNotExists("u", docs.schema)
+    cat2.append("u", docs.filter(col("doc_id") < 40))
+    spark.sql(s"UPDATE $lake2.main.u SET n_chars = n_chars + 1 WHERE doc_id < 5")
+    val snap2 = cat2.snapshotMeta("u", cat2.snapshotIdOf("u").get)
+    assert(snap2.deleteManifests.isEmpty, "CoW UPDATE must not leave sidecars")
+  }
+
   test("extension-session read (lowering on) applies sidecars identically") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")

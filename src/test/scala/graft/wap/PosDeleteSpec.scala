@@ -157,4 +157,50 @@ class PosDeleteSpec extends SparkSpecBase {
       .filter(col("doc_id") % 3 =!= 0 && col("n_chars") > 400).count()
     assert(got == want)
   }
+
+  test("positional UPDATE appends new versions, suppresses old, rewrites nothing") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.append("t", docs(100, 200))
+    val before = dataPaths(cat, "t")
+    val r = cat.updateWherePositional("t", col("n_chars") % 7 === 0,
+      Map("n_chars" -> (col("n_chars") + lit(10000L))))
+    assert(r.filesRewritten == 0L)
+    val hit = docs(0, 200).filter(col("n_chars") % 7 === 0).count()
+    assert(r.rowsUpdated == hit)
+    assert(before.subsetOf(dataPaths(cat, "t"))) // originals untouched, versions appended
+    val gotSum = cat.scan("t").agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val wantSum = docs(0, 200).agg(sum(col("n_chars"))).collect()(0).getLong(0) + 10000L * hit
+    assert(cat.scan("t").count() == 200)
+    assert(gotSum == wantSum)
+  }
+
+  test("stacked positional updates: later commits win, compaction materializes") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.updateWherePositional("t", col("doc_id") < 50, Map("lang" -> lit("aa")))
+    val r2 = cat.updateWherePositional("t", col("doc_id") < 20, Map("lang" -> lit("bb")))
+    assert(r2.rowsUpdated == 20L) // marks the CURRENT versions, not the suppressed ones
+    def langs() = cat.scan("t").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val l1 = langs()
+    assert(l1.getOrElse("bb", 0L) == 20L && l1.getOrElse("aa", 0L) == 30L)
+    assert(cat.scan("t").count() == 100)
+    val compacted = cat.compactDataFiles("t")
+    assert(compacted.deleteManifests.isEmpty)
+    assert(langs() == l1 && cat.scan("t").count() == 100)
+  }
+
+  test("positional update refuses pending equality tombstones") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    import spark.implicits._
+    cat.deleteKeysMOR("t", Seq(1L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException](
+      cat.updateWherePositional("t", col("doc_id") < 5, Map("lang" -> lit("xx"))))
+    assert(e.getMessage.contains("EQUALITY"))
+  }
 }
