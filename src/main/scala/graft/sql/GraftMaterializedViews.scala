@@ -50,13 +50,22 @@ import graft.wap.BranchCatalog
   *    view table ([[decomposeStats]]; visible to readers, recorded under
   *    [[CompanionsKey]]) — then the view is overwritten.
   *    O(delta + |view|), never O(source).
+  *  - `incremental_join` (r13): a select/project/filter over INNER
+  *    joins where the ONE stale source's window is append-only and the
+  *    plan distributes over its delta ([[deltaDistributive]] — the
+  *    textbook IVM join rewrite): Δview = the definition with the stale
+  *    relation windowed, every other source pinned at its recorded
+  *    snapshot; the delta APPENDS. O(delta ⋈ pinned sides). A GROUP BY
+  *    on top of such a join folds through `incremental_agg` the same
+  *    way. Self-joins (cross terms), outer joins (retro-matching), and
+  *    multiple stale sources fall back to full.
   *  - `incremental_agg_dml` (r13): the window REWROTE files (deletes/
   *    updates/compactions) but every aggregate is SIGNABLE (SUM/COUNT,
   *    AVG via companions) and the view projects `count(*)`: the net
   *    changelog's inserts add and its deletes subtract through the same
   *    fold, emptied groups vanish via the count(*) filter —
   *    O(changed files + |view|) ([[tryChangelogFold]]).
-  *  - `full`: everything else (joins, non-distributive aggregates,
+  *  - `full`: everything else (self/outer joins, non-distributive aggregates,
   *    MIN/MAX or moment views over delete windows, expired watermarks) —
   *    recompute and overwrite. Correct by construction; the fallback is
   *    automatic, never an error.
@@ -237,6 +246,37 @@ object GraftMaterializedViews {
     case _ => false
   }
 
+  /** Does materializing `plan` DISTRIBUTE over an append delta of
+    * `staleTable` — i.e. plan(A ∪ ΔA, B…) = plan(A, B…) ∪ plan(ΔA, B…)?
+    * The standard IVM join shape: Project/Filter distribute; an INNER
+    * join distributes over the union on WHICHEVER side holds the stale
+    * relation, with every other source PINNED at its recorded snapshot
+    * (guaranteed — refresh only takes this path when exactly one source
+    * moved). Exactly one occurrence of the stale relation: a self-join's
+    * delta has ΔA⋈A and ΔA⋈ΔA cross terms this rewrite would miss.
+    * Outer joins do not distribute on the preserved side's opposite
+    * (a new right row can retro-null-match an old left row), DISTINCT /
+    * windows / limits do not distribute at all — every unlisted node
+    * falls back to full recompute. */
+  private def deltaDistributive(plan: LogicalPlan, staleTable: String): Boolean = {
+    def occurrences(p: LogicalPlan): Int = p.collect {
+      case r: DataSourceV2Relation if tableOf(r).exists(_.tableName == staleTable) => r
+    }.size
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: DataSourceV2Relation => true // the stale leaf itself
+      case pj: Project => walk(pj.child)
+      case f: Filter => walk(f.child)
+      case s: SubqueryAlias => walk(s.child)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        // recurse only along the stale path; the other side is a pinned
+        // constant of this refresh
+        if (occurrences(j.left) > 0) walk(j.left) else walk(j.right)
+      case _ => false
+    }
+    occurrences(plan) == 1 && walk(plan)
+  }
+
   /** How one non-re-aggregatable stat output folds from companion
     * columns the view table additionally materializes. */
   sealed trait Decomp { def cols: Seq[String]; def encoded: String }
@@ -326,9 +366,13 @@ object GraftMaterializedViews {
     * name of a `count(*)` output if the view has one (the zero-group
     * detector the changelog fold needs). */
   private def aggMerges(agg: Aggregate,
-      companions: Map[String, Decomp])
+      companions: Map[String, Decomp],
+      /** What shapes the aggregate's INPUT may take — [[selectOnly]] by
+        * default; the append-only incremental path widens it to
+        * [[deltaDistributive]] join trees. */
+      childOk: LogicalPlan => Boolean = selectOnly)
       : Option[(Seq[String], Seq[(String, String)], Option[String])] = {
-    if (!selectOnly(agg.child)) return None
+    if (!childOk(agg.child)) return None
     val groupSet = agg.groupingExpressions.map(_.canonicalized).toSet
     val matchedKeys = scala.collection.mutable.Set.empty[org.apache.spark.sql.catalyst.expressions.Expression]
     // the m2 companion is an Alias over Multiply(var_pop, count) — not a
@@ -402,14 +446,23 @@ object GraftMaterializedViews {
         val delta = Bridge.dataFrame(spark, windowed(p, table, fromId))
         cat.append(name, delta, branch)
         Some("incremental")
+      case p if deltaDistributive(p, table) =>
+        // the IVM join delta: Δview = plan with the ONE stale relation
+        // rewritten to its append window, every other source pinned —
+        // Δ(A)⋈B appended, O(delta ⋈ pinned build side), never O(A⋈B)
+        val delta = Bridge.dataFrame(spark, windowed(p, table, fromId))
+        cat.append(name, delta, branch)
+        Some("incremental_join")
       case agg: Aggregate =>
-        aggMerges(agg, companions).map { case (groupCols, merges, _) =>
-          val deltaAgg = Bridge.dataFrame(spark, windowed(agg, table, fromId))
-          val combined = cat.scan(name, branch).unionByName(deltaAgg)
-          foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
-            companions, deltaAgg.schema, emptyGroupFilter = None)
-          "incremental_agg"
-        }
+        aggMerges(agg, companions,
+          childOk = c => selectOnly(c) || deltaDistributive(c, table))
+          .map { case (groupCols, merges, _) =>
+            val deltaAgg = Bridge.dataFrame(spark, windowed(agg, table, fromId))
+            val combined = cat.scan(name, branch).unionByName(deltaAgg)
+            foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
+              companions, deltaAgg.schema, emptyGroupFilter = None)
+            "incremental_agg"
+          }
       case _ => None
     }
   }

@@ -235,18 +235,86 @@ class MviewSpec extends SparkSpecBase {
       sortedRows(spark.sql(q2)))
   }
 
-  test("join views track both sources and recompute fully") {
+  test("inner-join view refreshes via the IVM delta join: incremental_join") {
     val (lake, cat) = register()
     mk(lake, cat)
     cat.createTableIfNotExists("dim", docs(0, 1).select(col("lang")).distinct().schema)
     cat.append("dim", docs(0, 100).select("lang").distinct())
-    val q = s"SELECT s.lang, count(*) AS n FROM $lake.main.src s " +
-      s"JOIN $lake.main.dim d ON s.lang = d.lang GROUP BY s.lang"
+    val q = s"SELECT s.doc_id, s.n_chars, d.lang FROM $lake.main.src s " +
+      s"JOIN $lake.main.dim d ON s.lang = d.lang WHERE s.n_chars > 200"
     GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+    val filesBefore = cat.dataFiles("mv").map(_.path).toSet
+
+    // fact side moved (the 100 TB shape): Δsrc ⋈ dim appends
     cat.append("src", docs(100, 150))
-    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "full")
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_join")
+    assert(filesBefore.subsetOf(cat.dataFiles("mv").map(_.path).toSet),
+      "incremental join refresh must append, never rewrite the view")
     assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
       sortedRows(spark.sql(q)))
+
+    // dim side moved: src ⋈ Δdim appends (new langs match rows the old
+    // dim missed — inner join distributes over either side's union)
+    cat.append("src", docs(150, 170)) // langs possibly unseen in dim
+    GraftMaterializedViews.refresh(spark, cat, "mv", "main")
+    val extraLangs = docs(150, 170).select("lang").distinct()
+      .join(docs(0, 100).select("lang").distinct(), Seq("lang"), "left_anti")
+    if (extraLangs.count() > 0) {
+      cat.append("dim", extraLangs)
+      assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_join")
+    }
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+  }
+
+  test("GROUP BY over an inner join folds the delta join: incremental_agg") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    cat.createTableIfNotExists("dim", docs(0, 1).select(col("lang")).distinct().schema)
+    cat.append("dim", docs(0, 100).select("lang").distinct())
+    val q = s"SELECT s.lang, count(*) AS n, sum(s.n_chars) AS chars " +
+      s"FROM $lake.main.src s JOIN $lake.main.dim d ON s.lang = d.lang GROUP BY s.lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+    cat.append("src", docs(100, 150))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "incremental_agg")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+  }
+
+  test("join shapes that do NOT distribute fall back to full") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    cat.createTableIfNotExists("dim", docs(0, 1).select(col("lang")).distinct().schema)
+    cat.append("dim", docs(0, 100).select("lang").distinct())
+
+    // LEFT join: a dim-side append can retro-match old null-extended rows
+    val qLeft = s"SELECT s.doc_id, d.lang FROM $lake.main.src s " +
+      s"LEFT JOIN $lake.main.dim d ON s.lang = d.lang"
+    GraftMaterializedViews.create(spark, cat, "mvl", qLeft, "main")
+    cat.append("src", docs(100, 130))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvl", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvl")) ==
+      sortedRows(spark.sql(qLeft)))
+
+    // SELF join: the delta has cross terms the single-window rewrite misses
+    val qSelf = s"SELECT a.doc_id FROM $lake.main.src a " +
+      s"JOIN $lake.main.src b ON a.doc_id = b.doc_id + 1"
+    GraftMaterializedViews.create(spark, cat, "mvs", qSelf, "main")
+    cat.append("src", docs(130, 160))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvs", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvs")) ==
+      sortedRows(spark.sql(qSelf)))
+
+    // BOTH sources stale: no single-delta rewrite
+    val qBoth = s"SELECT s.doc_id, d.lang FROM $lake.main.src s " +
+      s"JOIN $lake.main.dim d ON s.lang = d.lang"
+    GraftMaterializedViews.create(spark, cat, "mvb", qBoth, "main")
+    cat.append("src", docs(160, 180))
+    cat.append("dim", docs(0, 1).select("lang").limit(1)
+      .withColumn("lang", lit("zz-synthetic")))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvb", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvb")) ==
+      sortedRows(spark.sql(qBoth)))
   }
 
   test("SQL procedure surface: create/refresh/drop_mview; non-mview drop refused") {
