@@ -1665,20 +1665,39 @@ class BranchCatalog(
     * folded manifests store absolute offsets over base 0, so folding
     * never moves an id. */
   private def lineageFileMap(snap: Snapshot): DataFrame = {
-    val rows = snap.manifests.flatMap { m =>
-      require(m.firstRowId >= 0L,
-        s"manifest ${m.path} predates row lineage — run enableRowLineage first")
-      readManifest(m.path).map { f =>
-        require(f.firstRowId >= 0L,
-          s"file ${f.path} has no lineage offset — run enableRowLineage first")
-        (f.path, m.firstRowId + f.firstRowId, m.seq)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    snap.manifests.foreach(m => require(m.firstRowId >= 0L,
+      s"manifest ${m.path} predates row lineage — run enableRowLineage first"))
+    if (snap.manifests.size <= 4) {
+      // few manifests: the driver metadata loop beats launching a job
+      val rows = snap.manifests.flatMap { m =>
+        readManifest(m.path).map { f =>
+          require(f.firstRowId >= 0L,
+            s"file ${f.path} has no lineage offset — run enableRowLineage first")
+          (f.path, m.firstRowId + f.firstRowId, m.seq)
+        }
       }
+      spark.createDataFrame(rows).toDF("__lin_path", "__lin_base", "__lin_seq")
+        .select(barePath(col("__lin_path")).as("__lin_path"),
+          col("__lin_base"), col("__lin_seq"))
+    } else {
+      // the W17 invariant on a SCAN path: per-file offsets come from the
+      // DISTRIBUTED manifest-entry read (executors fetch the manifest
+      // JSONs); only the O(manifests) (path, base, seq) list — which the
+      // snapshot document already holds — rides from the driver.
+      val bases = spark.createDataFrame(
+        snap.manifests.map(m => (m.path, m.firstRowId, m.seq)))
+        .toDF("__lin_mpath", "__lin_mbase", "__lin_seq")
+        .select(barePath(col("__lin_mpath")).as("__lin_mpath"),
+          col("__lin_mbase"), col("__lin_seq"))
+      manifestEntries(snap)
+        .select(col("path"), col("firstRowId"),
+          barePath(col("_metadata.file_path")).as("__lin_mpath"))
+        .join(broadcast(bases), "__lin_mpath")
+        .select(barePath(col("path")).as("__lin_path"),
+          (col("__lin_mbase") + col("firstRowId")).as("__lin_base"),
+          col("__lin_seq"))
     }
-    import spark.implicits._
-    spark.createDataFrame(rows).toDF("__lin_path", "__lin_base", "__lin_seq")
-      .select(barePath(org.apache.spark.sql.functions.col("__lin_path")).as("__lin_path"),
-        org.apache.spark.sql.functions.col("__lin_base"),
-        org.apache.spark.sql.functions.col("__lin_seq"))
   }
 
   /** Scan one snapshot with its ROW LINEAGE: every user column plus
@@ -6186,7 +6205,8 @@ object BranchCatalog {
     StructField("upper", MapType(StringType, StringType)),
     StructField("nullCounts", MapType(StringType, LongType)),
     StructField("partition", MapType(StringType, StringType)),
-    StructField("bytes", LongType)))
+    StructField("bytes", LongType),
+    StructField("firstRowId", LongType)))
 
   /** Comparison for canonical stat strings ([[DataFileMeta.lower]]
     * rendering: numbers via toString, binary via UTF-8, booleans

@@ -36,8 +36,9 @@ class RowLineageSpec extends SparkSpecBase {
   test("enable assigns a dense id space over existing rows; appends extend it disjointly") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
-    cat.append("t", docs(0, 100))
-    cat.append("t", docs(100, 200))
+    // five manifests: decode takes the DISTRIBUTED manifest-entry path
+    // (driver loop only below the small-table cutoff)
+    (0 until 5).foreach(i => cat.append("t", docs(i * 40L, i * 40L + 40L)))
     cat.enableRowLineage("t")
     val m1 = lineageMap(cat, "t")
     assert(m1.size == 200)
