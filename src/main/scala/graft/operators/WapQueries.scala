@@ -1891,6 +1891,50 @@ object WapQueries {
         lit(clean).as("materialized_clean"))
   }
 
+  /** Row-identified changelog (W75 — Delta CDF over row lineage):
+    * updates surface as `update_preimage`/`update_postimage` pairs
+    * sharing a `_row_id`, deletes/inserts carry identity, carried rows
+    * cancel. Fixed 250-doc slice; the oracle recomputes every change
+    * class from the source table. */
+  def wapCdf(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-cdf").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    cat.enableRowLineage("documents")
+    val a = cat.snapshotIdOf("documents").get
+    cat.updateWhere("documents", col("doc_id") < 20, Map("lang" -> lit("xx")))
+    cat.deleteWhere("documents", col("n_chars") % 7 === 0)
+    cat.append("documents", docs.filter(col("doc_id") >= 200))
+    val b = cat.snapshotIdOf("documents").get
+
+    val cl = cat.scanChangelogLineage("documents", a, b).cache()
+    try {
+      val pre = cl.filter(col("_change_type") === "update_preimage")
+        .select(col("doc_id"), col("_row_id").as("pre_id"), col("lang").as("pre_lang"))
+      val post = cl.filter(col("_change_type") === "update_postimage")
+        .select(col("doc_id"), col("_row_id").as("post_id"), col("lang").as("post_lang"))
+      val pairs = pre.join(post, "doc_id")
+      val nPairs = pairs.count()
+      val pairedById = nPairs > 0 && pairs.filter(
+        col("pre_id") =!= col("post_id") || col("post_lang") =!= "xx" ||
+          col("pre_lang") === "xx").count() == 0
+      cl.groupBy().agg(
+        sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L).otherwise(0L)).as("n_post"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("_change_type") === "insert", col("n_chars")).otherwise(0L))
+          .cast("long").as("ins_chars"),
+        countDistinct(col("_row_id")).as("n_ids"))
+        .select(col("n_pre"), col("n_post"), col("n_del"), col("n_ins"),
+          col("ins_chars"), col("n_ids"),
+          lit(pairedById).as("updates_pair_by_id"))
+    } finally { cl.unpersist(); () }
+  }
+
   /** Row lineage end-to-end (W73 — Iceberg v3 row tracking): stable
     * `_row_id` / `_last_updated_seq` through CoW DELETE, compaction,
     * CoW UPDATE, and a branch append published with [[BranchCatalog

@@ -3907,6 +3907,82 @@ class BranchCatalog(
       .select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** ROW-IDENTIFIED changelog (W73 × W62 — the Delta CDF shape): like
+    * [[scanChangelog]] but keyed by `_row_id` instead of value
+    * multiplicity, so an UPDATE surfaces as a paired
+    * `update_preimage` / `update_postimage` (same id, old and new
+    * values) rather than an anonymous delete+insert — the signal a
+    * downstream incremental consumer needs to apply changes by identity.
+    * Rows carried byte-identical through a rewrite cancel (same id, same
+    * values); ids only on the `from` side emit `delete`, only on `to`
+    * emit `insert`. One pass: file-level diff bounds the read to changed
+    * files, both sides decode through their own snapshot's lineage map,
+    * one full-outer join on the id, and each joined row explodes into
+    * its 0–2 change rows (no branch re-executes the join). Requires row
+    * lineage on both endpoints and tombstone-free endpoints (same
+    * contract as [[scanChangelog]]). O(changed files), never O(table). */
+  def scanChangelogLineage(table: String, fromId: String, toId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val from = loadSnapshot(table, fromId)
+    val to = loadSnapshot(table, toId)
+    require(from.lin.enabled && to.lin.enabled,
+      s"row-identified changelog of $table needs row lineage on both endpoints — " +
+        "run enableRowLineage first")
+    require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
+      s"changelog endpoints of $table must be tombstone-free — materialize with " +
+        "compactDataFiles first")
+    require(to.evo.fieldIds.nonEmpty || from.schemaDdl == to.schemaDdl,
+      s"changelog window of $table changes the schema and the table predates " +
+        "field ids — rows cannot be compared across the change")
+    val schema = StructType.fromDDL(to.schemaDdl)
+    val cols = schema.fieldNames.toSeq
+    val fromPaths = filesOf(from).map(_.path)
+    val toPaths = filesOf(to).map(_.path)
+    val removed = fromPaths.filterNot(toPaths.toSet)
+    val added = toPaths.filterNot(fromPaths.toSet)
+    def decoded(paths: Seq[String], snap: Snapshot, tag: String): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      val readSchema = lineageReadSchema(schema, snap)
+      if (paths.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.fields.map(f => f.copy(name = s"$tag${f.name}")) :+
+            StructField(s"${tag}id", LongType)))
+      spark.read.schema(readSchema).parquet(paths: _*)
+        .select(col("*"),
+          barePath(col("_metadata.file_path")).as("__lin_path"),
+          col("_metadata.row_index").as("__lin_idx"))
+        .join(broadcast(lineageFileMap(snap)), Seq("__lin_path"))
+        .select(cols.map(c => col(c).as(s"$tag$c")) :+
+          coalesce(col(BranchCatalog.RowIdCol), col("__lin_base") + col("__lin_idx"))
+            .as(s"${tag}id"): _*)
+    }
+    val o = decoded(removed, from, "__o_")
+    val n = decoded(added, to, "__n_")
+    val j = o.join(n, col("__o_id") === col("__n_id"), "full_outer")
+    val oldStruct = struct(cols.map(c => col(s"__o_$c").as(c)): _*)
+    val newStruct = struct(cols.map(c => col(s"__n_$c").as(c)): _*)
+    val hasOld = col("__o_id").isNotNull
+    val hasNew = col("__n_id").isNotNull
+    val changeElem = StructType(Seq(
+      StructField("r", schema), StructField("t", StringType, nullable = false)))
+    val changes = when(hasOld && hasNew,
+        when(oldStruct <=> newStruct,
+          // carried byte-identical through a rewrite: no change
+          array().cast(org.apache.spark.sql.types.ArrayType(changeElem)))
+          .otherwise(array(
+            struct(oldStruct.as("r"), lit("update_preimage").as("t")),
+            struct(newStruct.as("r"), lit("update_postimage").as("t")))))
+      .when(hasOld,
+        array(struct(oldStruct.as("r"), lit("delete").as("t"))))
+      .otherwise(
+        array(struct(newStruct.as("r"), lit("insert").as("t"))))
+    j.select(
+        org.apache.spark.sql.functions.coalesce(col("__o_id"), col("__n_id")).as("_row_id"),
+        explode(changes).as("__c"))
+      .select(cols.map(c => col(s"__c.r.$c").as(c)) ++
+        Seq(col("_row_id"), col("__c.t").as("_change_type")): _*)
+  }
+
   /** The pruned (path, bytes) list of one incremental window, for the
     * SQL connector's changes scan ([[graft.sql]] `graft.changes.from`
     * read option): [[changedFilesBetween]]'s append delta, with the same

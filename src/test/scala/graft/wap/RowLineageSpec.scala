@@ -234,6 +234,38 @@ class RowLineageSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT count(*) FROM $lake.main.`t$$lineage`").head.getLong(0) == 50L)
   }
 
+  test("row-identified changelog pairs updates as pre/post images by _row_id") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.enableRowLineage("t")
+    val a = cat.snapshotIdOf("t").get
+    val ids = lineageMap(cat, "t")
+    cat.updateWhere("t", col("doc_id") < 10, Map("lang" -> lit("xx")))
+    cat.deleteWhere("t", col("doc_id") >= 10 && col("doc_id") < 20)
+    cat.append("t", docs(100, 120))
+    val b = cat.snapshotIdOf("t").get
+
+    val cl = cat.scanChangelogLineage("t", a, b)
+      .select("doc_id", "lang", "_row_id", "_change_type").collect()
+    val byType = cl.groupBy(_.getString(3)).view.mapValues(_.toSeq).toMap
+    // updates: one pre + one post per hit row, SAME id, old/new values
+    val pres = byType("update_preimage").map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val posts = byType("update_postimage").map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(pres.keySet == (0L until 10L).toSet && posts.keySet == pres.keySet)
+    (0L until 10L).foreach { d =>
+      assert(pres(d)._2 == ids(d)._1 && posts(d)._2 == ids(d)._1) // identity pairs them
+      assert(posts(d)._1 == "xx" && pres(d)._1 != "xx")
+    }
+    // deletes carry the departed rows' ids; inserts draw fresh ones
+    assert(byType("delete").map(_.getLong(0)).toSet == (10L until 20L).toSet)
+    assert(byType("delete").forall(r => r.getLong(2) == ids(r.getLong(0))._1))
+    assert(byType("insert").map(_.getLong(0)).toSet == (100L until 120L).toSet)
+    // rows carried byte-identical through the rewrites cancel entirely
+    assert(cl.map(_.getLong(0)).toSet ==
+      ((0L until 20L) ++ (100L until 120L)).toSet)
+  }
+
   test("MERGE INTO carries target ids; inserted rows get fresh ones") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
