@@ -435,19 +435,27 @@ object GraftProcedures {
     case "create_changelog_view" =>
       // the Iceberg create_changelog_view analogue: registers a session
       // TEMP VIEW over BranchCatalog.scanChangelog's net row-level diff
-      // (_change_type insert/delete) of the snapshot window
+      // (_change_type insert/delete) of the snapshot window. With
+      // `with_row_ids => true` (W75, needs row lineage) the view is the
+      // ROW-IDENTIFIED feed instead: update_preimage/update_postimage
+      // pairs sharing a `_row_id` — Iceberg's own procedure flag of the
+      // same name, served from W73 lineage.
       procedure(root, name, Array(
         param("view", StringType),
         param("table", StringType),
         param("from_snapshot", StringType),
-        param("to_snapshot", StringType, "''"))) { (cat, args) =>
+        param("to_snapshot", StringType, "''"),
+        param("with_row_ids", org.apache.spark.sql.types.BooleanType, "false"))) { (cat, args) =>
         val toId = args.getString(3) match {
           case "" => cat.snapshotIdOf(args.getString(1)).getOrElse(
             sys.error(s"no table ${args.getString(1)} on main"))
           case id => id
         }
-        cat.scanChangelog(args.getString(1), args.getString(2), toId)
-          .createOrReplaceTempView(args.getString(0))
+        val df =
+          if (args.getBoolean(4))
+            cat.scanChangelogLineage(args.getString(1), args.getString(2), toId)
+          else cat.scanChangelog(args.getString(1), args.getString(2), toId)
+        df.createOrReplaceTempView(args.getString(0))
       }
     case other =>
       throw new UnsupportedOperationException(

@@ -123,4 +123,29 @@ class ChangelogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM cl_view WHERE _change_type = 'insert'")
       .head.getLong(0) == 0L)
   }
+
+  test("with_row_ids => true registers the row-identified (CDF) view") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 30))
+    cat.enableRowLineage("t")
+    val s1 = cat.snapshotIdOf("t").get
+    cat.updateWhere("t", col("doc_id") < 5, Map("lang" -> lit("xx")))
+
+    val root = cat.root
+    val lake = "clr_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+    spark.sql(s"CALL $lake.system.create_changelog_view('cdf_view', 't', '$s1', " +
+      "with_row_ids => true)")
+    assert(spark.sql("SELECT count(*) FROM cdf_view WHERE _change_type = 'update_preimage'")
+      .head.getLong(0) == 5L)
+    // pre and post of one update share the row's id
+    assert(spark.sql(
+      """SELECT count(*) FROM cdf_view a JOIN cdf_view b
+        |ON a._row_id = b._row_id AND a._change_type = 'update_preimage'
+        |AND b._change_type = 'update_postimage'
+        |WHERE a.doc_id = b.doc_id AND b.lang = 'xx'""".stripMargin)
+      .head.getLong(0) == 5L)
+  }
 }
