@@ -234,6 +234,35 @@ class RowLineageSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT count(*) FROM $lake.main.`t$$lineage`").head.getLong(0) == 50L)
   }
 
+  test("lineage composes with column rename and hidden partitioning") {
+    // rename: ids decode across the rename (by-id file resolution)
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.enableRowLineage("t")
+    val before = lineageMap(cat, "t")
+    cat.renameColumn("t", "n_chars", "len")
+    val renamed = cat.scanLineage("t")
+      .select(col("doc_id"), col("len"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(renamed == before.view.mapValues(_._1).toMap)
+
+    // hidden partitioning: a bucket layout routes appends and rewrites;
+    // ids survive the partitioned compaction byte-for-byte
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("p", docs(0, 1).schema)
+    cat2.appendPartitioned("p", docs(0, 100), BucketPartition(4, "doc_id"))
+    cat2.appendPartitioned("p", docs(100, 160), BucketPartition(4, "doc_id"))
+    cat2.enableRowLineage("p")
+    val pBefore = lineageMap(cat2, "p")
+    cat2.compactDataFiles("p", targetFiles = 2)
+    assert(lineageMap(cat2, "p") == pBefore)
+    cat2.deleteWhere("p", col("doc_id") % 5 === 0)
+    val pAfter = lineageMap(cat2, "p")
+    assert(pAfter.keySet == pBefore.keySet.filterNot(_ % 5 == 0))
+    assert(pAfter.forall { case (k, v) => pBefore(k) == v })
+  }
+
   test("row-identified changelog pairs updates as pre/post images by _row_id") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
