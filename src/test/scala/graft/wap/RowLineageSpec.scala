@@ -234,6 +234,30 @@ class RowLineageSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT count(*) FROM $lake.main.`t$$lineage`").head.getLong(0) == 50L)
   }
 
+  test("lineage scan plan: pushed filters, pruned columns, broadcast decode, no shuffle") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    (0 until 5).foreach(i => cat.append("t", docs(i * 40L, i * 40L + 40L)))
+    cat.enableRowLineage("t")
+    val q = cat.scanLineage("t").filter(col("doc_id") < 100).select("doc_id", "_row_id")
+    val fmt = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the predicate reaches the parquet scan
+    assert(fmt.contains("LessThan(doc_id,100)"), s"filter not pushed:\n$fmt")
+    // projection prunes THROUGH the decode: unreferenced data columns
+    // never leave the reader (only the id + physical lineage + position)
+    val readSchema = fmt.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("doc_id")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"decode read more than the projection needs: $readSchema")
+    assert(!readSchema.contains("__graft_last_seq"),
+      s"unprojected lineage column not pruned: $readSchema")
+    // decode is broadcast onto the scan — a lineage read never shuffles
+    assert(fmt.contains("BroadcastHashJoin"), s"decode join not broadcast:\n$fmt")
+    assert(!fmt.contains("ShuffleExchange") && !fmt.contains("Exchange hashpartitioning"),
+      s"lineage scan introduced a shuffle:\n$fmt")
+  }
+
   test("lineage composes with column rename and hidden partitioning") {
     // rename: ids decode across the rename (by-id file resolution)
     val cat = freshCat()
