@@ -242,7 +242,7 @@ object SparkEntry {
     "wap_cdc_replicate" ->
       """SELECT (SELECT count(*) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_keys, true AS same_as_source, true AS replay_idempotent, true AS mor_applied""",
     "wap_maintain" ->
-      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 2 AND doc_id < 115) AS n_langs, true AS materialized, true AS bin_packed, true AS expired, true AS healthy_after""",
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_langs, true AS materialized, true AS bin_packed, true AS expired, true AS healthy_after, true AS ttl_swept""",
     "wap_multipart" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->

@@ -1671,6 +1671,17 @@ object WapQueries {
     val healthy = cat.maintain("documents").isEmpty
     val oneFile = cat.dataFiles("documents").size == 1
 
+    // TTL retention sweep (W65 + W74): doc_id stands in for event time;
+    // now=100 with ttl 50 expires ids < 50, sidecar-only, idempotent
+    cat.setTableProperties("documents", Map(
+      "graft.maintain.ttl.column" -> "doc_id",
+      "graft.maintain.ttl.ms" -> "50"))
+    val filesBeforeTtl = cat.dataFiles("documents").map(_.path).toSet
+    val ttlActs = cat.maintain("documents", nowMillis = 100L)
+    val ttlSwept = ttlActs.exists(_._1 == "ttl-retention") &&
+      cat.dataFiles("documents").map(_.path).toSet == filesBeforeTtl &&
+      !cat.maintain("documents", nowMillis = 100L).exists(_._1 == "ttl-retention")
+
     cat.scan("documents").agg(
       count(lit(1)).as("n_rows"),
       sum(col("n_chars")).cast("long").as("sum_chars"),
@@ -1679,7 +1690,8 @@ object WapQueries {
         lit(acts1.map(_._1).contains("materialize")).as("materialized"),
         lit(acts2.map(_._1) == Seq("compact-small-files")).as("bin_packed"),
         lit(acts3.map(_._1).contains("expire-snapshots")).as("expired"),
-        lit(healthy && oneFile).as("healthy_after"))
+        lit(healthy && oneFile).as("healthy_after"),
+        lit(ttlSwept).as("ttl_swept"))
   }
 
   /** W66 — INCREMENTAL foreign-engine export end-to-end

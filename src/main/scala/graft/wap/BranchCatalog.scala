@@ -5806,6 +5806,13 @@ class BranchCatalog(
     * (branch-versioned TBLPROPERTIES, W58) and run exactly the actions
     * the table's state warrants, worst problem first:
     *
+    *  0. `graft.maintain.ttl.column` + `graft.maintain.ttl.ms` (opt-in,
+    *     both required): ROW-LEVEL retention — rows whose column falls
+    *     before now − ttl delete through POSITION sidecars (zero
+    *     rewrites per sweep; footer stats bound the scan to files whose
+    *     range reaches below the cutoff, so a time-sorted or
+    *     day-partitioned 100 TB table sweeps only its expiring prefix).
+    *     The tombstone pass below materializes the sidecars on breach.
     *  1. `graft.maintain.tombstones.max` (default 8): pending MOR
     *     tombstone generations at/above the bound → whole-table
     *     [[compactDataFiles]] (materializes them — the one rewrite MOR
@@ -5825,11 +5832,52 @@ class BranchCatalog(
     * Every action is an ordinary commit (visible in `$snapshots` with
     * its operation tag), so a scheduler can run this blindly per table:
     * `CALL <cat>.system.maintain('t')`. */
-  def maintain(table: String, branch: String = "main"): Seq[(String, String)] = {
+  def maintain(table: String, branch: String = "main",
+      /** Injectable clock for the time-anchored passes (TTL retention,
+        * expiry, orphan fencing) — tests pin it; production callers
+        * leave the default. */
+      nowMillis: Long = System.currentTimeMillis()): Seq[(String, String)] = {
     val props = tableProperties(table, branch)
     def intProp(k: String, d: Int): Int = props.get(k).map(_.trim.toInt).getOrElse(d)
     def longProp(k: String): Option[Long] = props.get(k).map(_.trim.toLong)
     val out = Seq.newBuilder[(String, String)]
+
+    // 0. ROW-LEVEL TTL retention (`graft.maintain.ttl.column` +
+    //    `graft.maintain.ttl.ms`): rows whose retention column falls
+    //    before now - ttl are deleted through POSITION sidecars — zero
+    //    file rewrites per sweep at any table size, footer stats bound
+    //    the scan to files whose range reaches below the cutoff (on a
+    //    time-sorted or day-partitioned layout: only the expiring
+    //    prefix), and the materialization pass below folds the sidecars
+    //    once they breach the tombstone bound. Idempotent: re-marked
+    //    positions anti-join away, so a quiet table sweeps for free.
+    props.get("graft.maintain.ttl.column").zip(longProp("graft.maintain.ttl.ms"))
+      .foreach { case (c, ttl) =>
+        val head = loadSnapshot(table, snapshotIdOf(table, branch)
+          .getOrElse(sys.error(s"no table $table on $branch")))
+        val schema = StructType.fromDDL(head.schemaDdl)
+        val f = schema.fields.find(_.name == c.trim).getOrElse(sys.error(
+          s"graft.maintain.ttl.column ${c.trim} is not a column of $table"))
+        val cutoff = nowMillis - ttl
+        val bound = f.dataType match {
+          case TimestampType =>
+            org.apache.spark.sql.functions.lit(java.time.Instant.ofEpochMilli(cutoff))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            org.apache.spark.sql.functions.lit(java.time.LocalDateTime.ofInstant(
+              java.time.Instant.ofEpochMilli(cutoff), java.time.ZoneOffset.UTC))
+          case LongType => org.apache.spark.sql.functions.lit(cutoff)
+          case other => sys.error(
+            s"graft.maintain.ttl.column ${c.trim} has unsupported type $other — " +
+              "use a timestamp or epoch-millis long column")
+        }
+        if (head.deleteManifests.forall(_.posDelete)) {
+          val r = deleteWherePositional(table,
+            org.apache.spark.sql.functions.col(c.trim) < bound, branch)
+          if (r.rowsDeleted > 0)
+            out += "ttl-retention" ->
+              s"${r.rowsDeleted} rows of ${c.trim} older than ${ttl}ms"
+        } // pending equality tombstones: the materialize pass clears them
+      }
 
     val head0 = loadSnapshot(table, snapshotIdOf(table, branch)
       .getOrElse(sys.error(s"no table $table on $branch")))
@@ -5861,13 +5909,13 @@ class BranchCatalog(
     longProp("graft.maintain.expire.keep-ms").foreach { keep =>
       val r = expireSnapshots(table,
         retainLast = intProp("graft.maintain.expire.retain-last", 2),
-        olderThanMillis = Some(System.currentTimeMillis() - keep))
+        olderThanMillis = Some(nowMillis - keep))
       if (r.snapshotsDeleted > 0)
         out += "expire-snapshots" ->
           s"${r.snapshotsDeleted} snapshots, ${r.dataFilesDeleted} data files"
     }
     longProp("graft.maintain.orphans.older-than-ms").foreach { fence =>
-      val r = removeOrphanFiles(table, System.currentTimeMillis() - fence)
+      val r = removeOrphanFiles(table, nowMillis - fence)
       if (r.filesDeleted > 0)
         out += "remove-orphans" -> s"${r.filesDeleted} files, ${r.bytesDeleted} bytes"
     }

@@ -178,4 +178,51 @@ class MaintenanceSpec extends SparkSpecBase {
       "policy folded everything under the default 128 MiB target")
     assert(cat.scan("t").count() == 50)
   }
+
+  test("TTL retention: expired rows delete positionally, sweep is idempotent, ids survive") {
+    val cat = freshCat()
+    // epoch-millis long column: doc_id stands in as the event time
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.enableRowLineage("t") // retention must not move surviving ids
+    val ids = cat.scanLineage("t").select("doc_id", "_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cat.setTableProperties("t", Map(
+      "graft.maintain.ttl.column" -> "doc_id",
+      "graft.maintain.ttl.ms" -> "60"))
+    val filesBefore = cat.dataFiles("t").map(_.path).toSet
+
+    // now=100 -> cutoff 40: rows 0..39 expire, through sidecars only
+    val log1 = cat.maintain("t", nowMillis = 100L)
+    assert(log1.exists { case (a, d) => a == "ttl-retention" && d.startsWith("40 rows") },
+      s"expected a 40-row retention action, got $log1")
+    assert(cat.dataFiles("t").map(_.path).toSet == filesBefore,
+      "TTL sweep must not rewrite data files")
+    assert(cat.scan("t").count() == 60)
+    // same clock again: nothing newly expired -> no action
+    assert(!cat.maintain("t", nowMillis = 100L).exists(_._1 == "ttl-retention"))
+    // clock advances -> only the newly-expired rows delete
+    val log2 = cat.maintain("t", nowMillis = 120L)
+    assert(log2.exists { case (a, d) => a == "ttl-retention" && d.startsWith("20 rows") })
+    assert(cat.scan("t").count() == 40)
+    // survivors keep their row ids through the sweeps
+    val after = cat.scanLineage("t").select("doc_id", "_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == (60L until 100L).toSet)
+    assert(after.forall { case (k, v) => ids(k) == v })
+
+    // a timestamp retention column works the same way
+    val cat2 = freshCat()
+    val ev = docs(0, 100)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_millis(doc_id * 1000)"))
+    cat2.createTableIfNotExists("ev", ev.schema)
+    cat2.append("ev", ev)
+    cat2.setTableProperties("ev", Map(
+      "graft.maintain.ttl.column" -> "ts",
+      "graft.maintain.ttl.ms" -> "0"))
+    val log3 = cat2.maintain("ev", nowMillis = 50_000L) // cutoff: doc_id < 50
+    assert(log3.exists { case (a, d) => a == "ttl-retention" && d.startsWith("50 rows") },
+      s"expected a 50-row timestamp retention, got $log3")
+    assert(cat2.scan("ev").count() == 50)
+  }
 }
