@@ -1903,6 +1903,45 @@ object WapQueries {
         lit(clean).as("materialized_clean"))
   }
 
+  /** Equality→positional tombstone conversion (W76 — the Iceberg v2→v3
+    * deletion-vector migration): a stacked MOR delete / re-append
+    * history converts to position sidecars in one commit with ZERO data
+    * files rewritten and byte-identical visibility, then row lineage
+    * enables WITHOUT a rewrite. Fixed 200-doc slice. */
+  def wapConvertEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wap-cveq").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100))
+    cat.deleteKeysMOR("documents",
+      docs.filter(col("doc_id") < 100 && col("doc_id") % 10 === 0).select("doc_id"))
+    cat.append("documents", docs.filter(col("doc_id") === 20)) // re-appended: visible
+    cat.deleteKeysMOR("documents", Seq(30L, 150L).toDF("doc_id"))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    val visBefore = cat.scan("documents").count()
+
+    val converted = cat.convertTombstonesToPositional("documents")
+    val posOnly = converted.deleteManifests.nonEmpty &&
+      converted.deleteManifests.forall(_.posDelete)
+    val zeroRewrites = cat.dataFiles("documents").map(_.path).toSet == filesBefore
+    val sameVis = cat.scan("documents").count() == visBefore
+    cat.enableRowLineage("documents") // rewrite-free on the converted table
+    val lin = cat.scanLineage("documents").select("_row_id")
+    val idsUnique = lin.distinct().count() == visBefore
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(posOnly).as("pos_only"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(sameVis).as("same_visibility"),
+        lit(idsUnique).as("lineage_without_rewrite"))
+  }
+
   /** Row-identified changelog (W75 — Delta CDF over row lineage):
     * updates surface as `update_preimage`/`update_postimage` pairs
     * sharing a `_row_id`, deletes/inserts carry identity, carried rows

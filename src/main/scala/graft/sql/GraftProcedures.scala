@@ -49,7 +49,7 @@ object GraftProcedures {
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
-      "create_changelog_view", "enable_row_lineage")
+      "create_changelog_view", "enable_row_lineage", "convert_equality_deletes")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -321,6 +321,17 @@ object GraftProcedures {
                 .map(c => s"${c.name} (${c.violations} violations)").mkString(", "))
         }
         cat.cherrypickSnapshot(table, snapId, into)
+        ()
+      }
+    case "convert_equality_deletes" =>
+      // the Iceberg v2→v3 migration: pending equality tombstones become
+      // position sidecars in one commit, zero data files rewritten —
+      // un-gates row lineage, CDC feeds and scoped compaction on MOR
+      // tables without a forced full rewrite
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.convertTombstonesToPositional(args.getString(0), args.getString(1))
         ()
       }
     case "enable_row_lineage" =>

@@ -1776,8 +1776,13 @@ class BranchCatalog(
       val cur = loadSnapshot(table, curId)
       if (cur.lin.enabled) { committed = cur; refs }
       else {
-        require(cur.deleteManifests.isEmpty,
-          s"$table@$branch has pending tombstones — materialize with " +
+        // POSITION sidecars may stay pending (a suppressed position is
+        // still a position — scans, rewrites and changelogs all handle
+        // them); EQUALITY tombstones refuse, but the rewrite-free path
+        // is [[convertTombstonesToPositional]], never a forced compact
+        require(cur.deleteManifests.forall(_.posDelete),
+          s"$table@$branch has pending EQUALITY tombstones — run " +
+            "convertTombstonesToPositional (zero rewrites) or " +
             "compactDataFiles before enabling row lineage")
         var next = 0L
         val stamped = cur.manifests.map { m =>
@@ -1786,7 +1791,8 @@ class BranchCatalog(
           ref
         }
         committed = Snapshot(newId(), Some(curId), stamped, cur.schemaDdl,
-          System.currentTimeMillis(), cur.partitionSpec, Nil, cur.seq + 1,
+          System.currentTimeMillis(), cur.partitionSpec,
+          cur.deleteManifests, cur.seq + 1,
           sortOrder = cur.sortOrder, sortWithinPartitions = cur.sortWithinPartitions,
           evo = cur.evo, op = "schema", lin = RowLin(enabled = true, next = next))
         writeSnapshot(table, committed)
@@ -5614,6 +5620,102 @@ class BranchCatalog(
     }
     // manifest folding keeps the files, so bloom sidecars merge over
     foldedWithSrc.foreach { case (nm, ms) => carryBloomSidecars(nm.path, ms.map(_.path)) }
+    committed
+  }
+
+  /** Convert pending EQUALITY tombstones into POSITION sidecars without
+    * touching a byte of data (the Iceberg v2→v3 migration shape:
+    * equality deletes out, deletion vectors in): each tombstone's
+    * suppressed rows are resolved to their exact `(file, row index)`
+    * pairs — per tombstone, only ITS covered files join ITS keys, so
+    * stacked delete/re-append histories reproduce the scan's sequence
+    * semantics exactly — and ONE sidecar commit replaces every equality
+    * tombstone. Cost: the covered files read ONCE (the same bytes every
+    * MOR scan was already paying per read), KB of sidecars written,
+    * zero data files rewritten — against [[compactDataFiles]]'s full
+    * rewrite this is the 100 TB path to a positional-only table, which
+    * un-gates [[enableRowLineage]], CDC feeds and scoped compaction.
+    * Prior position sidecars stay pending (anti-joined, never
+    * double-marked). No-op without equality tombstones. */
+  def convertTombstonesToPositional(table: String, branch: String = "main"): Snapshot = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val eqTombs = cur.deleteManifests.filterNot(_.posDelete)
+    if (eqTombs.isEmpty) return cur
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val covers = tombstoneCovers(table, cur)
+    val parts = eqTombs.flatMap { d =>
+      val covered = cur.manifests.filter(m => covers(d, m))
+      if (covered.isEmpty) None
+      else {
+        val delFiles = readManifest(d.path)
+        val fileSchema = spark.read.parquet(delFiles.map(_.path): _*).schema
+        val keyCols = if (d.keyCols.nonEmpty) d.keyCols else fileSchema.fieldNames.toSeq
+        val dataFiles = filesOf(cur.copy(manifests = covered, deleteManifests = Nil))
+        val data = spark.read.schema(BranchCatalog.readSchema(schema, cur.evo))
+          .parquet(dataFiles.map(_.path): _*)
+          .select(keyCols.map(fcol) ++ Seq(
+            fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
+            fcol("_metadata.row_index").as(BranchCatalog.PosIdxCol)): _*)
+        // key files keep their WRITE-time types; cast to the table's
+        // declared types so a widening evolution still matches
+        val keys = spark.read.schema(fileSchema).parquet(delFiles.map(_.path): _*)
+          .select(keyCols.map(c => fcol(c).cast(schema(c).dataType).as(c)): _*)
+          .distinct()
+        Some(data.join(keys, keyCols)
+          .select(fcol(BranchCatalog.PosPathCol), fcol(BranchCatalog.PosIdxCol)))
+      }
+    }
+    if (parts.isEmpty) { // every tombstone covers nothing: just drop them
+      var committed: Snapshot = null
+      commitRefs { refs =>
+        val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+        require(b.tables.get(table).contains(curId),
+          s"concurrent commit on $table@$branch during tombstone conversion")
+        committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+          System.currentTimeMillis(), cur.partitionSpec,
+          cur.deleteManifests.filter(_.posDelete), cur.seq + 1,
+          evo = cur.evo, op = "convert-tombstones", lin = cur.lin)
+        writeSnapshot(table, committed)
+        refs.copy(branches = refs.branches.updated(branch,
+          b.copy(tables = b.tables.updated(table, committed.id))))
+      }
+      return committed
+    }
+    val marked = parts.reduce(_ unionByName _).distinct()
+    val priorPos = cur.deleteManifests.filter(_.posDelete).flatMap(m => readManifest(m.path))
+    val fresh =
+      if (priorPos.isEmpty) marked
+      else marked.join(
+        spark.read.schema(BranchCatalog.posDeleteSchema).parquet(priorPos.map(_.path): _*),
+        Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
+    val posFiles = {
+      val written = writeDataFiles(table, fresh, Map.empty)
+      val (live, empty) = written.partition(_.rows > 0)
+      empty.foreach(f => fs.delete(new Path(f.path), false))
+      live
+    }
+    val newSeq = cur.seq + 1
+    val posManifest =
+      if (posFiles.isEmpty) None
+      else Some(writeManifest(table, posFiles, BranchCatalog.posDeleteSchema)
+        .copy(asOf = Some(curId), seq = newSeq,
+          keyCols = Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+          posDelete = true))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during tombstone conversion")
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec,
+        cur.deleteManifests.filter(_.posDelete) ++ posManifest.toSeq, newSeq,
+        evo = cur.evo, op = "convert-tombstones", lin = cur.lin)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
     committed
   }
 

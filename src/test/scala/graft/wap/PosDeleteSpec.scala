@@ -193,6 +193,48 @@ class PosDeleteSpec extends SparkSpecBase {
     assert(langs() == l1 && cat.scan("t").count() == 100)
   }
 
+  test("equality tombstones convert to position sidecars: zero rewrites, exact visibility") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    import spark.implicits._
+    // stacked delete / re-append history: key 5 deleted, re-appended
+    // (visible again), key 7 deleted twice across generations
+    cat.deleteKeysMOR("t", Seq(5L, 7L, 9L).toDF("doc_id"))
+    cat.append("t", docs(5, 6)) // re-appended 5: visible
+    cat.deleteKeysMOR("t", Seq(7L, 11L).toDF("doc_id"))
+    val before = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted
+    val filesBefore = dataPaths(cat, "t")
+
+    val converted = cat.convertTombstonesToPositional("t")
+    assert(converted.deleteManifests.nonEmpty &&
+      converted.deleteManifests.forall(_.posDelete),
+      "conversion must leave only position sidecars")
+    assert(dataPaths(cat, "t") == filesBefore, "conversion must not touch data files")
+    val after = cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq, "conversion changed visibility")
+    assert(after.count(_ == 5L) == 1 && !after.contains(7L) &&
+      !after.contains(9L) && !after.contains(11L))
+
+    // the converted table un-gates lineage WITHOUT any rewrite
+    cat.enableRowLineage("t")
+    val ids = cat.scanLineage("t").select("doc_id", "_row_id").collect()
+    assert(ids.length == after.length)
+    assert(ids.map(_.getLong(1)).distinct.length == ids.length)
+
+    // a mixed stack (pos sidecar already pending) converts the equality
+    // part only and keeps the sidecar pending
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("t", docs(0, 1).schema)
+    cat2.append("t", docs(0, 50))
+    cat2.deleteWherePositional("t", col("doc_id") < 5)
+    cat2.deleteKeysMOR("t", Seq(10L).toDF("doc_id"))
+    val c2 = cat2.convertTombstonesToPositional("t")
+    assert(c2.deleteManifests.size == 2 && c2.deleteManifests.forall(_.posDelete))
+    assert(cat2.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (5L until 50L).filterNot(_ == 10L))
+  }
+
   test("positional update refuses pending equality tombstones") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
