@@ -5918,7 +5918,9 @@ class BranchCatalog(
     *  1. `graft.maintain.tombstones.max` (default 8): pending MOR
     *     tombstone generations at/above the bound → whole-table
     *     [[compactDataFiles]] (materializes them — the one rewrite MOR
-    *     cannot avoid).
+    *     cannot avoid), or with `graft.maintain.tombstones.mode =
+    *     convert` the zero-rewrite [[convertTombstonesToPositional]]
+    *     fold (falls back to the rewrite if still at the bound after).
     *  2. `graft.maintain.small-files.target-bytes` (default 128 MiB) +
     *     `graft.maintain.small-files.min` (default 16): that many
     *     under-target files → [[compactSmallFiles]] (O(small files)).
@@ -5985,9 +5987,24 @@ class BranchCatalog(
       .getOrElse(sys.error(s"no table $table on $branch")))
     val tombMax = intProp("graft.maintain.tombstones.max", 8)
     if (head0.deleteManifests.size >= tombMax) {
-      compactDataFiles(table, branch)
-      out += "materialize" ->
-        s"${head0.deleteManifests.size} pending tombstone generations (bound $tombMax)"
+      // `graft.maintain.tombstones.mode = convert` (default materialize):
+      // fold the EQUALITY generations into one position sidecar (W76 —
+      // zero rewrites) instead of the full compactDataFiles rewrite; if
+      // the stack is pure-positional the rewrite is the only remedy
+      val mode = props.getOrElse("graft.maintain.tombstones.mode", "materialize").trim
+      if (mode == "convert" && head0.deleteManifests.exists(!_.posDelete)) {
+        val c = convertTombstonesToPositional(table, branch)
+        out += "convert-tombstones" ->
+          s"${head0.deleteManifests.size} generations -> ${c.deleteManifests.size} sidecars"
+        if (c.deleteManifests.size >= tombMax) {
+          compactDataFiles(table, branch) // conversion alone did not clear the bound
+          out += "materialize" -> s"${c.deleteManifests.size} sidecars still at bound $tombMax"
+        }
+      } else {
+        compactDataFiles(table, branch)
+        out += "materialize" ->
+          s"${head0.deleteManifests.size} pending tombstone generations (bound $tombMax)"
+      }
     }
 
     val target = longProp("graft.maintain.small-files.target-bytes")

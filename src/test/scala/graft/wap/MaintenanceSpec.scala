@@ -179,6 +179,27 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 50)
   }
 
+  test("tombstones.mode=convert folds equality generations sidecar-only on breach") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.setTableProperties("t", Map(
+      "graft.maintain.tombstones.max" -> "2",
+      "graft.maintain.tombstones.mode" -> "convert"))
+    import spark.implicits._
+    cat.deleteKeysMOR("t", Seq(1L).toDF("doc_id"))
+    cat.deleteKeysMOR("t", Seq(2L, 3L).toDF("doc_id"))
+    val filesBefore = cat.dataFiles("t").map(_.path).toSet
+    val log = cat.maintain("t")
+    assert(log.exists(_._1 == "convert-tombstones"), s"got $log")
+    assert(!log.exists(_._1 == "materialize"), s"conversion cleared the bound: $log")
+    assert(cat.dataFiles("t").map(_.path).toSet == filesBefore,
+      "convert mode must not rewrite data")
+    val head = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(head.deleteManifests.size == 1 && head.deleteManifests.forall(_.posDelete))
+    assert(cat.scan("t").count() == 97)
+  }
+
   test("TTL retention: expired rows delete positionally, sweep is idempotent, ids survive") {
     val cat = freshCat()
     // epoch-millis long column: doc_id stands in as the event time
