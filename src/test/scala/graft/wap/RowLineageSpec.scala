@@ -210,6 +210,37 @@ class RowLineageSpec extends SparkSpecBase {
     assert(lineageMap(cat, "t") == after)
   }
 
+  test("racing committers on different branches allocate disjoint ranges (retry restamps)") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 40))
+    cat.enableRowLineage("t")
+    (1 to 4).foreach(i => cat.createBranch(s"b$i"))
+    // 4 branches × 3 appends racing through the SAME refs store: every
+    // lost race must re-allocate from the winner's high-water mark
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = for (i <- 1 to 4) yield Future {
+      val own = new BranchCatalog(spark, cat.root) // separate instances, like separate JVMs
+      (0 until 3).foreach { j =>
+        val lo = 40L + (i - 1) * 30L + j * 10L
+        own.append("t", docs(lo, lo + 10L), branch = s"b$i")
+      }
+    }
+    Await.result(Future.sequence(fs), 5.minutes)
+    val perBranch = (1 to 4).map { i =>
+      cat.scanLineage("t", s"b$i").filter(col("doc_id") >= 40L)
+        .select("_row_id").collect().map(_.getLong(0)).toSet
+    }
+    perBranch.foreach(s => assert(s.size == 30))
+    // pairwise disjoint: the refs-global counter never double-allocated
+    for (a <- perBranch.indices; b <- perBranch.indices if a < b)
+      assert(perBranch(a).intersect(perBranch(b)).isEmpty,
+        s"branches b${a + 1} and b${b + 1} share row ids")
+    assert(perBranch.flatten.toSet.size == 120)
+  }
+
   test("SQL surface: CALL enable_row_lineage + t$lineage relation + tag time travel") {
     val root = Files.createTempDirectory("rowlinsql").toString
     val lake = "rowlin_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
