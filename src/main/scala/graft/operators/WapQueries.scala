@@ -1903,6 +1903,63 @@ object WapQueries {
         lit(clean).as("materialized_clean"))
   }
 
+  /** Merge-on-read MERGE (W77 — [[graft.wap.BranchCatalog.mergeIntoMOR]]):
+    * a conditional update+delete+insert merge whose matched old versions
+    * land in a position sidecar and whose outcomes append — ZERO data
+    * files rewritten — then a SECOND merge that must see exactly the
+    * current versions (merge-1's updates, not their suppressed originals;
+    * merge-1's deletes gone), then compaction materializes everything.
+    * Fixed 220-doc slice; the oracle recomputes the final state and every
+    * per-merge count from the source table. */
+  def wapPosMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MergeClause._
+    val tmp = Files.createTempDirectory("graft-wap-posmerge").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+
+    // matched 50..149: evens update (+1000 chars, first-match-wins over
+    // the delete), odd multiples of 3 delete; 200..219 insert
+    val source = docs.filter(
+      (col("doc_id") >= 50 && col("doc_id") < 150) ||
+        (col("doc_id") >= 200 && col("doc_id") < 240))
+    val r1 = cat.mergeIntoMOR("documents", source, Seq("doc_id"), Seq(
+      MatchedUpdate(Some(col("s.doc_id") % 2 === 0),
+        Map("n_chars" -> (col("t.n_chars") + lit(1000L)))),
+      MatchedDelete(Some(col("s.doc_id") % 3 === 0)),
+      NotMatchedInsert(Some(col("s.doc_id") < 220))))
+    val snap1 = cat.snapshotMeta("documents", cat.snapshotIdOf("documents").get)
+    val mergePos = snap1.op == "merge-pos" &&
+      snap1.deleteManifests.nonEmpty && snap1.deleteManifests.forall(_.posDelete)
+
+    // stacked merge over 60..69: merge-1's deletes (63, 69) are NOT
+    // matched (no insert clause — dropped); its updated versions match
+    // exactly once
+    val r2 = cat.mergeIntoMOR("documents",
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 70), Seq("doc_id"),
+      Seq(MatchedUpdate(None, Map("lang" -> lit("xx")))))
+
+    val zeroRewrites = r1.filesRewritten == 0 && r2.filesRewritten == 0 &&
+      filesBefore.subsetOf(cat.dataFiles("documents").map(_.path).toSet)
+    val compacted = cat.compactDataFiles("documents", targetFiles = 2)
+    val clean = compacted.deleteManifests.isEmpty
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      sum(when(col("lang") === "xx", 1L).otherwise(0L)).as("n_xx"))
+      .select(col("n_rows"), col("sum_chars"), col("n_xx"),
+        lit(r1.rowsUpdated).as("rows_updated_1"),
+        lit(r1.rowsDeleted).as("rows_deleted_1"),
+        lit(r1.rowsInserted).as("rows_inserted_1"),
+        lit(r2.rowsUpdated).as("rows_updated_2"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(mergePos).as("merge_pos_op"),
+        lit(clean).as("materialized_clean"))
+  }
+
   /** Equality→positional tombstone conversion (W76 — the Iceberg v2→v3
     * deletion-vector migration): a stacked MOR delete / re-append
     * history converts to position sidecars in one commit with ZERO data

@@ -223,7 +223,17 @@ case class GraftUpdateCommand(
 
 /** Eager `MERGE INTO` over a catalog table: materializes the analyzed
   * source plan as a DataFrame and runs [[BranchCatalog.mergeInto]]
-  * (key-bounded copy-on-write merge) under the branch guard. */
+  * (key-bounded copy-on-write merge) under the branch guard — or
+  * [[BranchCatalog.mergeIntoMOR]] (position sidecars + appended
+  * outcomes, zero data files rewritten) when the table carries
+  * `write.merge.mode=merge-on-read`, completing the Iceberg mode
+  * triangle with DELETE and UPDATE. Merges with NOT MATCHED BY SOURCE
+  * clauses stay copy-on-write even under the property: by-source fires
+  * on every target row outside the source, where the CoW tiers drop
+  * whole files metadata-only while a positional encoding would write
+  * O(table) sidecar entries — the mode is a write-amplification
+  * preference, not a semantics switch, so the engine picks the cheaper
+  * sound plan. */
 case class GraftMergeCommand(
     graftTable: GraftTable, source: LogicalPlan, keys: Seq[String],
     clauses: Seq[MergeClause]) extends LeafRunnableCommand {
@@ -233,8 +243,14 @@ case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDmlLowering.requireDmlWritable(graftTable, "MERGE INTO")
     val cat = new BranchCatalog(spark, graftTable.root)
-    cat.mergeInto(graftTable.tableName, Bridge.dataFrame(spark, source),
-      keys, clauses, graftTable.branch)
+    val bySource = clauses.exists(c => c.isInstanceOf[MergeClause.NotMatchedBySourceUpdate] ||
+      c.isInstanceOf[MergeClause.NotMatchedBySourceDelete])
+    if (graftTable.storedProps.get("write.merge.mode").contains("merge-on-read") && !bySource)
+      cat.mergeIntoMOR(graftTable.tableName, Bridge.dataFrame(spark, source),
+        keys, clauses, graftTable.branch)
+    else
+      cat.mergeInto(graftTable.tableName, Bridge.dataFrame(spark, source),
+        keys, clauses, graftTable.branch)
     Seq.empty
   }
 }

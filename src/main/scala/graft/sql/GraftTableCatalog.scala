@@ -365,7 +365,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // at ALTER time, not at the first DELETE.
     val propChanges: Map[String, String] = changes.collect {
       case set: TableChange.SetProperty =>
-        if (set.property() == "write.delete.mode" || set.property() == "write.update.mode")
+        if (set.property() == "write.delete.mode" || set.property() == "write.update.mode" ||
+            set.property() == "write.merge.mode")
           require(Set("copy-on-write", "merge-on-read").contains(set.value()),
             s"${set.property()} must be copy-on-write or merge-on-read, got ${set.value()}")
         set.property() -> set.value()

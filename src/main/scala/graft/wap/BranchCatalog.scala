@@ -2982,13 +2982,24 @@ class BranchCatalog(
           val srcSnap = loadSnapshot(table, srcSnapId)
           val dstDeletes = dstTables.get(table)
             .map(loadSnapshot(table, _).deleteManifests).getOrElse(Nil)
-          if (srcSnap.deleteManifests.nonEmpty || dstDeletes.nonEmpty)
+          // EQUALITY tombstones suppress by key in every manifest with a
+          // LOWER sequence — and the two sides' sequence counters diverged
+          // at the fork, so a branch tombstone's seq could wrongly cover a
+          // target manifest appended after the fork. They cannot cross a
+          // publish; materialize first. POSITION sidecars are publishable
+          // (below): they name explicit file paths, which are unique, so
+          // a sidecar can never touch a row it did not mark.
+          if ((srcSnap.deleteManifests ++ dstDeletes).exists(!_.posDelete))
             throw new IllegalStateException(
-              s"merge of $table has pending MOR tombstones on " +
-                s"${if (srcSnap.deleteManifests.nonEmpty) branch else into} — " +
-                "materialize with compactDataFiles before publishing")
+              s"merge of $table has pending EQUALITY tombstones on " +
+                s"${if (srcSnap.deleteManifests.exists(!_.posDelete)) branch else into} — " +
+                "materialize with compactDataFiles (or convert to position " +
+                "sidecars) before publishing")
           val srcManifests = srcSnap.manifests
-          val baseManifests = baseSnapId.map(loadSnapshot(table, _).manifests).getOrElse(Seq.empty)
+          val baseSnapLoaded = baseSnapId.flatMap(loadSnapshotOpt(table, _))
+          val baseManifests = baseSnapLoaded.map(_.manifests).getOrElse(Seq.empty)
+          val baseDelPaths = baseSnapLoaded.map(_.deleteManifests.map(_.path).toSet)
+            .getOrElse(Set.empty[String])
           val dstSnapOpt = dstTables.get(table).map(loadSnapshot(table, _))
           val dstManifests = dstSnapOpt.map(_.manifests).getOrElse(Seq.empty)
           val srcPaths = srcManifests.map(_.path).toSet
@@ -2996,6 +3007,32 @@ class BranchCatalog(
           val added = srcManifests
             .filterNot(m => baseManifests.exists(_.path == m.path))
             .filterNot(m => dstManifests.exists(_.path == m.path))
+          // ---- W78: publish pending POSITION sidecars through the 3-way
+          // merge (the WAP-with-merge-on-read cycle: cheap positional DML
+          // on the branch, audit, publish — no forced rewrite). Sound
+          // because sidecars reference explicit unique paths and carried
+          // data manifests keep their original sequences (< any sidecar's),
+          // PROVIDED neither side rewrote files the other side's sidecars
+          // still reference — a rewrite re-materializes rows the sidecar
+          // deleted under new paths the sidecar cannot name. The guards
+          // refuse exactly that (rebase and replay instead).
+          val srcAddedDel = srcSnap.deleteManifests.filterNot(d => baseDelPaths.contains(d.path))
+          val dstRemoved = baseManifests.map(_.path)
+            .filterNot(p => dstManifests.exists(_.path == p))
+          if (srcAddedDel.nonEmpty && dstRemoved.nonEmpty)
+            throw new IllegalStateException(
+              s"merge conflict on $table: $branch holds position sidecars over " +
+                s"files that $into has since rewritten (${dstRemoved.size} " +
+                "manifest(s)) — the sidecar rows would silently reappear; " +
+                s"rebase the branch (re-fork from $into and replay)")
+          if (dstDeletes.nonEmpty && removed.nonEmpty)
+            throw new IllegalStateException(
+              s"merge conflict on $table: $into holds position sidecars but " +
+                s"$branch rewrote ${removed.size} manifest(s) since the fork — " +
+                "the rewrite re-materializes rows those sidecars deleted; " +
+                s"rebase the branch (re-fork from $into and replay)")
+          val mergedDeletes = dstDeletes ++
+            srcAddedDel.filterNot(d => dstDeletes.exists(_.path == d.path))
           // conflict: the branch REWROTE manifests (delete/compaction) that
           // the destination no longer carries — the destination rewrote
           // them too, and merging both rewrites would duplicate every row
@@ -3062,8 +3099,10 @@ class BranchCatalog(
               (stamped, RowLin(enabled = true, next = next))
             }
           val srcLinTurnedOn = srcSnap.lin.enabled && !dstSnapOpt.exists(_.lin.enabled)
+          val delsChanged = mergedDeletes.map(_.path) !=
+            dstSnapOpt.map(_.deleteManifests.map(_.path)).getOrElse(Nil)
           if (added.nonEmpty || dropsFromDst || dstSnapOpt.isEmpty ||
-              srcSchemaChanged || srcLinTurnedOn) {
+              srcSchemaChanged || srcLinTurnedOn || delsChanged) {
             val merged = Snapshot(
               newId(),
               dstSnapOpt.map(_.id),
@@ -3076,6 +3115,11 @@ class BranchCatalog(
               // on the merged lineage, so a tombstone committed later on
               // `into` covers every manifest the merge carried over
               seq = math.max(dstSnapOpt.map(_.seq).getOrElse(0L), srcSnap.seq) + 1,
+              // W78: published sidecars keep their own (branch-side)
+              // sequences; carried data manifests keep theirs, so the
+              // covering rule (m.seq < d.seq) holds exactly as it did on
+              // the side that committed each sidecar
+              deleteManifests = mergedDeletes,
               // evo follows the schema winner; id high-water and rename
               // residue are conservative maxima over BOTH ancestries (the
               // merged manifests carry files from both)
@@ -5216,6 +5260,204 @@ class BranchCatalog(
           affectedFiles.size.toLong + bsFiles.size,
           totalFiles - affectedFiles.size - bsFiles.size - droppedCount,
           droppedCount)
+      } finally { actioned.unpersist(); () }
+    } finally { aligned.unpersist(); () }
+  }
+
+  /** Conditional MERGE, merge-on-read by POSITION — [[mergeInto]]'s
+    * semantics with [[updateWherePositional]]'s write shape: matched
+    * rows that UPDATE or DELETE have their `(file, row index)` pairs
+    * written to a position sidecar (suppressing the old versions),
+    * updated versions and NOT MATCHED inserts append as new data files —
+    * ONE commit, ZERO existing data files rewritten, every existing
+    * manifest carried by reference. The write cost of a CDC-upsert merge
+    * on a 100 TB table drops from O(matched-file bytes rewritten) to
+    * O(matched rows read + outcomes written). Planning shares
+    * [[mergeInto]]'s source-key prune (manifest-list tier, file stats,
+    * bloom probes); only files that MAY hold a source key are read, and
+    * prior pending sidecars are anti-joined so an already-suppressed
+    * version never matches again. The sidecar takes the commit's
+    * sequence while carried manifests keep theirs, so the batch's own
+    * new versions stay visible (the [[deleteKeysMOR]] anchor rule). Row
+    * lineage (W73): updated versions materialize their original
+    * `_row_id`, inserts mint fresh ids from the new manifest's base.
+    *
+    * NOT MATCHED BY SOURCE clauses are REFUSED here: they fire on every
+    * target row outside the source, so a positional encoding would write
+    * O(table) sidecar entries — strictly worse than [[mergeInto]]'s
+    * copy-on-write tiers (which drop whole by-source files
+    * METADATA-ONLY). The SQL layer falls back to copy-on-write for such
+    * merges; Scala callers use [[mergeInto]] directly. Pending EQUALITY
+    * tombstones refuse (one delete representation at a time); compaction
+    * materializes sidecars as usual. */
+  def mergeIntoMOR(
+      table: String, source: DataFrame, keys: Seq[String],
+      clauses: Seq[MergeClause], branch: String = "main"): MergeIntoResult = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col => fcol, lit, sum => fsum, when}
+    require(keys.nonEmpty, "mergeIntoMOR needs at least one key column")
+    require(clauses.nonEmpty, "mergeIntoMOR needs at least one WHEN clause")
+    require(clauses.count(_.isInstanceOf[MergeClause.NotMatchedInsert]) <= 1,
+      "at most one WHEN NOT MATCHED clause")
+    require(!clauses.exists(c => c.isInstanceOf[MergeClause.NotMatchedBySourceUpdate] ||
+        c.isInstanceOf[MergeClause.NotMatchedBySourceDelete]),
+      "NOT MATCHED BY SOURCE touches every target row outside the source — " +
+        "positional encoding would be O(table); use mergeInto (copy-on-write, " +
+        "with metadata-only by-source tiers) for this shape")
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.forall(_.posDelete),
+      s"$table@$branch has pending EQUALITY tombstones — materialize with " +
+        "compactDataFiles before positional merges (one delete representation at a time)")
+    requireTombstoneHeadroom(table, branch, cur, "mergeIntoMOR")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    for (k <- keys)
+      require(schema.fieldNames.contains(k), s"key column $k is not in ${schema.toDDL}")
+    for (MergeClause.MatchedUpdate(_, set) <- clauses; c <- set.keys)
+      require(schema.fieldNames.contains(c), s"SET column $c is not in ${schema.toDDL}")
+    val totalFiles = cur.manifests.map(_.fileCount).sum
+    val aligned = alignToSchema(source, schema, table, branch, check = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (aligned.isEmpty) return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
+      val spec = specsOf(cur.partitionSpec)
+      val bloomIdx = Some(new BloomProbe(cur.manifests))
+      val pruneCond = sourceKeyPruneCond(aligned, keys)
+      val resolvedCond = resolvePredicate(pruneCond, schema)
+      val markFiles = cur.manifests.flatMap { m =>
+        if (resolvedCond.exists(p => !manifestMayMatch(m, p, schema, spec))) Nil
+        else pruneFiles(readManifest(m.path), pruneCond, schema, spec, bloomIdx)
+      }
+
+      // CURRENT versions of the possibly-matching files: schema columns +
+      // exact positions + (when lineage is on) decoded row ids, minus
+      // positions a prior pending sidecar already suppressed. Positions
+      // and lineage are captured in the FIRST projection — a later select
+      // could no longer resolve the hidden `_metadata` struct.
+      val targetCur: DataFrame =
+        if (markFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(lineageReadSchema(schema, cur).fields ++ Seq(
+              StructField(BranchCatalog.PosPathCol, StringType),
+              StructField(BranchCatalog.PosIdxCol, LongType))))
+        else {
+          val raw = spark.read.schema(lineageReadSchema(schema, cur))
+            .parquet(markFiles.map(_.path): _*)
+            .select(fcol("*"),
+              fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
+              fcol("_metadata.row_index").as(BranchCatalog.PosIdxCol))
+          val dec =
+            if (!cur.lin.enabled) raw
+            else raw.join(broadcast(lineageFileMap(cur)),
+              barePath(fcol(BranchCatalog.PosPathCol)) === fcol("__lin_path"))
+              .select(schema.fieldNames.map(fcol).toIndexedSeq ++ Seq(
+                coalesce(fcol(BranchCatalog.RowIdCol),
+                  fcol("__lin_base") + fcol(BranchCatalog.PosIdxCol))
+                  .as(BranchCatalog.RowIdCol),
+                coalesce(fcol(BranchCatalog.LastSeqCol), fcol("__lin_seq"))
+                  .as(BranchCatalog.LastSeqCol),
+                fcol(BranchCatalog.PosPathCol), fcol(BranchCatalog.PosIdxCol)): _*)
+          val priorFiles = cur.deleteManifests.flatMap(d => readManifest(d.path))
+          if (priorFiles.isEmpty) dec
+          else dec.join(
+            spark.read.schema(BranchCatalog.posDeleteSchema)
+              .parquet(priorFiles.map(_.path): _*),
+            Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol), "left_anti")
+        }
+
+      val joined = targetCur
+        .withColumn("__t_hit", lit(true)).alias("t")
+        .join(aligned.withColumn("__s_hit", lit(true)).alias("s"),
+          keys.map(k => fcol(s"t.$k") === fcol(s"s.$k")).reduce(_ && _), "full_outer")
+      val matched = fcol("t.__t_hit").isNotNull && fcol("s.__s_hit").isNotNull
+      val sourceOnly = fcol("t.__t_hit").isNull && fcol("s.__s_hit").isNotNull
+      val fires = clauses.zipWithIndex.map {
+        case (MergeClause.MatchedUpdate(c, _), i) =>
+          (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"u$i")
+        case (MergeClause.MatchedDelete(c), i) =>
+          (matched && coalesce(c.getOrElse(lit(true)), lit(false)), s"d$i")
+        case (MergeClause.NotMatchedInsert(c), i) =>
+          (sourceOnly && coalesce(c.getOrElse(lit(true)), lit(false)), s"i$i")
+        case (c, _) => sys.error(s"by-source clause $c reached the MOR tier")
+      }
+      // "t" = untouched: a matched row no clause fires on (or any
+      // target-only row) simply STAYS in its file — the zero-cost case
+      // copy-on-write cannot have
+      val action = fires.foldRight(lit("t")) { case ((cond, label), rest) =>
+        when(cond, label).otherwise(rest)
+      }
+      val actioned = joined.withColumn("__action", action)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val isU = fcol("__action").startsWith("u")
+        val isD = fcol("__action").startsWith("d")
+        val isI = fcol("__action").startsWith("i")
+        val countsRow = actioned.agg(
+          fsum(when(isU, 1L).otherwise(0L)).as("u"),
+          fsum(when(isD, 1L).otherwise(0L)).as("d"),
+          fsum(when(isI, 1L).otherwise(0L)).as("i")).head
+        def cnt(i: Int): Long = if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i)
+        val (nUpd, nDel, nIns) = (cnt(0), cnt(1), cnt(2))
+        if (nUpd + nDel + nIns == 0L)
+          return MergeIntoResult(cur, 0L, 0L, 0L, 0L, totalFiles)
+
+        // old versions of updated/deleted rows → one position sidecar
+        val posFilesWritten: Seq[DataFileMeta] = {
+          val posRows = actioned.filter(isU || isD).select(
+            fcol(s"t.${BranchCatalog.PosPathCol}").as(BranchCatalog.PosPathCol),
+            fcol(s"t.${BranchCatalog.PosIdxCol}").as(BranchCatalog.PosIdxCol))
+          val written = writeDataFiles(table, posRows, Map.empty)
+          val (live, empty) = written.partition(_.rows > 0)
+          empty.foreach(f => fs.delete(new Path(f.path), false))
+          live
+        }
+
+        // outcomes that append: updated versions (original row id kept,
+        // seq inherits the commit) + inserts (fresh ids from the new
+        // manifest's base)
+        val linColsOut: Seq[Column] =
+          if (!cur.lin.enabled) Nil
+          else Seq(
+            when(isI, lit(null).cast("long"))
+              .otherwise(fcol(s"t.${BranchCatalog.RowIdCol}")).as(BranchCatalog.RowIdCol),
+            lit(null).cast("long").as(BranchCatalog.LastSeqCol))
+        val written0 = actioned.filter(isU || isI)
+          .select((schema.fields.map { f =>
+            val base = when(isI, fcol(s"s.${f.name}")).otherwise(fcol(s"t.${f.name}"))
+            val v = clauses.zipWithIndex.foldLeft(base) {
+              case (acc, (MergeClause.MatchedUpdate(_, set), i)) if set.contains(f.name) =>
+                when(fcol("__action") === s"u$i", set(f.name).cast(f.dataType)).otherwise(acc)
+              case (acc, _) => acc
+            }
+            v.as(f.name)
+          } ++ linColsOut).toIndexedSeq: _*)
+        val written = constraintGuard(written0, table, branch, None)
+        val dataFiles = writeTableFiles(table, written, spec, ids = cur.evo.fieldIds)
+          .filter(_.rows > 0)
+
+        val newSeq = cur.seq + 1
+        val dataManifests =
+          if (dataFiles.nonEmpty) Seq(writeManifest(table, dataFiles, schema)) else Nil
+        val posManifest =
+          if (posFilesWritten.isEmpty) None
+          else Some(writeManifest(table, posFilesWritten, BranchCatalog.posDeleteSchema)
+            .copy(asOf = Some(curId), seq = newSeq,
+              keyCols = Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+              posDelete = true))
+        var committed: Snapshot = null
+        commitRefs { refs =>
+          val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+          require(b.tables.get(table).contains(curId),
+            s"concurrent commit on $table@$branch during positional merge")
+          val (refs2, stamped, lin2) = stampLineage(refs, table, cur, newSeq, dataManifests)
+          committed = Snapshot(newId(), Some(curId), cur.manifests ++ stamped,
+            cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
+            deleteManifests = cur.deleteManifests ++ posManifest.toSeq, seq = newSeq,
+            evo = cur.evo, op = "merge-pos", lin = lin2)
+          writeSnapshot(table, committed)
+          refs2.copy(branches = refs.branches.updated(branch,
+            b.copy(tables = b.tables.updated(table, committed.id))))
+        }
+        MergeIntoResult(committed, nUpd, nDel, nIns, 0L, totalFiles)
       } finally { actioned.unpersist(); () }
     } finally { aligned.unpersist(); () }
   }

@@ -156,6 +156,57 @@ class PosDeleteSqlSpec extends SparkSpecBase {
     assert(snap2.deleteManifests.isEmpty, "CoW UPDATE must not leave sidecars")
   }
 
+  test("write.merge.mode=merge-on-read routes MERGE INTO through sidecars; by-source stays CoW") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 40))
+    val before = {
+      val id = cat.snapshotIdOf("t").get
+      cat.filesOf(cat.snapshotMeta("t", id).copy(deleteManifests = Nil)).map(_.path).toSet
+    }
+    spark.sql(s"ALTER TABLE $lake.main.t SET TBLPROPERTIES('write.merge.mode'='merge-on-read')")
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 50)
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      s"""MERGE INTO $lake.main.t AS t USING mor_merge_src AS s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.doc_id % 2 = 0 THEN UPDATE SET n_chars = t.n_chars + 1000
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap.op == "merge-pos", "property must route MERGE through the positional path")
+    assert(snap.deleteManifests.size == 1 && snap.deleteManifests.head.posDelete)
+    val id = cat.snapshotIdOf("t").get
+    val after = cat.filesOf(cat.snapshotMeta("t", id).copy(deleteManifests = Nil)).map(_.path).toSet
+    assert(before.subsetOf(after), "MOR merge must not rewrite any data file")
+    val got = spark.sql(s"SELECT doc_id, n_chars FROM $lake.main.t ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = docs.filter(col("doc_id") < 50)
+      .filter(!(col("doc_id") >= 20 && col("doc_id") < 40 && col("doc_id") % 2 =!= 0))
+      .withColumn("n_chars",
+        when(col("doc_id") >= 20 && col("doc_id") < 40 && col("doc_id") % 2 === 0,
+          col("n_chars") + 1000L).otherwise(col("n_chars")))
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+
+    // a by-source merge under the same property falls back to copy-on-write
+    // (positional by-source would write O(table) sidecar entries); CoW DML
+    // requires the pending sidecar materialized first
+    cat.compactDataFiles("t")
+    spark.sql(
+      s"""MERGE INTO $lake.main.t AS t USING mor_merge_src AS s ON t.doc_id = s.doc_id
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 5 THEN DELETE""".stripMargin)
+    val snap2 = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(snap2.op == "merge", "by-source merge must stay copy-on-write")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.t WHERE doc_id < 5").head.getLong(0) == 0)
+
+    // a typo'd merge mode is refused at ALTER time
+    val err = intercept[Exception](spark.sql(
+      s"ALTER TABLE $lake.main.t SET TBLPROPERTIES('write.merge.mode'='sideways')"))
+    assert(err.getMessage.contains("write.merge.mode"))
+  }
+
   test("extension-session read (lowering on) applies sidecars identically") {
     val (lake, cat) = register()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
