@@ -1135,6 +1135,70 @@ object WapQueries {
         lit(extRow == ghostRow).as("zero_data_io"))
   }
 
+  /** Metadata-only GROUP BY aggregates (W79): `SELECT lang, count(*),
+    * count(source), min/max(...) FROM t GROUP BY lang` on an
+    * identity-partitioned table answered from manifest-entry stats —
+    * every file is partition-homogeneous by construction, so the fold
+    * splits per group losslessly with ZERO data IO, on BOTH read paths
+    * (extension [[graft.sql.GraftAggLowering]] → LocalRelation; vanilla
+    * connector → multi-row [[graft.sql.GraftMetaAggScan]]). The
+    * zero-IO proof deletes the data files and re-answers. Oracle: the
+    * same GROUP BY in plain SQL. */
+  def wapAggGroupby(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-aggby").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 260)
+      .select("doc_id", "lang", "n_chars", "source")
+    cat.createTableIfNotExists("documents", docs.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("documents", docs.filter(col("doc_id") < 150))
+    cat.append("documents", docs.filter(col("doc_id") >= 150))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val sqlText =
+      s"SELECT lang, count(*) AS n, count(source) AS n_src, " +
+        s"CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        s"CAST(max(n_chars) AS BIGINT) AS max_chars " +
+        s"FROM $lake.main.documents GROUP BY lang"
+
+    val ext = spark.sql(sqlText)
+    val extMetaOnly = ext.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => s
+    }.isEmpty
+    val extRows = ext.collect().toSeq
+
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    val (v2Rows, v2Pushed) =
+      try {
+        val q = spark.sql(sqlText)
+        val pushed = q.queryExecution.optimizedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            s.scan
+        }.exists(_.description().contains("PushedAggregation: metadata-only"))
+        (q.collect().toSeq, pushed)
+      } finally spark.conf.set("spark.graft.sql.lowering", "true")
+
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(s"$tmp/tables/documents/data"))
+    val ghostRows = spark.sql(sqlText).collect().toSeq
+
+    import spark.implicits._
+    extRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+      .toDF("lang", "n", "n_src", "min_id", "max_chars")
+      .select(col("*"),
+        lit(extMetaOnly).as("ext_meta_only"),
+        lit(v2Pushed).as("v2_pushed"),
+        lit(extRows.toSet == v2Rows.toSet).as("paths_agree"),
+        lit(extRows.toSet == ghostRows.toSet).as("zero_data_io"))
+  }
+
   /** Storage-partitioned joins (W45): two tables bucket-partitioned on
     * the join key read through per-bucket partitions + the catalog's
     * `bucket` V2 function and JOIN WITH ZERO SHUFFLES (and a group-by on

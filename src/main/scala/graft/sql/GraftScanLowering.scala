@@ -88,7 +88,7 @@ class GraftBareScanLowering(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, NamedExpression}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, OneRowRelation}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, OneRowRelation}
   import graft.wap.{BranchCatalog, MetaAgg}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -97,6 +97,14 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(Seq(), aggExprs, child, _) =>
         relUnder(child).flatMap(rel => tryAnswer(rel, aggExprs)).getOrElse(agg)
+      // W79: GROUP BY over bare attributes — one row per group from
+      // manifest-entry stats when every file is group-homogeneous
+      // ([[graft.wap.BranchCatalog.metaAggregateBy]]'s proof); anything
+      // it cannot answer exactly keeps the ordinary scan
+      case agg @ Aggregate(gs, aggExprs, child, _)
+          if gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]) =>
+        relUnder(child).flatMap(rel => tryAnswerGrouped(rel,
+          gs.map(_.asInstanceOf[AttributeReference]), aggExprs)).getOrElse(agg)
     }
 
   /** The graft V2 relation under the aggregate: bare, or behind the
@@ -145,6 +153,53 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
           None
         else
           Some(Project(rewritten.map(_.asInstanceOf[NamedExpression]), OneRowRelation()))
+      }
+  }
+
+  /** The grouped analogue: substitute each group row's values (group
+    * attributes AND aggregate results become literals), fold every
+    * output expression to a constant, and materialize the rows as a
+    * [[LocalRelation]]. Any leftover attribute or aggregate after
+    * substitution means the shape was richer than the translation —
+    * refuse, never approximate. */
+  private def tryAnswerGrouped(
+      t: GraftTable, gAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val aes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    val metas = aes.map(metaOf)
+    if (metas.exists(_.isEmpty)) return None
+    new BranchCatalog(spark, t.root)
+      .metaAggregateBy(t.tableName, t.snapshotId, gAttrs.map(_.name), metas.flatten)
+      .flatMap { rows =>
+        val out = aggExprs.map(_.toAttribute)
+        val data = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.catalyst.InternalRow]
+        for (r <- rows) {
+          val byAgg = aes.zip(r.drop(gAttrs.length))
+          val substituted = aggExprs.map(_.transform {
+            case ae: AggregateExpression =>
+              byAgg.collectFirst { case (a, v) if a eq ae => Literal(v, ae.dataType) }
+                .getOrElse(ae)
+            case a: AttributeReference =>
+              gAttrs.indexWhere(_.exprId == a.exprId) match {
+                case -1 => a
+                case i => Literal(r(i), gAttrs(i).dataType)
+              }
+          })
+          if (substituted.exists(e => e.exists(x =>
+              x.isInstanceOf[AttributeReference] || x.isInstanceOf[AggregateExpression])) ||
+              substituted.exists(!_.deterministic))
+            return None
+          val vals = try substituted.map(_.eval(null))
+          catch { case scala.util.control.NonFatal(_) => return None }
+          // a NULL value under a non-nullable output attribute (e.g. an
+          // all-null group in a column the schema declares NOT NULL)
+          // cannot ride a LocalRelation — refuse, the scan stays correct
+          if (out.zip(vals).exists { case (a, v) => v == null && !a.nullable })
+            return None
+          data += org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+        }
+        Some(LocalRelation(out, data.toSeq))
       }
   }
 }

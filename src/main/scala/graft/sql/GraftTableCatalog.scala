@@ -1040,8 +1040,9 @@ private class GraftScanBuilder(
   private var required: StructType = t.schema()
   private var pushed: Array[sources.Filter] = Array.empty
   /** Set by [[pushAggregation]] when the WHOLE aggregate answered from
-    * snapshot metadata: (one-row schema, catalyst-internal values). */
-  private var aggAnswer: Option[(StructType, Array[Any])] = None
+    * snapshot metadata: (result schema, catalyst-internal rows — one for
+    * a global aggregate, one per group for GROUP BY). */
+  private var aggAnswer: Option[(StructType, Seq[Array[Any]])] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -1121,11 +1122,11 @@ private class GraftScanBuilder(
   /** Memoized per Aggregation instance: Spark calls
     * supportCompletePushDown then pushAggregation with the same object,
     * and each answer costs a snapshot-document read. */
-  private var answerCache: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+  private var answerCache: Option[(AnyRef, Option[(StructType, Seq[Array[Any]])])] = None
 
   private def answer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = answerCache match {
+      : Option[(StructType, Seq[Array[Any]])] = answerCache match {
     case Some((prev, r)) if prev eq agg => r
     case _ =>
       val r = answerUncached(agg)
@@ -1135,14 +1136,14 @@ private class GraftScanBuilder(
 
   private def answerUncached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     val spark = SparkSession.active
     if (!spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) return None
     // a changes-window read aggregates the DELTA, never the snapshot
     if (changes.isDefined) return None
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    if (pushed.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames().length == 1 &&
@@ -1150,6 +1151,11 @@ private class GraftScanBuilder(
           Some(n.fieldNames().head)
         case _ => None
       }
+    // GROUP BY columns (W79): Spark's pushed-aggregate contract puts them
+    // FIRST in the scan's readSchema, then the aggregate columns
+    val groupCols = agg.groupByExpressions().toSeq.map(colOf)
+    if (groupCols.exists(_.isEmpty)) return None
+    val groups = groupCols.flatten
     val translated = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
         Some((graft.wap.MetaAgg.CountStar: graft.wap.MetaAgg,
@@ -1165,14 +1171,23 @@ private class GraftScanBuilder(
     }
     if (translated.exists(_.isEmpty)) return None
     val metas = translated.flatten
-    new BranchCatalog(spark, t.root)
-      .metaAggregate(t.tableName, t.snapshotId, metas.map(_._1))
-      .map { values =>
-        val schema = StructType(metas.zipWithIndex.map { case ((_, dt), i) =>
+    val schema = StructType(
+      groups.map(g => org.apache.spark.sql.types.StructField(g,
+        t.tableSchema(g).dataType, t.tableSchema(g).nullable)) ++
+        metas.zipWithIndex.map { case ((_, dt), i) =>
           org.apache.spark.sql.types.StructField(s"agg_$i", dt)
         })
-        (schema, values.toArray)
-      }
+    val cat = new BranchCatalog(spark, t.root)
+    if (groups.isEmpty)
+      cat.metaAggregate(t.tableName, t.snapshotId, metas.map(_._1))
+        .map(values => (schema, Seq(values.toArray)))
+    else
+      cat.metaAggregateBy(t.tableName, t.snapshotId, groups, metas.map(_._1))
+        // an all-null group under a NOT NULL column (schema/data drift)
+        // cannot ride the unsafe row writer — refuse onto the real scan
+        .filter(rows => !rows.exists(r => groups.indices.exists(i =>
+          r(i) == null && !t.tableSchema(groups(i)).nullable)))
+        .map(rows => (schema, rows))
   }
 
   /** Always the NATIVE DSv2 batch scan (vectorized parquet reader,
@@ -1196,7 +1211,7 @@ private class GraftScanBuilder(
   * one partition, one [[org.apache.spark.sql.catalyst.InternalRow]]
   * computed on the driver from O(manifests) snapshot metadata. */
 private[sql] class GraftMetaAggScan(
-    t: GraftTable, aggSchema: StructType, values: Array[Any])
+    t: GraftTable, aggSchema: StructType, rows: Seq[Array[Any]])
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -1205,15 +1220,16 @@ private[sql] class GraftMetaAggScan(
       s"PushedAggregation: metadata-only [${aggSchema.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] =
-    Array(GraftMetaAggPartition(values))
+    Array(GraftMetaAggPartition(rows))
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new GraftMetaAggReaderFactory
 }
 
-/** Carries the catalyst-internal aggregate values (UTF8String is
-  * Externalizable; primitives box) to the single reader. */
-private[sql] case class GraftMetaAggPartition(values: Array[Any])
+/** Carries the catalyst-internal aggregate rows (UTF8String is
+  * Externalizable; primitives box) to the single reader — one row for a
+  * global aggregate, one per group for a pushed GROUP BY (W79). */
+private[sql] case class GraftMetaAggPartition(rows: Seq[Array[Any]])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sql] class GraftMetaAggReaderFactory
@@ -1223,11 +1239,11 @@ private[sql] class GraftMetaAggReaderFactory
         org.apache.spark.sql.catalyst.InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
-      private val vals = p.asInstanceOf[GraftMetaAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val it = p.asInstanceOf[GraftMetaAggPartition].rows.iterator
+      private var cur: Array[Any] = _
+      override def next(): Boolean = if (it.hasNext) { cur = it.next(); true } else false
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.clone())
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cur.clone())
       override def close(): Unit = ()
     }
 }

@@ -3508,6 +3508,105 @@ class BranchCatalog(
     if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
   }
 
+  /** GROUP BY metadata aggregates (W79): `SELECT g, count(*)/count(c)/
+    * min(c)/max(c) FROM t GROUP BY g` answered from manifest-entry stats
+    * with ZERO data IO — one row per distinct group, values
+    * catalyst-internal like [[metaAggregate]]'s. Sound exactly when
+    * every live file is HOMOGENEOUS in every group column: its exact
+    * (untruncated) footer bounds satisfy `lower == upper` with zero
+    * nulls, or the column is all-null in the file — the layout identity
+    * partitioning and per-column clustered compaction produce by
+    * construction. Then each file belongs to one group and the global
+    * fold splits per group losslessly: COUNT(*) sums exact row counts,
+    * COUNT(c) subtracts covered null sums, MIN/MAX fold exact bounds
+    * under [[BranchCatalog.exactStatType]]'s rules. ANY file failing
+    * homogeneity or coverage answers None — the caller plans the
+    * ordinary scan, never an approximation. Entry reads are
+    * driver-side O(files), bounded by `maxFiles` (past the cap the
+    * ordinary distributed scan wins anyway); pending MOR tombstones
+    * refuse as in [[metaAggregate]]. */
+  def metaAggregateBy(
+      table: String, snapshotId: String, groupCols: Seq[String],
+      aggs: Seq[MetaAgg], maxFiles: Long = 200000L): Option[Seq[Array[Any]]] = {
+    require(groupCols.nonEmpty, "metaAggregateBy needs at least one group column")
+    val snap = loadSnapshot(table, snapshotId)
+    if (snap.deleteManifests.nonEmpty) return None
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val live = snap.manifests.filter(_.rows > 0)
+    if (live.exists(_.statsV < 2)) return None
+    if (live.map(_.fileCount).sum > maxFiles) return None
+    val gFieldsOpt = groupCols.map(c => schema.fields.find(_.name == c))
+    if (gFieldsOpt.exists(_.isEmpty)) return None
+    val gFields = gFieldsOpt.flatten
+    if (gFields.exists(f => !BranchCatalog.exactStatType(f.dataType))) return None
+    val aggCols = aggs.collect {
+      case MetaAgg.CountCol(c) => c
+      case MetaAgg.MinCol(c) => c
+      case MetaAgg.MaxCol(c) => c
+    }
+    if (aggCols.exists(c => !schema.fieldNames.contains(c))) return None
+    if (aggs.exists {
+      case MetaAgg.MinCol(c) => !BranchCatalog.exactStatType(schema(c).dataType)
+      case MetaAgg.MaxCol(c) => !BranchCatalog.exactStatType(schema(c).dataType)
+      case _ => false
+    }) return None
+
+    val files = live.flatMap(m => readManifest(m.path)).filter(_.rows > 0)
+    // group key per file, with the homogeneity proof; None = bail whole
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], scala.collection.mutable.ArrayBuffer[DataFileMeta]]
+    for (f <- files) {
+      val key = gFields.map { gf =>
+        f.nullCounts.get(gf.name) match {
+          case Some(n) if n == f.rows => Some(None) // all-null -> NULL group
+          case Some(0L) =>
+            (f.lower.get(gf.name), f.upper.get(gf.name)) match {
+              case (Some(lo), Some(hi)) if lo == hi => Some(Some(lo))
+              case _ => None // heterogeneous or missing bounds
+            }
+          case _ => None // mixed nulls, or null count not covered
+        }
+      }
+      if (key.exists(_.isEmpty)) return None
+      grouped.getOrElseUpdate(key.map(_.get), scala.collection.mutable.ArrayBuffer.empty) += f
+    }
+
+    val rows = grouped.toSeq.map { case (key, fs) =>
+      val groupRows = fs.map(_.rows).sum
+      def nullsOf(c: String): Option[Long] =
+        if (fs.forall(_.nullCounts.contains(c))) Some(fs.map(_.nullCounts(c)).sum)
+        else None
+      def extremum(c: String, takeMin: Boolean): Option[Any] = for {
+        fld <- schema.fields.find(_.name == c)
+        cmp <- BranchCatalog.statOrder(fld.dataType)
+        side = if (takeMin) (f: DataFileMeta) => f.lower else (f: DataFileMeta) => f.upper
+        if fs.forall(f => side(f).contains(c) || f.nullCounts.get(c).contains(f.rows))
+        v <- {
+          val bounds = fs.flatMap(f => side(f).get(c))
+          if (bounds.isEmpty) Some(null)
+          else try Some(BranchCatalog.statInternal(fld.dataType,
+            bounds.reduce((a, b) => if ((cmp(a, b) <= 0) == takeMin) a else b)))
+          catch { case _: Exception => None }
+        }
+      } yield v
+      val aggVals = aggs.map {
+        case MetaAgg.CountStar => Some(groupRows)
+        case MetaAgg.CountCol(c) => nullsOf(c).map(groupRows - _)
+        case MetaAgg.MinCol(c) => extremum(c, takeMin = true)
+        case MetaAgg.MaxCol(c) => extremum(c, takeMin = false)
+      }
+      if (aggVals.exists(_.isEmpty)) return None
+      val keyVals: Seq[Any] = key.zip(gFields).map {
+        case (None, _) => null
+        case (Some(s), gf) =>
+          try BranchCatalog.statInternal(gf.dataType, s)
+          catch { case _: Exception => return None }
+      }
+      (keyVals ++ aggVals.map(_.get)).toArray
+    }
+    Some(rows)
+  }
+
   /** Head lineage of table@branch across catalog commits (the Iceberg
     * `$history` metadata-table analogue): which snapshot was the branch
     * head at each refs version. Oldest first; versions where the table

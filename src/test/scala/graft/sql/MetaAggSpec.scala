@@ -177,6 +177,100 @@ class MetaAggSpec extends SparkSpecBase {
     assertMetaOnly(spark.sql(s"SELECT count(v) FROM $lake.main.docs2"))
   }
 
+  test("W79: GROUP BY the identity-partition column is metadata-only on both paths") {
+    val (lake, _, cat) = register()
+    val d = docs(150)
+    cat.createTableIfNotExists("docs", d.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("docs", d) // auto-routed through the committed spec
+    cat.append("docs", Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 150 && col("doc_id") < 260)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("source")).as("src"),
+        date_add(lit("2020-01-01").cast("date"),
+          (col("doc_id") % 100).cast("int")).as("d"),
+        lit(null).cast("string").as("all_null")))
+    val all = cat.scan("docs")
+    val sql = s"SELECT lang, count(*) AS n, count(src) AS ns, " +
+      s"min(doc_id) AS a, max(n_chars) AS b FROM $lake.main.docs GROUP BY lang"
+    val exp = all.groupBy("lang").agg(count(lit(1)), count(col("src")),
+      min(col("doc_id")), max(col("n_chars"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+
+    // extension path: the whole aggregate folds to a LocalRelation
+    val q = spark.sql(sql)
+    assertMetaOnly(q)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == exp)
+
+    // vanilla connector path: complete GROUP BY pushdown onto the
+    // multi-row metadata scan
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val qv = spark.sql(sql)
+      val batch = qv.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(batch.nonEmpty && batch.head.scan.isInstanceOf[GraftMetaAggScan],
+        s"expected the metadata-aggregate scan, got:\n${qv.queryExecution.executedPlan}")
+      val gotV = qv.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(gotV == exp)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
+  test("W79: clustered appends prove homogeneity without a spec; null groups roll up") {
+    val (lake, _, cat) = register()
+    val base = docs(90).drop("lang")
+    val d1 = base.filter(col("doc_id") < 30).withColumn("lang", lit("en"))
+    val d2 = base.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+      .withColumn("lang", lit(null).cast("string"))
+    val d3 = base.filter(col("doc_id") >= 60).withColumn("lang", lit("fr"))
+    // lang must be NULLABLE in the table schema (lit("en") declares it
+    // NOT NULL, and an all-null group cannot ride that — the rule then
+    // correctly refuses instead of writing a null into a non-null row)
+    cat.createTableIfNotExists("t", org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "lang", org.apache.spark.sql.types.StringType, nullable = true)))
+    Seq(d1, d2, d3).foreach(cat.append("t", _))
+    val q = spark.sql(
+      s"SELECT lang, count(*) AS n, min(doc_id) AS a FROM $lake.main.t GROUP BY lang")
+    assertMetaOnly(q)
+    val got = q.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (None, 30L, 30L), (Some("en"), 30L, 0L), (Some("fr"), 30L, 60L)))
+  }
+
+  test("W79: grouped refusals — heterogeneous files, tombstones, filters — fall back correct") {
+    val (lake, _, cat) = register()
+    val d = docs(120)
+    cat.createTableIfNotExists("docs", d.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("docs", d)
+    // a filter below the grouped aggregate keeps the real scan
+    val qf = spark.sql(s"SELECT lang, count(*) AS n FROM $lake.main.docs " +
+      "WHERE doc_id < 50 GROUP BY lang")
+    assert(scansOf(qf).nonEmpty)
+    assert(qf.collect().map(_.getLong(1)).sum == 50L)
+    // grouping by a NON-homogeneous column refuses
+    val qh = spark.sql(s"SELECT src, count(*) AS n FROM $lake.main.docs GROUP BY src")
+    assert(scansOf(qh).nonEmpty)
+    assert(qh.collect().map(_.getLong(1)).sum == 120L)
+    // a HAVING over the grouped result still folds (it sits above the agg)
+    val qhav = spark.sql(s"SELECT lang, count(*) AS n FROM $lake.main.docs " +
+      "GROUP BY lang HAVING count(*) > 0")
+    assert(qhav.collect().map(_.getLong(1)).sum == 120L)
+    // pending MOR tombstones refuse the grouped path too
+    cat.deleteWherePositional("docs", col("doc_id") % 7 === 0)
+    val qt = spark.sql(s"SELECT lang, count(*) AS n FROM $lake.main.docs GROUP BY lang")
+    assert(scansOf(qt).nonEmpty)
+    assert(qt.collect().map(_.getLong(1)).sum ==
+      d.filter(col("doc_id") % 7 =!= 0).count())
+  }
+
   test("pending MOR tombstones refuse metadata aggregates; compaction restores them") {
     val (lake, _, cat) = register()
     val d = docs(100)
