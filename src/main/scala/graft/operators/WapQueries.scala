@@ -1153,6 +1153,7 @@ object WapQueries {
       Seq(graft.wap.IdentityPartition("lang")))
     cat.append("documents", docs.filter(col("doc_id") < 150))
     cat.append("documents", docs.filter(col("doc_id") >= 150))
+    cat.ensureSumStats("documents") // W80: per-file sum sidecars -> SUM/AVG
     val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
     spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
@@ -1160,7 +1161,8 @@ object WapQueries {
     val sqlText =
       s"SELECT lang, count(*) AS n, count(source) AS n_src, " +
         s"CAST(min(doc_id) AS BIGINT) AS min_id, " +
-        s"CAST(max(n_chars) AS BIGINT) AS max_chars " +
+        s"CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+        s"sum(n_chars) AS sum_chars, avg(n_chars) AS avg_chars " +
         s"FROM $lake.main.documents GROUP BY lang"
 
     val ext = spark.sql(sqlText)
@@ -1190,8 +1192,8 @@ object WapQueries {
 
     import spark.implicits._
     extRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4)))
-      .toDF("lang", "n", "n_src", "min_id", "max_chars")
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toDF("lang", "n", "n_src", "min_id", "max_chars", "sum_chars", "avg_chars")
       .select(col("*"),
         lit(extMetaOnly).as("ext_meta_only"),
         lit(v2Pushed).as("v2_pushed"),

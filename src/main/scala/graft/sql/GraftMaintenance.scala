@@ -46,6 +46,15 @@ object GraftMaintenance {
         val mode = graft.operators.DedupIndex.refresh(spark, cat, table, tc, branch)
         if (mode != "fresh") acts += "refresh-dedup-index" -> s"$tc: $mode"
       }
+    // W80: `graft.maintain.sum-stats=<col>[,<col>…]` (or `true` for every
+    // integral column) keeps per-file sum sidecars fresh — only manifests
+    // the last pass hasn't seen are summed, so a no-op costs metadata only
+    props.get("graft.maintain.sum-stats").foreach { v =>
+      val cols = if (v == "true") Nil
+        else v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val n = cat.ensureSumStats(table, branch, cols)
+      if (n > 0) acts += "sum-stats" -> s"$n manifest(s) summed"
+    }
     acts.result()
   }
 

@@ -42,7 +42,8 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
       "rewrite_small_files", "maintain", "maintain_all",
-      "analyze_table", "analyze_table_incremental", "build_bloom_index",
+      "analyze_table", "analyze_table_incremental", "ensure_sum_stats",
+      "build_bloom_index",
       "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
@@ -144,6 +145,17 @@ object GraftProcedures {
         param("branch", StringType, "'main'"),
         param("columns", StringType, "''"))) { (cat, args) =>
         cat.analyzeTableIncremental(args.getString(0), args.getString(1),
+          args.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        ()
+      }
+    case "ensure_sum_stats" =>
+      // W80: per-file column-sum sidecars, one job per manifest lacking
+      // one — what metadata-only SUM/AVG (global and grouped) serve from
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"),
+        param("columns", StringType, "''"))) { (cat, args) =>
+        cat.ensureSumStats(args.getString(0), args.getString(1),
           args.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         ()
       }

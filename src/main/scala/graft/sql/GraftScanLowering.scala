@@ -129,6 +129,21 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(a: AttributeReference)) => Some(MetaAgg.CountCol(a.name))
       case Min(a: AttributeReference) => Some(MetaAgg.MinCol(a.name))
       case Max(a: AttributeReference) => Some(MetaAgg.MaxCol(a.name))
+      // W80: SUM/AVG from per-file sum sidecars. Mode-agnostic: the
+      // catalog folds with overflow DETECTION and refuses on overflow,
+      // so a served value is the exact mathematical sum (identical in
+      // ANSI and legacy), and the overflow cases keep their mode's own
+      // scan behavior (raise vs wrap)
+      case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+        s.child match {
+          case a: AttributeReference => Some(MetaAgg.SumCol(a.name))
+          case _ => None
+        }
+      case av: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+        av.child match {
+          case a: AttributeReference => Some(MetaAgg.AvgCol(a.name))
+          case _ => None
+        }
       case _ => None
     }
 

@@ -1137,7 +1137,7 @@ private class GraftScanBuilder(
   private def answerUncached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     val spark = SparkSession.active
     if (!spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) return None
@@ -1167,6 +1167,13 @@ private class GraftScanBuilder(
         (graft.wap.MetaAgg.MinCol(n), t.tableSchema(n).dataType))
       case m: Max => colOf(m.column).map(n =>
         (graft.wap.MetaAgg.MaxCol(n), t.tableSchema(n).dataType))
+      // W80: SUM/AVG over integral columns from per-file sum sidecars —
+      // Spark's pushed Sum over an integral input expects LongType and
+      // Avg expects DoubleType, which is what the catalog folds produce
+      case s: Sum if !s.isDistinct => colOf(s.column).map(n =>
+        (graft.wap.MetaAgg.SumCol(n), org.apache.spark.sql.types.LongType))
+      case a: Avg if !a.isDistinct => colOf(a.column).map(n =>
+        (graft.wap.MetaAgg.AvgCol(n), org.apache.spark.sql.types.DoubleType))
       case _ => None
     }
     if (translated.exists(_.isEmpty)) return None

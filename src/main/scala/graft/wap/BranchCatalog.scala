@@ -291,6 +291,18 @@ object MetaAgg {
   final case class CountCol(column: String) extends MetaAgg
   final case class MinCol(column: String) extends MetaAgg
   final case class MaxCol(column: String) extends MetaAgg
+  /** SUM(column) over an INTEGRAL column, from per-file sum sidecars
+    * (W80 — [[BranchCatalog.ensureSumStats]]): answered only when every
+    * live manifest carries a sum sidecar covering the column, and the
+    * fold detects overflow and REFUSES — a served value is the exact
+    * mathematical sum, identical under ANSI and legacy eval; overflow
+    * keeps the scan path's own mode behavior (raise vs wrap). NULL when
+    * every row is null (SQL SUM). */
+  final case class SumCol(column: String) extends MetaAgg
+  /** AVG(column) over an INTEGRAL column: the exact [[SumCol]] divided
+    * by the exact [[CountCol]] in one double division — deterministic,
+    * unlike a scan's order-dependent double accumulation. */
+  final case class AvgCol(column: String) extends MetaAgg
 }
 
 /** A branch-versioned SQL view: the query TEXT plus the resolution
@@ -3226,6 +3238,91 @@ class BranchCatalog(
     new Path(rootPath, s"tables/${physDir(table)}/meta/sketch-$name.json")
   }
 
+  private def sumsPath(table: String, manifestPath: String) = {
+    val name = new Path(manifestPath).getName.stripSuffix(".json")
+    new Path(rootPath, s"tables/${physDir(table)}/meta/sums-$name.json")
+  }
+
+  /** Integral columns metadata SUM/AVG can serve exactly (64-bit
+    * wrap-add is associative, so any fold order reproduces non-ANSI
+    * Spark; float/double sums are order-dependent and refuse). */
+  private def summableCols(schema: StructType, columns: Seq[String]): Seq[String] =
+    schema.fields.filter(f =>
+      (columns.isEmpty || columns.contains(f.name)) && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })).map(_.name).toSeq
+
+  /** W80: PER-FILE column-sum sidecars, one per MANIFEST (the
+    * incremental-ANALYZE pattern): each manifest lacking a sidecar — or
+    * lacking some requested column in its existing one — gets ONE job
+    * over just its files computing every file's per-column sum, written
+    * once and reused forever (manifests are immutable; compaction mints
+    * new manifests, which re-sum from the compacted files). After N
+    * appends a refresh costs O(new manifests' bytes), never the table —
+    * the price of metadata-only SUM/AVG at 100 TB. Files all-null in a
+    * column carry no entry (their SUM contribution is SQL NULL; the
+    * manifest's null counts prove the absence is all-null, not
+    * missing coverage). Returns the number of manifests freshly
+    * (re)summed. */
+  def ensureSumStats(
+      table: String, branch: String = "main", columns: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val snap = loadSnapshot(table, id)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val cols = summableCols(schema, columns)
+    require(cols.nonEmpty, s"no summable (integral-typed) columns in $table")
+    var computed = 0
+    snap.manifests.filter(_.rows > 0).foreach { m =>
+      val p = sumsPath(table, m.path)
+      val existing: Map[String, Map[String, String]] =
+        if (fs.exists(p)) Serialization.read[Map[String, Map[String, String]]](readString(p))
+        else Map.empty
+      val missing = cols.filterNot(existing.contains)
+      if (missing.nonEmpty) {
+        computed += 1
+        val files = readManifest(m.path).filter(_.rows > 0)
+        val fresh: Map[String, Map[String, String]] =
+          if (files.isEmpty) missing.map(_ -> Map.empty[String, String]).toMap
+          else {
+            val df = spark.read.schema(BranchCatalog.readSchema(schema, snap.evo))
+              .parquet(files.map(_.path): _*)
+              .select(col("_metadata.file_path").as("__p") +:
+                missing.map(c => col(c).cast("long").as(c)): _*)
+            val rows = df.groupBy(col("__p"))
+              .agg(sum(missing.head).as(missing.head),
+                missing.tail.map(c => sum(c).as(c)): _*)
+              .collect()
+            missing.zipWithIndex.map { case (c, i) =>
+              c -> rows.flatMap { r =>
+                if (r.isNullAt(i + 1)) None
+                else Some(new Path(r.getString(0)).toUri.getPath -> r.getLong(i + 1).toString)
+              }.toMap
+            }.toMap
+          }
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(Serialization.write(existing ++ fresh).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    computed
+  }
+
+  /** The sum sidecar of each live manifest, or None if any is missing a
+    * requested column — the freshness gate metadata SUM/AVG hangs on. */
+  private def sumSidecars(table: String, live: Seq[ManifestRef],
+      cols: Seq[String]): Option[Seq[Map[String, Map[String, String]]]] = {
+    if (cols.isEmpty) return Some(live.map(_ => Map.empty))
+    val loaded = live.map { m =>
+      val p = sumsPath(table, m.path)
+      if (!fs.exists(p)) return None
+      Serialization.read[Map[String, Map[String, String]]](readString(p))
+    }
+    if (loaded.exists(s => cols.exists(c => !s.contains(c)))) None else Some(loaded)
+  }
+
   /** Sidecar of the per-FILE bloom filters of `column` for one manifest —
     * a SIBLING of the manifest itself, so probes need no table context
     * (scan paths that only hold a Snapshot can consult it) and expiry
@@ -3499,11 +3596,33 @@ class BranchCatalog(
         catch { case _: Exception => None }
       }
     } yield v
+    // W80: exact SUM/AVG from per-file sum sidecars, freshness-gated on
+    // every live manifest carrying one for the column
+    val sumCols = aggs.collect {
+      case MetaAgg.SumCol(c) => c
+      case MetaAgg.AvgCol(c) => c
+    }.distinct
+    if (sumCols.exists(c => !summableCols(schema, Seq(c)).contains(c))) return None
+    lazy val sidecars = sumSidecars(table, live, sumCols)
+    def sumOf(c: String): Option[Option[Long]] = sidecars.flatMap { maps =>
+      val entries = maps.flatMap(_(c).values)
+      if (entries.isEmpty) Some(None) // every row NULL -> SQL NULL sum
+      // overflow refuses: the scan then keeps its eval mode's own
+      // behavior (ANSI raises, legacy wraps); a served value is exact
+      else try Some(Some(entries.foldLeft(0L)((a, b) => Math.addExact(a, b.toLong))))
+      catch { case _: ArithmeticException => None }
+    }
     val answers = aggs.map {
       case MetaAgg.CountStar => Some(totalRows)
       case MetaAgg.CountCol(c) => nullsOf(c).map(totalRows - _)
       case MetaAgg.MinCol(c) => extremum(c, takeMin = true)
       case MetaAgg.MaxCol(c) => extremum(c, takeMin = false)
+      case MetaAgg.SumCol(c) => sumOf(c).map(_.fold(null: Any)(v => v))
+      case MetaAgg.AvgCol(c) => for {
+        s <- sumOf(c)
+        nulls <- nullsOf(c)
+        n = totalRows - nulls
+      } yield s.fold(null: Any)(v => v.toDouble / n)
     }
     if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
   }
@@ -3543,13 +3662,30 @@ class BranchCatalog(
       case MetaAgg.CountCol(c) => c
       case MetaAgg.MinCol(c) => c
       case MetaAgg.MaxCol(c) => c
+      case MetaAgg.SumCol(c) => c
+      case MetaAgg.AvgCol(c) => c
     }
     if (aggCols.exists(c => !schema.fieldNames.contains(c))) return None
     if (aggs.exists {
       case MetaAgg.MinCol(c) => !BranchCatalog.exactStatType(schema(c).dataType)
       case MetaAgg.MaxCol(c) => !BranchCatalog.exactStatType(schema(c).dataType)
+      case MetaAgg.SumCol(c) => !summableCols(schema, Seq(c)).contains(c)
+      case MetaAgg.AvgCol(c) => !summableCols(schema, Seq(c)).contains(c)
       case _ => false
     }) return None
+    // W80: per-file sums for the grouped fold — a sidecar key missing a
+    // file means that file was ALL-NULL when summed (files are immutable
+    // and the sidecar job covered its whole manifest); a manifest without
+    // a sidecar refuses via sumSidecars
+    val sumCols = aggs.collect {
+      case MetaAgg.SumCol(c) => c
+      case MetaAgg.AvgCol(c) => c
+    }.distinct
+    val fileSums: Map[String, Map[String, Long]] = sumSidecars(table, live, sumCols) match {
+      case None => if (sumCols.isEmpty) Map.empty else return None
+      case Some(maps) => sumCols.map(c => c -> maps.flatMap(_(c))
+        .map { case (p, s) => p -> s.toLong }.toMap).toMap
+    }
 
     val files = live.flatMap(m => readManifest(m.path)).filter(_.rows > 0)
     // group key per file, with the homogeneity proof; None = bail whole
@@ -3589,11 +3725,23 @@ class BranchCatalog(
           catch { case _: Exception => None }
         }
       } yield v
+      def sumOf(c: String): Option[Option[Long]] = {
+        val present = fs.flatMap(f => fileSums(c).get(new Path(f.path).toUri.getPath))
+        if (present.isEmpty) Some(None) // group all-NULL -> SQL NULL sum
+        else try Some(Some(present.foldLeft(0L)((a, b) => Math.addExact(a, b))))
+        catch { case _: ArithmeticException => None }
+      }
       val aggVals = aggs.map {
         case MetaAgg.CountStar => Some(groupRows)
         case MetaAgg.CountCol(c) => nullsOf(c).map(groupRows - _)
         case MetaAgg.MinCol(c) => extremum(c, takeMin = true)
         case MetaAgg.MaxCol(c) => extremum(c, takeMin = false)
+        case MetaAgg.SumCol(c) => sumOf(c).map(_.fold(null: Any)(v => v))
+        case MetaAgg.AvgCol(c) => for {
+          s <- sumOf(c)
+          nulls <- nullsOf(c)
+          n = groupRows - nulls
+        } yield s.fold(null: Any)(v => v.toDouble / n)
       }
       if (aggVals.exists(_.isEmpty)) return None
       val keyVals: Seq[Any] = key.zip(gFields).map {

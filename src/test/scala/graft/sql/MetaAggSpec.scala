@@ -271,6 +271,92 @@ class MetaAggSpec extends SparkSpecBase {
       d.filter(col("doc_id") % 7 =!= 0).count())
   }
 
+  test("W80: SUM/AVG from per-file sum sidecars, global and grouped, both paths") {
+    val (lake, _, cat) = register()
+    val d = docs(140)
+    cat.createTableIfNotExists("docs", d.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("docs", d.filter(col("doc_id") < 70))
+    cat.append("docs", d.filter(col("doc_id") >= 70))
+    assert(cat.ensureSumStats("docs") > 0)
+    assert(cat.ensureSumStats("docs") == 0, "re-ensure must be a metadata no-op")
+
+    val expSum = d.agg(sum(col("n_chars"))).head.getLong(0)
+    val expCnt = d.count()
+    val g = spark.sql(s"SELECT sum(n_chars) AS s, avg(n_chars) AS a, " +
+      s"sum(doc_id) AS si FROM $lake.main.docs")
+    assertMetaOnly(g)
+    val gr = g.collect().head
+    assert(gr.getLong(0) == expSum)
+    assert(gr.getDouble(1) == expSum.toDouble / expCnt)
+    assert(gr.getLong(2) == d.agg(sum(col("doc_id"))).head.getLong(0))
+
+    val byLang = spark.sql(s"SELECT lang, sum(n_chars) AS s, avg(n_chars) AS a " +
+      s"FROM $lake.main.docs GROUP BY lang")
+    assertMetaOnly(byLang)
+    val expBy = d.groupBy("lang")
+      .agg(sum(col("n_chars")), count(col("n_chars"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(1).toDouble / r.getLong(2)))
+      .toMap
+    val gotBy = byLang.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotBy == expBy)
+
+    // vanilla connector: complete Sum/Avg pushdown onto the metadata scan
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val qv = spark.sql(s"SELECT lang, sum(n_chars) AS s, avg(n_chars) AS a " +
+        s"FROM $lake.main.docs GROUP BY lang")
+      val batch = qv.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(batch.nonEmpty && batch.head.scan.isInstanceOf[GraftMetaAggScan],
+        s"expected the metadata-aggregate scan, got:\n${qv.queryExecution.executedPlan}")
+      assert(qv.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap == expBy)
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
+  test("W80: freshness gate — unsummed appends refuse; maintain re-sums; NULL and double shapes") {
+    val (lake, _, cat) = register()
+    val d = docs(80)
+    cat.createTableIfNotExists("docs", d.schema)
+    cat.append("docs", d.filter(col("doc_id") < 40))
+    cat.ensureSumStats("docs")
+    assertMetaOnly(spark.sql(s"SELECT sum(n_chars) FROM $lake.main.docs"))
+    // an append the sidecars haven't seen refuses onto the real scan
+    cat.append("docs", d.filter(col("doc_id") >= 40))
+    val q = spark.sql(s"SELECT sum(n_chars) AS s FROM $lake.main.docs")
+    assert(scansOf(q).nonEmpty, "stale sum sidecars must not serve")
+    assert(q.collect().head.getLong(0) == d.agg(sum(col("n_chars"))).head.getLong(0))
+    // policy-driven maintenance re-sums only the new manifest
+    cat.setTableProperties("docs", Map("graft.maintain.sum-stats" -> "true"))
+    val acts = GraftMaintenance.run(spark, cat, "docs")
+    assert(acts.exists(_._1 == "sum-stats"), acts.toString)
+    val q2 = spark.sql(s"SELECT sum(n_chars) AS s FROM $lake.main.docs")
+    assertMetaOnly(q2)
+    assert(q2.collect().head.getLong(0) == d.agg(sum(col("n_chars"))).head.getLong(0))
+
+    // SQL NULL sum: an all-null integral column answers NULL metadata-only
+    val dn = d.filter(col("doc_id") < 20)
+      .withColumn("v", lit(null).cast("long"))
+    cat.createTableIfNotExists("t2", org.apache.spark.sql.types.StructType(
+      d.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "v", org.apache.spark.sql.types.LongType)))
+    cat.append("t2", dn)
+    cat.ensureSumStats("t2")
+    val qn = spark.sql(s"SELECT sum(v) AS s, avg(v) AS a FROM $lake.main.t2")
+    assertMetaOnly(qn)
+    val rn = qn.collect().head
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
+
+    // double sums are order-dependent — never metadata-served
+    val dd = d.filter(col("doc_id") < 20).withColumn("w", col("n_chars").cast("double"))
+    cat.createTableIfNotExists("t3", dd.schema)
+    cat.append("t3", dd)
+    cat.ensureSumStats("t3") // n_chars/doc_id only; w is not summable
+    val qd = spark.sql(s"SELECT sum(w) FROM $lake.main.t3")
+    assert(scansOf(qd).nonEmpty)
+  }
+
   test("pending MOR tombstones refuse metadata aggregates; compaction restores them") {
     val (lake, _, cat) = register()
     val d = docs(100)
