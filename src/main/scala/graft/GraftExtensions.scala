@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter-adjacent lowering inside the operator fixed point (predicates
     // reach the manifest pruner), then a once-per-query sweep for bare
     // relations before V2 scan planning — see GraftScanLowering's scaladoc
+    // the agg rule must see Aggregate(Filter(rel)) BEFORE the scan rule
+    // lowers the Filter inside the same fixed-point batch (W81 filtered
+    // metadata aggregates); refusals are memoized so re-iterations are
+    // metadata-free
+    ext.injectOptimizerRule(new graft.sql.GraftAggLowering(_))
     ext.injectOptimizerRule(new graft.sql.GraftScanLowering(_))
     // metadata-only global aggregates must see the bare relation, so the
     // agg rule is injected BEFORE the bare-relation sweep (pre-CBO rules

@@ -85,6 +85,7 @@ object SparkEntry {
     "wap_pos_update" -> (WapQueries.wapPosUpdate _),
     "wap_pos_merge" -> (WapQueries.wapPosMerge _),
     "wap_agg_groupby" -> (WapQueries.wapAggGroupby _),
+    "wap_agg_filtered" -> (WapQueries.wapAggFiltered _),
     "wap_cdf" -> (WapQueries.wapCdf _),
     "wap_convert_eq" -> (WapQueries.wapConvertEq _),
     "wap_runtime_prune" -> (graft.sql.GraftRuntimePrune.query _),
@@ -268,6 +269,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN n_chars % 7 = 0 THEN 10000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_xx, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars % 7 = 0) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id < 20) AS rows_updated_2, true AS zero_rewrites, true AS materialized_clean""",
     "wap_agg_groupby" ->
       """SELECT lang, count(*) AS n, count(source) AS n_src, CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(n_chars) AS BIGINT) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars, true AS ext_meta_only, true AS v2_pushed, true AS paths_agree, true AS zero_data_io FROM documents WHERE doc_id < 260 GROUP BY lang""",
+    "wap_agg_filtered" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 260 AND lang = 'en') AS n, (SELECT CAST(min(doc_id) AS BIGINT) FROM documents WHERE doc_id < 260 AND lang = 'en') AS min_id, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 260 AND lang = 'en') AS sum_chars, (SELECT CAST(sum(n_chars) AS DOUBLE) / count(n_chars) FROM documents WHERE doc_id < 260 AND lang = 'en') AS avg_chars, (SELECT count(*) FROM documents WHERE doc_id < 260 AND lang <> 'en') AS grouped_total, true AS filtered_meta_only, true AS grouped_meta_only, true AS fallback_sound""",
     "wap_pos_merge" ->
       """SELECT (SELECT count(*) FROM documents WHERE (doc_id < 200 AND NOT (doc_id >= 50 AND doc_id < 150 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) OR (doc_id >= 200 AND doc_id < 220)) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 50 AND doc_id < 150 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE (doc_id < 200 AND NOT (doc_id >= 50 AND doc_id < 150 AND doc_id % 2 <> 0 AND doc_id % 3 = 0)) OR (doc_id >= 200 AND doc_id < 220)) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id >= 60 AND doc_id < 70 AND NOT (doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS n_xx, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 150 AND doc_id % 2 = 0) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 150 AND doc_id % 2 <> 0 AND doc_id % 3 = 0) AS rows_deleted_1, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 220) AS rows_inserted_1, (SELECT count(*) FROM documents WHERE doc_id >= 60 AND doc_id < 70 AND NOT (doc_id % 2 <> 0 AND doc_id % 3 = 0)) AS rows_updated_2, true AS zero_rewrites, true AS merge_pos_op, true AS materialized_clean""",
     "wap_convert_eq" ->

@@ -1201,6 +1201,59 @@ object WapQueries {
         lit(extRows.toSet == ghostRows.toSet).as("zero_data_io"))
   }
 
+  /** Filtered metadata aggregates (W81): a WHERE over the
+    * identity-partition column folds the WHOLE filtered aggregate —
+    * global and grouped — from manifest-entry stats (each file wholly
+    * passes or wholly fails the predicate by the homogeneity proof),
+    * including exact SUM/AVG from the W80 sidecars. A predicate on a
+    * non-homogeneous column must refuse onto the real scan and stay
+    * correct. Oracle: the same filtered SQL. */
+  def wapAggFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-aggflt").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 260)
+      .select("doc_id", "lang", "n_chars", "source")
+    cat.createTableIfNotExists("documents", docs.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("documents", docs.filter(col("doc_id") < 150))
+    cat.append("documents", docs.filter(col("doc_id") >= 150))
+    cat.ensureSumStats("documents")
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    def metaOnly(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => s
+    }.isEmpty
+
+    val q = spark.sql(s"SELECT count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_id, " +
+      s"sum(n_chars) AS sum_chars, avg(n_chars) AS avg_chars " +
+      s"FROM $lake.main.documents WHERE lang = 'en'")
+    val filteredMeta = metaOnly(q)
+    val row = q.collect().head
+
+    // grouped + filtered stays metadata-only and agrees with itself
+    val qg = spark.sql(s"SELECT lang, count(*) AS n FROM $lake.main.documents " +
+      s"WHERE lang <> 'en' GROUP BY lang")
+    val groupedMeta = metaOnly(qg)
+    val groupedTotal = qg.collect().map(_.getLong(1)).sum
+
+    // a predicate on a NON-homogeneous column refuses and scans correctly
+    val qs = spark.sql(s"SELECT count(*) AS n FROM $lake.main.documents WHERE doc_id < 50")
+    val fallbackScans = !metaOnly(qs)
+    val fallbackCorrect = qs.collect().head.getLong(0) == 50L
+
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3), groupedTotal))
+      .toDF("n", "min_id", "sum_chars", "avg_chars", "grouped_total")
+      .select(col("*"),
+        lit(filteredMeta).as("filtered_meta_only"),
+        lit(groupedMeta).as("grouped_meta_only"),
+        lit(fallbackScans && fallbackCorrect).as("fallback_sound"))
+  }
+
   /** Storage-partitioned joins (W45): two tables bucket-partitioned on
     * the join key read through per-bucket partitions + the catalog's
     * `bucket` V2 function and JOIN WITH ZERO SHUFFLES (and a group-by on

@@ -95,16 +95,34 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!GraftScanLowering.enabled(spark) ||
         !spark.conf.get("spark.graft.sql.metaAgg", "true").toBoolean) plan
     else plan.transformUp {
-      case agg @ Aggregate(Seq(), aggExprs, child, _) =>
-        relUnder(child).flatMap(rel => tryAnswer(rel, aggExprs)).getOrElse(agg)
-      // W79: GROUP BY over bare attributes — one row per group from
-      // manifest-entry stats when every file is group-homogeneous
-      // ([[graft.wap.BranchCatalog.metaAggregateBy]]'s proof); anything
-      // it cannot answer exactly keeps the ordinary scan
+      // W79/W81: global, GROUP BY over bare attributes, and either shape
+      // under a WHERE whose predicate touches only group-homogeneous
+      // columns — all folded from manifest-entry stats when
+      // [[graft.wap.BranchCatalog.metaAggregateBy]]'s homogeneity proof
+      // holds; anything not answerable exactly keeps the ordinary scan
       case agg @ Aggregate(gs, aggExprs, child, _)
-          if gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]) =>
-        relUnder(child).flatMap(rel => tryAnswerGrouped(rel,
-          gs.map(_.asInstanceOf[AttributeReference]), aggExprs)).getOrElse(agg)
+          if gs.forall(_.isInstanceOf[AttributeReference]) =>
+        val gAttrs = gs.map(_.asInstanceOf[AttributeReference])
+        (relFilterUnder(child) match {
+          case Some((t, None)) if gs.isEmpty => tryAnswer(t, aggExprs)
+          case Some((t, None)) => tryAnswerGrouped(t, gAttrs, aggExprs)
+          case Some((t, Some(cond))) => tryAnswerFiltered(t, gAttrs, aggExprs, cond)
+          case None => None
+        }).getOrElse(agg)
+    }
+
+  /** The graft relation under the aggregate plus the one Filter (if any)
+    * between them — tolerating the attribute-only Projects column
+    * pruning inserts on either side of the Filter. */
+  private def relFilterUnder(p: LogicalPlan)
+      : Option[(GraftTable, Option[org.apache.spark.sql.catalyst.expressions.Expression])] =
+    p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, inner) =>
+        relUnder(inner).map((_, Some(cond)))
+      case Project(ps, org.apache.spark.sql.catalyst.plans.logical.Filter(cond, inner))
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        relUnder(inner).map((_, Some(cond)))
+      case _ => relUnder(p).map((_, None))
     }
 
   /** The graft V2 relation under the aggregate: bare, or behind the
@@ -171,6 +189,173 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** Refused (table snapshot, aggregate shape) pairs: this rule also
+    * runs inside the optimizer fixed point (it must fire before
+    * [[GraftScanLowering]] lowers `Filter(rel)`), so a refusal would
+    * otherwise re-read manifest entries every iteration and every
+    * identical query. Successes need no memo — the node disappears. */
+  private val refused =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def memoized(key0: String)(body: => Option[LogicalPlan]): Option[LogicalPlan] = {
+    // the sidecar epoch invalidates refusals when ensureSumStats runs in
+    // this JVM (no snapshot changes — only sidecars appear); the TTL
+    // covers sidecars built by ANOTHER session against the same root
+    val key = s"${BranchCatalog.sidecarEpoch.get()}|$key0"
+    val ts = refused.get(key)
+    if (ts != null && System.currentTimeMillis() - ts < 60000L) None
+    else body match {
+      case None =>
+        if (refused.size > 512) refused.clear()
+        refused.put(key, System.currentTimeMillis()); None
+      case some => refused.remove(key); some
+    }
+  }
+
+  /** W81: `Aggregate(gs, aggs, Filter(cond, rel))` where `cond` touches
+    * only group-homogeneous columns. The filter columns join the group
+    * key, [[graft.wap.BranchCatalog.metaAggregateBy]] folds PRIMITIVE
+    * aggregates per fine group, `cond` evaluates per fine group as
+    * literals (each file either wholly passes or wholly fails — the
+    * homogeneity proof), and surviving fine groups RE-FOLD to the
+    * requested grouping: counts and sums add (overflow refuses), min/max
+    * compare under the column type, AVG divides the re-folded exact sum
+    * by the re-folded exact count. A global aggregate over an empty
+    * selection still yields its one SQL row (count 0, NULL extrema). */
+  private def tryAnswerFiltered(
+      t: GraftTable, gAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], cond: Expression): Option[LogicalPlan] = {
+    if (!cond.deterministic || cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val condAttrs = cond.references.toSeq.collect { case a: AttributeReference => a }
+    if (condAttrs.size != cond.references.size) return None
+    val effAttrs = gAttrs ++ condAttrs.filterNot(c => gAttrs.exists(_.exprId == c.exprId))
+    val aes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    // primitives per requested aggregate + how to re-fold across fine groups
+    val prims = scala.collection.mutable.ArrayBuffer.empty[MetaAgg]
+    sealed trait Fold
+    case class AddFold(i: Int, nullable: Boolean) extends Fold
+    case class CmpFold(i: Int, dt: org.apache.spark.sql.types.DataType, takeMin: Boolean) extends Fold
+    case class AvgFold(sumI: Int, cntI: Int) extends Fold
+    val folds: Seq[Fold] = aes.map { ae =>
+      metaOf(ae) match {
+        case Some(m @ (MetaAgg.CountStar | MetaAgg.CountCol(_))) =>
+          prims += m; AddFold(prims.size - 1, nullable = false)
+        case Some(m: MetaAgg.SumCol) =>
+          prims += m; AddFold(prims.size - 1, nullable = true)
+        case Some(m: MetaAgg.MinCol) =>
+          prims += m; CmpFold(prims.size - 1,
+            attrType(t, m.column).getOrElse(return None), takeMin = true)
+        case Some(m: MetaAgg.MaxCol) =>
+          prims += m; CmpFold(prims.size - 1,
+            attrType(t, m.column).getOrElse(return None), takeMin = false)
+        case Some(MetaAgg.AvgCol(c)) =>
+          prims += MetaAgg.SumCol(c); prims += MetaAgg.CountCol(c)
+          AvgFold(prims.size - 2, prims.size - 1)
+        case _ => return None
+      }
+    }
+    val primList = prims.toSeq
+    val key = s"${t.root}|${t.tableName}|${t.snapshotId}|F|" +
+      s"${effAttrs.map(_.name).mkString(",")}|${cond.canonicalized.hashCode}|" +
+      s"${gAttrs.map(_.name).mkString(",")}|$primList"
+    memoized(key) {
+      new BranchCatalog(spark, t.root)
+        .metaAggregateBy(t.tableName, t.snapshotId, effAttrs.map(_.name), primList)
+        .flatMap { fine =>
+          val nG = effAttrs.length
+          // evaluate the predicate per fine group (true keeps; null/false drops)
+          val kept = fine.filter { r =>
+            val sub = cond.transform {
+              case a: AttributeReference =>
+                effAttrs.indexWhere(_.exprId == a.exprId) match {
+                  case -1 => a
+                  case i => Literal(r(i), effAttrs(i).dataType)
+                }
+            }
+            if (sub.exists(_.isInstanceOf[AttributeReference])) return None
+            (try sub.eval(null) catch {
+              case scala.util.control.NonFatal(_) => return None
+            }) == true
+          }
+          // re-fold surviving fine groups onto the REQUESTED grouping
+          val byKey = kept.groupBy(r => gAttrs.indices.map(i =>
+            effAttrs.indexWhere(_.exprId == gAttrs(i).exprId)).map(r(_)).toSeq)
+          val groups: Seq[(Seq[Any], Seq[Array[Any]])] =
+            if (gAttrs.isEmpty) Seq(Seq.empty[Any] -> kept) // global: exactly one row
+            else byKey.toSeq
+          val data = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.catalyst.InternalRow]
+          for ((gVals, rows) <- groups) {
+            def prim(i: Int): Seq[Any] = rows.map(_(nG + i)).filter(_ != null)
+            val aggVals: Seq[Any] = folds.map {
+              case AddFold(i, nullable) =>
+                val vs = prim(i)
+                if (vs.isEmpty) { if (nullable) null else 0L }
+                else try vs.foldLeft(0L)((a, b) =>
+                  Math.addExact(a, b.asInstanceOf[Number].longValue))
+                catch { case _: ArithmeticException => return None }
+              case CmpFold(i, dt, takeMin) =>
+                val vs = prim(i)
+                val cmp = internalCmp(dt).getOrElse(return None)
+                if (vs.isEmpty) null
+                else vs.reduce((a, b) => if ((cmp(a, b) <= 0) == takeMin) a else b)
+              case AvgFold(sumI, cntI) =>
+                val sums = prim(sumI)
+                val n = prim(cntI).foldLeft(0L)(_ + _.asInstanceOf[Number].longValue)
+                if (sums.isEmpty || n == 0L) null
+                else try sums.foldLeft(0L)((a, b) =>
+                  Math.addExact(a, b.asInstanceOf[Number].longValue)).toDouble / n
+                catch { case _: ArithmeticException => return None }
+            }
+            val byAgg = aes.zip(aggVals)
+            val substituted = aggExprs.map(_.transform {
+              case ae: AggregateExpression =>
+                byAgg.collectFirst { case (a, v) if a eq ae => Literal(v, ae.dataType) }
+                  .getOrElse(ae)
+              case a: AttributeReference =>
+                gAttrs.indexWhere(_.exprId == a.exprId) match {
+                  case -1 => a
+                  case i => Literal(gVals(i), gAttrs(i).dataType)
+                }
+            })
+            if (substituted.exists(e => e.exists(x =>
+                x.isInstanceOf[AttributeReference] || x.isInstanceOf[AggregateExpression])) ||
+                substituted.exists(!_.deterministic))
+              return None
+            val out0 = aggExprs.map(_.toAttribute)
+            val vals = try substituted.map(_.eval(null))
+            catch { case scala.util.control.NonFatal(_) => return None }
+            if (out0.zip(vals).exists { case (a, v) => v == null && !a.nullable })
+              return None
+            data += org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+          }
+          Some(LocalRelation(aggExprs.map(_.toAttribute), data.toSeq))
+        }
+    }
+  }
+
+  private def attrType(t: GraftTable, c: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    t.tableSchema.fields.find(_.name == c).map(_.dataType)
+
+  /** Ordering on CATALYST-INTERNAL values under the column type — the
+    * re-fold counterpart of the catalog's stat-string ordering. */
+  private def internalCmp(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any) => Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType =>
+        Some((a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue))
+      case StringType => Some((a, b) =>
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+      case BooleanType => Some((a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      case _ => None
+    }
+  }
+
   /** The grouped analogue: substitute each group row's values (group
     * attributes AND aggregate results become literals), fold every
     * output expression to a constant, and materialize the rows as a
@@ -183,6 +368,9 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
     val aes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     val metas = aes.map(metaOf)
     if (metas.exists(_.isEmpty)) return None
+    val key = s"${t.root}|${t.tableName}|${t.snapshotId}|G|" +
+      s"${gAttrs.map(_.name).mkString(",")}|${metas.flatten}"
+    memoized(key) {
     new BranchCatalog(spark, t.root)
       .metaAggregateBy(t.tableName, t.snapshotId, gAttrs.map(_.name), metas.flatten)
       .flatMap { rows =>
@@ -216,6 +404,7 @@ class GraftAggLowering(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Some(LocalRelation(out, data.toSeq))
       }
+    }
   }
 }
 

@@ -3266,7 +3266,7 @@ class BranchCatalog(
     * missing coverage). Returns the number of manifests freshly
     * (re)summed. */
   def ensureSumStats(
-      table: String, branch: String = "main", columns: Seq[String] = Nil): Int = {
+      table: String, branch: String = "main", columns: Seq[String] = Nil): Int = try {
     import org.apache.spark.sql.functions.{col, sum}
     val id = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val snap = loadSnapshot(table, id)
@@ -3308,7 +3308,7 @@ class BranchCatalog(
       }
     }
     computed
-  }
+  } finally { BranchCatalog.sidecarEpoch.incrementAndGet(); () }
 
   /** The sum sidecar of each live manifest, or None if any is missing a
     * requested column — the freshness gate metadata SUM/AVG hangs on. */
@@ -6851,6 +6851,11 @@ object BranchCatalog {
   /** StructField metadata key Spark's parquet writer/reader use for
     * field ids (`ParquetUtils.FIELD_ID_METADATA_KEY`). */
   val FieldIdKey = "parquet.field.id"
+
+  /** Bumped whenever a sum sidecar pass completes in this JVM (W80):
+    * sidecars appear WITHOUT a snapshot change, so snapshot-keyed
+    * refusal memos (GraftAggLowering) include this epoch to notice. */
+  val sidecarEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The schema with each tracked column's field id attached — what
     * every read of an id-ed table's DATA files must request, so the

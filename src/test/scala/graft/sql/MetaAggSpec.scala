@@ -357,6 +357,49 @@ class MetaAggSpec extends SparkSpecBase {
     assert(scansOf(qd).nonEmpty)
   }
 
+  test("W81: filtered metadata aggregates on homogeneous predicates, global and grouped") {
+    val (lake, _, cat) = register()
+    val d = docs(160)
+    cat.createTableIfNotExists("docs", d.schema, "main",
+      Seq(graft.wap.IdentityPartition("lang")))
+    cat.append("docs", d.filter(col("doc_id") < 80))
+    cat.append("docs", d.filter(col("doc_id") >= 80))
+    cat.ensureSumStats("docs")
+
+    // global aggregate under a partition predicate: zero data IO
+    val en = d.filter(col("lang") === "en")
+    val q1 = spark.sql(s"SELECT count(*) AS n, sum(n_chars) AS s, " +
+      s"min(doc_id) AS a, avg(n_chars) AS av FROM $lake.main.docs WHERE lang = 'en'")
+    assertMetaOnly(q1)
+    val r1 = q1.collect().head
+    val enSum = en.agg(sum(col("n_chars"))).head.getLong(0)
+    assert(r1.getLong(0) == en.count())
+    assert(r1.getLong(1) == enSum)
+    assert(r1.getLong(2) == en.agg(min(col("doc_id"))).head.getLong(0))
+    assert(r1.getDouble(3) == enSum.toDouble / en.count())
+
+    // an empty selection still yields the one SQL row (count 0, NULL sum)
+    val q2 = spark.sql(
+      s"SELECT count(*) AS n, sum(n_chars) AS s FROM $lake.main.docs WHERE lang = 'zz'")
+    assertMetaOnly(q2)
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 0L && r2.isNullAt(1))
+
+    // grouped + filtered (negation and IN), still metadata-only
+    val q3 = spark.sql(s"SELECT lang, count(*) AS n FROM $lake.main.docs " +
+      "WHERE lang <> 'en' GROUP BY lang")
+    assertMetaOnly(q3)
+    val expBy = d.filter(col("lang") =!= "en").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expBy)
+
+    // a predicate on a NON-homogeneous column refuses onto the real scan
+    val q4 = spark.sql(
+      s"SELECT count(*) AS n FROM $lake.main.docs WHERE doc_id < 50")
+    assert(scansOf(q4).nonEmpty)
+    assert(q4.collect().head.getLong(0) == 50L)
+  }
+
   test("pending MOR tombstones refuse metadata aggregates; compaction restores them") {
     val (lake, _, cat) = register()
     val d = docs(100)
