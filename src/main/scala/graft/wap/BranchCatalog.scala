@@ -144,6 +144,17 @@ case class SchemaEvo(
       * commits (every file then carries current names). Foreign-engine
       * export refuses while set (external readers match by NAME). */
     renamedFiles: Boolean = false,
+    /** True while files IMPORTED by [[BranchCatalog.addDataFiles]] may
+      * still be referenced: imported files carry no graft field ids, so
+      * every read of the table resolves columns BY NAME (the id-attached
+      * read schema would error or NULL them — the hazard the rename spec
+      * pins). Sound because import refuses while [[renamedFiles]] is set
+      * and verifies each file's schema, so every live file carries
+      * current names. [[BranchCatalog.renameColumn]] refuses while set;
+      * cleared by full-rewrite commits (which stamp ids everywhere),
+      * re-enabling renames. False for every pre-import table (json4s
+      * default). */
+    idlessFiles: Boolean = false,
     /** INITIAL defaults (Iceberg v3 `initial-default`, r13): the value a
       * read serves for this column from files written BEFORE the column
       * was added — instead of NULL. Set ONLY by `ADD COLUMN ... DEFAULT`
@@ -176,7 +187,7 @@ case class SchemaEvo(
         .map(d => initDefaults - from + (to -> d)).getOrElse(initDefaults),
       writeDefaults = writeDefaults.get(from)
         .map(d => writeDefaults - from + (to -> d)).getOrElse(writeDefaults))
-  def afterFullRewrite: SchemaEvo = copy(renamedFiles = false)
+  def afterFullRewrite: SchemaEvo = copy(renamedFiles = false, idlessFiles = false)
   /** ADD COLUMN with a default: both tiers start at the same literal. */
   def withAddDefault(name: String, sql: String, addSeq: Long): SchemaEvo =
     copy(initDefaults = initDefaults.updated(name, ColDefault(sql, addSeq)),
@@ -348,6 +359,15 @@ case class DeleteResult(
     snapshot: Snapshot, rowsDeleted: Long,
     filesRewritten: Long, filesUntouched: Long,
     filesDropped: Long = 0L)
+
+/** What one addDataFiles import committed (same top-level rationale).
+  * `filesPartitionValued` counts imported files whose hidden-partition
+  * transform values were PROVEN from footer stats at every layout level
+  * (they partition-prune like written files); the rest imported with no
+  * transform value — always scanned, never wrongly pruned. */
+case class AddFilesResult(
+    snapshot: Snapshot, filesAdded: Long, rowsAdded: Long,
+    bytesAdded: Long, filesPartitionValued: Long = 0L)
 
 /** What one updateWhere commit did (same top-level rationale). */
 case class UpdateResult(
@@ -906,67 +926,8 @@ class BranchCatalog(
       }: _*)
     }
 
-  private def footerMeta(st: org.apache.hadoop.fs.FileStatus): DataFileMeta = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val lower = scala.collection.mutable.Map.empty[String, String]
-      val upper = scala.collection.mutable.Map.empty[String, String]
-      val nulls = scala.collection.mutable.Map.empty[String, Long]
-      for (b <- blocks; c <- b.getColumns.asScala) {
-        val name = c.getPath.toDotString
-        val stats = c.getStatistics
-        if (stats != null && !stats.isEmpty) {
-          nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
-          if (stats.hasNonNullValue) {
-            statString(stats.genericGetMin.asInstanceOf[AnyRef]).foreach { mn =>
-              lower(name) = lower.get(name) match {
-                case Some(cur) => if (statLt(mn, cur, stats)) mn else cur
-                case None => mn
-              }
-            }
-            statString(stats.genericGetMax.asInstanceOf[AnyRef]).foreach { mx =>
-              upper(name) = upper.get(name) match {
-                case Some(cur) => if (statLt(cur, mx, stats)) mx else cur
-                case None => mx
-              }
-            }
-          }
-        }
-      }
-      DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap,
-        bytes = st.getLen)
-    } finally reader.close()
-  }
-
-  /** Render a footer stat value to its canonical string (numbers via
-    * toString; binary via UTF-8). Unsupported physical types -> None. */
-  private def statString(v: AnyRef): Option[String] = v match {
-    case null => None
-    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
-    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
-              _: java.lang.Float | _: java.lang.Boolean) => Some(n.toString)
-    case _ => None
-  }
-
-  /** Order two rendered stat strings with the statistics' own comparator
-    * semantics (numeric for numbers, lexicographic bytes for strings).
-    * Strings compare in unsigned UTF-8 byte order (UTF8String) — the order
-    * parquet binary stats and Spark string comparison both use; Java's
-    * UTF-16 compareTo diverges for code points >= U+E000 vs supplementary
-    * characters, which would make non-ASCII pruning unsound. */
-  private def statLt(a: String, b: String, stats: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
-    stats match {
-      case _: org.apache.parquet.column.statistics.BinaryStatistics => utf8Cmp(a, b) < 0
-      case _: org.apache.parquet.column.statistics.DoubleStatistics |
-           _: org.apache.parquet.column.statistics.FloatStatistics => a.toDouble < b.toDouble
-      case _: org.apache.parquet.column.statistics.BooleanStatistics =>
-        java.lang.Boolean.compare(a == "true", b == "true") < 0
-      case _ => a.toLong < b.toLong
-    }
+  private def footerMeta(st: org.apache.hadoop.fs.FileStatus): DataFileMeta =
+    BranchCatalog.footerMetaOf(st, spark.sparkContext.hadoopConfiguration)
 
   // ---- public API (the reference's catalog surface) ----------------------
 
@@ -1386,6 +1347,262 @@ class BranchCatalog(
         b.copy(tables = b.tables.updated(table, committed.id)))), epochStamp)
     }
     committed
+  }
+
+  /** METADATA-ONLY file import (W82 — Iceberg's `add_files`/`migrate`
+    * procedure, Hive-external-table ownership semantics): register
+    * already-existing parquet files as table data WITHOUT copying or
+    * rewriting a byte. This is the 100 TB onboarding path — adopting a
+    * petabyte of historical parquet into the lake costs one distributed
+    * footer pass (stats) plus one O(files-imported) commit, not a
+    * rewrite of the corpus.
+    *
+    *  - Files stay IN PLACE at `location` and are never owned: expiry
+    *    GC deletes only files under the table's own data directory, so
+    *    dropping imported manifests (after a compaction rewrote them)
+    *    leaves the source files untouched — removing them is the
+    *    importer's job.
+    *  - Footer stats (exact min/max/null counts) are collected by ONE
+    *    Spark job over the file list — the driver never opens an
+    *    imported footer — so imported files stats-prune, feed manifest
+    *    bounds and metadata-only aggregates exactly like written files.
+    *    Foreign physical forms are normalized or dropped, never
+    *    mis-read ([[BranchCatalog.footerMetaFrom]]).
+    *  - Every distinct file schema is verified against the table
+    *    (exact type equality — import never rewrites, so nothing can
+    *    widen; extra file columns refuse loudly; missing table columns
+    *    must be nullable or carry an initial DEFAULT, and read as such).
+    *  - On a hidden-partitioned table, each file's transform value is
+    *    DERIVED where footer stats PROVE it (zero source-column nulls
+    *    and the transform provably constant: equal rendered bounds for
+    *    the order-preserving transforms, equal raw bounds for bucket) —
+    *    proven files partition-prune like written ones; unproven files
+    *    import with no transform value (always scanned, never wrongly
+    *    pruned, and storage-partitioned join planning degrades to the
+    *    ordinary scan rather than trusting them).
+    *  - Imported files carry no graft field ids, so the table switches
+    *    to name-based column resolution ([[SchemaEvo.idlessFiles]]):
+    *    refused while a RENAME's old-name files pend (and renames
+    *    refuse afterwards) until a full rewrite stamps ids everywhere.
+    *  - CHECK constraints are validated with one read of ONLY the
+    *    imported files before anything commits (the one step that must
+    *    read data — constraint tables cannot admit unvalidated rows).
+    *
+    * `location` may be a single parquet file or a directory tree
+    * (hidden `_`/`.` entries skipped). Hive-style `key=value`
+    * directory names are NOT parsed — partition columns must be
+    * present in the files themselves (values live in data, transform
+    * values re-derive from stats). */
+  def addDataFiles(table: String, location: String,
+      branch: String = "main"): AddFilesResult = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val curId = snapshotIdOf(table, branch)
+      .getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(!cur.evo.renamedFiles,
+      s"$table has files written under pre-rename column names; imported " +
+        "files would make every read name-based and misread them — rewrite " +
+        "first (compactDataFiles), then import")
+
+    // ---- candidate list (driver walks DIRECTORIES, never footers) ----
+    val locPath = new Path(location)
+    require(fs.exists(locPath), s"add_files location not found: $location")
+    def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+    val candidates: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).foreach(c =>
+            if (!hidden(c.getPath.getName)) walk(c))
+        else if (st.getPath.getName.endsWith(".parquet")) out += st
+      walk(fs.getFileStatus(locPath))
+      out.result()
+    }
+    require(candidates.nonEmpty, s"no parquet files under $location")
+    val rootQ = fs.makeQualified(rootPath).toString.stripSuffix("/") + "/"
+    candidates.foreach(st => require(!st.getPath.toString.startsWith(rootQ),
+      s"${st.getPath} lies inside the catalog root — files there are owned " +
+        "by a table (or are orphans: remove_orphan_files); import external " +
+        "locations only"))
+
+    // ---- duplicate guard (Iceberg check_duplicate_files): a re-import
+    // would double-count rows. Above the metadata threshold the live
+    // side stays a distributed manifest-entry frame.
+    def bare(p: String): String = new Path(p).toUri.getPath
+    val candBare = candidates.map(st => bare(st.getPath.toString)).toSet
+    val dups: Seq[String] =
+      if (cur.manifests.map(_.fileCount).sum > distributedMetaThreshold) {
+        import spark.implicits._
+        val bareUdf = org.apache.spark.sql.functions.udf(
+          (p: String) => new Path(p).toUri.getPath)
+        candBare.toSeq.toDF("path").join(
+            manifestEntriesOf(cur.manifests.map(_.path))
+              .select(bareUdf(fcol("path")).as("path")).distinct(),
+            Seq("path"), "left_semi")
+          .collect().map(_.getString(0)).toSeq
+      } else filesOf(cur).map(f => bare(f.path)).filter(candBare.contains)
+    require(dups.isEmpty,
+      s"add_files: ${dups.size} file(s) already referenced by $table, e.g. " +
+        dups.take(3).mkString(", "))
+
+    // ---- ONE distributed footer pass: stats + per-file schema ----
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val paths = candidates.map(_.getPath.toString)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    val collected: Seq[(DataFileMeta, String)] = spark.sparkContext
+      .parallelize(paths, slices)
+      .map { p =>
+        val conf = confBc.value.value
+        val fp = new Path(p)
+        val st = fp.getFileSystem(conf).getFileStatus(fp)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          (BranchCatalog.footerMetaFrom(st, footer),
+            org.apache.spark.sql.graft.Bridge
+              .parquetFooterSchema(footer.getFileMetaData, conf).toDDL)
+        } finally reader.close()
+      }
+      .collect().toSeq
+
+    // ---- schema verification, once per DISTINCT file schema ----
+    val tblByName = schema.fields.map(f => f.name -> f).toMap
+    collected.map(_._2).distinct.foreach { ddl =>
+      val fileSchema = StructType.fromDDL(ddl)
+      fileSchema.fields.foreach { ff =>
+        tblByName.get(ff.name) match {
+          case None => throw new IllegalArgumentException(
+            s"add_files: file column ${ff.name} is not a column of $table " +
+              s"(file schema: $ddl) — it would be silently invisible; " +
+              "imports require every file column to exist in the table")
+          case Some(tf) => require(ff.dataType.asNullable == tf.dataType.asNullable,
+            s"add_files: column ${ff.name} is ${ff.dataType.sql} in the file " +
+              s"but ${tf.dataType.sql} in $table — import never rewrites " +
+              "data, so types must match exactly")
+        }
+      }
+      schema.fields.foreach { tf =>
+        if (!fileSchema.fieldNames.contains(tf.name))
+          require(tf.nullable || cur.evo.initDefaults.contains(tf.name),
+            s"add_files: file lacks non-nullable column ${tf.name} " +
+              s"(file schema: $ddl)")
+      }
+    }
+    val metas0 = collected.map(_._1)
+
+    // ---- CHECK constraints: the one step that must read data ----
+    if (tableProperties(table, branch).keys
+        .exists(_.startsWith(BranchCatalog.ConstraintPrefix))) {
+      val df = spark.read
+        .schema(BranchCatalog.readSchema(schema, cur.evo.copy(idlessFiles = true)))
+        .parquet(paths: _*)
+      // the same fused guard every write path uses: any violating row
+      // raises with the constraint name BEFORE anything commits
+      constraintGuard(df, table, branch).count()
+      ()
+    }
+
+    // ---- hidden-partition transform derivation from stats ----
+    val specs = specsOf(cur.partitionSpec)
+    val metas = derivePartitionValues(metas0, specs, schema)
+    val pvProven = if (specs.isEmpty) 0L
+      else metas.count(m => specs.indices.forall(i =>
+        m.partition.contains(PartitionSpec.pvKey(i)))).toLong
+
+    // ---- one O(files-imported) commit, shaped exactly like an append ----
+    val manifest = writeManifest(table, metas, schema)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during add_files")
+      val s = cur.seq + 1
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), cur.manifests ++ stamped,
+        cur.schemaDdl, System.currentTimeMillis(), cur.partitionSpec,
+        cur.deleteManifests, s,
+        evo = cur.evo.copy(idlessFiles = true), op = "add-files", lin = lin2)
+      writeSnapshot(table, committed)
+      refs2.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    AddFilesResult(committed, metas.size.toLong, metas.map(_.rows).sum,
+      metas.map(_.bytes).sum, pvProven)
+  }
+
+  /** Attach PROVEN hidden-partition transform values to imported file
+    * metadata ([[addDataFiles]]). Per layout level: eligible files (rows,
+    * zero source-column nulls, both bounds present; bucket additionally
+    * needs equal raw bounds — a hash proves nothing about a range) run
+    * their bounds through the EXACT write-path transform expression
+    * ([[PartitionSpec.valueCol]], one tiny Spark job per level, never
+    * per file) and a file is stamped only when both endpoints render the
+    * same value — which, the transforms being order-preserving on the
+    * stat domain (or the bounds equal), proves every row's value.
+    * Float/double sources are skipped (foreign NaN stat conventions
+    * vary); unproven files keep an empty map — never pruned, never
+    * trusted by keyed-scan planning. */
+  private def derivePartitionValues(
+      metas: Seq[DataFileMeta], specs: Seq[PartitionSpec],
+      schema: StructType): Seq[DataFileMeta] = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    if (specs.isEmpty) return metas
+    var out = metas.toIndexedSeq
+    specs.zipWithIndex.foreach { case (spec, i) =>
+      schema.fields.find(_.name == spec.column).foreach { fld =>
+        val dt = fld.dataType
+        def typed(c: Column): Option[Column] = dt match {
+          case TimestampType => Some(
+            org.apache.spark.sql.functions.timestamp_micros(c.cast("long")))
+          case TimestampNTZType => Some(
+            // stat micros are UTC wall-clock micros; render them as the
+            // NTZ value align() and the write path agree on
+            org.apache.spark.sql.functions.convert_timezone(lit("UTC"),
+              org.apache.spark.sql.functions.timestamp_micros(c.cast("long"))))
+          case DateType => Some(
+            org.apache.spark.sql.functions.date_from_unix_date(c.cast("int")))
+          case StringType => Some(c)
+          case BooleanType => Some(c === lit("true"))
+          case ByteType | ShortType | IntegerType | LongType => Some(c.cast(dt))
+          case _ => None // float/double/decimal/binary: never derived
+        }
+        val eligible = out.zipWithIndex.collect {
+          case (m, j) if m.rows > 0 &&
+              m.nullCounts.get(spec.column).contains(0L) &&
+              m.lower.contains(spec.column) && m.upper.contains(spec.column) &&
+              (spec match {
+                case _: BucketPartition =>
+                  m.lower(spec.column) == m.upper(spec.column)
+                case _ => true
+              }) =>
+            (j, m.lower(spec.column), m.upper(spec.column))
+        }
+        if (eligible.nonEmpty && typed(fcol("__lo")).isDefined) {
+          import spark.implicits._
+          val base = eligible.toDF("__j", "__lo", "__hi")
+          def pvOf(src: String, as: String) = base
+            .select(fcol("__j"), typed(fcol(src)).get.as(spec.column))
+            .select(fcol("__j"), spec.valueCol(dt).as(as))
+          val proven: Map[Int, String] =
+            pvOf("__lo", "__pvlo").join(pvOf("__hi", "__pvhi"), "__j")
+              .where(fcol("__pvlo").isNotNull && fcol("__pvlo") === fcol("__pvhi"))
+              .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+          out = out.zipWithIndex.map { case (m, j) =>
+            proven.get(j) match {
+              case Some(v) =>
+                m.copy(partition = m.partition + (PartitionSpec.pvKey(i) -> v))
+              case None => m
+            }
+          }
+        }
+      }
+    }
+    out
   }
 
   /** Fold a streaming epoch stamp into a refs document (monotone max —
@@ -3147,7 +3364,10 @@ class BranchCatalog(
                 schemaWinner.evo.copy(
                   fieldIdSeq = math.max(schemaWinner.evo.fieldIdSeq, other.fieldIdSeq),
                   renamedFiles = schemaWinner.evo.renamedFiles ||
-                    other.renamedFiles || dstForeign)
+                    other.renamedFiles || dstForeign,
+                  // id-less imported files from EITHER ancestry may be
+                  // among the merged manifests: keep name resolution
+                  idlessFiles = schemaWinner.evo.idlessFiles || other.idlessFiles)
               },
               op = "publish", lin = mergedLin)
             writeSnapshot(table, merged)
@@ -4025,6 +4245,10 @@ class BranchCatalog(
         s"$table predates field-id support — its files carry no column ids, so a " +
           "rename cannot resolve old files; recreate the table (CTAS + backfill) " +
           "to enable renames")
+      require(!cur.evo.idlessFiles,
+        s"$table holds imported files (addDataFiles) that carry no field ids — " +
+          "a rename could not resolve them; rewrite first (compactDataFiles " +
+          "stamps ids everywhere and re-enables renames)")
       specsOf(cur.partitionSpec).foreach(sp => require(sp.column != from,
         s"cannot rename $from: it is the table's hidden-partition source " +
           "(evolve the layout with rewritePartitioned first)"))
@@ -6857,6 +7081,125 @@ object BranchCatalog {
     * refusal memos (GraftAggLowering) include this epoch to notice. */
   val sidecarEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Footer-stats extraction, shared by the write paths (driver-side,
+    * O(files-per-commit)) and [[BranchCatalog.addDataFiles]]'s
+    * DISTRIBUTED import (executor-side, one footer per task element):
+    * row count and exact per-column min/max/null-count statistics folded
+    * over the file's row groups — metadata only, no data pages read. */
+  private[wap] def footerMetaOf(
+      st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): DataFileMeta = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try footerMetaFrom(st, reader.getFooter) finally reader.close()
+  }
+
+  /** Stats from an ALREADY-OPEN footer (the import task reads the footer
+    * once for stats AND schema). Foreign-file normalization: graft's own
+    * writes only ever produce the canonical physical forms (micros
+    * timestamps, signed ints), but imported files may not — a
+    * millis/nanos timestamp stat is rescaled to the micros canonical
+    * form [[BranchCatalog.statInternal]] expects, and stats that CANNOT
+    * be rendered canonically (INT96 timestamps, unsigned ints) are
+    * dropped, never mis-rendered (absent stats only cost pruning). */
+  private[wap] def footerMetaFrom(
+      st: org.apache.hadoop.fs.FileStatus,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): DataFileMeta = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val lower = scala.collection.mutable.Map.empty[String, String]
+    val upper = scala.collection.mutable.Map.empty[String, String]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    // a column whose stats are MISSING or unrepresentable in any block
+    // must not keep values folded from the other blocks — a partial fold
+    // would be an unsound bound / null undercount (graft's own writes
+    // always carry full stats; imported foreign files may not)
+    val noBounds = scala.collection.mutable.Set.empty[String]
+    val noNulls = scala.collection.mutable.Set.empty[String]
+    for (b <- blocks; c <- b.getColumns.asScala) {
+      val name = c.getPath.toDotString
+      val stats = c.getStatistics
+      if (stats == null || stats.isEmpty) {
+        if (b.getRowCount > 0) { noBounds += name; noNulls += name }
+      } else {
+        nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+        if (stats.hasNonNullValue) {
+          val prim = c.getPrimitiveType
+          val boundOk = prim.getPrimitiveTypeName != PrimitiveTypeName.INT96 &&
+            (prim.getLogicalTypeAnnotation match {
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+              case _ => true
+            })
+          // micros is the canonical timestamp stat form (what graft
+          // writes and cmpStat/statInternal parse)
+          val scale: Long = prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+                case _ => 1L
+              }
+            case _ => 1L
+          }
+          def canonical(v: AnyRef): Option[String] =
+            if (!boundOk) None
+            else statString(v).flatMap { s =>
+              if (scale == 1L) Some(s)
+              else try Some(
+                if (scale > 0) Math.multiplyExact(s.toLong, scale).toString
+                else Math.floorDiv(s.toLong, -scale).toString)
+              catch { case _: ArithmeticException => None
+                      case _: NumberFormatException => None }
+            }
+          def fold(m: scala.collection.mutable.Map[String, String],
+              v: AnyRef, takeMin: Boolean): Unit = canonical(v) match {
+            case Some(s) => m(name) = m.get(name) match {
+              case Some(cur) => if (statLt(s, cur, stats) == takeMin) s else cur
+              case None => s
+            }
+            case None => noBounds += name; ()
+          }
+          fold(lower, stats.genericGetMin.asInstanceOf[AnyRef], takeMin = true)
+          fold(upper, stats.genericGetMax.asInstanceOf[AnyRef], takeMin = false)
+        }
+      }
+    }
+    noBounds.foreach { n => lower.remove(n); upper.remove(n) }
+    noNulls.foreach { n => nulls.remove(n) }
+    DataFileMeta(st.getPath.toString, rows, lower.toMap, upper.toMap, nulls.toMap,
+      bytes = st.getLen)
+  }
+
+  /** Render a footer stat value to its canonical string (numbers via
+    * toString; binary via UTF-8). Unsupported physical types -> None. */
+  private def statString(v: AnyRef): Option[String] = v match {
+    case null => None
+    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
+              _: java.lang.Float | _: java.lang.Boolean) => Some(n.toString)
+    case _ => None
+  }
+
+  /** Order two rendered stat strings with the statistics' own comparator
+    * semantics (numeric for numbers, lexicographic bytes for strings).
+    * Strings compare in unsigned UTF-8 byte order (UTF8String) — the order
+    * parquet binary stats and Spark string comparison both use; Java's
+    * UTF-16 compareTo diverges for code points >= U+E000 vs supplementary
+    * characters, which would make non-ASCII pruning unsound. */
+  private def statLt(a: String, b: String, stats: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
+    stats match {
+      case _: org.apache.parquet.column.statistics.BinaryStatistics =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _: org.apache.parquet.column.statistics.DoubleStatistics |
+           _: org.apache.parquet.column.statistics.FloatStatistics => a.toDouble < b.toDouble
+      case _: org.apache.parquet.column.statistics.BooleanStatistics =>
+        java.lang.Boolean.compare(a == "true", b == "true") < 0
+      case _ => a.toLong < b.toLong
+    }
+
   /** The schema with each tracked column's field id attached — what
     * every read of an id-ed table's DATA files must request, so the
     * reader resolves columns by id (renames) instead of name. Identity
@@ -6894,7 +7237,12 @@ object BranchCatalog {
     if (evo.fieldIds.isEmpty && evo.initDefaults.isEmpty && evo.writeDefaults.isEmpty) schema
     else StructType(schema.fields.map { f =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)
-      evo.fieldIds.get(f.name).foreach(id => mb.putLong(FieldIdKey, id.toLong))
+      // id-LESS imported files may be live ([[SchemaEvo.idlessFiles]]):
+      // resolve by NAME — an id-attached request would error/NULL on
+      // them. Sound: import guarantees every live file carries current
+      // names (refuses renamed tables; renames refuse while set).
+      if (!evo.idlessFiles)
+        evo.fieldIds.get(f.name).foreach(id => mb.putLong(FieldIdKey, id.toLong))
       evo.initDefaults.get(f.name).foreach(d => mb.putString(ExistsDefaultKey, d.sql))
       evo.writeDefaults.get(f.name).foreach(s => mb.putString(CurrentDefaultKey, s))
       f.copy(metadata = mb.build())

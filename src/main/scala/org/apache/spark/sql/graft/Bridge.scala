@@ -178,6 +178,24 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.newHadoopConfWithOptions(Map.empty))
 
+  /** Spark-visible schema of a parquet footer (executor-safe): the
+    * embedded Spark row metadata when the file was written by Spark,
+    * else Spark's own parquet->catalyst schema converter — both
+    * `private[sql]`-package surfaces, hence this bridge. Used by the
+    * metadata-only file import to verify each candidate file's schema
+    * against the table without reading data. */
+  def parquetFooterSchema(
+      footer: org.apache.parquet.hadoop.metadata.FileMetaData,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetToSparkSchemaConverter}
+    Option(footer.getKeyValueMetaData.get(ParquetReadSupport.SPARK_METADATA_KEY))
+      .flatMap(j => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      .getOrElse(new ParquetToSparkSchemaConverter(conf).convert(footer.getSchema))
+  }
+
   def partitionedFile(
       path: String, length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(
