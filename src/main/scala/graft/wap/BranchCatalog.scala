@@ -1480,7 +1480,9 @@ class BranchCatalog(
             s"add_files: file column ${ff.name} is not a column of $table " +
               s"(file schema: $ddl) — it would be silently invisible; " +
               "imports require every file column to exist in the table")
-          case Some(tf) => require(ff.dataType.asNullable == tf.dataType.asNullable,
+          case Some(tf) => require(
+            org.apache.spark.sql.graft.Bridge.asNullable(ff.dataType) ==
+              org.apache.spark.sql.graft.Bridge.asNullable(tf.dataType),
             s"add_files: column ${ff.name} is ${ff.dataType.sql} in the file " +
               s"but ${tf.dataType.sql} in $table — import never rewrites " +
               "data, so types must match exactly")

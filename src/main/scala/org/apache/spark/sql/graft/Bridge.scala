@@ -196,6 +196,11 @@ object Bridge {
       .getOrElse(new ParquetToSparkSchemaConverter(conf).convert(footer.getSchema))
   }
 
+  /** `DataType.asNullable` is `private[spark]`; the file-import schema
+    * check needs nullability-insensitive type equality. */
+  def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt.asNullable
+
   def partitionedFile(
       path: String, length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(
