@@ -64,7 +64,9 @@ object SparkEntry {
     "wap_pos_delete" -> (WapQueries.wapPosDelete _),
     "wap_mview" -> (WapQueries.wapMview _),
     "wap_rename" -> (WapQueries.wapRename _),
+    "wap_add_files" -> (WapQueries.wapAddFiles _),
     "wap_multipart" -> (WapQueries.wapMultipart _),
+    "wap_spec_evolve" -> (WapQueries.wapSpecEvolve _),
     "wap_changelog" -> (WapQueries.wapChangelog _),
     "wap_cdc_feed" -> (WapQueries.wapCdcFeed _),
     "wap_cdc_replicate" -> (WapQueries.wapCdcReplicate _),
@@ -247,10 +249,16 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE (doc_id >= 30 AND doc_id < 100) OR (doc_id >= 110 AND doc_id < 150) OR (doc_id >= 160 AND doc_id < 200)) AS n_keys, true AS same_as_source, true AS replay_idempotent, true AS mor_applied""",
     "wap_maintain" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_langs, true AS materialized, true AS bin_packed, true AS expired, true AS healthy_after, true AS ttl_swept""",
+    "wap_spec_evolve" ->
+      """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE user_id = 3) AS q_sum, true AS metadata_only, true AS old_files_kept, true AS new_files_pruned, true AS day_prunes_both, true AS retired_field_prunes""",
+    "wap_spec_evolve" ->
+      """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE user_id = 3) AS q_sum, true AS metadata_only, true AS old_files_kept, true AS new_files_pruned, true AS day_prunes_both, true AS retired_field_prunes""",
     "wap_multipart" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT CAST(min(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS min_chars, true AS metadata_only, true AS time_travel_old_schema, true AS filter_exact""",
+    "wap_add_files" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_imported, true AS in_place, true AS dup_refused, true AS pruned, true AS meta_exact_refused, true AS meta_count_served, true AS exact_after_rewrite""",
     "wap_pos_delete" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars % 7 = 0) AS rows_pos_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS rows_meta_deleted, true AS zero_rewrites, true AS meta_dropped, true AS reappend_visible, true AS materialized_clean""",
     "wap_mor_upsert" ->

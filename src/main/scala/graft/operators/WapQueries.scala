@@ -1571,6 +1571,64 @@ object WapQueries {
         lit(filteredOk).as("filter_exact"))
   }
 
+  /** Metadata-only parquet import (W82, [[BranchCatalog.addDataFiles]] —
+    * Iceberg's `add_files`/`migrate`): 80 docs land as FOREIGN parquet
+    * (plain Spark write outside the catalog) and are adopted without
+    * copying a byte, alongside 120 graft-written docs. Gates: entries
+    * point INTO the external dir, a re-import refuses (duplicate guard),
+    * imported footer bounds PRUNE a selective scan, possibly-truncated
+    * foreign bounds are never SERVED as exact MIN/MAX (statsV demotion)
+    * while COUNT(*) stays exact, and a compaction rewrite re-owns the
+    * rows and restores exact metadata serving. Oracle: the full 200-doc
+    * content in plain SQL — hash-equal means adopted files read
+    * byte-identically to written ones (reference premise: lake files
+    * usable by any engine without rewrite, README:174-191 inverted). */
+  def wapAddFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MetaAgg
+    val tmp = Files.createTempDirectory("graft-wap-addfiles").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 120))
+
+    val ext = Files.createTempDirectory("graft-addfiles-ext").toString + "/batch"
+    docs.filter(col("doc_id") >= 120).repartition(2).write.parquet(ext)
+
+    val res = cat.addDataFiles("documents", ext)
+    val head = cat.snapshotIdOf("documents").get
+    val inPlace = cat.filesOf(cat.snapshotMeta("documents", head))
+      .count(_.path.contains(ext)).toLong == res.filesAdded
+    val dupRefused =
+      try { cat.addDataFiles("documents", ext); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("already referenced") }
+    val pruned = cat.plannedFilesOfSnapshot("documents", head,
+      Some(col("doc_id") < 50)).map(_._1).forall(!_.contains(ext))
+    val metaExactRefused = cat.metaAggregate("documents", head,
+      Seq(MetaAgg.MinCol("n_chars"))).isEmpty
+    val metaCountServed = cat.metaAggregate("documents", head,
+      Seq(MetaAgg.CountStar)).exists(_ == Seq(200L))
+    cat.compactDataFiles("documents")
+    val head2 = cat.snapshotIdOf("documents").get
+    val exactAfterRewrite = cat.metaAggregate("documents", head2,
+      Seq(MetaAgg.MinCol("doc_id"), MetaAgg.MaxCol("doc_id")))
+      .exists(_ == Seq(0L, 199L))
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+      .select(col("n_rows"), col("sum_chars"), col("n_langs"),
+        lit(res.rowsAdded).as("rows_imported"),
+        lit(inPlace).as("in_place"),
+        lit(dupRefused).as("dup_refused"),
+        lit(pruned).as("pruned"),
+        lit(metaExactRefused).as("meta_exact_refused"),
+        lit(metaCountServed).as("meta_count_served"),
+        lit(exactAfterRewrite).as("exact_after_rewrite"))
+  }
+
   /** NET row-level changelog ([[BranchCatalog.scanChangelog]] — the
     * Iceberg create_changelog_view analogue): append 100 docs, run a
     * CoW delete (rewrites boundary files, carrying survivors into NEW
@@ -1907,6 +1965,65 @@ object WapQueries {
         lit(keyFiles < total).as("bucket_pruned"),
         lit(bothFiles <= math.min(dayFiles, keyFiles)).as("conjunction_pruned"),
         lit(layoutOk).as("layout_ok"))
+  }
+
+  /** METADATA-ONLY partition-spec evolution (Iceberg ADD/DROP PARTITION
+    * FIELD, r14): a day(ts) table gains bucket(4,user_id) as ONE
+    * metadata commit — no file rewritten — then appends land under the
+    * evolved layout. Gates: the evolution commit touches zero data
+    * files; a user_id filter bucket-prunes the NEW generation while
+    * keeping every pre-evolution file (a file prunes only under fields
+    * whose keys it carries); a day filter still prunes BOTH generations;
+    * after DROPPING the bucket field, files written under it STILL
+    * bucket-prune (retired fields keep their stable pv keys). Oracle:
+    * the full content plus the filtered slice in plain SQL — hash-equal
+    * proves the mixed-layout scan is exact, not just well-pruned. */
+  def wapSpecEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-specevo").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val ev = Tables.eventsWithTs(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    cat.createTableIfNotExists("events", ev.schema, "main",
+      Some(graft.wap.DayPartition("ts"): graft.wap.PartitionSpec))
+    cat.append("events", ev.filter(col("event_id") % 2 === 0))
+    val filesBefore = cat.dataFiles("events").map(_.path).toSet
+
+    cat.addPartitionField("events", graft.wap.BucketPartition(4, "user_id"))
+    val metadataOnly =
+      cat.dataFiles("events").map(_.path).toSet == filesBefore
+    cat.append("events", ev.filter(col("event_id") % 2 === 1))
+
+    val headId = cat.snapshotIdOf("events").get
+    val files = cat.dataFiles("events")
+    val (newF, oldF) = files.partition(_.partition.contains("pv1"))
+    val keyCond = col("user_id") === 3L
+    def planned(c: org.apache.spark.sql.Column): Set[String] =
+      cat.plannedFilesOfSnapshot("events", headId, Some(c)).map(_._1).toSet
+    val keyKeep = planned(keyCond)
+    val oldKept = oldF.map(_.path).toSet.subsetOf(keyKeep)
+    val newPruned = newF.exists(f => !keyKeep.contains(f.path))
+    val thr = ev.select((min(col("ts")) + expr("INTERVAL 2 DAYS")).as("t"))
+      .head.getTimestamp(0)
+    val dayPruned = planned(col("ts") < lit(thr)).size < files.size
+
+    // DROP: the retired field keeps pruning its own generation
+    cat.dropPartitionField("events", "bucket(4,user_id)")
+    val dropId = cat.snapshotIdOf("events").get
+    val keepAfterDrop = cat.plannedFilesOfSnapshot("events", dropId,
+      Some(keyCond)).map(_._1).toSet
+    val retiredPrunes = newF.exists(f => !keepAfterDrop.contains(f.path)) &&
+      oldF.map(_.path).toSet.subsetOf(keepAfterDrop)
+
+    cat.scan("events", filter = Some(keyCond)).agg(
+      count(lit(1)).as("q_rows"),
+      coalesce(sum(col("event_id")), lit(0L)).cast("long").as("q_sum"))
+      .crossJoin(cat.scan("events").agg(count(lit(1)).as("n_rows")))
+      .select(col("n_rows"), col("q_rows"), col("q_sum"),
+        lit(metadataOnly).as("metadata_only"),
+        lit(oldKept).as("old_files_kept"),
+        lit(newPruned).as("new_files_pruned"),
+        lit(dayPruned).as("day_prunes_both"),
+        lit(retiredPrunes).as("retired_field_prunes"))
   }
 
   /** Referential integrity: event user_ids against the (25-key) nation

@@ -47,6 +47,7 @@ object GraftProcedures {
       "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
+      "add_partition_field", "drop_partition_field", "add_files",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
@@ -260,6 +261,39 @@ object GraftProcedures {
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.rewritePartitioned(args.getString(0),
           graft.wap.PartitionSpec.parseMulti(args.getString(1)), args.getString(2))
+        ()
+      }
+    case "add_partition_field" =>
+      // METADATA-ONLY partition evolution (Iceberg ADD PARTITION FIELD):
+      // one commit, zero data movement — old files keep their written
+      // layout and prune under it; new writes carry the new field
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("spec", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.addPartitionField(args.getString(0),
+          graft.wap.PartitionSpec.parse(args.getString(1)), args.getString(2))
+        ()
+      }
+    case "drop_partition_field" =>
+      // METADATA-ONLY drop: the field stops routing writes but stays in
+      // the registry, so files written under it keep pruning
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("field", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.dropPartitionField(args.getString(0), args.getString(1),
+          args.getString(2))
+        ()
+      }
+    case "add_files" =>
+      // metadata-only parquet import (W82 — Iceberg add_files): adopt
+      // foreign parquet in place; one distributed footer pass, one commit
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("location", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.addDataFiles(args.getString(0), args.getString(1), args.getString(2))
         ()
       }
     case "export_snapshot" =>

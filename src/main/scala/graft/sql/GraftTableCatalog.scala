@@ -631,7 +631,7 @@ object GraftTableCatalog {
   /** The committed spec rendered back as a connector transform, so
     * `DESCRIBE TABLE` / `Table.partitioning()` show the declared layout. */
   private[sql] def transformsOfSpec(fmt: Option[String]): Array[Transform] =
-    fmt.toSeq.flatMap(PartitionSpec.parseMulti).map {
+    fmt.toSeq.flatMap(PartitionSpec.parseFields).filter(_.active).map(_.spec).map {
       case DayPartition(c) => Expressions.days(c)
       case MonthPartition(c) => Expressions.months(c)
       case HourPartition(c) => Expressions.hours(c)
@@ -766,21 +766,13 @@ case class GraftTable(
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
               requireWritable("writes")
               val cat = new BranchCatalog(data.sparkSession, root)
-              // a PARTITIONED BY table routes inserts through the
-              // partitioned writer, so SQL-written files carry transform
-              // values and prune like Scala-written ones; the HEAD spec
-              // (not this pinned snapshot's) decides, matching where the
-              // append will land. overwrite() is already spec-aware.
-              val headSpec =
-                if (overwrite) None
-                else cat.snapshotIdOf(tableName, branch)
-                  .flatMap(id => cat.snapshotMeta(tableName, id).partitionSpec)
+              // append routes partitioned tables through the partitioned
+              // writer by the HEAD's own field registry (r14: ids may
+              // differ from positions after spec evolution), so
+              // SQL-written files carry transform values and prune like
+              // Scala-written ones. overwrite() is already spec-aware.
               if (overwrite) cat.overwrite(tableName, data, branch)
-              else headSpec match {
-                case Some(fmt) => cat.appendPartitioned(tableName, data,
-                  graft.wap.PartitionSpec.parseMulti(fmt), branch)
-                case None => cat.append(tableName, data, branch)
-              }
+              else cat.append(tableName, data, branch)
               ()
             }
           }
@@ -845,13 +837,12 @@ case class GraftMetadataTable(
         val snapMeta = cat.snapshotMeta(baseTable, snapshotId)
         // multi-transform layouts report the FULL value tuple, outermost
         // first, "/"-joined (a per-level null renders as "null")
-        val nSpecs = snapMeta.partitionSpec
-          .map(f => graft.wap.PartitionSpec.parseMulti(f).size).getOrElse(0)
+        val pvFields = snapMeta.partitionSpec.toSeq
+          .flatMap(graft.wap.PartitionSpec.parseFields)
         val pvExpr =
-          if (nSpecs <= 1) try_element_at(col("partition"), lit("pv"))
-          else concat_ws("/", (0 until nSpecs).map(i => coalesce(
-            try_element_at(col("partition"),
-              lit(graft.wap.PartitionSpec.pvKey(i))), lit("null"))): _*)
+          if (pvFields.size <= 1) try_element_at(col("partition"), lit("pv"))
+          else concat_ws("/", pvFields.map(f => coalesce(
+            try_element_at(col("partition"), lit(f.key)), lit("null"))): _*)
         cat.manifestEntries(snapMeta)
           .select(pvExpr.as("partition"),
             col("rows"), col("bytes"))
@@ -1318,14 +1309,17 @@ private[sql] class GraftBatchScan(
         // identical sessions — the r11 wap_spj-then-wap_runtime_prune
         // ordering bug. One consistent read: Spark's default governs.
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled").toBoolean) None
-    else t.partitionSpecFmt.toSeq.flatMap(graft.wap.PartitionSpec.parseMulti)
-      .zipWithIndex.collectFirst {
-        // a multi-transform layout joins on its (first) BUCKET transform:
-        // files group by that transform's positional pv key; the other
-        // transforms only subdivide each bucket's file set, which the
-        // grouping merges back together
-        case (graft.wap.BucketPartition(n, c), i) =>
-          (n, c, graft.wap.PartitionSpec.pvKey(i))
+    else t.partitionSpecFmt.toSeq.flatMap(graft.wap.PartitionSpec.parseFields)
+      .filter(_.active).collectFirst {
+        // a multi-transform layout joins on its (first) ACTIVE BUCKET
+        // transform: files group by that transform's STABLE pv key; the
+        // other transforms only subdivide each bucket's file set, which
+        // the grouping merges back together. Files written before the
+        // field existed lack the key, and keyedPlan already degrades to
+        // the ordinary scan when any planned file has no value.
+        case f @ graft.wap.PartitionSpec.SpecField(
+            graft.wap.BucketPartition(n, c), _, true) =>
+          (n, c, f.key)
       }.flatMap { case (n, colName, pvKey) =>
         val cat = new BranchCatalog(spark, t.root)
         if (t.snapMeta.deleteManifests.nonEmpty) None

@@ -36,7 +36,17 @@ case class DataFileMeta(
       * here (the folded ref's firstRowId is then 0), so folding never
       * moves a row's id. -1 = pre-lineage manifest entry (enableRowLineage
       * rewrites them). */
-    firstRowId: Long = -1L)
+    firstRowId: Long = -1L,
+    /** True for files IMPORTED by [[BranchCatalog.addDataFiles]]: their
+      * footer bounds may be TRUNCATED by a foreign writer
+      * (parquet.statistics.truncate.length widens binary min/max), so
+      * they are sound for pruning (conservative) but NOT for serving
+      * exact MIN/MAX. [[BranchCatalog.writeManifest]] demotes any
+      * manifest holding such a file to statsV=1 — pruned, never served.
+      * The flag follows the file through kept-file manifests, folds and
+      * subset carries; a compaction REWRITE replaces the file with a
+      * graft-written one and the flag drops with it. */
+    inexact: Boolean = false)
 
 /** One immutable manifest file: the unit of commit. An append writes
   * exactly one manifest (listing only ITS files), so commit metadata cost
@@ -765,7 +775,11 @@ class BranchCatalog(
       upper = fold(_.upper, takeMin = false),
       pvLower = pvFold(takeMin = true),
       pvUpper = pvFold(takeMin = false),
-      statsV = 2)
+      // statsV 2 = every bound fold-exact (graft's own non-truncating
+      // writes); 1 = some file imported with possibly-truncated foreign
+      // bounds — conservative, so pruning-eligible but refused by exact
+      // consumers (metaAggregate & friends require >= 2)
+      statsV = if (files.exists(_.inexact)) 1 else 2)
   }
 
   private[graft] def readManifest(path: String): Seq[DataFileMeta] = {
@@ -826,15 +840,21 @@ class BranchCatalog(
     * "pv" for the first transform — byte-compatible with every
     * single-transform table ever written — then "pv1", "pv2", …). */
   private def writePartitionedDataFiles(
-      table: String, df: DataFrame, specs: Seq[PartitionSpec],
+      table: String, df: DataFrame, fields: Seq[PartitionSpec.SpecField],
       sortCols: Seq[String] = Nil,
       ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
-    require(specs.nonEmpty, "partitioned write needs at least one transform")
+    require(fields.nonEmpty && fields.forall(_.active),
+      "partitioned write needs at least one ACTIVE transform")
+    val specs = fields.map(_.spec)
     require(specs.indices.forall(i => !df.schema.fieldNames.contains(s"__pv$i")),
       "batch columns may not collide with the __pv<i> partition-value names")
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/${physDir(table)}/data/$commitId")
+    // directory levels stay POSITIONAL per write (__pv0/__pv1/...);
+    // manifest metadata keys by each field's STABLE id — after spec
+    // evolution position and id diverge, and the id is what pruning
+    // resolves (a reused position must never alias an old field's key)
     val pvCols = specs.indices.map(i => s"__pv$i")
     // %XX-escape '%' and non-ASCII bytes BEFORE partitionBy so each
     // physical directory name is pure ASCII on any filesystem locale
@@ -881,7 +901,7 @@ class BranchCatalog(
           val raw = pd.getPath.getName.stripPrefix(s"__pv$level=")
           val next =
             if (raw == "__HIVE_DEFAULT_PARTITION__") acc
-            else acc + (PartitionSpec.pvKey(level) -> PathSafeEscape.unescape(
+            else acc + (fields(level).key -> PathSafeEscape.unescape(
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .unescapePathName(raw)))
           walk(pd.getPath, level + 1, next)
@@ -892,18 +912,26 @@ class BranchCatalog(
   /** Spec-aware rewrite: partitioned tables keep their hidden layout
     * through DML rewrites and compaction (otherwise every delete/update
     * would silently degrade partition pruning on the touched files). */
-  /** The snapshot's partition transforms, outermost first (empty for
-    * unpartitioned tables). Multi-transform layouts serialize as
-    * `;`-joined formats — [[PartitionSpec.parseMulti]]. */
-  private[graft] def specsOf(fmt: Option[String]): Seq[PartitionSpec] =
-    fmt.toSeq.flatMap(PartitionSpec.parseMulti)
+  /** The snapshot's FULL partition-field registry, outermost first
+    * (empty for unpartitioned tables): active fields route writes,
+    * dropped fields survive so files written under them keep pruning —
+    * see [[PartitionSpec.SpecField]] and the metadata-only evolution
+    * ([[addPartitionField]]/[[dropPartitionField]]). */
+  private[graft] def specsOf(fmt: Option[String]): Seq[PartitionSpec.SpecField] =
+    fmt.toSeq.flatMap(PartitionSpec.parseFields)
+
+  /** Only the fields new writes route by. */
+  private[graft] def activeSpecsOf(fmt: Option[String]): Seq[PartitionSpec.SpecField] =
+    specsOf(fmt).filter(_.active)
 
   private def writeTableFiles(
-      table: String, df: DataFrame, specs: Seq[PartitionSpec],
+      table: String, df: DataFrame, fields: Seq[PartitionSpec.SpecField],
       sortCols: Seq[String] = Nil,
-      ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] =
-    if (specs.nonEmpty) writePartitionedDataFiles(table, df, specs, sortCols, ids)
+      ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
+    val active = fields.filter(_.active)
+    if (active.nonEmpty) writePartitionedDataFiles(table, df, active, sortCols, ids)
     else writeDataFiles(table, df, ids)
+  }
 
   /** Stamp each column the table tracks with its parquet field id (W58):
     * the writer then records `PARQUET:field_id` in every footer, which
@@ -1318,9 +1346,10 @@ class BranchCatalog(
     // callers did, so a stream into a day-partitioned table silently
     // accumulated unprunable files until compaction.
     head.flatMap(_.partitionSpec) match {
-      case Some(fmt) =>
-        return appendPartitioned(table, df, PartitionSpec.parseMulti(fmt), branch, epochStamp)
-      case None => ()
+      case Some(fmt) if activeSpecsOf(Some(fmt)).nonEmpty =>
+        return appendPartitioned(table, df,
+          activeSpecsOf(Some(fmt)).map(_.spec), branch, epochStamp)
+      case _ => () // no spec, or every field dropped: plain write
     }
     val aligned = head match {
       case Some(snap) if snap.schemaDdl.nonEmpty =>
@@ -1428,20 +1457,27 @@ class BranchCatalog(
 
     // ---- duplicate guard (Iceberg check_duplicate_files): a re-import
     // would double-count rows. Above the metadata threshold the live
-    // side stays a distributed manifest-entry frame.
-    def bare(p: String): String = new Path(p).toUri.getPath
-    val candBare = candidates.map(st => bare(st.getPath.toString)).toSet
+    // side stays a distributed manifest-entry frame. Both sides compare
+    // FULLY-QUALIFIED URIs (scheme + authority + normalized path) —
+    // stripping the scheme would alias same-keyed files on different
+    // filesystems/buckets into a spurious "already referenced" refusal.
+    val defaultUri = fs.getUri
+    val wd = fs.getWorkingDirectory
+    def qual(p: String): String =
+      new Path(p).makeQualified(defaultUri, wd).toString
+    val candQual = candidates.map(st => qual(st.getPath.toString)).toSet
     val dups: Seq[String] =
       if (cur.manifests.map(_.fileCount).sum > distributedMetaThreshold) {
         import spark.implicits._
-        val bareUdf = org.apache.spark.sql.functions.udf(
-          (p: String) => new Path(p).toUri.getPath)
-        candBare.toSeq.toDF("path").join(
+        val wdStr = wd.toString
+        val qualUdf = org.apache.spark.sql.functions.udf(
+          (p: String) => new Path(p).makeQualified(defaultUri, new Path(wdStr)).toString)
+        candQual.toSeq.toDF("path").join(
             manifestEntriesOf(cur.manifests.map(_.path))
-              .select(bareUdf(fcol("path")).as("path")).distinct(),
+              .select(qualUdf(fcol("path")).as("path")).distinct(),
             Seq("path"), "left_semi")
           .collect().map(_.getString(0)).toSeq
-      } else filesOf(cur).map(f => bare(f.path)).filter(candBare.contains)
+      } else filesOf(cur).map(f => qual(f.path)).filter(candQual.contains)
     require(dups.isEmpty,
       s"add_files: ${dups.size} file(s) already referenced by $table, e.g. " +
         dups.take(3).mkString(", "))
@@ -1495,7 +1531,12 @@ class BranchCatalog(
               s"(file schema: $ddl)")
       }
     }
-    val metas0 = collected.map(_._1)
+    // Foreign writers may truncate binary min/max (parquet.statistics
+    // .truncate.length) without marking it in pre-2.9 footers: bounds
+    // stay PRUNING-sound (truncation only widens) but must never be
+    // SERVED as exact MIN/MAX — the inexact flag demotes every manifest
+    // these entries ever appear in to statsV=1 (writeManifest).
+    val metas0 = collected.map(_._1.copy(inexact = true))
 
     // ---- CHECK constraints: the one step that must read data ----
     if (tableProperties(table, branch).keys
@@ -1510,11 +1551,11 @@ class BranchCatalog(
     }
 
     // ---- hidden-partition transform derivation from stats ----
-    val specs = specsOf(cur.partitionSpec)
-    val metas = derivePartitionValues(metas0, specs, schema)
-    val pvProven = if (specs.isEmpty) 0L
-      else metas.count(m => specs.indices.forall(i =>
-        m.partition.contains(PartitionSpec.pvKey(i)))).toLong
+    val fields = activeSpecsOf(cur.partitionSpec)
+    val metas = derivePartitionValues(metas0, fields, schema)
+    val pvProven = if (fields.isEmpty) 0L
+      else metas.count(m => fields.forall(f =>
+        m.partition.contains(f.key))).toLong
 
     // ---- one O(files-imported) commit, shaped exactly like an append ----
     val manifest = writeManifest(table, metas, schema)
@@ -1550,12 +1591,12 @@ class BranchCatalog(
     * vary); unproven files keep an empty map — never pruned, never
     * trusted by keyed-scan planning. */
   private def derivePartitionValues(
-      metas: Seq[DataFileMeta], specs: Seq[PartitionSpec],
+      metas: Seq[DataFileMeta], fields: Seq[PartitionSpec.SpecField],
       schema: StructType): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.{col => fcol, lit}
-    if (specs.isEmpty) return metas
+    if (fields.isEmpty) return metas
     var out = metas.toIndexedSeq
-    specs.zipWithIndex.foreach { case (spec, i) =>
+    fields.map(f => (f.spec, f.id)).foreach { case (spec, i) =>
       schema.fields.find(_.name == spec.column).foreach { fld =>
         val dt = fld.dataType
         def typed(c: Column): Option[Column] = dt match {
@@ -2526,7 +2567,7 @@ class BranchCatalog(
     * NOTHING — in particular a runtime join-key IN-set on a
     * bucket-partitioned table, the 100 TB star-join shape. */
   private def admits(
-      f: DataFileMeta, p: Expression, specs: Seq[PartitionSpec],
+      f: DataFileMeta, p: Expression, specs: Seq[PartitionSpec.SpecField],
       schema: StructType, bloom: Option[BloomProbe] = None): Boolean = p match {
     case And(l, r) => admits(f, l, specs, schema, bloom) && admits(f, r, specs, schema, bloom)
     case Or(l, r) => admits(f, l, specs, schema, bloom) || admits(f, r, specs, schema, bloom)
@@ -2545,7 +2586,7 @@ class BranchCatalog(
     * with bloom sidecars — entries must then have a `__manifest` column
     * (`input_file_name()` of the manifest read). */
   private def admitsCol(
-      p: Expression, specs: Seq[PartitionSpec], schema: StructType,
+      p: Expression, specs: Seq[PartitionSpec.SpecField], schema: StructType,
       bloom: Option[DistBloom] = None): Column = p match {
     case And(l, r) => admitsCol(l, specs, schema, bloom) && admitsCol(r, specs, schema, bloom)
     case Or(l, r) => admitsCol(l, specs, schema, bloom) || admitsCol(r, specs, schema, bloom)
@@ -2647,9 +2688,13 @@ class BranchCatalog(
     * range. Transform values compare as strings by construction (ISO
     * dates order lexicographically; buckets compare for equality only). */
   private def partitionMayMatch(
-      f: DataFileMeta, p: Expression, specs: Seq[PartitionSpec],
+      f: DataFileMeta, p: Expression, fields: Seq[PartitionSpec.SpecField],
       schema: StructType): Boolean =
-    specs.zipWithIndex.forall { case (s, i) =>
+    // ALL fields, including dropped ones: a file that carries a retired
+    // field's key was written under it, and its value still excludes
+    // the file soundly (a file without the key is always kept)
+    fields.forall { fld =>
+      val (s, i) = (fld.spec, fld.id)
       (for {
         pv <- f.partition.get(PartitionSpec.pvKey(i))
         (attr, op, l) <- comparisonOf(p) if attr == s.column
@@ -2670,9 +2715,10 @@ class BranchCatalog(
     * distributed planning path); entries without partition metadata
     * evaluate null and are kept. */
   private def partitionMayMatchCol(
-      p: Expression, specs: Seq[PartitionSpec], schema: StructType): Column = {
+      p: Expression, fields: Seq[PartitionSpec.SpecField],
+      schema: StructType): Column = {
     import org.apache.spark.sql.functions._
-    specs.zipWithIndex.flatMap { case (s, i) =>
+    fields.map(fld => (fld.spec, fld.id)).flatMap { case (s, i) =>
       for {
         (attr, op, l) <- comparisonOf(p) if attr == s.column
         colType <- schema.fields.find(_.name == s.column).map(_.dataType)
@@ -2702,13 +2748,15 @@ class BranchCatalog(
     * hour/truncate) compare aligned predicates against the manifest's
     * [[ManifestRef.pvLower]]/[[ManifestRef.pvUpper]] bounds, so a
     * day-partitioned table's time-range scan skips whole commits'
-    * manifests by transform value alone. Pre-r11 manifests (statsV < 2)
+    * manifests by transform value alone. Pre-r11 manifests (statsV < 1)
     * are always kept: their nullCounts may be partial unions, which a
-    * may-match IsNull check must not trust. */
+    * may-match IsNull check must not trust. statsV 1 (imported files,
+    * possibly-truncated foreign bounds) DOES prune — truncation only
+    * widens bounds, so a may-match stays sound. */
   private def manifestMayMatch(
       m: ManifestRef, pred: Expression, schema: StructType,
-      specs: Seq[PartitionSpec] = Nil): Boolean =
-    m.statsV < 2 || {
+      specs: Seq[PartitionSpec.SpecField] = Nil): Boolean =
+    m.statsV < 1 || {
       val proxy = DataFileMeta(m.path, m.rows, m.lower, m.upper, m.nullCounts)
       conjuncts(pred).filter(predLeaves(_) <= maxPruneLeaves)
         .forall(p => admits(proxy, p, Nil, schema, None) &&
@@ -2721,9 +2769,9 @@ class BranchCatalog(
     * unordered — "10" < "2" lexicographically); non-comparison shapes
     * and manifests without summaries keep (sound). */
   private[wap] def manifestPvMayMatch(
-      m: ManifestRef, p: Expression, specs: Seq[PartitionSpec],
+      m: ManifestRef, p: Expression, fields: Seq[PartitionSpec.SpecField],
       schema: StructType): Boolean =
-    specs.zipWithIndex.forall {
+    fields.map(fld => (fld.spec, fld.id)).forall {
       case (_: BucketPartition, _) => true
       case (s, i) =>
         (for {
@@ -2758,7 +2806,7 @@ class BranchCatalog(
     * the proper type coercion). */
   private def pruneFiles(
       files: Seq[DataFileMeta], cond: Column, schema: StructType,
-      specs: Seq[PartitionSpec] = Nil,
+      specs: Seq[PartitionSpec.SpecField] = Nil,
       bloom: Option[BloomProbe] = None): Seq[DataFileMeta] = {
     resolvePredicate(cond, schema) match {
       case None => files
@@ -3340,8 +3388,8 @@ class BranchCatalog(
               mergedManifests,
               schemaWinner.schemaDdl,
               System.currentTimeMillis(),
-              dstSnapOpt.flatMap(_.partitionSpec)
-                .orElse(loadSnapshot(table, srcSnapId).partitionSpec),
+              mergeSpecRegistries(table,
+                dstSnapOpt.flatMap(_.partitionSpec), srcSnap.partitionSpec),
               // max over both ancestries + 1 keeps the sequence monotone
               // on the merged lineage, so a tombstone committed later on
               // `into` covers every manifest the merge carried over
@@ -3363,13 +3411,33 @@ class BranchCatalog(
                 // rewrite; only pessimizes foreign-engine export)
                 val dstForeign = srcSchemaChanged &&
                   dstManifests.exists(m => !srcPaths.contains(m.path))
+                val mergedRenamed = schemaWinner.evo.renamedFiles ||
+                  other.renamedFiles || dstForeign
+                // id-less imported files from EITHER ancestry may be
+                // among the merged manifests: keep name resolution
+                val mergedIdless =
+                  schemaWinner.evo.idlessFiles || other.idlessFiles
+                // A snapshot that holds BOTH pre-rename files (need by-id
+                // resolution) and id-less imported files (force by-name
+                // resolution, which strips ids — readSchema) has NO sound
+                // read mode: name-based reads would silently serve NULL
+                // for renamed columns from pre-rename files. The
+                // single-branch guards (addDataFiles refuses renamedFiles,
+                // renameColumn refuses idlessFiles) prevent this within a
+                // branch; a publish must not construct it across branches.
+                if (mergedRenamed && mergedIdless &&
+                    !(schemaWinner.evo.renamedFiles && schemaWinner.evo.idlessFiles) &&
+                    !(other.renamedFiles && other.idlessFiles))
+                  throw new IllegalStateException(
+                    s"publish conflict on $table: one side holds files written " +
+                      "under pre-rename column names (by-id resolution) and the " +
+                      "other holds imported id-less files (by-name resolution) — " +
+                      "no read mode serves both; compactDataFiles one side " +
+                      "(a full rewrite clears its residue) before publishing")
                 schemaWinner.evo.copy(
                   fieldIdSeq = math.max(schemaWinner.evo.fieldIdSeq, other.fieldIdSeq),
-                  renamedFiles = schemaWinner.evo.renamedFiles ||
-                    other.renamedFiles || dstForeign,
-                  // id-less imported files from EITHER ancestry may be
-                  // among the merged manifests: keep name resolution
-                  idlessFiles = schemaWinner.evo.idlessFiles || other.idlessFiles)
+                  renamedFiles = mergedRenamed,
+                  idlessFiles = mergedIdless)
               },
               op = "publish", lin = mergedLin)
             writeSnapshot(table, merged)
@@ -4109,10 +4177,10 @@ class BranchCatalog(
           s"illegal type change for ${of.name}: ${of.dataType.sql} -> ${nf.dataType.sql}")
       val dropped = old.fields.map(_.name).filterNot(newByName.contains)
       if (dropped.nonEmpty) {
-        specsOf(cur.partitionSpec).foreach(s =>
+        activeSpecsOf(cur.partitionSpec).map(_.spec).foreach(s =>
           require(!dropped.contains(s.column),
             s"cannot drop ${s.column}: it is the table's hidden-partition source " +
-              "(evolve the partition layout with rewritePartitioned first)"))
+              "(drop the partition field or rewritePartitioned first)"))
         val morKeys = cur.deleteManifests.flatMap(_.keyCols).toSet
         dropped.find(morKeys.contains).foreach(c => sys.error(
           s"cannot drop $c: pending MOR tombstones anti-join on it — " +
@@ -4251,7 +4319,7 @@ class BranchCatalog(
         s"$table holds imported files (addDataFiles) that carry no field ids — " +
           "a rename could not resolve them; rewrite first (compactDataFiles " +
           "stamps ids everywhere and re-enables renames)")
-      specsOf(cur.partitionSpec).foreach(sp => require(sp.column != from,
+      activeSpecsOf(cur.partitionSpec).map(_.spec).foreach(sp => require(sp.column != from,
         s"cannot rename $from: it is the table's hidden-partition source " +
           "(evolve the layout with rewritePartitioned first)"))
       require(!cur.deleteManifests.exists(_.keyCols.contains(from)),
@@ -4774,7 +4842,23 @@ class BranchCatalog(
           writeDefaults = snap.evo.writeDefaults)
       case _ => df
     }
-    val newFiles = writePartitionedDataFiles(table, aligned, specs,
+    // the table's OWN registry routes the write (its active fields carry
+    // the stable pv-key ids evolution assigned); the caller's specs must
+    // name exactly those transforms. A fresh table seeds ids positionally.
+    val headFmt = head.flatMap(_.partitionSpec)
+    val fields = headFmt match {
+      case Some(fmt) =>
+        val act = activeSpecsOf(Some(fmt))
+        require(act.map(_.spec) == specs,
+          s"table $table is partitioned by $fmt, not " +
+            s"${PartitionSpec.formatMulti(specs)}; evolve the layout first " +
+            "(addPartitionField/dropPartitionField or rewritePartitioned)")
+        act
+      case None => specs.zipWithIndex.map { case (sp, i) =>
+        PartitionSpec.SpecField(sp, i, active = true) }
+    }
+    val specFmt = headFmt.getOrElse(PartitionSpec.formatMulti(specs))
+    val newFiles = writePartitionedDataFiles(table, aligned, fields,
       ids = head.map(_.evo.fieldIds).getOrElse(Map.empty))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
@@ -4782,14 +4866,13 @@ class BranchCatalog(
       val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
       val parentId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val parent = loadSnapshot(table, parentId)
-      require(parent.partitionSpec.forall(_ == PartitionSpec.formatMulti(specs)),
-        s"table $table is partitioned by ${parent.partitionSpec.get}, not " +
-          s"${PartitionSpec.formatMulti(specs)}; partition evolution requires a rewrite")
+      require(parent.partitionSpec.forall(_ == specFmt),
+        s"concurrent partition-spec change on $table@$branch during append")
       val s = parent.seq + 1
       val (refs2, stamped, lin2) = stampLineage(refs, table, parent, s, Seq(manifest))
       committed = Snapshot(newId(), Some(parentId), parent.manifests ++ stamped,
         if (parent.schemaDdl.nonEmpty) parent.schemaDdl else df.schema.toDDL,
-        System.currentTimeMillis(), Some(PartitionSpec.formatMulti(specs)),
+        System.currentTimeMillis(), Some(specFmt),
         parent.deleteManifests, s, evo = parent.evo, op = "append", lin = lin2)
       writeSnapshot(table, committed)
       withEpochStamp(refs2.copy(branches = refs.branches.updated(branch,
@@ -5941,6 +6024,110 @@ class BranchCatalog(
     * retrofitted without rewriting files). One partitioned write job +
     * one metadata commit; older snapshots keep the old layout until
     * expiry. */
+  /** METADATA-ONLY partition-spec evolution (Iceberg `ADD PARTITION
+    * FIELD`): ONE snapshot commit adds a transform to the layout without
+    * touching a data file — at 100 TB a layout change must not cost a
+    * table rewrite. Existing files keep exactly the transform values
+    * they were written with (every field's manifest key is its STABLE,
+    * never-reused id — [[PartitionSpec.SpecField]]); writes after this
+    * commit carry the new field too; and scan planning prunes each file
+    * under precisely the fields whose keys it carries (a file from
+    * before the ADD lacks the new key and is simply never pruned by it —
+    * sound, and increasingly tight as new data arrives).
+    * [[rewritePartitioned]] remains the compacting variant that puts ALL
+    * content under the new layout in one rewrite. */
+  def addPartitionField(
+      table: String, spec: PartitionSpec, branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      require(schema.fieldNames.contains(spec.column),
+        s"no column ${spec.column} in $table")
+      val fields = specsOf(cur.partitionSpec)
+      require(!fields.exists(f => f.active && f.spec.format == spec.format),
+        s"${spec.format} is already an active partition field of $table")
+      val nextId = fields.map(_.id).maxOption.getOrElse(-1) + 1
+      val next = fields :+ PartitionSpec.SpecField(spec, nextId, active = true)
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), Some(PartitionSpec.formatFields(next)),
+        cur.deleteManifests, cur.seq + 1, evo = cur.evo, op = "evolve-spec",
+        lin = cur.lin)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** METADATA-ONLY `DROP PARTITION FIELD`: the field stops routing new
+    * writes but STAYS in the registry as a retired entry — files written
+    * under it keep their values and keep pruning on them (Iceberg keeps
+    * a void-transform field for the same reason: ids must never be
+    * reused, and history must stay plannable). `field` matches by
+    * serialized transform ("day(ts)") or, when unambiguous, by source
+    * column name. */
+  def dropPartitionField(
+      table: String, field: String, branch: String = "main"): Snapshot = {
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
+      val cur = loadSnapshot(table, curId)
+      val fields = specsOf(cur.partitionSpec)
+      val matching = fields.filter(f =>
+        f.active && (f.spec.format == field || f.spec.column == field))
+      require(matching.nonEmpty,
+        s"no active partition field $field on $table (layout: " +
+          s"${cur.partitionSpec.getOrElse("unpartitioned")})")
+      require(matching.size == 1,
+        s"$field names ${matching.size} active partition fields of $table — " +
+          s"pass the serialized transform (${matching.map(_.spec.format).mkString(", ")})")
+      val next = fields.map(f =>
+        if (f.id == matching.head.id) f.copy(active = false) else f)
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), Some(PartitionSpec.formatFields(next)),
+        cur.deleteManifests, cur.seq + 1, evo = cur.evo, op = "evolve-spec",
+        lin = cur.lin)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
+  /** Union two sides' partition-field registries for a publish merge.
+    * Field ids are stable and never reused WITHIN a lineage, so agreeing
+    * ids are the same field and the union is exact: each merged file
+    * keeps pruning under exactly the fields whose keys it carries. A
+    * field dropped on either side stays dropped (drop is the newer
+    * intent; active-ness only routes writes, so the conservative choice
+    * never unsounds a read). The same id bound to two DIFFERENT
+    * transforms means one side RESET its registry (rewritePartitioned)
+    * while the other kept files keyed under the old meaning — the merged
+    * file set would reinterpret pv values, so it must conflict. */
+  private def mergeSpecRegistries(
+      table: String, dst: Option[String], src: Option[String]): Option[String] =
+    if (dst == src || src.isEmpty) dst
+    else if (dst.isEmpty) src
+    else {
+      val all = PartitionSpec.parseFields(dst.get) ++
+        PartitionSpec.parseFields(src.get)
+      val merged = all.groupBy(_.id).toSeq.sortBy(_._1).map { case (id, fs) =>
+        if (fs.map(_.spec.format).distinct.size != 1)
+          throw new IllegalStateException(
+            s"merge conflict on $table: partition field id $id is " +
+              s"${fs.map(_.spec.format).distinct.mkString(" vs ")} across the " +
+              "two ancestries (a rewritePartitioned reset one side's registry " +
+              "while the other still holds files keyed under the old layout) — " +
+              "rewritePartitioned one side before publishing")
+        fs.head.copy(active = fs.forall(_.active))
+      }
+      Some(PartitionSpec.formatFields(merged))
+    }
+
   def rewritePartitioned(table: String, spec: PartitionSpec): Snapshot =
     rewritePartitioned(table, Seq(spec))
   def rewritePartitioned(table: String, spec: PartitionSpec, branch: String): Snapshot =
@@ -5949,7 +6136,12 @@ class BranchCatalog(
       table: String, specs: Seq[PartitionSpec], branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
-    val rewritten = writePartitionedDataFiles(table, rewriteScan(table, curId), specs,
+    // a FULL rewrite replaces every live file, so the registry resets to
+    // positional ids — no surviving file carries an old field's key (old
+    // SNAPSHOTS keep their own registry for time travel)
+    val rewritten = writePartitionedDataFiles(table, rewriteScan(table, curId),
+      specs.zipWithIndex.map { case (sp, i) =>
+        PartitionSpec.SpecField(sp, i, active = true) },
       ids = cur.evo.fieldIds)
     val manifest = writeManifest(table, rewritten, StructType.fromDDL(cur.schemaDdl))
     var committed: Snapshot = null
@@ -7126,7 +7318,20 @@ object BranchCatalog {
       if (stats == null || stats.isEmpty) {
         if (b.getRowCount > 0) { noBounds += name; noNulls += name }
       } else {
-        nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+        // parquet-mr returns -1 from getNumNulls when a foreign footer
+        // omits null_count — folding it would corrupt the sum (wrong
+        // metadata-only COUNT(col), unsound IS NULL pruning)
+        if (stats.isNumNullsSet)
+          nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+        else noNulls += name
+        if (!stats.hasNonNullValue) {
+          // No bounds in this chunk. That is sound only if the chunk is
+          // PROVABLY all-null; parquet-mr also drops binary min/max above
+          // ~4KB while keeping null_count, and then the real values would
+          // lie outside bounds folded from other blocks.
+          if (!stats.isNumNullsSet || stats.getNumNulls < c.getValueCount)
+            noBounds += name
+        }
         if (stats.hasNonNullValue) {
           val prim = c.getPrimitiveType
           val boundOk = prim.getPrimitiveTypeName != PrimitiveTypeName.INT96 &&

@@ -255,10 +255,51 @@ object PartitionSpec {
   def formatMulti(specs: Seq[PartitionSpec]): String =
     specs.map(_.format).mkString(";")
 
-  /** Manifest partition-map key of transform `i` in a layout: the first
-    * transform keeps the historical bare "pv" (single-transform tables
-    * and their files stay byte-compatible), later ones are positional. */
+  /** Manifest partition-map key of the transform with STABLE field id
+    * `i`: the first field ever keeps the historical bare "pv"
+    * (single-transform tables and their files stay byte-compatible),
+    * later ones are id-suffixed. Before spec evolution (r14) ids were
+    * positions — identical keys for any unevolved layout. */
   def pvKey(i: Int): String = if (i == 0) "pv" else s"pv$i"
+
+  /** One field of an (possibly EVOLVED) partition layout: the transform,
+    * its STABLE manifest-key id — assigned once, NEVER reused across
+    * ADD/DROP evolution, so a pv value written years ago can never be
+    * reinterpreted under a different transform — and whether new writes
+    * still route by it. Dropped fields stay in the registry: files
+    * written under them keep their keys, and scans keep pruning those
+    * files on the retired transform (Iceberg keeps void-transform
+    * fields for the same reason). */
+  final case class SpecField(spec: PartitionSpec, id: Int, active: Boolean) {
+    /** The manifest partition-map key this field's values live under. */
+    def key: String = pvKey(id)
+    def fieldFormat: String =
+      (if (active) "" else "-") + spec.format + "@" + id
+  }
+
+  /** Parse a snapshot's layout string into its field registry. Two
+    * forms: the legacy `fmt;fmt` (ids = positions, all active —
+    * byte-stable for every table that never evolved) and the evolved
+    * `[-]fmt@id;...` written by [[formatFields]] after an ADD/DROP. */
+  def parseFields(s: String): Seq[SpecField] =
+    s.split(";").toSeq.filter(_.nonEmpty).zipWithIndex.map { case (tok0, pos) =>
+      val (active, tok) =
+        if (tok0.startsWith("-")) (false, tok0.tail) else (true, tok0)
+      tok.lastIndexOf('@') match {
+        case -1 => SpecField(parse(tok), pos, active)
+        case at => SpecField(parse(tok.substring(0, at)),
+          tok.substring(at + 1).toInt, active)
+      }
+    }
+
+  /** Serialize a field registry: the legacy form whenever it losslessly
+    * round-trips (unevolved layouts stay byte-identical — W24's
+    * format-equality contract and pre-r14 snapshots both depend on it),
+    * the annotated form otherwise. */
+  def formatFields(fields: Seq[SpecField]): String =
+    if (fields.zipWithIndex.forall { case (f, i) => f.active && f.id == i })
+      formatMulti(fields.map(_.spec))
+    else fields.map(_.fieldFormat).mkString(";")
 }
 
 /** Locale-portable %XX layer for `__pv=` partition directory names.

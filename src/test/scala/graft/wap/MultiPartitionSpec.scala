@@ -26,6 +26,9 @@ class MultiPartitionSpec extends SparkSpecBase {
       .select("event_id", "ts", "user_id", "event_type", "value")
 
   private val specs = Seq(DayPartition("ts"), BucketPartition(4, "user_id"))
+  // the positional field registry those specs seed (pruning API shape)
+  private val specFields = specs.zipWithIndex.map { case (sp, i) =>
+    PartitionSpec.SpecField(sp, i, active = true) }
 
   private def mk(cat: BranchCatalog): DataFrame = {
     val ev = events()
@@ -160,12 +163,12 @@ class MultiPartitionSpec extends SparkSpecBase {
     // strip the COLUMN stats so only the partition summary can answer
     def pvOnly(m: ManifestRef) = m.copy(lower = Map.empty, upper = Map.empty,
       nullCounts = Map.empty)
-    assert(!cat.manifestPvMayMatch(pvOnly(m1), pred, specs, schema),
+    assert(!cat.manifestPvMayMatch(pvOnly(m1), pred, specFields, schema),
       "day-1 manifest must be excluded by its partition summary alone")
-    assert(cat.manifestPvMayMatch(pvOnly(m2), pred, specs, schema))
+    assert(cat.manifestPvMayMatch(pvOnly(m2), pred, specFields, schema))
     // bucket transforms never range-prune on summaries
     val keyPred = cat.resolvePredicate(col("user_id") === 3L, schema).get
-    assert(cat.manifestPvMayMatch(pvOnly(m1), keyPred, specs, schema))
+    assert(cat.manifestPvMayMatch(pvOnly(m1), keyPred, specFields, schema))
     // end-to-end: the day-2 scan stays exact (the table holds only the
     // two appended days)
     assert(cat.scan("ev",
@@ -251,6 +254,6 @@ class MultiPartitionSpec extends SparkSpecBase {
     // appendPartitioned with a DIFFERENT layout refuses
     val e = intercept[IllegalArgumentException](
       cat.appendPartitioned("ev", events(), Seq(DayPartition("ts"))))
-    assert(e.getMessage.contains("partition evolution requires a rewrite"))
+    assert(e.getMessage.contains("evolve the layout first"))
   }
 }
