@@ -95,6 +95,7 @@ object SparkEntry {
     "wap_agg_pushdown" -> (WapQueries.wapAggPushdown _),
     "wap_sql_changes" -> (WapQueries.wapSqlChanges _),
     "wap_spj" -> (WapQueries.wapSpj _),
+    "wap_spj_sorted" -> (WapQueries.wapSpjSorted _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -301,6 +302,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
     "wap_bloom" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS files_before, true AS point_pruned, true AS in_pruned, CAST(4 AS BIGINT) AS manifests_indexed""",
+    "wap_spj_sorted" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 300) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 300) AS n_langs, true AS is_sort_merge_join, true AS shuffle_free, true AS sort_free""",
     "wap_spj" ->
       """SELECT count(*) AS n_rows, CAST(sum(a.n_chars) AS BIGINT) AS sum_chars, count(DISTINCT b.lang) AS n_langs, true AS join_shuffle_free, true AS agg_exchange_free FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300) a JOIN (SELECT doc_id, lang FROM documents WHERE doc_id < 300) b ON a.doc_id = b.doc_id""",
     "wap_sql_changes" ->
@@ -384,7 +387,7 @@ object SparkEntry {
     "dedup_check_cluster" ->
       """SELECT count(*) AS n_docs, true AS fixpoint_ok, true AS labels_minimal_ok, true AS survivors_ok FROM documents""",
     "dedup_index_check" ->
-      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 400) AS n_indexed, (SELECT count(*) FROM documents WHERE doc_id >= 400 AND doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_batch, ((SELECT count(*) FROM documents WHERE doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20)) * 16 AS band_rows, true AS pairs_match_batch, true AS planted_recovered, true AS incremental_mode, true AS fresh_noop""",
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 400) AS n_indexed, (SELECT count(*) FROM documents WHERE doc_id >= 400 AND doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_batch, (SELECT count(*) FROM documents WHERE doc_id < 500) * 16 AS band_rows, true AS pairs_match_batch, true AS planted_recovered, true AS incremental_mode, true AS fresh_noop, true AS net_refresh""",
     "dedup_check_pairs" ->
       """SELECT family, (SELECT count(*) FROM documents WHERE doc_id < 500) AS n_items, true AS precision_ok, true AS recall_ok FROM (VALUES ('containment09'), ('jaccard05'), ('jaccard08'), ('simhash3')) AS f(family) UNION ALL SELECT 'embedding95' AS family, (SELECT count(*) + (SELECT count(*) FROM embeddings WHERE vec_id < 50) FROM embeddings) AS n_items, true AS precision_ok, true AS recall_ok"""
   )

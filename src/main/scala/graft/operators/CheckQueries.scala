@@ -416,12 +416,27 @@ object CheckQueries {
     val incrementalMode =
       DedupIndex.refresh(spark, cat, "documents", "text") == "incremental"
     val freshNoop = DedupIndex.refresh(spark, cat, "documents", "text") == "fresh"
+
+    // r14: a delete window refreshes NET (one tombstone on the band
+    // table, nothing re-signed) and the suppressed ids never pair again
+    cat.deleteWhere("documents", col("doc_id") >= 5000L)
+    val netMode = DedupIndex.refresh(spark, cat, "documents", "text") == "net"
+    val netServed = DedupIndex.pairsAgainst(spark, cat, "documents", "text",
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 7000L).as("doc_id"), col("text")))
+    // the planted 7000-copies pair with their originals but NOT with the
+    // deleted 5000-copies — the tombstone removed those band rows
+    val netSound = netServed.filter(col("id_b") >= 5000L && col("id_b") < 7000L)
+      .count() == 0L &&
+      netServed.filter(col("id_a") < 20 && col("id_b") === col("id_a") + 7000L)
+        .count() == 20L
     val bandRows = cat.scan(DedupIndex.bandsTable("documents", "text")).count()
 
     import spark.implicits._
     Seq((corpus.count(), batch.count(), bandRows,
-      pairsMatch && sinceMatch, plantedRecovered, incrementalMode, freshNoop))
+      pairsMatch && sinceMatch, plantedRecovered, incrementalMode, freshNoop,
+      netMode && netSound))
       .toDF("n_indexed", "n_batch", "band_rows", "pairs_match_batch",
-        "planted_recovered", "incremental_mode", "fresh_noop")
+        "planted_recovered", "incremental_mode", "fresh_noop", "net_refresh")
   }
 }

@@ -118,8 +118,38 @@ object DedupIndex {
       cat.setTableProperties(table, Map(snapshotKey(textCol) -> headId), branch)
       "incremental"
     } else {
-      build(spark, cat, table, idCol, textCol, params, branch)
-      "full"
+      // NET-CHANGELOG refresh (r14): a delete-containing window no longer
+      // forces a corpus re-sign. The W62 changelog yields exactly the NET
+      // inserted and deleted rows (carried/compacted rows cancel), so
+      // deleted ids' band rows are suppressed with ONE O(deleted-ids)
+      // equality tombstone on the bands table and only net-inserted docs
+      // are shingled/signed — O(delta) under CDC-style churn, where the
+      // old behavior re-signed 100 TB for one GDPR delete. An UPDATE
+      // (delete+insert of one id) drops the stale rows first, then signs
+      // the new text. Falls to `full` only when the window itself is not
+      // changelog-readable (tombstoned endpoints, pre-field-id schema
+      // change).
+      val net =
+        try {
+          val changes = cat.scanChangelog(table, recorded, headId)
+          Some((
+            changes.filter(col("_change_type") === "delete")
+              .select(col(idCol).as("id")).distinct(),
+            changes.filter(col("_change_type") === "insert")
+              .drop("_change_type")))
+        } catch { case _: Exception => None }
+      net match {
+        case Some((deletedIds, inserted)) =>
+          val bt = bandsTable(table, textCol)
+          if (!deletedIds.isEmpty) { cat.deleteKeysMOR(bt, deletedIds, branch); () }
+          val insRows = bandRows(inserted, idCol, textCol, params)
+          if (!insRows.isEmpty) { cat.append(bt, insRows, branch); () }
+          cat.setTableProperties(table, Map(snapshotKey(textCol) -> headId), branch)
+          "net"
+        case None =>
+          build(spark, cat, table, idCol, textCol, params, branch)
+          "full"
+      }
     }
   }
 

@@ -131,8 +131,42 @@ object VectorIndex {
       cat.setTableProperties(table, Map(snapshotKey(vecCol) -> headId), branch)
       "incremental"
     } else {
-      build(spark, cat, table, idCol, vecCol, params, branch)
-      "full"
+      // NET-CHANGELOG refresh (r14, mirrors DedupIndex): a delete window
+      // no longer rebuilds the index — the W62 changelog yields the NET
+      // inserted/deleted rows, deleted ids' code rows are suppressed with
+      // ONE O(deleted-ids) equality tombstone, and only net-inserted
+      // vectors encode against the EXISTING centroids and codec.
+      // Centroid/codebook drift from churn degrades recall gracefully,
+      // never correctness (the shortlist re-ranks with the exact cosine);
+      // a periodic `full` via maintenance re-trains. Falls to `full` when
+      // the window is not changelog-readable.
+      val net =
+        try {
+          val changes = cat.scanChangelog(table, recorded, headId)
+          Some((
+            changes.filter(col("_change_type") === "delete")
+              .select(col(idCol).as("neighbor_id")).distinct(),
+            changes.filter(col("_change_type") === "insert")
+              .drop("_change_type")))
+        } catch { case _: Exception => None }
+      net match {
+        case Some((deletedIds, inserted)) =>
+          val ct = codesTable(table, vecCol)
+          if (!deletedIds.isEmpty) { cat.deleteKeysMOR(ct, deletedIds, branch); () }
+          val delta = normalized(inserted, idCol, vecCol)
+          if (!delta.isEmpty) {
+            val (cents, codec) = loadCodec(cat, table, vecCol, branch)
+            cat.append(ct,
+              roundTripped(Similarity.encodeAgainst(delta, cents, codec, params.residual)),
+              branch)
+            ()
+          }
+          cat.setTableProperties(table, Map(snapshotKey(vecCol) -> headId), branch)
+          "net"
+        case None =>
+          build(spark, cat, table, idCol, vecCol, params, branch)
+          "full"
+      }
     }
   }
 

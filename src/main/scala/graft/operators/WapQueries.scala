@@ -1313,6 +1313,69 @@ object WapQueries {
     }
   }
 
+  /** W57 made CORRECTNESS-visible (r14): two co-bucketed, SORT-COMPACTED
+    * tables (one sorted file per bucket — the layout
+    * compactDataFilesSorted stamps) sort-merge join with NEITHER an
+    * exchange NOR a sort on either side: storage partitioning supplies
+    * co-location (W45) and the reported per-partition ordering
+    * (SupportsReportOrdering) supplies the SMJ's order, so the 100 TB
+    * fact-fact join is fully pipelined — zero shuffle bytes, zero sort
+    * memory. Gates pin the plan (an SMJ, no ShuffleExchange, no Sort);
+    * the oracle hashes the join content. */
+  def wapSpjSorted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val tmp = Files.createTempDirectory("graft-wap-spjsort").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val spec = graft.wap.PartitionSpec.parse("bucket(8,doc_id)")
+    def mk(table: String, df: DataFrame): Unit = {
+      cat.createTableIfNotExists(table, df.schema, spec = Some(spec))
+      cat.appendPartitioned(table, df.filter(col("doc_id") % 2 === 0), spec)
+      cat.appendPartitioned(table, df.filter(col("doc_id") % 2 =!= 0), spec)
+      cat.compactDataFilesSorted(table, Seq("doc_id"))
+      ()
+    }
+    mk("a", docs.select("doc_id", "n_chars"))
+    mk("b", docs.select("doc_id", "lang"))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+
+    val saved = Seq("spark.graft.sql.lowering",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val join = spark.sql(
+        s"SELECT a.doc_id, a.n_chars, b.lang FROM $lake.main.a a " +
+          s"JOIN $lake.main.b b ON a.doc_id = b.doc_id")
+      val plan = join.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val isSmj = plan.collect { case j: SortMergeJoinExec => j }.nonEmpty
+      val shuffleFree = plan.collect { case s: ShuffleExchangeLike => s }.isEmpty
+      val sortFree = plan.collect { case s: SortExec => s }.isEmpty
+      join.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+        .select(col("n_rows"), col("sum_chars"), col("n_langs"),
+          lit(isSmj).as("is_sort_merge_join"),
+          lit(shuffleFree).as("shuffle_free"),
+          lit(sortFree).as("sort_free"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Incremental snapshot-window reads through the SQL connector (W46):
     * `spark.read.option("graft.changes.from", id)` serves the append
     * delta since a consumer's last snapshot — the SQL/DataFrame surface

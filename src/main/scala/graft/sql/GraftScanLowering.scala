@@ -428,10 +428,15 @@ object GraftScanLowering {
     * self-referencing statement may hold an equal-looking read relation
     * that SHOULD lower. */
   private[sql] def commandTargets(plan: LogicalPlan): Seq[LogicalPlan] = plan.collect {
-    case d: DeleteFromTable => d.table
-    case u: UpdateTable => u.table
-    case m: MergeIntoTable => m.targetTable
-  }
+    case d: DeleteFromTable => Seq(d.table)
+    case u: UpdateTable => Seq(u.table)
+    case m: MergeIntoTable => Seq(m.targetTable)
+    // ADD CONSTRAINT's validation scan must stay a DSv2 relation: the
+    // strategy plans AddCheckConstraint(PhysicalOperation(..., v2 scan))
+    // and has no case for a lowered parquet child
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      a.child.collect { case r: DataSourceV2Relation => r }
+  }.flatten
 
   /** The conjuncts of `cond` a detached DataFrame filter can express:
     * deterministic, subquery-free ones, with attribute references

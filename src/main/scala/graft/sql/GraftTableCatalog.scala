@@ -75,7 +75,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      // ALTER TABLE ... ADD/DROP CONSTRAINT lowers onto the W70
+      // `graft.constraint.<name>` properties (Delta's CHECK surface)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -391,11 +395,45 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           .orElse(Option(d.newDefaultValue())).map(_.trim).filter(_.nonEmpty)
         d.fieldNames().head -> sql
     }
+    // `ALTER TABLE ... ADD CONSTRAINT n CHECK (expr)` / `DROP CONSTRAINT`
+    // — the SQL surface of W70: lowered onto `graft.constraint.<name>`
+    // properties. Spark's AddCheckConstraintExec has ALREADY validated
+    // existing rows against the predicate before calling here (its scan
+    // is why GraftScanLowering protects the AddCheckConstraint subtree);
+    // every later write then enforces the stored constraint row-level,
+    // so NOT ENFORCED is refused rather than recorded-and-ignored.
+    val constraintProps: Map[String, String] = changes.collect {
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.enforced(),
+            s"graft CHECK constraints are always enforced; drop NOT ENFORCED " +
+              s"from ${c.name()} or do not add it")
+          val sql = Option(c.predicateSql()).map(_.trim).filter(_.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"CHECK constraint ${c.name()} carries no predicate SQL"))
+          val key = graft.wap.BranchCatalog.ConstraintPrefix + c.name()
+          if (cat.tableProperties(name, branch).contains(key))
+            throw new IllegalArgumentException(
+              s"constraint ${c.name()} already exists on $name — DROP it first")
+          key -> sql
+        case other => throw new UnsupportedOperationException(
+          s"graft enforces CHECK constraints only (informational " +
+            s"PRIMARY KEY/UNIQUE/FOREIGN KEY are not recorded): ${other.toDDL}")
+      }
+      case drop: TableChange.DropConstraint =>
+        val key = graft.wap.BranchCatalog.ConstraintPrefix + drop.name()
+        if (!cat.tableProperties(name, branch).contains(key) && !drop.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint ${drop.name()} on $name")
+        key -> "" // empty = unset
+    }.toMap
     val schemaChanges = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
+        c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])
     require(renames.isEmpty || schemaChanges.isEmpty,
       "RENAME COLUMN cannot be combined with other schema changes in one ALTER")
     // defaults riding ADD COLUMN become the column's INITIAL + write
@@ -441,6 +479,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     renames.foreach(r => cat.renameColumn(name, r.fieldNames().head, r.newName(), branch))
     defaultChanges.foreach { case (c, sql) => cat.setColumnDefault(name, c, sql, branch) }
     if (propChanges.nonEmpty) cat.setTableProperties(name, propChanges, branch)
+    // parse + column binding re-validate inside setTableProperties, so a
+    // refusal names the constraint either way
+    if (constraintProps.nonEmpty) cat.setTableProperties(name, constraintProps, branch)
     loadTable(ident)
   }
 
@@ -683,6 +724,19 @@ case class GraftTable(
   override def properties(): util.Map[String, String] =
     (storedProps ++
       Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId)).asJava
+
+  /** Report W70 CHECK constraints through the DSv2 surface so
+    * `DESCRIBE TABLE EXTENDED` lists them and the analyzer sees
+    * duplicate names at ADD CONSTRAINT time. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    storedProps.toSeq.collect {
+      case (k, v) if k.startsWith(graft.wap.BranchCatalog.ConstraintPrefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(graft.wap.BranchCatalog.ConstraintPrefix))
+          .predicateSql(v).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.sortBy(_.name()).toArray
 
   /** The catalog's native scan of this pinned snapshot: tiered manifest
     * planning + footer-stats pruning on `filter`, MOR tombstone

@@ -55,7 +55,7 @@ class DedupIndexSpec extends SparkSpecBase {
     assert((0L until 20L).forall(i => served.contains((i, i + 5000))))
   }
 
-  test("refresh signs only the delta; old band rows are untouched; deletes force full") {
+  test("refresh signs only the delta; old band rows are untouched; a delete window refreshes NET, not full") {
     val cat = freshCat()
     cat.createTableIfNotExists("documents", docs(0, 1).schema)
     cat.append("documents", docs(0, 200))
@@ -72,10 +72,46 @@ class DedupIndexSpec extends SparkSpecBase {
     // pre-existing rows byte-identical (delta-only signing appended)
     assert(cat.scan(bandsT).filter(col("id") < 200).collect().toSet == before)
 
+    // a delete no longer re-signs the corpus: ONE equality tombstone
+    // suppresses the deleted ids' band rows, nothing is re-signed
+    val corpusSnapBefore = cat.snapshotIdOf(bandsT).get
     cat.deleteWhere("documents", col("doc_id") < 10)
-    assert(DedupIndex.refresh(spark, cat, "documents", "text") == "full")
+    assert(DedupIndex.refresh(spark, cat, "documents", "text") == "net")
     assert(cat.scan(bandsT).count() == 240L * params.bands)
     assert(cat.scan(bandsT).filter(col("id") < 10).count() == 0L)
+    // surviving rows still byte-identical — a full rebuild would have
+    // rewritten every band row; the net refresh only tombstoned
+    val survivors = before.filter(_.getLong(0) >= 10)
+    assert(cat.scan(bandsT).filter(col("id") < 200).collect().toSet == survivors)
+    assert(cat.snapshotMeta(bandsT, cat.snapshotIdOf(bandsT).get)
+      .deleteManifests.nonEmpty, "the suppression is a MOR tombstone")
+    assert(corpusSnapBefore != cat.snapshotIdOf(bandsT).get)
+  }
+
+  test("net refresh after a delete serves pairs identical to the batch operator") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("documents", docs(0, 1).schema)
+    cat.append("documents", docs(0, 300))
+    DedupIndex.build(spark, cat, "documents", "doc_id", "text")
+    // churn: delete a slice, append fresh docs, then refresh NET
+    cat.deleteWhere("documents", col("doc_id") >= 100 && col("doc_id") < 150)
+    cat.append("documents", docs(300, 350))
+    assert(DedupIndex.refresh(spark, cat, "documents", "text") == "net")
+
+    val batch = docs(350, 400).unionByName(copies(20, 9000))
+    val served = pairSet(
+      DedupIndex.pairsAgainst(spark, cat, "documents", "text", batch))
+    val live = docs(0, 300).filter(!(col("doc_id") >= 100 && col("doc_id") < 150))
+      .unionByName(docs(300, 350))
+    val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val reference = pairSet(
+      Dedup.minhashPairs(live.unionByName(batch), "doc_id", "text"))
+      .filter { case (a, b) => batchIds.contains(a) || batchIds.contains(b) }
+    assert(served == reference, s"served ${served.size} vs batch ${reference.size}")
+    // deleted docs never surface as pair endpoints
+    assert(!served.exists { case (a, b) =>
+      (a >= 100 && a < 150) || (b >= 100 && b < 150) })
+    assert((0L until 20L).forall(i => served.contains((i, i + 9000))))
   }
 
   test("pairsSinceWatermark dedups the un-indexed ingest window") {

@@ -84,16 +84,42 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
-  test("a delete breaks the append-only window: refresh rebuilds fully") {
+  test("a delete window refreshes NET: codes tombstoned, nothing re-encoded, recall floor holds") {
     val root = freshRoot()
     val cat = mkLake(root, 100, 300)
     VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
-    cat.deleteWhere("emb", col("vec_id") >= 250)
-    assert(VectorIndex.refresh(spark, cat, "emb", "embedding") == "full")
     val codesT = VectorIndex.codesTable("emb", "embedding")
+    val codeFilesBefore = cat.dataFiles(codesT).map(_.path).toSet
+
+    cat.deleteWhere("emb", col("vec_id") >= 250)
+    cat.append("emb", emb(300, 350)) // churn: delete + fresh appends
+    assert(VectorIndex.refresh(spark, cat, "emb", "embedding") == "net")
     assert(cat.scan(codesT).count() == cat.scan("emb").count())
-    // deleted ids are gone from the rebuilt index
-    assert(cat.scan(codesT).filter(col("neighbor_id") >= 250).count() == 0L)
+    // deleted ids are suppressed, not rewritten: the original code files
+    // survive and a MOR tombstone carries the removal
+    assert(cat.scan(codesT).filter(col("neighbor_id") >= 250 &&
+      col("neighbor_id") < 300).count() == 0L)
+    assert(codeFilesBefore.subsetOf(cat.dataFiles(codesT).map(_.path).toSet),
+      "net refresh must not rewrite existing code files")
+    assert(cat.snapshotMeta(codesT, cat.snapshotIdOf(codesT).get)
+      .deleteManifests.nonEmpty, "the suppression is a MOR tombstone")
+
+    // the served index never returns a deleted id, and recall against
+    // brute force holds on the live corpus
+    val queries = emb(0, 10)
+    val idx = VectorIndex.load(spark, cat, "emb", "embedding")
+    val got = Similarity.ivfTopKPQ(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8, candidateFactor = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(!got.exists { case (_, nb) => nb >= 250 && nb < 300 })
+    val brute = Similarity.bruteForceTopK(cat.scan("emb"), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"post-churn recall floor: $recall")
   }
 
   test("a fresh catalog handle serves queries from the stored artifact; recall holds") {

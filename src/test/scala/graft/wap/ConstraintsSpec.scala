@@ -144,4 +144,53 @@ class ConstraintsSpec extends SparkSpecBase {
       s"INSERT INTO $name.main.t SELECT doc_id, lang, -n_chars AS n_chars FROM constr_src WHERE doc_id < 5"))
     assert(spark.sql(s"SELECT count(*) FROM $name.main.t").head.getLong(0) == 30L)
   }
+
+  test("ANSI DDL: ADD CONSTRAINT validates existing rows then enforces; DROP CONSTRAINT lifts it") {
+    n += 1
+    val name = s"constrddl$n"
+    val root = Files.createTempDirectory("constr-ddl").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.write.main", "true")
+    val cat = new BranchCatalog(spark, root)
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 30))
+
+    // existing rows violate -> the ADD refuses, nothing is recorded
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name.main.t ADD CONSTRAINT big_docs CHECK (n_chars > 100000)"))
+    assert(e1.getMessage.contains("violated by existing data"),
+      s"Spark's own validation scan must refuse the ADD: ${e1.getMessage}")
+    assert(!cat.tableProperties("t").contains("graft.constraint.big_docs"))
+
+    // clean ADD: recorded under the W70 property, enforced on writes,
+    // visible through DESCRIBE and refused as a duplicate name
+    spark.sql(s"ALTER TABLE $name.main.t ADD CONSTRAINT chars_pos CHECK (n_chars >= 0)")
+    assert(cat.tableProperties("t").get("graft.constraint.chars_pos")
+      .contains("n_chars >= 0"))
+    val bad = docs(30, 40).withColumn("n_chars", lit(-1L))
+    val e2 = intercept[Exception](cat.append("t", bad))
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('|'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(e2).contains("chars_pos"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $name.main.t ADD CONSTRAINT chars_pos CHECK (n_chars >= 1)"))
+    // unknown column refuses with the constraint's name
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name.main.t ADD CONSTRAINT ghost CHECK (no_such > 0)"))
+    assert(msgs(e3).contains("ghost") || msgs(e3).contains("no_such"))
+
+    // DROP lifts enforcement; IF EXISTS tolerates absence, bare DROP refuses
+    spark.sql(s"ALTER TABLE $name.main.t DROP CONSTRAINT chars_pos")
+    assert(!cat.tableProperties("t").contains("graft.constraint.chars_pos"))
+    cat.append("t", bad) // no longer enforced
+    assert(cat.scan("t").count() == 40L)
+    spark.sql(s"ALTER TABLE $name.main.t DROP CONSTRAINT IF EXISTS chars_pos")
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name.main.t DROP CONSTRAINT chars_pos"))
+    assert(msgs(e4).contains("chars_pos"))
+  }
 }
