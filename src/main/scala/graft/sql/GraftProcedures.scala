@@ -47,7 +47,7 @@ object GraftProcedures {
       "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
-      "add_partition_field", "drop_partition_field", "add_files",
+      "add_partition_field", "drop_partition_field", "add_files", "snapshot_table",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
@@ -294,6 +294,16 @@ object GraftProcedures {
         param("location", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.addDataFiles(args.getString(0), args.getString(1), args.getString(2))
+        ()
+      }
+    case "snapshot_table" =>
+      // one-call adoption (Iceberg snapshot/migrate): infer the schema
+      // from one footer, create the table, register the files in place
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("location", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.snapshotTable(args.getString(0), args.getString(1), args.getString(2))
         ()
       }
     case "export_snapshot" =>

@@ -1422,6 +1422,41 @@ class BranchCatalog(
     * directory names are NOT parsed — partition columns must be
     * present in the files themselves (values live in data, transform
     * values re-derive from stats). */
+  /** One-call table ADOPTION (Iceberg's `snapshot`/`migrate` procedures
+    * composed from [[addDataFiles]]): create `table` with the schema of
+    * the parquet under `location` — read from ONE footer, no data IO —
+    * then register every file in place. The result is a fully governed
+    * lake table (branches, time travel, DML, audits) over data that was
+    * never copied; the source directory keeps working for whatever
+    * wrote it (graft never owns imported files — see addDataFiles). */
+  def snapshotTable(table: String, location: String,
+      branch: String = "main"): AddFilesResult = {
+    require(!tableExists(table, branch),
+      s"$table already exists on $branch — add_files imports into existing tables")
+    val locPath = new Path(location)
+    require(fs.exists(locPath), s"snapshot_table location not found: $location")
+    def firstParquet(st: org.apache.hadoop.fs.FileStatus): Option[Path] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .filterNot(c => c.getPath.getName.startsWith("_") ||
+            c.getPath.getName.startsWith("."))
+          .iterator.flatMap(firstParquet).nextOption()
+      else Option(st.getPath).filter(_.getName.endsWith(".parquet"))
+    val probe = firstParquet(fs.getFileStatus(locPath)).getOrElse(
+      sys.error(s"no parquet files under $location"))
+    val schema = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+        fs.getFileStatus(probe), spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try org.apache.spark.sql.graft.Bridge.parquetFooterSchema(
+        reader.getFooter.getFileMetaData, spark.sparkContext.hadoopConfiguration)
+      finally reader.close()
+    }
+    createTableIfNotExists(table, schema, branch)
+    try addDataFiles(table, location, branch)
+    catch { case e: Throwable => dropTable(table, branch); throw e }
+  }
+
   def addDataFiles(table: String, location: String,
       branch: String = "main"): AddFilesResult = {
     import org.apache.spark.sql.functions.{col => fcol}

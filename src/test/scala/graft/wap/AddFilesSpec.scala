@@ -246,6 +246,36 @@ class AddFilesSpec extends SparkSpecBase {
       .contains(Seq(0L, 79L)), "rewrite restores exact serving")
   }
 
+  test("snapshotTable adopts an external directory as a new table in one call: schema from one footer, files in place, failure leaves nothing") {
+    val cat = freshCat()
+    val ext = freshDir("extsnap")
+    docs(0, 40).repartition(2).write.parquet(ext)
+    val res = cat.snapshotTable("adopted", ext)
+    assert(res.rowsAdded == 40L)
+    assert(ids(cat.scan("adopted")) == (0L until 40L))
+    val snap = cat.snapshotMeta("adopted", cat.snapshotIdOf("adopted").get)
+    assert(cat.filesOf(snap).forall(_.path.contains(ext)), "no byte copied")
+    // schema inferred from the footer matches what Spark wrote
+    assert(cat.scan("adopted").schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "n_chars"))
+    // the adopted table is fully governed: branch + DML + time travel
+    cat.createBranch("fix", "main")
+    cat.deleteWhere("adopted", col("doc_id") < 5, "fix")
+    assert(cat.scan("adopted", "fix").count() == 35L)
+    assert(cat.scan("adopted").count() == 40L)
+
+    // an existing table refuses; a failing adoption leaves NO table
+    intercept[IllegalArgumentException](cat.snapshotTable("adopted", ext))
+    val extBad = freshDir("extsnapbad")
+    docs(0, 5).coalesce(1).write.parquet(extBad)
+    cat.createTableIfNotExists("t2", docs(0, 1).schema)
+    cat.append("t2", docs(0, 10))
+    val owned = cat.filesOf(cat.snapshotMeta("t2", cat.snapshotIdOf("t2").get)).head.path
+    intercept[Exception](cat.snapshotTable("bad",
+      new org.apache.hadoop.fs.Path(owned).getParent.toString)) // catalog root
+    assert(!cat.tableExists("bad"), "failed adoption must drop the created shell")
+  }
+
   test("publish refuses to merge one side's rename residue with the other side's id-less imports") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
