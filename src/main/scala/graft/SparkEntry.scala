@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (PipelineQueries.dedupExactNorm _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
     "dedup_cluster" -> (PipelineQueries.dedupCluster _),
+    "dedup_cluster_best" -> (PipelineQueries.dedupClusterBest _),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
@@ -261,7 +262,7 @@ object SparkEntry {
     "wap_add_files" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 200) AS n_langs, (SELECT count(*) FROM documents WHERE doc_id >= 120 AND doc_id < 200) AS rows_imported, true AS in_place, true AS dup_refused, true AS pruned, true AS meta_exact_refused, true AS meta_count_served, true AS exact_after_rewrite""",
     "wap_pos_delete" ->
-      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars % 7 = 0) AS rows_pos_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS rows_meta_deleted, true AS zero_rewrites, true AS meta_dropped, true AS reappend_visible, true AS materialized_clean""",
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars % 7 = 0) AS rows_pos_deleted, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS rows_meta_deleted, true AS zero_rewrites, true AS meta_dropped, true AS reappend_visible, true AS folded_one_epoch, true AS materialized_clean""",
     "wap_mor_upsert" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 205) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN (doc_id >= 90 AND doc_id < 110) OR (doc_id >= 200 AND doc_id < 205) THEN 5000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 205) AS sum_chars, true AS zero_data_rewrites""",
     "wap_zorder" ->
@@ -385,7 +386,7 @@ object SparkEntry {
     "text_check_decontaminate" ->
       """SELECT count(*) AS n_docs, CAST(5 AS BIGINT) AS seeds_flagged, true AS exact_dups_flagged_ok FROM documents""",
     "dedup_check_cluster" ->
-      """SELECT count(*) AS n_docs, true AS fixpoint_ok, true AS labels_minimal_ok, true AS survivors_ok FROM documents""",
+      """SELECT count(*) AS n_docs, true AS fixpoint_ok, true AS labels_minimal_ok, true AS survivors_ok, true AS best_survivors_ok FROM documents""",
     "dedup_index_check" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 400) AS n_indexed, (SELECT count(*) FROM documents WHERE doc_id >= 400 AND doc_id < 500) + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_batch, (SELECT count(*) FROM documents WHERE doc_id < 500) * 16 AS band_rows, true AS pairs_match_batch, true AS planted_recovered, true AS incremental_mode, true AS fresh_noop, true AS net_refresh""",
     "dedup_check_pairs" ->

@@ -219,13 +219,33 @@ object CheckQueries {
       .agg(count(lit(1)).as("n_dropped"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
+    // r14: quality-aware survivor invariants — same component count, and
+    // every kept doc is its component's LONGEST member (ties -> min id),
+    // recomputed here independently via a per-component fold
+    val best = PipelineQueries.dedupClusterBest(spark, dir)
+      .select(col("doc_id").as("id"))
+    val q = docs.select(col("doc_id").as("id"), col("n_chars").as("__q"))
+    val compBest = labels.join(q, "id")
+      .groupBy(col("comp"))
+      .agg(max(struct(col("__q"), (-col("id")).as("__t"))).as("__b"))
+      .select(col("comp"), col("__b.__q").as("bq"), (-col("__b.__t")).as("bid"))
+    val clustered = labels.join(best, Seq("id"), "left_semi")
+      .join(compBest, "comp")
+    val bestChecks = clustered.agg(
+      sum(when(col("id") === col("bid"), 0L).otherwise(1L)).as("n_wrong_pick"),
+      count(lit(1)).as("n_clustered_kept"))
+    val bestCount = best.agg(count(lit(1)).as("n_best"))
+
     nDocs.crossJoin(splitEdges).crossJoin(minimal).crossJoin(roots)
       .crossJoin(survivors).crossJoin(dropped)
+      .crossJoin(bestChecks).crossJoin(bestCount)
       .select(
         col("n_docs"),
         (col("n_split") === 0).as("fixpoint_ok"),
         (col("n_above") === 0 && col("n_rootless") === 0).as("labels_minimal_ok"),
-        (col("n_survivors") + col("n_dropped") === col("n_docs")).as("survivors_ok"))
+        (col("n_survivors") + col("n_dropped") === col("n_docs")).as("survivors_ok"),
+        (col("n_best") === col("n_survivors") &&
+          col("n_wrong_pick") === 0).as("best_survivors_ok"))
   }
 
   /** Decontamination invariants: the seed "benchmark" docs (0-4) must

@@ -304,6 +304,30 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-level dedup keeping the BEST member of each component —
+    * quality-aware survivor selection (the FineWeb/Gopher pipeline rule:
+    * keep the highest-quality or longest doc of a near-dup cluster, not
+    * whichever happens to carry the smallest id). `quality` is any
+    * orderable Column over `df` (n_chars, a text-quality score, …);
+    * ties break to the smallest id so the choice is deterministic and
+    * partition-invariant. Same scale shape as [[clusterDedup]]: label
+    * propagation over ids-only pairs, one aggregate per component
+    * (`max_by` on the (quality, -id) struct — no window, no sort), one
+    * anti-join back to the corpus. */
+  def clusterDedupBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      quality: Column): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val ranked = labels.join(
+      df.select(col(idCol).as("id"), quality.as("__q")), "id")
+    val keep = ranked.groupBy(col("comp")).agg(
+      org.apache.spark.sql.functions.max_by(
+        col("id"), struct(col("__q"), (-col("id")).as("__tie"))).as("keep"))
+    val drop = labels.join(keep, "comp")
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-LSH dedup with cluster (connected-component) semantics. */
   def minhashLshClustered(
       df: DataFrame, idCol: String, textCol: String,

@@ -127,6 +127,19 @@ object PipelineQueries {
       docsPrepared(spark, dir), bands = 16, threshold = 0.8)
       .select(col("doc_id"))
 
+  /** Quality-aware cluster dedup (r14 — the FineWeb/Gopher survivor
+    * rule): one survivor per near-dup component, chosen as the LONGEST
+    * member (`n_chars`), ties to the smallest id. Gated by the
+    * `dedup_check_cluster` best-survivor invariants. */
+  def dedupClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.clusterDedupBest(docs, "doc_id",
+      Dedup.minhashPairs(docsPrepared(spark, dir), bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b")),
+      col("n_chars"))
+      .select(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard pairs at threshold 0.5 over LSH-blocked
     * candidates (narrow 32-band blocking for recall at the low threshold). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -452,6 +452,14 @@ object WapQueries {
     val zeroRewrites = res1.filesRewritten == 0 && res2.filesRewritten == 0 &&
       cat.dataFiles("documents").map(_.path).toSet.subsetOf(filesBefore)
     val metaDropped = res1.filesDropped == 0 && res2.filesDropped >= 1
+    // r14: the sidecar FOLD (rewrite_position_delete_files) collapses the
+    // two generations to ONE epoch, drops the metadata-deleted file's
+    // dangling positions, rewrites nothing, and the scan is unchanged
+    val preFold = cat.scan("documents").count()
+    val folded = cat.compactPositionDeletes("documents")
+    val foldedOneEpoch = folded.deleteManifests.size == 1 &&
+      cat.dataFiles("documents").map(_.path).toSet.subsetOf(filesBefore) &&
+      cat.scan("documents").count() == preFold
     // sequence semantics: the deleted rows, re-appended, are visible again
     cat.append("documents",
       docs.filter(col("n_chars") % 7 === 0 && col("doc_id") < 100))
@@ -469,6 +477,7 @@ object WapQueries {
         lit(zeroRewrites).as("zero_rewrites"),
         lit(metaDropped).as("meta_dropped"),
         lit(reappendVisible).as("reappend_visible"),
+        lit(foldedOneEpoch).as("folded_one_epoch"),
         lit(clean).as("materialized_clean"))
   }
 

@@ -47,7 +47,7 @@ object GraftProcedures {
       "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
-      "add_partition_field", "drop_partition_field", "add_files", "snapshot_table",
+      "add_partition_field", "drop_partition_field", "add_files", "snapshot_table", "rewrite_position_deletes",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
@@ -294,6 +294,16 @@ object GraftProcedures {
         param("location", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.addDataFiles(args.getString(0), args.getString(1), args.getString(2))
+        ()
+      }
+    case "rewrite_position_deletes" =>
+      // fold all pending position sidecars into one generation: dedup
+      // re-marked positions, drop dangling ones, one coverage epoch —
+      // bounded MoR read amplification without materializing
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.compactPositionDeletes(args.getString(0), args.getString(1))
         ()
       }
     case "snapshot_table" =>

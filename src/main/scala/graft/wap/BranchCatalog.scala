@@ -6661,6 +6661,68 @@ class BranchCatalog(
     committed
   }
 
+  /** Fold ALL pending POSITION-delete sidecars into ONE generation
+    * (Iceberg's `rewrite_position_delete_files`): a metadata+sidecar
+    * rewrite that never touches a data file. Long-running MoR tables
+    * accumulate one sidecar manifest per DML commit, and every scan
+    * anti-joins each coverage epoch separately — this folds them to one
+    * epoch, dedups re-marked `(path, pos)` pairs, and DROPS dangling
+    * positions whose data file is no longer live (metadata-deleted or
+    * rewritten), so MoR read amplification stays bounded without the
+    * full materialization `compactDataFiles` costs. Sound under the
+    * sequence rule because a position suppresses exactly one row of one
+    * immutable path: widening coverage to the new commit's sequence
+    * cannot catch a later-appended file (fresh UUID paths; add_files
+    * refuses re-registration). Equality tombstones refuse — convert
+    * first (W76). */
+  def compactPositionDeletes(table: String, branch: String = "main"): Snapshot = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
+    val cur = loadSnapshot(table, curId)
+    require(cur.deleteManifests.forall(_.posDelete),
+      s"$table@$branch has pending EQUALITY tombstones — CALL " +
+        "convert_equality_deletes first (position sidecars fold, equality keys do not)")
+    if (cur.deleteManifests.isEmpty) return cur
+    val sidecarPaths = cur.deleteManifests.flatMap(m => readManifest(m.path)).map(_.path)
+    import spark.implicits._
+    // live-path side stays a distributed manifest-entry frame above the
+    // threshold; sidecar paths come from _metadata.file_path (URI form)
+    // while manifests store bare paths — normalize both (barePath, the
+    // same rule every sidecar consumer applies)
+    val liveDf =
+      (if (cur.manifests.map(_.fileCount).sum > distributedMetaThreshold)
+        manifestEntries(cur).select(fcol("path"))
+      else filesOf(cur).map(_.path).toDF("path"))
+        .select(barePath(fcol("path")).as("__live"))
+    val folded = spark.read.schema(BranchCatalog.posDeleteSchema)
+      .parquet(sidecarPaths: _*)
+      .dropDuplicates(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol)
+      .join(liveDf,
+        barePath(fcol(BranchCatalog.PosPathCol)) === fcol("__live"), "left_semi")
+    val posFiles = writeDataFiles(table, folded, Map.empty).filter(_.rows > 0)
+    val newSeq = cur.seq + 1
+    val posManifest =
+      if (posFiles.isEmpty) None
+      else Some(writeManifest(table, posFiles, BranchCatalog.posDeleteSchema)
+        .copy(asOf = Some(curId), seq = newSeq,
+          keyCols = Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+          posDelete = true))
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during position-delete compaction")
+      committed = Snapshot(newId(), Some(curId), cur.manifests, cur.schemaDdl,
+        System.currentTimeMillis(), cur.partitionSpec,
+        deleteManifests = posManifest.toSeq, seq = newSeq,
+        evo = cur.evo, op = "compact-pos-deletes", lin = cur.lin)
+      writeSnapshot(table, committed)
+      refs.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
   /** Small-file compaction: rewrite table@branch's data into `targetFiles`
     * larger files (streaming ingest leaves one small file per micro-batch;
     * at scale a reader pays per-file open cost). The new snapshot REPLACES
@@ -6934,7 +6996,19 @@ class BranchCatalog(
       // zero rewrites) instead of the full compactDataFiles rewrite; if
       // the stack is pure-positional the rewrite is the only remedy
       val mode = props.getOrElse("graft.maintain.tombstones.mode", "materialize").trim
-      if (mode == "convert" && head0.deleteManifests.exists(!_.posDelete)) {
+      if (mode == "fold") {
+        // `fold`: stay merge-on-read forever — equality generations
+        // convert to positional (W76), then ALL sidecar generations fold
+        // to ONE epoch (rewrite_position_delete_files); no data rewrite
+        // at any table size, and the bound is always cleared (<= 1 left)
+        if (head0.deleteManifests.exists(!_.posDelete)) {
+          convertTombstonesToPositional(table, branch)
+          ()
+        }
+        val f = compactPositionDeletes(table, branch)
+        out += "fold-pos-deletes" ->
+          s"${head0.deleteManifests.size} generations -> ${f.deleteManifests.size} epoch(s)"
+      } else if (mode == "convert" && head0.deleteManifests.exists(!_.posDelete)) {
         val c = convertTombstonesToPositional(table, branch)
         out += "convert-tombstones" ->
           s"${head0.deleteManifests.size} generations -> ${c.deleteManifests.size} sidecars"

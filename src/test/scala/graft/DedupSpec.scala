@@ -163,6 +163,25 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors == docs.map(_._1).toSet -- expectedDropped)
   }
 
+  test("clusterDedupBest keeps each component's highest-quality member, ties to min id") {
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "b", 99L), (3L, "c", 99L), // one comp: 2 and 3 tie on quality
+      (10L, "d", 5L), (11L, "e", 50L),                // one comp: 11 wins outright
+      (50L, "f", 1L)                                  // singleton survives
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val best = Dedup.clusterDedupBest(corpus, "doc_id", pairs, col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 11L, 50L),
+      s"quality argmax with min-id tiebreak: got $best")
+    // min-id semantics would have kept {1, 10, 50} — the rules differ
+    val minId = Dedup.clusterDedup(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 50L))
+    // component count preserved: one survivor per component either way
+    assert(best.size == minId.size)
+  }
+
   test("containmentPairs catches doc-inside-doc pairs that jaccard under-scores") {
     // B = A + 60% more text: containment(A,B) = 1.0, jaccard ~ 0.62
     val base = docs.take(6).map(_._2)

@@ -200,6 +200,30 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 97)
   }
 
+  test("tombstones.mode=fold stays merge-on-read forever: generations collapse to one epoch, zero rewrites") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.setTableProperties("t", Map(
+      "graft.maintain.tombstones.max" -> "3",
+      "graft.maintain.tombstones.mode" -> "fold"))
+    import spark.implicits._
+    cat.deleteWherePositional("t", col("doc_id") < 3)
+    cat.deleteWherePositional("t", col("doc_id") >= 3 && col("doc_id") < 5)
+    cat.deleteKeysMOR("t", Seq(7L).toDF("doc_id")) // mixed stack
+    val filesBefore = cat.dataFiles("t").map(_.path).toSet
+    val log = cat.maintain("t")
+    assert(log.exists(_._1 == "fold-pos-deletes"), s"got $log")
+    assert(!log.exists(_._1 == "materialize"), s"fold must not rewrite: $log")
+    val head = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(head.deleteManifests.size == 1 && head.deleteManifests.forall(_.posDelete))
+    assert(cat.dataFiles("t").map(_.path).toSet == filesBefore,
+      "fold mode must not rewrite data")
+    assert(cat.scan("t").count() == 94)
+    // a repeat sweep on the folded table is a no-op
+    assert(!cat.maintain("t").exists(_._1 == "fold-pos-deletes"))
+  }
+
   test("TTL retention: expired rows delete positionally, sweep is idempotent, ids survive") {
     val cat = freshCat()
     // epoch-millis long column: doc_id stands in as the event time

@@ -245,4 +245,54 @@ class PosDeleteSpec extends SparkSpecBase {
       cat.updateWherePositional("t", col("doc_id") < 5, Map("lang" -> lit("xx"))))
     assert(e.getMessage.contains("EQUALITY"))
   }
+
+  test("compactPositionDeletes folds generations to ONE epoch: same scan, deduped positions, dangling dropped, no data rewrite") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.append("t", docs(100, 200))
+    // three sidecar generations + one metadata-only full-file drop
+    cat.deleteWherePositional("t", col("n_chars") % 7 === 0)
+    cat.deleteWherePositional("t", col("n_chars") % 5 === 0)
+    cat.deleteWherePositional("t", col("doc_id") >= 100) // drops file 2 meta-only
+    val before = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(before.deleteManifests.size >= 2, "need several generations to fold")
+    val dataBefore = dataPaths(cat, "t")
+    val expect = docs(0, 100)
+      .filter(col("n_chars") % 7 =!= 0 && col("n_chars") % 5 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val snap = cat.compactPositionDeletes("t")
+    assert(snap.op == "compact-pos-deletes")
+    assert(snap.deleteManifests.size == 1, "ONE coverage epoch after the fold")
+    assert(dataPaths(cat, "t") == dataBefore, "no data file rewritten")
+    assert(cat.scan("t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == expect, "scan identical through the fold")
+    // folded sidecars hold each surviving position ONCE and no dangling
+    // positions for the metadata-dropped file
+    val sidecars = cat.filesOf(snap.copy(manifests = snap.deleteManifests))
+    val pos = spark.read.schema(BranchCatalog.posDeleteSchema)
+      .parquet(sidecars.map(_.path): _*)
+    assert(pos.count() == pos.dropDuplicates("__graft_path", "__graft_pos").count())
+    val liveBare = dataPaths(cat, "t").map(_.replaceFirst("^file:/{1,2}", "/"))
+    assert(pos.select("__graft_path").distinct().collect().map(_.getString(0))
+      .forall(p => liveBare.contains(p.replaceFirst("^file:/{1,2}", "/"))),
+      "dangling positions must be dropped")
+    // sequence soundness: rows appended AFTER the fold stay visible
+    cat.append("t", docs(100, 120))
+    assert(cat.scan("t").count() == expect.size + 20L)
+    // writes keep working on the folded table; a second fold is a no-op
+    cat.deleteWherePositional("t", col("doc_id") === expect.head)
+    assert(cat.scan("t").count() == expect.size + 19L)
+    val again = cat.compactPositionDeletes("t")
+    assert(again.deleteManifests.size == 1)
+    // equality tombstones refuse
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("t", docs(0, 1).schema)
+    cat2.append("t", docs(0, 50))
+    import spark.implicits._
+    cat2.deleteKeysMOR("t", Seq(1L).toDF("doc_id"))
+    val e2 = intercept[IllegalArgumentException](cat2.compactPositionDeletes("t"))
+    assert(e2.getMessage.contains("EQUALITY"))
+  }
 }
