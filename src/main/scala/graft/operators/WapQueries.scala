@@ -1385,6 +1385,55 @@ object WapQueries {
     }
   }
 
+  /** REPLACE TABLE AS SELECT (W85 — Iceberg RTAS, r14): one atomic
+    * commit swaps schema+layout+content while snapshot lineage survives.
+    * Gates: pre-replace history stays time-travelable, a constraint-
+    * violating replacement commits NOTHING, and the replaced table keeps
+    * taking writes under its new shape. Oracle: the final content in
+    * plain SQL. */
+  def wapReplace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-replace").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    val preId = cat.snapshotIdOf("documents").get
+    cat.setTableProperties("documents", Map(
+      BranchCatalog.ConstraintPrefix + "chars_pos" -> "n_chars >= 0"))
+    // two failed replaces commit NOTHING: one orphans the constraint
+    // (new schema lacks n_chars), one violates it row-level
+    val orphanRefused = (try { cat.replaceTable("documents",
+        docs.filter(col("doc_id") >= 100).select("doc_id", "lang")); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("chars_pos") })
+    val violatingRefused = (try { cat.replaceTable("documents",
+        docs.filter(col("doc_id") >= 100).withColumn("n_chars", lit(-5L))); false }
+      catch { case _: Exception => true })
+    val atomic = orphanRefused && violatingRefused &&
+      cat.scan("documents").count() == 100L &&
+      cat.snapshotIdOf("documents").contains(preId)
+
+    val snap = cat.replaceTable("documents",
+      docs.filter(col("doc_id") >= 100)
+        .withColumn("score", col("n_chars") * 2))
+    val schemaSwapped = cat.scan("documents").schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "score")
+    val lineageKept = snap.parentId.contains(preId) &&
+      cat.scanSnapshot("documents", preId).count() == 100L
+    // the replaced table keeps taking (validated) writes
+    cat.append("documents", docs.filter(col("doc_id") < 20)
+      .withColumn("score", col("n_chars") * 2))
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("score")).cast("long").as("sum_score"),
+      countDistinct(col("lang")).as("n_langs"))
+      .select(col("n_rows"), col("sum_score"), col("n_langs"),
+        lit(atomic).as("atomic_failure"),
+        lit(schemaSwapped).as("schema_swapped"),
+        lit(lineageKept).as("lineage_kept"))
+  }
+
   /** Incremental snapshot-window reads through the SQL connector (W46):
     * `spark.read.option("graft.changes.from", id)` serves the append
     * delta since a consumer's last snapshot — the SQL/DataFrame surface

@@ -345,13 +345,34 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       if (spec.isEmpty) None else Some(graft.wap.PartitionSpec.formatMulti(spec)))
   }
 
-  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
-    throw new UnsupportedOperationException(
-      "graft has no REPLACE TABLE: write INSERT OVERWRITE on a branch and publish")
+  /** `REPLACE TABLE ... AS SELECT` (Iceberg RTAS): an atomic whole-table
+    * swap — schema, layout, content — that PRESERVES snapshot lineage
+    * (time travel reaches pre-replace history). Nothing commits until
+    * the write runs, same staging discipline as CTAS. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val (schema, defaults) = plainSchemaOf(info.columns())
+    require(defaults.isEmpty,
+      "staged REPLACE cannot declare column defaults — ALTER after the replace")
+    val branch = branchOf(ident.namespace())
+    if (!cat.tableExists(ident.name(), branch))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName, branch, ident.name()))
+    val spec = GraftTableCatalog.specOfTransforms(info.partitions(), schema)
+    GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed,
+      if (spec.isEmpty) None else Some(graft.wap.PartitionSpec.formatMulti(spec)),
+      mode = GraftStagedTable.Replace)
+  }
 
-  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
-    throw new UnsupportedOperationException(
-      "graft has no CREATE OR REPLACE TABLE: write INSERT OVERWRITE on a branch and publish")
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val (schema, defaults) = plainSchemaOf(info.columns())
+    require(defaults.isEmpty,
+      "staged CREATE OR REPLACE cannot declare column defaults")
+    val branch = branchOf(ident.namespace())
+    val spec = GraftTableCatalog.specOfTransforms(info.partitions(), schema)
+    GraftStagedTable(root, branch, ident.name(), schema, mainWritesAllowed,
+      if (spec.isEmpty) None else Some(graft.wap.PartitionSpec.formatMulti(spec)),
+      mode = GraftStagedTable.CreateOrReplace)
+  }
 
   /** `ALTER TABLE ... ADD COLUMN` (nullable, top-level) and
     * `ALTER COLUMN ... TYPE` (lossless widenings) — both lower onto
@@ -1020,7 +1041,8 @@ case class GraftView(viewName: String, d: graft.wap.ViewDef) extends View {
 case class GraftStagedTable(
     root: String, branch: String, tableName: String,
     tableSchema: StructType, mainWritesAllowed: Boolean,
-    partitionSpecFmt: Option[String] = None)
+    partitionSpecFmt: Option[String] = None,
+    mode: GraftStagedTable.Mode = GraftStagedTable.Create)
   extends StagedTable with SupportsWrite {
 
   @volatile private var created = false
@@ -1048,12 +1070,24 @@ case class GraftStagedTable(
                   "publish, or set spark.sql.catalog.<name>.write.main=true)")
               val cat = new BranchCatalog(data.sparkSession, root)
               val specs = partitionSpecFmt.toSeq.flatMap(graft.wap.PartitionSpec.parseMulti)
-              created = cat.createTableIfNotExists(tableName, tableSchema, branch, specs)
-              if (!created) throw new org.apache.spark.sql.catalyst.analysis
-                .TableAlreadyExistsException(Array(branch, tableName))
-              specs match {
-                case Seq() => cat.append(tableName, data, branch)
-                case ps => cat.appendPartitioned(tableName, data, ps, branch)
+              val replace = mode match {
+                case GraftStagedTable.Replace => true
+                case GraftStagedTable.CreateOrReplace =>
+                  cat.tableExists(tableName, branch)
+                case GraftStagedTable.Create => false
+              }
+              if (replace) {
+                // RTAS: one atomic lineage-preserving swap (W85)
+                cat.replaceTable(tableName, data, branch, specs)
+                ()
+              } else {
+                created = cat.createTableIfNotExists(tableName, tableSchema, branch, specs)
+                if (!created) throw new org.apache.spark.sql.catalyst.analysis
+                  .TableAlreadyExistsException(Array(branch, tableName))
+                specs match {
+                  case Seq() => cat.append(tableName, data, branch)
+                  case ps => cat.appendPartitioned(tableName, data, ps, branch)
+                }
               }
               ()
             }
@@ -1069,7 +1103,14 @@ case class GraftStagedTable(
     if (created) {
       new BranchCatalog(SparkSession.active, root).dropTable(tableName, branch)
       ()
-    }
+    } // a failed REPLACE committed nothing: replaceTable is one atomic swap
+}
+
+object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
 }
 
 private class GraftScanBuilder(

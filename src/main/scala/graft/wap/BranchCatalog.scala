@@ -2404,6 +2404,62 @@ class BranchCatalog(
     * snapshots for time travel until expiry, and pending MOR tombstones
     * are cleared (everything they covered is gone). Metadata cost is the
     * same O(batch) as [[append]]. */
+  /** REPLACE TABLE AS SELECT (Iceberg RTAS): one atomic commit swaps the
+    * table's ENTIRE definition — schema, layout, content — while the
+    * snapshot lineage survives (parent = the replaced head, so time
+    * travel and rollback reach pre-replace history; Iceberg semantics,
+    * unlike DROP+CREATE which severs it). Differences from [[overwrite]]
+    * (same content semantics, FIXED shape): REPLACE may change the
+    * schema and the partition spec. Field-id state re-seeds for the new
+    * schema; rename/idless residue clears (no old file survives);
+    * pending tombstones drop with the content; branch-versioned table
+    * PROPERTIES survive (they are governance, not content — drop the
+    * constraint explicitly if the new shape voids it; a constraint
+    * naming a column the new schema lacks refuses the replace). */
+  def replaceTable(table: String, df: DataFrame, branch: String = "main",
+      specs: Seq[PartitionSpec] = Nil): Snapshot = {
+    val curId = snapshotIdOf(table, branch).getOrElse(sys.error(
+      s"no table $table on $branch — REPLACE needs an existing table (use create)"))
+    val cur = loadSnapshot(table, curId)
+    tableProperties(table, branch).foreach { case (k, v) =>
+      if (k.startsWith(BranchCatalog.ConstraintPrefix))
+        spark.sessionState.sqlParser.parseExpression(v).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }.foreach(c => require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"REPLACE would orphan CHECK constraint ${k.stripPrefix(
+            BranchCatalog.ConstraintPrefix)} (references $c, absent from the new " +
+            "schema) — DROP the constraint first"))
+    }
+    val evo = SchemaEvo.forSchema(df.schema)
+    val fields = specs.zipWithIndex.map { case (sp, i) =>
+      PartitionSpec.SpecField(sp, i, active = true) }
+    specs.foreach(sp => require(df.schema.fieldNames.contains(sp.column),
+      s"partition column ${sp.column} not in the replacement schema"))
+    val checked = constraintGuard(df, table, branch)
+    val manifest = writeManifest(table,
+      writeTableFiles(table, checked, fields, ids = evo.fieldIds), df.schema)
+    var committed: Snapshot = null
+    commitRefs { refs =>
+      val b = refs.branches.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(b.tables.get(table).contains(curId),
+        s"concurrent commit on $table@$branch during replace")
+      val s = cur.seq + 1
+      // lineage-enabled tables keep tracking: every replaced row is an
+      // INSERT and draws a fresh id (the replaced rows' ids retire with
+      // their snapshot — reachable via time travel, never reused)
+      val (refs2, stamped, lin2) = stampLineage(refs, table, cur, s, Seq(manifest))
+      committed = Snapshot(newId(), Some(curId), stamped,
+        df.schema.toDDL, System.currentTimeMillis(),
+        if (specs.isEmpty) None else Some(PartitionSpec.formatMulti(specs)),
+        Nil, s, evo = evo, op = "replace", lin = lin2)
+      writeSnapshot(table, committed)
+      refs2.copy(branches = refs.branches.updated(branch,
+        b.copy(tables = b.tables.updated(table, committed.id))))
+    }
+    committed
+  }
+
   def overwrite(table: String, df: DataFrame, branch: String = "main"): Snapshot = {
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
