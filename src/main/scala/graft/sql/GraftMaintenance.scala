@@ -46,6 +46,16 @@ object GraftMaintenance {
         val mode = graft.operators.DedupIndex.refresh(spark, cat, table, tc, branch)
         if (mode != "fresh") acts += "refresh-dedup-index" -> s"$tc: $mode"
       }
+    // `graft.maintain.analyze=<col>[,<col>…]` (or `true` for defaults):
+    // keep NDV planner stats fresh — the incremental variant folds
+    // per-manifest HLL sketches and scans only manifests sketched for
+    // the first time, so a quiet table sweeps for metadata cost only
+    props.get("graft.maintain.analyze").foreach { v =>
+      val cols = if (v.trim == "true") Nil
+        else v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (_, n) = cat.analyzeTableIncremental(table, branch, cols)
+      if (n > 0) acts += "analyze" -> s"$n manifest(s) sketched"
+    }
     // W80: `graft.maintain.sum-stats=<col>[,<col>…]` (or `true` for every
     // integral column) keeps per-file sum sidecars fresh — only manifests
     // the last pass hasn't seen are summed, so a no-op costs metadata only

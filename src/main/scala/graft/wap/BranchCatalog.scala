@@ -842,7 +842,12 @@ class BranchCatalog(
   private def writePartitionedDataFiles(
       table: String, df: DataFrame, fields: Seq[PartitionSpec.SpecField],
       sortCols: Seq[String] = Nil,
-      ids: Map[String, Int] = Map.empty): Seq[DataFileMeta] = {
+      ids: Map[String, Int] = Map.empty,
+      /** Advisory within-task order ([[BranchCatalog.WriteOrderKey]]):
+        * tightens row-group stats WITHOUT forcing the one-file-per-value
+        * repartition contract `sortCols` implies — plain appends keep
+        * the AQE rebalance (skew still splits across files). */
+      advisoryOrder: Seq[String] = Nil): Seq[DataFileMeta] = {
     import org.apache.spark.sql.functions.col
     require(fields.nonEmpty && fields.forall(_.active),
       "partitioned write needs at least one ACTIVE transform")
@@ -877,7 +882,11 @@ class BranchCatalog(
     // per-value layout is the contract [[Snapshot.sortWithinPartitions]]
     // (and the W57 exchange-free SMJ ordering report) depends on.
     val arranged =
-      if (sortCols.isEmpty) withPv.hint("rebalance", pvCols.map(col): _*)
+      if (sortCols.isEmpty) {
+        val re = withPv.hint("rebalance", pvCols.map(col): _*)
+        if (advisoryOrder.isEmpty) re
+        else re.sortWithinPartitions((pvCols ++ advisoryOrder).map(col): _*)
+      }
       else withPv.repartition(pvCols.map(col): _*)
         // order rows INSIDE each partition-value group so parquet
         // row-group/page stats tighten on the sort keys (file-level
@@ -1334,6 +1343,19 @@ class BranchCatalog(
     * files (snapshot isolation). Metadata cost: one manifest (the new
     * files) + one snapshot (manifest list grows by 1 ref) — O(commit),
     * independent of table file count. */
+  /** The table's declared write sort order ([[BranchCatalog.WriteOrderKey]]),
+    * validated against `schema` — unknown columns refuse loudly at write
+    * time rather than silently skipping the sort. */
+  private def writeOrderOf(table: String, branch: String,
+      schema: StructType): Seq[String] = {
+    val cols = tableProperties(table, branch)
+      .getOrElse(BranchCatalog.WriteOrderKey, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"${BranchCatalog.WriteOrderKey} names unknown column $c of $table"))
+    cols
+  }
+
   def append(table: String, df: DataFrame, branch: String = "main",
       epochStamp: Option[(String, Long)] = None): Snapshot = {
     // validate/align BEFORE writing data: a mismatched batch must not
@@ -1357,7 +1379,12 @@ class BranchCatalog(
           writeDefaults = snap.evo.writeDefaults)
       case _ => df
     }
-    val newFiles = writeDataFiles(table, aligned,
+    val order = head.map(_ => writeOrderOf(table, branch, aligned.schema))
+      .getOrElse(Nil)
+    val arranged =
+      if (order.isEmpty) aligned
+      else aligned.sortWithinPartitions(order.map(org.apache.spark.sql.functions.col): _*)
+    val newFiles = writeDataFiles(table, arranged,
       head.map(_.evo.fieldIds).getOrElse(Map.empty))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
@@ -4950,7 +4977,9 @@ class BranchCatalog(
     }
     val specFmt = headFmt.getOrElse(PartitionSpec.formatMulti(specs))
     val newFiles = writePartitionedDataFiles(table, aligned, fields,
-      ids = head.map(_.evo.fieldIds).getOrElse(Map.empty))
+      ids = head.map(_.evo.fieldIds).getOrElse(Map.empty),
+      advisoryOrder = head.map(_ => writeOrderOf(table, branch, aligned.schema))
+        .getOrElse(Nil))
     val manifest = writeManifest(table, newFiles, aligned.schema)
     var committed: Snapshot = null
     commitRefs { refs =>
@@ -7647,6 +7676,16 @@ object BranchCatalog {
   /** TBLPROPERTIES key prefix for CHECK constraints: `graft.constraint.
     * <name> = <boolean SQL expression>` (see `constraintGuard`). */
   val ConstraintPrefix = "graft.constraint."
+
+  /** TBLPROPERTIES key declaring the table's WRITE sort order (Iceberg
+    * `WRITE ORDERED BY`): comma-separated columns every append sorts
+    * WITHIN each write task before writing (`sortWithinPartitions` — a
+    * local sort, no shuffle), so parquet row-group/page stats tighten on
+    * the declared keys and stats pruning bites on freshly ingested data
+    * instead of only after a sorted compaction. Advisory, not a global
+    * order: [[Snapshot.sortOrder]] (the top-k contract) is still only
+    * stamped by the compaction that can prove range disjointness. */
+  val WriteOrderKey = "graft.write.sort-order"
   /** Schema of one position-delete sidecar file. */
   val posDeleteSchema: StructType = StructType(Seq(
     StructField(PosPathCol, StringType), StructField(PosIdxCol, LongType)))

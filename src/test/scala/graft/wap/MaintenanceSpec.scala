@@ -224,6 +224,62 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(!cat.maintain("t").exists(_._1 == "fold-pos-deletes"))
   }
 
+  test("maintain.analyze keeps NDV sketches fresh incrementally; a quiet table sweeps for free") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 100))
+    cat.setTableProperties("t", Map("graft.maintain.analyze" -> "n_chars"))
+    def sweep(): Seq[(String, String)] =
+      graft.sql.GraftMaintenance.run(spark, cat, "t")
+    val log1 = sweep()
+    assert(log1.exists(_._1 == "analyze"), s"first sweep sketches: $log1")
+    val ndv = cat.columnStatsOf("t", cat.snapshotIdOf("t").get).getOrElse(Map.empty)
+    assert(ndv.contains("n_chars") && ndv("n_chars") > 0)
+    // quiet table: no new manifests, no work
+    assert(!sweep().exists(_._1 == "analyze"))
+    // a new commit re-sketches only ITS manifest
+    cat.append("t", docs(100, 150))
+    val log3 = sweep()
+    assert(log3.exists { case (a, d) => a == "analyze" && d.startsWith("1 manifest") },
+      s"incremental sweep sketches the one new manifest: $log3")
+  }
+
+  test("declared write sort-order: appends sort within tasks so each file is ordered; unknown column refuses") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.setTableProperties("t", Map("graft.write.sort-order" -> "n_chars"))
+    // deliberately unsorted input
+    cat.append("t", docs(0, 200).orderBy(rand(7)))
+    val files = cat.dataFiles("t")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.path)
+        .select("n_chars").collect().map(_.getLong(0)).toSeq
+      assert(vals == vals.sorted, s"file ${f.path} must be internally ordered")
+    }
+    assert(cat.scan("t").count() == 200L, "content unchanged by the local sort")
+
+    // hidden-partitioned table: order applies inside each value group,
+    // and plain appends keep the rebalance (no one-file-per-value claim)
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("p", docs(0, 1).schema, "main",
+      Some(BucketPartition(4, "doc_id"): PartitionSpec))
+    cat2.setTableProperties("p", Map("graft.write.sort-order" -> "n_chars"))
+    cat2.append("p", docs(0, 200).orderBy(rand(7)))
+    cat2.dataFiles("p").foreach { f =>
+      val vals = spark.read.parquet(f.path)
+        .select("n_chars").collect().map(_.getLong(0)).toSeq
+      assert(vals == vals.sorted)
+    }
+    assert(cat2.scan("p").count() == 200L)
+
+    val e = intercept[IllegalArgumentException] {
+      cat.setTableProperties("t", Map("graft.write.sort-order" -> "nope"))
+      cat.append("t", docs(200, 210))
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
   test("TTL retention: expired rows delete positionally, sweep is idempotent, ids survive") {
     val cat = freshCat()
     // epoch-millis long column: doc_id stands in as the event time
