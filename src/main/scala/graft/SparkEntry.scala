@@ -97,6 +97,7 @@ object SparkEntry {
     "wap_spj" -> (WapQueries.wapSpj _),
     "wap_spj_sorted" -> (WapQueries.wapSpjSorted _),
     "wap_replace" -> (WapQueries.wapReplace _),
+    "wap_generated" -> (WapQueries.wapGenerated _),
     "dq_null_audit" -> (WapQueries.dqNullAudit _),
     "dq_null_counts" -> (WapQueries.dqNullCounts _),
     "dq_suite" -> (WapQueries.dqSuite _),
@@ -304,6 +305,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS files_before, true AS pruned, true AS dpp_planned FROM documents WHERE doc_id < 64 AND doc_id % 16 = 3""",
     "wap_bloom" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id = 57) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id = 57) AS sum_chars, CAST(4 AS BIGINT) AS files_before, true AS point_pruned, true AS in_pruned, CAST(4 AS BIGINT) AS manifests_indexed""",
+    "wap_generated" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars // 1000) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_kchars, CAST(0 AS BIGINT) AS n_null, true AS mismatch_rejected""",
     "wap_replace" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 200) + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n_rows, (SELECT CAST(sum(n_chars) * 2 AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) + (SELECT CAST(sum(n_chars) * 2 AS BIGINT) FROM documents WHERE doc_id < 20) AS sum_score, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 100 AND doc_id < 200 OR doc_id < 20) AS n_langs, true AS atomic_failure, true AS schema_swapped, true AS lineage_kept""",
     "wap_spj_sorted" ->

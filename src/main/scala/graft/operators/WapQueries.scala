@@ -1434,6 +1434,38 @@ object WapQueries {
         lit(lineageKept).as("lineage_kept"))
   }
 
+  /** GENERATED ALWAYS AS columns (W87 — Delta generated columns, r14):
+    * `kchars` derives from `n_chars`. Batches omitting the column get it
+    * COMPUTED; a correct explicit batch passes; a WRONG explicit batch
+    * fails with nothing committed; NULL-provided counts as omitted (the
+    * SQL INSERT shape). Oracle recomputes the derivation in DuckDB —
+    * hash-equal proves computed values match the declared arithmetic. */
+  def wapGenerated(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-gen").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "n_chars")
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField("kchars",
+        org.apache.spark.sql.types.LongType))
+    cat.createTableGenerated("documents", schema,
+      Map("kchars" -> "n_chars div 1000"))
+    cat.append("documents", docs.filter(col("doc_id") < 100)) // computed
+    cat.append("documents", docs.filter(col("doc_id") >= 100) // validated
+      .withColumn("kchars", expr("n_chars div 1000")))
+    val head = cat.snapshotIdOf("documents")
+    val rejected = try { cat.append("documents",
+        docs.limit(5).withColumn("kchars", lit(424242L))); false }
+      catch { case _: Exception => true }
+    val atomic = rejected && cat.snapshotIdOf("documents") == head
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("kchars")).cast("long").as("sum_kchars"),
+      sum(when(col("kchars").isNull, 1L).otherwise(0L)).cast("long").as("n_null"))
+      .select(col("n_rows"), col("sum_kchars"), col("n_null"),
+        lit(atomic).as("mismatch_rejected"))
+  }
+
   /** Incremental snapshot-window reads through the SQL connector (W46):
     * `spark.read.option("graft.changes.from", id)` serves the append
     * delta since a consumer's last snapshot — the SQL/DataFrame surface

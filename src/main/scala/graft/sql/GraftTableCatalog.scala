@@ -79,7 +79,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       // ALTER TABLE ... ADD/DROP CONSTRAINT lowers onto the W70
       // `graft.constraint.<name>` properties (Delta's CHECK surface)
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      // CREATE TABLE (c LONG GENERATED ALWAYS AS (expr)) — W87: computed
+      // when omitted, validated when provided, both in alignToSchema
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -292,22 +296,38 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           "derive from the base table")
       case None => ()
     }
-    val (schema, defaults) = plainSchemaOf(columns)
+    val (schema, defaults) = plainSchemaOf(columns, allowGenerated = true)
+    val generated = columns.flatMap { c =>
+      Option(c.generationExpression()).map { sql =>
+        require(sql.nonEmpty,
+          s"GENERATED ALWAYS AS for ${c.name()} carries no SQL text")
+        c.name() -> sql
+      }
+    }.toMap
     val spec = GraftTableCatalog.specOfTransforms(partitions, schema)
     val branch = branchOf(ident.namespace())
-    if (!cat.createTableIfNotExists(ident.name(), schema, branch, spec, defaults))
+    val created =
+      if (generated.isEmpty)
+        cat.createTableIfNotExists(ident.name(), schema, branch, spec, defaults)
+      else cat.createTableGenerated(ident.name(), schema, generated, branch,
+        spec, defaults)
+    if (!created)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, branch, ident.name()))
     loadTable(ident)
   }
 
-  /** Plain schema + CREATE-time column WRITE defaults (W71). Generated
-    * columns stay unsupported. */
+  /** Plain schema + CREATE-time column WRITE defaults (W71). Generation
+    * expressions (W87) are read by plain CREATE TABLE only — staged
+    * CTAS/RTAS refuse them (the SELECT supplies every column; silently
+    * overriding it with the generation would be a trap). */
   private def plainSchemaOf(
-      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      allowGenerated: Boolean = false)
       : (StructType, Map[String, String]) = {
-    require(columns.forall(_.generationExpression() == null),
-      "graft CREATE TABLE supports plain columns (no generated columns)")
+    require(allowGenerated || columns.forall(_.generationExpression() == null),
+      "staged CREATE/REPLACE ... AS SELECT cannot declare GENERATED columns — " +
+        "create the table first, then INSERT")
     val defaults = columns.flatMap { c =>
       Option(c.defaultValue()).map { dv =>
         val sql = dv.getSql

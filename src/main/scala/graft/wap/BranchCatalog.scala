@@ -184,13 +184,23 @@ case class SchemaEvo(
       * moves). Canonical SQL literal text, ridden into SQL INSERTs as
       * `CURRENT_DEFAULT` column metadata and into the Scala write paths
       * by `alignToSchema`. */
-    writeDefaults: Map[String, String] = Map.empty) {
+    writeDefaults: Map[String, String] = Map.empty,
+    /** GENERATED ALWAYS AS expressions (Delta generated columns, r14):
+      * column -> generation SQL over the row's OTHER (non-generated)
+      * columns. A writer omitting the column gets it COMPUTED; a writer
+      * providing it is VALIDATED row-level (null-safe equality with the
+      * computed value — a mismatch fails the write before any commit),
+      * both in `alignToSchema`, the choke point every row-writing
+      * surface flows through. Set only at CREATE TABLE; dropping or
+      * renaming a column on either side of a generation refuses. Empty
+      * for pre-r14 tables (json4s default). */
+    generated: Map[String, String] = Map.empty) {
   def addColumn(name: String): SchemaEvo =
     if (fieldIds.isEmpty) this // pre-field-id table stays id-less
     else copy(fieldIds = fieldIds.updated(name, fieldIdSeq + 1), fieldIdSeq = fieldIdSeq + 1)
   def dropColumn(name: String): SchemaEvo =
     copy(fieldIds = fieldIds - name, initDefaults = initDefaults - name,
-      writeDefaults = writeDefaults - name)
+      writeDefaults = writeDefaults - name, generated = generated - name)
   def rename(from: String, to: String): SchemaEvo =
     copy(fieldIds = fieldIds - from + (to -> fieldIds(from)), renamedFiles = true,
       initDefaults = initDefaults.get(from)
@@ -970,6 +980,17 @@ class BranchCatalog(
 
   /** reference app.py:125-149 create_table_if_not_exists. Returns true if
     * the table was created. */
+  /** CREATE with GENERATED ALWAYS AS columns (W87). */
+  def createTableGenerated(table: String, schema: StructType,
+      generated: Map[String, String], branch: String = "main",
+      specs: Seq[PartitionSpec] = Nil,
+      writeDefaults: Map[String, String] = Map.empty): Boolean = {
+    if (tableExists(table, branch)) return false
+    createTable(table, schema, branch,
+      if (specs.isEmpty) None else Some(PartitionSpec.formatMulti(specs)),
+      writeDefaults, generated)
+  }
+
   def createTableIfNotExists(table: String, schema: StructType, branch: String,
       specs: Seq[PartitionSpec]): Boolean =
     createTableIfNotExists(table, schema, branch, specs, Map.empty[String, String])
@@ -992,7 +1013,8 @@ class BranchCatalog(
   }
   private def createTable(table: String, schema: StructType, branch: String,
       fmt: Option[String],
-      writeDefaults: Map[String, String] = Map.empty): Boolean = {
+      writeDefaults: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty): Boolean = {
     // re-resolve the dir alias: a drop+recreate cycle retires any alias,
     // and a stale cache entry here would write into the retiree's dir
     dirAlias.remove(table)
@@ -1008,9 +1030,26 @@ class BranchCatalog(
         sys.error(s"DEFAULT on unknown column $c of $table"))
       c -> canonicalDefault(c, f.dataType, sql)
     }
+    generated.foreach { case (c, sql) =>
+      require(schema.fieldNames.contains(c), s"GENERATED column $c not in schema")
+      val refs0 =
+        try spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        } catch { case e: Exception => throw new IllegalArgumentException(
+          s"generation expression for $c does not parse: ${e.getMessage}") }
+      refs0.foreach { r =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+          s"generation expression for $c references unknown column $r")
+        require(!generated.keys.exists(_.equalsIgnoreCase(r)),
+          s"generation expression for $c references generated column $r — " +
+            "generated columns derive from plain columns only (no chains)")
+      }
+    }
     val snap = Snapshot(newId(), None, Seq.empty, schema.toDDL,
       System.currentTimeMillis(), fmt,
-      evo = SchemaEvo.forSchema(schema).copy(writeDefaults = canonDefaults),
+      evo = SchemaEvo.forSchema(schema).copy(writeDefaults = canonDefaults,
+        generated = generated),
       op = "create")
     writeSnapshot(table, snap)
     commitRefs { refs =>
@@ -4229,8 +4268,14 @@ class BranchCatalog(
         * a join input, not written rows; a default there would leak into
         * match conditions and update assignments). */
       writeDefaults: Map[String, String] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, struct, to_json, when}
     val incoming = df.schema
+    // W87 generated columns ride the same choke point as write defaults:
+    // omitted -> computed over the batch row, provided -> validated
+    val generated: Map[String, String] =
+      if (!check) Map.empty
+      else snapshotIdOf(table, branch).map(loadSnapshot(table, _))
+        .map(_.evo.generated).getOrElse(Map.empty)
     def mismatch(): Nothing = throw new IllegalArgumentException(
       s"schema mismatch appending to $table@$branch: table has " +
         s"${expected.toDDL}; batch has ${incoming.toDDL}")
@@ -4241,7 +4286,7 @@ class BranchCatalog(
         case Some(bf) if bf.dataType == f.dataType => col(f.name)
         case Some(bf) if widens(bf.dataType, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
         case Some(_) => mismatch()
-        case None => writeDefaults.get(f.name) match {
+        case None => generated.get(f.name).orElse(writeDefaults.get(f.name)) match {
           case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
           case None =>
             if (!f.nullable) throw new IllegalArgumentException(
@@ -4252,11 +4297,33 @@ class BranchCatalog(
       }
     }
     val aligned = df.select(cols.toIndexedSeq: _*)
+    // Provided values for generated columns must MATCH the generation
+    // (Delta semantics), validated row-level in the same fused pass as
+    // the constraint guard. A provided NULL counts as OMITTED and is
+    // COMPUTED instead: Spark's SQL INSERT fills unnamed columns with
+    // NULL before the connector ever sees the batch, so NULL-means-
+    // compute is the only reading that keeps `INSERT INTO t (a, b)`
+    // working — and a generated column's stored value is the
+    // generation's result by definition, so nothing is lost.
+    val genChecked = generated
+      .filter { case (c, _) => incomingByName.contains(c) }
+      .foldLeft(aligned) { case (d, (c, sql)) =>
+        val computed = expr(sql).cast(expected(c).dataType)
+        d.withColumn(c,
+          when(col(c).isNull, computed)
+            .otherwise(when(col(c) <=> computed, col(c)).otherwise(
+              raise_error(concat(
+                lit(s"GENERATED column $c: provided value "),
+                coalesce(col(c).cast("string"), lit("null")),
+                lit(s" does not match ALWAYS AS ($sql) on row: "),
+                to_json(struct(d.columns.map(col).toIndexedSeq: _*))))
+                .cast(expected(c).dataType))))
+      }
     // every alignToSchema caller writes EVERY aligned row (append,
     // overwrite, upsert, MOR upsert, CDC apply, txn append) — except
     // mergeInto, whose source rows may only pair for matching; it opts
     // out and guards its written survivors itself
-    if (check) constraintGuard(aligned, table, branch) else aligned
+    if (check) constraintGuard(genChecked, table, branch) else genChecked
   }
 
   /** Evolve table@branch's schema: ADD nullable columns and WIDEN numeric
@@ -4299,6 +4366,14 @@ class BranchCatalog(
           require(!dropped.contains(s.column),
             s"cannot drop ${s.column}: it is the table's hidden-partition source " +
               "(drop the partition field or rewritePartitioned first)"))
+        // a generated column may be dropped (its generation retires with
+        // it); a column FEEDING a surviving generation may not
+        cur.evo.generated.foreach { case (g, sql) =>
+          if (!dropped.contains(g))
+            dropped.foreach(d => require(
+              !sql.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(d.toLowerCase)}\\b.*"),
+              s"cannot drop $d: GENERATED column $g derives from it"))
+        }
         val morKeys = cur.deleteManifests.flatMap(_.keyCols).toSet
         dropped.find(morKeys.contains).foreach(c => sys.error(
           s"cannot drop $c: pending MOR tombstones anti-join on it — " +
@@ -4437,6 +4512,10 @@ class BranchCatalog(
         s"$table holds imported files (addDataFiles) that carry no field ids — " +
           "a rename could not resolve them; rewrite first (compactDataFiles " +
           "stamps ids everywhere and re-enables renames)")
+      cur.evo.generated.foreach { case (g, sql) =>
+        require(g != from && !sql.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(from.toLowerCase)}\\b.*"),
+          s"cannot rename $from: it is (or feeds) GENERATED column $g — recreate the table")
+      }
       activeSpecsOf(cur.partitionSpec).map(_.spec).foreach(sp => require(sp.column != from,
         s"cannot rename $from: it is the table's hidden-partition source " +
           "(evolve the layout with rewritePartitioned first)"))
