@@ -47,7 +47,7 @@ object GraftProcedures {
       "publish", "create_tag", "drop_tag", "clone_table",
       "rollback_table", "cherrypick_snapshot", "remove_orphan_files",
       "export_snapshot", "export_changes", "rewrite_partitioned",
-      "add_partition_field", "drop_partition_field", "add_files", "snapshot_table", "rewrite_position_deletes",
+      "add_partition_field", "drop_partition_field", "add_files", "snapshot_table", "rewrite_position_deletes", "expire_tags",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
@@ -304,6 +304,15 @@ object GraftProcedures {
         param("table", StringType),
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.compactPositionDeletes(args.getString(0), args.getString(1))
+        ()
+      }
+    case "expire_tags" =>
+      // age-based tag retention (Iceberg max-ref-age-ms): tags older
+      // than max_age_ms drop; their pinned snapshots become reclaimable
+      // by the next expire_snapshots run
+      procedure(root, name, Array(
+        param("max_age_ms", LongType))) { (cat, args) =>
+        cat.expireTags(args.getLong(0))
         ()
       }
     case "snapshot_table" =>

@@ -515,6 +515,10 @@ case class Refs(version: Long, branches: Map[String, BranchState],
       * readable forever at zero storage cost beyond the files it pins.
       * Absent in pre-r11 refs JSON (json4s fills the default). */
     tags: Map[String, Map[String, String]] = Map.empty,
+    /** Tag -> creation epoch millis (r14, for age-based tag retention —
+      * Iceberg `max-ref-age-ms`). Pre-r14 tags have no stamp and are
+      * NEVER age-expired (conservative; json4s fills the default). */
+    tagCreatedAt: Map[String, Long] = Map.empty,
     /** Table name -> PHYSICAL directory key, recorded by
       * [[BranchCatalog.renameTable]]. A table keeps its CREATE-time
       * directory for life: snapshots, manifests and data files embed
@@ -1305,7 +1309,8 @@ class BranchCatalog(
       require(!refs.branches.contains(tag),
         s"$tag is a branch — branch and tag names share one namespace")
       val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
-      refs.copy(tags = refs.tags.updated(tag, src.tables))
+      refs.copy(tags = refs.tags.updated(tag, src.tables),
+        tagCreatedAt = refs.tagCreatedAt.updated(tag, System.currentTimeMillis()))
     }
 
   def dropTag(tag: String): Unit = {
@@ -1315,10 +1320,34 @@ class BranchCatalog(
       // same dir-alias sweep as dropBranch: aliases die with the last ref
       val used = refs.branches.values.flatMap(_.tables.keys).toSet ++
         nextTags.values.flatMap(_.keys)
-      refs.copy(tags = nextTags,
+      refs.copy(tags = nextTags, tagCreatedAt = refs.tagCreatedAt - tag,
         tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
     }
     dirAlias.clear()
+  }
+
+  /** Age-based tag retention (Iceberg `max-ref-age-ms`): drop every tag
+    * CREATED more than `maxAgeMs` ago; returns the dropped names. Tags
+    * created before stamps existed are conservatively kept forever (a
+    * release pin must never vanish on a guess). The snapshots a dropped
+    * tag pinned become reclaimable by the NEXT expireSnapshots run —
+    * tag drop and data GC stay separate, auditably ordered steps. */
+  def expireTags(maxAgeMs: Long,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    require(maxAgeMs > 0, "expireTags needs a positive max age")
+    var dropped: Seq[String] = Nil
+    commitRefs { refs =>
+      val cutoff = nowMillis - maxAgeMs
+      dropped = refs.tags.keys.filter(t =>
+        refs.tagCreatedAt.get(t).exists(_ < cutoff)).toSeq.sorted
+      val nextTags = refs.tags -- dropped
+      val used = refs.branches.values.flatMap(_.tables.keys).toSet ++
+        nextTags.values.flatMap(_.keys)
+      refs.copy(tags = nextTags, tagCreatedAt = refs.tagCreatedAt -- dropped,
+        tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
+    }
+    dirAlias.clear()
+    dropped
   }
 
   def listTags(): Seq[String] = currentRefs().tags.keys.toSeq.sorted

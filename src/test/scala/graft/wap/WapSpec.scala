@@ -1165,6 +1165,29 @@ class WapSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 70)
   }
 
+  test("expireTags drops only tags older than the age bound; unstamped tags never age out") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs)
+    cat.createTag("old")
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    cat.createTag("young")
+    // age bound cutting between the two creations drops exactly "old"
+    val dropped = cat.expireTags(
+      maxAgeMs = System.currentTimeMillis() - mid,
+      nowMillis = System.currentTimeMillis())
+    assert(dropped == Seq("old"), s"got $dropped")
+    assert(cat.listTags() == Seq("young"))
+    assert(cat.scanTag("t", "young").count() == 40)
+    // idempotent; a generous bound drops nothing
+    assert(cat.expireTags(maxAgeMs = 24L * 3600 * 1000).isEmpty)
+    assert(cat.listTags() == Seq("young"))
+    intercept[IllegalArgumentException](cat.expireTags(0))
+  }
+
   test("metadata-only delete: fully-covered files drop without a rewrite; boundary files still rewrite") {
     val cat = freshCatalog()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
