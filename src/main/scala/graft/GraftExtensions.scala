@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolves the identifier, so a resolution rule can never win that
     // race — see GraftViewRules
     ext.injectHintResolutionRule(new graft.sql.GraftViewRules(_))
+    // Iceberg-style partition-evolution DDL (`ALTER TABLE ... ADD/DROP
+    // PARTITION FIELD <transform>`) — vanilla Spark has no grammar for
+    // it, so a thin delegating parser claims exactly those two statement
+    // shapes and hands everything else through (see GraftSqlParser)
+    ext.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
   }
 }
 

@@ -81,6 +81,7 @@ object SparkEntry {
     "wap_stream_sink" -> (WapQueries.wapStreamSink _),
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "wap_merge_source" -> (WapQueries.wapMergeSource _),
+    "wap_merge_evolve" -> (WapQueries.wapMergeEvolve _),
     "wap_constraints" -> (WapQueries.wapConstraints _),
     "wap_defaults" -> (WapQueries.wapDefaults _),
     "wap_row_lineage" -> (WapQueries.wapRowLineage _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "text_repetition" -> (PipelineQueries.textRepetition _),
     "mm_manifest" -> (PipelineQueries.mmManifest _),
     "mm_features" -> (PipelineQueries.mmFeatures _),
+    "mm_decode" -> (PipelineQueries.mmDecode _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "emb_quantize" -> (PipelineQueries.embQuantize _),
@@ -255,8 +257,6 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS sum_chars, (SELECT count(DISTINCT lang) FROM documents WHERE doc_id >= 50 AND doc_id < 115) AS n_langs, true AS materialized, true AS bin_packed, true AS expired, true AS healthy_after, true AS ttl_swept""",
     "wap_spec_evolve" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE user_id = 3) AS q_sum, true AS metadata_only, true AS old_files_kept, true AS new_files_pruned, true AS day_prunes_both, true AS retired_field_prunes""",
-    "wap_spec_evolve" ->
-      """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE user_id = 3) AS q_sum, true AS metadata_only, true AS old_files_kept, true AS new_files_pruned, true AS day_prunes_both, true AS retired_field_prunes""",
     "wap_multipart" ->
       """SELECT (SELECT count(*) FROM events) AS n_rows, (SELECT count(*) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_rows, (SELECT CAST(COALESCE(sum(event_id), 0) AS BIGINT) FROM events WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events) AND user_id = 3) AS q_sum, true AS day_pruned, true AS bucket_pruned, true AS conjunction_pruned, true AS layout_ok""",
     "wap_rename" ->
@@ -291,6 +291,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 20 AND n_chars % 7 <> 0) AS n_pre, (SELECT count(*) FROM documents WHERE doc_id < 20 AND n_chars % 7 <> 0) AS n_post, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars % 7 = 0) AS n_del, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 250) AS n_ins, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 200 AND doc_id < 250) AS ins_chars, (SELECT count(*) FROM documents WHERE doc_id < 20 AND n_chars % 7 <> 0) + (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars % 7 = 0) + (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 250) AS n_ids, true AS updates_pair_by_id""",
     "wap_merge_source" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_rows, (SELECT CAST(sum(n_chars + CASE WHEN doc_id >= 80 AND doc_id % 2 = 0 THEN 1000 ELSE 0 END) AS BIGINT) FROM documents WHERE doc_id < 100) AS sum_chars, (SELECT count(*) FROM documents WHERE doc_id < 40) AS n_stale, (SELECT count(*) FROM documents WHERE doc_id >= 80 AND doc_id < 120 AND doc_id % 2 = 0) + (SELECT count(*) FROM documents WHERE doc_id < 40) AS rows_updated_1, (SELECT count(*) FROM documents WHERE doc_id >= 160 AND doc_id < 200) AS rows_deleted_1, (SELECT count(*) FROM documents WHERE doc_id >= 200 AND doc_id < 210) AS rows_inserted_1, (SELECT count(*) FROM documents WHERE (doc_id >= 100 AND doc_id < 160) OR (doc_id >= 200 AND doc_id < 210)) AS rows_deleted_2, true AS conditional_tier_carried, true AS drop_tier_metadata_only""",
+    "wap_merge_evolve" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT CAST(3 * sum(doc_id) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS sum_score, (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_null_score, (SELECT CAST(sum(doc_id % 5) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_grade, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_null_grade, CAST(50 AS BIGINT) AS rows_updated, CAST(50 AS BIGINT) AS rows_inserted""",
     "wap_txn" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
     "wap_stream_sink" ->
@@ -362,7 +364,9 @@ object SparkEntry {
     "sql_vector_norm" ->
       """SELECT a.vec_id, round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) + 0.0 AS dot_next FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
     "mm_features" ->
-      """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled FROM documents""",
+      """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled, false AS decoded FROM documents""",
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, true AS decoded, CAST(doc_id % 64 + 8 AS INT) AS px_width, CAST(doc_id % 48 + 8 AS INT) AS px_height, CAST(3 AS INT) AS channels, CAST((doc_id % 64 + 8) * (doc_id % 48 + 8) * ((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) AS BIGINT) AS px_sum FROM documents WHERE doc_id < 200""",
     "mm_frames" ->
       """SELECT media_id, frame_no, frame_no * 1000 AS offset_ms FROM (SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 90000 + 1000 - 1) // 1000)) AS frame_no FROM documents WHERE doc_id % 3 = 2) t""",
     "emb_centroids" ->

@@ -129,6 +129,11 @@ object DedupIndex {
       // the new text. Falls to `full` only when the window itself is not
       // changelog-readable (tombstoned endpoints, pre-field-id schema
       // change).
+      // only the DOCUMENTED not-changelog-readable refusals fall to full
+      // (IllegalArgument/IllegalState from scanChangelog's preconditions,
+      // FileNotFound when the recorded snapshot has been expired) — any
+      // other exception is a real bug and propagates instead of silently
+      // degrading to an O(corpus) rebuild
       val net =
         try {
           val changes = cat.scanChangelog(table, recorded, headId)
@@ -137,7 +142,14 @@ object DedupIndex {
               .select(col(idCol).as("id")).distinct(),
             changes.filter(col("_change_type") === "insert")
               .drop("_change_type")))
-        } catch { case _: Exception => None }
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.io.FileNotFoundException) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"dedup index $table.$textCol: window $recorded..$headId not " +
+                s"changelog-readable (${e.getMessage}) — full rebuild")
+            None
+        }
       net match {
         case Some((deletedIds, inserted)) =>
           val bt = bandsTable(table, textCol)

@@ -16,8 +16,15 @@ case class MediaFeatures(
     media_id: Long,
     media_type: String,
     n_bytes: Long,
-    digest: Long,            // deterministic content digest (stub "feature")
-    frames_sampled: Int)
+    digest: Long,            // deterministic content digest
+    frames_sampled: Int,
+    // REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP ship with the
+    // JDK): filled when the payload actually decodes, zeroed otherwise
+    decoded: Boolean = false,
+    px_width: Int = 0,
+    px_height: Int = 0,
+    channels: Int = 0,
+    px_sum: Long = 0L)       // sum of R+G+B over all pixels
 
 /** Multimodal-column plumbing (SURVEY §2.7): schema, partitioning and
   * batch shape are real; the decode kernel is a clearly-marked
@@ -65,11 +72,57 @@ object Multimodal {
       (pmod(col("doc_id"), lit(480)) + 16).cast("int").as("height"),
       (pmod(col("doc_id"), lit(90000)) + 1000).cast("int").as("duration_ms"))
 
-  /** ======================== STUB ========================
-    * Deterministic fake decode: digest = xxhash-free polynomial over the
-    * payload bytes. A real implementation decodes the image/audio frame
-    * here (libjpeg/ffmpeg via FFI); everything around it — batching,
-    * schema, partitioning — is production-shaped. */
+  /** REAL image decode via the JDK's own codecs (javax.imageio — PNG,
+    * JPEG, GIF, BMP, no external libraries): dimensions, channel count
+    * and an exact R+G+B pixel sum. Returns None for payloads no
+    * installed reader recognizes (including truncated/corrupt files) —
+    * the caller falls back to byte-level features, never fails the
+    * batch. Runs entirely on the executor holding the bytes. */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val ch = img.getColorModel.getNumComponents
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, ch, s))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic PNG encoder (tests + the `mm_decode` oracle): a solid
+    * `rgb`-colored width x height image, losslessly round-trippable
+    * through [[decodeImage]]. */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-batch decode: images go through the REAL [[decodeImage]] path
+    * (decoded=true + pixel stats when the bytes parse); audio/video
+    * remain a deterministic STUB (no JDK codecs for them in this
+    * environment — a real decoder slots in here without touching the
+    * plan). The byte digest is computed for every asset either way. */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
       val bytes = if (m.content == null) Array.emptyByteArray else m.content
@@ -81,7 +134,14 @@ object Multimodal {
         case "audio" => math.max(1, m.duration_ms / 5000)
         case _ => 1
       }
-      MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames)
+      val dec = if (m.media_type == "image") decodeImage(bytes) else None
+      dec match {
+        case Some((w, h, ch, s)) =>
+          MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames,
+            decoded = true, px_width = w, px_height = h, channels = ch, px_sum = s)
+        case None =>
+          MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames)
+      }
     }
 
   /** Feature extraction over micro-batches of `batchSize` records per

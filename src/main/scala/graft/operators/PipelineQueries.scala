@@ -277,13 +277,39 @@ object PipelineQueries {
 
   /** The batched decode/feature stage end to end (digest omitted — it is
     * the stub's non-SQL-expressible hash; bytes and frame sampling have
-    * an exact DuckDB oracle). */
+    * an exact DuckDB oracle). `decoded` pins the real-image-decode
+    * SOUNDNESS side: text payloads are not PNG/JPEG, so javax.imageio
+    * must decode NOTHING here (the positive side is `mm_decode`). */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(spark, dir)).as[MediaRecord])
       .toDF()
-      .select(col("media_id"), col("media_type"), col("n_bytes"), col("frames_sampled"))
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("frames_sampled"),
+        col("decoded"))
+  }
+
+  /** REAL image decode round-trip (no stub anywhere on this path): PNGs
+    * are encoded ON THE EXECUTORS (javax.imageio, one solid-color
+    * doc_id-derived image each), flow through the binary `content`
+    * column, and [[Multimodal.extractFeatures]] decodes them back with
+    * the JDK reader. Dimensions, channel count and the exact R+G+B pixel
+    * sum are all recomputable arithmetically, so DuckDB oracles the full
+    * encode→decode loop hash-exact. Bounded to 200 assets — the cost is
+    * the codec, not the scan. */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 64 + 8).toInt
+        val h = (id % 48 + 8).toInt
+        val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+        MediaRecord(id, "image", Multimodal.encodePng(w, h, rgb), 0, 0, 0)
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("decoded"), col("px_width"), col("px_height"),
+        col("channels"), col("px_sum"))
   }
 
   /** Per-label mean embedding (class centroids / mean pooling) via the

@@ -140,6 +140,9 @@ object VectorIndex {
       // never correctness (the shortlist re-ranks with the exact cosine);
       // a periodic `full` via maintenance re-trains. Falls to `full` when
       // the window is not changelog-readable.
+      // only the DOCUMENTED not-changelog-readable refusals fall to full
+      // (see DedupIndex.refresh) — anything else is a real bug and
+      // propagates instead of silently degrading to an O(corpus) rebuild
       val net =
         try {
           val changes = cat.scanChangelog(table, recorded, headId)
@@ -148,7 +151,14 @@ object VectorIndex {
               .select(col(idCol).as("neighbor_id")).distinct(),
             changes.filter(col("_change_type") === "insert")
               .drop("_change_type")))
-        } catch { case _: Exception => None }
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.io.FileNotFoundException) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"vector index $table.$vecCol: window $recorded..$headId not " +
+                s"changelog-readable (${e.getMessage}) — full rebuild")
+            None
+        }
       net match {
         case Some((deletedIds, inserted)) =>
           val ct = codesTable(table, vecCol)

@@ -598,6 +598,58 @@ object WapQueries {
         lit(res.rowsInserted).as("rows_inserted"))
   }
 
+  /** MERGE schema evolution end to end (Delta `WITH SCHEMA EVOLUTION` /
+    * Iceberg merge-schema writes): the CDC source carries a column the
+    * table lacks (`score`); `mergeInto(schemaEvolution = true)` ADDS it
+    * through evolveSchema in the same call and the merge lands values on
+    * matched + inserted rows while pre-existing unmatched rows read NULL.
+    * A second evolving merge through SQL `MERGE WITH SCHEMA EVOLUTION`
+    * (the analyzer applies the AddColumn through alterTable) widens the
+    * table again with `grade`. Oracle: DuckDB recomputes the final wide
+    * table's aggregates from the source slices. */
+  def wapMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.wap.MergeClause._
+    val tmp = Files.createTempDirectory("graft-wap-mevo").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val all = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val docs = all.filter(col("doc_id") < 150)
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs)
+
+    val source = all.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .withColumn("score", (col("doc_id") * 3).cast("long"))
+    val res = cat.mergeInto("documents", source, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("score" -> col("s.score"))),
+      NotMatchedInsert()), schemaEvolution = true)
+
+    // SQL leg: a SECOND evolving merge through the analyzer's
+    // WITH SCHEMA EVOLUTION path (AUTOMATIC_SCHEMA_EVOLUTION capability)
+    val name = "mergeevoq"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+    spark.conf.set(s"spark.sql.catalog.$name.write.main", "true")
+    all.filter(col("doc_id") < 50)
+      .withColumn("score", lit(null).cast("long"))
+      .withColumn("grade", (col("doc_id") % 5).cast("long"))
+      .createOrReplaceTempView("mergeevoq_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name.main.documents t
+         |USING mergeevoq_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+
+    cat.scan("documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      sum(col("score")).cast("long").as("sum_score"),
+      sum(when(col("score").isNull, 1L).otherwise(0L)).cast("long").as("n_null_score"),
+      sum(col("grade")).cast("long").as("sum_grade"),
+      sum(when(col("grade").isNull, 1L).otherwise(0L)).cast("long").as("n_null_grade"))
+      .select(col("n_rows"), col("sum_chars"), col("sum_score"),
+        col("n_null_score"), col("sum_grade"), col("n_null_grade"),
+        lit(res.rowsUpdated).as("rows_updated"),
+        lit(res.rowsInserted).as("rows_inserted"))
+  }
+
   /** WHEN NOT MATCHED BY SOURCE end-to-end
     * ([[graft.wap.BranchCatalog.mergeInto]] by-source clauses, SQL:2023 /
     * Delta-Iceberg by-source semantics + graft's two-tier planning).

@@ -92,9 +92,11 @@ object GraftDmlLowering {
   }
 
   private def lowerMerge(m: MergeIntoTable, t: GraftTable): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      throw new UnsupportedOperationException(
-        "MERGE WITH SCHEMA EVOLUTION is not supported — ALTER TABLE first")
+    // `WITH SCHEMA EVOLUTION` needs no handling here: GraftTable reports
+    // AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+    // ResolveMergeIntoSchemaEvolution has ALREADY applied the source's
+    // AddColumn/widen changes through alterTable and re-resolved the
+    // merge against the evolved table by the time this rule sees it.
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
 

@@ -98,6 +98,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** The lake root this catalog binds (for commands that need a
+    * BranchCatalog outside the DSv2 surface, e.g. the partition-field
+    * DDL parser). */
+  private[sql] def lakeRoot: String = root
+
   private def spark: SparkSession = SparkSession.active
   private def cat: BranchCatalog = new BranchCatalog(spark, root)
 
@@ -761,7 +766,13 @@ case class GraftTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // `MERGE INTO ... WITH SCHEMA EVOLUTION`: the analyzer
+      // (ResolveMergeIntoSchemaEvolution) computes the AddColumn/widen
+      // TableChanges from the source schema and applies them through
+      // alterTable -> evolveSchema (all its guards hold), then re-resolves
+      // the merge against the evolved table
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def properties(): util.Map[String, String] =
     (storedProps ++
       Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId)).asJava

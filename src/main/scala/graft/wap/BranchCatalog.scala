@@ -1037,10 +1037,8 @@ class BranchCatalog(
     generated.foreach { case (c, sql) =>
       require(schema.fieldNames.contains(c), s"GENERATED column $c not in schema")
       val refs0 =
-        try spark.sessionState.sqlParser.parseExpression(sql).collect {
-          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            ua.nameParts.head
-        } catch { case e: Exception => throw new IllegalArgumentException(
+        try generationRefs(sql)
+        catch { case e: Exception => throw new IllegalArgumentException(
           s"generation expression for $c does not parse: ${e.getMessage}") }
       refs0.foreach { r =>
         require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
@@ -1569,14 +1567,26 @@ class BranchCatalog(
     require(fs.exists(locPath), s"add_files location not found: $location")
     def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
     val candidates: Seq[org.apache.hadoop.fs.FileStatus] = {
-      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).foreach(c =>
-            if (!hidden(c.getPath.getName)) walk(c))
-        else if (st.getPath.getName.endsWith(".parquet")) out += st
-      walk(fs.getFileStatus(locPath))
-      out.result()
+      val rootSt = fs.getFileStatus(locPath)
+      if (!rootSt.isDirectory) {
+        if (rootSt.getPath.getName.endsWith(".parquet")) Seq(rootSt) else Seq.empty
+      } else {
+        // ONE paged recursive enumeration (`listFiles(recursive)`) —
+        // object stores serve it as a flat prefix listing, O(pages),
+        // instead of O(directories) sequential RPCs a per-dir walk costs
+        // on a million-file import. Hidden-dir descendants filter by
+        // relative path component (the iterator cannot skip subtrees).
+        val base = fs.makeQualified(locPath).toUri.getPath.stripSuffix("/") + "/"
+        val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        val it = fs.listFiles(locPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(base)
+          if (st.getPath.getName.endsWith(".parquet") &&
+              !rel.split("/").exists(hidden)) out += st
+        }
+        out.result()
+      }
     }
     require(candidates.nonEmpty, s"no parquet files under $location")
     val rootQ = fs.makeQualified(rootPath).toString.stripSuffix("/") + "/"
@@ -2525,6 +2535,15 @@ class BranchCatalog(
           s"REPLACE would orphan CHECK constraint ${k.stripPrefix(
             BranchCatalog.ConstraintPrefix)} (references $c, absent from the new " +
             "schema) — DROP the constraint first"))
+    }
+    // same guard for the declared write sort order: properties survive the
+    // replace, and a stale sort column would brick every later append
+    // (writeOrderOf refuses unknown columns at write time)
+    tableProperties(table, branch).get(BranchCatalog.WriteOrderKey).foreach { v =>
+      v.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(df.schema.fieldNames.contains(c),
+          s"REPLACE would orphan ${BranchCatalog.WriteOrderKey} (sort column $c " +
+            "absent from the new schema) — UNSET the property first"))
     }
     val evo = SchemaEvo.forSchema(df.schema)
     val fields = specs.zipWithIndex.map { case (sp, i) =>
@@ -4288,6 +4307,48 @@ class BranchCatalog(
     }
   }
 
+  /** Column names a generation expression actually REFERENCES, by the
+    * same parseExpression + UnresolvedAttribute walk createTable
+    * validates with — never a text match, which would conflate names in
+    * string literals or quoted identifiers. */
+  private def generationRefs(sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head
+    }
+
+  /** W87 generated columns on the MERGE rewrite paths (Delta semantics,
+    * mirroring [[alignToSchema]]'s rule for whole-batch writes): for rows
+    * the statement WROTE (`written` mask — insert/update outcomes), an
+    * omitted-or-NULL generated column is COMPUTED over the row's FINAL
+    * values (post-UPDATE dependencies — this runs as a second pass over
+    * the already-projected survivors) and an explicitly provided value
+    * (`explicit(c)` — the firing clause SET the column, or an INSERT's
+    * source carried it) is VALIDATED against the generation, raising
+    * with the offending row. Carried-through rows are untouched, so
+    * pre-generation history stays rewritable. */
+  private def generatedGuard(df: DataFrame, snap: Snapshot, schema: StructType,
+      written: Column, explicit: String => Column): DataFrame = {
+    if (snap.evo.generated.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, col => fcol, concat, expr, lit, raise_error, struct, to_json, when}
+      snap.evo.generated.foldLeft(df) { case (d, (c, sql)) =>
+        val dt = schema(c).dataType
+        val computed = expr(sql).cast(dt)
+        val provided = coalesce(explicit(c), lit(false)) && fcol(c).isNotNull
+        val validated = when(fcol(c) <=> computed, fcol(c)).otherwise(
+          raise_error(concat(
+            lit(s"GENERATED column $c: provided value "),
+            coalesce(fcol(c).cast("string"), lit("null")),
+            lit(s" does not match ALWAYS AS ($sql) on row: "),
+            to_json(struct(d.columns.map(fcol).toIndexedSeq: _*)))).cast(dt))
+        d.withColumn(c,
+          when(!coalesce(written, lit(false)), fcol(c))
+            .otherwise(when(provided, validated).otherwise(computed)))
+      }
+    }
+  }
+
   private def alignToSchema(
       df: DataFrame, expected: StructType, table: String, branch: String,
       check: Boolean = true,
@@ -4398,11 +4459,23 @@ class BranchCatalog(
         // a generated column may be dropped (its generation retires with
         // it); a column FEEDING a surviving generation may not
         cur.evo.generated.foreach { case (g, sql) =>
-          if (!dropped.contains(g))
+          if (!dropped.contains(g)) {
+            val refs0 = generationRefs(sql)
             dropped.foreach(d => require(
-              !sql.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(d.toLowerCase)}\\b.*"),
+              !refs0.exists(_.equalsIgnoreCase(d)),
               s"cannot drop $d: GENERATED column $g derives from it"))
+          }
         }
+        // a dropped declared-sort column would brick every later append
+        // (writeOrderOf refuses unknown columns at write time)
+        refs.branches.get(branch).flatMap(_.tableProps.get(table))
+          .getOrElse(Map.empty[String, String])
+          .get(BranchCatalog.WriteOrderKey).foreach { v =>
+            val orderCols = v.split(",").map(_.trim).filter(_.nonEmpty)
+            dropped.find(d => orderCols.exists(_.equalsIgnoreCase(d))).foreach(d =>
+              sys.error(s"cannot drop $d: it is in the declared write sort order " +
+                s"(${BranchCatalog.WriteOrderKey}) — UNSET the property first"))
+          }
         val morKeys = cur.deleteManifests.flatMap(_.keyCols).toSet
         dropped.find(morKeys.contains).foreach(c => sys.error(
           s"cannot drop $c: pending MOR tombstones anti-join on it — " +
@@ -4542,7 +4615,7 @@ class BranchCatalog(
           "a rename could not resolve them; rewrite first (compactDataFiles " +
           "stamps ids everywhere and re-enables renames)")
       cur.evo.generated.foreach { case (g, sql) =>
-        require(g != from && !sql.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(from.toLowerCase)}\\b.*"),
+        require(g != from && !generationRefs(sql).exists(_.equalsIgnoreCase(from)),
           s"cannot rename $from: it is (or feeds) GENERATED column $g — recreate the table")
       }
       activeSpecsOf(cur.partitionSpec).map(_.spec).foreach(sp => require(sp.column != from,
@@ -5642,11 +5715,41 @@ class BranchCatalog(
     inList.map(ranges && _).getOrElse(ranges)
   }
 
+  /** [[evolveSchema]] driven by an incoming SOURCE shape (the Delta
+    * `WITH SCHEMA EVOLUTION` pre-step shared by merge/upsert): columns
+    * the table lacks are ADDED (nullable, regardless of the source
+    * field's own nullability — existing rows have no value for them) and
+    * same-name columns whose source type widens losslessly WIDEN.
+    * Anything else (narrowing, incompatible types) falls through to
+    * evolveSchema's own refusal. No-op when the source adds nothing. */
+  private def evolveSchemaForSource(
+      table: String, sourceSchema: StructType, branch: String): Unit = {
+    val curId = snapshotIdOf(table, branch).getOrElse(
+      sys.error(s"no table $table on $branch"))
+    val cur = StructType.fromDDL(loadSnapshot(table, curId).schemaDdl)
+    val srcByName = sourceSchema.fields.map(f => f.name -> f).toMap
+    val widened = cur.fields.map { f =>
+      srcByName.get(f.name) match {
+        case Some(sf) if sf.dataType != f.dataType && widens(f.dataType, sf.dataType) =>
+          f.copy(dataType = sf.dataType)
+        case _ => f
+      }
+    }
+    val added = sourceSchema.fields
+      .filterNot(f => cur.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val next = StructType(widened ++ added)
+    if (next != cur) { evolveSchema(table, next, branch); () }
+  }
+
   def upsert(
       table: String, source: DataFrame, keys: Seq[String],
-      branch: String = "main"): UpsertResult = {
+      branch: String = "main",
+      /** See [[mergeInto]]'s flag of the same name. */
+      schemaEvolution: Boolean = false): UpsertResult = {
     import org.apache.spark.sql.functions.{col => fcol, lit, max => fmax, min => fmin}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    if (schemaEvolution) evolveSchemaForSource(table, source.schema, branch)
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val schema = StructType.fromDDL(cur.schemaDdl)
@@ -5755,10 +5858,19 @@ class BranchCatalog(
     * is NULL do not fire it (SQL semantics). */
   def mergeInto(
       table: String, source: DataFrame, keys: Seq[String],
-      clauses: Seq[MergeClause], branch: String = "main"): MergeIntoResult = {
+      clauses: Seq[MergeClause], branch: String = "main",
+      /** Delta `WITH SCHEMA EVOLUTION`: new source columns are ADDED
+        * (nullable) and widened source types WIDEN the table through
+        * [[evolveSchema]] (all its guards apply — re-add hazard, partition
+        * source, MOR keys) immediately before the merge, so one call
+        * carries a CDC batch with new columns end to end. The evolution
+        * is its own metadata-only commit; a merge failure after it leaves
+        * just the added columns (harmless, Delta-identical). */
+      schemaEvolution: Boolean = false): MergeIntoResult = {
     import org.apache.spark.sql.functions.{coalesce, col => fcol, lit, sum => fsum, when}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    if (schemaEvolution) evolveSchemaForSource(table, source.schema, branch)
     require(clauses.count(_.isInstanceOf[MergeClause.NotMatchedInsert]) <= 1,
       "at most one WHEN NOT MATCHED clause")
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
@@ -5961,10 +6073,22 @@ class BranchCatalog(
             }
             updated.as(f.name)
           } ++ mergeLinCols :+ fcol("__action")).toIndexedSeq: _*)
-        // constraints check only the rows this merge WROTE differently
-        // (insert/update outcomes) — carried-through rows are exempt
-        val survivors = constraintGuard(survivors0, table, branch,
-          Some(isU || isV || isI)).drop("__action")
+        // generated columns + constraints check only the rows this merge
+        // WROTE differently (insert/update outcomes) — carried-through
+        // rows are exempt. Explicitly-provided = the firing clause SET
+        // the column, or an INSERT whose source carried it.
+        def explicitMain(c: String): Column = {
+          val setActions: Seq[Column] = clauses.zipWithIndex.collect {
+            case (MergeClause.MatchedUpdate(_, set), i) if set.contains(c) =>
+              fcol("__action") === s"u$i"
+            case (MergeClause.NotMatchedBySourceUpdate(_, set), i) if set.contains(c) =>
+              fcol("__action") === s"v$i"
+          }
+          (setActions :+ isI).reduce(_ || _)
+        }
+        val survivors = constraintGuard(
+          generatedGuard(survivors0, cur, schema, isU || isV || isI, explicitMain),
+          table, branch, Some(isU || isV || isI)).drop("__action")
         val rewritten = writeTableFiles(table, survivors, spec, ids = cur.evo.fieldIds)
 
         // join-free by-source tier: these files provably hold no source
@@ -6012,8 +6136,16 @@ class BranchCatalog(
                   }
                   updated.as(f.name)
                 } ++ bsLinCols :+ fcol("__action")).toIndexedSeq: _*)
-              val bsSurvivors = constraintGuard(bsSurvivors0, table, branch,
-                Some(bsIsV)).drop("__action")
+              def explicitBs(c: String): Column = {
+                val acts: Seq[Column] = bySource.collect {
+                  case (MergeClause.NotMatchedBySourceUpdate(_, set), i) if set.contains(c) =>
+                    fcol("__action") === s"v$i"
+                }
+                if (acts.isEmpty) lit(false) else acts.reduce(_ || _)
+              }
+              val bsSurvivors = constraintGuard(
+                generatedGuard(bsSurvivors0, cur, schema, bsIsV, explicitBs),
+                table, branch, Some(bsIsV)).drop("__action")
               (writeTableFiles(table, bsSurvivors, spec, ids = cur.evo.fieldIds),
                 bsCnt(0), bsCnt(1))
             } finally { bsActioned.unpersist(); () }
@@ -6076,9 +6208,12 @@ class BranchCatalog(
     * materializes sidecars as usual. */
   def mergeIntoMOR(
       table: String, source: DataFrame, keys: Seq[String],
-      clauses: Seq[MergeClause], branch: String = "main"): MergeIntoResult = {
+      clauses: Seq[MergeClause], branch: String = "main",
+      /** See [[mergeInto]]'s flag of the same name. */
+      schemaEvolution: Boolean = false): MergeIntoResult = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col => fcol, lit, sum => fsum, when}
     require(keys.nonEmpty, "mergeIntoMOR needs at least one key column")
+    if (schemaEvolution) evolveSchemaForSource(table, source.schema, branch)
     require(clauses.nonEmpty, "mergeIntoMOR needs at least one WHEN clause")
     require(clauses.count(_.isInstanceOf[MergeClause.NotMatchedInsert]) <= 1,
       "at most one WHEN NOT MATCHED clause")
@@ -6213,8 +6348,19 @@ class BranchCatalog(
               case (acc, _) => acc
             }
             v.as(f.name)
-          } ++ linColsOut).toIndexedSeq: _*)
-        val written = constraintGuard(written0, table, branch, None)
+          } ++ linColsOut :+ fcol("__action")).toIndexedSeq: _*)
+        // every row here is a written outcome (u/i) — generated columns
+        // compute when omitted, validate when the clause/source provided
+        def explicitMor(c: String): Column = {
+          val setActions: Seq[Column] = clauses.zipWithIndex.collect {
+            case (MergeClause.MatchedUpdate(_, set), i) if set.contains(c) =>
+              fcol("__action") === s"u$i"
+          }
+          (setActions :+ isI).reduce(_ || _)
+        }
+        val written = constraintGuard(
+          generatedGuard(written0, cur, schema, lit(true), explicitMor),
+          table, branch, None).drop("__action")
         val dataFiles = writeTableFiles(table, written, spec, ids = cur.evo.fieldIds)
           .filter(_.rows > 0)
 

@@ -44,6 +44,31 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("real javax.imageio decode: a planted PNG yields true dimensions and pixel stats") {
+    // 17x11 solid color (r=200, g=30, b=7) — exact, lossless round-trip
+    val png = Multimodal.encodePng(17, 11, (200 << 16) | (30 << 8) | 7)
+    // plant it as a FILE and ingest through the binaryFile source (the
+    // production path), not just an in-memory record
+    val dir = java.nio.file.Files.createTempDirectory("graft-png")
+    java.nio.file.Files.write(dir.resolve("real.png"), png)
+    java.nio.file.Files.write(dir.resolve("fake.jpg"), "not-an-image".getBytes("UTF-8"))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromFiles(spark, dir.toString).as[MediaRecord])
+      .collect().map(f => f.n_bytes -> f).toMap
+    val real = feats(png.length.toLong)
+    assert(real.decoded, "planted PNG must decode")
+    assert(real.px_width == 17 && real.px_height == 11)
+    assert(real.channels == 3)
+    assert(real.px_sum == 17L * 11L * (200 + 30 + 7), "exact R+G+B sum")
+    val fake = feats(12L)
+    assert(!fake.decoded && fake.px_width == 0 && fake.px_sum == 0L,
+      "non-image bytes fall back to byte features, never fail the batch")
+    // text payloads (mediaFromDocuments) must never spuriously decode
+    val docFeats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(30)).as[MediaRecord])
+    assert(docFeats.filter(_.decoded).isEmpty)
+  }
+
   test("resize preserves aspect ratio and never upscales") {
     val big = mkRecord(1, "image", "p", w = 1920, h = 1080)
     val small = mkRecord(2, "image", "p", w = 100, h = 80)

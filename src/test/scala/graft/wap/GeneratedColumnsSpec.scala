@@ -82,6 +82,60 @@ class GeneratedColumnsSpec extends SparkSpecBase {
     assert(!cat.scan("t").columns.contains("kchars"))
   }
 
+  test("MERGE paths compute omitted and validate provided generated columns") {
+    import MergeClause._
+    val cat = freshCat()
+    cat.createTableGenerated("t", genSchema, Map("kchars" -> "n_chars div 1000"))
+    cat.append("t", docs(0, 50))
+
+    // CoW merge: INSERT branch omits kchars (NULL after align) -> COMPUTED;
+    // MATCHED UPDATE bumps the dependency without setting kchars -> RECOMPUTED
+    val src = docs(40, 60).select("doc_id",
+      "lang", "n_chars").withColumn("n_chars", col("n_chars") + 5000L)
+    val r = cat.mergeInto("t", src, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("n_chars" -> col("s.n_chars"))),
+      NotMatchedInsert()))
+    assert(r.rowsUpdated == 10L && r.rowsInserted == 10L)
+    val out = cat.scan("t")
+    assert(out.count() == 60L)
+    assert(out.where(col("kchars").isNull ||
+      col("kchars") =!= expr("n_chars div 1000")).count() == 0L)
+
+    // an UPDATE explicitly SETTING the generated column to a WRONG value
+    // fails the write and commits nothing
+    val head = cat.snapshotIdOf("t")
+    intercept[Exception](cat.mergeInto("t", docs(0, 5), Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("kchars" -> lit(424242L))))))
+    assert(cat.snapshotIdOf("t") == head)
+    // ... while SETTING it to the CORRECT value passes validation
+    val r2 = cat.mergeInto("t", docs(0, 5), Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map(
+        "n_chars" -> (col("s.n_chars") + 1000L),
+        "kchars" -> expr("(s.n_chars + 1000) div 1000")))))
+    assert(r2.rowsUpdated == 5L)
+    assert(cat.scan("t").where(col("kchars") =!=
+      expr("n_chars div 1000")).count() == 0L)
+
+    // MOR merge: same semantics, zero rewrites
+    val cat2 = freshCat()
+    cat2.createTableGenerated("t", genSchema, Map("kchars" -> "n_chars div 1000"))
+    cat2.append("t", docs(0, 50))
+    val m = cat2.mergeIntoMOR("t",
+      docs(45, 55).withColumn("n_chars", col("n_chars") + 7000L),
+      Seq("doc_id"), Seq(
+        MatchedUpdate(None, Map("n_chars" -> col("s.n_chars"))),
+        NotMatchedInsert()))
+    assert(m.rowsUpdated == 5L && m.rowsInserted == 5L && m.filesRewritten == 0L)
+    val out2 = cat2.scan("t")
+    assert(out2.count() == 55L)
+    assert(out2.where(col("kchars").isNull ||
+      col("kchars") =!= expr("n_chars div 1000")).count() == 0L)
+    val head2 = cat2.snapshotIdOf("t")
+    intercept[Exception](cat2.mergeIntoMOR("t", docs(0, 3), Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("kchars" -> lit(999999L))))))
+    assert(cat2.snapshotIdOf("t") == head2)
+  }
+
   test("SQL: CREATE TABLE with GENERATED ALWAYS AS; INSERT computes and validates") {
     n += 1
     val name = s"genlake$n"

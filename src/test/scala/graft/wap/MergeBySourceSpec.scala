@@ -161,4 +161,83 @@ class MergeBySourceSpec extends SparkSpecBase {
     // main untouched (branch DML)
     assert(cat.scan("t").count() == 200L)
   }
+
+  test("schema evolution: mergeInto/upsert/MOR carry new source columns; off by default") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 150))
+    val src = docs(100, 200).withColumn("score", (col("doc_id") * 3).cast("long"))
+
+    // off by default: a source with an unknown column refuses loudly
+    intercept[Exception](cat.mergeInto("t", src, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("n_chars" -> col("s.n_chars"))), NotMatchedInsert())))
+
+    val r = cat.mergeInto("t", src, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("score" -> col("s.score"))),
+      NotMatchedInsert()), schemaEvolution = true)
+    assert(r.rowsUpdated == 50L && r.rowsInserted == 50L)
+    val out = cat.scan("t")
+    assert(out.columns.contains("score"))
+    assert(out.count() == 200L)
+    assert(out.filter(col("doc_id") < 100 && col("score").isNotNull).count() == 0L)
+    assert(out.filter(col("doc_id") >= 100).filter(
+      col("score").isNull || col("score") =!= col("doc_id") * 3).count() == 0L)
+
+    // upsert evolves too, and WIDENS a narrower table column
+    val cat2 = freshCat()
+    val narrow = docs(0, 50).withColumn("n_chars", col("n_chars").cast("int"))
+    cat2.createTableIfNotExists("t", narrow.schema)
+    cat2.append("t", narrow)
+    val up = docs(40, 60) // long n_chars: widens int -> long
+      .withColumn("grade", concat(lit("g"), (col("doc_id") % 3).cast("string")))
+    val ur = cat2.upsert("t", up, Seq("doc_id"), schemaEvolution = true)
+    assert(ur.rowsReplaced == 10L && ur.rowsInserted == 10L)
+    val out2 = cat2.scan("t")
+    assert(out2.schema("n_chars").dataType == org.apache.spark.sql.types.LongType)
+    assert(out2.filter(col("doc_id") >= 40).filter(col("grade").isNull).count() == 0L)
+    assert(out2.filter(col("doc_id") < 40 && col("grade").isNotNull).count() == 0L)
+
+    // MOR merge: same evolution, zero data files rewritten
+    val cat3 = freshCat()
+    cat3.createTableIfNotExists("t", docs(0, 1).schema)
+    cat3.append("t", docs(0, 150))
+    val m = cat3.mergeIntoMOR("t", src, Seq("doc_id"), Seq(
+      MatchedUpdate(None, Map("score" -> col("s.score"))),
+      NotMatchedInsert()), schemaEvolution = true)
+    assert(m.rowsUpdated == 50L && m.rowsInserted == 50L && m.filesRewritten == 0L)
+    assert(cat3.scan("t").filter(col("doc_id") >= 100).filter(
+      col("score").isNull || col("score") =!= col("doc_id") * 3).count() == 0L)
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds source columns through the analyzer") {
+    n += 1
+    val name = s"mergeevolake$n"
+    val root = Files.createTempDirectory("mergeevo-sql").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.write.main", "true")
+    val cat = new BranchCatalog(spark, root)
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 150))
+    docs(100, 200).withColumn("score", (col("doc_id") * 3).cast("long"))
+      .createOrReplaceTempView("mergeevo_src")
+
+    // without the clause: new source column refuses at analysis
+    intercept[Exception](spark.sql(
+      s"""MERGE INTO $name.main.t t USING mergeevo_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name.main.t t
+         |USING mergeevo_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = cat.scan("t")
+    assert(out.columns.contains("score"))
+    assert(out.count() == 200L)
+    assert(out.filter(col("doc_id") >= 100).filter(
+      col("score").isNull || col("score") =!= col("doc_id") * 3).count() == 0L)
+    assert(out.filter(col("doc_id") < 100 && col("score").isNotNull).count() == 0L)
+  }
 }

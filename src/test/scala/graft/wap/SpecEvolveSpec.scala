@@ -194,4 +194,53 @@ class SpecEvolveSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.add_files('docs', '$ext')")
     assert(cat.scan("docs").count() == 10L)
   }
+
+  test("DDL surface: ALTER TABLE ... ADD/DROP PARTITION FIELD (injected parser)") {
+    val cat = freshCat()
+    val root = cat.root
+    val ev = events()
+    cat.createTableIfNotExists("ev", ev.schema, "main",
+      Some(DayPartition("ts"): PartitionSpec))
+    cat.append("ev", ev.limit(100))
+    val lake = "ddllake_" + root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", root)
+
+    // Iceberg's exact surface, with whitespace + plural-day tolerance
+    spark.sql(s"ALTER TABLE $lake.main.ev ADD PARTITION FIELD bucket(4, user_id)")
+    assert(cat.snapshotMeta("ev", cat.snapshotIdOf("ev").get)
+      .partitionSpec.contains("day(ts);bucket(4,user_id)"))
+    spark.sql(s"ALTER TABLE $lake.main.ev DROP PARTITION FIELD bucket(4, user_id)")
+    assert(cat.snapshotMeta("ev", cat.snapshotIdOf("ev").get)
+      .partitionSpec.contains("day(ts)@0;-bucket(4,user_id)@1"))
+    // bare column = identity transform (Iceberg shorthand); days() plural
+    spark.sql(s"ALTER TABLE $lake.main.ev ADD PARTITION FIELD event_type")
+    assert(cat.snapshotMeta("ev", cat.snapshotIdOf("ev").get)
+      .partitionSpec.get.contains("identity(event_type)"))
+    spark.sql(s"ALTER TABLE $lake.main.ev DROP PARTITION FIELD identity(event_type)")
+
+    // refusals carry the real message: duplicate active field ...
+    val dup = intercept[Exception](
+      spark.sql(s"ALTER TABLE $lake.main.ev ADD PARTITION FIELD days(ts)"))
+    assert(dup.getMessage.contains("already an active partition field"))
+    // ... unknown column ...
+    val unk = intercept[Exception](
+      spark.sql(s"ALTER TABLE $lake.main.ev ADD PARTITION FIELD bucket(4, nope)"))
+    assert(unk.getMessage.contains("no column nope"))
+    // ... dropping a non-field, and a TAG namespace
+    val miss = intercept[Exception](
+      spark.sql(s"ALTER TABLE $lake.main.ev DROP PARTITION FIELD month(ts)"))
+    assert(miss.getMessage.contains("no active partition field"))
+    cat.createTag("v1")
+    val tag = intercept[Exception](
+      spark.sql(s"ALTER TABLE $lake.v1.ev ADD PARTITION FIELD month(ts)"))
+    assert(tag.getMessage.contains("TAG"))
+    // ordinary ALTER statements still parse through the delegate
+    spark.sql(s"ALTER TABLE $lake.main.ev SET TBLPROPERTIES('x'='1')")
+    assert(cat.tableProperties("ev").get("x").contains("1"))
+    // unknown catalogs refuse by name
+    val notGraft = intercept[Exception](
+      spark.sql("ALTER TABLE spark_catalog.default.t ADD PARTITION FIELD day(ts)"))
+    assert(notGraft.getMessage.contains("not a graft catalog"))
+  }
 }
