@@ -623,8 +623,10 @@ object WapQueries {
       NotMatchedInsert()), schemaEvolution = true)
 
     // SQL leg: a SECOND evolving merge through the analyzer's
-    // WITH SCHEMA EVOLUTION path (AUTOMATIC_SCHEMA_EVOLUTION capability)
-    val name = "mergeevoq"
+    // WITH SCHEMA EVOLUTION path (AUTOMATIC_SCHEMA_EVOLUTION capability).
+    // Catalog name derives from the temp root: instances are cached by
+    // name per session, and Bench re-runs this query in one JVM
+    val name = "mergeevoq_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
     spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sql.GraftTableCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
     spark.conf.set(s"spark.sql.catalog.$name.write.main", "true")

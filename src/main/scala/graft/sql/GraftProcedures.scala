@@ -51,7 +51,9 @@ object GraftProcedures {
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
-      "create_changelog_view", "enable_row_lineage", "convert_equality_deletes")
+      "create_changelog_view", "enable_row_lineage", "convert_equality_deletes",
+      "begin_transaction", "stage_append", "stage_delete_keys",
+      "commit_transaction", "abort_transaction")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -285,6 +287,46 @@ object GraftProcedures {
         cat.dropPartitionField(args.getString(0), args.getString(1),
           args.getString(2))
         ()
+      }
+    case "begin_transaction" =>
+      // multi-table atomic transactions through SQL (W35's handle form —
+      // Nessie multi-table commit semantics): begin names a handle,
+      // stage_* write against it, commit is ONE refs swap for every
+      // staged table; abort publishes nothing
+      procedure(root, name, Array(
+        param("txn", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        cat.beginTransaction(args.getString(0), args.getString(1))
+      }
+    case "stage_append" =>
+      // `source` is any table/view the session resolves (temp views
+      // included) — the staged rows align to the target's schema exactly
+      // like a direct append, but stay invisible until commit
+      procedure(root, name, Array(
+        param("txn", StringType),
+        param("table", StringType),
+        param("source", StringType))) { (cat, args) =>
+        cat.stageAppend(args.getString(0), args.getString(1),
+          SparkSession.active.table(args.getString(2)))
+      }
+    case "stage_delete_keys" =>
+      procedure(root, name, Array(
+        param("txn", StringType),
+        param("table", StringType),
+        param("source", StringType))) { (cat, args) =>
+        cat.stageDeleteKeys(args.getString(0), args.getString(1),
+          SparkSession.active.table(args.getString(2)))
+      }
+    case "commit_transaction" =>
+      procedure(root, name, Array(
+        param("txn", StringType))) { (cat, args) =>
+        cat.commitTransaction(args.getString(0))
+        ()
+      }
+    case "abort_transaction" =>
+      procedure(root, name, Array(
+        param("txn", StringType))) { (cat, args) =>
+        cat.abortTransaction(args.getString(0))
       }
     case "add_files" =>
       // metadata-only parquet import (W82 — Iceberg add_files): adopt

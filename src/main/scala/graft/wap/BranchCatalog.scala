@@ -414,7 +414,13 @@ case class MergeIntoResult(
   * is a local-FS convenience; manifest + view are the portable truth). */
 case class ExportedSnapshot(
     dest: String, manifestPath: String, viewPath: String, filesDir: Option[String],
-    filesParquet: String, snapshotId: String, fileCount: Long, rows: Long)
+    filesParquet: String, snapshotId: String, fileCount: Long,
+    /** Sum of the exported data files' row counts. With pending POSITION
+      * sidecars this is the pre-suppression total; the view's anti-join
+      * serves the exact live rows. */
+    rows: Long,
+    /** Pending position-sidecar files exported alongside (0 = clean). */
+    deleteFileCount: Long = 0L)
 
 /** The schema of `manifest.json` in an export: everything a FOREIGN
   * engine needs to query the snapshot — absolute data-file paths with
@@ -429,7 +435,11 @@ case class ExportedSnapshot(
   * graft's own scans re-type [[DataFileMeta]]. */
 private[wap] case class ExportManifest(
     table: String, snapshotId: String, seq: Long, committedAtMillis: Long,
-    schemaDdl: String, partitionSpec: Option[String], files: Seq[ExportFileEntry])
+    schemaDdl: String, partitionSpec: Option[String], files: Seq[ExportFileEntry],
+    /** Pending POSITION-delete sidecars ((__graft_path, __graft_pos)
+      * parquet): a consumer anti-joins them against (file, row-number) —
+      * exactly what view.sql's NOT EXISTS leg does. Empty = clean. */
+    deleteFiles: Seq[ExportFileEntry] = Nil)
 
 /** One engine-neutral INCREMENTAL export ([[BranchCatalog.exportChanges]]):
   * a snapshot window's changes for a foreign consumer. */
@@ -2630,6 +2640,14 @@ class BranchCatalog(
       body: TableTransaction => Unit): Map[String, Snapshot] = {
     val txn = new TableTransaction(branch)
     body(txn)
+    commitStaged(txn, branch)
+  }
+
+  /** The single refs swap publishing every table a [[TableTransaction]]
+    * staged — shared by the Scala [[transaction]] body form and the SQL
+    * handle form ([[beginTransaction]]/[[commitTransaction]]). */
+  private def commitStaged(
+      txn: TableTransaction, branch: String): Map[String, Snapshot] = {
     val staged = txn.staged()
     if (staged.isEmpty) return Map.empty
     var out = Map.empty[String, Snapshot]
@@ -2680,6 +2698,7 @@ class BranchCatalog(
     * writes files and manifests eagerly; NOTHING is visible to any reader
     * until the transaction's single refs commit. */
   final class TableTransaction private[wap] (branch: String) {
+    private[wap] def txnBranch: String = branch
     private val byTable =
       scala.collection.mutable.LinkedHashMap.empty[String, StagedTable]
 
@@ -2724,6 +2743,55 @@ class BranchCatalog(
     }
 
     private[wap] def staged(): Seq[(String, StagedTable)] = byTable.toSeq
+  }
+
+  /** A named OPEN multi-table transaction (the SQL handle form of W35 —
+    * the reference analogue is a Nessie transaction spanning tables,
+    * pyiceberg_patch_nessie.py): `beginTransaction(name)` registers a
+    * [[TableTransaction]] under a caller-chosen name,
+    * `stageAppend`/`stageDeleteKeys` stage against it from any statement,
+    * and `commitTransaction(name)` runs the same single refs swap as
+    * [[transaction]] — readers never observe a partial publish. The
+    * handle registry is JVM-wide (SQL procedures construct a fresh
+    * BranchCatalog per call) and keyed per lake root, so two catalogs
+    * never see each other's handles; an abort (or driver restart)
+    * abandons the staged files to orphan GC, publishing nothing. */
+  def beginTransaction(name: String, branch: String = "main"): Unit = {
+    require(currentRefs().branches.contains(branch), s"no branch $branch")
+    val key = BranchCatalog.txnKey(root, name)
+    val prior = BranchCatalog.openTxns.putIfAbsent(key, new TableTransaction(branch))
+    require(prior == null,
+      s"transaction $name is already open on this lake — commit or abort it first")
+  }
+
+  private def openTxn(name: String): TableTransaction = {
+    val h = BranchCatalog.openTxns.get(BranchCatalog.txnKey(root, name))
+    require(h != null,
+      s"no open transaction $name on this lake (committed, aborted, or never begun)")
+    // the registry is JVM-wide while TableTransaction is path-dependent;
+    // same-root handles were staged through an identical catalog
+    h.asInstanceOf[TableTransaction]
+  }
+
+  def stageAppend(txnName: String, table: String, df: DataFrame): Unit =
+    openTxn(txnName).append(table, df)
+
+  def stageDeleteKeys(txnName: String, table: String, keys: DataFrame): Unit =
+    openTxn(txnName).deleteKeys(table, keys)
+
+  def commitTransaction(name: String): Map[String, Snapshot] = {
+    val txn = openTxn(name)
+    // remove AFTER the commit succeeds: a failed optimistic race leaves
+    // the handle open for a retry or an explicit abort
+    val out = commitStaged(txn, txn.txnBranch)
+    BranchCatalog.openTxns.remove(BranchCatalog.txnKey(root, name))
+    out
+  }
+
+  def abortTransaction(name: String): Unit = {
+    openTxn(name) // loud on unknown names
+    BranchCatalog.openTxns.remove(BranchCatalog.txnKey(root, name))
+    ()
   }
 
   def snapshotIdOf(table: String, branch: String = "main"): Option[String] =
@@ -6594,9 +6662,16 @@ class BranchCatalog(
     val id = snapshotId.getOrElse(snapshotIdOf(table, branch).getOrElse(
       sys.error(s"no table $table on $branch")))
     val snap = loadSnapshot(table, id)
-    require(snap.deleteManifests.isEmpty,
-      s"snapshot $id of $table has pending MOR tombstones and an export is a " +
-        "plain file list — materialize with compactDataFiles first")
+    // POSITION sidecars export exactly: they are (path, row-index) parquet
+    // an ANSI NOT EXISTS over (filename, file_row_number) reproduces, and
+    // a path+index can only name a pre-delete file, so no sequence
+    // arithmetic leaks into the view. EQUALITY tombstones still refuse:
+    // their coverage is the seq-anchored anti-join itself, which a plain
+    // view cannot carry — materialize or convert_equality_deletes first.
+    require(snap.deleteManifests.forall(_.posDelete),
+      s"snapshot $id of $table has pending EQUALITY tombstones whose coverage " +
+        "is sequence-anchored — materialize with compactDataFiles (or convert " +
+        "with rewrite_position_deletes) before exporting")
     require(!snap.evo.renamedFiles,
       s"snapshot $id of $table has renamed columns whose pre-rename files still " +
         "carry the old name — a FOREIGN engine matches columns by name, so export " +
@@ -6642,14 +6717,37 @@ class BranchCatalog(
     }
     val entries = files.map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes,
       f.lower, f.upper, f.nullCounts, f.partition))
+    val deleteEntries = snap.deleteManifests
+      .flatMap(d => readManifest(d.path)).sortBy(_.path)
+      .map(f => ExportFileEntry(plain(f.path), f.rows, f.bytes))
     val manifestPath = emit("manifest.json", Serialization.write(ExportManifest(
       table, id, snap.seq, snap.committedAtMillis, snap.schemaDdl,
-      snap.partitionSpec, entries)))
+      snap.partitionSpec, entries, deleteEntries)))
     // single quotes in a path are doubled: the view must survive any
     // filesystem name SQL can express
-    val viewPath = emit("view.sql",
-      s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
-        entries.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ") + "\n]);\n")
+    def quoted(es: Seq[ExportFileEntry]): String =
+      es.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ")
+    val viewSql =
+      if (deleteEntries.isEmpty)
+        s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
+          quoted(entries) + "\n]);\n"
+      else
+        // the sidecars store Spark's qualified _metadata.file_path
+        // (file:/... or file:///...); the reader's filename is the
+        // literal list entry — both sides canonicalize to scheme-less,
+        // single-leading-slash form before the anti-join
+        s"CREATE OR REPLACE VIEW ${table}_export AS\n" +
+          "SELECT * EXCLUDE (filename, file_row_number)\n" +
+          s"FROM read_parquet([\n  ${quoted(entries)}\n], " +
+          "filename=true, file_row_number=true) d\n" +
+          "WHERE NOT EXISTS (\n" +
+          s"  SELECT 1 FROM read_parquet([\n  ${quoted(deleteEntries)}\n]) x\n" +
+          s"  WHERE regexp_replace(regexp_replace(x.${BranchCatalog.PosPathCol}, " +
+          "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/') = " +
+          "regexp_replace(regexp_replace(d.filename, " +
+          "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/')\n" +
+          s"    AND x.${BranchCatalog.PosIdxCol} = d.file_row_number\n);\n"
+    val viewPath = emit("view.sql", viewSql)
     // files.parquet: the same file list as a DISTRIBUTED parquet table
     // (path, rows, bytes + the pruning stats maps) — at 100 TB the inline
     // JSON array is the wrong shape for an engine to parse, and this
@@ -6688,7 +6786,7 @@ class BranchCatalog(
         Some(dir.toString)
       }
     ExportedSnapshot(dest, manifestPath, viewPath, filesDir, filesParquet, id,
-      entries.length.toLong, entries.map(_.rows).sum)
+      entries.length.toLong, entries.map(_.rows).sum, deleteEntries.length.toLong)
   }
 
   /** INCREMENTAL foreign-engine export (W66 — the Delta-Sharing-CDF
@@ -7717,6 +7815,19 @@ object BranchCatalog {
   /** StructField metadata key Spark's parquet writer/reader use for
     * field ids (`ParquetUtils.FIELD_ID_METADATA_KEY`). */
   val FieldIdKey = "parquet.field.id"
+
+  /** JVM-wide registry of OPEN named transactions (SQL handle form of
+    * W35): SQL procedures construct a fresh BranchCatalog per call, so
+    * the handle must outlive instances; keys are (lake root, name), so
+    * catalogs over different roots never see each other's handles. The
+    * values are path-dependent [[BranchCatalog#TableTransaction]]s stored
+    * erased — same-root lookups re-narrow (staging and commit both go
+    * through same-root catalogs, which share every path the handle
+    * touches). */
+  private[wap] val openTxns =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private[wap] def txnKey(root: String, name: String): (String, String) =
+    (new org.apache.hadoop.fs.Path(root).toUri.getPath, name)
 
   /** Bumped whenever a sum sidecar pass completes in this JVM (W80):
     * sidecars appear WITHOUT a snapshot change, so snapshot-keyed

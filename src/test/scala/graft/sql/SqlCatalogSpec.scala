@@ -1466,4 +1466,53 @@ class SqlCatalogSpec extends SparkSpecBase {
       .map(_.getString(0)).contains("rel1"))
     intercept[Exception](spark.sql(s"SELECT count(*) FROM $lake.rel1.t").collect())
   }
+
+  test("multi-table transactions through SQL: one atomic publish; abort publishes nothing") {
+    val (lake, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("facts", docs.schema)
+    cat.createTableIfNotExists("audit", docs.schema)
+    cat.append("facts", docs.filter(col("doc_id") < 50))
+
+    docs.filter(col("doc_id") >= 50).createOrReplaceTempView("txn_facts_src")
+    docs.filter(col("doc_id") < 10).createOrReplaceTempView("txn_audit_src")
+
+    // staged writes are INVISIBLE until commit — both tables advance in
+    // ONE refs swap
+    spark.sql(s"CALL $lake.system.begin_transaction('t1')")
+    spark.sql(s"CALL $lake.system.stage_append('t1', 'facts', 'txn_facts_src')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 50L)
+    spark.sql(s"CALL $lake.system.stage_append('t1', 'audit', 'txn_audit_src')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.audit").head.getLong(0) == 0L)
+    spark.sql(s"CALL $lake.system.commit_transaction('t1')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.audit").head.getLong(0) == 10L)
+    // the handle is gone after commit
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('|'); c = c.getCause }
+      sb.toString
+    }
+    val gone = intercept[Exception](
+      spark.sql(s"CALL $lake.system.commit_transaction('t1')"))
+    assert(msgs(gone).contains("no open transaction"))
+
+    // abort: stage against both tables, then walk away — nothing publishes
+    spark.sql(s"CALL $lake.system.begin_transaction('t2')")
+    spark.sql(s"CALL $lake.system.stage_append('t2', 'facts', 'txn_audit_src')")
+    spark.sql(s"CALL $lake.system.stage_delete_keys('t2', 'audit', 'txn_audit_src')")
+    spark.sql(s"CALL $lake.system.abort_transaction('t2')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.audit").head.getLong(0) == 10L)
+
+    // double-begin refuses; a delete staged through a txn applies MOR
+    spark.sql(s"CALL $lake.system.begin_transaction('t3')")
+    val dup = intercept[Exception](
+      spark.sql(s"CALL $lake.system.begin_transaction('t3')"))
+    assert(msgs(dup).contains("already open"))
+    spark.sql(s"CALL $lake.system.stage_delete_keys('t3', 'facts', 'txn_audit_src')")
+    spark.sql(s"CALL $lake.system.commit_transaction('t3')")
+    assert(spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 90L)
+  }
 }

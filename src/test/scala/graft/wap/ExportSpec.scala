@@ -145,6 +145,43 @@ class ExportSpec extends SparkSpecBase {
     assert(manifest.contains("bucket(4,doc_id)"), "partition spec travels with the export")
   }
 
+  test("pending POSITION sidecars export as a NOT EXISTS view DuckDB reproduces") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50))
+    cat.append("t", docs.filter(col("doc_id") >= 50))
+    // two STACKED positional deletes, still pending at export time
+    val d1 = cat.deleteWherePositional("t", col("doc_id") % 7 === 0)
+    val d2 = cat.deleteWherePositional("t", col("doc_id") === 1L)
+    assert(d1.filesRewritten == 0L && d2.filesRewritten == 0L)
+    val head = cat.snapshotIdOf("t").get
+    assert(cat.snapshotMeta("t", head).deleteManifests.nonEmpty, "sidecars pending")
+
+    val exp = cat.exportSnapshot("t", exportTo())
+    assert(exp.deleteFileCount > 0L, "sidecars exported alongside")
+    val expected = cat.scan("t")
+      .agg(count(lit(1)), sum("n_chars"), countDistinct("doc_id")).head
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT doc_id) FROM t_export")
+    assert(got == Seq(expected.getLong(0).toString,
+      expected.getLong(1).toString, expected.getLong(2).toString),
+      s"DuckDB saw $got, Spark saw $expected")
+    // the suppressed ids are really gone on the foreign side
+    val gone = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*) FROM t_export WHERE doc_id % 7 = 0 OR doc_id = 1")
+    assert(gone == Seq("0"))
+    // equality tombstones still refuse (coverage is sequence-anchored)
+    val catE = freshCat()
+    catE.createTableIfNotExists("t", docs.schema)
+    catE.append("t", docs)
+    import spark.implicits._
+    catE.deleteKeysMOR("t", Seq(2L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException] { catE.exportSnapshot("t", exportTo()) }
+    assert(err.getMessage.contains("EQUALITY"))
+  }
+
   test("manifest carries pruning stats: bounds admit exactly the right files, " +
       "partition values drive transform pruning") {
     val cat = freshCat()
