@@ -68,7 +68,13 @@ case class GraftChangesTable(base: GraftTable) extends Table
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // a CDC feed's shape is the SOURCE's, not this replica's: feeds may
+      // omit the virtual columns (whole-batch-is-one-transaction rule) and
+      // — under graft.cdc.evolve — carry columns the replica does not have
+      // yet, so Spark's by-name output resolution must not pre-refuse;
+      // applyCdcMOR's own alignment validates loudly instead
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def properties(): util.Map[String, String] =
     Map("root" -> root, "branch" -> branch, "snapshot" -> snapshotId).asJava
 
@@ -94,8 +100,11 @@ case class GraftChangesTable(base: GraftTable) extends Table
                   s"raw CDC applies to $baseTable@main are disabled: main only " +
                     "changes through write-audit-publish — apply on a branch and " +
                     "publish, stream with graft.wap, or opt in with write.main=true")
+                val evolve = Option(info.options().get("graft.cdc.evolve"))
+                  .exists(_.trim.equalsIgnoreCase("true"))
                 new BranchCatalog(data.sparkSession, root)
-                  .applyCdcMOR(baseTable, data, keysOf, branch)
+                  .applyCdcMOR(baseTable, data, keysOf, branch,
+                    schemaEvolution = evolve)
                 ()
               }
             }

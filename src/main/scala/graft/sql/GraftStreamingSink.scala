@@ -78,6 +78,17 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
   private val cdcKeys: Seq[String] =
     Option(options.get("graft.cdc.keys")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  /** `graft.cdc.evolve=true`: CDC applies follow SOURCE schema changes —
+    * new feed columns ADD to the replica, widened types WIDEN (one
+    * evolveSchema commit before the apply). A streaming query's own
+    * schema is pinned at start, so this takes effect when the pipeline
+    * restarts against the widened feed; batch `writeTo` applies it
+    * immediately. */
+  private val cdcEvolve: Boolean =
+    Option(options.get("graft.cdc.evolve")).exists(_.trim.equalsIgnoreCase("true"))
+  if (cdcEvolve && cdcKeys.isEmpty)
+    throw new IllegalArgumentException(
+      "graft.cdc.evolve applies to CDC feeds — set graft.cdc.keys too")
   if (cdcKeys.nonEmpty && upsertKeys.nonEmpty)
     throw new IllegalArgumentException(
       "graft.cdc.keys and graft.upsert.keys are mutually exclusive: a CDC " +
@@ -145,7 +156,8 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         val result =
           if (cdcKeys.nonEmpty)
             Wap.runApplyCdc(cat, t.tableName, batch, cdcKeys, checks,
-              auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
+              auditBranch, alerter, epochStamp = Some((epochKey, epochId)),
+              schemaEvolution = cdcEvolve)
           else if (upsertKeys.nonEmpty)
             Wap.runUpsertMOR(cat, t.tableName, batch, upsertKeys, checks,
               auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
@@ -156,7 +168,7 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         if (!result.published) cat.stampStreamEpoch(epochKey, epochId)
       } else if (cdcKeys.nonEmpty) {
         cat.applyCdcMOR(t.tableName, batch, cdcKeys, t.branch,
-          Some((epochKey, epochId)))
+          Some((epochKey, epochId)), schemaEvolution = cdcEvolve)
         ()
       } else {
         cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)

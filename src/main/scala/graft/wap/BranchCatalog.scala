@@ -1890,7 +1890,13 @@ class BranchCatalog(
   def applyCdcMOR(
       table: String, changes: DataFrame, keyCols: Seq[String],
       branch: String = "main",
-      epochStamp: Option[(String, Long)] = None): Snapshot = {
+      epochStamp: Option[(String, Long)] = None,
+      /** Replication following SOURCE schema changes (see [[mergeInto]]'s
+        * flag): new columns in the feed's insert rows ADD to the replica,
+        * widened types WIDEN — one evolveSchema commit before the apply,
+        * so a `t$changes`-to-`t$changes` pipeline survives an upstream
+        * ALTER without operator intervention. */
+      schemaEvolution: Boolean = false): Snapshot = {
     import org.apache.spark.sql.functions.{col, lit, row_number, when}
     require(keyCols.nonEmpty, "applyCdcMOR needs at least one key column")
     require(changes.schema.fieldNames.contains("_change_type"),
@@ -1915,6 +1921,7 @@ class BranchCatalog(
       .filter(col("__rn") === 1).drop("__rn")
     val inserts = latest.filter(col("_change_type") === "insert").drop(virtuals: _*)
     createTableIfNotExists(table, inserts.schema, branch)
+    if (schemaEvolution) evolveSchemaForSource(table, inserts.schema, branch)
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     val schema = StructType.fromDDL(cur.schemaDdl)

@@ -250,13 +250,15 @@ object Wap {
       checks: Seq[Expect],
       quarantineBranch: String,
       alerter: Alerter = LogAlerter,
-      epochStamp: Option[(String, Long)] = None): WapResult = {
+      epochStamp: Option[(String, Long)] = None,
+      schemaEvolution: Boolean = false): WapResult = {
     import org.apache.spark.sql.functions.col
     val inserts = batch.filter(col("_change_type") === "insert")
       .drop("_change_type", "_commit_seq", "_commit_snapshot_id")
     val report = Audit.run(inserts, checks)
     if (report.passed) {
-      catalog.applyCdcMOR(table, batch, keys, epochStamp = epochStamp)
+      catalog.applyCdcMOR(table, batch, keys, epochStamp = epochStamp,
+        schemaEvolution = schemaEvolution)
     } else {
       catalog.createBranch(quarantineBranch, from = "main")
       catalog.createTableIfNotExists(s"${table}__cdc_quarantine", batch.schema,

@@ -431,6 +431,47 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(msg(err2).contains("graft.cdc.keys"))
   }
 
+  test("CDC apply follows source schema changes with graft.cdc.evolve") {
+    import spark.implicits._
+    val (dst, dcat) = register()
+    dcat.createBranch("repl")
+    dcat.createTableIfNotExists("docs", slice(0, 1).schema, "repl")
+    // backfill with the ORIGINAL shape
+    val base = (0L until 5L).map(i => (i, s"t$i", i * 10, "insert"))
+      .toDF("doc_id", "text", "n_chars", "_change_type")
+    base.writeTo(s"$dst.repl.`docs$$changes`")
+      .option("graft.cdc.keys", "doc_id").append()
+    assert(dcat.scan("docs", "repl").count() == 5)
+
+    // the upstream evolved: the feed now carries `score`
+    val widened = Seq(
+      (2L, "t2", 20L, 7L, "delete"),
+      (5L, "t5", 50L, 55L, "insert"),
+      (0L, "t0-v2", 5L, 11L, "insert"))
+      .toDF("doc_id", "text", "n_chars", "score", "_change_type")
+    // without the flag: refuses loudly (unknown column)
+    def msg(t: Throwable): String =
+      Option(t.getCause).map(c => t.getMessage + msg(c)).getOrElse(t.getMessage)
+    val err = intercept[Exception] {
+      widened.writeTo(s"$dst.repl.`docs$$changes`")
+        .option("graft.cdc.keys", "doc_id").append()
+    }
+    assert(msg(err).contains("schema mismatch"))
+
+    widened.writeTo(s"$dst.repl.`docs$$changes`")
+      .option("graft.cdc.keys", "doc_id")
+      .option("graft.cdc.evolve", "true").append()
+    val got = dcat.scan("docs", "repl")
+    assert(got.columns.contains("score"))
+    assert(got.count() == 5) // {0,1,3,4} - deleted(2) + inserted(5), key 0 replaced
+    assert(got.filter(col("doc_id") === 0L)
+      .select("text", "score").head.toSeq == Seq("t0-v2", 11L))
+    assert(got.filter(col("doc_id") === 2L).isEmpty)
+    // pre-evolution rows read NULL score
+    assert(got.filter(col("doc_id").isin(1L, 3L, 4L) &&
+      col("score").isNotNull).count() == 0L)
+  }
+
   test("batch $changes read: the net window with commit columns; windowless reads refuse") {
     val (lake, cat) = register()
     cat.createTableIfNotExists("t", slice(0, 1).schema)
