@@ -38,6 +38,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case None => delegate.parsePlan(sqlText)
     }
 
+  /** The interface DEFAULT drops the ParameterContext (falls back to
+    * parsePlan), which would break `spark.sql(sql, args)` parameter
+    * binding through this wrapper — delegate explicitly. The partition
+    * DDL shapes carry no parameters, so they only need parsePlan. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    AddDropPartitionField.findFirstMatchIn(sqlText) match {
+      case Some(_) => parsePlan(sqlText)
+      case None => delegate.parsePlanWithParameters(sqlText, ctx)
+    }
+
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier = delegate.parseTableIdentifier(s)

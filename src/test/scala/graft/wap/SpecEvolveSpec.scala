@@ -238,6 +238,9 @@ class SpecEvolveSpec extends SparkSpecBase {
     // ordinary ALTER statements still parse through the delegate
     spark.sql(s"ALTER TABLE $lake.main.ev SET TBLPROPERTIES('x'='1')")
     assert(cat.tableProperties("ev").get("x").contains("1"))
+    // parameterized SQL still binds through the wrapper (the interface
+    // DEFAULT would silently drop the arguments)
+    assert(spark.sql("SELECT :a + 1 AS v", Map("a" -> 41)).head.getInt(0) == 42)
     // unknown catalogs refuse by name
     val notGraft = intercept[Exception](
       spark.sql("ALTER TABLE spark_catalog.default.t ADD PARTITION FIELD day(ts)"))
