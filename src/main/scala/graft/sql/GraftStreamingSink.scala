@@ -89,6 +89,14 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
   if (cdcEvolve && cdcKeys.isEmpty)
     throw new IllegalArgumentException(
       "graft.cdc.evolve applies to CDC feeds — set graft.cdc.keys too")
+  /** `graft.evolve=true`: append/upsert/WAP batches evolve the table for
+    * new/widened batch columns (Delta mergeSchema; through WAP the
+    * branch evolves and the publish carries the schema via the 3-way
+    * schema merge). Like [[cdcEvolve]], a RUNNING query's schema is
+    * pinned — this takes effect when the stream restarts against the
+    * widened source. */
+  private val evolve: Boolean =
+    Option(options.get("graft.evolve")).exists(_.trim.equalsIgnoreCase("true"))
   if (cdcKeys.nonEmpty && upsertKeys.nonEmpty)
     throw new IllegalArgumentException(
       "graft.cdc.keys and graft.upsert.keys are mutually exclusive: a CDC " +
@@ -160,9 +168,10 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
               schemaEvolution = cdcEvolve)
           else if (upsertKeys.nonEmpty)
             Wap.runUpsertMOR(cat, t.tableName, batch, upsertKeys, checks,
-              auditBranch, alerter, epochStamp = Some((epochKey, epochId)))
+              auditBranch, alerter, epochStamp = Some((epochKey, epochId)),
+              schemaEvolution = evolve)
           else Wap.run(cat, t.tableName, batch, checks, auditBranch, alerter,
-            epochStamp = Some((epochKey, epochId)))
+            epochStamp = Some((epochKey, epochId)), schemaEvolution = evolve)
         // failed audit: nothing published — record the epoch in its own
         // commit so the quarantined batch is not re-delivered forever
         if (!result.published) cat.stampStreamEpoch(epochKey, epochId)
@@ -174,8 +183,9 @@ class GraftStreamingWrite(t: GraftTable, info: LogicalWriteInfo) extends Streami
         cat.createTableIfNotExists(t.tableName, batch.schema, t.branch)
         if (upsertKeys.nonEmpty)
           cat.upsertKeysMOR(t.tableName, batch, upsertKeys, t.branch,
-            Some((epochKey, epochId)))
-        else cat.append(t.tableName, batch, t.branch, Some((epochKey, epochId)))
+            Some((epochKey, epochId)), schemaEvolution = evolve)
+        else cat.append(t.tableName, batch, t.branch, Some((epochKey, epochId)),
+          schemaEvolution = evolve)
       }
     }
     cleanup(fs, files)

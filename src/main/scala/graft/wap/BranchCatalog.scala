@@ -1433,7 +1433,15 @@ class BranchCatalog(
   }
 
   def append(table: String, df: DataFrame, branch: String = "main",
-      epochStamp: Option[(String, Long)] = None): Snapshot = {
+      epochStamp: Option[(String, Long)] = None,
+      /** Delta mergeSchema for appends (see [[mergeInto]]'s flag of the
+        * same name): new batch columns ADD (nullable) and widened types
+        * WIDEN before alignment. On a WAP branch the evolved schema
+        * publishes through the 3-way schema merge. Off by default —
+        * unknown columns stay a hard error. */
+      schemaEvolution: Boolean = false): Snapshot = {
+    if (schemaEvolution && tableExists(table, branch))
+      evolveSchemaForSource(table, df.schema, branch)
     // validate/align BEFORE writing data: a mismatched batch must not
     // corrupt the table (the reference inherits this from PyIceberg)
     val head = snapshotIdOf(table, branch).map(loadSnapshot(table, _))
@@ -1832,8 +1840,11 @@ class BranchCatalog(
   def upsertKeysMOR(
       table: String, source: DataFrame, keyCols: Seq[String],
       branch: String = "main",
-      epochStamp: Option[(String, Long)] = None): Snapshot = {
+      epochStamp: Option[(String, Long)] = None,
+      /** See [[mergeInto]]'s flag of the same name. */
+      schemaEvolution: Boolean = false): Snapshot = {
     require(keyCols.nonEmpty, "upsertKeysMOR needs at least one key column")
+    if (schemaEvolution) evolveSchemaForSource(table, source.schema, branch)
     val curId = snapshotIdOf(table, branch).getOrElse(sys.error(s"no table $table on $branch"))
     val cur = loadSnapshot(table, curId)
     requireTombstoneHeadroom(table, branch, cur, "upsertKeysMOR")

@@ -162,10 +162,15 @@ object Wap {
         * data is on main AND the epoch is recorded, or neither. Not
         * stamped on a failed audit (nothing published — the sink stamps
         * the quarantine separately). */
-      epochStamp: Option[(String, Long)] = None): WapResult = {
+      epochStamp: Option[(String, Long)] = None,
+      /** Evolve-on-ingest (Delta mergeSchema through WAP): the BRANCH's
+        * schema evolves for the batch's new/widened columns, the audit
+        * runs over the evolved shape, and the publish carries the schema
+        * to main through the 3-way schema merge. */
+      schemaEvolution: Boolean = false): WapResult = {
     catalog.createTableIfNotExists(table, batch.schema)
     catalog.createBranch(branchName, from = "main")
-    catalog.append(table, batch, branchName)
+    catalog.append(table, batch, branchName, schemaEvolution = schemaEvolution)
     auditAndPublish(catalog, table, branchName, checks, crossChecks,
       auditScope, alerter, dropBranchOnPublish, epochStamp)
   }
@@ -220,12 +225,14 @@ object Wap {
       /** Recorded INSIDE the applying commit on pass — the streaming
         * sink's exactly-once anchor for CDC mode (quarantine stamps
         * separately, as for append mode). */
-      epochStamp: Option[(String, Long)] = None): WapResult = {
+      epochStamp: Option[(String, Long)] = None,
+      schemaEvolution: Boolean = false): WapResult = {
     catalog.createTableIfNotExists(table, batch.schema)
     val base = Audit.run(batch, checks)
     val report = base.copy(checks = base.checks ++ crossChecks.map(_.run(batch)))
     if (report.passed) {
-      catalog.upsertKeysMOR(table, batch, keys, epochStamp = epochStamp)
+      catalog.upsertKeysMOR(table, batch, keys, epochStamp = epochStamp,
+        schemaEvolution = schemaEvolution)
     } else {
       catalog.createBranch(quarantineBranch, from = "main")
       catalog.append(table, batch, quarantineBranch)

@@ -209,6 +209,43 @@ class MergeBySourceSpec extends SparkSpecBase {
       col("score").isNull || col("score") =!= col("doc_id") * 3).count() == 0L)
   }
 
+  test("append/upsertKeysMOR/WAP evolve for a widened batch when asked") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 50))
+    val wide = docs(50, 60).withColumn("score", (col("doc_id") * 2).cast("long"))
+    // off by default
+    intercept[Exception](cat.append("t", wide))
+    cat.append("t", wide, schemaEvolution = true)
+    val out = cat.scan("t")
+    assert(out.count() == 60L && out.columns.contains("score"))
+    assert(out.filter(col("doc_id") < 50 && col("score").isNotNull).count() == 0L)
+
+    // keyed MOR upsert evolves too
+    cat.upsertKeysMOR("t",
+      docs(55, 65).withColumn("score", (col("doc_id") * 2).cast("long"))
+        .withColumn("grade", lit("a")),
+      Seq("doc_id"), schemaEvolution = true)
+    val out2 = cat.scan("t")
+    assert(out2.count() == 65L && out2.columns.contains("grade"))
+    assert(out2.filter(col("doc_id") >= 55).filter(col("grade") =!= "a").count() == 0L)
+
+    // through WAP: the branch evolves, the audit runs on the evolved
+    // shape, the PUBLISH carries the schema to main (3-way schema merge)
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("t", docs(0, 1).schema)
+    cat2.append("t", docs(0, 30))
+    val res = Wap.run(cat2, "t",
+      docs(30, 40).withColumn("score", (col("doc_id") * 2).cast("long")),
+      Seq(graft.quality.NotNull("doc_id")), "evo-branch",
+      schemaEvolution = true)
+    assert(res.published, "audit over the evolved shape passes")
+    val main = cat2.scan("t")
+    assert(main.count() == 40L && main.columns.contains("score"))
+    assert(main.filter(col("doc_id") >= 30).filter(
+      col("score") =!= col("doc_id") * 2).count() == 0L)
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION adds source columns through the analyzer") {
     n += 1
     val name = s"mergeevolake$n"
