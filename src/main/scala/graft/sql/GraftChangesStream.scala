@@ -134,12 +134,23 @@ case class GraftChangesTable(base: GraftTable) extends Table
           * attribution — rows are endpoint-to-endpoint differences). */
         override def toV1TableScan[T <: BaseRelation with TableScan](
             ctx: SQLContext): T = {
-          val from = Option(options.get("graft.changes.from")).getOrElse(
-            throw new IllegalArgumentException(
-              s"a batch read of $baseTable$$changes needs a window: set " +
-                "graft.changes.from (+ optional graft.changes.to) — for a " +
-                "continuous feed use readStream"))
-          val to = Option(options.get("graft.changes.to")).getOrElse(snapshotId)
+          // endpoints by id or (Delta startingTimestamp analogue) by
+          // epoch-millis — each resolves to the LAST snapshot at/before
+          def asOf(ms: Long): String = new BranchCatalog(SparkSession.active, root)
+            .snapshotIdAsOf(baseTable, ms, branch)
+          val fromTs = Option(options.get("graft.changes.fromTimestamp")).map(_.toLong)
+          val toTs = Option(options.get("graft.changes.toTimestamp")).map(_.toLong)
+          require(Option(options.get("graft.changes.from")).isEmpty || fromTs.isEmpty,
+            "graft.changes.from and graft.changes.fromTimestamp are alternative " +
+              "window starts — pick one")
+          val from = Option(options.get("graft.changes.from"))
+            .orElse(fromTs.map(asOf)).getOrElse(
+              throw new IllegalArgumentException(
+                s"a batch read of $baseTable$$changes needs a window: set " +
+                  "graft.changes.from[Timestamp] (+ optional graft.changes" +
+                  ".to[Timestamp]) — for a continuous feed use readStream"))
+          val to = Option(options.get("graft.changes.to"))
+            .orElse(toTs.map(asOf)).getOrElse(snapshotId)
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = readSchema()

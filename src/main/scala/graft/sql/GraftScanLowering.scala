@@ -417,9 +417,15 @@ object GraftScanLowering {
     * window); lowering it to the full-snapshot native plan would
     * silently IGNORE the option and return the whole table. */
   private[sql] def lowerable(rel: DataSourceV2Relation): Boolean =
-    rel.options == null || (rel.options.get("graft.changes.from") == null &&
-      rel.options.get("graft.changes.to") == null) // to-without-from must
-      // reach the connector too, whose builder refuses it loudly
+    // ANY graft.changes.* key marks a window (by id OR by instant —
+    // fromTimestamp/toTimestamp, r15); malformed combinations must reach
+    // the connector too, whose builder refuses them loudly
+    rel.options == null || {
+      val it = rel.options.keySet().iterator()
+      var windowed = false
+      while (!windowed && it.hasNext) windowed = it.next().startsWith("graft.changes.")
+      !windowed
+    }
 
   /** Relations that are the TARGET of a row-level command (`DELETE FROM`
     * etc.): the command's strategy must see the V2 relation itself, so

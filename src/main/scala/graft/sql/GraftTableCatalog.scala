@@ -808,8 +808,24 @@ case class GraftTable(
     *    windowed reads).
     *  - `maxFilesPerTrigger`: streaming admission control. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val from = Option(options.get("graft.changes.from"))
-    val to = Option(options.get("graft.changes.to"))
+    // window endpoints by snapshot id, or (the Delta startingTimestamp
+    // analogue) by epoch-millis instant — each resolves to the LAST
+    // snapshot at or before it, same rule as the streaming source's
+    // graft.changes.startTimestamp
+    val fromId = Option(options.get("graft.changes.from"))
+    val toId = Option(options.get("graft.changes.to"))
+    val fromTs = Option(options.get("graft.changes.fromTimestamp")).map(_.toLong)
+    val toTs = Option(options.get("graft.changes.toTimestamp")).map(_.toLong)
+    require(fromId.isEmpty || fromTs.isEmpty,
+      "graft.changes.from and graft.changes.fromTimestamp are alternative " +
+        "window starts — pick one")
+    require(toId.isEmpty || toTs.isEmpty,
+      "graft.changes.to and graft.changes.toTimestamp are alternative " +
+        "window ends — pick one")
+    def asOf(ms: Long): String =
+      new BranchCatalog(SparkSession.active, root).snapshotIdAsOf(tableName, ms, branch)
+    val from = fromId.orElse(fromTs.map(asOf))
+    val to = toId.orElse(toTs.map(asOf))
     require(from.isDefined || to.isEmpty,
       "graft.changes.to needs graft.changes.from (an incremental window has a start)")
     new GraftScanBuilder(this,

@@ -69,6 +69,49 @@ class ChangesReadSpec extends SparkSpecBase {
       .table(s"$lake.main.t").count() == 0L)
   }
 
+  test("fromTimestamp/toTimestamp resolve window endpoints by instant") {
+    val (lake, cat) = register()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    val s1 = cat.append("t", docs(0, 100))
+    Thread.sleep(5)
+    val s2 = cat.append("t", docs(100, 160))
+    Thread.sleep(5)
+    cat.append("t", docs(160, 200))
+    def at(id: String): Long = cat.snapshotMeta("t", id).committedAtMillis
+
+    // start by instant = the last snapshot at/or before it (s1), so the
+    // delta is everything after s1 — identical to the by-id form
+    val byTs = spark.read.option("graft.changes.fromTimestamp", at(s1.id).toString)
+      .table(s"$lake.main.t")
+    assert(byTs.count() == docs(100, 200).count())
+    // both endpoints by instant
+    val window = spark.read
+      .option("graft.changes.fromTimestamp", at(s1.id).toString)
+      .option("graft.changes.toTimestamp", at(s2.id).toString)
+      .table(s"$lake.main.t")
+    assert(window.count() == docs(100, 160).count())
+    // mixing alternative starts refuses
+    val err = intercept[Exception](spark.read
+      .option("graft.changes.from", s1.id)
+      .option("graft.changes.fromTimestamp", at(s1.id).toString)
+      .table(s"$lake.main.t").count())
+    assert(err.getMessage.contains("alternative"))
+    // an instant BEFORE the first snapshot refuses loudly (no anchor)
+    val early = intercept[Exception](spark.read
+      .option("graft.changes.fromTimestamp", (at(s1.id) - 10000L).toString)
+      .table(s"$lake.main.t").count())
+    assert(early.getMessage.contains("at or before"))
+
+    // the $changes feed takes the same instant endpoints (net window)
+    cat.deleteWhere("t", col("doc_id") < 3)
+    val cl = spark.read
+      .option("graft.changes.fromTimestamp", at(s2.id).toString)
+      .table(s"$lake.main.`t$$changes`")
+    assert(cl.filter(col("_change_type") === "insert").count() ==
+      docs(160, 200).count())
+    assert(cl.filter(col("_change_type") === "delete").count() == 3L)
+  }
+
   test("filters prune files WITHIN the window") {
     val (lake, cat) = register()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
