@@ -97,10 +97,14 @@ object GraftProcedures {
         ()
       }
     case "maintain_all" =>
+      // tags_max_age_ms > 0 folds lake-level tag retention (expire_tags)
+      // into the sweep; 0 (default) skips it
       procedure(root, name, Array(
-        param("branch", StringType, "'main'"))) { (cat, args) =>
+        param("branch", StringType, "'main'"),
+        param("tags_max_age_ms", LongType, "0"))) { (cat, args) =>
         GraftMaintenance.runAll(SparkSession.active, cat, args.getString(0))
-        ()
+        val maxAge = args.getLong(1)
+        if (maxAge > 0) { cat.expireTags(maxAge); () }
       }
     case "rewrite_data_files" =>
       // `where` scopes the rewrite to the files the predicate admits

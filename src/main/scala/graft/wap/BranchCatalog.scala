@@ -7496,6 +7496,57 @@ class BranchCatalog(
       out += "compact-manifests" -> s"${head1.manifests.size} refs (bound $manMax)"
     }
 
+    // LAYOUT health (`graft.maintain.cluster-by` / `.zorder-by`, r15):
+    // interleaved appends fatten per-file ranges until point predicates
+    // stop pruning; when more than `cluster.max-overlap` of the files'
+    // [min,max] ranges on the LEADING layout column overlap the files
+    // sorted before them, re-run the sorted (or z-order) compaction.
+    // Detection is one O(files log files) sweep over driver-held
+    // manifest entries — zero data IO; a well-clustered table measures
+    // 0.0 and the pass is free. Skipped under pending tombstones (the
+    // materialize pass above clears them first).
+    def colsProp(k: String): Seq[String] =
+      props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val clusterBy = colsProp("graft.maintain.cluster-by")
+    val zorderBy = colsProp("graft.maintain.zorder-by")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "graft.maintain.cluster-by and graft.maintain.zorder-by are " +
+        "alternative layouts — declare one")
+    val layoutCols = if (clusterBy.nonEmpty) clusterBy else zorderBy
+    if (layoutCols.nonEmpty) {
+      val headC = loadSnapshot(table, snapshotIdOf(table, branch).get)
+      val schemaC = StructType.fromDDL(headC.schemaDdl)
+      val key = layoutCols.head
+      val cmpOpt = schemaC.fields.find(_.name == key)
+        .flatMap(f => BranchCatalog.statOrder(f.dataType))
+      require(cmpOpt.isDefined,
+        s"graft.maintain layout column $key is not an orderable column of $table")
+      val cmp = cmpOpt.get
+      val minFiles = intProp("graft.maintain.cluster.min-files", 8)
+      val maxOverlap = props.get("graft.maintain.cluster.max-overlap")
+        .map(_.trim.toDouble).getOrElse(0.5)
+      val files = filesOf(headC)
+      val ranged = files.flatMap(f => f.lower.get(key).zip(f.upper.get(key)))
+      if (headC.deleteManifests.isEmpty &&
+          files.size >= minFiles && ranged.size == files.size) {
+        val sorted = ranged.sortWith((a, b) => cmp(a._1, b._1) < 0)
+        var over = 0
+        var maxUpper: String = null
+        sorted.foreach { case (lo, hi) =>
+          if (maxUpper != null && cmp(lo, maxUpper) <= 0) over += 1
+          if (maxUpper == null || cmp(hi, maxUpper) > 0) maxUpper = hi
+        }
+        val frac = over.toDouble / math.max(1, sorted.size - 1)
+        if (frac > maxOverlap) {
+          val targetF = intProp("graft.maintain.cluster.target-files", 8)
+          if (zorderBy.nonEmpty) compactDataFilesZOrder(table, zorderBy, branch, targetF)
+          else compactDataFilesSorted(table, clusterBy, branch, targetF)
+          out += "recluster" ->
+            f"$over of ${sorted.size} file ranges on $key overlap ($frac%.2f > $maxOverlap) — ${if (zorderBy.nonEmpty) "z-order" else "sort"} rewrite"
+        }
+      }
+    }
+
     longProp("graft.maintain.expire.keep-ms").foreach { keep =>
       val r = expireSnapshots(table,
         retainLast = intProp("graft.maintain.expire.retain-last", 2),
@@ -7516,9 +7567,20 @@ class BranchCatalog(
     * scheduler entry point (`CALL <cat>.system.maintain_all()`): returns
     * (table, action, detail) rows; tables without policies and healthy
     * tables contribute nothing. */
-  def maintainAll(branch: String = "main"): Seq[(String, String, String)] =
-    listTables(branch).flatMap(t =>
+  def maintainAll(branch: String = "main",
+      /** Lake-level tag retention ([[expireTags]], W50) folded into the
+        * sweep — tags pin whole branch table maps, so their expiry is a
+        * catalog action, not a per-table policy. None = skip. */
+      tagsMaxAgeMs: Option[Long] = None): Seq[(String, String, String)] = {
+    val perTable = listTables(branch).flatMap(t =>
       maintain(t, branch).map { case (a, d) => (t, a, d) })
+    val tagRows = tagsMaxAgeMs.toSeq.flatMap { maxAge =>
+      val dropped = expireTags(maxAge)
+      if (dropped.isEmpty) Nil
+      else Seq(("*", "expire-tags", dropped.mkString(", ")))
+    }
+    perTable ++ tagRows
+  }
 
   def compactDataFilesSorted(
       table: String, clusterBy: Seq[String], branch: String = "main",

@@ -326,4 +326,48 @@ class MaintenanceSpec extends SparkSpecBase {
       s"expected a 50-row timestamp retention, got $log3")
     assert(cat2.scan("ev").count() == 50)
   }
+
+  test("cluster-by policy re-sorts when interleaved appends degrade pruning; sorted table sweeps free") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    // 8 interleaved appends: every file spans ~the whole doc_id range
+    for (r <- 0 until 8)
+      cat.append("t", docs(0, 200).filter(col("doc_id") % 8 === r).coalesce(1))
+    cat.setTableProperties("t", Map(
+      "graft.maintain.cluster-by" -> "doc_id",
+      "graft.maintain.small-files.min" -> "64", // park BIN_PACK: isolate the layout pass
+      "graft.maintain.cluster.target-files" -> "4"))
+    // before: a point predicate admits every file
+    assert(cat.prunedDataFiles("t", col("doc_id") === 57L).size == 8)
+
+    val log = cat.maintain("t")
+    assert(log.exists { case (a, d) => a == "recluster" && d.contains("sort rewrite") },
+      s"expected a recluster action, got $log")
+    assert(cat.prunedDataFiles("t", col("doc_id") === 57L).size == 1,
+      "sorted rewrite must make point predicates prune to one file")
+    assert(cat.scan("t").count() == 200)
+    // healthy now: the sweep measures 0 overlap and does nothing
+    val log2 = cat.maintain("t")
+    assert(!log2.exists(_._1 == "recluster"), s"healthy table re-clustered: $log2")
+
+    // declaring BOTH layouts refuses
+    cat.setTableProperties("t", Map("graft.maintain.zorder-by" -> "doc_id,n_chars"))
+    intercept[IllegalArgumentException](cat.maintain("t"))
+  }
+
+  test("maintainAll folds lake-level tag retention when asked") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 20))
+    cat.createTag("old-release")
+    Thread.sleep(10)
+    val rows = cat.maintainAll(tagsMaxAgeMs = Some(1L))
+    assert(rows.exists { case (t, a, d) =>
+      t == "*" && a == "expire-tags" && d.contains("old-release") }, s"got $rows")
+    assert(!cat.listTags().contains("old-release"))
+    // without the knob: tags untouched
+    cat.createTag("keep")
+    assert(!cat.maintainAll().exists(_._2 == "expire-tags"))
+    assert(cat.listTags().contains("keep"))
+  }
 }
