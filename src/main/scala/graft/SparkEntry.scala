@@ -82,6 +82,7 @@ object SparkEntry {
     "wap_merge_conditional" -> (WapQueries.wapMergeConditional _),
     "wap_merge_source" -> (WapQueries.wapMergeSource _),
     "wap_merge_evolve" -> (WapQueries.wapMergeEvolve _),
+    "wap_sql_txn" -> (WapQueries.wapSqlTxn _),
     "wap_constraints" -> (WapQueries.wapConstraints _),
     "wap_defaults" -> (WapQueries.wapDefaults _),
     "wap_row_lineage" -> (WapQueries.wapRowLineage _),
@@ -295,6 +296,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT CAST(3 * sum(doc_id) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 200) AS sum_score, (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_null_score, (SELECT CAST(sum(doc_id % 5) AS BIGINT) FROM documents WHERE doc_id < 50) AS sum_grade, (SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 200) AS n_null_grade, CAST(50 AS BIGINT) AS rows_updated, CAST(50 AS BIGINT) AS rows_inserted""",
     "wap_txn" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT source) FROM documents WHERE doc_id < 200) AS n_sources, (SELECT count(*) FROM documents WHERE doc_id < 200) AS stats_total, true AS one_commit, true AS aborted_clean""",
+    "wap_sql_txn" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100) AS n_facts, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 100) AS facts_chars, CAST(0 AS BIGINT) AS n_audit, true AS staged_invisible, true AS abort_clean""",
     "wap_stream_sink" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 200) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 200) AS n_docs, (SELECT count(*) FROM documents WHERE doc_id < 150 OR (doc_id >= 200 AND doc_id < 300)) AS q_rows, CAST(1 AS BIGINT) AS n_stream_keys, CAST(2 AS BIGINT) AS last_epoch""",
     "wap_sql_scan" ->

@@ -598,6 +598,58 @@ object WapQueries {
         lit(res.rowsInserted).as("rows_inserted"))
   }
 
+  /** SQL multi-table transactions end to end (W35's handle form —
+    * `CALL begin/stage_append/stage_delete_keys/commit/abort_transaction`
+    * through `spark.sql` only): stage appends against TWO tables, pin
+    * that staged rows stay INVISIBLE pre-commit, publish both in one
+    * refs swap, then stage-and-abort (nothing publishes) and commit a
+    * staged MOR key delete. Oracle: DuckDB recomputes both tables'
+    * aggregates from the slices. */
+  def wapSqlTxn(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-sqltxn").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("facts", docs.schema)
+    cat.createTableIfNotExists("audit", docs.schema)
+    cat.append("facts", docs.filter(col("doc_id") < 50))
+    docs.filter(col("doc_id") >= 50).createOrReplaceTempView("sqltxn_facts_src")
+    docs.filter(col("doc_id") < 10).createOrReplaceTempView("sqltxn_audit_src")
+
+    spark.sql(s"CALL $lake.system.begin_transaction('t1')")
+    spark.sql(s"CALL $lake.system.stage_append('t1', 'facts', 'sqltxn_facts_src')")
+    spark.sql(s"CALL $lake.system.stage_append('t1', 'audit', 'sqltxn_audit_src')")
+    val stagedInvisible =
+      spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 50L &&
+      spark.sql(s"SELECT count(*) FROM $lake.main.audit").head.getLong(0) == 0L
+    spark.sql(s"CALL $lake.system.commit_transaction('t1')")
+
+    // abort path: nothing publishes
+    spark.sql(s"CALL $lake.system.begin_transaction('t2')")
+    spark.sql(s"CALL $lake.system.stage_append('t2', 'facts', 'sqltxn_audit_src')")
+    spark.sql(s"CALL $lake.system.abort_transaction('t2')")
+    val abortClean =
+      spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 100L
+
+    // a staged MOR key delete commits atomically with the sweep
+    spark.sql(s"CALL $lake.system.begin_transaction('t3')")
+    spark.sql(s"CALL $lake.system.stage_delete_keys('t3', 'audit', 'sqltxn_audit_src')")
+    spark.sql(s"CALL $lake.system.commit_transaction('t3')")
+
+    val facts = cat.scan("facts").agg(
+      count(lit(1)).as("n_facts"),
+      sum(col("n_chars")).cast("long").as("facts_chars"))
+    val audit = cat.scan("audit").agg(
+      count(lit(1)).cast("long").as("n_audit"))
+    facts.crossJoin(audit).select(
+      col("n_facts"), col("facts_chars"), col("n_audit"),
+      lit(stagedInvisible).as("staged_invisible"),
+      lit(abortClean).as("abort_clean"))
+  }
+
   /** MERGE schema evolution end to end (Delta `WITH SCHEMA EVOLUTION` /
     * Iceberg merge-schema writes): the CDC source carries a column the
     * table lacks (`score`); `mergeInto(schemaEvolution = true)` ADDS it
