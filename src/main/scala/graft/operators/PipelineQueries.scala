@@ -270,6 +270,22 @@ object PipelineQueries {
     TextAnalysis.gopherFilter(Tables.documents(spark, dir), "doc_id", "text",
       minWords = 20)
 
+  /** Cross-document line dedup (the C4/RefinedWeb boilerplate rule) with
+    * PLANTED boilerplate: every doc gains a second line — a shared
+    * "COOKIE BANNER" footer on every third doc, a unique footer on the
+    * rest — and [[TextAnalysis.dedupLines]] must strip exactly the
+    * shared ones. The corpus' own lines are globally unique (verified at
+    * gen time), so removal arithmetic is exact for DuckDB. */
+  def textDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("text", concat(col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("COOKIE BANNER"))
+          .otherwise(concat(lit("unique-"), col("doc_id")))))
+    TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        length(col("text_clean")).cast("int").as("clean_len"))
+  }
+
   // ---- §2.7 multimodal --------------------------------------------------
 
   def mmManifest(spark: SparkSession, dir: String): DataFrame =

@@ -280,4 +280,42 @@ object TextAnalysis {
     base.crossJoin(broadcast(stats))
       .select(col(idCol), col("__dl").cast("long").as("dl"), round(score, 4).as("bm25"))
   }
+
+  /** CROSS-DOCUMENT line dedup (the C4/RefinedWeb corpus-level rule:
+    * a line occurring verbatim in >= `minDocFreq` DISTINCT documents is
+    * boilerplate — nav bars, cookie banners, licence footers — and is
+    * removed from EVERY document): lines explode with their position,
+    * global document-frequency is ONE hash aggregation over 64-bit line
+    * hashes (the full line text never shuffles — at 100 TB the count
+    * table is the distinct-line count, not the corpus), repeated lines
+    * anti-join away, and each document rebuilds in original line order.
+    * Blank lines are structure, not content — never counted, never
+    * removed. Returns (id, text_clean, n_lines, n_removed). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would remove every non-blank line")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__blank", trim(col("__line")) === "")
+      .withColumn("__lh", xxhash64(trim(col("__line"))))
+    val repeated = lines.filter(!col("__blank"))
+      .groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__lh"))
+    // blank lines never enter `repeated` (filtered before the count), so
+    // one hash anti-join keeps them and drops exactly the boilerplate
+    val kept = lines.join(repeated, Seq("__lh"), "left_anti")
+    kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(
+        collect_list(struct(col("__pos"), col("__line")))), x => x("__line")), "\n")
+        .as("text_clean"),
+      count(lit(1)).cast("int").as("n_kept"))
+      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("n_lines")),
+        Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"))
+  }
 }

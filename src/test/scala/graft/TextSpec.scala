@@ -298,4 +298,28 @@ class TextSpec extends SparkSpecBase {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("dedupLines strips cross-document boilerplate, keeps order, blanks and unique lines") {
+    val docs = Seq(
+      (1L, "intro one\nCOOKIE BANNER\n\nbody of one\nFOOTER 2024"),
+      (2L, "intro two\nCOOKIE BANNER\nbody of two\nFOOTER 2024"),
+      (3L, "intro three\n  COOKIE BANNER  \nbody of three"), // trim-normalized match
+      (4L, "standalone doc\n\n\n")) // trailing blanks survive whole
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // boilerplate in >= 2 docs drops everywhere (incl. the padded copy);
+    // FOOTER appears twice -> drops; unique bodies + blank lines stay in order
+    assert(got(1L) == ("intro one\n\nbody of one", 5, 2))
+    assert(got(2L) == ("intro two\nbody of two", 4, 2))
+    assert(got(3L) == ("intro three\nbody of three", 3, 1))
+    assert(got(4L) == ("standalone doc\n\n\n", 4, 0))
+    // higher threshold: the 2-doc footer survives, the 3-doc banner drops
+    val loose = TextAnalysis.dedupLines(docs, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(loose == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.dedupLines(docs, "doc_id", "text", minDocFreq = 1))
+  }
 }
