@@ -286,6 +286,23 @@ object PipelineQueries {
         length(col("text_clean")).cast("int").as("clean_len"))
   }
 
+  /** Salted equi-join under PLANTED skew (§2.9): every fourth event
+    * remaps to one hot user (~25% of the fact side on a single key — the
+    * pathological shape AQE's split partitions cannot fully spread), the
+    * dim side replicates across 8 salts, and the result must equal the
+    * plain join — DuckDB recomputes the whole thing unsalted. */
+  def skewSaltJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithTs(spark, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 4 === 0, lit(1L))
+          .otherwise(col("user_id")).as("user_id"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("bucket", pmod(col("user_id"), lit(100L)))
+    Skew.saltJoin(ev, dim, "user_id", salts = 8)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long").as("sum_ev"))
+  }
+
   // ---- §2.7 multimodal --------------------------------------------------
 
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
