@@ -136,6 +136,7 @@ object SparkEntry {
     "mm_decode" -> (PipelineQueries.mmDecode _),
     "text_dedup_lines" -> (PipelineQueries.textDedupLines _),
     "skew_salt_join" -> (PipelineQueries.skewSaltJoin _),
+    "bucketed_join_check" -> (PipelineQueries.bucketedJoinCheck _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "emb_quantize" -> (PipelineQueries.embQuantize _),
@@ -376,6 +377,8 @@ object SparkEntry {
       """SELECT doc_id, CAST(2 AS INT) AS n_lines, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_removed, CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) ELSE length(text) + 1 + length('unique-' || CAST(doc_id AS VARCHAR)) END AS INT) AS clean_len FROM documents""",
     "skew_salt_join" ->
       """WITH ev AS (SELECT event_id, CASE WHEN event_id % 4 = 0 THEN 1 ELSE user_id END AS user_id FROM events), dim AS (SELECT DISTINCT user_id, user_id % 100 AS bucket FROM ev) SELECT bucket, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ev FROM ev JOIN dim USING (user_id) GROUP BY 1""",
+    "bucketed_join_check" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS s, true AS bucketed_smj, true AS no_join_exchange FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
     "mm_frames" ->
       """SELECT media_id, frame_no, frame_no * 1000 AS offset_ms FROM (SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 90000 + 1000 - 1) // 1000)) AS frame_no FROM documents WHERE doc_id % 3 = 2) t""",
     "emb_centroids" ->

@@ -303,6 +303,34 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long").as("sum_ev"))
   }
 
+  /** Bucketed co-located fact-fact join (§2.9/§4) as a CORRECTNESS gate:
+    * lineitem and orders bucket once on the order key, the recurring
+    * join plans SMJ with NO Exchange on the join key (the plan pin rides
+    * as a boolean column), and the per-status aggregates must equal
+    * DuckDB's plain join. */
+  def bucketedJoinCheck(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS bjc_orders")
+    spark.sql("DROP TABLE IF EXISTS bjc_lineitem")
+    Bucketing.writeBucketed(Tables.orders(spark, dir), "bjc_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bjc_lineitem", "o_orderkey", 8)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "bjc_orders", "bjc_lineitem", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      val p = joined.queryExecution.executedPlan.toString
+      val smj = p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      val noExchange = !p.substring(p.indexOf("Join"))
+        .contains("Exchange hashpartitioning(o_orderkey")
+      joined.withColumn("bucketed_smj", lit(smj))
+        .withColumn("no_join_exchange", lit(noExchange))
+    } finally spark.conf.set(key, old)
+  }
+
   // ---- §2.7 multimodal --------------------------------------------------
 
   def mmManifest(spark: SparkSession, dir: String): DataFrame =
