@@ -311,6 +311,15 @@ object PipelineQueries {
   def bucketedJoinCheck(spark: SparkSession, dir: String): DataFrame = {
     spark.sql("DROP TABLE IF EXISTS bjc_orders")
     spark.sql("DROP TABLE IF EXISTS bjc_lineitem")
+    // a FRESH session's in-memory catalog does not know a prior JVM's
+    // tables, so DROP IF EXISTS is a no-op while the warehouse directory
+    // survives and saveAsTable refuses — remove the locations too
+    Seq("bjc_orders", "bjc_lineitem").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
     Bucketing.writeBucketed(Tables.orders(spark, dir), "bjc_orders", "o_orderkey", 8)
     Bucketing.writeBucketed(
       Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
