@@ -35,7 +35,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           delegate.parseMultipartIdentifier(m.group(1)),
           canonicalTransform(m.group(3)),
           add = m.group(2).equalsIgnoreCase("ADD"))
-      case None => delegate.parsePlan(sqlText)
+      case None => WriteOrderedBy.findFirstMatchIn(sqlText) match {
+        case Some(m) =>
+          GraftWriteOrderCommand(
+            delegate.parseMultipartIdentifier(m.group(1)),
+            Option(m.group(2)).map(_.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        case None => delegate.parsePlan(sqlText)
+      }
     }
 
   /** The interface DEFAULT drops the ParameterContext (falls back to
@@ -45,10 +52,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(
       sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    AddDropPartitionField.findFirstMatchIn(sqlText) match {
-      case Some(_) => parsePlan(sqlText)
-      case None => delegate.parsePlanWithParameters(sqlText, ctx)
-    }
+    if (claimed(sqlText)) parsePlan(sqlText)
+    else delegate.parsePlanWithParameters(sqlText, ctx)
+
+  /** True when one of the injected DDL shapes owns the statement. */
+  private def claimed(sqlText: String): Boolean =
+    AddDropPartitionField.findFirstMatchIn(sqlText).isDefined ||
+      WriteOrderedBy.findFirstMatchIn(sqlText).isDefined
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
@@ -67,6 +77,12 @@ object GraftSqlParser {
   private val AddDropPartitionField =
     """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*\z""".r
 
+  /** `ALTER TABLE t WRITE ORDERED BY c1[, c2...]` / `WRITE UNORDERED`
+    * (Iceberg's write sort-order DDL) — lowers onto the W86
+    * `graft.write.sort-order` branch-versioned property. */
+  private val WriteOrderedBy =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+(?:ORDERED\s+BY\s+([\w,\s]+?)|(?:UNORDERED))\s*;?\s*\z""".r
+
   /** Normalize the typed transform to [[graft.wap.PartitionSpec.parse]]'s
     * canonical format: lowercase, no whitespace, Iceberg's plural
     * `days/months/hours(c)` accepted as graft's `day/month/hour(c)`, and
@@ -80,15 +96,35 @@ object GraftSqlParser {
   }
 }
 
-/** Eager partition-field evolution command (the parser's target): one
-  * metadata-only commit through W83, branch-guarded like every other
-  * graft mutation (tags refuse by name). */
-case class GraftPartitionFieldCommand(
-    ident: Seq[String], transform: String, add: Boolean)
+/** `ALTER TABLE ... WRITE ORDERED BY c1, c2` / `WRITE UNORDERED` (the
+  * Iceberg write sort-order DDL, W86): validates the columns against the
+  * live schema HERE (writeOrderOf would otherwise refuse at the first
+  * append — this surface is where the user can fix a typo) and stores or
+  * clears the `graft.write.sort-order` property. */
+case class GraftWriteOrderCommand(ident: Seq[String], cols: Seq[String])
     extends LeafRunnableCommand {
-
   override def run(spark: SparkSession): Seq[Row] = {
-    val what = s"ALTER TABLE ... ${if (add) "ADD" else "DROP"} PARTITION FIELD"
+    val (cat, branch, table) =
+      GraftPartitionFieldCommand.resolve(spark, ident, "ALTER TABLE ... WRITE ORDERED BY")
+    if (cols.nonEmpty) {
+      val id = cat.snapshotIdOf(table, branch).getOrElse(
+        throw new IllegalArgumentException(s"no table $table on $branch"))
+      val schema = cat.schemaOfSnapshot(table, id)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"WRITE ORDERED BY names unknown column $c of $table"))
+    }
+    cat.setTableProperties(table,
+      Map(graft.wap.BranchCatalog.WriteOrderKey ->
+        (if (cols.isEmpty) "" else cols.mkString(","))), branch)
+    Seq.empty
+  }
+}
+
+object GraftPartitionFieldCommand {
+  /** Shared ident resolution for the injected DDL commands: catalog by
+    * name (must be a graft catalog), tag namespaces refuse. */
+  private[sql] def resolve(spark: SparkSession, ident: Seq[String],
+      what: String): (graft.wap.BranchCatalog, String, String) = {
     val cm = spark.sessionState.catalogManager
     val (catName, branch, table) = ident match {
       case Seq(c, b, t) => (c, b, t)
@@ -105,6 +141,20 @@ case class GraftPartitionFieldCommand(
     val cat = new graft.wap.BranchCatalog(spark, gtc.lakeRoot)
     require(!cat.listTags().contains(branch),
       s"$branch is a TAG namespace (immutable, read-only) — $what needs a branch")
+    (cat, branch, table)
+  }
+}
+
+/** Eager partition-field evolution command (the parser's target): one
+  * metadata-only commit through W83, branch-guarded like every other
+  * graft mutation (tags refuse by name). */
+case class GraftPartitionFieldCommand(
+    ident: Seq[String], transform: String, add: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val what = s"ALTER TABLE ... ${if (add) "ADD" else "DROP"} PARTITION FIELD"
+    val (cat, branch, table) = GraftPartitionFieldCommand.resolve(spark, ident, what)
     if (add)
       cat.addPartitionField(table, graft.wap.PartitionSpec.parse(transform), branch)
     else

@@ -280,6 +280,30 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("ALTER TABLE ... WRITE ORDERED BY / WRITE UNORDERED (injected DDL)") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    val lake = "wolake_" + cat.root.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", cat.root)
+
+    spark.sql(s"ALTER TABLE $lake.main.t WRITE ORDERED BY n_chars")
+    assert(cat.tableProperties("t").get("graft.write.sort-order").contains("n_chars"))
+    cat.append("t", docs(0, 100).orderBy(rand(7)))
+    cat.dataFiles("t").foreach { f =>
+      val vals = spark.read.parquet(f.path)
+        .select("n_chars").collect().map(_.getLong(0)).toSeq
+      assert(vals == vals.sorted)
+    }
+    // typo'd column refuses AT ALTER time, not at the first append
+    val bad = intercept[Exception](
+      spark.sql(s"ALTER TABLE $lake.main.t WRITE ORDERED BY nope"))
+    assert(bad.getMessage.contains("unknown column"))
+    // WRITE UNORDERED clears the property
+    spark.sql(s"ALTER TABLE $lake.main.t WRITE UNORDERED")
+    assert(!cat.tableProperties("t").contains("graft.write.sort-order"))
+  }
+
   test("TTL retention: expired rows delete positionally, sweep is idempotent, ids survive") {
     val cat = freshCat()
     // epoch-millis long column: doc_id stands in as the event time
