@@ -53,7 +53,7 @@ object GraftProcedures {
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
       "create_changelog_view", "enable_row_lineage", "convert_equality_deletes",
       "begin_transaction", "stage_append", "stage_delete_keys",
-      "commit_transaction", "abort_transaction")
+      "commit_transaction", "abort_transaction", "expire_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -290,6 +290,14 @@ object GraftProcedures {
         param("branch", StringType, "'main'"))) { (cat, args) =>
         cat.dropPartitionField(args.getString(0), args.getString(1),
           args.getString(2))
+        ()
+      }
+    case "expire_branches" =>
+      // fully-merged stale-branch cleanup (identical to main AND older
+      // than the fence — provably redundant, never data-bearing)
+      procedure(root, name, Array(
+        param("older_than_ms", LongType))) { (cat, args) =>
+        cat.expireBranches(args.getLong(0))
         ()
       }
     case "begin_transaction" =>

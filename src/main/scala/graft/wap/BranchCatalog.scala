@@ -529,6 +529,10 @@ case class Refs(version: Long, branches: Map[String, BranchState],
       * Iceberg `max-ref-age-ms`). Pre-r14 tags have no stamp and are
       * NEVER age-expired (conservative; json4s fills the default). */
     tagCreatedAt: Map[String, Long] = Map.empty,
+    /** Branch -> creation epoch millis (r15, the branch analogue for
+      * [[BranchCatalog.expireBranches]]). Pre-stamp branches are NEVER
+      * age-expired (conservative; json4s fills the default). */
+    branchCreatedAt: Map[String, Long] = Map.empty,
     /** Table name -> PHYSICAL directory key, recorded by
       * [[BranchCatalog.renameTable]]. A table keeps its CREATE-time
       * directory for life: snapshots, manifests and data files embed
@@ -1200,7 +1204,9 @@ class BranchCatalog(
         s"$branch is a tag — branch and tag names share one namespace")
       val src = refs.branches.getOrElse(from, sys.error(s"no branch $from"))
       refs.copy(branches = refs.branches.updated(branch,
-        BranchState(src.tables, src.tables, src.views, src.tableProps)))
+        BranchState(src.tables, src.tables, src.views, src.tableProps)),
+        branchCreatedAt =
+          refs.branchCreatedAt.updated(branch, System.currentTimeMillis()))
     }
 
   /** Set (merge in) per-table properties, branch-versioned. A null/empty
@@ -1258,9 +1264,47 @@ class BranchCatalog(
       val used = next.values.flatMap(_.tables.keys).toSet ++
         refs.tags.values.flatMap(_.keys)
       refs.copy(branches = next,
+        branchCreatedAt = refs.branchCreatedAt - branch,
         tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
     }
     dirAlias.clear()
+  }
+
+  /** FULLY-MERGED stale-branch cleanup (the Nessie branch-retention
+    * analogue): a long-lived WAP deployment accumulates leftover
+    * branches — crashed runs between publish and dropBranch, abandoned
+    * experiments — whose refs entries bloat the commit document and pin
+    * directory aliases. A branch is reclaimable ONLY when it is
+    * provably redundant with main: identical table pointers, views and
+    * per-table properties (the same equals-main rule the streaming
+    * sink's replay cleanup already trusts), so dropping it can never
+    * lose data or definitions. Quarantine branches (diverged content)
+    * and in-flight audit branches (diverged pointer) never qualify.
+    * `olderThanMillis` fences a branch forked moments ago that has not
+    * diverged YET: ages come from [[Refs.branchCreatedAt]] (stamped at
+    * createBranch, r15); pre-stamp branches never age out — the same
+    * conservative rule as pre-stamp tags. Returns the dropped names. */
+  def expireBranches(
+      olderThanMillis: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+      : Seq[String] = {
+    var dropped: Seq[String] = Nil
+    commitRefs { refs =>
+      val main = refs.branches.getOrElse("main", sys.error("no branch main"))
+      dropped = refs.branches.toSeq.collect {
+        case (name, st) if name != "main" &&
+            st.tables == main.tables && st.views == main.views &&
+            st.tableProps == main.tableProps &&
+            refs.branchCreatedAt.get(name).exists(_ < olderThanMillis) =>
+          name
+      }.sorted
+      val next = refs.branches -- dropped
+      val used = next.values.flatMap(_.tables.keys).toSet ++
+        refs.tags.values.flatMap(_.keys)
+      refs.copy(branches = next,
+        branchCreatedAt = refs.branchCreatedAt -- dropped,
+        tableDirs = refs.tableDirs.filter { case (n, _) => used.contains(n) })
+    }
+    dropped
   }
 
   /** Zero-copy table CLONE (the Delta `SHALLOW CLONE` / Iceberg

@@ -2201,4 +2201,37 @@ class WapSpec extends SparkSpecBase {
     // and the compacted table reads intact
     assert(cat.scan("t").count() == 204)
   }
+
+  test("expireBranches drops only fully-merged, aged-out branches") {
+    val cat = freshCatalog()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 50))
+
+    cat.createBranch("stale-merged")          // mirrors main exactly
+    cat.createBranch("diverged-data")
+    cat.append("t", docs.filter(col("doc_id") >= 50 && col("doc_id") < 60), "diverged-data")
+    cat.createBranch("diverged-view")
+    cat.createView("v",
+      ViewDef("SELECT 1 AS one", "spark_catalog", Nil, "one INT"), "diverged-view")
+    cat.createBranch("diverged-props")
+    cat.setTableProperties("t", Map("x" -> "1"), "diverged-props")
+    Thread.sleep(10)
+
+    // fence first: nothing young enough is dropped
+    assert(cat.expireBranches(olderThanMillis = 0L).isEmpty)
+    val dropped = cat.expireBranches(olderThanMillis = System.currentTimeMillis())
+    assert(dropped == Seq("stale-merged"), s"got $dropped")
+    assert(cat.listBranches().toSet ==
+      Set("main", "diverged-data", "diverged-view", "diverged-props"))
+    // content untouched everywhere
+    assert(cat.scan("t").count() == 50)
+    assert(cat.scan("t", "diverged-data").count() == 60)
+    // a freshly re-merged branch becomes reclaimable once aged
+    cat.merge("diverged-data")
+    assert(cat.scan("t").count() == 60)
+    Thread.sleep(5)
+    val dropped2 = cat.expireBranches(olderThanMillis = System.currentTimeMillis())
+    assert(dropped2 == Seq("diverged-data"))
+  }
 }
