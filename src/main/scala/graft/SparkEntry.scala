@@ -137,6 +137,7 @@ object SparkEntry {
     "text_dedup_lines" -> (PipelineQueries.textDedupLines _),
     "skew_salt_join" -> (PipelineQueries.skewSaltJoin _),
     "bucketed_join_check" -> (PipelineQueries.bucketedJoinCheck _),
+    "curate_temperature" -> (PipelineQueries.curateTemperature _),
     "mm_frames" -> (PipelineQueries.mmFrames _),
     "emb_centroids" -> (PipelineQueries.embCentroids _),
     "emb_quantize" -> (PipelineQueries.embQuantize _),
@@ -379,6 +380,8 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, CASE WHEN event_id % 4 = 0 THEN 1 ELSE user_id END AS user_id FROM events), dim AS (SELECT DISTINCT user_id, user_id % 100 AS bucket FROM ev) SELECT bucket, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ev FROM ev JOIN dim USING (user_id) GROUP BY 1""",
     "bucketed_join_check" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS s, true AS bucketed_smj, true AS no_join_exchange FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
+    "curate_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), w AS (SELECT lang, n, greatest(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT), 1) AS w FROM c), s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w), b AS (SELECT min((n * sw) // w) AS b FROM w, s), t AS (SELECT lang, n, least((1000000 * b * w) // (sw * n), 1000000) AS t6 FROM w, s, b) SELECT d.lang, count(*) AS n_sampled, CAST(t.t6 AS BIGINT) AS t6 FROM documents d JOIN t USING (lang) WHERE ((d.doc_id & 2147483647) * 2654435761) % 1000000 < t.t6 GROUP BY d.lang, t.t6""",
     "mm_frames" ->
       """SELECT media_id, frame_no, frame_no * 1000 AS offset_ms FROM (SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 90000 + 1000 - 1) // 1000)) AS frame_no FROM documents WHERE doc_id % 3 = 2) t""",
     "emb_centroids" ->

@@ -79,6 +79,52 @@ object Curation {
     df.filter(b < threshold)
   }
 
+  /** Per-group thresholds for [[temperatureRebalance]] in units of
+    * 1e-6 (keep a row iff hashBucket(id, 1e6) < threshold): the
+    * multilingual mixing rule (XLM-R/mT5 `p_g ∝ n_g^alpha`) realized as
+    * the LARGEST deterministic sample whose group proportions follow
+    * p_g with every per-group rate <= 1 — the most-upsampled group
+    * keeps ~everything, head groups downsample toward the temperature.
+    * All arithmetic past the weight step is INTEGER (BigInt — no
+    * overflow at any corpus size) so an ANSI engine recomputes the
+    * thresholds bit-exactly; for alpha = 0.5 the weight itself is
+    * IEEE-exact too (sqrt is correctly rounded; Math.pow is not, so
+    * other alphas are reproducible within Spark but not pinnable
+    * cross-engine). */
+  def temperatureThresholds(
+      df: DataFrame, keyCol: String, alpha: Double = 0.5): Map[String, Long] = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureRebalance needs a non-empty corpus")
+    // weight w_g = floor(n_g^alpha * 1000); integer from here on
+    val w = counts.map { case (k, n) =>
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      k -> BigInt(math.floor(p * 1000).toLong).max(1)
+    }
+    val sumW = w.values.sum
+    // sample budget B = max size at proportions p_g with all rates <= 1
+    val b = counts.map { case (k, n) => BigInt(n) * sumW / w(k) }.min
+    counts.map { case (k, n) =>
+      k -> ((BigInt(1000000) * b * w(k)) / (sumW * n)).toLong.min(1000000L)
+    }
+  }
+
+  /** Temperature-based group rebalancing (language mixing): keep each
+    * row of group g iff its id hash falls under g's
+    * [[temperatureThresholds]] — deterministic, partition-invariant,
+    * incremental (a grown corpus re-decides only via the new counts).
+    * One count aggregation (O(groups) on the driver) + one map-side
+    * filter; nothing shuffles. */
+  def temperatureRebalance(
+      df: DataFrame, idCol: String, keyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val t6 = temperatureThresholds(df, keyCol, alpha)
+    val thr = t6.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, t)) =>
+      when(col(keyCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 1000000) < thr)
+  }
+
   /** Sequence packing: assign every document to a fixed-token-budget
     * training sequence (the pretraining "pack documents into context
     * windows" step). Offset packing: docs are ordered deterministically

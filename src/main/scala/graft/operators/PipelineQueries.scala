@@ -303,6 +303,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long").as("sum_ev"))
   }
 
+  /** Temperature rebalancing (§2.10 — the multilingual `p ∝ n^0.5`
+    * mixing rule) over the documents corpus by language: per-lang kept
+    * counts + the integer thresholds, all recomputed by DuckDB with the
+    * identical integer arithmetic (sqrt is IEEE-exact; everything after
+    * the weight step is int64). */
+  def curateTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t6 = Curation.temperatureThresholds(docs, "lang")
+    val thrExpr = t6.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, t)) =>
+      when(col("lang") === k, lit(t)).otherwise(acc)
+    }
+    Curation.temperatureRebalance(docs, "doc_id", "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .withColumn("t6", thrExpr)
+  }
+
   /** Bucketed co-located fact-fact join (§2.9/§4) as a CORRECTNESS gate:
     * lineitem and orders bucket once on the order key, the recurring
     * join plans SMJ with NO Exchange on the join key (the plan pin rides

@@ -108,4 +108,30 @@ class CurationSpec extends SparkSpecBase {
       assert(got(id) >= 0 && got(id) < 100)
     }
   }
+
+  test("temperatureRebalance follows n^alpha proportions; tail group keeps ~all; deterministic") {
+    import spark.implicits._
+    // 10000 'big' docs vs 100 'small' — with alpha=0.5 the target mix is
+    // sqrt(10000):sqrt(100) = 10:1, so big downsamples ~10x, small stays
+    val docs = ((0L until 10000L).map(i => (i, "big")) ++
+      (100000L until 100100L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val t6 = Curation.temperatureThresholds(docs, "lang")
+    assert(t6("small") == 1000000L, "most-upsampled group keeps everything")
+    assert(math.abs(t6("big") - 100000L) <= 1000L,
+      s"10:1 over 100x rows -> ~10% rate, got ${t6("big")}")
+    val kept = Curation.temperatureRebalance(docs, "doc_id", "lang")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L)
+    // hash sampling: expected 1000 +- statistical noise
+    assert(kept("big") > 800L && kept("big") < 1200L, s"got ${kept("big")}")
+    // proportions now ~10:1 (temperature-flattened from 100:1)
+    val ratio = kept("big").toDouble / kept("small")
+    assert(ratio > 8.0 && ratio < 12.0, s"ratio $ratio")
+    // partition-invariant determinism
+    val again = Curation.temperatureRebalance(docs.repartition(13), "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = Curation.temperatureRebalance(docs, "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(first))
+  }
 }
