@@ -7569,10 +7569,23 @@ class BranchCatalog(
       val minFiles = intProp("graft.maintain.cluster.min-files", 8)
       val maxOverlap = props.get("graft.maintain.cluster.max-overlap")
         .map(_.trim.toDouble).getOrElse(0.5)
-      val files = filesOf(headC)
-      val ranged = files.flatMap(f => f.lower.get(key).zip(f.upper.get(key)))
+      val totalFiles = headC.manifests.map(_.fileCount).sum
+      // above the distributed threshold only (lower, upper) PAIRS land on
+      // the driver (two strings per file from a Spark projection), never
+      // the full entries — the sweep itself is a sort over 2N strings
+      val ranged: Seq[(String, String)] =
+        if (totalFiles > distributedMetaThreshold) {
+          import org.apache.spark.sql.functions.{element_at, col => fcol, lit => flit}
+          manifestEntries(headC)
+            .select(element_at(fcol("lower"), flit(key)).as("lo"),
+              element_at(fcol("upper"), flit(key)).as("hi"))
+            .collect().toSeq.collect {
+              case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+                (r.getString(0), r.getString(1))
+            }
+        } else filesOf(headC).flatMap(f => f.lower.get(key).zip(f.upper.get(key)))
       if (headC.deleteManifests.isEmpty &&
-          files.size >= minFiles && ranged.size == files.size) {
+          totalFiles >= minFiles && ranged.size.toLong == totalFiles) {
         val sorted = ranged.sortWith((a, b) => cmp(a._1, b._1) < 0)
         var over = 0
         var maxUpper: String = null
