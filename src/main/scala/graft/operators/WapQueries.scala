@@ -1085,13 +1085,25 @@ object WapQueries {
          |WHERE abs(v.mean - f.mean) > 1e-9
          |""".stripMargin).head.getLong(0) == 0L
 
-    // a CoW delete breaks the append-only window -> full recompute for
-    // MIN/MAX and select-only views ...
+    // a CoW delete breaks the append-only window -> the select-only view
+    // recomputes, while the MIN/MAX view FOLDS via the r15 touched-group
+    // rescan (exactly matching a full recompute) ...
     spark.sql(s"CALL $lake.system.create_mview('mv_dml', " +
       s"'SELECT lang, count(*) AS n, sum(n_chars) AS chars " +
       s"FROM $lake.main.documents GROUP BY lang')")
     cat.deleteWhere("documents", col("doc_id") >= 150)
-    val fullAgg = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") == "full"
+    val minMaxFold = GraftMaterializedViews.refresh(spark, cat, "mv_agg", "main") ==
+      "incremental_agg_dml"
+    val fullAgg = minMaxFold && spark.sql(
+      s"""SELECT count(*) FROM $lake.main.mv_agg v
+         |FULL OUTER JOIN (SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+         |                 min(doc_id) AS lo, max(doc_id) AS hi
+         |                 FROM $lake.main.documents GROUP BY lang) f
+         |ON v.lang = f.lang
+         |WHERE v.n_docs IS DISTINCT FROM f.n_docs
+         |   OR v.chars IS DISTINCT FROM f.chars
+         |   OR v.lo IS DISTINCT FROM f.lo OR v.hi IS DISTINCT FROM f.hi
+         |""".stripMargin).head.getLong(0) == 0L
     val fullSel = GraftMaterializedViews.refresh(spark, cat, "mv_sel", "main") == "full"
     // ... while a SUM/COUNT view folds the deletions through the net
     // changelog (r13), exactly matching a full recompute

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Multiply, NamedExpressi
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Count, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, greatest, lit, max => fmax, min => fmin, sqrt, sum => fsum, when}
+import org.apache.spark.sql.functions.{coalesce, col, greatest, lit, max => fmax, min => fmin, sqrt, sum => fsum, when}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -470,15 +470,26 @@ object GraftMaterializedViews {
   /** Aggregate fold through a DELETE-containing window
     * ([[BranchCatalog.scanChangelog]]): the net changelog's INSERT rows
     * aggregate through the view's own plan, its DELETE rows likewise,
-    * and the view folds view + insAgg − delAgg. Sound only when every
-    * aggregate is SIGNABLE — SUM/COUNT, and AVG through its sum/cnt
-    * companions: subtracting a departed row is exact arithmetic there.
-    * MIN/MAX and the moments are not (deleting the minimum needs a
-    * rescan) and fall back to full, as does a view without a `count(*)`
-    * output: groups whose rows all departed must VANISH like a full
-    * recompute would drop them, and count(*) is the only sound
-    * zero-group detector (count(col)=0 also holds for live all-null
-    * groups). O(changed files + |view|), never O(source). */
+    * and the view folds view + insAgg − delAgg. SUM/COUNT and AVG (via
+    * its sum/cnt companions) are SIGNABLE — subtracting departed rows is
+    * exact arithmetic; this path needs a `count(*)` output as the
+    * zero-group detector (groups whose rows all departed must VANISH).
+    *
+    * MIN/MAX and the moments are NOT signable (deleting the minimum
+    * needs a rescan) — but only for the groups it can actually affect
+    * (r15): a deleted value strictly ABOVE the group's current MIN
+    * (below its MAX) cannot move the bound, so folding its delete row is
+    * harmless BY DEFINITION. The fold therefore splits groups:
+    *  - UNTOUCHED (no deleted value attains any bound): fold as usual —
+    *    O(delta + |view|);
+    *  - TOUCHED (a bound attained, a moment output present, or the
+    *    group is unknown to the view): recompute those groups ONLY, by a
+    *    semi-join of the source against the touched keys — O(touched
+    *    groups' rows), never O(source groups).
+    * Emptied groups always delete their own bound, so they are always
+    * touched and the rescan drops them — no count(*) needed on this
+    * path. Restricted to bare-column GROUP BY keys (a computed key
+    * cannot semi-join the source); others fall back to full. */
   private def tryChangelogFold(spark: SparkSession, cat: BranchCatalog,
       name: String, branch: String, analyzed: LogicalPlan,
       companions: Map[String, Decomp],
@@ -490,13 +501,42 @@ object GraftMaterializedViews {
     strip(analyzed) match {
       case agg: Aggregate =>
         aggMerges(agg, companions).flatMap { case (groupCols, merges, countStar) =>
+          val minMaxCols = merges.collect { case (c, k) if k == "min" || k == "max" => (c, k) }
+          // moment outputs (and their m2 companions) have no bound test —
+          // every delete-group rescans when any is present
+          val rescanAllDeleted = merges.exists { case (c, k) =>
+            k == "m2" || (k == "stat" && companions.get(c).exists(_.isInstanceOf[MomentDecomp]))
+          }
           val signable = merges.forall { case (c, k) =>
             k == "sum" || (k == "stat" && companions.get(c).exists(_.isInstanceOf[AvgDecomp]))
+          }
+          val foldableKinds = merges.forall { case (c, k) =>
+            k == "sum" || k == "min" || k == "max" || k == "m2" ||
+              (k == "stat" && companions.contains(c))
+          }
+          // the rescan path semi-joins the SOURCE on the group keys, so
+          // each key must be a bare source column (possibly aliased)
+          lazy val keyPairs: Option[Seq[(String, String)]] = {
+            val gset = agg.groupingExpressions.map(_.canonicalized).toSet
+            val pairs = agg.aggregateExpressions.flatMap {
+              case ne: NamedExpression if gset.contains(ne.canonicalized) => ne match {
+                case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                  Seq(a.name -> a.name)
+                case Alias(a: org.apache.spark.sql.catalyst.expressions.AttributeReference, n) =>
+                  Seq(n -> a.name)
+                case _ => Nil
+              }
+              case _ => Nil
+            }
+            if (pairs.map(_._1).toSet == groupCols.toSet) Some(pairs) else None
           }
           val rel = agg.collectFirst {
             case r: DataSourceV2Relation if tableOf(r).exists(_.tableName == table) => r
           }
-          if (!signable || countStar.isEmpty || rel.isEmpty) None
+          val usable = rel.isDefined && foldableKinds &&
+            (if (signable) countStar.isDefined
+             else groupCols.nonEmpty && keyPairs.isDefined)
+          if (!usable) None
           else {
             val cl =
               try cat.scanChangelog(table, fromId, toId)
@@ -516,11 +556,49 @@ object GraftMaterializedViews {
               (if (sumCols(f.name)) (-col(f.name)).cast(f.dataType) else col(f.name))
                 .as(f.name)
             }: _*)
-            val combined = cat.scan(name, branch).unionByName(ins).unionByName(del)
-            foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
-              companions, mvSchema,
-              emptyGroupFilter = Some(col(countStar.get) > 0))
-            Some("incremental_agg_dml")
+            val view = cat.scan(name, branch)
+            if (signable) {
+              val combined = view.unionByName(ins).unionByName(del)
+              foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
+                companions, mvSchema,
+                emptyGroupFilter = Some(col(countStar.get) > 0))
+              Some("incremental_agg_dml")
+            } else {
+              // split fold: delRaw's per-group values ARE the deleted
+              // rows' bounds — join them to the view to find the groups
+              // a delete can affect
+              val viewBounds = view.select((groupCols.map(col) ++
+                minMaxCols.map { case (c, _) => col(c).as(s"__v_$c") }).toIndexedSeq: _*)
+              val joined = delRaw.join(viewBounds, groupCols.toIndexedSeq, "left")
+              val viewKnown = minMaxCols.headOption
+                .map { case (c, _) => col(s"__v_$c") }
+              val touchedCond =
+                if (rescanAllDeleted) lit(true)
+                else minMaxCols.map { case (c, k) =>
+                  val attained =
+                    if (k == "min") col(c) <= col(s"__v_$c") else col(c) >= col(s"__v_$c")
+                  viewKnown.map(_.isNull).getOrElse(lit(false)) ||
+                    (col(c).isNotNull && coalesce(attained, lit(false)))
+                }.reduce(_ || _)
+              val touched = joined.filter(touchedCond)
+                .select(groupCols.map(col).toIndexedSeq: _*).distinct()
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val pairs = keyPairs.get
+                val srcKeys = touched.select(pairs.map(p => col(p._1).as(p._2)).toIndexedSeq: _*)
+                val rescan = aggOver(cat.scanSnapshot(table, toId)
+                  .join(srcKeys, pairs.map(_._2).toIndexedSeq, "left_semi"))
+                def anti(df: DataFrame): DataFrame =
+                  df.join(touched, groupCols.toIndexedSeq, "left_anti")
+                val combined = anti(view).unionByName(anti(ins)).unionByName(anti(del))
+                  .unionByName(rescan)
+                // emptied groups always attain their own bounds -> always
+                // touched -> the rescan drops them; no count(*) needed
+                foldAndOverwrite(cat, name, branch, combined, groupCols, merges,
+                  companions, mvSchema, emptyGroupFilter = None)
+              } finally { touched.unpersist(); () }
+              Some("incremental_agg_dml")
+            }
           }
         }
       case _ => None

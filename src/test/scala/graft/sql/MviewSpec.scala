@@ -199,20 +199,84 @@ class MviewSpec extends SparkSpecBase {
     assert(sortedRows(spark.sql(s"SELECT lang, n, chars, mean FROM $lake.main.mv")) ==
       sortedRows(spark.sql(q)))
 
-    // MIN/MAX views cannot sign deletions -> still full on delete windows
+    // MIN/MAX views fold delete windows too (r15: touched-group rescan)
     val qm = s"SELECT lang, count(*) AS n, max(doc_id) AS hi " +
       s"FROM $lake.main.src GROUP BY lang"
     GraftMaterializedViews.create(spark, cat, "mvm", qm, "main")
     cat.deleteWhere("src", col("doc_id") % 7 === 1)
-    assert(GraftMaterializedViews.refresh(spark, cat, "mvm", "main") == "full")
-    // ... and a signable view WITHOUT count(*) cannot detect emptied
-    // groups -> full as well
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvm", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvm")) ==
+      sortedRows(spark.sql(qm)))
+    // a signable view WITHOUT count(*) cannot detect emptied groups ->
+    // full (the rescan path does not apply: no min/max/moment outputs)
     val qs = s"SELECT lang, sum(n_chars) AS chars FROM $lake.main.src GROUP BY lang"
     GraftMaterializedViews.create(spark, cat, "mvs", qs, "main")
     cat.deleteWhere("src", col("doc_id") % 5 === 2)
     assert(GraftMaterializedViews.refresh(spark, cat, "mvs", "main") == "full")
     assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvs")) ==
       sortedRows(spark.sql(qs)))
+  }
+
+  test("MIN/MAX and moment views fold DELETE windows via touched-group rescan") {
+    val (lake, cat) = register()
+    mk(lake, cat)
+    val q = s"SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, " +
+      s"count(*) AS n FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+
+    // deletes somewhere in the middle of most groups: untouched groups
+    // fold, any bound-attaining group rescans — content must equal the
+    // full recompute either way
+    cat.deleteWhere("src", col("doc_id") % 4 === 1)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // delete exactly the rows HOLDING every group's current max: each
+    // group's bound must retreat to the true next value (rescan tier)
+    val hiBound = spark.sql(s"SELECT min(hi) FROM $lake.main.mv").head.getLong(0)
+    cat.deleteWhere("src", col("n_chars") >= hiBound)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // a mixed window (delete + append) and an emptied group
+    val victim = spark.sql(s"SELECT lang FROM $lake.main.mv ORDER BY n, lang")
+      .head.getString(0)
+    cat.deleteWhere("src", col("lang") === victim)
+    cat.append("src", docs(100, 140))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // moments through a delete window: every delete-group rescans (no
+    // bound test exists), insert-only groups keep folding
+    val qv = s"SELECT lang, stddev(n_chars) AS s, count(*) AS n " +
+      s"FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mvv", qv, "main")
+    cat.deleteWhere("src", col("doc_id") % 5 === 2)
+    cat.append("src", docs(140, 170))
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvv", "main") ==
+      "incremental_agg_dml")
+    val gotV = sortedRows(spark.sql(
+      s"SELECT lang, round(s, 6) AS s, n FROM $lake.main.mvv"))
+    val wantV = sortedRows(spark.sql(
+      s"SELECT lang, round(stddev(n_chars), 6) AS s, count(*) AS n " +
+        s"FROM $lake.main.src GROUP BY lang"))
+    assert(gotV == wantV)
+
+    // computed GROUP BY keys cannot semi-join the source -> full
+    val qc = s"SELECT doc_id % 3 AS k, max(n_chars) AS hi " +
+      s"FROM $lake.main.src GROUP BY doc_id % 3"
+    GraftMaterializedViews.create(spark, cat, "mvc", qc, "main")
+    cat.deleteWhere("src", col("doc_id") % 11 === 3)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mvc", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mvc")) ==
+      sortedRows(spark.sql(qc)))
   }
 
   test("GROUP BY with an unprojected key never folds (would collapse groups)") {
