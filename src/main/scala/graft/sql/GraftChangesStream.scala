@@ -134,22 +134,27 @@ case class GraftChangesTable(base: GraftTable) extends Table
           * attribution — rows are endpoint-to-endpoint differences). */
         override def toV1TableScan[T <: BaseRelation with TableScan](
             ctx: SQLContext): T = {
-          // endpoints by id or (Delta startingTimestamp analogue) by
-          // epoch-millis — each resolves to the LAST snapshot at/before
+          // endpoints by id, TAG name (release-to-release diffs), or
+          // (Delta startingTimestamp analogue) by epoch-millis — instants
+          // resolve to the LAST snapshot at/before
           def asOf(ms: Long): String = new BranchCatalog(SparkSession.active, root)
             .snapshotIdAsOf(baseTable, ms, branch)
+          def byRef(s: String): String = new BranchCatalog(SparkSession.active, root)
+            .listTags().find(_ == s)
+            .flatMap(t => new BranchCatalog(SparkSession.active, root)
+              .snapshotIdAtTag(baseTable, t)).getOrElse(s)
           val fromTs = Option(options.get("graft.changes.fromTimestamp")).map(_.toLong)
           val toTs = Option(options.get("graft.changes.toTimestamp")).map(_.toLong)
           require(Option(options.get("graft.changes.from")).isEmpty || fromTs.isEmpty,
             "graft.changes.from and graft.changes.fromTimestamp are alternative " +
               "window starts — pick one")
-          val from = Option(options.get("graft.changes.from"))
+          val from = Option(options.get("graft.changes.from")).map(byRef)
             .orElse(fromTs.map(asOf)).getOrElse(
               throw new IllegalArgumentException(
                 s"a batch read of $baseTable$$changes needs a window: set " +
                   "graft.changes.from[Timestamp] (+ optional graft.changes" +
                   ".to[Timestamp]) — for a continuous feed use readStream"))
-          val to = Option(options.get("graft.changes.to"))
+          val to = Option(options.get("graft.changes.to")).map(byRef)
             .orElse(toTs.map(asOf)).getOrElse(snapshotId)
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx

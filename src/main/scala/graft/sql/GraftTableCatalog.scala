@@ -824,8 +824,16 @@ case class GraftTable(
         "window ends — pick one")
     def asOf(ms: Long): String =
       new BranchCatalog(SparkSession.active, root).snapshotIdAsOf(tableName, ms, branch)
-    val from = fromId.orElse(fromTs.map(asOf))
-    val to = toId.orElse(toTs.map(asOf))
+    // endpoints given as TAG names resolve to the tag's pinned snapshot
+    // ("what changed between release v1 and v2"); tags share the ref
+    // namespace, so the name lookup is unambiguous
+    def byRef(s: String): String =
+      new BranchCatalog(SparkSession.active, root)
+        .listTags().find(_ == s)
+        .flatMap(t => new BranchCatalog(SparkSession.active, root)
+          .snapshotIdAtTag(tableName, t)).getOrElse(s)
+    val from = fromId.map(byRef).orElse(fromTs.map(asOf))
+    val to = toId.map(byRef).orElse(toTs.map(asOf))
     require(from.isDefined || to.isEmpty,
       "graft.changes.to needs graft.changes.from (an incremental window has a start)")
     new GraftScanBuilder(this,

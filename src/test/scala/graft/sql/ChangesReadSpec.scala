@@ -110,6 +110,24 @@ class ChangesReadSpec extends SparkSpecBase {
     assert(cl.filter(col("_change_type") === "insert").count() ==
       docs(160, 200).count())
     assert(cl.filter(col("_change_type") === "delete").count() == 3L)
+
+    // endpoints by TAG name: "what changed between release A and B"
+    // (a tag pins head at creation time, so tag two successive states)
+    cat.append("t", docs(200, 220))
+    cat.createTag("relA")
+    cat.append("t", docs(220, 260))
+    cat.createTag("relB")
+    val byTag = spark.read
+      .option("graft.changes.from", "relA")
+      .option("graft.changes.to", "relB")
+      .table(s"$lake.main.t")
+    assert(byTag.count() == docs(220, 260).count())
+    assert(byTag.agg(min("doc_id")).head.getLong(0) == 220L)
+    val clTag = spark.read.option("graft.changes.from", "relA")
+      .option("graft.changes.to", "relB")
+      .table(s"$lake.main.`t$$changes`")
+    assert(clTag.filter(col("_change_type") === "insert").count() ==
+      docs(220, 260).count())
   }
 
   test("filters prune files WITHIN the window") {
