@@ -93,8 +93,11 @@ object Curation {
     * cross-engine). */
   def temperatureThresholds(
       df: DataFrame, keyCol: String, alpha: Double = 0.5): Map[String, Long] = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val rows = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).collect()
+    require(!rows.exists(_.isNullAt(0)),
+      s"temperatureRebalance: NULL values in group column '$keyCol' — " +
+        "filter them out or fill a sentinel group first")
+    val counts = rows.map(r => r.get(0).toString -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureRebalance needs a non-empty corpus")
     // weight w_g = floor(n_g^alpha * 1000); integer from here on
     val w = counts.map { case (k, n) =>
@@ -113,16 +116,24 @@ object Curation {
     * row of group g iff its id hash falls under g's
     * [[temperatureThresholds]] — deterministic, partition-invariant,
     * incremental (a grown corpus re-decides only via the new counts).
-    * One count aggregation (O(groups) on the driver) + one map-side
-    * filter; nothing shuffles. */
+    * One count aggregation (O(groups) on the driver) + one
+    * broadcast-hash-joined threshold lookup; the big side never
+    * shuffles. The thresholds travel as a broadcast SIDE TABLE, not a
+    * nested `when` chain: at domain/host granularity (10⁴–10⁵ groups)
+    * an O(groups)-deep expression tree blows codegen and analysis time,
+    * while the join stays O(1) depth at any group count. */
   def temperatureRebalance(
       df: DataFrame, idCol: String, keyCol: String,
       alpha: Double = 0.5): DataFrame = {
     val t6 = temperatureThresholds(df, keyCol, alpha)
-    val thr = t6.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, t)) =>
-      when(col(keyCol) === k, lit(t)).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol), 1000000) < thr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // every key present in df has a threshold row (same frame computed
+    // them), so the inner join drops nothing
+    val thrDf = t6.toSeq.sortBy(_._1).toDF("__tk", "__thr")
+    df.join(broadcast(thrDf), col(keyCol).cast("string") === col("__tk"))
+      .filter(hashBucket(col(idCol), 1000000) < col("__thr"))
+      .drop("__tk", "__thr")
   }
 
   /** Sequence packing: assign every document to a fixed-token-budget

@@ -148,6 +148,9 @@ case class GraftChangesTable(base: GraftTable) extends Table
           require(Option(options.get("graft.changes.from")).isEmpty || fromTs.isEmpty,
             "graft.changes.from and graft.changes.fromTimestamp are alternative " +
               "window starts — pick one")
+          require(Option(options.get("graft.changes.to")).isEmpty || toTs.isEmpty,
+            "graft.changes.to and graft.changes.toTimestamp are alternative " +
+              "window ends — pick one")
           val from = Option(options.get("graft.changes.from")).map(byRef)
             .orElse(fromTs.map(asOf)).getOrElse(
               throw new IllegalArgumentException(

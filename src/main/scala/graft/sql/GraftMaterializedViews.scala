@@ -563,6 +563,13 @@ object GraftMaterializedViews {
                 companions, mvSchema,
                 emptyGroupFilter = Some(col(countStar.get) > 0))
               Some("incremental_agg_dml")
+            } else if (groupCols.nonEmpty &&
+                !delRaw.filter(groupCols.map(col(_).isNull).reduce(_ || _)).isEmpty) {
+              // the touched/anti/semi joins below all use plain equality,
+              // which can never see a NULL group key: the stale view row
+              // would survive the anti-joins while the rescan semi-join
+              // never re-derives it. NULL-keyed deletes -> full refresh.
+              None
             } else {
               // split fold: delRaw's per-group values ARE the deleted
               // rows' bounds — join them to the view to find the groups

@@ -2842,12 +2842,18 @@ class BranchCatalog(
     openTxn(txnName).deleteKeys(table, keys)
 
   def commitTransaction(name: String): Map[String, Snapshot] = {
-    val txn = openTxn(name)
-    // remove AFTER the commit succeeds: a failed optimistic race leaves
-    // the handle open for a retry or an explicit abort
-    val out = commitStaged(txn, txn.txnBranch)
-    BranchCatalog.openTxns.remove(BranchCatalog.txnKey(root, name))
-    out
+    // CLAIM the handle atomically up front: two concurrent commits (or
+    // commit racing abort) must not both fetch it and double-publish the
+    // staged appends. A failed optimistic swap re-registers the handle so
+    // retry-or-explicit-abort still works; if an abort won a race in that
+    // window the retry handle simply reappears for it to remove.
+    val key = BranchCatalog.txnKey(root, name)
+    val txn = BranchCatalog.openTxns.remove(key)
+    require(txn != null,
+      s"no open transaction $name on this lake (committed, aborted, or never begun)")
+    val h = txn.asInstanceOf[TableTransaction]
+    try commitStaged(h, h.txnBranch)
+    catch { case e: Throwable => BranchCatalog.openTxns.putIfAbsent(key, h); throw e }
   }
 
   def abortTransaction(name: String): Unit = {
@@ -4499,12 +4505,23 @@ class BranchCatalog(
     def mismatch(): Nothing = throw new IllegalArgumentException(
       s"schema mismatch appending to $table@$branch: table has " +
         s"${expected.toDDL}; batch has ${incoming.toDDL}")
-    if (incoming.fieldNames.exists(n => !expected.fieldNames.contains(n))) mismatch()
-    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    // batch→table name resolution is case-INSENSITIVE like default Spark
+    // SQL (exact name wins; a unique case-insensitive match follows); two
+    // batch columns landing on one table column is a real mismatch
+    def expectedFor(n: String): Option[String] =
+      if (expected.fieldNames.contains(n)) Some(n)
+      else expected.fieldNames.filter(_.equalsIgnoreCase(n)) match {
+        case Array(one) => Some(one)
+        case _ => None
+      }
+    val mappedPairs = incoming.fields.map(f =>
+      expectedFor(f.name).getOrElse(mismatch()) -> f)
+    if (mappedPairs.map(_._1).distinct.length != mappedPairs.length) mismatch()
+    val incomingByName = mappedPairs.toMap
     val cols = expected.fields.map { f =>
       incomingByName.get(f.name) match {
-        case Some(bf) if bf.dataType == f.dataType => col(f.name)
-        case Some(bf) if widens(bf.dataType, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(bf) if bf.dataType == f.dataType => col(bf.name).as(f.name)
+        case Some(bf) if widens(bf.dataType, f.dataType) => col(bf.name).cast(f.dataType).as(f.name)
         case Some(_) => mismatch()
         case None => generated.get(f.name).orElse(writeDefaults.get(f.name)) match {
           case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
@@ -4576,6 +4593,12 @@ class BranchCatalog(
       val curId = b.tables.getOrElse(table, sys.error(s"no table $table on $branch"))
       val cur = loadSnapshot(table, curId)
       val old = StructType.fromDDL(cur.schemaDdl)
+      // default case-insensitive Spark SQL cannot resolve a table whose
+      // schema holds case-duplicate names — refuse to ever commit one
+      val caseDups = newSchema.fieldNames.groupBy(_.toLowerCase)
+        .collect { case (_, ns) if ns.length > 1 => ns.mkString("/") }
+      require(caseDups.isEmpty,
+        s"schema has case-insensitive duplicate columns: ${caseDups.mkString(", ")}")
       val newByName = newSchema.fields.map(f => f.name -> f).toMap
       for (of <- old.fields; nf <- newByName.get(of.name))
         require(of.dataType == nf.dataType || widens(of.dataType, nf.dataType),
@@ -5857,16 +5880,22 @@ class BranchCatalog(
     val curId = snapshotIdOf(table, branch).getOrElse(
       sys.error(s"no table $table on $branch"))
     val cur = StructType.fromDDL(loadSnapshot(table, curId).schemaDdl)
-    val srcByName = sourceSchema.fields.map(f => f.name -> f).toMap
+    // case-INSENSITIVE source→table matching (like the generated-column
+    // and write-order guards): a source column differing only in case
+    // must widen/no-op its table column, never ADD a case-duplicate the
+    // default case-insensitive resolver could no longer disambiguate
+    def srcFor(name: String): Option[StructField] =
+      sourceSchema.fields.find(_.name == name)
+        .orElse(sourceSchema.fields.find(_.name.equalsIgnoreCase(name)))
     val widened = cur.fields.map { f =>
-      srcByName.get(f.name) match {
+      srcFor(f.name) match {
         case Some(sf) if sf.dataType != f.dataType && widens(f.dataType, sf.dataType) =>
           f.copy(dataType = sf.dataType)
         case _ => f
       }
     }
     val added = sourceSchema.fields
-      .filterNot(f => cur.fieldNames.contains(f.name))
+      .filterNot(f => cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       .map(_.copy(nullable = true))
     val next = StructType(widened ++ added)
     if (next != cur) { evolveSchema(table, next, branch); () }

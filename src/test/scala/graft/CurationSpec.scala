@@ -134,4 +134,31 @@ class CurationSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(again.sameElements(first))
   }
+
+  test("temperatureRebalance at domain granularity: 10k groups broadcast-join, bounded time") {
+    import spark.implicits._
+    // 10k distinct hosts: a nested when-chain would blow codegen /
+    // analysis here; the broadcast threshold join must stay flat
+    val docs = (0L until 40000L).map(i => (i, s"host${i % 10000}")).toDF("doc_id", "host")
+    val t0 = System.nanoTime()
+    val out = Curation.temperatureRebalance(docs, "doc_id", "host")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must ride a broadcast join, plan was:\n$plan")
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"10k-group rebalance took ${secs}s")
+    // 4 docs per host, uniform: thresholds keep everything
+    assert(n == 40000L, s"uniform groups keep all rows, kept $n")
+  }
+
+  test("temperatureRebalance refuses NULL group keys loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("en")), (2L, None), (3L, Some("fr")))
+      .toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureThresholds(docs, "lang")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
 }

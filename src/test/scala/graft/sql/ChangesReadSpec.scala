@@ -96,6 +96,14 @@ class ChangesReadSpec extends SparkSpecBase {
       .option("graft.changes.fromTimestamp", at(s1.id).toString)
       .table(s"$lake.main.t").count())
     assert(err.getMessage.contains("alternative"))
+    // ... and so does mixing alternative ENDS — on the V1 $changes batch
+    // path too, matching the DSv2 base-table read's loud refusal
+    val errTo = intercept[Exception](spark.read
+      .option("graft.changes.from", s1.id)
+      .option("graft.changes.to", s2.id)
+      .option("graft.changes.toTimestamp", at(s2.id).toString)
+      .table(s"$lake.main.`t$$changes`").count())
+    assert(errTo.getMessage.contains("alternative"))
     // an instant BEFORE the first snapshot refuses loudly (no anchor)
     val early = intercept[Exception](spark.read
       .option("graft.changes.fromTimestamp", (at(s1.id) - 10000L).toString)

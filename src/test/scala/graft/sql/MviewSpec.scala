@@ -279,6 +279,41 @@ class MviewSpec extends SparkSpecBase {
       sortedRows(spark.sql(qc)))
   }
 
+  test("MIN/MAX fold: NULL-keyed deletes bail to full (equality joins can't see them)") {
+    val (lake, cat) = register()
+    val src = docs(0, 100)
+      .withColumn("lang", when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")))
+    cat.createTableIfNotExists("src", src.schema)
+    cat.append("src", src)
+    val q = s"SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, " +
+      s"count(*) AS n FROM $lake.main.src GROUP BY lang"
+    GraftMaterializedViews.create(spark, cat, "mv", q, "main")
+
+    // delete rows of the NULL-keyed group: the split fold's touched /
+    // anti / semi joins are all plain equality, so the only sound mode
+    // is a full recompute — and the content must come out exact (the
+    // old bug kept the stale NULL-group bound alive)
+    cat.deleteWhere("src", col("lang").isNull && col("doc_id") % 2 === 0)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+
+    // empty the NULL group entirely: its view row must disappear
+    cat.deleteWhere("src", col("lang").isNull)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") == "full")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+    assert(spark.sql(s"SELECT * FROM $lake.main.mv WHERE lang IS NULL").count() == 0)
+
+    // deletes that touch only NON-null groups still fold incrementally,
+    // even while a NULL-keyed group exists in the view
+    cat.deleteWhere("src", col("lang").isNotNull && col("doc_id") % 2 === 1)
+    assert(GraftMaterializedViews.refresh(spark, cat, "mv", "main") ==
+      "incremental_agg_dml")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $lake.main.mv")) ==
+      sortedRows(spark.sql(q)))
+  }
+
   test("GROUP BY with an unprojected key never folds (would collapse groups)") {
     val (lake, cat) = register()
     mk(lake, cat)

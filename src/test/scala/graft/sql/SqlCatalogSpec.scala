@@ -1515,4 +1515,22 @@ class SqlCatalogSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.commit_transaction('t3')")
     assert(spark.sql(s"SELECT count(*) FROM $lake.main.facts").head.getLong(0) == 90L)
   }
+
+  test("commit claims the txn handle atomically; a failed commit re-registers it") {
+    val (_, cat) = register()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").filter(col("doc_id") < 20)
+    cat.createTableIfNotExists("facts", docs.schema)
+    cat.beginTransaction("tr")
+    cat.stageAppend("tr", "facts", docs)
+    // make the publish fail AFTER the handle claim: the commit must put
+    // the handle back so retry-or-explicit-abort still works (and a
+    // SECOND concurrent commit could never double-publish — it would see
+    // "no open transaction" the instant the first claimed the handle)
+    cat.dropTable("facts")
+    intercept[Exception](cat.commitTransaction("tr"))
+    cat.abortTransaction("tr") // handle survived the failed commit
+    val gone = intercept[Exception](cat.abortTransaction("tr"))
+    assert(gone.getMessage.contains("no open transaction"))
+  }
 }

@@ -277,4 +277,36 @@ class MergeBySourceSpec extends SparkSpecBase {
       col("score").isNull || col("score") =!= col("doc_id") * 3).count() == 0L)
     assert(out.filter(col("doc_id") < 100 && col("score").isNotNull).count() == 0L)
   }
+
+  test("schema evolution matches source columns case-insensitively; no case-duplicates ever") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("t", docs(0, 1).schema)
+    cat.append("t", docs(0, 50))
+    // a source column differing only in case must resolve to the table
+    // column (default Spark SQL is case-insensitive), never be ADDED as
+    // a case-duplicate the resolver could no longer disambiguate
+    val up = docs(40, 60).withColumnRenamed("n_chars", "N_CHARS")
+    cat.upsert("t", up, Seq("doc_id"), schemaEvolution = true)
+    val cols = cat.scan("t").columns.toSeq
+    assert(cols.count(_.equalsIgnoreCase("n_chars")) == 1, cols.mkString(","))
+    assert(cat.scan("t").count() == 60L)
+
+    // and evolveSchema itself refuses a case-duplicate schema outright
+    val dup = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT, N_CHARS BIGINT")
+    val e = intercept[Exception](cat.evolveSchema("t", dup, "main"))
+    assert(e.getMessage.contains("case-insensitive duplicate"), e.getMessage)
+
+    // case-only rename of a WIDENING column still widens in place
+    val cat2 = freshCat()
+    val narrow = docs(0, 30).withColumn("n_chars", col("n_chars").cast("int"))
+    cat2.createTableIfNotExists("t", narrow.schema)
+    cat2.append("t", narrow)
+    val wide = docs(20, 40).withColumnRenamed("n_chars", "N_Chars") // long
+    cat2.upsert("t", wide, Seq("doc_id"), schemaEvolution = true)
+    val sch = cat2.scan("t").schema
+    assert(sch.fieldNames.count(_.equalsIgnoreCase("n_chars")) == 1)
+    assert(sch(sch.fieldIndex("n_chars")).dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
 }
