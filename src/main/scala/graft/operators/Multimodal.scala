@@ -24,7 +24,17 @@ case class MediaFeatures(
     px_width: Int = 0,
     px_height: Int = 0,
     channels: Int = 0,
-    px_sum: Long = 0L)       // sum of R+G+B over all pixels
+    px_sum: Long = 0L,       // sum of R+G+B over all pixels
+    // REAL audio decode (javax.sound.sampled — WAV/AIFF/AU ship with the
+    // JDK): filled when the payload decodes, zeroed otherwise. All
+    // integer arithmetic over the 16-bit PCM samples so an ANSI oracle
+    // recomputes the stats bit-exactly.
+    sample_rate: Int = 0,
+    audio_channels: Int = 0,
+    n_frames: Long = 0L,       // sample frames per channel
+    audio_ms: Long = 0L,       // floor(n_frames * 1000 / sample_rate)
+    sample_sum_abs: Long = 0L, // Σ |sample| over all channels
+    sample_peak: Int = 0)      // max |sample|
 
 /** Multimodal-column plumbing (SURVEY §2.7): schema, partitioning and
   * batch shape are real; the decode kernel is a clearly-marked
@@ -118,11 +128,77 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL audio decode via the JDK's own codecs (javax.sound.sampled —
+    * WAV, AIFF, AU, no external libraries): sample rate, channel count,
+    * frame count, and exact integer sample stats (Σ|s| and peak over the
+    * 16-bit PCM samples). Non-16-bit or compressed encodings (ULAW/ALAW,
+    * 8/24-bit PCM) are converted to 16-bit signed PCM through the JDK's
+    * own converter first, so the stats are always in 16-bit units.
+    * Returns None for payloads no installed reader recognizes (including
+    * truncated/corrupt files) — the caller falls back to byte-level
+    * features, never fails the batch. Runs entirely on the executor
+    * holding the bytes. */
+  private def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Int)] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val f0 = raw.getFormat
+      val ais =
+        if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16) raw
+        else AudioSystem.getAudioInputStream(new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED, f0.getSampleRate, 16,
+          f0.getChannels, 2 * f0.getChannels, f0.getSampleRate,
+          f0.isBigEndian), raw)
+      val fmt = ais.getFormat
+      val ch = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate)
+      val big = fmt.isBigEndian
+      val data = ais.readAllBytes()
+      val nSamples = data.length / 2
+      var sum = 0L
+      var peak = 0
+      var i = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+          else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+        val a = math.abs(s)
+        sum += a
+        if (a > peak) peak = a
+        i += 2
+      }
+      val frames = nSamples.toLong / ch
+      Some((rate, ch, frames, sum, peak))
+    } catch { case _: Exception => None }
+
+  /** Deterministic 16-bit PCM WAV encoder (tests + the `mm_audio`
+    * oracle): interleaved samples at `rate` Hz / `channels`, losslessly
+    * round-trippable through [[decodeAudio]]. */
+  def encodeWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // WAV PCM is little-endian
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat, 16,
+      channels, 2 * channels, rate.toFloat, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Per-batch decode: images go through the REAL [[decodeImage]] path
-    * (decoded=true + pixel stats when the bytes parse); audio/video
-    * remain a deterministic STUB (no JDK codecs for them in this
-    * environment — a real decoder slots in here without touching the
-    * plan). The byte digest is computed for every asset either way. */
+    * and audio through the REAL [[decodeAudio]] path (decoded=true +
+    * stats when the bytes parse); video remains a deterministic STUB
+    * (the JDK ships no video codec — a real decoder slots in here
+    * without touching the plan). The byte digest is computed for every
+    * asset either way. */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
       val bytes = if (m.content == null) Array.emptyByteArray else m.content
@@ -134,13 +210,21 @@ object Multimodal {
         case "audio" => math.max(1, m.duration_ms / 5000)
         case _ => 1
       }
-      val dec = if (m.media_type == "image") decodeImage(bytes) else None
-      dec match {
-        case Some((w, h, ch, s)) =>
-          MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames,
+      val base = MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames)
+      m.media_type match {
+        case "image" => decodeImage(bytes) match {
+          case Some((w, h, ch, s)) => base.copy(
             decoded = true, px_width = w, px_height = h, channels = ch, px_sum = s)
-        case None =>
-          MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, d, frames)
+          case None => base
+        }
+        case "audio" => decodeAudio(bytes) match {
+          case Some((rate, ch, fr, sum, peak)) => base.copy(
+            decoded = true, sample_rate = rate, audio_channels = ch,
+            n_frames = fr, audio_ms = if (rate > 0) fr * 1000L / rate else 0L,
+            sample_sum_abs = sum, sample_peak = peak)
+          case None => base
+        }
+        case _ => base
       }
     }
 

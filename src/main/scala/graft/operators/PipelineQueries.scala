@@ -399,6 +399,32 @@ object PipelineQueries {
         col("channels"), col("px_sum"))
   }
 
+  /** REAL audio decode round-trip (no stub anywhere on this path): WAVs
+    * are encoded ON THE EXECUTORS (javax.sound.sampled, 16-bit PCM with
+    * doc_id-derived integer samples), flow through the binary `content`
+    * column, and [[Multimodal.extractFeatures]] decodes them back with
+    * the JDK reader. Rate, channels, frame count, duration and the exact
+    * Σ|sample| / peak stats are all integer-recomputable, so DuckDB
+    * oracles the full encode→decode loop hash-exact. Bounded to 200
+    * assets — the cost is the codec, not the scan. */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val n = (id % 400 + 50).toInt // frames per channel
+        val rate = 8000 + (id % 4).toInt * 4000
+        val samples = Array.tabulate[Short](n * ch)(k =>
+          (((id * 31 + k.toLong * 7919) % 2001) - 1000).toShort)
+        MediaRecord(id, "audio", Multimodal.encodeWav(rate, ch, samples), 0, 0, 0)
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("decoded"), col("sample_rate"),
+        col("audio_channels"), col("n_frames"), col("audio_ms"),
+        col("sample_sum_abs"), col("sample_peak"))
+  }
+
   /** Per-label mean embedding (class centroids / mean pooling) via the
     * native VecSumF aggregate — one shuffle of K small arrays, never an
     * N x D explode. Emitted as (label, pos, mean_val) scalar rows with a

@@ -69,6 +69,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(docFeats.filter(_.decoded).isEmpty)
   }
 
+  test("real javax.sound decode: a planted WAV yields true rate/channels/sample stats") {
+    // stereo 8kHz, 100 frames: interleaved samples k -> (k*37 % 401) - 200
+    val samples = Array.tabulate[Short](200)(k => ((k * 37 % 401) - 200).toShort)
+    val wav = Multimodal.encodeWav(8000, 2, samples)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wav")
+    java.nio.file.Files.write(dir.resolve("real.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("corrupt.wav"), "not-audio-at-all".getBytes("UTF-8"))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromFiles(spark, dir.toString).as[MediaRecord])
+      .collect().map(f => f.n_bytes -> f).toMap
+    val real = feats(wav.length.toLong)
+    assert(real.decoded, "planted WAV must decode")
+    assert(real.sample_rate == 8000 && real.audio_channels == 2)
+    assert(real.n_frames == 100L)
+    assert(real.audio_ms == 100L * 1000L / 8000L)
+    assert(real.sample_sum_abs == samples.map(s => math.abs(s.toInt).toLong).sum,
+      "exact integer sum of |sample|")
+    assert(real.sample_peak == samples.map(s => math.abs(s.toInt)).max)
+    val bad = feats(16L)
+    assert(!bad.decoded && bad.sample_rate == 0 && bad.sample_sum_abs == 0L,
+      "non-audio bytes fall back to byte features, never fail the batch")
+    // text payloads (mediaFromDocuments marks 1/3 of docs 'audio') must
+    // never spuriously decode as audio either
+    val docFeats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(30)).as[MediaRecord])
+    assert(docFeats.filter(_.decoded).isEmpty)
+  }
+
   test("resize preserves aspect ratio and never upscales") {
     val big = mkRecord(1, "image", "p", w = 1920, h = 1080)
     val small = mkRecord(2, "image", "p", w = 100, h = 80)
