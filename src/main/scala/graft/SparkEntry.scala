@@ -53,6 +53,7 @@ object SparkEntry {
     "wap_views" -> (WapQueries.wapViews _),
     "wap_manifest_prune" -> (WapQueries.wapManifestPrune _),
     "wap_stream_cdc" -> (WapQueries.wapStreamCdc _),
+    "wap_stream_read" -> (WapQueries.wapStreamRead _),
     "wap_orphans" -> (WapQueries.wapOrphans _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
@@ -237,6 +238,8 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars > 0) AS at_create, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars > 0) AS after_append, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS after_merge, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS sum_chars, true AS main_isolated""",
     "wap_manifest_prune" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS n_high, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS chars_high, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 140) AS n_high_after_delete, CAST(2 AS BIGINT) AS files_untouched, true AS corrupt_real""",
+    "wap_stream_read" ->
+      """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS chunked_initial, true AS delta_exact, true AS idle_zero FROM documents WHERE doc_id < 160""",
     "wap_stream_cdc" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 150) AS n_rows, (SELECT CAST(sum(CASE WHEN doc_id >= 50 THEN n_chars * 2 ELSE n_chars END) AS BIGINT) FROM documents WHERE doc_id < 150) AS sum_chars, (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 150) AS n_keys, true AS zero_rewrites, true AS dirty_quarantined""",
     "wap_orphans" ->

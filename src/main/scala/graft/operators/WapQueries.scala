@@ -1742,6 +1742,64 @@ object WapQueries {
         lit(quarantined).as("dirty_quarantined"))
   }
 
+  /** Plain lake streaming read end-to-end (§2.8 — the base
+    * [[graft.sql.GraftMicroBatchStream]] source, previously spec-only):
+    * 6 single-file commits pre-stream, then Trigger.AvailableNow drains
+    * with maxFilesPerTrigger=2 — the initial load must arrive CHUNKED
+    * (the 100 TB restart case: never one giant batch), a post-stream
+    * commit must arrive as exactly its delta, and an idle drain must
+    * deliver zero. Per-batch aggregates accumulate driver-side (bounded:
+    * one tiny row per batch); the delivered content hashes as totals
+    * DuckDB recomputes from the same documents slice — summing per-batch
+    * COUNT DISTINCT also pins exactly-once (any re-delivery would
+    * overcount vs the oracle's global distinct). */
+  def wapStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-wap-read").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("feed", docs.schema)
+    for (r <- 0 until 6)
+      cat.append("feed",
+        docs.filter(col("doc_id") >= r * 20 && col("doc_id") < r * 20 + 20).coalesce(1))
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+    val ckpt = Files.createTempDirectory("graft-read-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def drain(): Seq[(Long, Long, Long)] = {
+      val before = batches.size
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", 2)
+        .table(s"$lake.main.feed")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val r = df.agg(count(lit(1)), sum(col("n_chars")).cast("long"),
+            countDistinct(col("doc_id"))).head
+          batches.add((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      batches.toArray(Array.empty[(Long, Long, Long)]).toSeq.drop(before)
+    }
+    val init = drain()
+    val chunked = init.count(_._1 > 0) >= 3 // 6 files / 2 per trigger
+    cat.append("feed", docs.filter(col("doc_id") >= 120 && col("doc_id") < 160))
+    val expectDelta =
+      docs.filter(col("doc_id") >= 120 && col("doc_id") < 160).count()
+    val delta = drain()
+    val deltaExact = delta.map(_._1).sum == expectDelta
+    val idleZero = drain().map(_._1).sum == 0L
+    val all = init ++ delta
+    import spark.implicits._
+    Seq((all.map(_._1).sum, all.map(_._2).sum, all.map(_._3).sum,
+      chunked, deltaExact, idleZero))
+      .toDF("n_rows", "sum_chars", "n_docs", "chunked_initial", "delta_exact", "idle_zero")
+  }
+
   /** Orphan-file removal end-to-end (W53): two committed batches plus a
     * PLANTED never-committed parquet under the table's data dir (a
     * crashed write's residue). The default 3-day fence keeps the fresh
