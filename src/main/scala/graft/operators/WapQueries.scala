@@ -976,9 +976,11 @@ object WapQueries {
     cat.createTableIfNotExists("documents", docs.schema)
     cat.append("documents", docs.filter(col("doc_id") < 100))
     cat.append("documents", docs.filter(col("doc_id") >= 100))
-    // MOR-delete ten keys, then materialize: exports refuse pending
-    // tombstones (a path list cannot carry an anti-join), so the
-    // compacted snapshot is what leaves the building
+    // MOR-delete ten keys, then materialize: this leg reads the export
+    // back as a PLAIN path-list scan (manifest.json only), which is only
+    // sound tombstone-free — pending sidecars/tombstones export as a
+    // NOT EXISTS view instead (ExportSpec drives that through real
+    // DuckDB), so compact before this export
     cat.deleteKeysMOR("documents",
       spark.range(40, 50).select(col("id").as("doc_id")))
     cat.compactDataFiles("documents", targetFiles = 2)

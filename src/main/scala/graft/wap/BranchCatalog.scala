@@ -6741,8 +6741,9 @@ class BranchCatalog(
     * Data files are immutable and never copied: the export is METADATA
     * ONLY, O(table files) of driver work at publish time — the same
     * hand-off any engine's snapshot export makes. Pending MOR tombstones
-    * are refused (a plain path list cannot carry an anti-join);
-    * materialize with [[compactDataFiles]] first. Exports of EXPIRED
+    * (position AND seq-anchored equality) export as NOT EXISTS clauses in
+    * the view; only legacy anchor-set tombstones refuse (materialize
+    * with [[compactDataFiles]] first). Exports of EXPIRED
     * snapshots fail on read, not export — callers pin with
     * [[expireSnapshots]]' keepIds when an export must outlive history.
     * Pass `snapshotId` to export a historical snapshot (time travel
@@ -6756,13 +6757,19 @@ class BranchCatalog(
     // POSITION sidecars export exactly: they are (path, row-index) parquet
     // an ANSI NOT EXISTS over (filename, file_row_number) reproduces, and
     // a path+index can only name a pre-delete file, so no sequence
-    // arithmetic leaks into the view. EQUALITY tombstones still refuse:
-    // their coverage is the seq-anchored anti-join itself, which a plain
-    // view cannot carry — materialize or convert_equality_deletes first.
-    require(snap.deleteManifests.forall(_.posDelete),
-      s"snapshot $id of $table has pending EQUALITY tombstones whose coverage " +
-        "is sequence-anchored — materialize with compactDataFiles (or convert " +
-        "with rewrite_position_deletes) before exporting")
+    // arithmetic leaks into the view. EQUALITY tombstones (seq-anchored,
+    // with recorded key columns) export too: coverage resolves at EXPORT
+    // time into the same nested epoch partition the scan uses, so the
+    // view is a UNION ALL of epoch parts each NOT-EXISTS-ing exactly its
+    // covering tombstones — no sequence arithmetic reaches the foreign
+    // engine. Only LEGACY tombstones (seq 0, or no recorded key columns)
+    // still refuse: their coverage is an anchor-snapshot set no portable
+    // view can carry.
+    require(snap.deleteManifests.forall(d =>
+        d.posDelete || (d.seq > 0L && d.keyCols.nonEmpty)),
+      s"snapshot $id of $table has pending LEGACY equality tombstones (no " +
+        "sequence anchor or key columns recorded) — materialize with " +
+        "compactDataFiles before exporting")
     require(!snap.evo.renamedFiles,
       s"snapshot $id of $table has renamed columns whose pre-rename files still " +
         "carry the old name — a FOREIGN engine matches columns by name, so export " +
@@ -6818,26 +6825,78 @@ class BranchCatalog(
     // filesystem name SQL can express
     def quoted(es: Seq[ExportFileEntry]): String =
       es.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ")
+    def quotedPaths(ps: Seq[String]): String =
+      ps.map(p => s"'${p.replace("'", "''")}'").mkString(",\n  ")
+    // the sidecars store Spark's qualified _metadata.file_path
+    // (file:/... or file:///...); the reader's filename is the
+    // literal list entry — both sides canonicalize to scheme-less,
+    // single-leading-slash form before the anti-join
+    def posNotExists(delPaths: Seq[String]): String =
+      "NOT EXISTS (\n" +
+        s"  SELECT 1 FROM read_parquet([\n  ${quotedPaths(delPaths)}\n]) x\n" +
+        s"  WHERE regexp_replace(regexp_replace(x.${BranchCatalog.PosPathCol}, " +
+        "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/') = " +
+        "regexp_replace(regexp_replace(d.filename, " +
+        "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/')\n" +
+        s"    AND x.${BranchCatalog.PosIdxCol} = d.file_row_number\n)"
+    val eqPending = snap.deleteManifests.exists(!_.posDelete)
     val viewSql =
       if (deleteEntries.isEmpty)
         s"CREATE OR REPLACE VIEW ${table}_export AS SELECT * FROM read_parquet([\n  " +
           quoted(entries) + "\n]);\n"
-      else
-        // the sidecars store Spark's qualified _metadata.file_path
-        // (file:/... or file:///...); the reader's filename is the
-        // literal list entry — both sides canonicalize to scheme-less,
-        // single-leading-slash form before the anti-join
+      else if (!eqPending)
         s"CREATE OR REPLACE VIEW ${table}_export AS\n" +
           "SELECT * EXCLUDE (filename, file_row_number)\n" +
           s"FROM read_parquet([\n  ${quoted(entries)}\n], " +
           "filename=true, file_row_number=true) d\n" +
-          "WHERE NOT EXISTS (\n" +
-          s"  SELECT 1 FROM read_parquet([\n  ${quoted(deleteEntries)}\n]) x\n" +
-          s"  WHERE regexp_replace(regexp_replace(x.${BranchCatalog.PosPathCol}, " +
-          "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/') = " +
-          "regexp_replace(regexp_replace(d.filename, " +
-          "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/')\n" +
-          s"    AND x.${BranchCatalog.PosIdxCol} = d.file_row_number\n);\n"
+          "WHERE " + posNotExists(deleteEntries.map(_.path)) + ";\n"
+      else {
+        // EQUALITY (or mixed) pending: partition the data manifests into
+        // the SAME nested coverage epochs the MOR scan uses, and emit one
+        // UNION ALL part per epoch whose WHERE carries exactly its
+        // covering tombstones — equality ones as a null-safe NOT EXISTS
+        // per key schema (IS NOT DISTINCT FROM = the scan's <=>),
+        // position ones as the (filename, row-number) NOT EXISTS. The
+        // sequence arithmetic resolves HERE, never in the view.
+        val covers = tombstoneCovers(table, snap)
+        val parts = snap.manifests
+          .groupBy(m => snap.deleteManifests.filter(d => covers(d, m)).map(_.path).toSet)
+          .toSeq.sortBy { case (sig, _) => (sig.size, sig.toSeq.sorted.mkString("|")) }
+          .flatMap { case (sig, ms) =>
+            val dels = snap.deleteManifests.filter(d => sig.contains(d.path))
+            val (posDels, eqDels) = dels.partition(_.posDelete)
+            val epochFiles = filesOf(snap.copy(manifests = ms, deleteManifests = Nil))
+              .map(f => plain(f.path)).sorted
+            if (epochFiles.isEmpty) None else Some {
+            val eqConds = eqDels.groupBy(_.keyCols.mkString(","))
+              .toSeq.sortBy(_._1).map { case (_, group) =>
+                val delPaths = group.flatMap(m => readManifest(m.path))
+                  .map(f => plain(f.path)).sorted
+                val keyCond = group.head.keyCols
+                  .map(k => s"x.$k IS NOT DISTINCT FROM d.$k").mkString(" AND ")
+                "NOT EXISTS (\n" +
+                  s"  SELECT 1 FROM read_parquet([\n  ${quotedPaths(delPaths)}\n]) x\n" +
+                  s"  WHERE $keyCond\n)"
+              }
+            val posConds =
+              if (posDels.isEmpty) Nil
+              else Seq(posNotExists(posDels.flatMap(m => readManifest(m.path))
+                .map(f => plain(f.path)).sorted))
+            val needMeta = posDels.nonEmpty
+            val select =
+              if (needMeta) "SELECT * EXCLUDE (filename, file_row_number)" else "SELECT *"
+            val src =
+              if (needMeta)
+                s"read_parquet([\n  ${quotedPaths(epochFiles)}\n], " +
+                  "filename=true, file_row_number=true)"
+              else s"read_parquet([\n  ${quotedPaths(epochFiles)}\n])"
+            val conds = eqConds ++ posConds
+            s"$select\nFROM $src d" +
+              (if (conds.isEmpty) "" else "\nWHERE " + conds.mkString("\n  AND "))
+          } }
+        s"CREATE OR REPLACE VIEW ${table}_export AS\n" +
+          parts.mkString("\nUNION ALL\n") + ";\n"
+      }
     val viewPath = emit("view.sql", viewSql)
     // files.parquet: the same file list as a DISTRIBUTED parquet table
     // (path, rows, bytes + the pruning stats maps) — at 100 TB the inline

@@ -116,17 +116,9 @@ class ExportSpec extends SparkSpecBase {
     assert(cat.scan("t").count() == 80, "head unaffected")
   }
 
-  test("pending MOR tombstones refuse to export; partitioned tables export fine") {
-    val cat = freshCat()
+  test("empty snapshots refuse to export; partitioned tables export fine") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 60)
-    cat.createTableIfNotExists("t", docs.schema)
-    cat.append("t", docs)
-    import spark.implicits._
-    cat.deleteKeysMOR("t", Seq(5L).toDF("doc_id"))
-    val err = intercept[IllegalArgumentException] { cat.exportSnapshot("t", exportTo()) }
-    assert(err.getMessage.contains("compactDataFiles"))
-
-    // an EMPTY snapshot refuses too: read_parquet([]) is not a view any
+    // an EMPTY snapshot refuses: read_parquet([]) is not a view any
     // engine can run
     val catE = freshCat()
     catE.createTableIfNotExists("empty", docs.schema)
@@ -172,14 +164,63 @@ class ExportSpec extends SparkSpecBase {
     val gone = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
       "SELECT count(*) FROM t_export WHERE doc_id % 7 = 0 OR doc_id = 1")
     assert(gone == Seq("0"))
-    // equality tombstones still refuse (coverage is sequence-anchored)
-    val catE = freshCat()
-    catE.createTableIfNotExists("t", docs.schema)
-    catE.append("t", docs)
+  }
+
+  test("pending EQUALITY tombstones export as an epoch-partitioned view DuckDB reproduces") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
     import spark.implicits._
-    catE.deleteKeysMOR("t", Seq(2L).toDF("doc_id"))
-    val err = intercept[IllegalArgumentException] { catE.exportSnapshot("t", exportTo()) }
-    assert(err.getMessage.contains("EQUALITY"))
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 60))
+    // gen 1: single-column key delete covering ONLY the first append
+    cat.deleteKeysMOR("t", (0L until 10L).toDF("doc_id"))
+    // post-delete append RE-ADDS 0..4: seq semantics make them visible
+    // again — the epoch partition must keep them while suppressing the
+    // pre-delete copies
+    cat.append("t", docs.filter(col("doc_id") >= 60 || col("doc_id") < 5))
+    // gen 2: a DIFFERENT key schema (composite), covering both appends
+    cat.deleteKeysMOR("t",
+      docs.filter(col("doc_id") >= 90).select("doc_id", "lang"))
+    val head = cat.snapshotMeta("t", cat.snapshotIdOf("t").get)
+    assert(head.deleteManifests.count(!_.posDelete) == 2, "two eq generations pending")
+
+    val exp = cat.exportSnapshot("t", exportTo())
+    assert(exp.deleteFileCount > 0L, "tombstones exported alongside")
+    val expected = cat.scan("t")
+      .agg(count(lit(1)), sum("n_chars"), countDistinct("doc_id")).head
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT doc_id) FROM t_export")
+    assert(got == Seq(expected.getLong(0).toString,
+      expected.getLong(1).toString, expected.getLong(2).toString),
+      s"DuckDB saw $got, Spark saw $expected")
+    // re-appended keys visible exactly once; never-re-added ones gone
+    val readd = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*) FROM t_export WHERE doc_id < 5")
+    assert(readd == Seq("5"), s"re-appended keys must survive: $readd")
+    val goneEq = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT count(*) FROM t_export WHERE (doc_id >= 5 AND doc_id < 10) OR doc_id >= 90")
+    assert(goneEq == Seq("0"), s"tombstoned keys must be gone: $goneEq")
+
+    // MIXED pending (positional sidecar first — the only reachable order,
+    // eq-then-pos refuses — then an equality generation on top): both
+    // representations land in the same epoch-partitioned view
+    val cat2 = freshCat()
+    cat2.createTableIfNotExists("t", docs.schema)
+    cat2.append("t", docs.filter(col("doc_id") < 80))
+    cat2.deleteWherePositional("t", col("doc_id") === 42L)
+    cat2.deleteKeysMOR("t", Seq(7L).toDF("doc_id"))
+    val exp2 = cat2.exportSnapshot("t", exportTo())
+    val expected2 = cat2.scan("t")
+      .agg(count(lit(1)), sum("n_chars"), countDistinct("doc_id")).head
+    val got2 = duckdb(new org.apache.hadoop.fs.Path(exp2.viewPath).toUri.getPath,
+      "SELECT count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT doc_id) FROM t_export")
+    assert(got2 == Seq(expected2.getLong(0).toString,
+      expected2.getLong(1).toString, expected2.getLong(2).toString),
+      s"DuckDB saw $got2, Spark saw $expected2")
+    val gone2 = duckdb(new org.apache.hadoop.fs.Path(exp2.viewPath).toUri.getPath,
+      "SELECT count(*) FROM t_export WHERE doc_id IN (7, 42)")
+    assert(gone2 == Seq("0"), s"both delete representations must apply: $gone2")
   }
 
   test("manifest carries pruning stats: bounds admit exactly the right files, " +
