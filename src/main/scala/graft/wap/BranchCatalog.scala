@@ -7633,10 +7633,12 @@ class BranchCatalog(
     // stop pruning; when more than `cluster.max-overlap` of the files'
     // [min,max] ranges on the LEADING layout column overlap the files
     // sorted before them, re-run the sorted (or z-order) compaction.
-    // Detection is one O(files log files) sweep over driver-held
-    // manifest entries — zero data IO; a well-clustered table measures
-    // 0.0 and the pass is free. Skipped under pending tombstones (the
-    // materialize pass above clears them first).
+    // Detection is one O(files log files) bounds sweep — zero data IO;
+    // small tables sweep driver-held manifest entries, and above
+    // distributedMetaThreshold the statistic is a distributed Spark
+    // aggregation that lands ONE scalar on the driver. A well-clustered
+    // table measures 0.0 and the pass is free. Skipped under pending
+    // tombstones (the materialize pass above clears them first).
     def colsProp(k: String): Seq[String] =
       props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val clusterBy = colsProp("graft.maintain.cluster-by")
@@ -7658,37 +7660,94 @@ class BranchCatalog(
       val maxOverlap = props.get("graft.maintain.cluster.max-overlap")
         .map(_.trim.toDouble).getOrElse(0.5)
       val totalFiles = headC.manifests.map(_.fileCount).sum
-      // above the distributed threshold only (lower, upper) PAIRS land on
-      // the driver (two strings per file from a Spark projection), never
-      // the full entries — the sweep itself is a sort over 2N strings
-      val ranged: Seq[(String, String)] =
+      // the sweep statistic: with files sorted by lower bound, count how
+      // many start at or before the running max of the PRIOR files'
+      // upper bounds. Above the distributed threshold it is computed as
+      // a two-pass Spark aggregation over the projected (lo, hi) bounds
+      // — range-partition on lo, per-partition running sweep, partition
+      // boundary handled by a prefix max over O(partitions) scalars —
+      // so ONLY one (over, n) pair ever lands on the driver, never
+      // O(files) bound strings. None = some file lacks bounds (skip,
+      // conservative — same as the driver path's size guard).
+      val sweep: Option[(Long, Long)] =
         if (totalFiles > distributedMetaThreshold) {
           import org.apache.spark.sql.functions.{element_at, col => fcol, lit => flit}
-          manifestEntries(headC)
+          // cast target whose natural ordering EQUALS statOrder's string
+          // comparator, so range partitioning agrees with the sweep
+          val ordType: DataType = schemaC.fields.find(_.name == key).get.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 TimestampType | TimestampNTZType | DateType => LongType
+            case FloatType | DoubleType => DoubleType
+            case BooleanType => BooleanType
+            case _ => StringType
+          }
+          val cmpL = cmp // local: the executor closures must not drag `this` along
+          val arranged = manifestEntries(headC)
             .select(element_at(fcol("lower"), flit(key)).as("lo"),
               element_at(fcol("upper"), flit(key)).as("hi"))
-            .collect().toSeq.collect {
-              case r if !r.isNullAt(0) && !r.isNullAt(1) =>
-                (r.getString(0), r.getString(1))
+            .filter(fcol("lo").isNotNull && fcol("hi").isNotNull)
+            .repartitionByRange(fcol("lo").cast(ordType))
+            .sortWithinPartitions(fcol("lo").cast(ordType), fcol("hi").cast(ordType))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // pass 1: per-partition (rows, max hi) — O(partitions) scalars
+            val partStats = arranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+              var n = 0L; var mx: String = null
+              it.foreach { r =>
+                n += 1
+                val hi = r.getString(1)
+                if (mx == null || cmpL(hi, mx) > 0) mx = hi
+              }
+              Iterator.single((pid, n, mx))
+            }.collect().sortBy(_._1)
+            val n = partStats.map(_._2).sum
+            if (n != totalFiles) None // a file lacks bounds on the key
+            else {
+              // prefix(i) = max hi over partitions BEFORE i
+              val prefix = partStats.scanLeft(null: String) {
+                case (acc, (_, _, mx)) =>
+                  if (mx == null) acc
+                  else if (acc == null || cmpL(mx, acc) > 0) mx else acc
+              }.dropRight(1)
+              val prefixB = spark.sparkContext.broadcast(prefix)
+              // pass 2: per-partition sweep seeded with the prefix max
+              val over = arranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+                var run = prefixB.value(pid)
+                var c = 0L
+                it.foreach { r =>
+                  val lo = r.getString(0); val hi = r.getString(1)
+                  if (run != null && cmpL(lo, run) <= 0) c += 1
+                  if (run == null || cmpL(hi, run) > 0) run = hi
+                }
+                Iterator.single(c)
+              }.fold(0L)(_ + _)
+              Some((over, n))
             }
-        } else filesOf(headC).flatMap(f => f.lower.get(key).zip(f.upper.get(key)))
-      if (headC.deleteManifests.isEmpty &&
-          totalFiles >= minFiles && ranged.size.toLong == totalFiles) {
-        val sorted = ranged.sortWith((a, b) => cmp(a._1, b._1) < 0)
-        var over = 0
-        var maxUpper: String = null
-        sorted.foreach { case (lo, hi) =>
-          if (maxUpper != null && cmp(lo, maxUpper) <= 0) over += 1
-          if (maxUpper == null || cmp(hi, maxUpper) > 0) maxUpper = hi
+          } finally { arranged.unpersist(); () }
+        } else {
+          val ranged = filesOf(headC).flatMap(f => f.lower.get(key).zip(f.upper.get(key)))
+          if (ranged.size.toLong != totalFiles) None
+          else {
+            val sorted = ranged.sortWith((a, b) => cmp(a._1, b._1) < 0)
+            var over = 0L
+            var maxUpper: String = null
+            sorted.foreach { case (lo, hi) =>
+              if (maxUpper != null && cmp(lo, maxUpper) <= 0) over += 1
+              if (maxUpper == null || cmp(hi, maxUpper) > 0) maxUpper = hi
+            }
+            Some((over, sorted.size.toLong))
+          }
         }
-        val frac = over.toDouble / math.max(1, sorted.size - 1)
-        if (frac > maxOverlap) {
-          val targetF = intProp("graft.maintain.cluster.target-files", 8)
-          if (zorderBy.nonEmpty) compactDataFilesZOrder(table, zorderBy, branch, targetF)
-          else compactDataFilesSorted(table, clusterBy, branch, targetF)
-          out += "recluster" ->
-            f"$over of ${sorted.size} file ranges on $key overlap ($frac%.2f > $maxOverlap) — ${if (zorderBy.nonEmpty) "z-order" else "sort"} rewrite"
-        }
+      if (headC.deleteManifests.isEmpty && totalFiles >= minFiles) sweep.foreach {
+        case (over, n) =>
+          val frac = over.toDouble / math.max(1L, n - 1L)
+          if (frac > maxOverlap) {
+            val targetF = intProp("graft.maintain.cluster.target-files", 8)
+            if (zorderBy.nonEmpty) compactDataFilesZOrder(table, zorderBy, branch, targetF)
+            else compactDataFilesSorted(table, clusterBy, branch, targetF)
+            out += "recluster" ->
+              f"$over of $n file ranges on $key overlap ($frac%.2f > $maxOverlap) — ${if (zorderBy.nonEmpty) "z-order" else "sort"} rewrite"
+          }
       }
     }
 

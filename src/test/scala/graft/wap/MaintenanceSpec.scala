@@ -379,6 +379,56 @@ class MaintenanceSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.maintain("t"))
   }
 
+  test("layout sweep above distributedMetaThreshold: distributed statistic, same decision") {
+    // two catalogs over IDENTICAL logical content: one sweeps driver-held
+    // entries, one runs the range-partitioned two-pass aggregation (only
+    // per-partition scalars land on the driver). Decisions must agree.
+    def build(cat: BranchCatalog): Unit = {
+      cat.createTableIfNotExists("t", docs(0, 1).schema)
+      for (r <- 0 until 12) // every file spans ~the whole doc_id range
+        cat.append("t", docs(0, 200).filter(col("doc_id") % 12 === r).coalesce(1))
+      cat.setTableProperties("t", Map(
+        "graft.maintain.cluster-by" -> "doc_id",
+        "graft.maintain.small-files.min" -> "64",
+        "graft.maintain.cluster.target-files" -> "4"))
+    }
+    val driverCat = freshCat()
+    val distCat = new BranchCatalog(spark,
+      Files.createTempDirectory("maint-dist").toString, distributedMetaThreshold = 4)
+    build(driverCat); build(distCat)
+    val dLog = driverCat.maintain("t")
+    val xLog = distCat.maintain("t")
+    def reclusterMsg(log: Seq[(String, String)]): Option[String] =
+      log.collectFirst { case ("recluster", d) => d.takeWhile(_ != '(') }
+    assert(reclusterMsg(dLog).isDefined, s"driver sweep must fire: $dLog")
+    // identical statistic (same "over of n" prefix), identical decision
+    assert(reclusterMsg(xLog) == reclusterMsg(dLog),
+      s"distributed sweep disagreed: $xLog vs $dLog")
+    assert(distCat.scan("t").count() == 200)
+    assert(distCat.prunedDataFiles("t", col("doc_id") === 57L).size == 1,
+      "distributed-path rewrite must restore point pruning")
+    // healthy after the rewrite: the distributed sweep measures 0 too
+    val again = distCat.maintain("t")
+    assert(!again.exists(_._1 == "recluster"), s"healthy table re-clustered: $again")
+
+    // string layout key: the distributed sweep's cast ordering must agree
+    // with the UTF8 comparator on a text column as well
+    val sCat = new BranchCatalog(spark,
+      Files.createTempDirectory("maint-dist-s").toString, distributedMetaThreshold = 4)
+    val langs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      .select("doc_id", "lang")
+    sCat.createTableIfNotExists("s", langs.schema)
+    for (r <- 0 until 8)
+      sCat.append("s", langs.filter(col("doc_id") % 8 === r).coalesce(1))
+    sCat.setTableProperties("s", Map(
+      "graft.maintain.cluster-by" -> "lang",
+      "graft.maintain.small-files.min" -> "64",
+      "graft.maintain.cluster.target-files" -> "2"))
+    val sLog = sCat.maintain("s")
+    assert(sLog.exists(_._1 == "recluster"), s"string-key sweep must fire: $sLog")
+    assert(sCat.scan("s").count() == 200)
+  }
+
   test("maintainAll folds lake-level tag retention when asked") {
     val cat = freshCat()
     cat.createTableIfNotExists("t", docs(0, 1).schema)
