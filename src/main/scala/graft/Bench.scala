@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * shared-preparation cost and nothing leaks into later families' memory
   * headroom; within a family that sharing is the operator's design
   * (SURVEY §4 shingle reuse), so medians time the steady-state path.
+  *
+  * SELF-ADJUDICATION (r16): after the timed pass, any query whose median
+  * exceeds 2x its committed same-SF reference (bench_local.json at
+  * process start) re-runs median-of-3 with a fresh mem-sentinel reading;
+  * the JSON's "rerun" map carries (rerun, first, ref, mem) per spiked
+  * query so a co-tenant roaming spike adjudicates from the artifact
+  * alone. Capped at the 12 worst ratios.
   */
 object Bench {
 
@@ -168,6 +175,58 @@ object Bench {
     val calibEnd = calibrate()
     val calibParEnd = min3(() => calibrateParallel())
     val calibMemEnd = min3(() => calibrateMemory())
+
+    // ---- self-adjudication (r16): the recurring driver-host failure
+    // mode is a ROAMING co-tenant spike — one sub-second query lands
+    // 3-8x slow while every sentinel reads idle, and a later isolated
+    // re-run comes back clean. Instead of leaving that to a human, any
+    // query whose median exceeds 2x its COMMITTED reference (the
+    // bench_local.json this checkout shipped with — the driver benches a
+    // fresh checkout, so at process start the file IS the committed map)
+    // re-runs here, after the timed pass, median-of-3 with caches
+    // cleared and its own mem-sentinel reading alongside. The artifact
+    // then carries both values inline: a clean rerun ~= the reference
+    // adjudicates the spike as transient; a rerun matching the slow
+    // first pass marks a real regression. Reference rows are only
+    // trusted at the same SF, and the pass is capped to the worst 12
+    // ratios so a genuinely loaded host cannot double the bench. ----
+    val refQueries: Map[String, Double] = {
+      try {
+        val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_local.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+        val refSf = j \ "sf" match { case JString(s) => s; case _ => "" }
+        if (refSf != sfDir) Map.empty[String, Double]
+        else j \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(d)) => k -> d
+            case (k, JInt(i)) => k -> i.toDouble
+            case (k, JDecimal(d)) => k -> d.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    val reruns: Seq[(String, (Double, Double, Double, Double))] = results
+      .filter { case (n2, v) =>
+        !errors.contains(n2) && refQueries.get(n2).exists(r => r > 0 && v > 2.0 * r)
+      }
+      .sortBy { case (n2, v) => -(v / refQueries(n2)) }
+      .take(12)
+      .map { case (n2, first) =>
+        clearCaches()
+        val mem = calibrateMemory()
+        val fn = SparkEntry.queries(n2)
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        n2 -> ((ts(1), first, refQueries(n2), mem))
+      }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     // ms precision: full-double timings made the line outgrow the
@@ -175,6 +234,10 @@ object Bench {
     def ms(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val rr = reruns.map { case (k, (med, first, ref, mem)) =>
+      s"${q(k)}:{" + s""""rerun":${ms(med)},"first":${ms(first)},""" +
+        s""""ref":${ms(ref)},"mem":${ms(mem)}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // field order is deliberate: the driver keeps the stdout TAIL, so the
     // per-query map and headline value sit at the END of the line and
@@ -184,7 +247,7 @@ object Bench {
         s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
         s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
         s""""calib_mem_start_sec":${ms(calibMemStart)},"calib_mem_end_sec":${ms(calibMemEnd)},""" +
-        s""""value":${ms(total)},"queries":$qs}"""
+        s""""rerun":$rr,"value":${ms(total)},"queries":$qs}"""
     println(line)
     // At ~97 queries the full line outgrows the driver artifact's
     // 2000-char stdout tail no matter the precision, so a SECOND compact
@@ -193,10 +256,13 @@ object Bench {
     // trailing ~85% of the query map (alphabetical — the cheap curate_*
     // rows are what truncates) plus this complete summary; a driver that
     // parses the LAST line gets valid JSON with value + calibration.
+    // the compact line carries the FULL rerun map (it is small — at most
+    // 12 adjudication rows) so the driver's stdout tail always has it
     println(s"""{"metric":"total","unit":"sec","runs":$runs,""" +
       s""""calib_start_sec":${ms(calibStart)},"calib_end_sec":${ms(calibEnd)},""" +
       s""""calib_par_start_sec":${ms(calibParStart)},"calib_par_end_sec":${ms(calibParEnd)},""" +
       s""""calib_mem_start_sec":${ms(calibMemStart)},"calib_mem_end_sec":${ms(calibMemEnd)},""" +
+      s""""rerun":$rr,""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},"value":${ms(total)}}""")
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every
