@@ -136,6 +136,7 @@ object SparkEntry {
     "mm_features" -> (PipelineQueries.mmFeatures _),
     "mm_decode" -> (PipelineQueries.mmDecode _),
     "mm_audio" -> (PipelineQueries.mmAudio _),
+    "mm_video" -> (PipelineQueries.mmVideo _),
     "text_dedup_lines" -> (PipelineQueries.textDedupLines _),
     "skew_salt_join" -> (PipelineQueries.skewSaltJoin _),
     "bucketed_join_check" -> (PipelineQueries.bucketedJoinCheck _),
@@ -378,6 +379,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(CASE doc_id % 3 WHEN 2 THEN greatest(1, (doc_id % 90000 + 1000) // 1000) WHEN 1 THEN greatest(1, (doc_id % 90000 + 1000) // 5000) ELSE 1 END AS INT) AS frames_sampled, false AS decoded FROM documents""",
     "mm_decode" ->
       """SELECT doc_id AS media_id, true AS decoded, CAST(doc_id % 64 + 8 AS INT) AS px_width, CAST(doc_id % 48 + 8 AS INT) AS px_height, CAST(3 AS INT) AS channels, CAST((doc_id % 64 + 8) * (doc_id % 48 + 8) * ((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) AS BIGINT) AS px_sum FROM documents WHERE doc_id < 200""",
+    "mm_video" ->
+      """SELECT doc_id AS media_id, true AS decoded, CAST(doc_id % 32 + 16 AS INT) AS px_width, CAST(doc_id % 24 + 16 AS INT) AS px_height, CAST(doc_id % 8 + 2 AS BIGINT) AS video_frames, CAST((doc_id % 8 + 2) * (1000000 // (5 + (doc_id % 4) * 5)) // 1000 AS BIGINT) AS video_ms FROM documents WHERE doc_id < 120""",
     "mm_audio" ->
       """WITH p AS (SELECT doc_id AS media_id, 1 + (doc_id % 2) AS ch, (doc_id % 400 + 50) AS n, 8000 + (doc_id % 4) * 4000 AS rate FROM documents WHERE doc_id < 200), ks AS (SELECT k FROM generate_series(0, 497) AS t(k)), s AS (SELECT p.media_id, p.ch, p.n, p.rate, abs(((p.media_id * 31 + ks.k * 7919) % 2001) - 1000) AS a FROM p JOIN ks ON ks.k < p.n * p.ch) SELECT media_id, true AS decoded, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS audio_channels, CAST(n AS BIGINT) AS n_frames, CAST(n * 1000 // rate AS BIGINT) AS audio_ms, CAST(sum(a) AS BIGINT) AS sample_sum_abs, CAST(max(a) AS INT) AS sample_peak FROM s GROUP BY media_id, ch, n, rate""",
     "text_dedup_lines" ->

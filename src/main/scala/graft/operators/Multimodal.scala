@@ -34,7 +34,12 @@ case class MediaFeatures(
     n_frames: Long = 0L,       // sample frames per channel
     audio_ms: Long = 0L,       // floor(n_frames * 1000 / sample_rate)
     sample_sum_abs: Long = 0L, // Σ |sample| over all channels
-    sample_peak: Int = 0)      // max |sample|
+    sample_peak: Int = 0,      // max |sample|
+    // REAL video decode for MJPEG-in-AVI (RIFF parsed natively, frames
+    // decoded by javax.imageio — camera/capture MJPEG needs no external
+    // codec): filled when the container parses AND a frame decodes
+    video_frames: Long = 0L,   // actual movi frame-chunk count
+    video_ms: Long = 0L)       // floor(frames * microSecPerFrame / 1000)
 
 /** Multimodal-column plumbing (SURVEY §2.7): schema, partitioning and
   * batch shape are real; the decode kernel is a clearly-marked
@@ -193,12 +198,116 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Per-batch decode: images go through the REAL [[decodeImage]] path
-    * and audio through the REAL [[decodeAudio]] path (decoded=true +
-    * stats when the bytes parse); video remains a deterministic STUB
-    * (the JDK ships no video codec — a real decoder slots in here
-    * without touching the plan). The byte digest is computed for every
-    * asset either way. */
+  /** Minimal RIFF/AVI walk shared by the MJPEG encoder and decoder. RIFF
+    * is fourcc(4) + size(4, little-endian) + payload (padded to even);
+    * LIST payloads start with a list type then nest sub-chunks. */
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Deterministic solid-color JPEG encoder (frames for
+    * [[encodeAviMjpeg]]). JPEG is lossy, so pixel values round-trip only
+    * approximately — the video oracle pins structural fields (dims,
+    * frame count, duration), which are exact. */
+  def encodeJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI muxer (tests + the `mm_video` oracle):
+    * each frame is an independent JPEG (what capture cards and webcams
+    * emit), so the demuxed stream decodes with the JDK's own JPEG
+    * reader. `fps` enters the header as floor(1e6/fps) µs per frame —
+    * the integer arithmetic the decoder (and an ANSI oracle) reads back.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "encodeAviMjpeg needs fps > 0 and frames")
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length % 2
+      cc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        Array.fill[Byte](pad)(0)
+    }
+    def list(tpe: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ inner)
+    val uspf = 1000000 / fps
+    val maxBytes = frames.map(_.length).max
+    val avih = le32(uspf) ++ le32(maxBytes * fps) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxBytes) ++
+      le32(width) ++ le32(height) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames.length) ++ le32(maxBytes) ++ le32(-1) ++ le32(0) ++
+      Array.fill[Byte](8)(0)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(width * height * 3) ++ Array.fill[Byte](16)(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** REAL video decode for MJPEG-in-AVI: parse the RIFF container
+    * natively (avih header + movi frame chunks — ~60 lines, no codec),
+    * decode the FIRST frame with javax.imageio for true pixel
+    * dimensions, count the actual frame chunks, and derive the duration
+    * from the header's µs-per-frame. Returns None when the container
+    * does not parse or no frame decodes (corrupt/truncated/non-MJPEG
+    * codecs — those genuinely need external libraries). Sampling only
+    * the first frame keeps the cost O(1) per asset; a full-frame stat
+    * pass would ride [[frameSample]]'s work plan instead. */
+  private def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      if (bytes.length < 24 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      var uspf = 0L
+      var frames = 0L
+      var firstFrame: Option[(Int, Int)] = None
+      def walk(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val cc = fourcc(bytes, off)
+          val size = rdLe32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > end) return
+          if (cc == "LIST") walk(off + 12, off + 8 + size)
+          else if (cc == "avih" && size >= 8) uspf = rdLe32(bytes, off + 8).toLong & 0xffffffffL
+          else if (cc == "00dc" || cc == "00db") {
+            frames += 1
+            if (firstFrame.isEmpty) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, off + 8, size))
+              if (img != null) firstFrame = Some((img.getWidth, img.getHeight))
+            }
+          }
+          off += 8 + size + (size % 2)
+        }
+      }
+      walk(12, bytes.length)
+      firstFrame.map { case (w, h) => (w, h, frames, frames * uspf / 1000L) }
+    } catch { case _: Exception => None }
+
+  /** Per-batch decode: images go through the REAL [[decodeImage]] path,
+    * audio through the REAL [[decodeAudio]] path, and MJPEG-AVI video
+    * through the REAL [[decodeVideo]] path (decoded=true + stats when
+    * the bytes parse); other video codecs fall back to byte features
+    * (they genuinely need external decoders, which slot in here without
+    * touching the plan). The byte digest is computed for every asset
+    * either way. */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
       val bytes = if (m.content == null) Array.emptyByteArray else m.content
@@ -222,6 +331,12 @@ object Multimodal {
             decoded = true, sample_rate = rate, audio_channels = ch,
             n_frames = fr, audio_ms = if (rate > 0) fr * 1000L / rate else 0L,
             sample_sum_abs = sum, sample_peak = peak)
+          case None => base
+        }
+        case "video" => decodeVideo(bytes) match {
+          case Some((w, h, fr, ms)) => base.copy(
+            decoded = true, px_width = w, px_height = h,
+            video_frames = fr, video_ms = ms)
           case None => base
         }
         case _ => base

@@ -425,6 +425,34 @@ object PipelineQueries {
         col("sample_sum_abs"), col("sample_peak"))
   }
 
+  /** REAL video decode round-trip for MJPEG-in-AVI (the camera/capture
+    * format whose frames are plain JPEGs): AVIs are muxed ON THE
+    * EXECUTORS (native RIFF writer + javax.imageio JPEG frames), flow
+    * through the binary `content` column, and
+    * [[Multimodal.extractFeatures]] demuxes the container back — first
+    * frame decoded for true pixel dimensions, frame chunks counted,
+    * duration derived from the header's µs-per-frame. JPEG is lossy, so
+    * the oracle pins the STRUCTURAL fields, all integer-recomputable by
+    * DuckDB. Bounded to 120 assets — the cost is the codec, not the
+    * scan. */
+  def mmVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 32 + 16).toInt
+        val h = (id % 24 + 16).toInt
+        val fps = (5 + (id % 4) * 5).toInt
+        val n = (id % 8 + 2).toInt
+        val frames = (0 until n).map(f =>
+          Multimodal.encodeJpeg(w, h, ((((id + f) % 256) << 16) | 0x4080).toInt))
+        MediaRecord(id, "video", Multimodal.encodeAviMjpeg(w, h, fps, frames), 0, 0, 0)
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("decoded"), col("px_width"), col("px_height"),
+        col("video_frames"), col("video_ms"))
+  }
+
   /** Per-label mean embedding (class centroids / mean pooling) via the
     * native VecSumF aggregate — one shuffle of K small arrays, never an
     * N x D explode. Emitted as (label, pos, mean_val) scalar rows with a

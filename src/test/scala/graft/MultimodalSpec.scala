@@ -97,6 +97,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(docFeats.filter(_.decoded).isEmpty)
   }
 
+  test("real MJPEG-AVI decode: a planted AVI yields true dims/frames/duration") {
+    // 3 solid-color JPEG frames, 24x16 @ 10 fps
+    val frames = (0 until 3).map(f => Multimodal.encodeJpeg(24, 16, 0x204060 + f))
+    val avi = Multimodal.encodeAviMjpeg(24, 16, 10, frames)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi")
+    java.nio.file.Files.write(dir.resolve("real.avi"), avi)
+    java.nio.file.Files.write(dir.resolve("corrupt.mp4"), "not-a-video".getBytes("UTF-8"))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromFiles(spark, dir.toString).as[MediaRecord])
+      .collect().map(f => f.n_bytes -> f).toMap
+    val real = feats(avi.length.toLong)
+    assert(real.decoded, "planted MJPEG-AVI must decode")
+    assert(real.px_width == 24 && real.px_height == 16,
+      "pixel dims come from the DECODED first frame, not just the header")
+    assert(real.video_frames == 3L)
+    assert(real.video_ms == 3L * (1000000L / 10L) / 1000L)
+    val bad = feats(11L)
+    assert(!bad.decoded && bad.video_frames == 0L,
+      "non-AVI bytes fall back to byte features, never fail the batch")
+    // the first JPEG frame round-trips its solid color approximately
+    // (JPEG is lossy; structural fields above are the exact oracle)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames.head))
+    val rgb = img.getRGB(12, 8)
+    def ch(v: Int, s: Int) = (v >> s) & 0xff
+    assert(math.abs(ch(rgb, 16) - 0x20) < 16 && math.abs(ch(rgb, 8) - 0x40) < 16 &&
+      math.abs(ch(rgb, 0) - 0x60) < 16, f"frame color drifted: $rgb%06x")
+  }
+
   test("resize preserves aspect ratio and never upscales") {
     val big = mkRecord(1, "image", "p", w = 1920, h = 1080)
     val small = mkRecord(2, "image", "p", w = 100, h = 80)
