@@ -146,6 +146,16 @@ object Multimodal {
   private def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Int)] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
+      // magic-byte gate BEFORE the codec: the JDK readers cover exactly
+      // WAV (RIFF/WAVE), AIFF/AIFC (FORM) and AU (.snd) — anything else
+      // would throw inside AudioSystem after an expensive reader probe,
+      // and at corpus scale most "audio"-typed payloads are not audio
+      def cc(off: Int) =
+        if (bytes.length < off + 4) "" else new String(bytes, off, 4, "US-ASCII")
+      val known = (cc(0) == "RIFF" && cc(8) == "WAVE") ||
+        (cc(0) == "FORM" && (cc(8) == "AIFF" || cc(8) == "AIFC")) ||
+        cc(0) == ".snd"
+      if (!known) return None
       val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       val f0 = raw.getFormat
       val ais =
