@@ -212,6 +212,86 @@ object VectorIndex {
     (cents, codec)
   }
 
+  /** FOREIGN-ENGINE export of the persisted index (the interop bound on
+    * "any engine reads the published table" — extended to the INDEX,
+    * the Iceberg-puffin role): the three index tables AND the exact
+    * corpus snapshot the index covers each export through
+    * [[BranchCatalog.exportSnapshot]] (manifest.json + view.sql +
+    * files.parquet each), plus `index-manifest.json` (id column, build
+    * params, covered snapshot, layout description) and a ready-to-run
+    * `ann.sql`: an IVF route + exact-cosine re-rank any list-capable SQL
+    * engine executes (DuckDB: `list_inner_product` + sqrt). The PQ
+    * codes/codebook ride along for engines that implement ADC, but
+    * correctness never depends on them — the shipped query re-ranks
+    * EXACTLY, which is also how graft's own served path scores.
+    * Returns artifact paths keyed by role. */
+  def exportIndex(spark: SparkSession, cat: BranchCatalog, table: String,
+      vecCol: String, dest: String, branch: String = "main",
+      k: Int = 10, nprobe: Int = 8): Map[String, String] = {
+    val props = cat.tableProperties(table, branch)
+    val snapId = props.get(snapshotKey(vecCol)).filter(_.nonEmpty).getOrElse(
+      sys.error(s"$table.$vecCol has no vector index on $branch — build_vector_index first"))
+    val idCol = props(idKey(vecCol))
+    val params = props(paramsKey(vecCol))
+    val cents = centsTable(table, vecCol)
+    val codes = codesTable(table, vecCol)
+    val book = codebookTable(table, vecCol)
+    cat.exportSnapshot(cents, s"$dest/cents", branch)
+    cat.exportSnapshot(codes, s"$dest/codes", branch)
+    cat.exportSnapshot(book, s"$dest/codebook", branch)
+    // the corpus at the COVERED snapshot — ann.sql's re-rank must see
+    // exactly the rows the codes were written for
+    cat.exportSnapshot(table, s"$dest/corpus", branch, snapshotId = Some(snapId))
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def emit(name: String, content: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dest, name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      p.toString
+    }
+    def cos(a: String, b: String): String =
+      s"list_inner_product($a, $b) / NULLIF(sqrt(list_inner_product($a, $a)) * " +
+        s"sqrt(list_inner_product($b, $b)), 0)"
+    val annSql =
+      s"""-- graft vector-index ANN serve: IVF route + EXACT cosine re-rank.
+         |-- 1. Execute cents/view.sql, codes/view.sql and corpus/view.sql first.
+         |-- 2. Replace the query-vector literal below, then run.
+         |WITH q(qv) AS (VALUES (CAST([/*query vector*/] AS DOUBLE[]))),
+         |probe AS (
+         |  SELECT cent_id FROM ${cents}_export, q
+         |  ORDER BY ${cos("CAST(cent_vec AS DOUBLE[])", "qv")} DESC
+         |  LIMIT $nprobe
+         |),
+         |shortlist AS (
+         |  SELECT DISTINCT neighbor_id FROM ${codes}_export
+         |  WHERE cent_id IN (SELECT cent_id FROM probe)
+         |)
+         |SELECT c.$idCol AS neighbor_id,
+         |  ${cos(s"CAST(c.$vecCol AS DOUBLE[])", "qv")} AS cosine
+         |FROM ${table}_export c
+         |JOIN shortlist s ON s.neighbor_id = c.$idCol
+         |CROSS JOIN q
+         |ORDER BY cosine DESC, neighbor_id
+         |LIMIT $k;
+         |""".stripMargin
+    val annPath = emit("ann.sql", annSql)
+    val manifestPath = emit("index-manifest.json", org.json4s.jackson.Serialization.write(
+      Map(
+        "kind" -> "graft-ivfpq-vector-index",
+        "table" -> table, "vecCol" -> vecCol, "idCol" -> idCol,
+        "params" -> params, "coveredSnapshot" -> snapId,
+        "layout" -> Map(
+          "cents" -> "cents/ (cent_id, cent_vec) — the IVF routing table",
+          "codes" -> ("codes/ (neighbor_id, cent_id, __code, __rn) — inverted " +
+            "lists; __code are residual PQ codes for ADC-capable engines"),
+          "codebook" -> "codebook/ (m, ksub, dsub, codebooks) — flat PQ codebooks",
+          "corpus" -> "corpus/ — the covered snapshot, for the exact re-rank"),
+        "serve" -> "ann.sql"))(org.json4s.DefaultFormats))
+    Map("dest" -> dest, "annSql" -> annPath, "indexManifest" -> manifestPath)
+  }
+
   /** Load the persisted index for querying with [[Similarity.ivfTopKPQ]].
     * The exact re-rank reads the INDEXED snapshot of the source table, so
     * results reflect exactly what the index covers. */

@@ -49,7 +49,7 @@ object GraftProcedures {
       "export_snapshot", "export_changes", "rewrite_partitioned",
       "add_partition_field", "drop_partition_field", "add_files", "snapshot_table", "rewrite_position_deletes", "expire_tags",
       "create_mview", "refresh_mview", "drop_mview",
-      "build_vector_index", "refresh_vector_index", "drop_vector_index",
+      "build_vector_index", "refresh_vector_index", "drop_vector_index", "export_vector_index",
       "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
       "create_changelog_view", "enable_row_lineage", "convert_equality_deletes",
       "begin_transaction", "stage_append", "stage_delete_keys",
@@ -534,6 +534,21 @@ object GraftProcedures {
         param("branch", StringType, "'main'"))) { (cat, args) =>
         graft.operators.VectorIndex.drop(cat, args.getString(0), args.getString(1),
           args.getString(2))
+      }
+    case "export_vector_index" =>
+      // foreign-engine export of the persisted index: the three index
+      // tables + the covered corpus snapshot each as a snapshot export,
+      // plus index-manifest.json and a ready-to-run ann.sql (IVF route +
+      // exact cosine re-rank any list-capable SQL engine executes)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("vec_col", StringType),
+        param("dest", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.VectorIndex.exportIndex(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2),
+          args.getString(3))
+        ()
       }
     case "build_dedup_index" =>
       // persisted MinHash-LSH dedup index over a text column: banded

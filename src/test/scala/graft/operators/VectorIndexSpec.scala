@@ -141,6 +141,70 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"persisted-index recall $recall below floor")
   }
 
+  private lazy val duckdbAvailable: Boolean =
+    scala.util.Try(scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
+
+  test("exportIndex: real DuckDB serves ANN from the exported artifact alone") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val root = freshRoot()
+    val cat = mkLake(root, 100, 500)
+    VectorIndex.build(spark, cat, "emb", "vec_id", "embedding", P)
+    val dest = Files.createTempDirectory("vecidx-export").toString
+    val arts = VectorIndex.exportIndex(spark, cat, "emb", "embedding", dest,
+      k = 10, nprobe = 8)
+
+    // query = a corpus member's vector; the exact top-10 is the bar
+    val qRow = emb(150, 151).select("embedding").head
+    val qVec = qRow.getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(
+      cat.scan("emb"), "vec_id", "embedding",
+      emb(150, 151).select(col("vec_id").as("qid"), col("embedding")),
+      "qid", "embedding", k = 10)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // run the SHIPPED artifact: four view.sql files, then ann.sql with
+    // only the documented query-vector substitution
+    val annSql = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(arts("annSql")).toUri.getPath)))
+    val filled = annSql.replace("[/*query vector*/]",
+      qVec.mkString("[", ",", "]"))
+    val views = Seq("cents", "codes", "corpus").map(d =>
+      s"$dest/$d/view.sql")
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |for v in ${views.map(v => "'" + v + "'").mkString("[", ",", "]")}:
+         |    con.execute(open(v).read())
+         |rows = con.execute(open('/dev/stdin').read()).fetchall()
+         |for r in rows:
+         |    print(r[0])
+         |""".stripMargin
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq("python3", "-c", script))
+      .#<(new java.io.ByteArrayInputStream(filled.getBytes("UTF-8")))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(rc == 0, s"duckdb ann.sql failed:\n$out")
+    val served = out.toString.trim.split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+    assert(served.size == 10, s"expected 10 neighbors, got $served")
+    // IVF recall vs the exact top-10 — and the query's own row (a corpus
+    // member) must route to its own cell and rank first
+    val recall = served.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"foreign-engine ANN recall $recall below floor: $served")
+    assert(served.head == 150L, s"self-query must rank itself first: $served")
+
+    // the index manifest documents the layout + covered snapshot
+    val man = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(arts("indexManifest")).toUri.getPath)))
+    assert(man.contains("graft-ivfpq-vector-index") && man.contains("coveredSnapshot"))
+
+    // unbuilt index refuses loudly
+    val e = intercept[RuntimeException](
+      VectorIndex.exportIndex(spark, cat, "emb", "nope", dest + "2"))
+    assert(e.getMessage.contains("build_vector_index"), e.getMessage)
+  }
+
   test("SQL procedures: build / refresh / drop round-trip") {
     val root = freshRoot()
     val cat = mkLake(root, 100, 300)
@@ -151,6 +215,11 @@ class VectorIndexSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.build_vector_index('emb', 'vec_id', 'embedding', " +
       "'main', 16, 8, 16)")
     assert(cat.tableExists(VectorIndex.codesTable("emb", "embedding")))
+    val exDest = Files.createTempDirectory("vecidx-sqlexp").toString
+    spark.sql(s"CALL $lake.system.export_vector_index('emb', 'embedding', '$exDest')")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(exDest, "ann.sql")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(exDest, "corpus", "manifest.json")))
     cat.append("emb", emb(300, 350))
     spark.sql(s"CALL $lake.system.refresh_vector_index('emb', 'embedding')")
     assert(cat.scan(VectorIndex.codesTable("emb", "embedding")).count() ==
