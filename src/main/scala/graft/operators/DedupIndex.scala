@@ -174,6 +174,61 @@ object DedupIndex {
         snapshotKey(textCol) -> "", idKey(textCol) -> "", paramsKey(textCol) -> ""), branch)
   }
 
+  /** FOREIGN-ENGINE export of the persisted dedup index (the interop
+    * bound closed for the band signatures, like
+    * [[VectorIndex.exportIndex]] for vectors): the bands table AND the
+    * covered corpus snapshot each export through
+    * [[BranchCatalog.exportSnapshot]], plus `index-manifest.json` and a
+    * ready-to-run `candidates.sql` — the banded-LSH candidate-pair
+    * self-join any SQL engine executes (equi-join on (band, bkey), ids
+    * only — never an all-pairs scan). The exact-Jaccard verify stays an
+    * operator concern (it needs the shingler); candidate generation IS
+    * the index's contract, and the shipped query reproduces graft's own
+    * bucket join exactly. */
+  def exportIndex(spark: SparkSession, cat: BranchCatalog, table: String,
+      textCol: String, dest: String, branch: String = "main"): Map[String, String] = {
+    val props = cat.tableProperties(table, branch)
+    val snapId = props.get(snapshotKey(textCol)).filter(_.nonEmpty).getOrElse(
+      sys.error(s"$table.$textCol has no dedup index on $branch — build_dedup_index first"))
+    val idCol = props(idKey(textCol))
+    val params = props(paramsKey(textCol))
+    val bands = bandsTable(table, textCol)
+    cat.exportSnapshot(bands, s"$dest/bands", branch)
+    cat.exportSnapshot(table, s"$dest/corpus", branch, snapshotId = Some(snapId))
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def emit(name: String, content: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dest, name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      p.toString
+    }
+    val candidatesSql =
+      s"""-- graft dedup-index candidate pairs: banded-LSH bucket self-join.
+         |-- Execute bands/view.sql first. Pairs sharing ANY band bucket are
+         |-- near-duplicate CANDIDATES; verify with exact Jaccard over your
+         |-- shingler of choice (graft verifies with ${params}).
+         |SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+         |FROM ${bands}_export a
+         |JOIN ${bands}_export b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |ORDER BY id_a, id_b;
+         |""".stripMargin
+    val candPath = emit("candidates.sql", candidatesSql)
+    val manifestPath = emit("index-manifest.json", org.json4s.jackson.Serialization.write(
+      Map(
+        "kind" -> "graft-minhash-lsh-dedup-index",
+        "table" -> table, "textCol" -> textCol, "idCol" -> idCol,
+        "params" -> params, "coveredSnapshot" -> snapId,
+        "layout" -> Map(
+          "bands" -> ("bands/ (id, band, bkey) — banded MinHash signatures; " +
+            "pairs sharing a (band, bkey) bucket are candidates"),
+          "corpus" -> "corpus/ — the covered snapshot, for the exact verify"),
+        "serve" -> "candidates.sql"))(org.json4s.DefaultFormats))
+    Map("dest" -> dest, "candidatesSql" -> candPath, "indexManifest" -> manifestPath)
+  }
+
   private def appendOnlyWindow(cat: BranchCatalog, table: String,
       fromId: String, toId: String): Boolean =
     (for {

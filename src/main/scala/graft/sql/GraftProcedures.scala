@@ -50,7 +50,7 @@ object GraftProcedures {
       "add_partition_field", "drop_partition_field", "add_files", "snapshot_table", "rewrite_position_deletes", "expire_tags",
       "create_mview", "refresh_mview", "drop_mview",
       "build_vector_index", "refresh_vector_index", "drop_vector_index", "export_vector_index",
-      "build_dedup_index", "refresh_dedup_index", "drop_dedup_index",
+      "build_dedup_index", "refresh_dedup_index", "drop_dedup_index", "export_dedup_index",
       "create_changelog_view", "enable_row_lineage", "convert_equality_deletes",
       "begin_transaction", "stage_append", "stage_delete_keys",
       "commit_transaction", "abort_transaction", "expire_branches")
@@ -586,6 +586,20 @@ object GraftProcedures {
         param("branch", StringType, "'main'"))) { (cat, args) =>
         graft.operators.DedupIndex.drop(cat, args.getString(0), args.getString(1),
           args.getString(2))
+      }
+    case "export_dedup_index" =>
+      // foreign-engine export of the persisted dedup index: bands table +
+      // covered corpus as snapshot exports, plus index-manifest.json and
+      // a ready-to-run candidates.sql (banded-LSH bucket self-join)
+      procedure(root, name, Array(
+        param("table", StringType),
+        param("text_col", StringType),
+        param("dest", StringType),
+        param("branch", StringType, "'main'"))) { (cat, args) =>
+        graft.operators.DedupIndex.exportIndex(SparkSession.active, cat,
+          args.getString(0), args.getString(1), args.getString(2),
+          args.getString(3))
+        ()
       }
     case "create_changelog_view" =>
       // the Iceberg create_changelog_view analogue: registers a session

@@ -188,4 +188,47 @@ class DedupIndexSpec extends SparkSpecBase {
     spark.sql(s"CALL $lake.system.drop_dedup_index('documents', 'text')")
     assert(!cat.tableExists(bandsT))
   }
+
+  private lazy val duckdbAvailable: Boolean =
+    scala.util.Try(scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
+
+  test("exportIndex: real DuckDB reproduces the candidate pairs from the artifact alone") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val cat = freshCat()
+    val corpus = docs(0, 200).unionByName(copies(15, 7000))
+    cat.createTableIfNotExists("documents", corpus.schema)
+    cat.append("documents", corpus)
+    DedupIndex.build(spark, cat, "documents", "doc_id", "text")
+    val dest = Files.createTempDirectory("dedupidx-export").toString
+    val arts = DedupIndex.exportIndex(spark, cat, "documents", "text", dest)
+
+    // graft's own candidate set from the SAME index bands
+    val bands = cat.scan(DedupIndex.bandsTable("documents", "text"))
+      .select(col("id").as("__id"), col("band").as("__band"), col("bkey").as("__bkey"))
+    val want = pairSet(Dedup.bucketPairs(bands, "__band", "__bkey"))
+    assert(want.nonEmpty, "planted copies must land in shared buckets")
+
+    // the SHIPPED candidates.sql verbatim against the exported bands
+    val script =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute(open('$dest/bands/view.sql').read())
+         |rows = con.execute(open('$dest/candidates.sql').read()).fetchall()
+         |for a, b in rows:
+         |    print(f"{a},{b}")
+         |""".stripMargin
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq("python3", "-c", script))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(rc == 0, s"duckdb candidates.sql failed:\n$out")
+    val got = out.toString.trim.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(a, b) = l.split(","); (a.toLong, b.toLong)
+    }.toSet
+    assert(got == want,
+      s"foreign candidates ${got.size} != graft's ${want.size}")
+    // every planted copy is a candidate of its source on the foreign side
+    assert((0L until 15L).forall(i => got.contains((i, i + 7000))))
+  }
 }
