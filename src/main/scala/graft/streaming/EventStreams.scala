@@ -76,14 +76,25 @@ object EventStreams {
         * of every file holding a batch key). `compactEvery` maintenance
         * then also MATERIALIZES accumulated tombstones, bounding the
         * scan's epoch count. */
-      morUpsert: Boolean = false): StreamingQuery = {
+      morUpsert: Boolean = false,
+      /** Ingest-time NEAR-DUP gate (r16): the column name of a
+        * [[graft.operators.DedupIndex]] built on `table` — each
+        * micro-batch is filtered through `dedupNew` BEFORE the WAP run
+        * (drops docs near-duplicating the committed corpus or an earlier
+        * doc of the same batch; O(batch) via the persisted banded index,
+        * never a corpus self-join), and after each publish the index
+        * advances incrementally so the batch's survivors gate the NEXT
+        * batch. Build the table + index before starting the stream. */
+      nearDupText: Option[String] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dropDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      .foreachBatch { (raw: Dataset[Row], batchId: Long) =>
+        val batch = nearDupText.fold(raw: DataFrame)(c =>
+          graft.operators.DedupIndex.dedupNew(spark, catalog, table, c, raw))
         if (!batch.isEmpty) {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
@@ -107,6 +118,13 @@ object EventStreams {
               catalog.compactDataFiles(table)
               catalog.expireSnapshots(table)
             }
+          }
+          // advance the dedup index over whatever just published: an
+          // append-only window signs only the survivors (O(batch)); a
+          // quarantined batch left main unchanged, so this is `fresh`
+          nearDupText.foreach { c =>
+            graft.operators.DedupIndex.refresh(spark, catalog, table, c)
+            ()
           }
         }
         ()

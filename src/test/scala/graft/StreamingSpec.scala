@@ -179,6 +179,65 @@ class StreamingSpec extends SparkSpecBase {
       rows + (4L -> "barbara"))
   }
 
+  test("fileIngest near-dup gate: batches dedup against the indexed corpus AND earlier batches") {
+    import graft.operators.DedupIndex
+    val drop = tmp("graft-dd-drop")
+    val ckpt = tmp("graft-dd-ckpt")
+    val cat = new BranchCatalog(spark, tmp("graft-dd-cat"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val schema = docs.schema
+    // committed corpus + its index, BEFORE the stream starts
+    cat.createTableIfNotExists("docs", schema)
+    cat.append("docs", docs.filter($"doc_id" < 100))
+    DedupIndex.build(spark, cat, "docs", "doc_id", "text")
+
+    def runOnce(): Unit = {
+      val q = EventStreams.fileIngest(spark, drop, schema, cat, "docs",
+        Seq(NotNull("text")), ckpt, trigger = Trigger.AvailableNow(),
+        nearDupText = Some("text"))
+      q.awaitTermination()
+    }
+
+    // batch 1: 20 fresh docs + 10 exact copies of committed ones (shifted
+    // ids) + an intra-batch copy pair -> only the fresh docs + the
+    // smaller-id intra twin survive
+    val fresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+    val corpusCopies = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 9000).as("doc_id"), $"text")
+    val intra = docs.filter($"doc_id" === 150L)
+      .select(($"doc_id" + 8000).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" === 150L)
+        .select(($"doc_id" + 8001).as("doc_id"), $"text"))
+    val batch1 = fresh.unionByName(corpusCopies).unionByName(intra)
+    batch1.coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    val afterB1 = cat.scan("docs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((9000L until 9010L).forall(!afterB1.contains(_)), "corpus copies must drop")
+    assert(afterB1.contains(8150L) && !afterB1.contains(8151L),
+      "intra-batch: smaller id wins")
+    // fresh docs survive UNLESS they near-duplicate the corpus per the
+    // independent batch operator (the testdata plants real near-dups, so
+    // the expectation is data-driven, not a hard count)
+    val freshDupIds = graft.operators.Dedup.minhashPairs(
+      docs.filter($"doc_id" < 120), "doc_id", "text")
+      .select("id_b").collect().map(_.getLong(0))
+      .filter(i => i >= 100 && i < 120).toSet
+    assert((100L until 120L).forall(i =>
+      afterB1.contains(i) != freshDupIds.contains(i)),
+      s"fresh survivors must be exactly the non-dups; dups=$freshDupIds")
+
+    // the index advanced over the survivors: batch 2 re-delivering one of
+    // BATCH 1's fresh SURVIVORS (under a new id) must now drop it too
+    val survivor = (100L until 120L).find(afterB1.contains).get
+    docs.filter($"doc_id" === survivor)
+      .select(($"doc_id" + 7000).as("doc_id"), $"text")
+      .coalesce(1).write.mode("append").parquet(drop)
+    runOnce()
+    val afterB2 = cat.scan("docs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!afterB2.contains(survivor + 7000), "batch-1 survivor must gate batch 2")
+    assert(afterB2 == afterB1, "nothing else changed")
+  }
+
   test("enrichLatest: each micro-batch joins the latest PUBLISHED snapshot only") {
     val cat = new BranchCatalog(spark, Files.createTempDirectory("wap-enrich").toString)
     val dimV1 = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "name")
