@@ -93,9 +93,14 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: Dataset[Row], batchId: Long) =>
+        // the gated batch pins its survivor set once: the dedup plan is a
+        // multi-join the emptiness probe AND the write would otherwise
+        // both evaluate, and it must not re-resolve mid-batch against the
+        // branch state the WAP run itself is advancing
         val batch = nearDupText.fold(raw: DataFrame)(c =>
-          graft.operators.DedupIndex.dedupNew(spark, catalog, table, c, raw))
-        if (!batch.isEmpty) {
+          graft.operators.DedupIndex.dedupNew(spark, catalog, table, c, raw)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try if (!batch.isEmpty) {
           val branch = s"ingest-$table-$batchId"
           if (catalog.listBranches().contains(branch)) catalog.dropBranch(branch)
           upsertKeys match {
@@ -126,7 +131,7 @@ object EventStreams {
             graft.operators.DedupIndex.refresh(spark, catalog, table, c)
             ()
           }
-        }
+        } finally if (nearDupText.isDefined) { batch.unpersist(); () }
         ()
       }
       .start()
