@@ -93,11 +93,17 @@ object Curation {
     * cross-engine). */
   def temperatureThresholds(
       df: DataFrame, keyCol: String, alpha: Double = 0.5): Map[String, Long] = {
-    val rows = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).collect()
+    // keys are Spark's OWN cast-to-string rendering (not Java toString):
+    // temperatureRebalance joins the thresholds back on the identically
+    // cast column, and the two renderings disagree for e.g. timestamps
+    // (Timestamp.toString always emits a fractional digit; the SQL cast
+    // does not) — a mismatch would silently drop the whole corpus
+    val rows = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("n")).collect()
     require(!rows.exists(_.isNullAt(0)),
       s"temperatureRebalance: NULL values in group column '$keyCol' — " +
         "filter them out or fill a sentinel group first")
-    val counts = rows.map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureRebalance needs a non-empty corpus")
     // weight w_g = floor(n_g^alpha * 1000); integer from here on
     val w = counts.map { case (k, n) =>

@@ -165,6 +165,14 @@ object DedupIndex {
     }
   }
 
+  /** The snapshot id the index currently covers (its watermark), if an
+    * index exists — maintenance that expires snapshots must keep this id
+    * live ([[graft.wap.BranchCatalog.expireSnapshots]] keepIds) or the
+    * next refresh degrades to a full rebuild. */
+  def watermark(cat: BranchCatalog, table: String, textCol: String,
+      branch: String = "main"): Option[String] =
+    cat.tableProperties(table, branch).get(snapshotKey(textCol)).filter(_.nonEmpty)
+
   /** Drop the band table and the watermark properties. */
   def drop(cat: BranchCatalog, table: String, textCol: String,
       branch: String = "main"): Unit = {
@@ -193,17 +201,11 @@ object DedupIndex {
     val idCol = props(idKey(textCol))
     val params = props(paramsKey(textCol))
     val bands = bandsTable(table, textCol)
+    IndexExport.requireFreshOrPrior(spark, dest)
     cat.exportSnapshot(bands, s"$dest/bands", branch)
     cat.exportSnapshot(table, s"$dest/corpus", branch, snapshotId = Some(snapId))
-    val fs = new org.apache.hadoop.fs.Path(dest)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def emit(name: String, content: String): String = {
-      val p = new org.apache.hadoop.fs.Path(dest, name)
-      val out = fs.create(p, true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      p.toString
-    }
+    def emit(name: String, content: String): String =
+      IndexExport.emit(spark, dest, name, content)
     val candidatesSql =
       s"""-- graft dedup-index candidate pairs: banded-LSH bucket self-join.
          |-- Execute bands/view.sql first. Pairs sharing ANY band bucket are
@@ -216,7 +218,7 @@ object DedupIndex {
          |ORDER BY id_a, id_b;
          |""".stripMargin
     val candPath = emit("candidates.sql", candidatesSql)
-    val manifestPath = emit("index-manifest.json", org.json4s.jackson.Serialization.write(
+    val manifestPath = emit(IndexExport.ManifestName, org.json4s.jackson.Serialization.write(
       Map(
         "kind" -> "graft-minhash-lsh-dedup-index",
         "table" -> table, "textCol" -> textCol, "idCol" -> idCol,

@@ -236,21 +236,15 @@ object VectorIndex {
     val cents = centsTable(table, vecCol)
     val codes = codesTable(table, vecCol)
     val book = codebookTable(table, vecCol)
+    IndexExport.requireFreshOrPrior(spark, dest)
     cat.exportSnapshot(cents, s"$dest/cents", branch)
     cat.exportSnapshot(codes, s"$dest/codes", branch)
     cat.exportSnapshot(book, s"$dest/codebook", branch)
     // the corpus at the COVERED snapshot — ann.sql's re-rank must see
     // exactly the rows the codes were written for
     cat.exportSnapshot(table, s"$dest/corpus", branch, snapshotId = Some(snapId))
-    val fs = new org.apache.hadoop.fs.Path(dest)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def emit(name: String, content: String): String = {
-      val p = new org.apache.hadoop.fs.Path(dest, name)
-      val out = fs.create(p, true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      p.toString
-    }
+    def emit(name: String, content: String): String =
+      IndexExport.emit(spark, dest, name, content)
     def cos(a: String, b: String): String =
       s"list_inner_product($a, $b) / NULLIF(sqrt(list_inner_product($a, $a)) * " +
         s"sqrt(list_inner_product($b, $b)), 0)"
@@ -277,7 +271,7 @@ object VectorIndex {
          |LIMIT $k;
          |""".stripMargin
     val annPath = emit("ann.sql", annSql)
-    val manifestPath = emit("index-manifest.json", org.json4s.jackson.Serialization.write(
+    val manifestPath = emit(IndexExport.ManifestName, org.json4s.jackson.Serialization.write(
       Map(
         "kind" -> "graft-ivfpq-vector-index",
         "table" -> table, "vecCol" -> vecCol, "idCol" -> idCol,

@@ -545,8 +545,13 @@ object GraftMaterializedViews {
               Bridge.dataFrame(spark, substituted(agg, rel.get, rows))
             val ins = aggOver(cl.filter(col("_change_type") === "insert")
               .drop("_change_type"))
+            // cached: the split fold consumes delRaw three times (the
+            // NULL-key probe, the touched join, the signed del leg) —
+            // without the cache each action re-runs the changelog scan
             val delRaw = aggOver(cl.filter(col("_change_type") === "delete")
               .drop("_change_type"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
             val mvSchema = ins.schema
             // departed rows SUBTRACT: negate every summed column (counts
             // and companion sums included); stat placeholders recompute
@@ -606,6 +611,7 @@ object GraftMaterializedViews {
               } finally { touched.unpersist(); () }
               Some("incremental_agg_dml")
             }
+            } finally { delRaw.unpersist(); () }
           }
         }
       case _ => None

@@ -114,22 +114,29 @@ object EventStreams {
               Wap.run(catalog, table, batch, checks, branch, alerter,
                 crossChecks = crossChecks)
           }
-          // self-maintenance: streaming leaves one small file + manifest
-          // per micro-batch; every N batches fold them and expire the
-          // superseded history (branch heads always survive, so failed
-          // quarantine branches keep their data)
-          compactEvery.foreach { n =>
-            if (batchId % n == n - 1 && catalog.tableExists(table)) {
-              catalog.compactDataFiles(table)
-              catalog.expireSnapshots(table)
-            }
-          }
-          // advance the dedup index over whatever just published: an
-          // append-only window signs only the survivors (O(batch)); a
-          // quarantined batch left main unchanged, so this is `fresh`
+          // advance the dedup index over whatever just published — BEFORE
+          // maintenance, so the window is still append-only and signs
+          // only the survivors (O(batch)); a quarantined batch left main
+          // unchanged, so this is `fresh`
           nearDupText.foreach { c =>
             graft.operators.DedupIndex.refresh(spark, catalog, table, c)
             ()
+          }
+          // self-maintenance: streaming leaves one small file + manifest
+          // per micro-batch; every N batches fold them and expire the
+          // superseded history (branch heads always survive, so failed
+          // quarantine branches keep their data). The dedup watermark
+          // snapshot stays LIVE through expiry — reclaiming it would
+          // degrade the next refresh to a full corpus rebuild; the
+          // post-compaction window then refreshes via the net changelog
+          // (a neutral rewrite nets to zero), still O(batch).
+          compactEvery.foreach { n =>
+            if (batchId % n == n - 1 && catalog.tableExists(table)) {
+              catalog.compactDataFiles(table)
+              catalog.expireSnapshots(table,
+                keepIds = nearDupText.flatMap(c =>
+                  graft.operators.DedupIndex.watermark(catalog, table, c)).toSet)
+            }
           }
         } finally if (nearDupText.isDefined) { batch.unpersist(); () }
         ()

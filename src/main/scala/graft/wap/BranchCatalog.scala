@@ -7667,10 +7667,12 @@ class BranchCatalog(
       // — range-partition on lo, per-partition running sweep, partition
       // boundary handled by a prefix max over O(partitions) scalars —
       // so ONLY one (over, n) pair ever lands on the driver, never
-      // O(files) bound strings. None = some file lacks bounds (skip,
-      // conservative — same as the driver path's size guard).
+      // O(files) bound strings. None = skipped: pending tombstones or too
+      // few files (guards hoisted BEFORE the jobs run), or some file
+      // lacks bounds on the key (conservative, like the size guard).
       val sweep: Option[(Long, Long)] =
-        if (totalFiles > distributedMetaThreshold) {
+        if (headC.deleteManifests.nonEmpty || totalFiles < minFiles) None
+        else if (totalFiles > distributedMetaThreshold) {
           import org.apache.spark.sql.functions.{element_at, col => fcol, lit => flit}
           // cast target whose natural ordering EQUALS statOrder's string
           // comparator, so range partitioning agrees with the sweep
@@ -7738,7 +7740,7 @@ class BranchCatalog(
             Some((over, sorted.size.toLong))
           }
         }
-      if (headC.deleteManifests.isEmpty && totalFiles >= minFiles) sweep.foreach {
+      sweep.foreach {
         case (over, n) =>
           val frac = over.toDouble / math.max(1L, n - 1L)
           if (frac > maxOverlap) {

@@ -152,6 +152,20 @@ class CurationSpec extends SparkSpecBase {
     assert(n == 40000L, s"uniform groups keep all rows, kept $n")
   }
 
+  test("temperatureRebalance on a TIMESTAMP group key: thresholds join matches") {
+    import spark.implicits._
+    // whole-second timestamps: Java Timestamp.toString renders "…:00.0"
+    // while Spark's cast renders "…:00" — the threshold join must use one
+    // rendering on both sides or every row silently drops
+    val docs = (0L until 600L).map(i => (i, new java.sql.Timestamp(
+      86400000L * (i % 3)))).toDF("doc_id", "day")
+    val kept = Curation.temperatureRebalance(docs, "doc_id", "day")
+    assert(kept.count() == 600L,
+      "uniform groups keep everything — zero rows means the key join broke")
+    val t6 = Curation.temperatureThresholds(docs, "day")
+    assert(t6.size == 3 && t6.values.forall(_ == 1000000L), t6.toString)
+  }
+
   test("temperatureRebalance refuses NULL group keys loudly") {
     import spark.implicits._
     val docs = Seq((1L, Some("en")), (2L, None), (3L, Some("fr")))

@@ -194,6 +194,8 @@ class StreamingSpec extends SparkSpecBase {
     def runOnce(): Unit = {
       val q = EventStreams.fileIngest(spark, drop, schema, cat, "docs",
         Seq(NotNull("text")), ckpt, trigger = Trigger.AvailableNow(),
+        compactEvery = Some(1), // maintenance every batch: the index
+        // watermark must survive expiry or refresh degrades to full
         nearDupText = Some("text"))
       q.awaitTermination()
     }
@@ -236,6 +238,14 @@ class StreamingSpec extends SparkSpecBase {
     val afterB2 = cat.scan("docs").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!afterB2.contains(survivor + 7000), "batch-1 survivor must gate batch 2")
     assert(afterB2 == afterB1, "nothing else changed")
+
+    // the per-batch maintenance (compact + expire) must have kept the
+    // index watermark snapshot LIVE: the post-compaction window refreshes
+    // via the net changelog (a neutral rewrite nets to zero), NEVER by a
+    // full corpus rebuild — FileNotFound on an expired watermark would
+    // surface here as "full"
+    val mode = DedupIndex.refresh(spark, cat, "docs", "text")
+    assert(mode == "net" || mode == "fresh", s"expected cheap refresh, got $mode")
   }
 
   test("enrichLatest: each micro-batch joins the latest PUBLISHED snapshot only") {

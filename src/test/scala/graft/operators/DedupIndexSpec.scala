@@ -189,9 +189,6 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(!cat.tableExists(bandsT))
   }
 
-  private lazy val duckdbAvailable: Boolean =
-    scala.util.Try(scala.sys.process.Process(
-      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
 
   test("exportIndex: real DuckDB reproduces the candidate pairs from the artifact alone") {
     assume(duckdbAvailable, "host python3 lacks duckdb")

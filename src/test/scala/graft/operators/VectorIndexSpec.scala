@@ -141,9 +141,6 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"persisted-index recall $recall below floor")
   }
 
-  private lazy val duckdbAvailable: Boolean =
-    scala.util.Try(scala.sys.process.Process(
-      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
 
   test("exportIndex: real DuckDB serves ANN from the exported artifact alone") {
     assume(duckdbAvailable, "host python3 lacks duckdb")

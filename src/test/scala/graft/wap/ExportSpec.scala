@@ -21,12 +21,6 @@ class ExportSpec extends SparkSpecBase {
   private def exportTo(): String =
     Files.createTempDirectory("graft-export-dest").toString + "/exp"
 
-  /** DuckDB available to the host python3? (It is driver-side tooling —
-    * never a library dependency — so the round-trip tests skip cleanly
-    * where it is absent.) */
-  private lazy val duckdbAvailable: Boolean =
-    scala.util.Try(scala.sys.process.Process(
-      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
 
   /** Run `sql` in DuckDB after executing the export's view.sql; returns
     * the first result row as strings. */
