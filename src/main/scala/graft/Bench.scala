@@ -199,13 +199,28 @@ object Bench {
         val j = org.json4s.jackson.JsonMethods.parse(txt)
         val refSf = j \ "sf" match { case JString(s) => s; case _ => "" }
         if (refSf != sfDir) Map.empty[String, Double]
-        else j \ "queries" match {
-          case JObject(fields) => fields.collect {
-            case (k, JDouble(d)) => k -> d
-            case (k, JInt(i)) => k -> i.toDouble
-            case (k, JDecimal(d)) => k -> d.toDouble
-          }.toMap
-          case _ => Map.empty[String, Double]
+        else {
+          def num(v: JValue): Option[Double] = v match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble)
+            case _ => None
+          }
+          val base = j \ "queries" match {
+            case JObject(fields) => fields.flatMap { case (k, v) =>
+              num(v).map(k -> _) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          // a reference row that itself carried an inline rerun was a
+          // spiked measurement — its ADJUDICATED value is the rerun, so
+          // prefer it (the inflated first-pass median would soften this
+          // run's 2x threshold exactly where vigilance matters most)
+          val adjudicated = j \ "rerun" match {
+            case JObject(fields) => fields.flatMap { case (k, v) =>
+              num(v \ "rerun").map(k -> _) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          base ++ adjudicated
         }
       } catch { case _: Throwable => Map.empty[String, Double] }
     }
