@@ -456,7 +456,11 @@ private[wap] case class ExportChangesManifest(
     table: String, fromId: String, toId: String, fromSeq: Long, toSeq: Long,
     schemaDdl: String, materialized: Boolean,
     inserts: Seq[ExportFileEntry], deletes: Seq[ExportFileEntry],
-    changesParquet: Option[String])
+    changesParquet: Option[String],
+    /** r16: the window's NEW position-sidecar files (its in-place
+      * deletions) and the carried data files they reference. */
+    deleteSidecars: Seq[ExportFileEntry] = Nil,
+    carriedDeleteTargets: Seq[ExportFileEntry] = Nil)
 private[wap] case class ExportFileEntry(
     path: String, rows: Long, bytes: Long,
     lower: Map[String, String] = Map.empty,
@@ -6957,16 +6961,39 @@ class BranchCatalog(
     *    under `<dest>/changes/` (rows carry `_change_type`) — pays one
     *    write of O(net rows), serves consumers that cannot net.
     *
-    * Guards mirror [[exportSnapshot]]: both endpoints tombstone-free, no
-    * rename residue and no schema change across the window (a foreign
-    * engine matches columns by NAME). */
+    * Pending POSITION sidecars at the endpoints export (r16, transaction
+    * form): the view grows up to three legs — inserts minus the window's
+    * NEW sidecar marks, removed files minus `from`'s inherited marks,
+    * and the carried files' rows the new sidecars mark as an extra
+    * delete leg (the zero-file-change deletions a plain file diff cannot
+    * see). Sound because within a non-compacting window `from`'s sidecar
+    * set is a path subset of `to`'s and fresh marks never re-mark prior
+    * ones. Windows that folded/materialized sidecars, EQUALITY
+    * tombstones, and `net = true` with any pending sidecar still refuse;
+    * remaining guards mirror [[exportSnapshot]]: no rename residue and
+    * no schema change across the window (a foreign engine matches
+    * columns by NAME). */
   def exportChanges(table: String, fromId: String, toId: String, dest: String,
       net: Boolean = false): ExportedChanges = {
     val from = loadSnapshot(table, fromId)
     val to = loadSnapshot(table, toId)
-    require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
-      s"changes export of $table needs tombstone-free endpoints — materialize " +
-        "with compactDataFiles first")
+    // POSITION sidecars at the endpoints export (r16): within a window
+    // where no compaction materialized/folded them, `from`'s sidecar set
+    // is a PATH SUBSET of `to`'s (positions only accumulate, and fresh
+    // marks anti-join prior ones, so the window's new sidecar files hold
+    // exactly the window's new deletions, disjoint from from's). The
+    // view then carries three legs — see below. EQUALITY tombstones and
+    // fold/materialize windows still refuse: their window semantics are
+    // not representable as a plain file diff (the snapshot export covers
+    // eq-pending tables).
+    require((from.deleteManifests ++ to.deleteManifests).forall(_.posDelete),
+      s"changes export of $table has pending EQUALITY tombstones — convert " +
+        "(rewrite_position_deletes) or materialize with compactDataFiles first")
+    require(from.deleteManifests.map(_.path).toSet
+        .subsetOf(to.deleteManifests.map(_.path).toSet),
+      s"changes window $fromId -> $toId of $table folded or materialized its " +
+        "position sidecars — the file diff cannot attribute those deletions; " +
+        "export a window that does not cross the compaction")
     require(from.schemaDdl == to.schemaDdl && !to.evo.renamedFiles,
       s"changes window of $table crosses a schema change or rename residue — a " +
         "FOREIGN engine matches columns by name; export after a full rewrite")
@@ -6979,13 +7006,17 @@ class BranchCatalog(
           s"${backed.keys.mkString(", ")} existed would serve NULL instead of their " +
           "DEFAULT in a foreign engine — rewrite (compactDataFiles) first")
     }
-    val fromFiles = filesOf(from)
-    val toFiles = filesOf(to)
+    val fromFiles = filesOf(from.copy(deleteManifests = Nil))
+    val toFiles = filesOf(to.copy(deleteManifests = Nil))
     val fromPaths = fromFiles.map(_.path).toSet
     val toPaths = toFiles.map(_.path).toSet
     val deletes = fromFiles.filterNot(f => toPaths.contains(f.path)).sortBy(_.path)
     val inserts = toFiles.filterNot(f => fromPaths.contains(f.path)).sortBy(_.path)
-    require(deletes.nonEmpty || inserts.nonEmpty,
+    val newSidecarManifests = {
+      val fp = from.deleteManifests.map(_.path).toSet
+      to.deleteManifests.filterNot(d => fp.contains(d.path))
+    }
+    require(deletes.nonEmpty || inserts.nonEmpty || newSidecarManifests.nonEmpty,
       s"window $fromId -> $toId of $table changed no files — nothing to export")
     def plain(p: String): String = {
       val uri = new Path(p).toUri
@@ -7028,8 +7059,71 @@ class BranchCatalog(
         entries.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ") + "\n])"
 
     val (insE, delE) = (entriesOf(inserts), entriesOf(deletes))
+    // the window's NEW and INHERITED position-sidecar files (plain paths)
+    val newSc = newSidecarManifests.flatMap(m => readManifest(m.path))
+      .map(f => plain(f.path)).sorted
+    val fromSc = from.deleteManifests.flatMap(m => readManifest(m.path))
+      .map(f => plain(f.path)).sorted
+    def canonS(p: String): String =
+      p.replaceFirst("^[a-zA-Z0-9+.-]+:", "").replaceFirst("^/+", "/")
+    // CARRIED files the new sidecars reference: rows deleted in-window
+    // without any data-file change — the file diff alone cannot see
+    // them. The new sidecars are window-scoped (small), so one driver
+    // read of their distinct target paths is O(window), never O(table).
+    val carriedTargets: Seq[DataFileMeta] =
+      if (newSc.isEmpty) Nil
+      else {
+        val carried = toFiles.filter(f => fromPaths.contains(f.path))
+        if (carried.isEmpty) Nil
+        else {
+          val referenced = spark.read.schema(BranchCatalog.posDeleteSchema)
+            .parquet(newSc: _*)
+            .select(BranchCatalog.PosPathCol).distinct()
+            .collect().map(r => canonS(r.getString(0))).toSet
+          carried.filter(f => referenced.contains(canonS(plain(f.path)))).sortBy(_.path)
+        }
+      }
+    val carriedE = entriesOf(carriedTargets)
+    def quotedP(ps: Seq[String]): String =
+      ps.map(p => s"'${p.replace("'", "''")}'").mkString(",\n  ")
+    def scMatch(scPaths: Seq[String]): String =
+      s"(\n  SELECT 1 FROM read_parquet([\n  ${quotedP(scPaths)}\n]) x\n" +
+        s"  WHERE regexp_replace(regexp_replace(x.${BranchCatalog.PosPathCol}, " +
+        "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/') = " +
+        "regexp_replace(regexp_replace(d.filename, " +
+        "'^[a-zA-Z0-9+.-]+:', ''), '^/+', '/')\n" +
+        s"    AND x.${BranchCatalog.PosIdxCol} = d.file_row_number\n)"
+    /** A change leg filtered by sidecar membership: `exists = false`
+      * keeps rows NO sidecar entry marks, `exists = true` keeps exactly
+      * the marked rows. */
+    def sidecarLeg(ct: String, es: Seq[ExportFileEntry],
+        scPaths: Seq[String], exists: Boolean): String =
+      s"SELECT * EXCLUDE (filename, file_row_number), '$ct' AS _change_type\n" +
+        s"FROM read_parquet([\n  ${quotedP(es.map(_.path))}\n], " +
+        "filename=true, file_row_number=true) d\n" +
+        s"WHERE ${if (exists) "EXISTS" else "NOT EXISTS"} ${scMatch(scPaths)}"
+    /** Rows of `files` minus/inside the sidecar marks, counted in Spark
+      * (the metadata row sums are no longer exact once sidecars apply). */
+    def countAgainst(files: Seq[DataFileMeta], scPaths: Seq[String],
+        keepMarked: Boolean): Long =
+      if (files.isEmpty) 0L
+      else {
+        import org.apache.spark.sql.functions.{col => fcol}
+        val raw = spark.read.schema(StructType.fromDDL(to.schemaDdl))
+          .parquet(files.map(_.path): _*)
+          .select(fcol("_metadata.file_path").as(BranchCatalog.PosPathCol),
+            fcol("_metadata.row_index").as(BranchCatalog.PosIdxCol))
+        val pd = spark.read.schema(BranchCatalog.posDeleteSchema)
+          .parquet(scPaths: _*)
+        raw.join(pd, Seq(BranchCatalog.PosPathCol, BranchCatalog.PosIdxCol),
+          if (keepMarked) "left_semi" else "left_anti").count()
+      }
     val (viewSql, changesParquet, insRows, delRows) =
       if (net) {
+        require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
+          s"net changes export of $table materializes the changelog — " +
+            "tombstone-free endpoints required (the transaction form handles " +
+            "pending position sidecars)")
         val cl = scanChangelog(table, fromId, toId)
         val dir = new Path(destPath, "changes").toString
         cl.write.mode("overwrite").parquet(dir)
@@ -7042,15 +7136,41 @@ class BranchCatalog(
       } else {
         linkFarm("inserts", insE)
         linkFarm("deletes", delE)
-        val legs = Seq(("insert", insE), ("delete", delE))
-          .filter(_._2.nonEmpty).map { case (ct, es) => leg(ct, es) }
+        // three legs (sidecar-aware where needed):
+        //  - inserts: added files minus the NEW sidecars' marks (a row
+        //    born and deleted inside the window was never visible; only
+        //    new sidecars can reference added files)
+        //  - deletes A: removed files minus FROM's sidecars (rows already
+        //    dead at `from` must not re-delete)
+        //  - deletes B: carried files' rows the NEW sidecars mark (the
+        //    zero-file-change deletions the file diff cannot see)
+        val legs =
+          (if (insE.isEmpty) Nil
+           else if (newSc.isEmpty) Seq(leg("insert", insE))
+           else Seq(sidecarLeg("insert", insE, newSc, exists = false))) ++
+          (if (delE.isEmpty) Nil
+           else if (fromSc.isEmpty) Seq(leg("delete", delE))
+           else Seq(sidecarLeg("delete", delE, fromSc, exists = false))) ++
+          (if (carriedE.isEmpty) Nil
+           else Seq(sidecarLeg("delete", carriedE, newSc, exists = true)))
+        val nIns =
+          if (newSc.isEmpty) insE.map(_.rows).sum
+          else countAgainst(inserts, newSc, keepMarked = false)
+        val nDel =
+          (if (fromSc.isEmpty) delE.map(_.rows).sum
+           else countAgainst(deletes, fromSc, keepMarked = false)) +
+            (if (carriedE.isEmpty) 0L
+             else countAgainst(carriedTargets, newSc, keepMarked = true))
         (s"CREATE OR REPLACE VIEW ${table}_changes_export AS\n" +
           legs.mkString("\nUNION ALL\n") + ";\n",
-          None, insE.map(_.rows).sum, delE.map(_.rows).sum)
+          None, nIns, nDel)
       }
     val manifestPath = emit("manifest-changes.json",
       Serialization.write(ExportChangesManifest(table, fromId, toId,
-        from.seq, to.seq, to.schemaDdl, net, insE, delE, changesParquet)))
+        from.seq, to.seq, to.schemaDdl, net, insE, delE, changesParquet,
+        deleteSidecars = entriesOf(newSidecarManifests
+          .flatMap(m => readManifest(m.path)).sortBy(_.path)),
+        carriedDeleteTargets = carriedE)))
     val viewPath = emit("view.sql", viewSql)
     ExportedChanges(dest, manifestPath, viewPath, fromId, toId,
       insE.length.toLong, delE.length.toLong, insRows, delRows, net)

@@ -372,6 +372,63 @@ class ExportSpec extends SparkSpecBase {
     }
   }
 
+  test("exportChanges with pending POSITION sidecars: three-leg view DuckDB reproduces") {
+    assume(duckdbAvailable, "host python3 lacks duckdb")
+    val cat = freshCat()
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      .select("doc_id", "n_chars")
+    cat.createTableIfNotExists("t", docs.schema)
+    cat.append("t", docs.filter(col("doc_id") < 100).coalesce(2))
+    val s1 = cat.snapshotIdOf("t").get
+
+    // window 1: append a file, then positionally delete one CARRIED row
+    // (doc 5 — zero file change, the leg a plain diff cannot see) and one
+    // ADDED row (doc 120 — born and deleted inside the window)
+    cat.append("t", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150).coalesce(1))
+    val d = cat.deleteWherePositional("t", col("doc_id").isin(5L, 120L))
+    assert(d.filesRewritten == 0L, "must stay merge-on-read")
+    val s2 = cat.snapshotIdOf("t").get
+
+    val exp = cat.exportChanges("t", s1, s2, exportTo())
+    assert(exp.insertRows == 49L, s"49 net inserts, got ${exp.insertRows}")
+    assert(exp.deleteRows == 1L, s"1 net delete (doc 5), got ${exp.deleteRows}")
+    val got = duckdb(new org.apache.hadoop.fs.Path(exp.viewPath).toUri.getPath,
+      "SELECT " +
+        "(SELECT count(*) FROM t_changes_export WHERE _change_type='insert'), " +
+        "(SELECT count(*) FROM t_changes_export WHERE _change_type='delete'), " +
+        "(SELECT count(*) FROM t_changes_export WHERE _change_type='delete' AND doc_id = 5), " +
+        "(SELECT count(*) FROM t_changes_export WHERE doc_id = 120)")
+    assert(got == Seq("49", "1", "1", "0"),
+      s"DuckDB legs disagree: $got (insert, delete, doc5-delete, doc120-anywhere)")
+
+    // window 2 FROM a sidecar-pending endpoint: inherited marks must not
+    // re-delete doc 5, only the window's NEW deletion (doc 7) surfaces
+    cat.append("t", docs.filter(col("doc_id") >= 150).coalesce(1))
+    val d2 = cat.deleteWherePositional("t", col("doc_id") === 7L)
+    assert(d2.filesRewritten == 0L)
+    val s3 = cat.snapshotIdOf("t").get
+    val exp2 = cat.exportChanges("t", s2, s3, exportTo())
+    assert(exp2.insertRows == 50L && exp2.deleteRows == 1L,
+      s"got ${exp2.insertRows}/${exp2.deleteRows}")
+    val got2 = duckdb(new org.apache.hadoop.fs.Path(exp2.viewPath).toUri.getPath,
+      "SELECT " +
+        "(SELECT count(*) FROM t_changes_export WHERE _change_type='delete' AND doc_id = 7), " +
+        "(SELECT count(*) FROM t_changes_export WHERE doc_id = 5), " +
+        "(SELECT count(*) FROM t_changes_export WHERE _change_type='insert')")
+    assert(got2 == Seq("1", "0", "50"), s"got $got2")
+
+    // guards: a window that FOLDED its sidecars refuses; net=true with
+    // pending sidecars refuses
+    val errNet = intercept[IllegalArgumentException](
+      cat.exportChanges("t", s2, s3, exportTo(), net = true))
+    assert(errNet.getMessage.contains("tombstone-free"), errNet.getMessage)
+    cat.compactPositionDeletes("t")
+    val s4 = cat.snapshotIdOf("t").get
+    val errFold = intercept[IllegalArgumentException](
+      cat.exportChanges("t", s2, s4, exportTo()))
+    assert(errFold.getMessage.contains("folded or materialized"), errFold.getMessage)
+  }
+
   test("exportChanges net=true materializes exactly the net rows; guards refuse") {
     val cat = freshCat()
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
@@ -393,13 +450,19 @@ class ExportSpec extends SparkSpecBase {
           "ELSE -1 END) AS BIGINT) FROM t_changes_export")
       assert(got == Seq("40", "0"), "20 inserts net against 20 deletes")
     }
-    // guards: pending sidecars refuse; empty windows refuse
+    // a sidecar-ONLY window (zero data-file change) exports its one
+    // in-place deletion through the carried-files leg
     cat.deleteWherePositional("t", col("doc_id") === 50)
     val s3 = cat.snapshotIdOf("t").get
-    val e1 = intercept[IllegalArgumentException] {
-      cat.exportChanges("t", s2, s3, exportTo())
+    val expSc = cat.exportChanges("t", s2, s3, exportTo())
+    assert(expSc.insertRows == 0L && expSc.deleteRows == 1L,
+      s"got ${expSc.insertRows}/${expSc.deleteRows}")
+    if (duckdbAvailable) {
+      val gotSc = duckdb(new org.apache.hadoop.fs.Path(expSc.viewPath).toUri.getPath,
+        "SELECT count(*), min(doc_id), min(_change_type) FROM t_changes_export")
+      assert(gotSc == Seq("1", "50", "delete"), s"got $gotSc")
     }
-    assert(e1.getMessage.contains("tombstone-free"))
+    // empty windows still refuse
     val e2 = intercept[IllegalArgumentException] {
       cat.exportChanges("t", s1, s1, exportTo())
     }
