@@ -166,9 +166,10 @@ object DedupIndex {
   }
 
   /** The snapshot id the index currently covers (its watermark), if an
-    * index exists — maintenance that expires snapshots must keep this id
-    * live ([[graft.wap.BranchCatalog.expireSnapshots]] keepIds) or the
-    * next refresh degrades to a full rebuild. */
+    * index exists. [[graft.wap.BranchCatalog.expireSnapshots]] keeps
+    * recorded watermarks live automatically (reclaiming one would degrade
+    * the next refresh to a full rebuild); this accessor is for callers
+    * that want to observe or pin it themselves. */
   def watermark(cat: BranchCatalog, table: String, textCol: String,
       branch: String = "main"): Option[String] =
     cat.tableProperties(table, branch).get(snapshotKey(textCol)).filter(_.nonEmpty)

@@ -14,7 +14,11 @@ private[operators] object IndexExport {
   val ManifestName = "index-manifest.json"
 
   /** Refuse a dest that exists, is non-empty, and is not a prior index
-    * export. Call BEFORE the first sub-export writes anything. */
+    * export; CLEAR a prior export so a re-export (or an export of a
+    * different index kind) never leaves mixed artifacts under one
+    * manifest. Call BEFORE the first sub-export writes anything — the
+    * same delete-then-write stance as
+    * [[graft.wap.BranchCatalog.exportSnapshot]]. */
   def requireFreshOrPrior(spark: SparkSession, dest: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -23,6 +27,8 @@ private[operators] object IndexExport {
       require(!nonEmpty || fs.exists(new org.apache.hadoop.fs.Path(p, ManifestName)),
         s"index-export dest $dest exists, is non-empty and is not a prior " +
           s"index export (no $ManifestName) — refusing to overwrite; pick an empty dest")
+      fs.delete(p, true)
+      ()
     }
   }
 

@@ -126,16 +126,15 @@ object EventStreams {
           // per micro-batch; every N batches fold them and expire the
           // superseded history (branch heads always survive, so failed
           // quarantine branches keep their data). The dedup watermark
-          // snapshot stays LIVE through expiry — reclaiming it would
-          // degrade the next refresh to a full corpus rebuild; the
-          // post-compaction window then refreshes via the net changelog
-          // (a neutral rewrite nets to zero), still O(batch).
+          // snapshot survives expiry — expireSnapshots itself keeps index
+          // watermarks live on every path — so the post-compaction window
+          // refreshes via the net changelog (a neutral rewrite nets to
+          // zero), still O(batch), never a full corpus rebuild.
           compactEvery.foreach { n =>
             if (batchId % n == n - 1 && catalog.tableExists(table)) {
               catalog.compactDataFiles(table)
-              catalog.expireSnapshots(table,
-                keepIds = nearDupText.flatMap(c =>
-                  graft.operators.DedupIndex.watermark(catalog, table, c)).toSet)
+              catalog.expireSnapshots(table)
+              ()
             }
           }
         } finally if (nearDupText.isDefined) { batch.unpersist(); () }

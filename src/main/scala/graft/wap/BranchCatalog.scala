@@ -6994,6 +6994,13 @@ class BranchCatalog(
       s"changes window $fromId -> $toId of $table folded or materialized its " +
         "position sidecars — the file diff cannot attribute those deletions; " +
         "export a window that does not cross the compaction")
+    // refuse BEFORE any dest mutation: a scheduled net re-export into a
+    // prior dest must never destroy the consumer's current artifact and
+    // then throw
+    require(!net || (from.deleteManifests.isEmpty && to.deleteManifests.isEmpty),
+      s"net changes export of $table materializes the changelog — " +
+        "tombstone-free endpoints required (the transaction form handles " +
+        "pending position sidecars)")
     require(from.schemaDdl == to.schemaDdl && !to.evo.renamedFiles,
       s"changes window of $table crosses a schema change or rename residue — a " +
         "FOREIGN engine matches columns by name; export after a full rewrite")
@@ -7006,8 +7013,8 @@ class BranchCatalog(
           s"${backed.keys.mkString(", ")} existed would serve NULL instead of their " +
           "DEFAULT in a foreign engine — rewrite (compactDataFiles) first")
     }
-    val fromFiles = filesOf(from.copy(deleteManifests = Nil))
-    val toFiles = filesOf(to.copy(deleteManifests = Nil))
+    val fromFiles = filesOf(from)
+    val toFiles = filesOf(to)
     val fromPaths = fromFiles.map(_.path).toSet
     val toPaths = toFiles.map(_.path).toSet
     val deletes = fromFiles.filterNot(f => toPaths.contains(f.path)).sortBy(_.path)
@@ -7059,9 +7066,11 @@ class BranchCatalog(
         entries.map(e => s"'${e.path.replace("'", "''")}'").mkString(",\n  ") + "\n])"
 
     val (insE, delE) = (entriesOf(inserts), entriesOf(deletes))
-    // the window's NEW and INHERITED position-sidecar files (plain paths)
-    val newSc = newSidecarManifests.flatMap(m => readManifest(m.path))
-      .map(f => plain(f.path)).sorted
+    // the window's NEW and INHERITED position-sidecar files (read ONCE —
+    // the view paths AND the manifest's deleteSidecars derive from this)
+    val newScFiles = newSidecarManifests.flatMap(m => readManifest(m.path))
+      .sortBy(_.path)
+    val newSc = newScFiles.map(f => plain(f.path))
     val fromSc = from.deleteManifests.flatMap(m => readManifest(m.path))
       .map(f => plain(f.path)).sorted
     def canonS(p: String): String =
@@ -7120,10 +7129,6 @@ class BranchCatalog(
       }
     val (viewSql, changesParquet, insRows, delRows) =
       if (net) {
-        require(from.deleteManifests.isEmpty && to.deleteManifests.isEmpty,
-          s"net changes export of $table materializes the changelog — " +
-            "tombstone-free endpoints required (the transaction form handles " +
-            "pending position sidecars)")
         val cl = scanChangelog(table, fromId, toId)
         val dir = new Path(destPath, "changes").toString
         cl.write.mode("overwrite").parquet(dir)
@@ -7168,8 +7173,7 @@ class BranchCatalog(
     val manifestPath = emit("manifest-changes.json",
       Serialization.write(ExportChangesManifest(table, fromId, toId,
         from.seq, to.seq, to.schemaDdl, net, insE, delE, changesParquet,
-        deleteSidecars = entriesOf(newSidecarManifests
-          .flatMap(m => readManifest(m.path)).sortBy(_.path)),
+        deleteSidecars = entriesOf(newScFiles),
         carriedDeleteTargets = carriedE)))
     val viewPath = emit("view.sql", viewSql)
     ExportedChanges(dest, manifestPath, viewPath, fromId, toId,
@@ -8056,11 +8060,26 @@ class BranchCatalog(
           case None => None
         }.takeWhile(_.isDefined).flatten.take(retainLast).map(_.id).toSet
       }
+    // INDEX WATERMARKS stay live on every path (r16): the persisted
+    // dedup/vector indexes record the snapshot they cover in the source
+    // table's branch-versioned properties, and reclaiming that snapshot
+    // silently degrades their next refresh from O(delta) to a full
+    // corpus rebuild — so expiry itself protects them, not each caller.
+    // (Materialized-view source watermarks live on OTHER tables and are
+    // NOT protected here: a reclaimed one falls back to a full recompute,
+    // which the refresh classifier already handles soundly.)
+    val watermarkIds: Set[String] = refs.branches.values.flatMap { b =>
+      names.toSeq.flatMap(n => b.tableProps.getOrElse(n, Map.empty).collect {
+        case (k, v)
+          if (k.startsWith("graft.dedupidx.") || k.startsWith("graft.vecidx.")) &&
+            k.endsWith(".snapshot") && v.nonEmpty => v
+      })
+    }.toSet
     val liveIds = refs.branches.values
       .flatMap(b => names.toSeq.flatMap(n =>
         b.tables.get(n).toSeq ++ b.baseOfMain.get(n).toSeq))
       .toSet ++ refs.tags.values.flatMap(t => names.flatMap(t.get)) ++
-      keepIds ++ retained
+      keepIds ++ retained ++ watermarkIds
     val metaDir = new Path(rootPath, s"tables/${physDir(table)}/meta")
     if (!fs.exists(metaDir)) return ExpireResult(0, 0, 0)
 

@@ -227,5 +227,37 @@ class DedupIndexSpec extends SparkSpecBase {
       s"foreign candidates ${got.size} != graft's ${want.size}")
     // every planted copy is a candidate of its source on the foreign side
     assert((0L until 15L).forall(i => got.contains((i, i + 7000))))
+
+    // re-export clears the prior artifact completely: no stale files from
+    // an earlier export (or another index kind) survive under the fresh
+    // manifest
+    val stale = java.nio.file.Paths.get(dest, "stale-other-index.sql")
+    java.nio.file.Files.writeString(stale, "leftover")
+    DedupIndex.exportIndex(spark, cat, "documents", "text", dest)
+    assert(!java.nio.file.Files.exists(stale), "prior artifacts must clear")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "candidates.sql")))
+  }
+
+  test("snapshot expiry keeps the index watermark live on EVERY path; refresh stays O(delta)") {
+    val cat = freshCat()
+    cat.createTableIfNotExists("documents", docs(0, 1).schema)
+    cat.append("documents", docs(0, 150))
+    DedupIndex.build(spark, cat, "documents", "doc_id", "text")
+    val wm = DedupIndex.watermark(cat, "documents", "text").get
+    // the table moves on WITHOUT an index refresh: the watermark snapshot
+    // falls behind both the head and retain-last
+    cat.append("documents", docs(150, 200))
+    cat.compactDataFiles("documents", targetFiles = 1)
+    // the flagship maintenance expiry (retainLast=1, no keepIds from the
+    // caller) must keep the recorded watermark alive by itself
+    cat.expireSnapshots("documents")
+    assert(cat.snapshotMetaOpt("documents", wm).isDefined,
+      "expiry reclaimed the index watermark — the next refresh would be a full rebuild")
+    val mode = DedupIndex.refresh(spark, cat, "documents", "text")
+    assert(mode == "net", s"expected the O(delta) net refresh, got $mode")
+    // ... and once refreshed, the OLD watermark is expirable again
+    cat.expireSnapshots("documents")
+    assert(cat.snapshotMetaOpt("documents", wm).isEmpty,
+      "a superseded watermark must not pin history forever")
   }
 }

@@ -467,5 +467,18 @@ class ExportSpec extends SparkSpecBase {
       cat.exportChanges("t", s1, s1, exportTo())
     }
     assert(e2.getMessage.contains("changed no files"))
+
+    // a REFUSED net re-export must never destroy the prior artifact in
+    // its dest: the tombstone guard fires BEFORE any filesystem mutation
+    val netDest = exportTo()
+    cat.exportChanges("t", s1, s2, netDest, net = true) // clean prior export
+    val prior = new org.apache.hadoop.fs.Path(
+      netDest, "manifest-changes.json").toUri.getPath
+    val e3 = intercept[IllegalArgumentException] {
+      cat.exportChanges("t", s2, s3, netDest, net = true) // s3 has pending sidecars
+    }
+    assert(e3.getMessage.contains("tombstone-free"))
+    assert(Files.exists(Paths.get(prior)),
+      "the refused re-export destroyed the consumer's current artifact")
   }
 }
