@@ -1325,9 +1325,11 @@ class BranchCatalog(
     * sharing name, so neither side can reclaim files the other still
     * references, and dropping a clone simply retires its pointer
     * (abandoned divergent commits become expirable history).
-    * Properties copy (Delta clone semantics) except `graft.vecidx.*`:
-    * the persisted vector-index artifact tables are named after the
-    * source and must be rebuilt on the clone. */
+    * Properties copy (Delta clone semantics) except `graft.vecidx.*`
+    * and `graft.dedupidx.*`: the persisted index artifact tables are
+    * named after the SOURCE — the clone would carry watermark props
+    * naming index tables it does not have, so both index families
+    * rebuild on the clone. */
   def cloneTable(src: String, dst: String, branch: String = "main",
       asOf: Option[String] = None): Snapshot = {
     val srcId = asOf.getOrElse(snapshotIdOf(src, branch)
@@ -1341,7 +1343,8 @@ class BranchCatalog(
         !refs.tags.values.exists(_.contains(dst)) && !b.views.contains(dst),
         s"table or view $dst already exists")
       val props = b.tableProps.getOrElse(src, Map.empty)
-        .filterNot { case (k, _) => k.startsWith("graft.vecidx.") }
+        .filterNot { case (k, _) =>
+          k.startsWith("graft.vecidx.") || k.startsWith("graft.dedupidx.") }
       refs.copy(
         branches = refs.branches.updated(branch, b.copy(
           tables = b.tables.updated(dst, srcId),

@@ -145,13 +145,16 @@ class CloneRenameSpec extends SparkSpecBase {
     assert(ids(cat.scan("src")) == (50L until 100L))
   }
 
-  test("clone copies properties except the per-source vector-index artifacts") {
+  test("clone copies properties except the per-source index artifacts") {
     val cat = freshCat()
     cat.createTableIfNotExists("src", docs(0, 1).schema)
     cat.append("src", docs(0, 20))
     cat.setTableProperties("src", Map(
-      "team" -> "pipeline-a", "graft.vecidx.embedding.snapshot" -> "abc"))
+      "team" -> "pipeline-a", "graft.vecidx.embedding.snapshot" -> "abc",
+      "graft.dedupidx.text.snapshot" -> "def"))
     cat.cloneTable("src", "dst")
+    // BOTH index families drop: their artifact tables are named after the
+    // source, so the clone's watermarks would point at tables it lacks
     assert(cat.tableProperties("dst") == Map("team" -> "pipeline-a"))
     // a name collision refuses (any branch or tag)
     cat.createBranch("b")
