@@ -54,6 +54,8 @@ object SparkEntry {
     "wap_manifest_prune" -> (WapQueries.wapManifestPrune _),
     "wap_stream_cdc" -> (WapQueries.wapStreamCdc _),
     "wap_stream_read" -> (WapQueries.wapStreamRead _),
+    "wap_clone" -> (WapQueries.wapClone _),
+    "wap_topk_push" -> (WapQueries.wapTopkPush _),
     "wap_orphans" -> (WapQueries.wapOrphans _),
     "wap_update" -> (WapQueries.wapUpdate _),
     "wap_upsert" -> (WapQueries.wapUpsert _),
@@ -239,6 +241,10 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 100 AND n_chars > 0) AS at_create, (SELECT count(*) FROM documents WHERE doc_id < 200 AND n_chars > 0) AS after_append, (SELECT count(*) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS after_merge, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 150 AND doc_id < 200) AS sum_chars, true AS main_isolated""",
     "wap_manifest_prune" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS n_high, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 100 AND doc_id < 150) AS chars_high, (SELECT count(*) FROM documents WHERE doc_id >= 100 AND doc_id < 140) AS n_high_after_delete, CAST(2 AS BIGINT) AS files_untouched, true AS corrupt_real""",
+    "wap_clone" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id >= 20 AND doc_id < 200) AS src_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id >= 20 AND doc_id < 200) AS src_chars, (SELECT count(*) FROM documents WHERE doc_id < 250) AS clone_rows, (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < 250) AS clone_chars, (SELECT count(*) FROM documents WHERE doc_id < 200) AS tt_rows, true AS zero_copy""",
+    "wap_topk_push" ->
+      """WITH a AS (SELECT doc_id, n_chars, 'asc' AS ord FROM documents WHERE doc_id < 160 ORDER BY doc_id LIMIT 5), d AS (SELECT doc_id, n_chars, 'desc' AS ord FROM documents WHERE doc_id < 160 ORDER BY doc_id DESC LIMIT 5) SELECT doc_id, n_chars, ord, true AS asc_one_file, true AS desc_one_file, true AS plain_limit_prefix FROM (SELECT * FROM a UNION ALL SELECT * FROM d)""",
     "wap_stream_read" ->
       """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT doc_id) AS n_docs, true AS chunked_initial, true AS delta_exact, true AS idle_zero FROM documents WHERE doc_id < 160""",
     "wap_stream_cdc" ->

@@ -1802,6 +1802,102 @@ object WapQueries {
       .toDF("n_rows", "sum_chars", "n_docs", "chunked_initial", "delta_exact", "idle_zero")
   }
 
+  /** Zero-copy CLONE + RENAME lifecycle end-to-end (W68/W69, previously
+    * spec-only): clone a two-commit table (gate: the clone references the
+    * IDENTICAL data-file set — zero files written at any table size),
+    * diverge both sides (the clone gains an append, the source loses
+    * rows to a CoW delete that rewrites SHARED files — the clone must
+    * keep reading the pre-delete content), rename the clone and read
+    * under the new name, time-travel the clone to its pre-divergence
+    * snapshot, and run expiry on BOTH names (gate: GC is clone-safe —
+    * neither side reclaims files the other still references). Every
+    * aggregate recomputed by DuckDB from the documents slices. */
+  def wapClone(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-clone").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+      .select("doc_id", "lang", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    cat.append("documents", docs.filter(col("doc_id") < 100))
+    cat.append("documents", docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val filesBefore = cat.dataFiles("documents").map(_.path).toSet
+    cat.cloneTable("documents", "dclone")
+    val zeroCopy = cat.dataFiles("dclone").map(_.path).toSet == filesBefore
+    val preDivergeId = cat.snapshotIdOf("dclone").get
+    // diverge: the clone gains, the source rewrites shared files away
+    cat.append("dclone", docs.filter(col("doc_id") >= 200))
+    cat.deleteWhere("documents", col("doc_id") < 20)
+    cat.renameTable("dclone", "dprime")
+    // GC on both names: liveness is drawn from EVERY sharer of the
+    // directory, so neither expiry may break the other's reads
+    cat.expireSnapshots("documents", retainLast = 2)
+    cat.expireSnapshots("dprime", retainLast = 2)
+    val src = cat.scan("documents").agg(
+      count(lit(1)).as("src_rows"),
+      sum(col("n_chars")).cast("long").as("src_chars"))
+    val cl = cat.scan("dprime").agg(
+      count(lit(1)).as("clone_rows"),
+      sum(col("n_chars")).cast("long").as("clone_chars"))
+    val tt = cat.scanSnapshot("dprime", preDivergeId).agg(count(lit(1)).as("tt_rows"))
+    src.crossJoin(cl).crossJoin(tt)
+      .select(col("src_rows"), col("src_chars"), col("clone_rows"),
+        col("clone_chars"), col("tt_rows"), lit(zeroCopy).as("zero_copy"))
+  }
+
+  /** LIMIT + TOP-K pushdown end-to-end (W47/W48, previously spec-only):
+    * a sort-compacted table answers `ORDER BY key LIMIT k` from ONE
+    * covering file (prefix ascending, suffix descending) and a plain
+    * LIMIT from a covering prefix — the planned-file counts ride as gate
+    * columns, the top/bottom rows are DuckDB-recomputed. The 100 TB
+    * claim: a top-k over a sorted table reads O(k), not O(table). */
+  def wapTopkPush(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wap-topk").toString
+    val cat = new BranchCatalog(spark, tmp)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 160)
+      .select("doc_id", "n_chars")
+    cat.createTableIfNotExists("documents", docs.schema)
+    for (r <- 0 until 4) // interleaved: every file spans the id range
+      cat.append("documents", docs.filter(col("doc_id") % 4 === r).coalesce(1))
+    cat.compactDataFilesSorted("documents", Seq("doc_id"), targetFiles = 8)
+    val lake = "lake_" + tmp.replaceAll("[^a-zA-Z0-9]", "").takeRight(16)
+    spark.conf.set(s"spark.sql.catalog.$lake", classOf[graft.sql.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$lake.root", tmp)
+    def plannedFiles(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions)
+        .map { case graft.sql.GraftFilesPartition(fs) => fs.size; case _ => 0 }.sum
+    }
+    // the V1 lowering fast path bypasses DSv2 pushdown — turn it off so
+    // this row exercises (and pins) the real TopN/Limit connector path,
+    // exactly like LimitPushdownSpec
+    spark.conf.set("spark.graft.sql.lowering", "false")
+    try {
+      val asc = spark.sql(
+        s"SELECT doc_id, n_chars FROM $lake.main.documents ORDER BY doc_id LIMIT 5")
+      val desc = spark.sql(
+        s"SELECT doc_id, n_chars FROM $lake.main.documents ORDER BY doc_id DESC LIMIT 5")
+      val plain = spark.sql(s"SELECT doc_id FROM $lake.main.documents LIMIT 5")
+      val gates = (plannedFiles(asc) == 1, plannedFiles(desc) == 1,
+        plannedFiles(plain) == 1 && plain.collect().length == 5)
+      asc.withColumn("ord", lit("asc"))
+        .unionByName(desc.withColumn("ord", lit("desc")))
+        .select(col("doc_id"), col("n_chars"), col("ord"),
+          lit(gates._1).as("asc_one_file"),
+          lit(gates._2).as("desc_one_file"),
+          lit(gates._3).as("plain_limit_prefix"))
+        // materialize BEFORE the conf flips back: the driver's noop/
+        // parquet write must not re-plan through the lowered path with
+        // stale gate literals
+        .localCheckpoint()
+    } finally spark.conf.set("spark.graft.sql.lowering", "true")
+  }
+
   /** Orphan-file removal end-to-end (W53): two committed batches plus a
     * PLANTED never-committed parquet under the table's data dir (a
     * crashed write's residue). The default 3-day fence keeps the fresh
