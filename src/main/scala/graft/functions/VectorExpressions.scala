@@ -985,10 +985,76 @@ case class DupNgramStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Map-side nearest-centroid assignment (the IVF build/query hot path):
+  * scores the input vector against a BOUNDED in-expression centroid table
+  * and returns the argmax centroid id. Replicates EXACTLY the plan shape
+  * it replaces — `round(cosineSimF(vec, cent), 6)` per centroid, winner =
+  * highest cosine, ties to the smaller centroid id (topKPerQuery(k=1)'s
+  * evict rule) — but as ONE projection per row: the old path exploded
+  * N x K rows through a crossJoin, heap-reduced them per partition and
+  * re-ranked through a window, i.e. a full N-row shuffle per assignment
+  * pass. Cosine arithmetic is the same fused double-accumulator loop as
+  * [[CosineSimF]] (including the min-length truncation and null-element-
+  * as-zero rules), and the rounding is Spark `round`'s HALF_UP-at-6
+  * BigDecimal rule, so assignments are bit-identical. Null vector -> null
+  * (the old path crashed the row encoder on nulls; callers drop them). */
+case class NearestCentF(child: Expression, centIds: Array[Long],
+    centVecs: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+  require(centIds.length == centVecs.length && centIds.nonEmpty,
+    "nearest_cent_f needs a non-empty centroid table")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float> input")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cent_f"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val an = a.numElements()
+    val x = new Array[Float](an)
+    var i = 0
+    while (i < an) { x(i) = if (a.isNullAt(i)) 0.0f else a.getFloat(i); i += 1 }
+    var bestC = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var c = 0
+    while (c < centVecs.length) {
+      val w = centVecs(c)
+      val n = math.min(an, w.length)
+      // same loop as CosineSimF: BOTH norms accumulate over the first n
+      // elements only, so truncation behavior matches bit for bit
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val xv = x(j); val yv = w(j)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      // Spark round(_, 6) on DoubleType: BigDecimal HALF_UP at scale 6
+      val r = scala.math.BigDecimal(cos)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val id = centIds(c)
+      if (r > bestC || (r == bestC && id < bestId)) { bestC = r; bestId = id }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
     Bridge.column(CosineSimF(Bridge.expression(a), Bridge.expression(b)))
+  def nearestCentF(vec: Column, centIds: Array[Long],
+      centVecs: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentF(Bridge.expression(vec), centIds, centVecs))
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
   def minhashSig(tokens: Column, k: Int): Column =

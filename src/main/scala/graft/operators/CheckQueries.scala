@@ -50,13 +50,22 @@ object CheckQueries {
         .select(col("query_id"), col("neighbor_id"))
     }
     def gate(name: String, ann: DataFrame, floor: Double): DataFrame = {
+      // ONE evaluation of the ANN pipeline per method: a left join against
+      // the persisted brute baseline marks hits, and a single per-query
+      // aggregate carries both the shape facts and the hit count — the
+      // old shape/hits split consumed `ids` twice, re-executing the full
+      // ANN plan (banding, probes, re-rank) a second time per method.
+      // brute's pairs are unique (top-k rows), so the left join preserves
+      // row counts and sum(__hit) equals the old inner-join hit count.
       val ids = ann.select(col("query_id"), col("neighbor_id"))
-      val shape = ids.groupBy(col("query_id")).agg(count(lit(1)).as("nr"))
-        .agg(count(lit(1)).as("nq"), min(col("nr")).as("minr"), max(col("nr")).as("maxr"))
-      val hits = ids.join(brute, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
+      val marked = ids.join(
+        brute.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      val shape = marked.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("nr"), sum(col("__hit")).as("__h"))
+        .agg(count(lit(1)).as("nq"), min(col("nr")).as("minr"), max(col("nr")).as("maxr"),
+          coalesce(sum(col("__h")), lit(0L)).as("hits"))
       val tot = brute.agg(count(lit(1)).as("ntot"))
-      shape.crossJoin(hits).crossJoin(tot).select(
+      shape.crossJoin(tot).select(
         lit(name).as("method"),
         col("nq").as("n_queries"),
         (col("minr") === 5 && col("maxr") === 5).as("full_k"),
@@ -195,8 +204,12 @@ object CheckQueries {
   def dedupCheckCluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val p = PipelineQueries.docsPrepared(spark, dir)
+    // checkpointed once: the verified pair set feeds the component run
+    // AND the independent fixpoint recheck below — without it the LSH
+    // banding + exact-verify plan re-executes for each consumer
     val pairs = Dedup.minhashPairs(p, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val labels = Dedup.connectedComponents(pairs)
 
     val la = labels.select(col("id").as("id_a"), col("comp").as("__ca"))
@@ -325,16 +338,20 @@ object CheckQueries {
 
     def gate(name: String, truthPairs: DataFrame, got: DataFrame,
         nItems: DataFrame, recallFloor: Double): DataFrame = {
+      // ONE evaluation of the operator-under-test per gate: truth pairs
+      // are unique, so a left join marking hits yields both the hit count
+      // (sum of marks) and the extras (unmarked rows) in a single pass —
+      // the old hits/left_anti split executed each operator plan twice.
       val t = truthPairs.select(col("id_a"), col("id_b"))
       val g = got.select(col("id_a"), col("id_b"))
-      val hits = g.join(t, Seq("id_a", "id_b")).agg(count(lit(1)).as("hits"))
-      val extra = g.join(t, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("extra"))
+      val gm = g.join(t.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_got"),
+          coalesce(sum(col("__hit")), lit(0L)).as("hits"))
       val nt = t.agg(count(lit(1)).as("n_true"))
-      nt.crossJoin(hits).crossJoin(extra).crossJoin(nItems).select(
+      nt.crossJoin(gm).crossJoin(nItems).select(
         lit(name).as("family"),
         col("n_items"),
-        (col("extra") === 0).as("precision_ok"),
+        (col("n_got") === col("hits")).as("precision_ok"),
         (col("n_true") === 0 ||
           col("hits").cast("double") / col("n_true") >= recallFloor).as("recall_ok"))
     }
@@ -342,7 +359,9 @@ object CheckQueries {
     val nDocsSub = docs.filter(col("doc_id") < 500).agg(count(lit(1)).as("n_items"))
     val emb = Tables.embeddings(spark, dir)
 
-    // simhash truth: exact Hamming over the subset signature cross
+    // simhash truth: exact Hamming over the subset signature cross (left
+    // lazy: an eager checkpoint here SERIALIZES work the final union plan
+    // otherwise overlaps across cores — measured slower, r16)
     val sigs = docs.filter(col("doc_id") < 500)
       .select(col("doc_id").as("__id"), simhash64(col("text")).as("__sig"))
     val truthSim = sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"))
@@ -410,18 +429,27 @@ object CheckQueries {
     val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
       .unionByName(docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+    // served and reference are each consumed by several comparisons below
+    // (two exceptAll directions, the planted count, the watermark compare)
+    // — persist the tiny pair sets once instead of re-executing the full
+    // LSH candidate + exact-verify plans per consumer.
     val served = DedupIndex.pairsAgainst(spark, cat, "documents", "text", batch)
       .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val batchIds = batch.select(col("doc_id"))
-    val reference = Dedup.minhashPairs(corpus.unionByName(batch), "doc_id", "text",
+    // ONE union-corpus pair plan, restricted twice (id_a / id_b touching
+    // the batch): sharing the val keeps one set of expression ids, so the
+    // exchanges of the heavy LSH subtree are reused across the two
+    // branches instead of planned (and executed) twice.
+    val unionPairs = Dedup.minhashPairs(corpus.unionByName(batch), "doc_id", "text",
       threshold = params.threshold)
+    val reference = unionPairs
       .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
       .unionByName(
-        Dedup.minhashPairs(corpus.unionByName(batch), "doc_id", "text",
-          threshold = params.threshold)
-          .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+        unionPairs.join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pairsMatch =
       served.exceptAll(reference).isEmpty && reference.exceptAll(served).isEmpty
@@ -445,12 +473,17 @@ object CheckQueries {
         docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 7000L).as("doc_id"), col("text")))
     // the planted 7000-copies pair with their originals but NOT with the
-    // deleted 5000-copies — the tombstone removed those band rows
-    val netSound = netServed.filter(col("id_b") >= 5000L && col("id_b") < 7000L)
-      .count() == 0L &&
-      netServed.filter(col("id_a") < 20 && col("id_b") === col("id_a") + 7000L)
-        .count() == 20L
+    // deleted 5000-copies — the tombstone removed those band rows. Both
+    // counts ride ONE aggregate pass over the served pairs.
+    val netRow = netServed.agg(
+      coalesce(sum(when(col("id_b") >= 5000L && col("id_b") < 7000L, 1L)
+        .otherwise(0L)), lit(0L)).as("stale"),
+      coalesce(sum(when(col("id_a") < 20 && col("id_b") === col("id_a") + 7000L, 1L)
+        .otherwise(0L)), lit(0L)).as("planted")).head
+    val netSound = netRow.getLong(0) == 0L && netRow.getLong(1) == 20L
     val bandRows = cat.scan(DedupIndex.bandsTable("documents", "text")).count()
+    served.unpersist(false)
+    reference.unpersist(false)
 
     import spark.implicits._
     Seq((corpus.count(), batch.count(), bandRows,

@@ -267,8 +267,14 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // the edge set is consumed once per propagation round (plus once for
+    // the seed labels); without persistence every round re-executes the
+    // FULL upstream pair plan — for LSH callers that is the banding join
+    // + exact verify, re-run O(diameter) times. Persist the (src, dst)
+    // pairs once and let each round scan the materialized edges.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -286,6 +292,7 @@ object Dedup {
       done = changed == 0L
       it += 1
     }
+    edges.unpersist(false)
     labels
   }
 

@@ -227,18 +227,19 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
 
-    // nearest centroid per corpus vector (partial top-1: no N x K shuffle)
-    def assign(cents: DataFrame): DataFrame = {
-      val scores = c.crossJoin(broadcast(cents))
-        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
-          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
-      topKPerQuery(scores, 1)
-        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
-    }
+    // nearest centroid per corpus vector: map-side native argmax — no
+    // N x K crossJoin, no N-row shuffle (see assignToCents)
+    def assign(cents: DataFrame): DataFrame = assignToCents(c, cents)
 
+    // centroids are MATERIALIZED (localCheckpoint, K tiny rows) at every
+    // step: the centroid plan embeds a full corpus pass (TakeOrdered pick,
+    // then one assignment pass per Lloyd step), and `cents` is broadcast
+    // by several consumers (assignment, query probes) — without the
+    // checkpoint each broadcast re-executes those corpus passes.
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+      .localCheckpoint()
 
     // optional Lloyd steps: recentre each inverted list on its mean via
     // the native VecSumF aggregate (K small arrays shuffle, no explode)
@@ -249,6 +250,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+        .localCheckpoint()
     }
 
     val assigned = assign(cents)
@@ -299,16 +301,15 @@ object Similarity {
         greatest(lit(-127.0), least(lit(127.0), round(x / nullif(scale, lit(0.0)))))
           .cast("tinyint")).as("__q8"))
 
-    def assign(cents: DataFrame): DataFrame = {
-      val scores = c.crossJoin(broadcast(cents))
-        .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
-          round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
-      topKPerQuery(scores, 1)
-        .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
-    }
+    // map-side native argmax assignment — see assignToCents
+    def assign(cents: DataFrame): DataFrame = assignToCents(c, cents)
+    // materialized like ivfTopK: the centroid plan is a corpus pass and
+    // is broadcast by several consumers — checkpoint K tiny rows instead
+    // of re-running those passes per consumer
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+      .localCheckpoint()
     // optional Lloyd steps (same recipe as ivfTopK): tighter cells raise
     // probe recall for the same nprobe
     for (_ <- 0 until refineSteps) {
@@ -318,6 +319,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+        .localCheckpoint()
     }
     val assigned = assign(cents)
     val probeScores = q.crossJoin(broadcast(cents))
@@ -390,16 +392,24 @@ object Similarity {
     def unpersist(): Unit = { cPq.unpersist(); () }
   }
 
-  /** Nearest coarse centroid per corpus row — (neighbor_id, cent_id) via
-    * the bounded partial top-1 (no N x K shuffle). `c` is the normalized
-    * (neighbor_id, __cv) frame. Shared by the one-shot build and the
-    * persisted index's delta encoder ([[VectorIndex]]). */
-  private[operators] def assignToCents(c: DataFrame, cents: DataFrame): DataFrame = {
-    val scores = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
-        round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
-    topKPerQuery(scores, 1)
-      .select(col("query_id").as("neighbor_id"), col("neighbor_id").as("cent_id"))
+  /** Nearest coarse centroid per corpus row — (neighbor_id, cent_id) as
+    * ONE map-side projection: the bounded centroid table (K rows — the
+    * old code broadcast it, which already implied a driver collect) is
+    * inlined into the native [[graft.functions.NearestCentF]] argmax, so
+    * the corpus is scored without materializing N x K crossJoin rows and
+    * WITHOUT the N-row partial-top-1 + window shuffle the old plan paid.
+    * Assignments are bit-identical (same cosine loop, same round-6, same
+    * tie rule). `c` is the normalized (neighbor_id, __cv) frame. Shared
+    * by the one-shot builds, the Lloyd steps and the persisted index's
+    * delta encoder ([[VectorIndex]]). */
+  private[graft] def assignToCents(c: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("cent_id").cast("long"), col("cent_vec")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[java.lang.Float](1)
+      .map(x => if (x == null) 0.0f else x.floatValue).toArray)
+    c.select(col("neighbor_id"),
+      graft.functions.VectorFunctions.nearestCentF(col("__cv"), ids, vecs).as("cent_id"))
+      .filter(col("cent_id").isNotNull)
   }
 
   /** The residual (or plain) encode input for a corpus row joined with
@@ -439,9 +449,14 @@ object Similarity {
       trainSample: Int, trainIters: Int, residual: Boolean,
       refineSteps: Int): (DataFrame, graft.functions.PqCodec) = {
     import graft.functions.PqCodec
+    // materialized like ivfTopK: the centroid plan is a corpus pass, and
+    // the returned cents are broadcast by the trainer's sample pull, the
+    // encode pass and every query probe — checkpoint K tiny rows instead
+    // of re-running those passes per consumer
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
+      .localCheckpoint()
     // optional Lloyd steps (same recipe as ivfTopK): tighter coarse cells
     // mean smaller residuals, which the PQ codebooks then quantize better
     for (_ <- 0 until refineSteps) {
@@ -451,6 +466,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
+        .localCheckpoint()
     }
     // bounded driver pull: trainSample encode inputs in deterministic
     // hash order (~0.5 MB at the defaults, independent of corpus size);

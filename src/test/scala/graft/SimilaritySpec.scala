@@ -357,4 +357,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a.forall(_.length == 8))
     assert(a.forall(_.forall(k => k >= 0 && k < 256)))
   }
+
+  test("map-side assignToCents equals the crossJoin + top-1 formulation it replaced") {
+    import graft.functions.VectorFunctions._
+    // the r16 optimization replaced the N x K crossJoin + partial-top-1 +
+    // window assignment with the native NearestCentF argmax — this pins
+    // bit-identical assignments, including the tie rule (equal rounded
+    // cosine -> smaller centroid id), on clustered data plus PLANTED
+    // exact ties (duplicate centroids under different ids)
+    val c = corpusDf.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val base = corpus.take(6)
+    val cents = (base.map { case (i, v) => (i, v) } ++
+      base.take(2).map { case (i, v) => (i + 500L, v) }) // exact-tie duplicates
+      .toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), transform(col("cent_vec"), x => x.cast("float")).as("cent_vec"))
+    val got = Similarity.assignToCents(c, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id").as("query_id"), col("cent_id").as("neighbor_id"),
+        round(cosineSimF(col("__cv"), col("cent_vec")), 6).as("cosine"))
+    val want = Similarity.topKPerQuery(scores, 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // every duplicated centroid's tie resolved to the SMALLER id
+    assert(got.values.forall(_ < 500L))
+  }
 }
