@@ -44,6 +44,24 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // respect the advisory partition size when coalescing instead of
+    // fanning every post-shuffle stage out to defaultParallelism: with the
+    // default (true), a 5-group aggregate feeding a table write schedules
+    // 32 near-empty tasks and lands up to 32 tiny files per commit — pure
+    // scheduling + small-file overhead at ANY scale (Spark's own docs
+    // recommend false on busy clusters; the advisory size stays the
+    // scale-adaptive knob). Measured r16: the 32-task micro-stages were
+    // ~half the summed task time of the WAP lifecycle queries.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // let AQE re-plan (and coalesce) CACHED plans too: persisted
+    // intermediates (mview fold deltas, dedup edge sets, …) are aggregate
+    // outputs, and with the default (false) an InMemoryRelation freezes
+    // the raw shuffle partition count — every consumer of a tiny cached
+    // aggregate then schedules shuffle-partition-many near-empty tasks
+    // (measured r16: the mview changelog fold's cached delta made EVERY
+    // downstream stage 32-task). Values are unchanged; only the cached
+    // plan's partitioning is allowed to adapt.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
     // the testdata events table carries parquet TIMESTAMP(NANOS), which
