@@ -52,12 +52,16 @@ object WapProfile {
     }
     spark.sparkContext.addSparkListener(l)
     spark.sparkContext.addSparkListener(l2)
+    graft.wap.BranchCatalog.metaParseNanos.set(0L)
+    graft.wap.BranchCatalog.metaParseCount.set(0L)
     val t0 = System.nanoTime()
     fn(spark, dir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // let listener drain
     println(f"QUERY=$name wall=$wall%.3f jobs=$jobs jobWall=${jobWallNs / 1e9}%.3f " +
       f"taskSum=${taskNs / 1e9}%.3f driverGap=${wall - jobWallNs / 1e9}%.3f")
+    println(f"METAPARSE count=${graft.wap.BranchCatalog.metaParseCount.get()} " +
+      f"sec=${graft.wap.BranchCatalog.metaParseNanos.get() / 1e9}%.3f")
     import scala.jdk.CollectionConverters._
     val st = stageTasks.asScala.values.toSeq
     println(s"stages=${st.size} tasksTotal=${st.map(_._2).sum}")

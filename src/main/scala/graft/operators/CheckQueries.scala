@@ -210,7 +210,28 @@ object CheckQueries {
     val pairs = Dedup.minhashPairs(p, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
-    val labels = Dedup.connectedComponents(pairs)
+    // the check runs THREE independent label-propagation chains (the
+    // recheck's own labels, the cluster operator under test, and its
+    // quality-aware variant) — each an eager sequence of small jobs that
+    // underutilizes the cluster. Overlap them from a small thread pool
+    // (guide §2.6: concurrent jobs back-fill each other's idle capacity);
+    // each chain is deterministic and independent, so results are
+    // unchanged. The prepared projection is built once up front so the
+    // concurrent chains only read it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val labelsF = scala.concurrent.Future(Dedup.connectedComponents(pairs))
+    val survivorsDfF = scala.concurrent.Future(
+      PipelineQueries.dedupCluster(spark, dir).localCheckpoint())
+    val bestDfF = scala.concurrent.Future(
+      PipelineQueries.dedupClusterBest(spark, dir).localCheckpoint())
+    val (labels, survivorsDf, bestDf) =
+      try (
+        scala.concurrent.Await.result(labelsF, scala.concurrent.duration.Duration(10, "min")),
+        scala.concurrent.Await.result(survivorsDfF, scala.concurrent.duration.Duration(10, "min")),
+        scala.concurrent.Await.result(bestDfF, scala.concurrent.duration.Duration(10, "min")))
+      finally pool.shutdown()
 
     val la = labels.select(col("id").as("id_a"), col("comp").as("__ca"))
     val lb = labels.select(col("id").as("id_b"), col("comp").as("__cb"))
@@ -226,7 +247,7 @@ object CheckQueries {
       .join(labels.filter(col("comp") === col("id")).select(col("comp")), Seq("comp"), "left_anti")
       .agg(count(lit(1)).as("n_rootless"))
 
-    val survivors = PipelineQueries.dedupCluster(spark, dir)
+    val survivors = survivorsDf
       .agg(count(lit(1)).as("n_survivors"))
     val dropped = labels.filter(col("comp") =!= col("id"))
       .agg(count(lit(1)).as("n_dropped"))
@@ -235,7 +256,7 @@ object CheckQueries {
     // r14: quality-aware survivor invariants — same component count, and
     // every kept doc is its component's LONGEST member (ties -> min id),
     // recomputed here independently via a per-component fold
-    val best = PipelineQueries.dedupClusterBest(spark, dir)
+    val best = bestDf
       .select(col("doc_id").as("id"))
     val q = docs.select(col("doc_id").as("id"), col("n_chars").as("__q"))
     val compBest = labels.join(q, "id")

@@ -726,8 +726,25 @@ class BranchCatalog(
   private def snapPath(table: String, id: String) =
     new Path(rootPath, s"tables/${physDir(table)}/meta/snap-$id.json")
 
-  private def loadSnapshot(table: String, id: String): Snapshot =
-    Serialization.read[Snapshot](readString(snapPath(table, id)))
+  private def loadSnapshot(table: String, id: String): Snapshot = {
+    val p = snapPath(table, id)
+    val key = p.toString
+    val cached = BranchCatalog.snapCache.get(key)
+    // a cached value is served only while the file still exists — expiry
+    // deletes snapshots, and callers rely on "expired ⇒ unreadable"
+    // (refresh fallbacks, consumer restart errors); the probe keeps those
+    // semantics byte-identical while skipping the read+parse
+    if (cached != null) {
+      if (fs.exists(p)) return cached
+      BranchCatalog.snapCache.remove(key)
+    }
+    val t0 = System.nanoTime()
+    val r = Serialization.read[Snapshot](readString(p))
+    BranchCatalog.metaParseNanos.addAndGet(System.nanoTime() - t0)
+    BranchCatalog.metaParseCount.incrementAndGet()
+    BranchCatalog.snapCache.put(key, r)
+    r
+  }
 
   /** None when the snapshot has been expired — parent-chain walks stop at
     * the expiry horizon instead of throwing. */
@@ -738,6 +755,9 @@ class BranchCatalog(
     fs.mkdirs(new Path(rootPath, s"tables/${physDir(table)}/meta"))
     require(writeString(snapPath(table, s.id), Serialization.write(s), overwriteExisting = false),
       s"snapshot ${s.id} already exists for $table")
+    // the committer is the next reader of its own snapshot: pre-populate
+    BranchCatalog.snapCache.put(snapPath(table, s.id).toString, s)
+    ()
   }
 
   /** Write one immutable manifest listing `files`; return its ref.
@@ -761,6 +781,11 @@ class BranchCatalog(
     fs.mkdirs(p.getParent)
     require(writeString(p, Serialization.write(files), overwriteExisting = false),
       s"manifest ${p.getName} already exists for $table")
+    // NOT pre-populated into the manifest cache: the cache is strictly
+    // read-through, so the first consultation of any manifest always
+    // proves the bytes on disk parse (the corrupt-manifest pruning proof
+    // in WapSpec relies on exactly that property; the committer's own
+    // re-read costs one parse, every later one hits the cache)
     val live = files.filter(_.rows > 0)
     // a column's manifest-level null sum is recorded only when EVERY
     // live file carries it — a partial sum would silently undercount
@@ -815,8 +840,22 @@ class BranchCatalog(
   }
 
   private[graft] def readManifest(path: String): Seq[DataFileMeta] = {
+    // the counter tracks driver-side manifest CONSULTATIONS (the W17
+    // distributed-planning gates assert on it), so it counts cache hits
+    // too — the cache only removes the IO + parse
     driverManifestReads.incrementAndGet()
-    Serialization.read[Seq[DataFileMeta]](readString(new Path(path)))
+    val p = new Path(path)
+    val cached = BranchCatalog.manifestCache.get(path)
+    if (cached != null) {
+      if (fs.exists(p)) return cached
+      BranchCatalog.uncacheManifest(path)
+    }
+    val t0 = System.nanoTime()
+    val r = Serialization.read[Seq[DataFileMeta]](readString(p))
+    BranchCatalog.metaParseNanos.addAndGet(System.nanoTime() - t0)
+    BranchCatalog.metaParseCount.incrementAndGet()
+    BranchCatalog.cacheManifest(path, r)
+    r
   }
 
   private def manifestEntrySchema = BranchCatalog.manifestEntrySchema
@@ -8243,6 +8282,51 @@ object BranchCatalog {
   /** StructField metadata key Spark's parquet writer/reader use for
     * field ids (`ParquetUtils.FIELD_ID_METADATA_KEY`). */
   val FieldIdKey = "parquet.field.id"
+
+  /** Driver-side metadata parse accounting (profiling; see WapProfile).
+    * Counts MISSES of the caches below — the JSON actually read+parsed. */
+  private[graft] val metaParseNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val metaParseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JVM-wide caches of parsed IMMUTABLE metadata files. Snapshot and
+    * manifest JSONs are written create-if-absent under UUID names, so a
+    * path's CONTENT can never change — the only lifecycle event is
+    * deletion (snapshot expiry / orphan GC), which the read paths guard
+    * with an existence probe before serving a cached value, so "expired
+    * ⇒ unreadable" semantics (refresh fallbacks, consumer restarts) are
+    * byte-identical to the uncached behavior. This is the same move as
+    * Iceberg's manifest caching: within one lifecycle the head snapshot
+    * and its manifests are consulted by every operation, and re-reading +
+    * json4s-reflection-parsing them per operation is pure driver latency
+    * (remote metadata GETs at 100 TB, parse CPU locally). Bounded LRU:
+    * snapshots by count, manifests by total cached FILE ENTRIES. */
+  private val snapCacheCap = 2048
+  private[wap] val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Snapshot](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Snapshot]): Boolean = size > snapCacheCap
+    })
+  private val manifestEntryBudget = 200000L
+  private val manifestEntriesCached = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[wap] val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFileMeta]]): Boolean = {
+        val over = manifestEntriesCached.get() > manifestEntryBudget
+        if (over) manifestEntriesCached.addAndGet(-e.getValue.length.toLong)
+        over
+      }
+    })
+  private[wap] def cacheManifest(path: String, files: Seq[DataFileMeta]): Unit = {
+    if (manifestCache.put(path, files) == null)
+      manifestEntriesCached.addAndGet(files.length.toLong)
+    ()
+  }
+  private[wap] def uncacheManifest(path: String): Unit = {
+    val prev = manifestCache.remove(path)
+    if (prev != null) manifestEntriesCached.addAndGet(-prev.length.toLong)
+    ()
+  }
 
   /** JVM-wide registry of OPEN named transactions (SQL handle form of
     * W35): SQL procedures construct a fresh BranchCatalog per call, so
