@@ -1000,7 +1000,7 @@ case class DupNgramStats(child: Expression, n: Int)
   * (the old path crashed the row encoder on nulls; callers drop them). */
 case class NearestCentF(child: Expression, centIds: Array[Long],
     centVecs: Array[Array[Float]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centIds.length == centVecs.length && centIds.nonEmpty,
     "nearest_cent_f needs a non-empty centroid table")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1034,14 +1034,70 @@ case class NearestCentF(child: Expression, centIds: Array[Long],
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
       val cos = if (denom == 0.0) 0.0 else dot / denom
-      // Spark round(_, 6) on DoubleType: BigDecimal HALF_UP at scale 6
-      val r = scala.math.BigDecimal(cos)
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Spark round(_, 6) on DoubleType: BigDecimal HALF_UP at scale 6.
+      // RoundBase returns NaN/Infinity UNCHANGED (BigDecimal would throw
+      // NumberFormatException on them), so guard the same way — a corpus
+      // vector containing NaN must rank, not crash the assignment.
+      val r =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else scala.math.BigDecimal(cos)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
       val id = centIds(c)
-      if (r > bestC || (r == bestC && id < bestId)) { bestC = r; bestId = id }
+      // Double.compare ordering = the replaced window's DESC sort rule:
+      // NaN sorts ABOVE every value (incl. +Infinity), matching Spark's
+      // SQL double ordering the old round+window plan ranked with
+      val cmp = java.lang.Double.compare(r, bestC)
+      if (cmp > 0 || (cmp == 0 && id < bestId)) { bestC = r; bestId = id }
       c += 1
     }
     bestId
+  }
+
+  /** Whole-stage codegen of the same loop (the interpreted CodegenFallback
+    * broke codegen of the whole assignment PROJECTION — guide §4). The
+    * centroid table rides along as reference objects; rounding matches
+    * RoundBase's generated code (BigDecimal.valueOf == the Scala
+    * string-constructor path nullSafeEval uses), NaN/Infinity bypass it
+    * unchanged, and Double.compare keeps NaN-sorts-highest. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val an = ctx.freshName("an"); val x = ctx.freshName("x")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val w = ctx.freshName("w"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom"); val cos = ctx.freshName("cos")
+      val r = ctx.freshName("r"); val id = ctx.freshName("id"); val cmp = ctx.freshName("cmp")
+      val bestC = ctx.freshName("bestC"); val bestId = ctx.freshName("bestId")
+      s"""
+        final int $an = $a.numElements();
+        final float[] $x = new float[$an];
+        for (int $i = 0; $i < $an; $i++) {
+          $x[$i] = $a.isNullAt($i) ? 0.0f : $a.getFloat($i);
+        }
+        double $bestC = Double.NEGATIVE_INFINITY;
+        long $bestId = Long.MAX_VALUE;
+        for (int $c = 0; $c < $vecs.length; $c++) {
+          final float[] $w = $vecs[$c];
+          final int $n = Math.min($an, $w.length);
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            final float xv = $x[$j]; final float yv = $w[$j];
+            $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+          }
+          final double $denom = Math.sqrt($na) * Math.sqrt($nb);
+          final double $cos = ($denom == 0.0) ? 0.0 : $dot / $denom;
+          final double $r = (Double.isNaN($cos) || Double.isInfinite($cos)) ? $cos :
+            java.math.BigDecimal.valueOf($cos)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+          final long $id = $ids[$c];
+          final int $cmp = Double.compare($r, $bestC);
+          if ($cmp > 0 || ($cmp == 0 && $id < $bestId)) { $bestC = $r; $bestId = $id; }
+        }
+        ${ev.value} = $bestId;
+      """
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1055,6 +1111,19 @@ object VectorFunctions {
   def nearestCentF(vec: Column, centIds: Array[Long],
       centVecs: Array[Array[Float]]): Column =
     Bridge.column(NearestCentF(Bridge.expression(vec), centIds, centVecs))
+  /** [[nearestCentF]] wrapped in AssertNotNull: throws on a null input
+    * vector (fail-fast — the crossJoin formulation this path replaced
+    * crashed its row encoder on nulls, and brute force still errors on
+    * the same data) and, crucially, makes the output NON-NULLABLE, so a
+    * downstream join on cent_id adds no IsNotNull filter — the pushed
+    * filter re-evaluated the whole K x d argmax a second time per corpus
+    * row (plans/r16 and the r17 before-dumps both show the duplicated
+    * nearest_cent_f in the scan Condition). */
+  def nearestCentFStrict(vec: Column, centIds: Array[Long],
+      centVecs: Array[Array[Float]]): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+      NearestCentF(Bridge.expression(vec), centIds, centVecs),
+      Seq("assignToCents: null corpus vector (corpus vectors must be non-null)")))
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
   def minhashSig(tokens: Column, k: Int): Column =

@@ -226,11 +226,13 @@ object CheckQueries {
       PipelineQueries.dedupCluster(spark, dir).localCheckpoint())
     val bestDfF = scala.concurrent.Future(
       PipelineQueries.dedupClusterBest(spark, dir).localCheckpoint())
+    // no deadline: the Spark jobs themselves surface progress/failure — a
+    // hard Await bound was an artificial scale ceiling for large corpora
     val (labels, survivorsDf, bestDf) =
       try (
-        scala.concurrent.Await.result(labelsF, scala.concurrent.duration.Duration(10, "min")),
-        scala.concurrent.Await.result(survivorsDfF, scala.concurrent.duration.Duration(10, "min")),
-        scala.concurrent.Await.result(bestDfF, scala.concurrent.duration.Duration(10, "min")))
+        scala.concurrent.Await.result(labelsF, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(survivorsDfF, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(bestDfF, scala.concurrent.duration.Duration.Inf))
       finally pool.shutdown()
 
     val la = labels.select(col("id").as("id_a"), col("comp").as("__ca"))

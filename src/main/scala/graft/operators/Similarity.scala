@@ -403,13 +403,22 @@ object Similarity {
     * by the one-shot builds, the Lloyd steps and the persisted index's
     * delta encoder ([[VectorIndex]]). */
   private[graft] def assignToCents(c: DataFrame, cents: DataFrame): DataFrame = {
+    val idType = cents.schema("cent_id").dataType
     val rows = cents.select(col("cent_id").cast("long"), col("cent_vec")).collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[java.lang.Float](1)
       .map(x => if (x == null) 0.0f else x.floatValue).toArray)
-    c.select(col("neighbor_id"),
-      graft.functions.VectorFunctions.nearestCentF(col("__cv"), ids, vecs).as("cent_id"))
-      .filter(col("cent_id").isNotNull)
+    // fail FAST on a null corpus vector (the crossJoin formulation this
+    // replaced crashed its row encoder on nulls, and brute force still
+    // errors on the same data — silently dropping the row would leave it
+    // unreachable by any probe, an inconsistent null policy). The strict
+    // (AssertNotNull) form also makes cent_id NON-NULLABLE, so downstream
+    // joins add no IsNotNull filter — the pushed filter re-evaluated the
+    // full K x d argmax a second time per corpus row. The cast back to
+    // the caller's id type (mirrors topKPerQuery's cast-back) keeps the
+    // persisted codes-table schema and join key types from drifting.
+    val nearest = graft.functions.VectorFunctions.nearestCentFStrict(col("__cv"), ids, vecs)
+    c.select(col("neighbor_id"), nearest.cast(idType).as("cent_id"))
   }
 
   /** The residual (or plain) encode input for a corpus row joined with

@@ -8309,19 +8309,26 @@ object BranchCatalog {
   private val manifestEntryBudget = 200000L
   private val manifestEntriesCached = new java.util.concurrent.atomic.AtomicLong(0L)
   private[wap] val manifestCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[DataFileMeta]]): Boolean = {
-        val over = manifestEntriesCached.get() > manifestEntryBudget
-        if (over) manifestEntriesCached.addAndGet(-e.getValue.length.toLong)
-        over
+    new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true))
+  private[wap] def cacheManifest(path: String, files: Seq[DataFileMeta]): Unit =
+    // eviction lives HERE, not in removeEldestEntry: that hook fires at
+    // most once per insert and judged the PRE-insert counter, so inserting
+    // large manifests could park the cache above its entry budget
+    // indefinitely. Loop-evict eldest-first until the total INCLUDING the
+    // new entry fits; a single over-budget manifest evicts itself (it is
+    // the youngest, so only after everything else), keeping the budget a
+    // hard bound. The mutex is the synchronizedMap wrapper itself.
+    manifestCache.synchronized {
+      val prev = manifestCache.put(path, files)
+      manifestEntriesCached.addAndGet(
+        files.length.toLong - (if (prev == null) 0L else prev.length.toLong))
+      val it = manifestCache.entrySet().iterator()
+      while (manifestEntriesCached.get() > manifestEntryBudget && it.hasNext) {
+        val e = it.next()
+        manifestEntriesCached.addAndGet(-e.getValue.length.toLong)
+        it.remove()
       }
-    })
-  private[wap] def cacheManifest(path: String, files: Seq[DataFileMeta]): Unit = {
-    if (manifestCache.put(path, files) == null)
-      manifestEntriesCached.addAndGet(files.length.toLong)
-    ()
-  }
+    }
   private[wap] def uncacheManifest(path: String): Unit = {
     val prev = manifestCache.remove(path)
     if (prev != null) manifestEntriesCached.addAndGet(-prev.length.toLong)

@@ -383,4 +383,51 @@ class SimilaritySpec extends SparkSpecBase {
     // every duplicated centroid's tie resolved to the SMALLER id
     assert(got.values.forall(_ < 500L))
   }
+
+  test("assignToCents runs whole-stage-codegen'd, once per row, and fails fast on nulls") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // repartition so the input is not a LocalRelation (those constant-fold
+    // the projection at optimization time and never reach codegen)
+    val c = corpusDf.repartition(2)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val cents = corpus.take(4).toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), transform(col("cent_vec"), x => x.cast("float")).as("cent_vec"))
+    val assigned = Similarity.assignToCents(c, cents)
+    // a janino compile failure must FAIL here, not silently interpret
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assigned.collect() // materialize THROUGH this Dataset's queryExecution
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // r17: NearestCentF grew doGenCode — the assignment projection must sit
+    // INSIDE a WholeStageCodegen span (CodegenFallback broke the whole
+    // stage), and AssertNotNull's non-nullable output must keep downstream
+    // IsNotNull filters (which re-evaluated the K x d argmax) out of plans.
+    // executedPlan is read AFTER the collect so AQE has collapsed codegen
+    // stages into the final plan.
+    val executed = assigned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps stages in QueryStageExec nodes that `collect` does not
+    // descend into, so assert on the rendered plan: the `*(n)` prefix IS
+    // the WholeStageCodegen span marker
+    val planStr = executed.toString
+    val codegenLine = planStr.linesIterator
+      .exists(l => l.contains("nearest_cent_f") && l.contains("*("))
+    assert(codegenLine, s"assignment projection not codegen'd:\n$planStr")
+    assert(!assigned.schema("cent_id").nullable, "cent_id must be non-nullable")
+    // exactly ONE argmax evaluation per row in the whole plan
+    assert(executed.toString.split("nearest_cent_f").length - 1 == 1)
+    // null corpus vector: fail fast (matching brute force), never a drop
+    val withNull = c.unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("neighbor_id", "__cv"))
+    val e = intercept[Exception] {
+      Similarity.assignToCents(withNull, cents)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("null")),
+      s"expected a null-vector failure, got: ${messages(e)}")
+  }
 }
