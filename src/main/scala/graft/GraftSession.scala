@@ -74,6 +74,11 @@ object GraftSession {
     // carries ids (W58 renames) — a no-op for id-less schemas/files
     .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .config("spark.sql.parquet.fieldId.write.enabled", "true")
+    // the catalog's manifests are the commit record — the Hadoop
+    // committer's _SUCCESS marker is one extra create+close per write job
+    // that nothing ever reads (at any scale; on object stores it is a
+    // whole extra PUT per commit)
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     .config("spark.ui.enabled", "false")
 }
 

@@ -611,7 +611,11 @@ class BranchCatalog(
     refsBackend: Option[RefsStore] = None) {
   private implicit val fmts: Formats = DefaultFormats
   private val rootPath = new Path(root)
-  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // resolved once per instance: getFileSystem consults the Hadoop
+  // FileSystem cache on every call (conf hashing + map lookup), and the
+  // commit machinery touches `fs` dozens of times per commit
+  private lazy val fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val refsStore: RefsStore = refsBackend.getOrElse(new RefsStore {
     override def listVersions(): Seq[Long] = {
@@ -644,47 +648,94 @@ class BranchCatalog(
     * (= lost the commit race). */
   private def writeString(p: Path, s: String, overwriteExisting: Boolean): Boolean = {
     require(!overwriteExisting, "catalog metadata files are immutable")
-    val tmp = new Path(p.getParent, s".tmp-${UUID.randomUUID().toString.take(12)}")
-    try {
-      val out = fs.create(tmp, false)
-      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      val qualified = fs.makeQualified(p)
-      if ("file" == qualified.toUri.getScheme) {
-        val nio = java.nio.file.Paths.get(qualified.toUri.getPath)
-        val nioTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+    val qualified = fs.makeQualified(p)
+    if ("file" == qualified.toUri.getScheme) {
+      // local fast path: plain nio. Going through the Hadoop
+      // ChecksumFileSystem costs a .crc sidecar write + delete and two
+      // extra existence probes PER metadata file — pure overhead the
+      // commit machinery pays on every snapshot/manifest/refs write
+      // (readers never see a .crc for the final name either way, so
+      // semantics are identical: atomic create-if-absent via hard link).
+      val nio = java.nio.file.Paths.get(qualified.toUri.getPath)
+      val nioTmp = nio.getParent.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+      try {
+        java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.write(nioTmp, s.getBytes(StandardCharsets.UTF_8))
         try { java.nio.file.Files.createLink(nio, nioTmp); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
+      } catch {
+        case _: java.io.IOException => false
+      } finally {
+        try { java.nio.file.Files.deleteIfExists(nioTmp); () }
+        catch { case _: Exception => () }
+      }
+    } else {
+      val tmp = new Path(p.getParent, s".tmp-${UUID.randomUUID().toString.take(12)}")
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
         // HDFS-style rename: atomic, returns false if destination exists
         fs.rename(tmp, p)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      } finally {
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Exception => () }
       }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: java.io.IOException => false
-    } finally {
-      try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Exception => () }
     }
   }
 
   private def readString(p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val qualified = fs.makeQualified(p)
+    if ("file" == qualified.toUri.getScheme)
+      // local fast path: one open+read, no ChecksumFileSystem .crc probe
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(qualified.toUri.getPath)), StandardCharsets.UTF_8)
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    }
   }
 
   // ---- refs (optimistic versioned commits) ------------------------------
 
   private def refsPath(v: Long) = new Path(rootPath, f"refs-$v%012d.json")
 
-  private def currentVersion(): Long = {
-    val vs = refsStore.listVersions()
-    if (vs.isEmpty) -1L else vs.max
-  }
+  private val refsStoreIsDefault = refsBackend.isEmpty
+
+  private def currentVersion(): Long =
+    if (!refsStoreIsDefault) {
+      val vs = refsStore.listVersions()
+      if (vs.isEmpty) -1L else vs.max
+    } else {
+      // Incremental head discovery for the default filesystem store:
+      // versions are DENSE (commitRefs publishes cur+1 via atomic
+      // create-if-absent) and refs files are never deleted, so the head
+      // is found by probing forward from the last max this JVM saw —
+      // O(new commits) exists-probes instead of an O(all versions)
+      // directory listing on EVERY catalog consult. The cached max is
+      // validated with one exists (a recreated/foreign root falls back
+      // to the full listing), so semantics match the listing exactly.
+      val key = rootPath.toString
+      val cached = BranchCatalog.maxRefsSeen.get(key)
+      var m = if (cached == null) -1L else cached.longValue
+      if (m >= 0L && !fs.exists(refsPath(m))) m = -1L
+      if (m < 0L) {
+        val vs = refsStore.listVersions()
+        m = if (vs.isEmpty) -1L else vs.max
+      }
+      if (m >= 0L) {
+        while (fs.exists(refsPath(m + 1L))) m += 1L
+        BranchCatalog.maxRefsSeen.put(key, java.lang.Long.valueOf(m))
+      } else BranchCatalog.maxRefsSeen.remove(key)
+      m
+    }
 
   def currentRefs(): Refs = {
     val v = currentVersion()
@@ -898,10 +949,22 @@ class BranchCatalog(
     val commitId = UUID.randomUUID().toString
     val dir = new Path(rootPath, s"tables/${physDir(table)}/data/$commitId")
     withFieldIds(df, ids).write.parquet(dir.toString)
-    fs.listStatus(dir).toSeq
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map(footerMeta)
+    footerMetas(fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet")))
   }
+
+  /** Footer stats for a commit's files, read CONCURRENTLY: each read is an
+    * independent footer fetch (latency-bound on remote stores), and the
+    * driver otherwise pays them back-to-back after every write job. Order
+    * is preserved. */
+  private def footerMetas(sts: Seq[org.apache.hadoop.fs.FileStatus]): Seq[DataFileMeta] =
+    if (sts.length <= 1) sts.map(footerMeta)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(sts.map(st => Future(footerMeta(st)))), 120.seconds)
+    }
 
   /** Hidden-partitioned write: ONE job writes the batch hash-grouped into
     * nested `__pv<i>=<value>` subdirectories, one level per transform
@@ -972,9 +1035,9 @@ class BranchCatalog(
     // file (sound)
     def walk(p: Path, level: Int, acc: Map[String, String]): Seq[DataFileMeta] =
       if (level == specs.length)
-        fs.listStatus(p).toSeq
-          .filter(st => st.getPath.getName.endsWith(".parquet"))
-          .map(st => footerMeta(st).copy(partition = acc))
+        footerMetas(fs.listStatus(p).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet")))
+          .map(_.copy(partition = acc))
       else fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"__pv$level="))
         .flatMap { pd =>
@@ -8300,6 +8363,14 @@ object BranchCatalog {
     * json4s-reflection-parsing them per operation is pure driver latency
     * (remote metadata GETs at 100 TB, parse CPU locally). Bounded LRU:
     * snapshots by count, manifests by total cached FILE ENTRIES. */
+  /** Last refs HEAD version seen per catalog root (default filesystem
+    * store only): lets [[BranchCatalog.currentVersion]] probe forward
+    * from here instead of listing the whole refs directory per consult.
+    * Always validated against the filesystem before use — see the
+    * probing loop for the dense-versions invariant it relies on. */
+  private[wap] val maxRefsSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private val snapCacheCap = 2048
   private[wap] val snapCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Snapshot](64, 0.75f, true) {
