@@ -282,9 +282,14 @@ object Bench {
     // the driver's bench artifact truncates to the stdout tail and loses
     // most per-query timings; ALSO write the full line to a file so every
     // round's complete map is reviewable in-repo (SPARK_GRAFT_BENCH_OUT
-    // overrides the default repo-root path; failures are non-fatal — the
-    // bench itself has already reported)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    // overrides; failures are non-fatal — the bench itself has already
+    // reported). r17: the default is per-CORE-COUNT (bench_local_c32.json
+    // / bench_local_c8.json) — the driver benches 32c then 8c in one
+    // round, and a shared default file meant the scaling run DESTROYED
+    // the 32c map (r16's had to be reconstructed from a 2000-char stdout
+    // tail). The committed adjudication reference stays bench_local.json
+    // (SPARK_GRAFT_BENCH_REF default), which no run clobbers now.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_local_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()

@@ -18,9 +18,19 @@ object Verify {
     // run into a fresh dir compares only what it wrote)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // family-boundary cache/checkpoint release, same seam as Bench: over
+    // 148 queries the session otherwise accumulates persisted frames and
+    // local-checkpoint blocks until GC happens to run
+    var prevFamily = ""
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val fam = name.takeWhile(_ != '_')
+      if (fam != prevFamily) {
+        graft.operators.PipelineQueries.clearPrepared(spark)
+        graft.operators.SessionCaches.clear(spark)
+        prevFamily = fam
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

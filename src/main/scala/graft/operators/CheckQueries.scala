@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.SessionCaches.CheckpointOps
 import graft.Tables
 
 /** Driver-visible correctness gates for the rows-only operators
@@ -209,7 +210,7 @@ object CheckQueries {
     // banding + exact-verify plan re-executes for each consumer
     val pairs = Dedup.minhashPairs(p, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     // the check runs THREE independent label-propagation chains (the
     // recheck's own labels, the cluster operator under test, and its
     // quality-aware variant) — each an eager sequence of small jobs that
@@ -223,9 +224,9 @@ object CheckQueries {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val labelsF = scala.concurrent.Future(Dedup.connectedComponents(pairs))
     val survivorsDfF = scala.concurrent.Future(
-      PipelineQueries.dedupCluster(spark, dir).localCheckpoint())
+      PipelineQueries.dedupCluster(spark, dir).trackedLocalCheckpoint())
     val bestDfF = scala.concurrent.Future(
-      PipelineQueries.dedupClusterBest(spark, dir).localCheckpoint())
+      PipelineQueries.dedupClusterBest(spark, dir).trackedLocalCheckpoint())
     // no deadline: the Spark jobs themselves surface progress/failure — a
     // hard Await bound was an artificial scale ceiling for large corpora
     val (labels, survivorsDf, bestDf) =
@@ -474,11 +475,21 @@ object CheckQueries {
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val pairsMatch =
-      served.exceptAll(reference).isEmpty && reference.exceptAll(served).isEmpty
-    val plantedRecovered = served
-      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 5000L)
-      .count() == 20L
+    // ONE action for the both-direction multiset equality AND the planted
+    // count (was: two exceptAll.isEmpty + a count = three actions): per-key
+    // count equality on a full outer join IS multiset equality, and folding
+    // the gates into one job also lets the served and reference subplans
+    // materialize their persists CONCURRENTLY (guide §2.6) instead of
+    // back-to-back.
+    val sCnt = served.groupBy("id_a", "id_b").agg(count(lit(1)).as("__s"))
+    val rCnt = reference.groupBy("id_a", "id_b").agg(count(lit(1)).as("__r"))
+    val cmpRow = sCnt.join(rCnt, Seq("id_a", "id_b"), "full_outer").agg(
+      coalesce(sum(when(coalesce(col("__s"), lit(0L)) =!= coalesce(col("__r"), lit(0L)),
+        1L).otherwise(0L)), lit(0L)).as("n_diff"),
+      coalesce(sum(when(col("id_a") < 20 && col("id_b") === col("id_a") + 5000L,
+        coalesce(col("__s"), lit(0L))).otherwise(0L)), lit(0L)).as("planted")).head
+    val pairsMatch = cmpRow.getLong(0) == 0L
+    val plantedRecovered = cmpRow.getLong(1) == 20L
 
     cat.append("documents", batch)
     val sinceMatch = DedupIndex

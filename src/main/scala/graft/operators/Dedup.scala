@@ -288,12 +288,18 @@ object Dedup {
         .localCheckpoint()
       val changed = next.alias("n").join(labels.alias("o"), Seq("id"))
         .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      // the previous round's checkpoint blocks are dead once `changed`
+      // is computed — free them NOW instead of waiting for GC (over
+      // O(diameter) rounds the dead blocks otherwise stack up)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(labels)
       labels = next
       done = changed == 0L
       it += 1
     }
     edges.unpersist(false)
-    labels
+    // the final labels are the caller's result; release at the session's
+    // next family-boundary clear
+    SessionCaches.track(labels)
   }
 
   /** Cluster-level dedup survivors: ONE representative (the smallest id)

@@ -29,10 +29,48 @@ object SessionCaches {
         .getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
     }
 
-  /** Drop (and unpersist) every frame cached for `spark`. */
-  def clear(spark: SparkSession): Unit = frames.synchronized {
-    Option(frames.remove(spark)).foreach { per =>
-      if (!spark.sparkContext.isStopped) per.values.foreach(_.unpersist(false))
+  private val ckpts =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]()
+
+  /** `df.localCheckpoint()` with its storage blocks REGISTERED for
+    * release: a local checkpoint's blocks otherwise live until the RDD
+    * is GC'd, so a long-lived session (Verify's 148 queries, repeated
+    * check runs) accumulates executor storage. [[clear]] — which Bench
+    * and Verify call at family boundaries — frees them deterministically.
+    * Within one query run the frame behaves exactly like a plain
+    * localCheckpoint. */
+  def checkpointed(df: DataFrame): DataFrame = track(df.localCheckpoint())
+
+  /** `.trackedLocalCheckpoint()` — chain-position drop-in for
+    * `.localCheckpoint()` that registers the blocks for [[clear]]. */
+  implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    def trackedLocalCheckpoint(): DataFrame = checkpointed(df)
+  }
+
+  /** Register an ALREADY-checkpointed frame for release at [[clear]]. */
+  def track(cp: DataFrame): DataFrame = {
+    ckpts.synchronized {
+      ckpts.computeIfAbsent(cp.sparkSession,
+        _ => scala.collection.mutable.Buffer.empty) += cp
+    }
+    cp
+  }
+
+  /** Drop (and unpersist) every frame cached for `spark`, and release
+    * every tracked checkpoint's blocks. */
+  def clear(spark: SparkSession): Unit = {
+    frames.synchronized {
+      Option(frames.remove(spark)).foreach { per =>
+        if (!spark.sparkContext.isStopped) per.values.foreach(_.unpersist(false))
+      }
+    }
+    ckpts.synchronized {
+      Option(ckpts.remove(spark)).foreach { per =>
+        if (!spark.sparkContext.isStopped) per.foreach { df =>
+          try org.apache.spark.sql.graft.Bridge.releaseCheckpoint(df)
+          catch { case _: Exception => () }
+        }
+      }
     }
   }
 }

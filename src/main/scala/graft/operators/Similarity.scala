@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.operators.SessionCaches.CheckpointOps
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (SURVEY §2.5).
@@ -239,7 +240,7 @@ object Similarity {
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
 
     // optional Lloyd steps: recentre each inverted list on its mean via
     // the native VecSumF aggregate (K small arrays shuffle, no explode)
@@ -250,7 +251,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
     }
 
     val assigned = assign(cents)
@@ -309,7 +310,7 @@ object Similarity {
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     // optional Lloyd steps (same recipe as ivfTopK): tighter cells raise
     // probe recall for the same nprobe
     for (_ <- 0 until refineSteps) {
@@ -319,7 +320,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
     }
     val assigned = assign(cents)
     val probeScores = q.crossJoin(broadcast(cents))
@@ -465,7 +466,7 @@ object Similarity {
     var cents = c.orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
       .limit(centroids)
       .select(col("neighbor_id").as("cent_id"), col("__cv").as("cent_vec"))
-      .localCheckpoint()
+      .trackedLocalCheckpoint()
     // optional Lloyd steps (same recipe as ivfTopK): tighter coarse cells
     // mean smaller residuals, which the PQ codebooks then quantize better
     for (_ <- 0 until refineSteps) {
@@ -475,7 +476,7 @@ object Similarity {
         .agg(vecSumF(col("__cv")).as("__s"), count(lit(1)).as("__n"))
         .select(col("cent_id"),
           transform(col("__s"), x => (x / col("__n")).cast("float")).as("cent_vec"))
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
     }
     // bounded driver pull: trainSample encode inputs in deterministic
     // hash order (~0.5 MB at the defaults, independent of corpus size);

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.SessionCaches.CheckpointOps
 import graft.Tables
 import graft.quality._
 import graft.wap.{BranchCatalog, BufferAlerter, Wap}
@@ -1066,16 +1067,22 @@ object WapQueries {
     val joinInc = GraftMaterializedViews.refresh(spark, cat, "mv_join", "main") ==
       "incremental_join"
     val joinZeroRewrite = joinFilesBefore.subsetOf(cat.dataFiles("mv_join").map(_.path).toSet)
-    val joinFoldOk = joinInc && joinZeroRewrite && spark.sql(
-      s"""SELECT count(*) FROM
-         |(SELECT * FROM $lake.main.mv_join
-         | EXCEPT ALL
-         | SELECT s.doc_id, s.n_chars, d.lang FROM $lake.main.documents s
-         | JOIN $lake.main.dims d ON s.lang = d.lang WHERE s.n_chars % 2 = 0)
-         |""".stripMargin).head.getLong(0) == 0L &&
-      spark.sql(s"SELECT count(*) FROM $lake.main.mv_join").head.getLong(0) ==
-        spark.sql(s"SELECT count(*) FROM $lake.main.documents s JOIN $lake.main.dims d " +
-          "ON s.lang = d.lang WHERE s.n_chars % 2 = 0").head.getLong(0)
+    // the three join-fold facts ride ONE action (scalar subqueries): same
+    // counts as the previous three .head calls, but one driver round and
+    // the independent subtrees materialize concurrently
+    val joinRow = spark.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM
+         |   (SELECT * FROM $lake.main.mv_join
+         |    EXCEPT ALL
+         |    SELECT s.doc_id, s.n_chars, d.lang FROM $lake.main.documents s
+         |    JOIN $lake.main.dims d ON s.lang = d.lang WHERE s.n_chars % 2 = 0)) AS n_except,
+         |  (SELECT count(*) FROM $lake.main.mv_join) AS n_view,
+         |  (SELECT count(*) FROM $lake.main.documents s JOIN $lake.main.dims d
+         |   ON s.lang = d.lang WHERE s.n_chars % 2 = 0) AS n_recompute
+         |""".stripMargin).head
+    val joinFoldOk = joinInc && joinZeroRewrite &&
+      joinRow.getLong(0) == 0L && joinRow.getLong(1) == joinRow.getLong(2)
     // AVG folds through its (sum, count) companions; the folded means
     // must equal a full recompute (exact: long sums). Boolean gate —
     // raw double averages never enter the hash oracle.
@@ -1894,7 +1901,7 @@ object WapQueries {
         // materialize BEFORE the conf flips back: the driver's noop/
         // parquet write must not re-plan through the lowered path with
         // stale gate literals
-        .localCheckpoint()
+        .trackedLocalCheckpoint()
     } finally spark.conf.set("spark.graft.sql.lowering", "true")
   }
 

@@ -154,6 +154,19 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * A local checkpoint's blocks otherwise live until the RDD is GC'd
+    * (ContextCleaner), so a long-lived session accumulates executor
+    * storage across query runs; this frees them deterministically once
+    * every consumer is done. Safe on any frame — only LogicalRDD leaves
+    * are touched. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** The config value a builder currently carries for `key`, if any.
     * `SparkSessionBuilder.options` is `protected` in Scala but its
     * accessor is public bytecode, so one reflective call reads it (no
